@@ -1,0 +1,87 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph kernels over edge-list DataFrames (SURVEY.md §2.7, §2.11).
+  * Edge list schema: `(src, dst, weight)` — the KNN graph form the
+  * reference stores (scarf/datastore/graph_datastore.py:556-575).
+  */
+object GraphOps {
+
+  /** Shared-nearest-neighbor counts (scarf/knn_utils.py:195-210):
+    * |N(i) ∩ N(j)| via self-join of the neighbor list on the shared
+    * neighbor, aggregated per pair. `minShared` prunes the long tail early.
+    * Skewed hub nodes are the scale hazard: at cluster scale pre-salt the
+    * join key or cap per-node degree (k is bounded in KNN graphs, so the
+    * join fan-out is ≤ k per (node, neighbor) row).
+    */
+  def snn(edges: DataFrame, minShared: Long): DataFrame = {
+    val a = edges.select(col("src").as("i"), col("dst"))
+    val b = edges.select(col("src").as("j"), col("dst"))
+    a.join(b, Seq("dst"))
+      .filter(col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /** Symmetrize a directed weighted graph as `g + gᵀ − g∘gᵀ` restricted to
+    * max-combine (load_graph, scarf/datastore/graph_datastore.py:1052-1055):
+    * union with swapped endpoints, keep max weight per pair.
+    */
+  def symmetrize(edges: DataFrame): DataFrame =
+    edges.select("src", "dst", "weight")
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+      .groupBy("src", "dst").agg(max(col("weight")).as("weight"))
+
+  /** One step of MAGIC-style diffusion (scarf/datastore/graph_datastore.py:
+    * 1729-1816): row-normalize the adjacency to a transition matrix and
+    * apply it to a per-cell signal: `x' = D⁻¹A · x`.
+    * `signal(cell_id, x)`. Matrix power t = t repeated applications.
+    */
+  def diffuse(edges: DataFrame, signal: DataFrame): DataFrame = {
+    val norm = edges
+      .withColumn("row_sum", sum(col("weight")).over(Window.partitionBy("src")))
+      .withColumn("p", col("weight") / col("row_sum"))
+    norm.join(signal.withColumnRenamed("cell_id", "dst"), Seq("dst"))
+      .groupBy("src").agg(sum(col("p") * col("x")).as("x"))
+      .withColumnRenamed("src", "cell_id")
+  }
+
+  /** Mapping score (scarf/datastore/mapping_datastore.py:211-285): per
+    * reference cell, sum over projection hits of `1/(log1p(dist)+1)`,
+    * grouped by the target cells' group label.
+    * `hits(ref_id, target_id, dist)`, `targetGroups(target_id, group)`.
+    */
+  def mappingScore(hits: DataFrame, targetGroups: DataFrame): DataFrame =
+    hits.join(targetGroups, Seq("target_id"))
+      .groupBy("ref_id", "group")
+      .agg(sum(lit(1.0) / (log1p(col("dist")) + 1)).as("score"))
+
+  /** Weighted-KNN label transfer (get_target_classes,
+    * scarf/datastore/mapping_datastore.py:287-364): weights `1 − d/d_max`,
+    * per-target label weight shares; assign the top label iff its share
+    * exceeds `threshold`, else "NA". `hits(target_id, ref_id, dist)`,
+    * `refLabels(ref_id, label)`.
+    */
+  def labelTransfer(hits: DataFrame, refLabels: DataFrame,
+                    threshold: Double): DataFrame = {
+    val dMax = hits.agg(max(col("dist")).as("d_max"))
+    val weighted = hits.crossJoin(broadcast(dMax))
+      .withColumn("w", lit(1.0) - col("dist") / col("d_max"))
+      .join(broadcast(refLabels), Seq("ref_id"))
+    val shares = weighted.groupBy("target_id", "label")
+      .agg(sum(col("w")).as("w_label"))
+      .withColumn("share",
+        col("w_label") / sum(col("w_label")).over(Window.partitionBy("target_id")))
+    shares
+      .withColumn("rn", row_number().over(Window.partitionBy("target_id")
+        .orderBy(col("share").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("target_id"),
+        when(col("share") > threshold, col("label")).otherwise(lit("NA"))
+          .as("assigned"),
+        round(col("share"), 6).as("share"))
+  }
+}

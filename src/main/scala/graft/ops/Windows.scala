@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window / ranking / ordering kernels (SURVEY.md §2.6). All partition by a
+  * group key → one hash shuffle, per-partition sort, no global sort.
+  */
+object Windows {
+
+  /** Top-k rows per group by a sort column (scarf/knn_utils.py:213-235,
+    * scarf/assay.py:1049-1053). `tieBreak` must make the ordering total so
+    * results are deterministic across engines.
+    */
+  def topKPerGroup(df: DataFrame, groupCol: String, k: Int,
+                   order: Seq[Column]): DataFrame =
+    df.withColumn("rn", row_number().over(
+        Window.partitionBy(groupCol).orderBy(order: _*)))
+      .filter(col("rn") <= k)
+
+  /** Dense + average rank of `valueCol` within each group
+    * (scarf/markers.py:137-139; pandas rank method='dense'/'average').
+    * Average rank of a tie group = rank() + (tieCount − 1) / 2.
+    */
+  def ranks(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col(valueCol))
+    val tie = Window.partitionBy(groupCol, valueCol)
+    df.withColumn("drank", dense_rank().over(w))
+      .withColumn("arank",
+        rank().over(w) + (count(lit(1)).over(tie) - lit(1)) / lit(2.0))
+  }
+
+  /** Centered rolling mean over an ordering within each group
+    * (scarf/utils.py:234-252 rolling_window; scarf/assay.py:577-696).
+    */
+  def rollingMean(df: DataFrame, groupCol: String, order: Seq[Column],
+                  valueCol: String, halfWidth: Int): DataFrame =
+    df.withColumn("rolling_mean",
+      avg(col(valueCol)).over(Window.partitionBy(groupCol).orderBy(order: _*)
+        .rowsBetween(-halfWidth, halfWidth)))
+
+  /** ntile binning + per-bin aggregation (save_aggregated_ordering,
+    * scarf/assay.py:648-696): order rows, split into `n` equal chunks,
+    * aggregate each.
+    */
+  def ntileBinAgg(df: DataFrame, order: Seq[Column], n: Int,
+                  valueCol: String): DataFrame =
+    df.withColumn("bin", ntile(n).over(Window.orderBy(order: _*)))
+      .groupBy("bin").agg(
+        count(lit(1)).as("n"),
+        avg(col(valueCol)).as("bin_mean"))
+      .orderBy("bin")
+
+  /** Winsorize at exact lower/upper percentiles (rescale_array,
+    * scarf/utils.py:120-140; percentile clip in get_cell_vals,
+    * scarf/datastore/base_datastore.py:501-511). Exact `percentile` (not
+    * approx) so the result is engine-independent; the two quantiles are a
+    * 1-row broadcast.
+    */
+  def winsorize(df: DataFrame, valueCol: String, loP: Double, hiP: Double): DataFrame = {
+    val q = df.agg(
+      expr(s"percentile($valueCol, $loP)").as("q_lo"),
+      expr(s"percentile($valueCol, $hiP)").as("q_hi"))
+    df.crossJoin(broadcast(q))
+      .withColumn("clipped",
+        least(greatest(col(valueCol), col("q_lo")), col("q_hi")))
+      .drop("q_lo", "q_hi")
+  }
+}

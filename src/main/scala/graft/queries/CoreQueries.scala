@@ -31,7 +31,7 @@ object CoreQueries {
     "q03_sift" -> ((s, d) =>
       li(s, d).filter(MetaOps.sift(col("l_quantity"), 10, 40))
         .select("l_orderkey", "l_linenumber", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")),
 
     "q04_multi_sift" -> ((s, d) =>
       Tables.t(s, d, "orders").filter(MetaOps.multiSift(Seq(
@@ -119,7 +119,7 @@ object CoreQueries {
     "q03_sift" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          WHERE l_quantity >= 10 AND l_quantity <= 40
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, l_quantity""",
 
     "q04_multi_sift" ->
       """SELECT o_orderkey, o_totalprice FROM orders

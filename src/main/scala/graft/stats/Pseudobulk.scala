@@ -1,0 +1,71 @@
+package graft.stats
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Group-wise aggregation operators: pseudobulk, cluster relabeling, and
+  * clustering-agreement metrics (SURVEY.md §2.4, §2.13).
+  */
+object Pseudobulk {
+
+  /** Pseudobulk (make_bulk, scarf/datastore/datastore.py:978-1116):
+    * group cells by metadata columns, per-group-per-feature sum plus
+    * fraction-of-cells-expressing; all-zero features drop out naturally in
+    * COO form. `cellGroups(cell_id, group)`; group sizes are re-derived so
+    * frac_exp uses the full group population, not just expressing cells.
+    */
+  def makeBulk(coo: DataFrame, cellGroups: DataFrame): DataFrame = {
+    val sizes = cellGroups.groupBy("group").agg(count(lit(1)).as("n_cells"))
+    coo.join(cellGroups, Seq("cell_id"))
+      .groupBy("group", "feat_id")
+      .agg(sum(col("value")).as("sum_value"),
+        count(when(col("value") > 0, 1)).as("n_expr"))
+      .join(broadcast(sizes), Seq("group"))
+      .select(col("group"), col("feat_id"), col("sum_value"),
+        (col("n_expr") / col("n_cells")).as("frac_exp"))
+  }
+
+  /** smart_label (scarf/datastore/datastore.py:1189-1239): relabel each
+    * value of column A by its majority-overlap value of column B.
+    * Crosstab + per-A argmax window; ties break lexicographically on B —
+    * deterministic stand-in for the reference's suffix ordering.
+    */
+  def smartLabel(df: DataFrame, a: String, b: String): DataFrame =
+    df.groupBy(a, b).agg(count(lit(1)).as("overlap"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(a).orderBy(col("overlap").desc, col(b))))
+      .filter(col("rn") === 1)
+      .select(col(a), col(b).as("label"), col("overlap"))
+
+  /** ARI + NMI between two label columns (scarf/metrics.py:436-465) from
+    * the contingency table, closed-form. Output: single row
+    * (ari, nmi) with NMI's arithmetic-mean normalization (sklearn default).
+    * Everything after the first groupBy is over |A|×|B| rows — trivial.
+    */
+  def ariNmi(df: DataFrame, a: String, b: String): DataFrame = {
+    val cont = df.groupBy(a, b).agg(count(lit(1)).cast("double").as("nij"))
+    val withMargins = cont
+      .withColumn("ai", sum(col("nij")).over(Window.partitionBy(a)))
+      .withColumn("bj", sum(col("nij")).over(Window.partitionBy(b)))
+      .crossJoin(broadcast(df.agg(count(lit(1)).cast("double").as("n"))))
+    withMargins.agg(
+        sum(col("nij") * (col("nij") - 1) / 2).as("sij"),
+        // ai/bj margins are replicated per contingency cell; divide the
+        // per-cell contribution through nij's share to sum each margin once
+        sum(col("nij") / col("ai") * (col("ai") * (col("ai") - 1) / 2)).as("si_rep"),
+        sum(col("nij") / col("bj") * (col("bj") * (col("bj") - 1) / 2)).as("sj_rep"),
+        first(col("n")).as("n"),
+        sum(col("nij") / col("n") *
+          log(col("n") * col("nij") / (col("ai") * col("bj")))).as("mi"),
+        sum(col("nij") / col("ai") *
+          (-(col("ai") / col("n")) * log(col("ai") / col("n")))).as("hu"),
+        sum(col("nij") / col("bj") *
+          (-(col("bj") / col("n")) * log(col("bj") / col("n")))).as("hv"))
+      .select(
+        round((col("sij") - col("si_rep") * col("sj_rep") / (col("n") * (col("n") - 1) / 2)) /
+          ((col("si_rep") + col("sj_rep")) / 2 -
+            col("si_rep") * col("sj_rep") / (col("n") * (col("n") - 1) / 2)), 6).as("ari"),
+        round(col("mi") / ((col("hu") + col("hv")) / 2), 6).as("nmi"))
+  }
+}
