@@ -28,6 +28,16 @@ object Tables {
       col("l_partkey").as("feat_id"),
       col("l_quantity").as("value"))
 
+  /** `events` with its nanosecond timestamp exposed as an epoch-ns long
+    * (`ts_ns`): Spark's parquet reader rejects TIMESTAMP(NANOS), so the
+    * legacy nanosAsLong mode maps it to LongType — lossless, and the
+    * oracle mirrors it with DuckDB's epoch_ns().
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events").withColumnRenamed("ts", "ts_ns")
+  }
+
   /** Scalar total number of cells (orders) as a 1-row DataFrame to
     * cross-join against — keeps plans fully lazy/distributed instead of
     * collecting a scalar on the driver. Catalyst broadcasts the 1-row side.

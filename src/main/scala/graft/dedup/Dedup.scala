@@ -1,0 +1,86 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, sparse-native and
+  * shuffle-conscious:
+  *
+  *  - exact dedup: hash-groupBy on the content digest — one shuffle keyed
+  *    by digest; at 100 TB the digest (16 bytes) shuffles, never the text.
+  *  - MinHash + LSH: shingle → per-seed min-hash signature → band keys →
+  *    equi-join on band. The self-join runs on band buckets (tiny unless
+  *    genuinely near-duplicate mass exists), not on all pairs.
+  *  - n-gram Jaccard: inverted-index self-join on shared shingles —
+  *    candidate pairs only materialize for documents that share content.
+  *
+  * MD5 is used as the hash family (seeded by prefixing the seed) so every
+  * step is engine-independent and oracle-checkable.
+  */
+object Dedup {
+
+  /** Word n-gram shingles, distinct per document: `(doc_id, shingle)`. */
+  def shingles(docs: DataFrame, n: Int): DataFrame = {
+    val toks = split(col("text"), "\\s+")
+    docs.select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - n),
+          i => concat_ws(" ", (0 until n).map(o => element_at(col("w"), i + o + 1)): _*)))
+          .as("shingle"))
+      .distinct()
+  }
+
+  /** Exact duplicate groups: digest → group size + representative (min id).
+    * Content never shuffles — only (digest, doc_id).
+    */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs.select(md5(col("text")).as("digest"), col("doc_id"))
+      .groupBy("digest")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** MinHash signature: for each seed, the minimum MD5 of `seed:shingle`
+    * — one aggregation producing `numHashes` columns `m0..m{k-1}`.
+    */
+  def minHashSignature(sh: DataFrame, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map(s =>
+      min(md5(concat(lit(s + ":"), col("shingle")))).as(s"m$s"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs: band the signature (`rowsPerBand` hashes per
+    * band), equi-join documents sharing any band value. Output distinct
+    * `(ida, idb)` with ida < idb.
+    */
+  def lshCandidatePairs(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val nBands = numHashes / rowsPerBand
+    val bands = (0 until nBands).map { b =>
+      val key = concat((0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
+      struct(lit(b).as("band_id"), key.as("band_key"))
+    }
+    val long = sig.select(col("doc_id"), explode(array(bands: _*)).as("b"))
+      .select(col("doc_id"), col("b.band_id"), col("b.band_key"))
+    val a = long.select(col("band_id"), col("band_key"), col("doc_id").as("ida"))
+    val bb = long.select(col("band_id"), col("band_key"), col("doc_id").as("idb"))
+    a.join(bb, Seq("band_id", "band_key"))
+      .filter(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+  }
+
+  /** Pairwise n-gram Jaccard similarity via inverted-index self-join:
+    * only pairs sharing at least one shingle are scored.
+    */
+  def ngramJaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("shingle"), col("doc_id").as("ida"))
+      .join(sh.select(col("shingle"), col("doc_id").as("idb")), Seq("shingle"))
+      .filter(col("ida") < col("idb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "ida").withColumnRenamed("sz", "sza"), Seq("ida"))
+      .join(sizes.withColumnRenamed("doc_id", "idb").withColumnRenamed("sz", "szb"), Seq("idb"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("ida", "idb", "inter", "jaccard")
+  }
+}

@@ -1,0 +1,298 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.graph.GraphOps
+import graft.sim.Similarity
+import graft.text.TextOps
+
+/** Driver-verified queries for the training-data pipeline operators:
+  * text analysis, dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard),
+  * embedding similarity search + label transfer, SNN graph, multimodal
+  * binary plumbing, and event-stream-shaped windowing/sessionization
+  * (batch-verified; the streaming module reuses the same plans).
+  */
+object TrainingQueries {
+  private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
+  private def embs(s: SparkSession, d: String) = Tables.t(s, d, "embeddings")
+
+  private val stopwords = Seq("the", "a", "data", "query")
+  private val langMarkers = Map(
+    "en" -> Seq("the", "a", "data", "query"),
+    "es" -> Seq("el", "los", "que", "una"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "zh" -> Seq("的", "是", "了", "我"))
+
+  /** Near-dup pipeline input: every 20th document's word-3-gram shingles. */
+  private def sh(s: SparkSession, d: String) =
+    Dedup.shingles(docs(s, d).filter(col("doc_id") % 20 === 0), 3)
+
+  private def topKHits(s: SparkSession, d: String) = {
+    val q = embs(s, d).filter(col("vec_id") % 500 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.cosineTopK(q, embs(s, d), 5)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_token_stats" -> ((s, d) =>
+      TextOps.tokenStats(docs(s, d)).orderBy("doc_id")),
+
+    "q31_quality" -> ((s, d) =>
+      TextOps.qualityScore(docs(s, d), stopwords).orderBy("doc_id")),
+
+    "q32_langid" -> ((s, d) =>
+      TextOps.langId(docs(s, d), langMarkers).orderBy("doc_id")),
+
+    "q33_exact_dedup" -> ((s, d) =>
+      Dedup.exactDupGroups(docs(s, d)).orderBy("digest")),
+
+    "q34_minhash_lsh" -> ((s, d) =>
+      Dedup.lshCandidatePairs(Dedup.minHashSignature(sh(s, d), 8), 8, 2)
+        .orderBy("ida", "idb")),
+
+    "q35_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(sh(s, d), 0.01)
+        .select(col("ida"), col("idb"), col("inter"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("ida", "idb")),
+
+    "q36_simhash" -> ((s, d) =>
+      TextOps.simHash16(docs(s, d)).orderBy("doc_id")),
+
+    "q37_cosine_topk" -> ((s, d) => topKHits(s, d).orderBy("qid", "rn")),
+
+    "q38_label_transfer" -> ((s, d) => {
+      val hits = topKHits(s, d).select(col("qid").as("target_id"),
+        col("vec_id").as("ref_id"), (lit(1.0) - col("cos")).as("dist"))
+      val refLabels = embs(s, d)
+        .select(col("vec_id").as("ref_id"), col("label").cast("string").as("label"))
+      GraphOps.labelTransfer(hits, refLabels, 0.4).orderBy("target_id")
+    }),
+
+    "q39_snn" -> ((s, d) => {
+      val edges = Tables.t(s, d, "lineitem").filter(col("l_partkey") % 10 === 0)
+        .select(col("l_orderkey").as("src"), col("l_partkey").as("dst")).distinct()
+      GraphOps.snn(edges, 2).orderBy("i", "j")
+    }),
+
+    "q40_binary_meta" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+          octet_length(col("text")).as("n_bytes"),
+          sha2(col("text"), 256).as("digest"))
+        .orderBy("doc_id")),
+
+    "q41_event_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .groupBy(expr("ts_us div 3600000000").as("hour_bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 6).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("hour_bucket", "event_type")),
+
+    "q42_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.events(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("gap").isNull || col("gap") > 1800000000L, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_sess")).over(w))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 6).as("sum_value"),
+          (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+        .orderBy("user_id", "session_id")
+    }))
+
+  private val shSql =
+    """sh AS (
+         SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+         FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w
+               FROM documents WHERE doc_id % 20 = 0) t,
+              LATERAL (SELECT UNNEST(RANGE(1, LEN(w) - 1)) AS i))"""
+
+  private val topkSql =
+    """q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+             WHERE vec_id % 500 = 0),
+       c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+       p AS (SELECT q.qid, c.vec_id,
+               LIST_DOT_PRODUCT(qv, cv)
+                 / (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(cv, cv))) AS cos
+             FROM q CROSS JOIN c WHERE q.qid != c.vec_id),
+       topk AS (
+         SELECT qid, vec_id, ROUND(cos, 6) AS cos,
+                CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY ROUND(cos, 6) DESC, vec_id) AS INT) AS rn
+         FROM p)"""
+
+  private def langFilterSql(words: Seq[String]): String =
+    words.map(w => s"x = '$w'").mkString(" OR ")
+
+  val oracle: Map[String, String] = Map(
+    "q30_token_stats" ->
+      """SELECT doc_id, CAST(LENGTH(text) AS INT) AS n_chars,
+           CAST(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\s+')) AS INT) AS n_tokens,
+           ROUND(LENGTH(text) / CAST(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\s+')) AS DOUBLE), 6)
+             AS chars_per_token
+         FROM documents ORDER BY doc_id""",
+
+    "q31_quality" ->
+      s"""WITH t AS (
+           SELECT doc_id, LENGTH(text) AS nc,
+                  REGEXP_SPLIT_TO_ARRAY(text, '\\s+') AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id, nc,
+                  CAST(LEN(toks) AS DOUBLE) AS nt,
+                  CAST(LEN(LIST_FILTER(toks, x -> ${langFilterSql(stopwords)})) AS DOUBLE) AS sh,
+                  CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) AS nd
+           FROM t)
+         SELECT doc_id,
+                ROUND(sh / nt, 6) AS stop_ratio,
+                ROUND(nd / nt, 6) AS distinct_ratio,
+                ROUND((nc - (nt - 1)) / nt, 6) AS mean_token_len,
+                (nt >= 20 AND nt <= 2000 AND sh / nt >= 0.01 AND nd / nt >= 0.1) AS keep
+         FROM m ORDER BY doc_id""",
+
+    "q32_langid" -> {
+      val langs = langMarkers.keys.toSeq.sorted
+      val scoreCols = langs.map(l =>
+        s"CAST(LEN(LIST_FILTER(toks, x -> ${langFilterSql(langMarkers(l))})) AS INT) AS score_$l")
+        .mkString(",\n                  ")
+      s"""WITH t AS (
+           SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\\s+') AS toks
+           FROM documents),
+         sc AS (
+           SELECT doc_id,
+                  $scoreCols
+           FROM t),
+         ex AS (
+           SELECT doc_id,
+                  UNNEST([${langs.map(l => s"'$l'").mkString(", ")}]) AS l,
+                  UNNEST([${langs.map(l => s"score_$l").mkString(", ")}]) AS s
+           FROM sc),
+         best AS (
+           SELECT doc_id, l,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, l) AS rn
+           FROM ex)
+         SELECT sc.doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+                b.l AS predicted
+         FROM sc JOIN best b ON sc.doc_id = b.doc_id AND b.rn = 1
+         ORDER BY sc.doc_id"""
+    },
+
+    "q33_exact_dedup" ->
+      """SELECT MD5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+         FROM documents GROUP BY MD5(text) ORDER BY digest""",
+
+    "q34_minhash_lsh" ->
+      s"""WITH $shSql,
+         sig AS (
+           SELECT doc_id,
+                  MIN(MD5('0:' || shingle)) AS m0, MIN(MD5('1:' || shingle)) AS m1,
+                  MIN(MD5('2:' || shingle)) AS m2, MIN(MD5('3:' || shingle)) AS m3,
+                  MIN(MD5('4:' || shingle)) AS m4, MIN(MD5('5:' || shingle)) AS m5,
+                  MIN(MD5('6:' || shingle)) AS m6, MIN(MD5('7:' || shingle)) AS m7
+           FROM sh GROUP BY doc_id),
+         bl AS (
+           SELECT doc_id, 0 AS band_id, m0 || m1 AS band_key FROM sig UNION ALL
+           SELECT doc_id, 1, m2 || m3 FROM sig UNION ALL
+           SELECT doc_id, 2, m4 || m5 FROM sig UNION ALL
+           SELECT doc_id, 3, m6 || m7 FROM sig)
+         SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         FROM bl a JOIN bl b
+           ON a.band_id = b.band_id AND a.band_key = b.band_key
+          AND a.doc_id < b.doc_id
+         ORDER BY ida, idb""",
+
+    "q35_ngram_jaccard" ->
+      s"""WITH $shSql,
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT i.ida AS ida, i.idb AS idb, i.inter AS inter,
+                ROUND(i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) AS jaccard
+         FROM inter i
+         JOIN sizes sa ON i.ida = sa.doc_id
+         JOIN sizes sb ON i.idb = sb.doc_id
+         WHERE i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= 0.01
+         ORDER BY i.ida, i.idb""",
+
+    "q36_simhash" ->
+      (TextOps.simHash16Sql("documents") + " ORDER BY doc_id"),
+
+    "q37_cosine_topk" ->
+      s"""WITH $topkSql
+         SELECT qid, vec_id, cos, rn FROM topk WHERE rn <= 5 ORDER BY qid, rn""",
+
+    "q38_label_transfer" ->
+      s"""WITH $topkSql,
+         hits AS (
+           SELECT qid AS target_id, vec_id AS ref_id, 1.0 - cos AS dist
+           FROM topk WHERE rn <= 5),
+         dm AS (SELECT MAX(dist) AS d_max FROM hits),
+         wtd AS (
+           SELECT h.target_id, CAST(e.label AS VARCHAR) AS label,
+                  1.0 - h.dist / dm.d_max AS w
+           FROM hits h CROSS JOIN dm
+           JOIN embeddings e ON h.ref_id = e.vec_id),
+         shares AS (
+           SELECT target_id, label, SUM(w) AS w_label,
+                  SUM(w) / SUM(SUM(w)) OVER (PARTITION BY target_id) AS share
+           FROM wtd GROUP BY target_id, label),
+         top AS (
+           SELECT target_id, label, share,
+                  ROW_NUMBER() OVER (PARTITION BY target_id
+                    ORDER BY share DESC, label) AS rn
+           FROM shares)
+         SELECT target_id,
+                CASE WHEN share > 0.4 THEN label ELSE 'NA' END AS assigned,
+                ROUND(share, 6) AS share
+         FROM top WHERE rn = 1 ORDER BY target_id""",
+
+    "q39_snn" ->
+      """WITH e AS (
+           SELECT DISTINCT l_orderkey AS src, l_partkey AS dst
+           FROM lineitem WHERE l_partkey % 10 = 0)
+         SELECT a.src AS i, b.src AS j, COUNT(*) AS shared
+         FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+         GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY i, j""",
+
+    "q40_binary_meta" ->
+      """SELECT doc_id, CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n_bytes,
+           SHA256(text) AS digest
+         FROM documents ORDER BY doc_id""",
+
+    "q41_event_window" ->
+      """SELECT EPOCH_US(ts) // 3600000000 AS hour_bucket, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""",
+
+    "q42_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, value, EPOCH_US(ts) AS ts_us FROM events),
+         flagged AS (
+           SELECT *,
+             CASE WHEN ts_us - LAG(ts_us) OVER w IS NULL
+                    OR ts_us - LAG(ts_us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         sess AS (
+           SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id
+             ORDER BY ts_us, event_id) AS BIGINT) AS session_id
+           FROM flagged)
+         SELECT user_id, session_id, COUNT(*) AS n_events,
+                ROUND(SUM(value), 6) AS sum_value,
+                MAX(ts_us) - MIN(ts_us) AS duration_us
+         FROM sess GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""")
+}

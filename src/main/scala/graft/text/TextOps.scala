@@ -1,0 +1,118 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token statistics, quality scoring, n-gram-heuristic language ID, and
+  * SimHash document fingerprinting. All are per-row projections (no
+  * shuffle) except the explode-based token aggregations, which are one
+  * hash aggregation on `doc_id` — linear in corpus size, no driver state.
+  *
+  * Hashing is MD5 (standard, engine-independent) so every computation is
+  * reproducible bit-for-bit in any SQL engine for oracle checking.
+  */
+object TextOps {
+
+  val tokensCol: Column = split(col("text"), "\\s+")
+
+  /** Per-document token/char statistics. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(tokensCol).as("n_tokens"),
+      round(length(col("text")).cast("double") / size(tokensCol), 6)
+        .as("chars_per_token"))
+
+  /** Quality heuristics: stopword ratio, vocabulary diversity, mean token
+    * length, plus a boolean keep-flag with fixed thresholds (the shape of
+    * C4/Gopher-style quality filters).
+    */
+  def qualityScore(docs: DataFrame, stopwords: Seq[String]): DataFrame = {
+    val toks = tokensCol
+    val nTok = size(toks).cast("double")
+    val stopHits = size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
+    val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+    docs.select(
+      col("doc_id"),
+      round(stopHits / nTok, 6).as("stop_ratio"),
+      round(distinctRatio, 6).as("distinct_ratio"),
+      round((length(col("text")) - (size(toks) - 1)).cast("double") / nTok, 6)
+        .as("mean_token_len"),
+      (nTok >= 20 && nTok <= 2000 && stopHits / nTok >= 0.01 &&
+        distinctRatio >= 0.1).as("keep"))
+  }
+
+  /** Language ID by marker-token counting (the n-gram-heuristic shape of
+    * fastText/CLD-style classifiers reduced to a deterministic relational
+    * computation): per language, count tokens in its marker set; predict
+    * the argmax, ties broken lexicographically by language code.
+    */
+  def langId(docs: DataFrame, markers: Map[String, Seq[String]]): DataFrame = {
+    val toks = tokensCol
+    val scored = markers.toSeq.sortBy(_._1).foldLeft(docs.select(col("doc_id"), toks.as("toks"))) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"score_$lang",
+          size(filter(col("toks"), t => t.isInCollection(words))))
+    }
+    val langs = markers.keys.toSeq.sorted
+    val best = langs.map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))
+      .reduce((a, b) => when(b("s") > a("s"), b).otherwise(a))
+    scored.select(
+      (Seq(col("doc_id")) ++ langs.map(l => col(s"score_$l")) :+
+        best.getField("l").as("predicted")): _*)
+  }
+
+  /** Hex-digit bit membership sets for MD5-based bit extraction: hex chars
+    * whose value has bit `b` set. Shared with the SQL oracle generator.
+    */
+  def hexBitSet(b: Int): Seq[String] =
+    (0 until 16).filter(v => (v & (1 << b)) != 0).map(v => f"$v%x")
+
+  /** 16-bit SimHash over whitespace tokens: bit (i,b) of the fingerprint is
+    * the sign of the token-weighted sum of bit b of hex digit i of each
+    * token's MD5. One explode + one aggregation per corpus.
+    */
+  def simHash16(docs: DataFrame): DataFrame = {
+    val tok = explode(tokensCol).as("tok")
+    val exploded = docs.select(col("doc_id"), tok)
+      .withColumn("h", md5(col("tok")))
+    val bitSums = (1 to 4).flatMap { i =>
+      (0 until 4).map { b =>
+        sum(when(substring(col("h"), i, 1).isInCollection(hexBitSet(b)), 1)
+          .otherwise(-1)).as(s"s_${i}_$b")
+      }
+    }
+    val agg = exploded.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val hash = (1 to 4).flatMap { i =>
+      (0 until 4).map { b =>
+        when(col(s"s_${i}_$b") > 0, lit(1L << ((4 - i) * 4 + b))).otherwise(lit(0L))
+      }
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), hash.as("simhash"))
+  }
+
+  /** SQL fragment mirroring [[simHash16]] for the DuckDB oracle. */
+  def simHash16Sql(docsRel: String): String = {
+    val sums = (1 to 4).flatMap { i =>
+      (0 until 4).map { b =>
+        val set = hexBitSet(b).map(c => s"'$c'").mkString(", ")
+        s"SUM(CASE WHEN SUBSTRING(h, $i, 1) IN ($set) THEN 1 ELSE -1 END) AS s_${i}_$b"
+      }
+    }.mkString(",\n             ")
+    val hash = (1 to 4).flatMap { i =>
+      (0 until 4).map { b =>
+        s"(CASE WHEN s_${i}_$b > 0 THEN ${1L << ((4 - i) * 4 + b)} ELSE 0 END)"
+      }
+    }.mkString(" + ")
+    s"""WITH ex AS (
+           SELECT doc_id, MD5(UNNEST(REGEXP_SPLIT_TO_ARRAY(text, '\\s+'))) AS h
+           FROM $docsRel),
+         ag AS (
+           SELECT doc_id,
+             $sums
+           FROM ex GROUP BY doc_id)
+         SELECT doc_id, CAST($hash AS BIGINT) AS simhash FROM ag"""
+  }
+}
