@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.TextOps
+
+class DedupSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup
+    (4L, "completely different content about spark engines here")
+  ).toDF("doc_id", "text")
+
+  test("exactDupGroups groups identical texts, keeps min id") {
+    val g = Dedup.exactDupGroups(docs).filter($"n_docs" > 1)
+    assert(rows(g.select("keep_id", "n_docs")) === Seq(Seq(1L, 2L)))
+  }
+
+  test("shingles: n-grams are distinct per doc") {
+    val sh = Dedup.shingles(docs, 3)
+    // doc 1: 9 tokens -> 7 trigram positions, all distinct here
+    assert(sh.filter($"doc_id" === 1).count() === 7)
+  }
+
+  test("ngramJaccard: exact dup pair has jaccard 1; near dup lower but > 0.3") {
+    val p = Dedup.ngramJaccardPairs(Dedup.shingles(docs, 3), 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(approx(p((1L, 2L)), 1.0))
+    assert(p((1L, 3L)) > 0.3 && p((1L, 3L)) < 1.0)
+    assert(!p.contains((1L, 4L)))
+  }
+
+  test("minhash LSH finds the exact-dup pair as a candidate") {
+    val sig = Dedup.minHashSignature(Dedup.shingles(docs, 3), 8)
+    val pairs = rows(Dedup.lshCandidatePairs(sig, 8, 2))
+    assert(pairs.contains(Seq(1L, 2L)))
+  }
+
+  test("simhash: identical docs get identical fingerprints in [0, 65536)") {
+    val h = TextOps.simHash16(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) === h(2L))
+    assert(h.values.forall(v => v >= 0 && v < 65536))
+    assert(h(1L) !== h(4L))
+  }
+
+  lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosineTopK: nearest neighbor ordering and self-exclusion") {
+    val q = vecs.filter($"vec_id" === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val r = rows(Similarity.cosineTopK(q, vecs, 3)
+      .select("vec_id", "rn"))
+    assert(r === Seq(Seq(1L, 1), Seq(2L, 2), Seq(3L, 3)))
+  }
+
+  test("cosine of identical vectors is 1, orthogonal 0, opposite -1") {
+    val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0))).toDF("a", "b")
+    val c = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].head()
+    assert(approx(c, 1.0))
+  }
+
+  test("lshBuckets is deterministic and groups identical vectors") {
+    val b1 = rows(Similarity.lshBuckets(vecs, 8).orderBy("vec_id"))
+    val b2 = rows(Similarity.lshBuckets(vecs, 8).orderBy("vec_id"))
+    assert(b1 === b2)
+    // opposite vectors land in complementary buckets, identical in same
+    val m = b1.map(r => r(0).asInstanceOf[Long] -> r(1).asInstanceOf[Long]).toMap
+    assert(m(0L) !== m(3L))
+  }
+}
