@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Clustering (SURVEY.md §2.10-2.11): distributed KMeans seeding (MLlib,
+  * mirrors scarf's MiniBatchKMeans stage) and graph community detection.
+  *
+  * The KNN graph has n·k edges (k ≈ 11-21), so like the reference —
+  * which hands igraph/sknetwork a CSR built on one machine
+  * (scarf/datastore/graph_datastore.py:1379-1584) — community detection
+  * collects the edge list to the driver. That stays feasible up to ~10⁷
+  * cells; beyond that the Pregel/aggregateMessages path replaces it.
+  */
+object Cluster {
+
+  /** KMeans labels over the latent space: `(cell_id, cluster)`, 1-based
+    * like the reference's labels (scarf/datastore/graph_datastore.py:1446).
+    */
+  def kmeans(latent: DataFrame, k: Int, seed: Long = 4466L): DataFrame = {
+    val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
+    val vecs = latent.select(col("cell_id"), toVec(col("latent")).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
+      .setPredictionCol("cluster0").fit(vecs)
+    model.transform(vecs)
+      .select(col("cell_id"), (col("cluster0") + 1).cast("long").as("cluster"))
+  }
+
+  /** Driver-side greedy modularity (Louvain-style, deterministic node
+    * order) over a collected weighted edge list — the stand-in for the
+    * reference's Leiden call (external C library). Returns
+    * `(cell_id, cluster)` with clusters relabeled 1..C by size desc.
+    */
+  def louvain(edges: DataFrame, maxPasses: Int = 10): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select("src", "dst", "weight")
+      .as[(Long, Long, Double)].collect()
+
+    // undirected adjacency with combined weights
+    val adj = scala.collection.mutable.Map[Long, scala.collection.mutable.Map[Long, Double]]()
+    def add(a: Long, b: Long, w: Double): Unit = {
+      val m = adj.getOrElseUpdate(a, scala.collection.mutable.Map())
+      m(b) = m.getOrElse(b, 0.0) + w
+    }
+    es.foreach { case (s, d, w) => if (s != d) { add(s, d, w); add(d, s, w) } }
+
+    val nodes = adj.keys.toArray.sorted
+    val deg = nodes.map(n => n -> adj(n).values.sum).toMap
+    val m2 = deg.values.sum // 2m
+    val comm = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    val commDeg = scala.collection.mutable.Map(nodes.map(n => n -> deg(n)): _*)
+
+    var moved = true
+    var pass = 0
+    while (moved && pass < maxPasses) {
+      moved = false
+      pass += 1
+      nodes.foreach { n =>
+        val cOld = comm(n)
+        commDeg(cOld) -= deg(n)
+        // weight from n to each neighboring community
+        val toComm = scala.collection.mutable.Map[Long, Double]()
+        adj(n).foreach { case (nb, w) =>
+          toComm(comm(nb)) = toComm.getOrElse(comm(nb), 0.0) + w
+        }
+        // best community by modularity gain, deterministic tie-break
+        val candidates = (toComm.keys ++ Iterator(cOld)).toSeq.distinct.sorted
+        val best = candidates.maxBy { c =>
+          (toComm.getOrElse(c, 0.0) - deg(n) * commDeg(c) / m2, -c)
+        }
+        if (best != cOld) moved = true
+        comm(n) = best
+        commDeg(best) += deg(n)
+      }
+    }
+    // relabel by community size desc (stable)
+    val bySize = comm.groupBy(_._2).toSeq
+      .map { case (c, ms) => (c, ms.size) }
+      .sortBy { case (c, sz) => (-sz, c) }
+      .zipWithIndex.map { case ((c, _), i) => c -> (i + 1L) }.toMap
+    comm.toSeq.map { case (n, c) => (n, bySize(c)) }
+      .toDF("cell_id", "cluster")
+  }
+}

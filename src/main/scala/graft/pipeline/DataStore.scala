@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.MetaOps
+import graft.norm.Normalize
+import graft.stats.{Markers, MatrixStats}
+
+/** User-facing facade replicating the reference's DataStore call surface
+  * (SURVEY.md §2, §7.1 step 9) over the COO data model:
+  * `filterCells → markHvgs → makeGraph → runClustering → runMarkerSearch`,
+  * mirroring scarf's canonical tutorial path (SURVEY.md §7.2).
+  *
+  * Immutable: every operation returns a new DataStore with updated
+  * metadata/caches, the Spark analogue of the reference's Zarr write-back.
+  * The `I` mask column on `cells` carries active-cell state with the
+  * reference's monotone AND-update semantics.
+  */
+case class DataStore(
+    cells: DataFrame,            // cell_id, I, + stat columns
+    feats: DataFrame,            // feat_id, I, + stat columns
+    coo: DataFrame,              // cell_id, feat_id, value
+    caches: Map[String, DataFrame] = Map.empty) {
+
+  private def activeCoo: DataFrame =
+    coo.join(cells.filter(col("I")).select("cell_id"), Seq("cell_id"))
+
+  private def nActiveCells: DataFrame =
+    cells.filter(col("I")).agg(count(lit(1)).as("n_total_cells"))
+
+  /** Eager QC stats on open (scarf BaseDataStore init): per-cell
+    * nCounts/nFeatures, per-feature nCells.
+    */
+  def withQcStats: DataStore = {
+    val cp = MatrixStats.cellProps(coo)
+    val fp = coo.groupBy("feat_id").agg(count(when(col("value") > 0, 1)).as("n_cells"))
+    copy(
+      cells = cells.join(cp, Seq("cell_id"), "left")
+        .na.fill(0, Seq("n_counts", "n_features")),
+      feats = feats.join(fp, Seq("feat_id"), "left").na.fill(0, Seq("n_cells")))
+  }
+
+  /** filter_cells (scarf/datastore/datastore.py:92-138): AND range
+    * predicates into the `I` mask.
+    */
+  def filterCells(attrs: Seq[String], lows: Seq[Double], highs: Seq[Double]): DataStore = {
+    val pred = MetaOps.multiSift(
+      attrs.zip(lows.zip(highs)).map { case (a, (l, h)) => MetaOps.sift(col(a), l, h) })
+    copy(cells = MetaOps.updateKey(cells, "I", pred))
+  }
+
+  /** mark_hvgs (scarf/assay.py:945-1074): library-size-log normalize the
+    * active slice, compute zero-inflated feature stats, select top-n by
+    * bin-corrected variance into feature mask column `hvg`.
+    */
+  def markHvgs(topN: Int, minCells: Long = 10, nBins: Int = 20): DataStore = {
+    val normed = Normalize.libSizeLog(activeCoo).select("cell_id", "feat_id", "normed")
+    val stats = MatrixStats.featureStats(normed, nActiveCells)
+    val hvgs = MatrixStats.topVariableFeatures(stats, nBins, topN, minCells)
+      .select(col("feat_id"), lit(true).as("hvg"))
+    copy(feats = feats.drop("hvg").join(hvgs, Seq("feat_id"), "left")
+      .na.fill(false, Seq("hvg")))
+  }
+
+  /** make_graph (scarf/datastore/graph_datastore.py:513-1020): normalize →
+    * assemble vectors over the HVG slice → z-scale+PCA → exact self-KNN →
+    * UMAP-style smoothing. Caches `latent`, `knn`, and `edges`.
+    */
+  def makeGraph(dims: Int = 11, k: Int = 11): DataStore = {
+    val sel = feats.filter(col("hvg")).select("feat_id")
+    val normed = Normalize.libSizeLog(activeCoo)
+      .join(broadcast(sel), Seq("feat_id"))
+      .select("cell_id", "feat_id", "normed")
+    val fi = Reduce.featureIndex(sel)
+    val vecs = Reduce.assembleVectors(normed, fi, "normed")
+    val latent = Reduce.pca(vecs, dims).cache()
+    val knn = Knn.exactSelfKnn(latent, k).cache()
+    val edges = Knn.smoothEdges(knn).cache()
+    copy(caches = caches ++ Map("latent" -> latent, "knn" -> knn, "edges" -> edges))
+  }
+
+  /** run_clustering: KMeans over the latent cache (the reference's
+    * kmeans seed + graph clustering collapsed to the deterministic part;
+    * `louvain = true` switches to driver-side modularity over the graph).
+    */
+  def runClustering(n: Int, louvain: Boolean = false, seed: Long = 4466L): DataStore = {
+    val labels =
+      if (louvain) Cluster.louvain(caches("edges"))
+      else Cluster.kmeans(caches("latent"), n, seed)
+    copy(cells = cells.drop("cluster").join(labels, Seq("cell_id"), "left"))
+  }
+
+  /** run_umap: driver SGD layout from the smoothed graph. */
+  def runUmap(nEpochs: Int = 50, seed: Long = 4444L): DataStore = {
+    val um = UmapLayout.layout(caches("edges"),
+      UmapLayout.initFromLatent(caches("latent")), nEpochs = nEpochs, seed = seed)
+    copy(cells = cells.drop("umap1", "umap2").join(um, Seq("cell_id"), "left"))
+  }
+
+  /** run_marker_search (scarf/datastore/datastore.py:351-430) against the
+    * current cluster labels.
+    */
+  def runMarkerSearch: DataFrame = {
+    val groups = cells.filter(col("I") && col("cluster").isNotNull)
+      .select(col("cell_id"), col("cluster").cast("string").as("group"))
+    Markers.findMarkersByRank(
+      coo.join(groups.select("cell_id"), Seq("cell_id")), groups)
+  }
+}
+
+object DataStore {
+  /** Open a store from the generic test tables: cells = orders,
+    * features = parts, matrix = lineitem quantities (FIXTURES.md §5).
+    */
+  def fromTestData(spark: SparkSession, dir: String): DataStore = {
+    val coo = graft.core.Tables.coo(spark, dir)
+    val cells = graft.core.Tables.t(spark, dir, "orders")
+      .select(col("o_orderkey").as("cell_id"), lit(true).as("I"),
+        col("o_totalprice"), col("o_orderstatus"))
+    val feats = graft.core.Tables.t(spark, dir, "part")
+      .select(col("p_partkey").as("feat_id"), lit(true).as("I"), col("p_name"))
+    DataStore(cells, feats, coo)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** KNN graph construction (SURVEY.md §2.10): exact self-KNN over latent
+  * vectors, UMAP-style edge-weight smoothing (smooth_knn_dist,
+  * scarf/knn_utils.py:89-159), and the edge-table form the rest of the
+  * engine consumes.
+  *
+  * Strategy selection mirrors the reference's pluggable ANN: exact
+  * blocked top-k for moderate n (better than hnswlib's <100% recall),
+  * LSH-bucketed pre-filtering for cluster scale (see Similarity.lshBuckets)
+  * — both produce the same edge schema.
+  */
+object Knn {
+
+  /** Euclidean distance between two latent arrays (sequential fold). */
+  private def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Exact k nearest neighbors of every cell (self excluded):
+    * `(src, dst, dist, rn)`. O(n²·dim) pairs — the correctness baseline;
+    * at large n pre-bucket with LSH and run this within buckets.
+    */
+  def exactSelfKnn(latent: DataFrame, k: Int): DataFrame = {
+    val a = latent.select(col("cell_id").as("src"), col("latent").as("va"))
+    val b = latent.select(col("cell_id").as("dst"), col("latent").as("vb"))
+    a.join(b, col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), l2(col("va"), col("vb")).as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("src").orderBy(col("dist"), col("dst"))))
+      .filter(col("rn") <= k)
+  }
+
+  /** UMAP smooth-knn-dist kernel: for one cell's ascending distance list,
+    * find (rho, sigma) with sigma binary-searched so that
+    * Σ exp(−max(d−rho,0)/sigma) = log2(k)·bandwidth, then return
+    * membership strengths exp(−max(d−rho,0)/sigma).
+    * Direct port of the published UMAP algorithm (smooth_knn_dist);
+    * pure per-row function — runs inside codegen'd stages as a UDF.
+    */
+  def membershipStrengths(dists: Seq[Double], bandwidth: Double = 1.5,
+                          nIter: Int = 64): Seq[Double] = {
+    val k = dists.length
+    if (k == 0) return Seq.empty
+    val target = (math.log(k) / math.log(2)) * bandwidth
+    val nonzero = dists.filter(_ > 0)
+    val rho = if (nonzero.nonEmpty) nonzero.min else 0.0
+    var lo = 0.0
+    var hi = Double.PositiveInfinity
+    var mid = 1.0
+    var i = 0
+    while (i < nIter) {
+      val psum = dists.map(d => math.exp(-math.max(d - rho, 0.0) / mid)).sum
+      if (math.abs(psum - target) < 1e-5) i = nIter
+      else {
+        if (psum > target) { hi = mid; mid = (lo + hi) / 2 }
+        else {
+          lo = mid
+          mid = if (hi.isPosInfinity) mid * 2 else (lo + hi) / 2
+        }
+        i += 1
+      }
+    }
+    val w = dists.map(d => math.exp(-math.max(d - rho, 0.0) / mid))
+    // zero weights patched to the row minimum positive weight (reference
+    // patches to the global min; row-local keeps it a pure per-row kernel)
+    val minPos = w.filter(_ > 0).foldLeft(1.0)(math.min)
+    w.map(x => if (x <= 0) minPos else x)
+  }
+
+  /** Smooth a KNN result into weighted edges `(src, dst, weight)`. */
+  def smoothEdges(knn: DataFrame, bandwidth: Double = 1.5): DataFrame = {
+    val smooth = udf((d: Seq[Double]) => membershipStrengths(d, bandwidth))
+    knn
+      .groupBy("src")
+      .agg(collect_list(struct(col("rn"), col("dst"), col("dist"))).as("nbrs"))
+      .select(col("src"),
+        explode(arrays_zip(
+          transform(array_sort(col("nbrs")), x => x.getField("dst")).as("dst"),
+          smooth(transform(array_sort(col("nbrs")), x => x.getField("dist"))).as("weight")))
+          .as("e"))
+      .select(col("src"), col("e.dst").as("dst"), col("e.weight").as("weight"))
+  }
+
+  /** Self-KNN recall of an approximate result against exact ground truth
+    * (reference reports recall% per run, scarf/knn_utils.py:74-76).
+    */
+  def recall(approx: DataFrame, exact: DataFrame): Double = {
+    val hit = approx.select("src", "dst")
+      .join(exact.select("src", "dst"), Seq("src", "dst"), "left_semi").count()
+    hit.toDouble / exact.count()
+  }
+}

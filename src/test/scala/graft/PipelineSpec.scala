@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+
+/** End-to-end §7.2 minimum slice on the sf0.001 test tables:
+  * open → QC → filter → HVG → graph (PCA + exact KNN + smoothing) →
+  * clustering → UMAP → markers. Invariant/shape checks in the style of
+  * the reference's own CI (SURVEY.md §5).
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val ds = DataStore.fromTestData(spark, "/root/testdata/sf0.001")
+    .withQcStats
+    .filterCells(Seq("n_counts"), Seq(1), Seq(1e9))
+    .markHvgs(topN = 30, minCells = 5)
+    .makeGraph(dims = 5, k = 6)
+
+  test("QC stats populate and the mask filters") {
+    assert(ds.cells.filter($"I").count() > 0)
+    assert(ds.cells.columns.contains("n_counts"))
+  }
+
+  test("HVG selection marks exactly topN features") {
+    assert(ds.feats.filter($"hvg").count() === 30)
+  }
+
+  test("latent space has the requested dims for every active cell") {
+    val lat = ds.caches("latent")
+    assert(lat.select(size($"latent")).distinct().as[Int].head() === 5)
+  }
+
+  test("exact KNN returns k neighbors per cell, no self edges") {
+    val knn = ds.caches("knn")
+    val counts = knn.groupBy("src").count().select("count").distinct().as[Long].collect()
+    assert(counts.toSeq === Seq(6L))
+    assert(knn.filter($"src" === $"dst").count() === 0)
+  }
+
+  test("smoothed edge weights are in (0, 1] and nearest neighbor gets ~1") {
+    val e = ds.caches("edges")
+    val mm = e.agg(min("weight"), max("weight")).head()
+    assert(mm.getDouble(0) > 0 && mm.getDouble(1) <= 1.0 + 1e-9)
+  }
+
+  test("kmeans clustering labels all active cells, 1-based") {
+    val c = ds.runClustering(4)
+    val labels = c.cells.filter($"cluster".isNotNull).select("cluster")
+    assert(labels.agg(min("cluster")).head().getLong(0) === 1L)
+    assert(labels.distinct().count() === 4)
+  }
+
+  test("louvain clustering is deterministic and covers the graph") {
+    val l1 = Cluster.louvain(ds.caches("edges"))
+    val l2 = Cluster.louvain(ds.caches("edges"))
+    assert(rows(l1.orderBy("cell_id")) === rows(l2.orderBy("cell_id")))
+    assert(l1.count() === ds.caches("latent").count())
+  }
+
+  test("umap layout yields finite 2-D coords for every cell") {
+    val u = ds.runUmap(nEpochs = 5)
+    val bad = u.cells.filter($"umap1".isNotNull &&
+      (isnan($"umap1") || isnan($"umap2"))).count()
+    assert(bad === 0)
+  }
+
+  test("marker search runs against cluster labels") {
+    val m = ds.runClustering(3).runMarkerSearch
+    assert(m.select("group").distinct().count() === 3)
+    assert(m.filter($"p_value" < 0 || $"p_value" > 2).count() === 0)
+  }
+
+  test("smooth_knn_dist kernel: nearest neighbor weight is exactly 1") {
+    val w = Knn.membershipStrengths(Seq(0.5, 1.0, 2.0, 3.0))
+    assert(approx(w.head, 1.0))
+    assert(w === w.sorted.reverse)
+  }
+
+  test("lisi kernel: uniform mixture of 2 labels approaches 2") {
+    val l = Metrics.lisiKernel(
+      Seq.fill(10)(1.0), (0 until 10).map(i => if (i % 2 == 0) "a" else "b"), 5.0)
+    assert(l > 1.8 && l <= 2.000001)
+  }
+
+  test("lisi kernel: single label gives 1") {
+    val l = Metrics.lisiKernel(Seq.fill(10)(1.0), Seq.fill(10)("a"), 5.0)
+    assert(approx(l, 1.0, 1e-3))
+  }
+
+  test("recall of exact KNN against itself is 1") {
+    val knn = ds.caches("knn")
+    assert(approx(Knn.recall(knn, knn), 1.0))
+  }
+}
