@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.Media
+import graft.streaming.Streaming
+import graft.streaming.Streaming.Event
+
+class MultimodalStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val media = Multimodal.packBinary(
+    Seq((1L, "hello world"), (2L, "hello world"), (3L, "different bytes"))
+      .toDF("doc_id", "text"), "image/fake").as[Media]
+
+  test("decodeMeta: deterministic metadata, equal payloads equal digests") {
+    val m = Multimodal.decodeMeta(media).collect().map(x => x.doc_id -> x).toMap
+    assert(m(1L).n_bytes === 11)
+    assert(m(1L).digest === m(2L).digest)
+    assert(m(1L).digest !== m(3L).digest)
+    assert(m(1L).width === m(2L).width && m(1L).width >= 64)
+  }
+
+  test("extractPatches fans out fixed-size features per payload") {
+    val p = Multimodal.extractPatches(media, patches = 3, dim = 8).collect()
+    assert(p.length === 9)
+    assert(p.forall(_.feature.length === 8))
+    // deterministic across runs
+    val p2 = Multimodal.extractPatches(media, patches = 3, dim = 8).collect()
+    assert(p.map(_.feature.toSeq).toSeq === p2.map(_.feature.toSeq).toSeq)
+  }
+
+  def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+
+  test("streaming hourlyCounts aggregates within watermarked windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streaming.hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("update").start()
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(70), 2, "view", 5.0))
+    q.processAllAvailable()
+    val r = spark.table("hourly").collect()
+      .map(x => (x.getAs[String]("event_type"), x.getAs[Long]("n"))).toMap
+    q.stop()
+    assert(r("click") === 2L && r("view") === 1L)
+  }
+
+  test("streaming sessionize keeps per-user state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streaming.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    input.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(5), 7, "click", 2.0))
+    q.processAllAvailable()
+    input.addData(Event(3, ts(10), 7, "click", 4.0))   // same session continues
+    q.processAllAvailable()
+    input.addData(Event(4, ts(120), 7, "click", 8.0))  // 110-min gap -> new session
+    q.processAllAvailable()
+    val rs = spark.table("sessions").collect()
+      .map(x => (x.getAs[Int]("n_events"), x.getAs[Double]("sum_value")))
+    q.stop()
+    assert(rs.contains((3, 7.0)))  // continued session saw 3 events
+    assert(rs.contains((1, 8.0)))  // gap reset state
+  }
+}
