@@ -35,7 +35,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
       graft.queries.RelationalQueries.queries ++
-      graft.queries.TrainingQueries.queries
+      graft.queries.TrainingQueries.queries ++
+      graft.queries.ExtendedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -43,5 +44,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
       graft.queries.RelationalQueries.oracle ++
-      graft.queries.TrainingQueries.oracle
+      graft.queries.TrainingQueries.oracle ++
+      graft.queries.ExtendedQueries.oracle
 }
