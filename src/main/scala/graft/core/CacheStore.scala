@@ -1,0 +1,55 @@
+package graft.core
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialized-result cache with invalidation — the reference's de facto
+  * optimizer (SURVEY.md §4): derived results live at param-encoded paths
+  * (scarf/datastore/graph_datastore.py:738-745) guarded by a subset-hash
+  * manifest (scarf/assay.py:316-377) so a stale cache is never reused
+  * when the input mask/params change.
+  *
+  * Spark mapping: parquet tables under a root dir, path = op name +
+  * sorted `k=v` params; manifest = one json file holding the params and
+  * the input fingerprint. `fingerprint` is an order-independent xor/sum
+  * hash computed distributively — cheap relative to recompute.
+  */
+class CacheStore(root: String) {
+
+  private def dir(op: String, params: Map[String, String]): String = {
+    val enc = params.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("__")
+    s"$root/${op}__$enc"
+  }
+
+  /** Order-independent fingerprint of a DataFrame: bit-xor over per-row
+    * 64-bit hashes of all columns, paired with the row count (xor alone
+    * would let duplicate rows cancel). One aggregation, no sort, no
+    * collect of data, no overflow under ANSI mode.
+    */
+  def fingerprint(df: DataFrame): String = {
+    val h = df.select(xxhash64(df.columns.map(col): _*).as("h"))
+    val r = h.agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("n")).head()
+    s"${r.getLong(0)}_${r.getLong(1)}"
+  }
+
+  /** Return the cached result if the manifest matches (params + input
+    * fingerprint); otherwise compute, persist, stamp, and return.
+    */
+  def getOrCompute(spark: SparkSession, op: String, params: Map[String, String],
+                   input: DataFrame)(compute: => DataFrame): DataFrame = {
+    val d = dir(op, params)
+    val manifest = Paths.get(s"$d.manifest.json")
+    val fp = fingerprint(input)
+    val expected = s"""{"op":"$op","fingerprint":"$fp","params":"${params.toSeq.sorted.mkString(";")}"}"""
+    if (Files.exists(manifest) && Files.readString(manifest) == expected) {
+      spark.read.parquet(d)
+    } else {
+      val result = compute
+      result.write.mode("overwrite").parquet(d)
+      Files.createDirectories(manifest.getParent)
+      Files.writeString(manifest, expected)
+      spark.read.parquet(d)
+    }
+  }
+}
