@@ -58,4 +58,34 @@ object Reduce {
     pcaModel.transform(scaled)
       .select(col("cell_id"), toArr(col("pc")).as("latent"))
   }
+
+  /** LSI (scarf/ann.py:258-288): SVD of the (TF-IDF-normalized) matrix
+    * WITHOUT centering — the ATAC path. Computes `dims + 1` components
+    * and drops the first (depth-correlated) one when `skipFirst`, the
+    * reference's `lsi_skip_first` semantic.
+    */
+  def lsi(vectors: DataFrame, dims: Int, skipFirst: Boolean = true): DataFrame = {
+    val k = if (skipFirst) dims + 1 else dims
+    // uncentered projection: PCA without mean removal == right singular
+    // vectors of the raw matrix; use RowMatrix SVD for exactness
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val rows = vectors.select("cell_id", "features")
+      .map { r =>
+        (r.getLong(0), org.apache.spark.mllib.linalg.Vectors.fromML(
+          r.getAs[Vector](1)))
+      }
+    val mat = new org.apache.spark.mllib.linalg.distributed.RowMatrix(rows.rdd.map(_._2))
+    val svd = mat.computeSVD(k, computeU = false)
+    val v = svd.V // (nFeats x k)
+    val proj = udf { (vec: Vector) =>
+      val out = new Array[Double](k)
+      vec.foreachActive { (i, x) =>
+        var j = 0
+        while (j < k) { out(j) += x * v(i, j); j += 1 }
+      }
+      (if (skipFirst) out.drop(1) else out).toSeq
+    }
+    vectors.select(col("cell_id"), proj(col("features")).as("latent"))
+  }
 }

@@ -61,4 +61,17 @@ class AdvancedPipelineSpec extends SparkSpec {
     }
     assert(computes === 3)
   }
+
+  test("lsi projects onto uncentered singular vectors, skipping the first") {
+    import org.apache.spark.ml.linalg.Vectors
+    val vecs = (1 to 20).map { i =>
+      (i.toLong, Vectors.dense(i * 1.0, i * 2.0 + (i % 3), (i % 5) * 1.0))
+    }.toDF("cell_id", "features")
+    val r = graft.pipeline.Reduce.lsi(vecs, dims = 2, skipFirst = true)
+    assert(r.count() === 20)
+    assert(r.select(size($"latent")).distinct().as[Int].head() === 2)
+    // deterministic
+    val r2 = graft.pipeline.Reduce.lsi(vecs, dims = 2, skipFirst = true)
+    assert(rows(r.orderBy("cell_id")) === rows(r2.orderBy("cell_id")))
+  }
 }
