@@ -21,10 +21,19 @@ object Similarity {
 
   private def toDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Sequential-fold dot product — same evaluation order as a SQL engine's
-    * list_dot_product, so results are engine-reproducible.
+  /** Sequential dot product via the native codegen'd Catalyst expression
+    * (graft.functions.DotProduct) — same ascending-index evaluation order
+    * as a SQL engine's list_dot_product, so results are
+    * engine-reproducible; ~order-of-magnitude faster than the interpreted
+    * `aggregate(zip_with(...))` fold it replaces.
     */
   def dot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.dot_product(a, b)
+
+  /** The interpreted higher-order-function formulation (kept for
+    * cross-checking the native expression in tests).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def cosine(a: Column, b: Column): Column =

@@ -77,4 +77,24 @@ class DedupSimSpec extends SparkSpec {
     val m = b1.map(r => r(0).asInstanceOf[Long] -> r(1).asInstanceOf[Long]).toMap
     assert(m(0L) !== m(3L))
   }
+
+  test("native DotProduct matches the interpreted fold bit-for-bit") {
+    val df = vecs.select($"vec_id",
+      $"embedding".cast("array<double>").as("a"))
+    val both = df.crossJoin(df.select($"a".as("b")))
+      .select(Similarity.dot(col("a"), col("b")).as("native"),
+        Similarity.dotHof(col("a"), col("b")).as("hof"))
+    assert(both.filter($"native" =!= $"hof").count() === 0)
+  }
+
+  test("DotProduct runs inside whole-stage codegen") {
+    val df = spark.range(100)
+      .select(array((0 to 4).map(i => (col("id") + i).cast("double")): _*).as("a"))
+    val r = df.select(Similarity.dot(col("a"), col("a")).as("d"))
+    val plan = r.queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators fused into WholeStageCodegen
+    assert(plan.contains("*(1) Project [dotproduct"))
+    // value check: dot([id..id+4], same) for id=0 -> 0+1+4+9+16 = 30
+    assert(approx(r.as[Double].head(), 30.0))
+  }
 }
