@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities (SURVEY.md §4, "salting for skew"). A
+  * heavy-hitter grouping key concentrates one reducer; two-phase salted
+  * aggregation spreads it: phase 1 aggregates on (key, salt) — uniform
+  * fan-out — phase 2 combines the `nSalts` partials per key. Correct for
+  * any commutative re-aggregable statistic (sum/count/min/max, and
+  * mean/variance via moments).
+  *
+  * AQE's skew-join splitting covers joins at runtime; salting is the
+  * static pattern for aggregations and for engines without AQE.
+  */
+object Skew {
+
+  /** Salted sum+count: exactly `df.groupBy(key).agg(sum, count)` but with
+    * the shuffle spread over `nSalts` sub-keys.
+    */
+  def saltedSumCount(df: DataFrame, key: String, valueCol: String,
+                     nSalts: Int): DataFrame =
+    df.withColumn("_salt", pmod(hash(col(valueCol), monotonically_increasing_id()), lit(nSalts)))
+      .groupBy(col(key), col("_salt"))
+      .agg(sum(col(valueCol)).as("_s"), count(lit(1)).as("_n"))
+      .groupBy(col(key))
+      .agg(sum(col("_s")).as("sum_value"), sum(col("_n")).as("n"))
+
+  /** Broadcast-salt the small side of a skewed join: replicate each small-
+    * side row `nSalts` times and salt the big side, so a hot key's rows
+    * split across `nSalts` tasks. Returns (saltedBig, explodedSmall) ready
+    * to equi-join on (key, _salt).
+    */
+  def saltJoinSides(big: DataFrame, small: DataFrame, key: String,
+                    nSalts: Int): (DataFrame, DataFrame) = {
+    val saltedBig = big.withColumn("_salt",
+      pmod(hash(monotonically_increasing_id()), lit(nSalts)))
+    val explodedSmall = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    (saltedBig, explodedSmall)
+  }
+}

@@ -97,6 +97,46 @@ case class DataStore(
     copy(cells = cells.drop("umap1", "umap2").join(um, Seq("cell_id"), "left"))
   }
 
+  /** auto_filter_cells (scarf/datastore/datastore.py:140-197): bounds at
+    * Normal(median, std).ppf(0.01/0.99) of the given attribute.
+    */
+  def autoFilterCells(attr: String): DataStore = {
+    val z = 2.3263478740408408
+    val stats = cells.agg(
+      expr(s"percentile($attr, 0.5)").as("med"),
+      stddev_samp(col(attr)).as("sd"))
+    val withB = cells.crossJoin(broadcast(stats))
+    copy(cells = MetaOps.updateKey(withB, "I",
+        col(attr) >= col("med") - lit(z) * col("sd") &&
+          col(attr) <= col("med") + lit(z) * col("sd"))
+      .drop("med", "sd"))
+  }
+
+  /** add_percent_feature (scarf/assay.py:227-270): % of per-cell counts in
+    * the regex-matched feature subset, written as a cell column.
+    */
+  def addPercentFeature(pattern: String, colName: String): DataStore = {
+    val names = feats.select(col("feat_id"), col("name"))
+    val pct = MatrixStats.percentFeature(coo, names, pattern)
+      .withColumnRenamed("percent_sub", colName)
+    copy(cells = cells.drop(colName).join(pct, Seq("cell_id"), "left")
+      .na.fill(0.0, Seq(colName)))
+  }
+
+  /** run_pseudotime_scoring: lazy-PPR potential from source cells over
+    * the smoothed graph.
+    */
+  def runPseudotime(sources: DataFrame): DataStore = {
+    val pt = Pseudotime.score(caches("edges"), sources)
+    copy(cells = cells.drop("pseudotime").join(pt, Seq("cell_id"), "left"))
+  }
+
+  /** Paris hierarchical clustering cut to n clusters. */
+  def runParis(n: Int): DataStore = {
+    val labels = Paris.cut(caches("edges"), n)
+    copy(cells = cells.drop("cluster").join(labels, Seq("cell_id"), "left"))
+  }
+
   /** run_marker_search (scarf/datastore/datastore.py:351-430) against the
     * current cluster labels.
     */
@@ -118,7 +158,8 @@ object DataStore {
       .select(col("o_orderkey").as("cell_id"), lit(true).as("I"),
         col("o_totalprice"), col("o_orderstatus"))
     val feats = graft.core.Tables.t(spark, dir, "part")
-      .select(col("p_partkey").as("feat_id"), lit(true).as("I"), col("p_name"))
+      .select(col("p_partkey").as("feat_id"), lit(true).as("I"),
+        col("p_name").as("name"))
     DataStore(cells, feats, coo)
   }
 }

@@ -53,21 +53,29 @@ object Paris {
       else (size(a).toDouble * size(b)) / w
     }
 
+    // lazy-invalidation priority queue of candidate pairs: O(E log E)
+    // total instead of an O(n·E) scan per merge. Entries carry the
+    // distance at push time; stale entries (dead endpoint or changed
+    // distance) are discarded on pop. Deterministic tie-break on ids.
+    val ord: Ordering[(Double, Long, Long)] = Ordering.Tuple3(
+      Ordering.Double.TotalOrdering.reverse, Ordering.Long.reverse, Ordering.Long.reverse)
+    val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Long)](ord)
+    cadj.foreach { case (a, m) =>
+      m.keys.foreach { b => if (b > a) pq.enqueue((pairDist(a, b), a, b)) }
+    }
+
     while (alive.size > 1) {
-      // nearest pair: deterministic scan (ties -> lowest ids)
-      var best: (Long, Long) = (-1L, -1L)
-      var bestD = Double.PositiveInfinity
-      alive.toSeq.sorted.foreach { a =>
-        cadj(a).keys.toSeq.sorted.foreach { b =>
-          if (b > a && alive(b)) {
-            val d = pairDist(a, b)
-            if (d < bestD) { bestD = d; best = (a, b) }
-          }
-        }
+      var picked: Option[(Double, Long, Long)] = None
+      while (picked.isEmpty && pq.nonEmpty) {
+        val e @ (d, a, b) = pq.dequeue()
+        if (alive(a) && alive(b) && math.abs(pairDist(a, b) - d) < 1e-12)
+          picked = Some(e)
       }
-      val (a, b) = if (best._1 >= 0) best
-      else { val s = alive.toSeq.sorted; (s(0), s(1)) } // disconnected: merge at inf
-      // merge b into a new cluster
+      val (bestD, a, b) = picked.getOrElse {
+        val s = alive.toSeq.sorted // disconnected components: merge at inf
+        (Double.PositiveInfinity, s(0), s(1))
+      }
+      // merge a, b into a new cluster c
       val c = nextId; nextId += 1
       val merged = scala.collection.mutable.Map[Long, Double]()
       Seq(a, b).foreach { x =>
@@ -84,6 +92,10 @@ object Paris {
       }
       cadj(c) = merged
       alive += c
+      merged.foreach { case (nb, _) =>
+        val (lo, hi) = if (nb < c) (nb, c) else (c, nb)
+        pq.enqueue((pairDist(lo, hi), lo, hi))
+      }
     }
     (links.toArray, leafId)
   }

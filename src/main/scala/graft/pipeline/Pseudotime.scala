@@ -17,16 +17,19 @@ object Pseudotime {
 
   def score(edges: DataFrame, sources: DataFrame, alpha: Double = 0.85,
             iters: Int = 30): DataFrame = {
+    // materialize the loop inputs once (localCheckpoint truncates their
+    // upstream lineage — the edge table may sit atop a deep pipeline plan,
+    // and re-walking it in every iteration's analysis/stats is wasted work)
     val norm = edges
       .groupBy("src").agg(sum("weight").as("row_sum"))
       .join(edges, Seq("src"))
       .select(col("src"), col("dst"), (col("weight") / col("row_sum")).as("p"))
-      .cache()
+      .localCheckpoint()
     val cells = edges.select(col("src").as("cell_id"))
       .union(edges.select(col("dst"))).distinct()
     val s = cells.join(sources.withColumn("m", lit(1.0)), Seq("cell_id"), "left")
       .select(col("cell_id"), coalesce(col("m"), lit(0.0)).as("s"))
-      .cache()
+      .localCheckpoint()
     // lazy personalized-PageRank x ← (1−α)·s + α·(x + Pᵀx)/2: the lazy
     // walk (half the mass stays put) makes scores decay monotonically
     // with graph distance from the sources regardless of degree skew
@@ -41,7 +44,9 @@ object Pseudotime {
         .select(col("cell_id"),
           (lit(1 - alpha) * col("s") + lit(alpha) *
             (coalesce(col("x_prev"), lit(0.0)) + coalesce(col("pushed"), lit(0.0))) / 2).as("x"))
-      if (i % 10 == 0) x = x.localCheckpoint() // truncate the lineage
+      // x is referenced twice per round (push + carry): reset both the
+      // lineage AND the carried size estimate (see core.Lineage)
+      x = graft.core.Lineage.reset(x)
     }
     // potential → pseudotime: far from source = high; min-max normalize
     val pot = x.select(col("cell_id"), (-log1p(col("x"))).as("pot"))

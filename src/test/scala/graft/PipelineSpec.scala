@@ -92,4 +92,17 @@ class PipelineSpec extends SparkSpec {
     val knn = ds.caches("knn")
     assert(approx(Knn.recall(knn, knn), 1.0))
   }
+
+  test("facade: autoFilter, percentFeature, pseudotime, paris") {
+    import spark.implicits._
+    val ds2 = ds.addPercentFeature("rod|bolt", "pct_rod")
+      .autoFilterCells("n_counts")
+    assert(ds2.cells.columns.contains("pct_rod"))
+    assert(ds2.cells.filter($"I").count() > 0)
+    val src = ds.caches("latent").select("cell_id").limit(1)
+    val pt = ds.runPseudotime(src)
+    assert(pt.cells.filter($"pseudotime".isNotNull).count() > 0)
+    val pc = ds.runParis(3)
+    assert(pc.cells.filter($"cluster".isNotNull).select("cluster").distinct().count() === 3)
+  }
 }
