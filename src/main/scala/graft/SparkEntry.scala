@@ -36,7 +36,8 @@ object SparkEntry {
     graft.queries.CoreQueries.queries ++
       graft.queries.RelationalQueries.queries ++
       graft.queries.TrainingQueries.queries ++
-      graft.queries.ExtendedQueries.queries
+      graft.queries.ExtendedQueries.queries ++
+      graft.queries.MlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

@@ -38,7 +38,7 @@ object ExtendedQueries {
 
     "q44_mapping_score" -> ((s, d) => {
       val e = tb(s, d, "embeddings")
-      val q = e.filter(col("vec_id") % 500 === 0)
+      val q = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val hits = graft.sim.Similarity.cosineTopK(q, e, 5)
         .select(col("vec_id").as("ref_id"), col("qid").as("target_id"),
@@ -200,7 +200,7 @@ object ExtendedQueries {
 
     "q44_mapping_score" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
-             WHERE vec_id % 500 = 0),
+             WHERE vec_id % 50 = 0),
        c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
        p AS (SELECT q.qid, c.vec_id,
                LIST_DOT_PRODUCT(qv, cv)

@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.pipeline.{Metrics, Pseudotime, Reduce}
+
+/** ML-tagged operators exposed as driver queries WITHOUT SQL oracles
+  * (SURVEY.md §2 [ML]): the driver records a rows-only check; value-level
+  * validation lives in the ScalaTest specs (golden/invariant style, as
+  * the reference's own CI does — SURVEY.md §5).
+  */
+object MlQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // z-scale + PCA latent space over the top-30-variable feature slice
+    "q53_pca_latent" -> ((s, d) => {
+      val coo = Tables.coo(s, d)
+      val normed = graft.norm.Normalize.libSizeLog(coo)
+        .select("cell_id", "feat_id", "normed")
+      val stats = graft.stats.MatrixStats.featureStats(normed, Tables.nCells(coo))
+      val sel = graft.stats.MatrixStats
+        .topVariableFeatures(stats, nBins = 10, topN = 30, minCells = 5)
+        .select("feat_id")
+      val vecs = Reduce.assembleVectors(
+        normed.join(broadcast(sel), Seq("feat_id")),
+        Reduce.featureIndex(sel), "normed")
+      Reduce.pca(vecs, dims = 5)
+        .select(col("cell_id"),
+          transform(col("latent"), x => round(x, 4)).as("latent"))
+        .orderBy("cell_id")
+    }),
+
+    // LISI of the embedding KNN graph against the stored labels
+    "q54_lisi" -> ((s, d) => {
+      val e = Tables.t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val knn = graft.sim.Similarity.cosineTopK(q, e, 10)
+        .select(col("qid").as("src"), col("vec_id").as("dst"),
+          (lit(1.0) - col("cos")).as("dist"))
+      val labels = e.select(col("vec_id").as("cell_id"),
+        col("label").cast("string").as("label"))
+      Metrics.lisi(knn, labels, perplexity = 5.0)
+        .select(col("cell_id"), round(col("lisi"), 4).as("lisi"))
+        .orderBy("cell_id")
+    }),
+
+    // lazy-PPR pseudotime over the SNN co-occurrence graph
+    "q55_pseudotime" -> ((s, d) => {
+      val edges = Tables.t(s, d, "lineitem").filter(col("l_partkey") % 10 === 0)
+        .select(col("l_orderkey").as("src"), col("l_partkey").as("dst")).distinct()
+      val snn = graft.graph.GraphOps.snn(edges, 2)
+      val sym = snn.select(col("i").as("src"), col("j").as("dst"),
+          col("shared").cast("double").as("weight"))
+        .unionByName(snn.select(col("j").as("src"), col("i").as("dst"),
+          col("shared").cast("double").as("weight")))
+      val source = sym.agg(min(col("src")).as("cell_id"))
+      Pseudotime.score(sym, source, iters = 10)
+        .select(col("cell_id"), round(col("pseudotime"), 4).as("pseudotime"))
+        .orderBy("cell_id")
+    }))
+}

@@ -32,7 +32,7 @@ object TrainingQueries {
     Dedup.shingles(docs(s, d).filter(col("doc_id") % 20 === 0), 3)
 
   private def topKHits(s: SparkSession, d: String) = {
-    val q = embs(s, d).filter(col("vec_id") % 500 === 0)
+    val q = embs(s, d).filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     Similarity.cosineTopK(q, embs(s, d), 5)
   }
@@ -119,7 +119,7 @@ object TrainingQueries {
 
   private val topkSql =
     """q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
-             WHERE vec_id % 500 = 0),
+             WHERE vec_id % 50 = 0),
        c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
        p AS (SELECT q.qid, c.vec_id,
                LIST_DOT_PRODUCT(qv, cv)
