@@ -46,12 +46,15 @@ object Merge {
     * (scarf/merge.py:93-167) and a seeded deterministic interleave
     * (perform_randomization_rows) so no dataset forms a contiguous block.
     */
-  def concatCells(cellTables: Seq[(String, DataFrame)], seed: Long = 42L): DataFrame =
-    cellTables.map { case (dsName, df) =>
+  def concatCells(cellTables: Seq[(String, DataFrame)], seed: Long = 42L): DataFrame = {
+    val union = cellTables.map { case (dsName, df) =>
       df.select(concat(lit(dsName), lit("__"), col("cell_id")).as("id"))
     }.reduce(_ unionByName _)
-      .withColumn("pos",
-        row_number().over(Window.orderBy(md5(concat(lit(s"$seed:"), col("id"))))))
+      .withColumn("_h", md5(concat(lit(s"$seed:"), col("id"))))
+    // global ordinal via range-partitioned sort + partition offsets — no
+    // single-partition window at any dataset size
+    Windows.globalOrdinal(union, Seq(col("_h")), "pos").drop("_h")
+  }
 
   /** Remap a dataset's COO to the merged feature ordinals (broadcast
     * join on the small feature map).

@@ -52,6 +52,30 @@ object Windows {
         avg(col(valueCol)).as("bin_mean"))
       .orderBy("bin")
 
+  /** Global 1-based ordinal in `order`-column order WITHOUT a
+    * single-partition window: range-partitioned sort, then per-partition
+    * offsets from partition row counts (two cheap passes). The scalable
+    * replacement for `row_number().over(Window.orderBy(...))` when the
+    * frame is unbounded — used by the merge interleave; semantics are
+    * identical given a total ordering.
+    */
+  def globalOrdinal(df: DataFrame, order: Seq[Column], out: String = "pos"): DataFrame = {
+    val sorted = df.orderBy(order: _*)
+    val spark = df.sparkSession
+    val rdd = sorted.rdd
+    val counts = rdd.mapPartitionsWithIndex { (i, it) =>
+      Iterator((i, it.size.toLong))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val withPos = rdd.mapPartitionsWithIndex { (i, it) =>
+      var p = offsets(i)
+      it.map { row => p += 1; org.apache.spark.sql.Row.fromSeq(row.toSeq :+ p) }
+    }
+    spark.createDataFrame(withPos,
+      org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(out, org.apache.spark.sql.types.LongType, nullable = false)))
+  }
+
   /** Winsorize at exact lower/upper percentiles (rescale_array,
     * scarf/utils.py:120-140; percentile clip in get_cell_vals,
     * scarf/datastore/base_datastore.py:501-511). Exact `percentile` (not

@@ -149,12 +149,11 @@ object ExtendedQueries {
     "q50_merge_interleave" -> ((s, d) => {
       val o = tb(s, d, "orders")
       val a = o.filter(col("o_orderkey") % 2 === 0)
-        .select(concat(lit("a__"), col("o_orderkey")).as("id"))
+        .select(col("o_orderkey").as("cell_id"))
       val b = o.filter(col("o_orderkey") % 2 === 1)
-        .select(concat(lit("b__"), col("o_orderkey")).as("id"))
-      a.unionByName(b)
-        .withColumn("pos", row_number().over(Window.orderBy(md5(concat(lit("42:"), col("id"))))))
-        .select("pos", "id")
+        .select(col("o_orderkey").as("cell_id"))
+      graft.ops.Merge.concatCells(Seq(("a", a), ("b", b)), seed = 42L)
+        .select(col("pos").cast("int").as("pos"), col("id"))
         .orderBy("pos")
     }),
 
