@@ -168,6 +168,34 @@ object ExtendedQueries {
         .orderBy("rk")
     }),
 
+    // run_pseudotime_aggregation's relational core (scarf/assay.py:577-696):
+    // order cells by pseudotime, densify the top-feature slice, centered
+    // rolling mean, per-feature z-scale, ntile-bin, per-bin means.
+    "q56_ptime_agg" -> ((s, d) => {
+      val coo = Tables.coo(s, d).groupBy("cell_id", "feat_id")
+        .agg(sum(col("value")).as("value"))
+      val sel = coo.groupBy("feat_id").agg(count(lit(1)).as("nnz"))
+        .orderBy(col("nnz").desc, col("feat_id")).limit(20).select("feat_id")
+      val ptime = tb(s, d, "orders").select(col("o_orderkey").as("cell_id"),
+        unix_millis(to_utc_timestamp(col("o_orderdate"), "UTC")).as("ptime"))
+      val dense = ptime.crossJoin(broadcast(sel))
+        .join(coo, Seq("cell_id", "feat_id"), "left")
+        .select(col("cell_id"), col("feat_id"), col("ptime"),
+          coalesce(col("value"), lit(0.0)).as("v"))
+      val w = Window.partitionBy("feat_id").orderBy("ptime", "cell_id")
+      val rolled = dense.withColumn("r",
+        avg(col("v")).over(w.rowsBetween(-2, 2)))
+      val stats = rolled.groupBy("feat_id").agg(
+        avg(col("r")).as("mu"), stddev_samp(col("r")).as("sd"))
+      rolled.join(broadcast(stats), Seq("feat_id"))
+        .withColumn("z", (col("r") - col("mu")) / col("sd"))
+        .withColumn("bin", ntile(20).over(w))
+        .groupBy("feat_id", "bin")
+        .agg(round(avg(col("z")), 6).as("z_mean"))
+        .select(col("feat_id"), col("bin"), col("z_mean"))
+        .orderBy("feat_id", "bin")
+    }),
+
     "q52_dummy_assay" -> ((s, d) => {
       val coo = Tables.coo(s, d)
       val a = coo.filter(col("cell_id") % 2 === 0).groupBy("feat_id")
@@ -350,6 +378,36 @@ object ExtendedQueries {
          SELECT feat_id, prevalence,
                 CAST(ROW_NUMBER() OVER (ORDER BY prevalence DESC, feat_id) AS INT) AS rk
          FROM prev ORDER BY prevalence DESC, feat_id LIMIT 50""",
+
+    "q56_ptime_agg" ->
+      """WITH coo AS (
+           SELECT l_orderkey AS cell_id, l_partkey AS feat_id,
+                  SUM(l_quantity) AS value
+           FROM lineitem GROUP BY 1, 2),
+         sel AS (
+           SELECT feat_id FROM (
+             SELECT feat_id, COUNT(*) AS nnz FROM coo GROUP BY feat_id)
+           ORDER BY nnz DESC, feat_id LIMIT 20),
+         dense AS (
+           SELECT o.o_orderkey AS cell_id, s.feat_id,
+                  EPOCH_MS(o.o_orderdate) AS ptime,
+                  COALESCE(c.value, 0) AS v
+           FROM orders o CROSS JOIN sel s
+           LEFT JOIN coo c ON c.cell_id = o.o_orderkey AND c.feat_id = s.feat_id),
+         rolled AS (
+           SELECT *, AVG(v) OVER (PARTITION BY feat_id ORDER BY ptime, cell_id
+                  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS r
+           FROM dense),
+         st AS (
+           SELECT feat_id, AVG(r) AS mu, STDDEV_SAMP(r) AS sd
+           FROM rolled GROUP BY feat_id),
+         zb AS (
+           SELECT rolled.feat_id AS feat_id, (rolled.r - st.mu) / st.sd AS z,
+                  NTILE(20) OVER (PARTITION BY rolled.feat_id
+                    ORDER BY rolled.ptime, rolled.cell_id) AS bin
+           FROM rolled JOIN st ON rolled.feat_id = st.feat_id)
+         SELECT feat_id, CAST(bin AS INT) AS bin, ROUND(AVG(z), 6) AS z_mean
+         FROM zb GROUP BY feat_id, bin ORDER BY feat_id, bin""",
 
     "q52_dummy_assay" ->
       """WITH a AS (
