@@ -137,6 +137,23 @@ case class DataStore(
     copy(cells = cells.drop("cluster").join(labels, Seq("cell_id"), "left"))
   }
 
+  /** SubsetZarr equivalent (scarf/writers.py:938-1110): extract the
+    * active cells into a new store with dense re-indexed cell ids
+    * (semi-join + scalable global ordinal), optionally resetting `I`.
+    */
+  def subsetActive(resetMask: Boolean = true): DataStore = {
+    val remap = graft.ops.Windows.globalOrdinal(
+      cells.filter(col("I")).select("cell_id"), Seq(col("cell_id")), "new_id")
+    val newCells = cells.join(remap, Seq("cell_id"))
+      .drop("cell_id").withColumnRenamed("new_id", "cell_id")
+    val newCoo = coo.join(broadcast(remap), Seq("cell_id"))
+      .drop("cell_id").withColumnRenamed("new_id", "cell_id")
+      .select("cell_id", "feat_id", "value")
+    DataStore(
+      if (resetMask) MetaOps.resetKey(newCells, "I") else newCells,
+      feats, newCoo)
+  }
+
   /** run_marker_search (scarf/datastore/datastore.py:351-430) against the
     * current cluster labels.
     */

@@ -105,4 +105,17 @@ class PipelineSpec extends SparkSpec {
     val pc = ds.runParis(3)
     assert(pc.cells.filter($"cluster".isNotNull).select("cluster").distinct().count() === 3)
   }
+
+  test("subsetActive re-indexes cells densely and resets the mask") {
+    import spark.implicits._
+    val filtered = ds.copy(cells = ds.cells.withColumn("I",
+      $"cell_id" % 2 === 0))
+    val sub = filtered.subsetActive()
+    val n = sub.cells.count()
+    assert(n === filtered.cells.filter($"I").count())
+    // dense 1..n ids, mask reset to all-true
+    assert(sub.cells.agg(min("cell_id"), max("cell_id")).head().toSeq === Seq(1L, n))
+    assert(sub.cells.filter(!$"I").count() === 0)
+    assert(sub.coo.select("cell_id").distinct().count() <= n)
+  }
 }
