@@ -95,4 +95,20 @@ class OpsSpec extends SparkSpec {
     val r = rows(GraphOps.symmetrize(e).orderBy("src"))
     assert(r === Seq(Seq(1L, 2L, 0.9), Seq(2L, 1L, 0.9)))
   }
+
+  test("distributed louvain separates two weakly-linked cliques") {
+    val edges = Seq(
+      (1L, 2L, 5.0), (2L, 3L, 5.0), (1L, 3L, 5.0),
+      (4L, 5L, 5.0), (5L, 6L, 5.0), (4L, 6L, 5.0),
+      (3L, 4L, 0.1)).toDF("src", "dst", "weight")
+    val c = graft.graph.DistributedLouvain.cluster(edges, rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c(1L) === c(2L) && c(2L) === c(3L))
+    assert(c(4L) === c(5L) && c(5L) === c(6L))
+    assert(c(1L) !== c(4L))
+    // deterministic
+    val c2 = graft.graph.DistributedLouvain.cluster(edges, rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c === c2)
+  }
 }
