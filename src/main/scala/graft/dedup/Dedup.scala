@@ -22,9 +22,13 @@ object Dedup {
   /** Word n-gram shingles, distinct per document: `(doc_id, shingle)`. */
   def shingles(docs: DataFrame, n: Int): DataFrame = {
     val toks = split(col("text"), "\\s+")
+    // Docs shorter than n tokens yield no shingles: an unguarded
+    // sequence(0, size-n) descends (ANSI error) for them.
+    val starts = when(size(col("w")) >= n, sequence(lit(0), size(col("w")) - n))
+      .otherwise(array().cast("array<int>"))
     docs.select(col("doc_id"), toks.as("w"))
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("w")) - n),
+        explode(transform(starts,
           i => concat_ws(" ", (0 until n).map(o => element_at(col("w"), i + o + 1)): _*)))
           .as("shingle"))
       .distinct()

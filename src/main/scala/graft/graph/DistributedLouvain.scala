@@ -73,9 +73,8 @@ object DistributedLouvain {
     }
     // relabel to dense 1..C by size desc
     val sizes = comm.groupBy("comm").agg(count(lit(1)).as("sz"))
-    val relabel = sizes
-      .withColumn("cluster", row_number().over(
-        Window.orderBy(col("sz").desc, col("comm"))).cast("long"))
+    val relabel = graft.ops.Windows.globalOrdinal(
+        sizes, Seq(col("sz").desc, col("comm")), "cluster")
       .select("comm", "cluster")
     comm.join(broadcast(relabel), Seq("comm"))
       .select(col("node").as("cell_id"), col("cluster"))

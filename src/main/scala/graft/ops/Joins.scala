@@ -15,9 +15,10 @@ object Joins {
     */
   def alignFeatures(source: DataFrame, sourceKey: String,
                     target: DataFrame, targetKey: String): DataFrame = {
-    val ordinal = target.select(col(targetKey).as(sourceKey)).distinct()
-      .withColumn("target_idx",
-        (row_number().over(Window.orderBy(col(sourceKey))) - lit(1)))
+    val ordinal = Windows.globalOrdinal(
+        target.select(col(targetKey).as(sourceKey)).distinct(),
+        Seq(col(sourceKey)), "_p")
+      .withColumn("target_idx", (col("_p") - 1).cast("int")).drop("_p")
     source.join(broadcast(ordinal), Seq(sourceKey), "left")
       .withColumn("target_idx", coalesce(col("target_idx"), lit(-1)))
   }

@@ -38,7 +38,9 @@ object Merge {
       .withColumn("uname",
         when(col("dup_rank") === 1, col("name"))
           .otherwise(concat(col("name"), lit("_"), col("dup_rank") - 1)))
-      .withColumn("merged_idx", row_number().over(Window.orderBy("feat_id")) - 1)
+      .transform(df => Windows.globalOrdinal(df, Seq(col("feat_id"), col("uname")), "_mi")
+        .withColumn("merged_idx", (col("_mi") - 1).cast("int"))
+        .drop("_mi"))
       .drop("dup_rank")
   }
 

@@ -20,7 +20,10 @@ object Skew {
     */
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
                      nSalts: Int): DataFrame =
-    df.withColumn("_salt", pmod(hash(col(valueCol), monotonically_increasing_id()), lit(nSalts)))
+    // Salt must be deterministic under task retry: derive it from row
+    // content (all columns), never monotonically_increasing_id(), which can
+    // differ on recompute and double-count / drop rows post-shuffle.
+    df.withColumn("_salt", pmod(hash(df.columns.map(col): _*), lit(nSalts)))
       .groupBy(col(key), col("_salt"))
       .agg(sum(col(valueCol)).as("_s"), count(lit(1)).as("_n"))
       .groupBy(col(key))
@@ -34,7 +37,7 @@ object Skew {
   def saltJoinSides(big: DataFrame, small: DataFrame, key: String,
                     nSalts: Int): (DataFrame, DataFrame) = {
     val saltedBig = big.withColumn("_salt",
-      pmod(hash(monotonically_increasing_id()), lit(nSalts)))
+      pmod(hash(big.columns.map(col): _*), lit(nSalts)))
     val explodedSmall = small.withColumn("_salt",
       explode(sequence(lit(0), lit(nSalts - 1))))
     (saltedBig, explodedSmall)

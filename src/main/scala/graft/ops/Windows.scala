@@ -46,11 +46,33 @@ object Windows {
     */
   def ntileBinAgg(df: DataFrame, order: Seq[Column], n: Int,
                   valueCol: String): DataFrame =
-    df.withColumn("bin", ntile(n).over(Window.orderBy(order: _*)))
+    ntileBin(df, order, n)
       .groupBy("bin").agg(
         count(lit(1)).as("n"),
         avg(col(valueCol)).as("bin_mean"))
       .orderBy("bin")
+
+  /** NTILE(n) over a global ordering WITHOUT the single-partition window:
+    * globalOrdinal rank + the closed-form ntile bucket. With c rows and
+    * q = c div n, m = c mod n, the first m buckets hold q+1 rows:
+    * bucket(r) = (r-1) div (q+1) + 1 while r <= m(q+1), else
+    * m + (r - m(q+1) - 1) div q + 1. Identical to SQL NTILE given the same
+    * total ordering — callers must pass a tie-broken `order`.
+    */
+  def ntileBin(df: DataFrame, order: Seq[Column], n: Int,
+               binCol: String = "bin"): DataFrame = {
+    val ranked = globalOrdinal(df, order, "_r")
+    val cnt = ranked.agg(count(lit(1)).as("_c"))
+    ranked.crossJoin(broadcast(cnt))
+      .withColumn("_q", expr(s"_c div $n"))
+      .withColumn("_m", col("_c") % n)
+      .withColumn(binCol,
+        when(col("_r") <= col("_m") * (col("_q") + 1),
+          expr("(_r - 1) div (_q + 1)") + 1)
+          .otherwise(col("_m") + expr("(_r - _m * (_q + 1) - 1) div greatest(_q, 1)") + 1)
+          .cast("int"))
+      .drop("_r", "_c", "_q", "_m")
+  }
 
   /** Global 1-based ordinal in `order`-column order WITHOUT a
     * single-partition window: range-partitioned sort, then per-partition

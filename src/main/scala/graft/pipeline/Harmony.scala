@@ -45,7 +45,10 @@ object Harmony {
           dot_product(col("latent"), col("latent"))
             - lit(2) * dot_product(col("latent"), col("centroid"))
             + dot_product(col("centroid"), col("centroid")))
-        .withColumn("aff", exp(-col("d2") / lit(sigma)))
+        // log-space softmax: subtract the per-cell min d2 before exp so a
+        // cell far from every centroid never underflows to 0/0 = NaN.
+        .withColumn("d2min", min(col("d2")).over(Window.partitionBy("cell_id")))
+        .withColumn("aff", exp(-(col("d2") - col("d2min")) / lit(sigma)))
         .withColumn("r", col("aff") / sum(col("aff")).over(Window.partitionBy("cell_id")))
         .select("cell_id", "batch", "cluster", "r", "latent")
 

@@ -19,9 +19,9 @@ object Reduce {
 
   /** Map selected features to dense ordinals `(feat_id, feat_idx)`. */
   def featureIndex(selected: DataFrame): DataFrame =
-    selected.select("feat_id").distinct()
-      .withColumn("feat_idx",
-        row_number().over(Window.orderBy("feat_id")) - 1)
+    graft.ops.Windows.globalOrdinal(
+        selected.select("feat_id").distinct(), Seq(col("feat_id")), "_p")
+      .withColumn("feat_idx", (col("_p") - 1).cast("int")).drop("_p")
 
   /** Assemble per-cell ml Vectors from the COO slice restricted to the
     * selected features. Cells with no selected feature are dropped (same

@@ -54,10 +54,12 @@ object ExtendedQueries {
       val coo = Tables.coo(s, d)
       val nTot = Tables.nCells(coo)
       // per-feature mean over ALL cells, deciles as expression bins
-      val avgs = coo.groupBy("feat_id").agg(sum(col("value")).as("tot"))
-        .crossJoin(broadcast(nTot))
-        .select(col("feat_id"), (col("tot") / col("n_total_cells")).as("avg_all"))
-        .withColumn("bin", ntile(10).over(Window.orderBy(col("avg_all"), col("feat_id"))))
+      // (scale-safe ntile: globalOrdinal + closed form, no 1-partition sort)
+      val avgs = graft.ops.Windows.ntileBin(
+        coo.groupBy("feat_id").agg(sum(col("value")).as("tot"))
+          .crossJoin(broadcast(nTot))
+          .select(col("feat_id"), (col("tot") / col("n_total_cells")).as("avg_all")),
+        Seq(col("avg_all"), col("feat_id")), 10)
       val set = tb(s, d, "part").filter(upper(col("p_name")).rlike("WIDGET"))
         .select(col("p_partkey").as("feat_id"))
       val setBins = avgs.join(set, Seq("feat_id")).select("bin").distinct()
@@ -162,9 +164,10 @@ object ExtendedQueries {
       val normed = graft.norm.Normalize.tfIdf(coo, Tables.nCells(coo))
       val prev = normed.groupBy("feat_id")
         .agg(round(sum(col("normed")), 6).as("prevalence"))
-      prev.orderBy(col("prevalence").desc, col("feat_id")).limit(50)
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("prevalence").desc, col("feat_id"))))
+      graft.ops.Windows.globalOrdinal(
+          prev.orderBy(col("prevalence").desc, col("feat_id")).limit(50),
+          Seq(col("prevalence").desc, col("feat_id")), "_rk")
+        .withColumn("rk", col("_rk").cast("int")).drop("_rk")
         .orderBy("rk")
     }),
 

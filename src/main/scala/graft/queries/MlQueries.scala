@@ -25,10 +25,12 @@ object MlQueries {
       val vecs = Reduce.assembleVectors(
         normed.join(broadcast(sel), Seq("feat_id")),
         Reduce.featureIndex(sel), "normed")
+      // Scalar rows (cell_id, component, value): the driver's rows-only
+      // check sorts/hashes columns, which fails on array columns.
       Reduce.pca(vecs, dims = 5)
-        .select(col("cell_id"),
-          transform(col("latent"), x => round(x, 4)).as("latent"))
-        .orderBy("cell_id")
+        .select(col("cell_id"), posexplode(col("latent")).as(Seq("component", "value")))
+        .select(col("cell_id"), col("component"), round(col("value"), 4).as("value"))
+        .orderBy("cell_id", "component")
     }),
 
     // LISI of the embedding KNN graph against the stored labels

@@ -31,6 +31,19 @@ object TrainingQueries {
   private def sh(s: SparkSession, d: String) =
     Dedup.shingles(docs(s, d).filter(col("doc_id") % 20 === 0), 3)
 
+  /** LSH input with planted near-duplicates: the %20 slice plus perturbed
+    * copies (3 appended tokens) of the %40 slice, re-keyed to doc_id+1e6.
+    * Guarantees the band join has a non-empty expected result at every SF
+    * (a check that passes on 0==0 rows proves nothing about band keys).
+    */
+  private def plantedSh(s: SparkSession, d: String) = {
+    val base = docs(s, d).filter(col("doc_id") % 20 === 0).select("doc_id", "text")
+    val dups = docs(s, d).filter(col("doc_id") % 40 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" graft dup marker")).as("text"))
+    Dedup.shingles(base.unionByName(dups), 3)
+  }
+
   private def topKHits(s: SparkSession, d: String) = {
     val q = embs(s, d).filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -51,7 +64,7 @@ object TrainingQueries {
       Dedup.exactDupGroups(docs(s, d)).orderBy("digest")),
 
     "q34_minhash_lsh" -> ((s, d) =>
-      Dedup.lshCandidatePairs(Dedup.minHashSignature(sh(s, d), 8), 8, 2)
+      Dedup.lshCandidatePairs(Dedup.minHashSignature(plantedSh(s, d), 8), 8, 2)
         .orderBy("ida", "idb")),
 
     "q35_ngram_jaccard" -> ((s, d) =>
@@ -192,7 +205,16 @@ object TrainingQueries {
          FROM documents GROUP BY MD5(text) ORDER BY digest""",
 
     "q34_minhash_lsh" ->
-      s"""WITH $shSql,
+      s"""WITH planted AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text || ' graft dup marker' AS text
+           FROM documents WHERE doc_id % 40 = 0),
+         sh AS (
+           SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+           FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\\s+') AS w
+                 FROM planted) t,
+                LATERAL (SELECT UNNEST(RANGE(1, LEN(w) - 1)) AS i)),
          sig AS (
            SELECT doc_id,
                   MIN(MD5('0:' || shingle)) AS m0, MIN(MD5('1:' || shingle)) AS m1,

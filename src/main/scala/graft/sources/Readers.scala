@@ -42,12 +42,14 @@ object Readers {
   /** barcodes.tsv / features.tsv sidecars → metadata tables with 1-based
     * ordinal ids matching the MTX indices (file order = index order).
     */
-  def readTsvIds(spark: SparkSession, path: String, idCol: String): DataFrame =
-    spark.read.option("sep", "\t").csv(path)
+  def readTsvIds(spark: SparkSession, path: String, idCol: String): DataFrame = {
+    // file order = index order, but NOT via a single-partition global
+    // window: a 4M-barcode file would sort on one task. globalOrdinal is
+    // two cheap passes (per-partition counts, then offset map).
+    val raw = spark.read.option("sep", "\t").csv(path)
       .withColumn("mid", monotonically_increasing_id())
-      .withColumn(idCol, row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("mid")).cast("long"))
-      .drop("mid")
+    graft.ops.Windows.globalOrdinal(raw, Seq(col("mid")), idCol).drop("mid")
+  }
 
   /** Dense CSV (header = feature names, rows = cells) → COO via
     * posexplode, the CSVReader equivalent (scarf/readers.py:1123-1295).

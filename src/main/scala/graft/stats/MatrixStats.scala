@@ -90,11 +90,10 @@ object MatrixStats {
       .withColumn("c_var", round(col("sigmas") / col("bin_sigma"), 6))
     // global top-n: distributed TakeOrdered via orderBy+limit, then a
     // window over only the surviving topN rows to emit the rank.
-    corrected
-      .orderBy(col("c_var").desc, col("feat_id"))
-      .limit(topN)
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("c_var").desc, col("feat_id"))))
+    graft.ops.Windows.globalOrdinal(
+        corrected.orderBy(col("c_var").desc, col("feat_id")).limit(topN),
+        Seq(col("c_var").desc, col("feat_id")), "_rk")
+      .withColumn("rk", col("_rk").cast("int"))
       .select("feat_id", "normed_n", "sigmas", "c_var", "rk")
   }
 }

@@ -31,7 +31,8 @@ for name in sorted(oracles):
         print(f"FAIL {name}: no spark output")
         fails += 1
         continue
-    spark = pq.read_table(files[0]).to_pandas()
+    import pyarrow as pa
+    spark = pa.concat_tables([pq.read_table(f) for f in sorted(files)]).to_pandas()
     oracle = oracle[sorted(oracle.columns)]
     spark = spark[sorted(spark.columns)]
     if list(oracle.columns) != list(spark.columns):
