@@ -35,6 +35,51 @@ object Knn {
       .filter(col("rn") <= k)
   }
 
+  /** Euclidean distance via the dot-product identity |a−b|² =
+    * a·a − 2a·b + b·b on the native codegen'd DotProduct — the same
+    * ascending fold a SQL engine's list_dot_product performs, so results
+    * are engine-reproducible bit-for-bit. Clamped at 0 against −1e−16
+    * cancellation noise before the sqrt.
+    */
+  private def l2dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    val d = graft.sim.Similarity.dot _
+    sqrt(greatest(d(a, a) - lit(2) * d(a, b) + d(b, b), lit(0.0)))
+  }
+
+  /** Scalable self-KNN (the HNSW-index replacement, scarf/ann.py:290-326):
+    * multi-round seeded hyperplane LSH buckets + Hamming-1 multi-probe,
+    * exact distances only WITHIN buckets, union of rounds, global top-k
+    * per source. No O(n²) stage: per round the join fans out to
+    * (nPlanes+1) probes × bucket occupancy, so work is Σ_b |b|·probes —
+    * at scale, grow `nPlanes` with log₂(n / targetBucketSize) and `rounds`
+    * with the recall target (4 planes × 6 rounds ⇒ recall ≈ 0.98 on the
+    * sf0.01 embeddings; see KnnRecallSpec).
+    */
+  def bucketedSelfKnn(latent: DataFrame, k: Int, nPlanes: Int = 4,
+                      rounds: Int = 6): DataFrame = {
+    val emb = latent.select(col("cell_id").as("vec_id"), col("latent").as("embedding"))
+    val cand = (0 until rounds).map { r =>
+      val bk = graft.sim.Similarity.lshBucketsSeeded(emb, nPlanes, r)
+      val withVec = bk.join(latent, bk("vec_id") === latent("cell_id"))
+        .select(col("vec_id").as("id"), col("bucket"), col("latent"))
+      // multi-probe: own bucket plus every 1-bit flip of it
+      val probes = array((col("bucket") +: (0 until nPlanes).map(h =>
+        col("bucket").bitwiseXOR(lit(1L << h)))): _*)
+      val qside = withVec.select(col("id").as("src"), col("latent").as("va"),
+        explode(probes).as("bucket"))
+      val cside = withVec.select(col("bucket"), col("id").as("dst"),
+        col("latent").as("vb"))
+      qside.join(cside, Seq("bucket"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"), l2dot(col("va"), col("vb")).as("dist"))
+    }.reduce(_ unionByName _)
+    cand.groupBy("src", "dst").agg(min(col("dist")).as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("src").orderBy(round(col("dist"), 6), col("dst"))))
+      .filter(col("rn") <= k)
+      .select(col("src"), col("dst"), round(col("dist"), 6).as("dist"), col("rn"))
+  }
+
   /** UMAP smooth-knn-dist kernel: for one cell's ascending distance list,
     * find (rho, sigma) with sigma binary-searched so that
     * Σ exp(−max(d−rho,0)/sigma) = log2(k)·bandwidth, then return

@@ -108,6 +108,14 @@ object TrainingQueries {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("hour_bucket", "event_type")),
 
+    // scalable ANN self-KNN: LSH buckets + multi-probe + in-bucket exact
+    "q57_bucketed_knn" -> ((s, d) => {
+      val latent = embs(s, d).select(col("vec_id").as("cell_id"),
+        col("embedding").cast("array<double>").as("latent"))
+      graft.pipeline.Knn.bucketedSelfKnn(latent, 5, nPlanes = 4, rounds = 6)
+        .orderBy("src", "rn")
+    }),
+
     "q42_sessionize" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       Tables.events(s, d)
@@ -298,6 +306,45 @@ object TrainingQueries {
            COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value,
            COUNT(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""",
+
+    "q57_bucketed_knn" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         ex AS (SELECT vec_id, UNNEST(e) AS x, GENERATE_SUBSCRIPTS(e, 1) AS j FROM v),
+         proj AS (
+           SELECT s.seed, p.h, ex.vec_id,
+                  SUM(CASE WHEN SUBSTRING(MD5(CONCAT(s.seed, ':', p.h, ':', ex.j - 1)), 1, 1)
+                           BETWEEN '8' AND 'f' THEN ex.x ELSE -ex.x END) AS pr
+           FROM ex
+           CROSS JOIN (SELECT UNNEST(RANGE(0, 6)) AS seed) s
+           CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS h) p
+           GROUP BY s.seed, p.h, ex.vec_id),
+         buck AS (
+           SELECT seed, vec_id,
+                  CAST(SUM(CASE WHEN pr > 0 THEN (1::BIGINT << h) ELSE 0 END) AS BIGINT) AS bucket
+           FROM proj GROUP BY seed, vec_id),
+         probes AS (
+           SELECT seed, vec_id,
+                  UNNEST([bucket, xor(bucket, 1::BIGINT), xor(bucket, 2::BIGINT),
+                          xor(bucket, 4::BIGINT), xor(bucket, 8::BIGINT)]) AS probe
+           FROM buck),
+         cand AS (
+           SELECT DISTINCT p.vec_id AS src, b.vec_id AS dst
+           FROM probes p JOIN buck b ON p.seed = b.seed AND p.probe = b.bucket
+           WHERE p.vec_id != b.vec_id),
+         d AS (
+           SELECT c.src, c.dst,
+                  SQRT(GREATEST(LIST_DOT_PRODUCT(va.e, va.e)
+                    - 2 * LIST_DOT_PRODUCT(va.e, vb.e)
+                    + LIST_DOT_PRODUCT(vb.e, vb.e), 0)) AS dist
+           FROM cand c
+           JOIN v va ON c.src = va.vec_id
+           JOIN v vb ON c.dst = vb.vec_id),
+         topk AS (
+           SELECT src, dst, ROUND(dist, 6) AS dist,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY src
+                    ORDER BY ROUND(dist, 6), dst) AS INT) AS rn
+           FROM d)
+         SELECT src, dst, dist, rn FROM topk WHERE rn <= 5 ORDER BY src, rn""",
 
     "q42_sessionize" ->
       """WITH e AS (

@@ -60,13 +60,24 @@ object Similarity {
     * packs the `nPlanes` sign bits. Vectors in the same bucket are
     * near-duplicates candidates — the scale path for ANN.
     */
-  def lshBuckets(corpus: DataFrame, nPlanes: Int): DataFrame = {
+  def lshBuckets(corpus: DataFrame, nPlanes: Int): DataFrame =
+    bucketsWithKey(corpus, nPlanes, h => s"$h:")
+
+  /** Seeded hyperplane set for multi-round ANN: round r uses planes keyed
+    * `"r:h:j"`, giving `rounds` independent bucketings whose candidate
+    * unions drive recall toward 1 (see Knn.bucketedSelfKnn).
+    */
+  def lshBucketsSeeded(corpus: DataFrame, nPlanes: Int, seed: Int): DataFrame =
+    bucketsWithKey(corpus, nPlanes, h => s"$seed:$h:")
+
+  private def bucketsWithKey(corpus: DataFrame, nPlanes: Int,
+                             prefix: Int => String): DataFrame = {
     val v = toDouble(col("embedding"))
     val bits = (0 until nPlanes).map { h =>
-      // component j of plane h: +1 if md5("h:j") first hex digit is >= '8'
+      // component j of plane h: +1 if md5(key(h) + j) first hex digit >= '8'
       val proj = aggregate(
         zip_with(v, sequence(lit(0), size(v) - 1), (x, j) =>
-          when(substring(md5(concat(lit(s"$h:"), j.cast("string"))), 1, 1)
+          when(substring(md5(concat(lit(prefix(h)), j.cast("string"))), 1, 1)
             .isInCollection(Seq("8", "9", "a", "b", "c", "d", "e", "f")), x)
             .otherwise(-x)),
         lit(0.0), (acc, x) => acc + x)

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Knn
+
+/** Recall of the bucketed (LSH multi-probe) self-KNN against the exact
+  * O(n²) baseline — the reference reports recall per ANN run
+  * (scarf/knn_utils.py:74-76); we gate at 0.95 on the sf0.01 embeddings.
+  */
+class KnnRecallSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  test("bucketedSelfKnn recall >= 0.95 vs exact at sf0.01, no O(n²) stage") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val latent = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("cell_id"),
+        col("embedding").cast("array<double>").as("latent"))
+    val exact = Knn.exactSelfKnn(latent, 5).cache()
+    val approx = Knn.bucketedSelfKnn(latent, 5, nPlanes = 4, rounds = 6).cache()
+    val r = Knn.recall(approx, exact)
+    assert(r >= 0.95, s"recall $r below 0.95")
+    // the plan must contain no cartesian/nested-loop product: the only
+    // joins are equi-joins on (bucket) and (cell_id)
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "bucketed KNN plan has a cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "bucketed KNN plan has a nested-loop join")
+  }
+
+  test("bucketedSelfKnn emits exactly k neighbors per source on a grid") {
+    import spark.implicits._
+    // 3 tight clusters of 4 points each in 8-d
+    val pts = (0 until 12).map { i =>
+      val c = i / 4
+      (i.toLong, Array.tabulate(8)(j => c * 10.0 + 0.01 * ((i % 4) + j)))
+    }
+    val latent = pts.toDF("cell_id", "latent")
+    val res = Knn.bucketedSelfKnn(latent, 3, nPlanes = 3, rounds = 4)
+    val counts = res.groupBy("src").count().collect()
+    assert(counts.length == 12 && counts.forall(_.getLong(1) == 3L))
+    // neighbors of any point stay inside its cluster (clusters are 10 apart)
+    val cross = res.filter(expr("src div 4 != dst div 4")).count()
+    assert(cross == 0L, s"$cross cross-cluster edges in top-3")
+  }
+}
