@@ -8,9 +8,8 @@ import org.apache.spark.sql.types._
   * format-specific containers into the store (scarf/readers.py); here the
   * equivalents parse text-based formats straight into the COO model with
   * plain distributed reads — no driver-side parsing, any file size.
-  * (HDF5-container variants — CrH5/H5ad/Loom — need an HDF5 JNI binding
-  * not present in this environment; MTX + CSV cover the text formats and
-  * parquet is the native path.)
+  * HDF5-container variants (CrH5/H5ad/Loom/NaboH5 + to_h5ad export) live
+  * in graft.sources.hdf5.H5Sources on a pure-JVM HDF5 parser.
   */
 object Readers {
 

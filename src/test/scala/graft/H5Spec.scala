@@ -1,0 +1,231 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.hdf5.{H5Reader, H5Sources, H5Writer}
+
+/** HDF5 family: writer → reader round-trips and the Spark-facing reader
+  * semantics (CrH5 / H5ad / Loom / NaboH5 + to_h5ad export), mirroring
+  * the reference's reader tests (scarf/tests/test_readers.py:73-75).
+  */
+class H5Spec extends SparkSpec {
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory("h5spec").toFile
+    d.deleteOnExit()
+    new java.io.File(d, name).getAbsolutePath
+  }
+
+  test("low-level round-trip: numeric, string, compound, 2-d, attributes") {
+    val p = tmp("rt.h5")
+    val w = new H5Writer
+    w.putLongs("g/l", Array(1L, -5L, 1L << 40))
+    w.putInts("g/i", Array(7, -8, 9))
+    w.putDoubles("g/d", Array(1.5, -2.25, 0.0))
+    w.putFloats("g/f", Array(0.5f, 1.5f))
+    w.putStrings("g/s", Array("alpha", "b", "charlie"))
+    w.putDense2D("m", 2, 3, Array(1, 0, 2, 0, 3, 0).map(_.toDouble))
+    w.putCompound("c/cell1", 2, Seq("idx" -> Array(3L, 9L), "val" -> Array(4L, 2L)))
+    w.attrStr("g", "encoding-type", "dataframe")
+    w.attrLongs("g", "shape", Array(3L, 2L))
+    w.attrStrArray("g", "column-order", Array("l", "i"))
+    w.save(p)
+
+    val r = new H5Reader(p)
+    try {
+      assert(r.dataset("g/l").readLongs().toSeq == Seq(1L, -5L, 1L << 40))
+      assert(r.dataset("g/i").readLongs().toSeq == Seq(7L, -8L, 9L))
+      assert(r.dataset("g/d").readDoubles().toSeq == Seq(1.5, -2.25, 0.0))
+      assert(r.dataset("g/f").readDoubles().toSeq == Seq(0.5, 1.5))
+      assert(r.dataset("g/s").readStrings().toSeq == Seq("alpha", "b", "charlie"))
+      val m = r.dataset("m")
+      assert(m.dims.toSeq == Seq(2L, 3L))
+      assert(m.readDoubles().toSeq == Seq(1.0, 0.0, 2.0, 0.0, 3.0, 0.0))
+      val c = r.dataset("c/cell1")
+      assert(c.readCompoundColumn("idx").toSeq == Seq(3L, 9L))
+      assert(c.readCompoundColumn("val").toSeq == Seq(4L, 2L))
+      val a = r.attributes("g")
+      assert(a("encoding-type") == "dataframe")
+      assert(a("shape").asInstanceOf[Array[Long]].toSeq == Seq(3L, 2L))
+      assert(a("column-order").asInstanceOf[Array[String]].toSeq == Seq("l", "i"))
+      assert(r.childNames("g").sorted == Seq("d", "f", "i", "l", "s"))
+    } finally r.close()
+  }
+
+  test("chunked + gzip datasets round-trip, including partial slice reads") {
+    val p = tmp("chunked.h5")
+    val w = new H5Writer
+    val v = Array.tabulate(1000)(i => math.sin(i.toDouble))
+    val l = Array.tabulate(777)(i => i.toLong * 3 - 5)
+    w.putDoublesChunked("cd", v, chunkElems = 64)
+    w.putLongsChunked("cl", l, chunkElems = 100)
+    w.putDoublesChunked("plain", v, chunkElems = 256, gzip = false)
+    w.save(p)
+    val r = new H5Reader(p)
+    try {
+      assert(r.dataset("cd").readDoubles().toSeq == v.toSeq)
+      assert(r.dataset("cl").readLongs().toSeq == l.toSeq)
+      assert(r.dataset("plain").readDoubles().toSeq == v.toSeq)
+      // slices crossing chunk boundaries (the distributed CSR read path)
+      assert(r.dataset("cd").readDoubles(60, 200).toSeq == v.slice(60, 200).toSeq)
+      assert(r.dataset("cl").readLongs(99, 101).toSeq == l.slice(99, 101).toSeq)
+      assert(r.dataset("cd").chunks.size == 16)
+    } finally r.close()
+  }
+
+  test("h5ad: CSR X + obs/var with categorical decode → exact COO") {
+    val p = tmp("toy.h5ad")
+    val w = new H5Writer
+    // 3 cells × 4 features; CSR rows = cells
+    w.putDoubles("X/data", Array(1.0, 2.0, 3.0, 4.0, 5.0))
+    w.putInts("X/indices", Array(0, 2, 1, 3, 0))
+    w.putLongs("X/indptr", Array(0L, 2L, 4L, 5L))
+    w.attrStr("X", "encoding-type", "csr_matrix")
+    w.attrLongs("X", "shape", Array(3L, 4L))
+    w.putStrings("obs/_index", Array("c0", "c1", "c2"))
+    w.putLongs("obs/n_counts", Array(3L, 7L, 5L))
+    // categorical column: codes + categories subgroup (AnnData >= 0.8)
+    w.putLongs("obs/batch/codes", Array(0L, 1L, 0L))
+    w.putStrings("obs/batch/categories", Array("A", "B"))
+    w.putStrings("var/_index", Array("g0", "g1", "g2", "g3"))
+    w.putDoubles("var/score", Array(0.1, 0.2, 0.3, 0.4))
+    w.save(p)
+
+    val (coo, obs, varF) = H5Sources.h5ad(spark, p)
+    val got = coo.orderBy("cell_id", "feat_id").collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1), r0.getDouble(2))).toSeq
+    assert(got == Seq((0L, 0L, 1.0), (0L, 2L, 2.0), (1L, 1L, 3.0), (1L, 3L, 4.0), (2L, 0L, 5.0)))
+    val o = obs.orderBy("ordinal").collect()
+    assert(o.map(_.getAs[String]("id")).toSeq == Seq("c0", "c1", "c2"))
+    assert(o.map(_.getAs[String]("batch")).toSeq == Seq("A", "B", "A"))
+    assert(o.map(_.getAs[Long]("n_counts")).toSeq == Seq(3L, 7L, 5L))
+    assert(varF.orderBy("ordinal").collect().map(_.getAs[String]("id")).toSeq ==
+      Seq("g0", "g1", "g2", "g3"))
+  }
+
+  test("h5ad: legacy integer categoricals via __categories group") {
+    val p = tmp("legacy.h5ad")
+    val w = new H5Writer
+    w.putDoubles("X/data", Array(1.0))
+    w.putInts("X/indices", Array(0))
+    w.putLongs("X/indptr", Array(0L, 1L, 1L))
+    w.putStrings("obs/_index", Array("c0", "c1"))
+    w.putLongs("obs/phase", Array(1L, 0L))
+    w.putStrings("obs/__categories/phase", Array("G1", "S"))
+    w.putStrings("var/_index", Array("g0"))
+    w.save(p)
+    val (_, obs, _) = H5Sources.h5ad(spark, p)
+    assert(obs.orderBy("ordinal").collect().map(_.getAs[String]("phase")).toSeq == Seq("S", "G1"))
+  }
+
+  test("crH5: 10x matrix group, filtered and background-cutoff paths") {
+    val p = tmp("cr.h5")
+    val w = new H5Writer
+    // 3 cells; cell1 is background (sum 2 <= cutoff 5)
+    w.putDoubles("matrix/data", Array(10.0, 2.0, 8.0))
+    w.putInts("matrix/indices", Array(0, 1, 1))
+    w.putLongs("matrix/indptr", Array(0L, 1L, 2L, 3L))
+    w.putStrings("matrix/barcodes", Array("AAA", "CCC", "GGG"))
+    w.putStrings("matrix/features/id", Array("ENSG1", "ENSG2"))
+    w.putStrings("matrix/features/name", Array("TP53", "MYC"))
+    w.putStrings("matrix/features/feature_type", Array("Gene Expression", "Gene Expression"))
+    w.save(p)
+
+    val (coo, cells, feats) = H5Sources.crH5(spark, p)
+    assert(coo.count() == 3 && cells.count() == 3 && feats.count() == 2)
+    assert(feats.orderBy("feat_id").collect().map(_.getAs[String]("name")).toSeq ==
+      Seq("TP53", "MYC"))
+
+    val (cooF, cellsF, _) = H5Sources.crH5(spark, p, isFiltered = false, filteringCutoff = 5)
+    val kept = cellsF.orderBy("cell_id").collect()
+    assert(kept.map(_.getAs[String]("barcode")).toSeq == Seq("AAA", "GGG"))
+    assert(kept.map(_.getAs[Long]("cell_id")).toSeq == Seq(0L, 1L))
+    val g = cooF.orderBy("cell_id").collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1), r0.getDouble(2))).toSeq
+    assert(g == Seq((0L, 0L, 10.0), (1L, 1L, 8.0)))
+  }
+
+  test("loom: dense features×cells matrix transposes to (cell, feat) COO") {
+    val p = tmp("toy.loom")
+    val w = new H5Writer
+    // 2 features × 3 cells
+    w.putDense2D("matrix", 2, 3, Array(1, 0, 2, 0, 0, 5).map(_.toDouble))
+    w.putStrings("col_attrs/obs_names", Array("c0", "c1", "c2"))
+    w.putStrings("row_attrs/var_names", Array("gA", "gB"))
+    w.save(p)
+    val (coo, cells, feats) = H5Sources.loom(spark, p)
+    val got = coo.orderBy("cell_id", "feat_id").collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1), r0.getDouble(2))).toSeq
+    assert(got == Seq((0L, 0L, 1.0), (2L, 0L, 2.0), (2L, 1L, 5.0)))
+    assert(cells.orderBy("ordinal").collect().map(_.getAs[String]("obs_names")).toSeq ==
+      Seq("c0", "c1", "c2"))
+    assert(feats.orderBy("ordinal").collect().map(_.getAs[String]("var_names")).toSeq ==
+      Seq("gA", "gB"))
+  }
+
+  test("naboH5: per-cell compound idx/val with name suffix strip") {
+    val p = tmp("toy.nabo.h5")
+    val w = new H5Writer
+    w.putStrings("names/cells", Array("cellA", "cellB"))
+    w.putStrings("names/genes", Array("TP53_1", "MYC_2"))
+    w.putCompound("cell_data/cellA", 2, Seq("idx" -> Array(0L, 1L), "val" -> Array(4L, 6L)))
+    w.putCompound("cell_data/cellB", 1, Seq("idx" -> Array(1L), "val" -> Array(9L)))
+    w.save(p)
+    val (coo, cells, feats) = H5Sources.naboH5(spark, p)
+    val got = coo.orderBy("cell_id", "feat_id").collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1), r0.getDouble(2))).toSeq
+    assert(got == Seq((0L, 0L, 4.0), (0L, 1L, 6.0), (1L, 1L, 9.0)))
+    assert(feats.orderBy("feat_id").collect().map(_.getAs[String]("name")).toSeq ==
+      Seq("TP53", "MYC"))
+    assert(cells.count() == 2)
+  }
+
+  test("to_h5ad export round-trips through the h5ad reader") {
+    import spark.implicits._
+    val coo = Seq((0L, 0L, 2.0), (0L, 3L, 1.5), (1L, 1L, 4.0), (2L, 2L, 7.0))
+      .toDF("cell_id", "feat_id", "value")
+    val cells = Seq((0L, "c0", "A"), (1L, "c1", "B"), (2L, "c2", "A"))
+      .toDF("cell_id", "ids", "batch")
+    val feats = Seq((0L, "g0"), (1L, "g1"), (2L, "g2"), (3L, "g3"))
+      .toDF("feat_id", "ids")
+    val p = tmp("export.h5ad")
+    H5Sources.toH5ad(coo, cells, feats, p)
+
+    // AnnData-shape invariants the reference writes (scarf/writers.py:1190+)
+    val r = new H5Reader(p)
+    try {
+      assert(r.attributes("X")("encoding-type") == "csr_matrix")
+      assert(r.attributes("X")("shape").asInstanceOf[Array[Long]].toSeq == Seq(3L, 4L))
+      assert(r.attributes("obs")("encoding-type") == "dataframe")
+      assert(r.dataset("X/indptr").readLongs().toSeq == Seq(0L, 2L, 3L, 4L))
+    } finally r.close()
+
+    val (coo2, obs2, var2) = H5Sources.h5ad(spark, p)
+    val got = coo2.orderBy("cell_id", "feat_id").collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1), r0.getDouble(2))).toSeq
+    assert(got == Seq((0L, 0L, 2.0), (0L, 3L, 1.5), (1L, 1L, 4.0), (2L, 2L, 7.0)))
+    assert(obs2.orderBy("ordinal").collect().map(_.getAs[String]("id")).toSeq ==
+      Seq("c0", "c1", "c2"))
+    assert(var2.count() == 4)
+  }
+
+  test("csrCoo partitions by nnz ranges without shipping global indptr") {
+    val p = tmp("parts.h5ad")
+    val w = new H5Writer
+    val n = 40
+    val data = Array.tabulate(n * 2)(i => (i + 1).toDouble)
+    val indices = Array.tabulate(n * 2)(i => i % 5)
+    val indptr = Array.tabulate(n + 1)(i => (i * 2).toLong)
+    w.putDoubles("X/data", data)
+    w.putInts("X/indices", indices)
+    w.putLongs("X/indptr", indptr)
+    w.putStrings("obs/_index", Array.tabulate(n)(i => s"c$i"))
+    w.putStrings("var/_index", Array.tabulate(5)(i => s"g$i"))
+    w.save(p)
+    val coo = H5Sources.csrCoo(spark, p, "X", nPartitions = 8)
+    assert(coo.count() == n * 2)
+    assert(coo.rdd.getNumPartitions >= 4)
+    val s = coo.agg(sum("value")).head().getDouble(0)
+    assert(s == data.sum)
+  }
+}
