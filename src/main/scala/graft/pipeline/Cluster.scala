@@ -84,4 +84,80 @@ object Cluster {
     comm.toSeq.map { case (n, c) => (n, bySize(c)) }
       .toDF("cell_id", "cluster")
   }
+
+  /** Leiden refinement phase (Traag, Waltman & van Eck 2019, §A/B — the
+    * reason scarf uses Leiden over Louvain,
+    * scarf/datastore/graph_datastore.py:1379-1459): within each community,
+    * rebuild sub-communities from singletons; a node may only merge with a
+    * sub-community of its own community, and only if it is well-connected
+    * to the community (w(v, P∖v) ≥ γ·deg(v)·(vol(P)−deg(v))/2m, γ = 1).
+    * Badly-connected nodes stay singletons, so every output community is
+    * internally connected — the property greedy Louvain cannot guarantee.
+    * Returns `(cell_id, cluster)` relabeled 1..C by size desc.
+    */
+  def refine(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select("src", "dst", "weight").as[(Long, Long, Double)].collect()
+    val lab = labels.select("cell_id", "cluster").as[(Long, Long)].collect().toMap
+
+    val adj = scala.collection.mutable.Map[Long, scala.collection.mutable.Map[Long, Double]]()
+    def add(a: Long, b: Long, w: Double): Unit = {
+      val m = adj.getOrElseUpdate(a, scala.collection.mutable.Map())
+      m(b) = m.getOrElse(b, 0.0) + w
+    }
+    es.foreach { case (s, d, w) => if (s != d) { add(s, d, w); add(d, s, w) } }
+    val deg = adj.map { case (n, m) => n -> m.values.sum }
+    val m2 = deg.values.sum
+
+    val out = scala.collection.mutable.Map[Long, (Long, Long)]() // node -> (comm, sub)
+    lab.keys.groupBy(lab).toSeq.sortBy(_._1).foreach { case (commId, members0) =>
+      val members = members0.toSeq.sorted
+      val inP = members.toSet
+      val volP = members.map(deg.getOrElse(_, 0.0)).sum
+      val sub = scala.collection.mutable.Map(members.map(n => n -> n): _*)
+      val subVol = scala.collection.mutable.Map(members.map(n => n -> deg.getOrElse(n, 0.0)): _*)
+      def wellConnected(v: Long): Boolean = {
+        val wIn = adj.getOrElse(v, Map.empty[Long, Double])
+          .collect { case (nb, w) if inP(nb) => w }.sum
+        val d = deg.getOrElse(v, 0.0)
+        wIn >= d * (volP - d) / m2
+      }
+      var moved = true
+      var pass = 0
+      while (moved && pass < 10) {
+        moved = false
+        pass += 1
+        members.foreach { v =>
+          if (wellConnected(v)) {
+            val cOld = sub(v)
+            val d = deg.getOrElse(v, 0.0)
+            subVol(cOld) -= d
+            val toSub = scala.collection.mutable.Map[Long, Double]()
+            adj.getOrElse(v, Map.empty[Long, Double]).foreach { case (nb, w) =>
+              if (inP(nb)) toSub(sub(nb)) = toSub.getOrElse(sub(nb), 0.0) + w
+            }
+            val candidates = (toSub.keys ++ Iterator(cOld)).toSeq.distinct.sorted
+            val best = candidates.maxBy { c =>
+              (toSub.getOrElse(c, 0.0) - d * subVol(c) / m2, -c)
+            }
+            if (best != cOld) moved = true
+            sub(v) = best
+            subVol(best) += d
+          }
+        }
+      }
+      members.foreach(n => out(n) = (commId, sub(n)))
+    }
+    // dense relabel of (comm, sub) pairs by size desc
+    val bySize = out.groupBy(_._2).toSeq
+      .map { case (cs, ms) => (cs, ms.size) }
+      .sortBy { case ((c, s), sz) => (-sz, c, s) }
+      .zipWithIndex.map { case ((cs, _), i) => cs -> (i + 1L) }.toMap
+    out.toSeq.map { case (n, cs) => (n, bySize(cs)) }.toDF("cell_id", "cluster")
+  }
+
+  /** Leiden = greedy local moves + refinement pass. */
+  def leiden(edges: DataFrame, maxPasses: Int = 10): DataFrame =
+    refine(edges, louvain(edges, maxPasses))
 }

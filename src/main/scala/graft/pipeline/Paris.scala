@@ -2,15 +2,20 @@ package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
 
-/** Paris-style hierarchical graph clustering (SURVEY.md §2.11;
-  * scarf/datastore/graph_datastore.py:1461-1584): nearest-neighbor-chain
-  * agglomeration over the (collected) weighted KNN graph producing a
-  * scipy-style linkage matrix, plus a straight cut to n clusters.
+/** Paris hierarchical graph clustering (SURVEY.md §2.11;
+  * scarf/datastore/graph_datastore.py:1461-1584): agglomeration over the
+  * (collected) weighted KNN graph producing a scipy-style linkage matrix,
+  * plus cut_straight and the reference's BalancedCut
+  * (scarf/dendrogram.py:106-239).
   *
   * Like the reference (sknetwork on an in-process CSR), the O(n·k)-edge
-  * agglomeration runs on the driver; distance = inverse normalized edge
-  * weight with node-mass weighting (the Paris reducibility rule
-  * simplified to weighted single-linkage on w(a,b)/(m(a)·m(b))).
+  * agglomeration runs on the driver. The distance is the exact Paris
+  * node-pair sampling ratio (Bonald et al. 2018, §3):
+  * d(a,b) = (w(a)/W)·(w(b)/W) / (w(a,b)/W), with w(x) the weighted
+  * degree mass (additive under merges) and W the total directed weight.
+  * This distance is reducible, so global-minimum merging (here: a
+  * lazy-invalidation priority queue) yields the same dendrogram as the
+  * reference's nearest-neighbor-chain up to tie order.
   */
 object Paris {
 
@@ -43,6 +48,10 @@ object Paris {
       cadj(leafId(a)) = scala.collection.mutable.Map(
         m.toSeq.map { case (b, w) => leafId(b) -> w }: _*)
     }
+    // Paris masses: weighted degree, additive under merges; W = Σ masses
+    val mass = scala.collection.mutable.Map(
+      cadj.toSeq.map { case (a, m) => a -> m.values.sum }: _*)
+    val wTot = mass.values.sum
     val links = scala.collection.mutable.ArrayBuffer[Link]()
     var nextId = n.toLong
     val alive = scala.collection.mutable.Set(cadj.keys.toSeq: _*)
@@ -50,7 +59,7 @@ object Paris {
     def pairDist(a: Long, b: Long): Double = {
       val w = cadj(a).getOrElse(b, 0.0)
       if (w <= 0) Double.PositiveInfinity
-      else (size(a).toDouble * size(b)) / w
+      else (mass(a) * mass(b)) / (wTot * w)
     }
 
     // lazy-invalidation priority queue of candidate pairs: O(E log E)
@@ -85,6 +94,7 @@ object Paris {
       }
       links += Link(a, b, if (bestD.isPosInfinity) -1.0 else bestD, size(a) + size(b))
       size(c) = size(a) + size(b)
+      mass(c) = mass(a) + mass(b)
       alive -= a; alive -= b
       merged.keys.foreach { nb =>
         cadj(nb) -= a; cadj(nb) -= b
@@ -126,5 +136,108 @@ object Paris {
       .sortBy { case (c, sz) => (-sz, c) }
       .zipWithIndex.map { case ((c, _), i) => c -> (i + 1L) }.toMap
     assign.map { case (cell, c) => (cell, bySize(c)) }.toDF("cell_id", "cluster")
+  }
+
+  /** BalancedCut (scarf/dendrogram.py:106-239): size- and distance-aware
+    * dendrogram cut — from each unclaimed leaf, climb while the parent (a)
+    * is not already a branchpoint, (b) holds <= maxSize leaves, and (c)
+    * has mergeable subtrees (size > minSize on both ⇒ their merge
+    * distances and mean subtree distances may not differ by more than
+    * maxDistFc×); then claim every unclaimed leaf under the stop node.
+    * Returns leafId -> 1-based cluster in branchpoint discovery order.
+    */
+  def balancedCutLabels(links: Array[Link], n: Int, maxSize: Int, minSize: Int,
+                        maxDistFc: Double): Map[Long, Long] = {
+    val total = 2 * n - 1
+    val childA = new Array[Long](total)
+    val childB = new Array[Long](total)
+    val nleaves = new Array[Long](total)
+    val dist = new Array[Double](total)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    links.zipWithIndex.foreach { case (l, i) =>
+      val id = n + i
+      childA(id) = l.a; childB(id) = l.b
+      nleaves(id) = l.size; dist(id) = l.dist
+      parent(l.a) = id; parent(l.b) = id
+      // leaves inherit the distance of the merge that consumed them
+      if (l.a < n) dist(l.a.toInt) = l.dist
+      if (l.b < n) dist(l.b.toInt) = l.dist
+    }
+
+    def successorsAbove(start: Int, minLeaves: Long): Seq[Int] = {
+      val out = scala.collection.mutable.ArrayBuffer[Int]()
+      val q = scala.collection.mutable.Queue(start)
+      while (q.nonEmpty) {
+        val i = q.dequeue()
+        if (nleaves(i) > minLeaves) {
+          out += i
+          if (i >= n) { q.enqueue(childA(i).toInt); q.enqueue(childB(i).toInt) }
+        }
+      }
+      out.drop(1).toSeq
+    }
+
+    def meanDist(start: Int): Double = {
+      val s = successorsAbove(start, -1L)
+      if (s.isEmpty) 0.0 else s.map(dist(_)).sum / s.length
+    }
+
+    def mergeable(s1: Int, s2: Int): Boolean = {
+      // leaves carry nleaves = 0 (make_digraph), so they never trip this
+      if (nleaves(s1) > minSize && nleaves(s2) > minSize) {
+        val (d1, d2) = (dist(s1), dist(s2))
+        if (d1 / d2 > maxDistFc || d2 / d1 > maxDistFc) false
+        else {
+          val (m1, m2) = (meanDist(s1), meanDist(s2))
+          !(m1 / m2 > maxDistFc || m2 / m1 > maxDistFc)
+        }
+      } else true
+    }
+
+    // leaves popped LIFO (python dict.popitem), branchpoints keep
+    // discovery order (python dict insertion order)
+    val leaves = scala.collection.mutable.LinkedHashSet((0 until n): _*)
+    val bps = scala.collection.mutable.LinkedHashMap[Int, scala.collection.mutable.ArrayBuffer[Int]]()
+    while (leaves.nonEmpty) {
+      val leaf = leaves.last
+      leaves -= leaf
+      var cur = leaf
+      var stop = false
+      while (!stop) {
+        parent.get(cur.toLong) match {
+          case None => stop = true // reached the root
+          case Some(p) =>
+            val pi = p.toInt
+            if (bps.contains(pi)) stop = true
+            else if (nleaves(pi) > maxSize) stop = true
+            else if (!mergeable(childA(pi).toInt, childB(pi).toInt)) stop = true
+            else cur = pi
+        }
+      }
+      val mine = scala.collection.mutable.ArrayBuffer(leaf)
+      bps(cur) = mine
+      val stack = scala.collection.mutable.Stack(cur)
+      while (stack.nonEmpty) {
+        val i = stack.pop()
+        if (leaves.contains(i)) { mine += i; leaves -= i }
+        else if (bps.contains(i) && i != cur) () // branch already taken
+        else if (nleaves(i) >= maxSize && i != cur) () // prevent greed
+        else if (i >= n) { stack.push(childA(i).toInt); stack.push(childB(i).toInt) }
+      }
+    }
+    bps.zipWithIndex.flatMap { case ((_, ls), ci) =>
+      ls.map(l => l.toLong -> (ci + 1L))
+    }.toMap
+  }
+
+  /** BalancedCut over a weighted edge DataFrame → (cell_id, cluster). */
+  def balancedCut(edges: DataFrame, maxSize: Int, minSize: Int,
+                  maxDistFc: Double): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val (links, leafId) = dendrogram(edges)
+    val labels = balancedCutLabels(links, leafId.size, maxSize, minSize, maxDistFc)
+    leafId.toSeq.map { case (cell, leaf) => (cell, labels(leaf)) }
+      .toDF("cell_id", "cluster")
   }
 }

@@ -1,0 +1,82 @@
+package graft
+
+import graft.pipeline.Cluster
+import graft.graph.DistributedLouvain
+
+/** Leiden refinement (Traag 2019): communities must be internally
+  * connected — the property that separates Leiden from greedy Louvain
+  * (scarf/datastore/graph_datastore.py:1379-1459).
+  */
+class LeidenSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  // two disjoint unit triangles — NO edge between them
+  private def cliquePair = {
+    import spark.implicits._
+    Seq((0L, 1L, 1.0), (0L, 2L, 1.0), (1L, 2L, 1.0),
+      (3L, 4L, 1.0), (3L, 5L, 1.0), (4L, 5L, 1.0))
+      .toDF("src", "dst", "weight")
+  }
+
+  private def mergedLabels = {
+    import spark.implicits._
+    (0L to 5L).map(n => (n, 1L)).toDF("cell_id", "cluster")
+  }
+
+  test("refine refuses a merged clique pair with no internal connection") {
+    // a greedy merge (Louvain can produce this after node moves) put both
+    // triangles in one community; refinement must split it
+    val refined = Cluster.refine(cliquePair, mergedLabels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(refined.values.toSet.size == 2)
+    assert(Set(refined(0L), refined(1L), refined(2L)).size == 1)
+    assert(Set(refined(3L), refined(4L), refined(5L)).size == 1)
+    assert(refined(0L) != refined(3L))
+  }
+
+  test("leiden end-to-end separates the cliques and matches louvain here") {
+    val l = Cluster.leiden(cliquePair)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l.values.toSet.size == 2)
+    assert(l(0L) == l(1L) && l(1L) == l(2L))
+    assert(l(3L) == l(4L) && l(4L) == l(5L))
+  }
+
+  test("refine keeps a genuinely connected community whole") {
+    import spark.implicits._
+    val bridged = cliquePair.unionByName(Seq((2L, 3L, 1.0)).toDF("src", "dst", "weight"))
+    val refined = Cluster.refine(bridged, mergedLabels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // connected community: refinement may keep one or split by modularity,
+    // but every resulting cluster must induce a connected subgraph
+    val byCluster = refined.groupBy(_._2).values.map(_.keys.toSet)
+    val adj = Map(0L -> Set(1L, 2L), 1L -> Set(0L, 2L), 2L -> Set(0L, 1L, 3L),
+      3L -> Set(2L, 4L, 5L), 4L -> Set(3L, 5L), 5L -> Set(3L, 4L))
+    byCluster.foreach { cs =>
+      var seen = Set(cs.head)
+      var frontier = Set(cs.head)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(adj).intersect(cs).diff(seen)
+        seen ++= frontier
+      }
+      assert(seen == cs, s"cluster $cs not connected")
+    }
+  }
+
+  test("distributed refine splits disconnected communities via label propagation") {
+    val refined = DistributedLouvain.refine(cliquePair, mergedLabels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(refined.values.toSet.size == 2)
+    assert(Set(refined(0L), refined(1L), refined(2L)).size == 1)
+    assert(Set(refined(3L), refined(4L), refined(5L)).size == 1)
+  }
+
+  test("distributed louvain + refine covers all nodes with dense 1-based ids") {
+    val clustered = DistributedLouvain.cluster(cliquePair, rounds = 4)
+    val refined = DistributedLouvain.refine(cliquePair, clustered)
+    val rows = refined.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.map(_._1).toSet == (0L to 5L).toSet)
+    val ids = rows.map(_._2).toSet
+    assert(ids == (1L to ids.size).toSet)
+  }
+}
