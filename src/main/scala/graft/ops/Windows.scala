@@ -98,6 +98,35 @@ object Windows {
         org.apache.spark.sql.types.StructField(out, org.apache.spark.sql.types.LongType, nullable = false)))
   }
 
+  /** Exclusive running total of `valueCol` in `order`-column order WITHOUT
+    * a single-partition window: the same two-pass range-partitioned trick
+    * as globalOrdinal, accumulating partition value sums instead of row
+    * counts. Output column holds the sum of all STRICTLY EARLIER rows.
+    */
+  def runningTotal(df: DataFrame, order: Seq[Column], valueCol: String,
+                   out: String = "running"): DataFrame = {
+    val sorted = df.orderBy(order: _*)
+    val spark = df.sparkSession
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val rdd = sorted.rdd
+    val sums = rdd.mapPartitionsWithIndex { (i, it) =>
+      Iterator((i, it.map(_.getAs[Number](vIdx).doubleValue()).sum))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = sums.scanLeft(0.0)(_ + _)
+    val withRun = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { row =>
+        val r = org.apache.spark.sql.Row.fromSeq(row.toSeq :+ acc)
+        acc += row.getAs[Number](vIdx).doubleValue()
+        r
+      }
+    }
+    spark.createDataFrame(withRun,
+      org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(out,
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+  }
+
   /** Winsorize at exact lower/upper percentiles (rescale_array,
     * scarf/utils.py:120-140; percentile clip in get_cell_vals,
     * scarf/datastore/base_datastore.py:501-511). Exact `percentile` (not

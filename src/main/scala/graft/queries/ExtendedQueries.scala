@@ -53,19 +53,15 @@ object ExtendedQueries {
     "q45_score_features" -> ((s, d) => {
       val coo = Tables.coo(s, d)
       val nTot = Tables.nCells(coo)
-      // per-feature mean over ALL cells, deciles as expression bins
-      // (scale-safe ntile: globalOrdinal + closed form, no 1-partition sort)
-      val avgs = graft.ops.Windows.ntileBin(
-        coo.groupBy("feat_id").agg(sum(col("value")).as("tot"))
-          .crossJoin(broadcast(nTot))
-          .select(col("feat_id"), (col("tot") / col("n_total_cells")).as("avg_all")),
-        Seq(col("avg_all"), col("feat_id")), 10)
+      // per-feature mean over ALL cells = the binning statistic
+      val values = coo.groupBy("feat_id").agg(sum(col("value")).as("tot"))
+        .crossJoin(broadcast(nTot))
+        .select(col("feat_id"), (col("tot") / col("n_total_cells")).as("value"))
       val set = tb(s, d, "part").filter(upper(col("p_name")).rlike("WIDGET"))
         .select(col("p_partkey").as("feat_id"))
-      val setBins = avgs.join(set, Seq("feat_id")).select("bin").distinct()
-      // deterministic control: every non-set feature sharing a set bin
-      val ctrl = avgs.join(broadcast(setBins), Seq("bin"))
-        .join(set, Seq("feat_id"), "left_anti").select("feat_id")
+      // seeded binned control sampling (binned_sampling, feat_utils.py:49-92)
+      val ctrl = graft.stats.Pseudobulk.binnedSampling(values, set,
+        ctrlSize = 50, nBins = 10, seed = 4466L)
       val nSet = set.agg(count(lit(1)).as("n_set"))
       val nCtrl = ctrl.agg(count(lit(1)).as("n_ctrl"))
       val setSum = coo.join(broadcast(set), Seq("feat_id"))
@@ -253,19 +249,29 @@ object ExtendedQueries {
     "q45_score_features" ->
       """WITH nt AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n FROM lineitem),
          avgs AS (
-           SELECT l_partkey AS feat_id, SUM(l_quantity) / nt.n AS avg_all
+           SELECT l_partkey AS feat_id, SUM(l_quantity) / nt.n AS value
            FROM lineitem CROSS JOIN nt GROUP BY l_partkey, nt.n),
-         binned AS (
-           SELECT feat_id, NTILE(10) OVER (ORDER BY avg_all, feat_id) AS bin
+         nf AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nfeats FROM avgs),
+         ranked AS (
+           SELECT feat_id, CAST(RANK() OVER (ORDER BY value) AS BIGINT) AS rnk
            FROM avgs),
+         cuts AS (
+           SELECT feat_id,
+                  CAST(FLOOR(rnk / FLOOR(nf.nfeats / 9 + 0.5)) AS INT) AS cut
+           FROM ranked CROSS JOIN nf),
          st AS (
            SELECT p_partkey AS feat_id FROM part
            WHERE REGEXP_MATCHES(UPPER(p_name), 'WIDGET')),
-         set_bins AS (
-           SELECT DISTINCT b.bin FROM binned b JOIN st ON b.feat_id = st.feat_id),
+         set_cuts AS (
+           SELECT DISTINCT c.cut FROM cuts c JOIN st ON c.feat_id = st.feat_id),
+         samp AS (
+           SELECT feat_id,
+                  ROW_NUMBER() OVER (PARTITION BY cut
+                    ORDER BY MD5('4466:' || feat_id), feat_id) AS rn
+           FROM cuts WHERE cut IN (SELECT cut FROM set_cuts)),
          ctrl AS (
-           SELECT b.feat_id FROM binned b JOIN set_bins sb ON b.bin = sb.bin
-           WHERE b.feat_id NOT IN (SELECT feat_id FROM st)),
+           SELECT feat_id FROM samp
+           WHERE rn <= 50 AND feat_id NOT IN (SELECT feat_id FROM st)),
          ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_set FROM st),
          nc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_ctrl FROM ctrl),
          ss AS (

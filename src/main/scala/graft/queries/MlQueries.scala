@@ -48,6 +48,33 @@ object MlQueries {
         .orderBy("cell_id")
     }),
 
+    // LOWESS-corrected HVG variance (fit_lowess, scarf/feat_utils.py:11-46)
+    "q59_hvg_lowess" -> ((s, d) => {
+      val coo = Tables.coo(s, d)
+      val normed = graft.norm.Normalize.libSizeLog(coo)
+        .select("cell_id", "feat_id", "normed")
+      val stats = graft.stats.MatrixStats.featureStats(normed, Tables.nCells(coo))
+      graft.stats.Lowess.correctedVar(stats, nBins = 10, frac = 0.5)
+        .select(col("feat_id"), round(col("c_var_lowess"), 4).as("c_var_lowess"))
+        .orderBy("feat_id")
+    }),
+
+    // Seurat-style HTO demux: CLR → KMeans → NB-MLE background cutoff
+    // (hto_demux, scarf/feat_utils.py:95-162)
+    "q60_hto_nb" -> ((s, d) => {
+      val coo = Tables.coo(s, d)
+      val counts = coo.groupBy("cell_id").agg(
+          sum(when(col("feat_id").between(1, 50), col("value")).otherwise(0.0)).as("HTO1"),
+          sum(when(col("feat_id").between(51, 100), col("value")).otherwise(0.0)).as("HTO2"))
+        .select(col("cell_id"),
+          explode(array(
+            struct(lit("HTO1").as("hto"), col("HTO1").as("count")),
+            struct(lit("HTO2").as("hto"), col("HTO2").as("count")))).as("e"))
+        .select(col("cell_id"), col("e.hto"), col("e.count"))
+      graft.stats.HtoDemux.demux(counts)
+        .orderBy("cell_id")
+    }),
+
     // lazy-PPR pseudotime over the SNN co-occurrence graph
     "q55_pseudotime" -> ((s, d) => {
       val edges = Tables.t(s, d, "lineitem").filter(col("l_partkey") % 10 === 0)

@@ -109,6 +109,17 @@ object RelationalQueries {
         .orderBy("grp", "feat_id")
     }),
 
+    // make_bulk with seeded pseudo-replicate splits (datastore.py:1016-1022)
+    "q58_make_bulk_reps" -> ((s, d) => {
+      val cg = tb(s, d, "orders")
+        .join(broadcast(tb(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey").as("cell_id"), col("c_mktsegment").as("group"))
+      Pseudobulk.makeBulk(Tables.coo(s, d), cg, pseudoReps = 3, seed = 4466L)
+        .select(col("group").as("grp"), col("feat_id"), col("sum_value"),
+          round(col("frac_exp"), 6).as("frac_exp"))
+        .orderBy("grp", "feat_id")
+    }),
+
     "q25_smart_label" -> ((s, d) =>
       Pseudobulk.smartLabel(tb(s, d, "orders"), "o_orderpriority", "o_orderstatus")
         .orderBy("o_orderpriority")),
@@ -224,6 +235,27 @@ object RelationalQueries {
          SELECT o_orderkey,
                 ROUND(LEAST(GREATEST(o_totalprice, q.q_lo), q.q_hi), 6) AS clipped
          FROM orders CROSS JOIN q ORDER BY o_orderkey""",
+
+    "q58_make_bulk_reps" ->
+      """WITH cg0 AS (
+           SELECT o_orderkey AS cell_id, c_mktsegment AS g
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         cg AS (
+           SELECT cell_id,
+                  g || '_Rep' || NTILE(3) OVER (PARTITION BY g
+                    ORDER BY MD5('4466:' || cell_id), cell_id) AS grp
+           FROM cg0),
+         sizes AS (SELECT grp, COUNT(*) AS n_cells FROM cg GROUP BY grp),
+         agg AS (
+           SELECT cg.grp, l.l_partkey AS feat_id,
+                  SUM(l.l_quantity) AS sum_value,
+                  COUNT(CASE WHEN l.l_quantity > 0 THEN 1 END) AS n_expr
+           FROM lineitem l JOIN cg ON l.l_orderkey = cg.cell_id
+           GROUP BY cg.grp, l.l_partkey)
+         SELECT agg.grp AS grp, agg.feat_id AS feat_id, agg.sum_value AS sum_value,
+                ROUND(agg.n_expr / CAST(s.n_cells AS DOUBLE), 6) AS frac_exp
+         FROM agg JOIN sizes s ON agg.grp = s.grp
+         ORDER BY grp, feat_id""",
 
     "q24_make_bulk" ->
       """WITH cg AS (

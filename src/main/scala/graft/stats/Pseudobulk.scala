@@ -15,15 +15,66 @@ object Pseudobulk {
     * COO form. `cellGroups(cell_id, group)`; group sizes are re-derived so
     * frac_exp uses the full group population, not just expressing cells.
     */
-  def makeBulk(coo: DataFrame, cellGroups: DataFrame): DataFrame = {
-    val sizes = cellGroups.groupBy("group").agg(count(lit(1)).as("n_cells"))
-    coo.join(cellGroups, Seq("cell_id"))
+  def makeBulk(coo: DataFrame, cellGroups: DataFrame): DataFrame =
+    makeBulk(coo, cellGroups, pseudoReps = 1)
+
+  /** make_bulk with pseudo-replicates (scarf/datastore/datastore.py:
+    * 1016-1022 make_reps): each group's cells are split into `pseudoReps`
+    * near-equal partitions in seeded-shuffle order, labeled
+    * `<group>_Rep<n>`. The shuffle is a deterministic md5(seed:cell_id)
+    * ordering (same WHAT as the reference's seeded numpy permutation, an
+    * engine-independent HOW) and the split is ntile = numpy array_split
+    * sizing. The per-group window is partitioned — no global sort.
+    */
+  def makeBulk(coo: DataFrame, cellGroups: DataFrame, pseudoReps: Int,
+               seed: Long = 4466L): DataFrame = {
+    val grouped =
+      if (pseudoReps <= 1) cellGroups.select(col("cell_id"), col("group"))
+      else {
+        val w = Window.partitionBy("group")
+          .orderBy(md5(concat(lit(s"$seed:"), col("cell_id"))), col("cell_id"))
+        cellGroups
+          .withColumn("rep", ntile(pseudoReps).over(w))
+          .select(col("cell_id"),
+            concat(col("group"), lit("_Rep"), col("rep")).as("group"))
+      }
+    val sizes = grouped.groupBy("group").agg(count(lit(1)).as("n_cells"))
+    coo.join(grouped, Seq("cell_id"))
       .groupBy("group", "feat_id")
       .agg(sum(col("value")).as("sum_value"),
         count(when(col("value") > 0, 1)).as("n_expr"))
       .join(broadcast(sizes), Seq("group"))
       .select(col("group"), col("feat_id"), col("sum_value"),
         (col("n_expr") / col("n_cells")).as("frac_exp"))
+  }
+
+  /** Seeded binned control-feature sampling (binned_sampling,
+    * scarf/feat_utils.py:49-92; Seurat/Scanpy score_genes): rank all
+    * feature values (ties → min rank), cut = floor(rank / round(N/(nBins−1))),
+    * and from every cut that contains a set feature draw ctrlSize features
+    * in md5(seed:feat_id) order (deterministic seeded sampling — same
+    * WHAT, engine-reproducible HOW). Output: control feat_ids, set
+    * features excluded. Rank uses the scale-safe running-total pass, not a
+    * global window.
+    */
+  def binnedSampling(values: DataFrame, featureSet: DataFrame, ctrlSize: Int,
+                     nBins: Int, seed: Long = 4466L): DataFrame = {
+    val n = values.count()
+    val nItems = math.floor(n.toDouble / (nBins - 1) + 0.5)
+    // min-rank by value: 1 + (count of strictly smaller values)
+    val perVal = values.groupBy("value").agg(count(lit(1)).cast("double").as("cnt"))
+    val ranked = graft.ops.Windows.runningTotal(perVal,
+        Seq(col("value")), "cnt", "below")
+      .select(col("value"), (lit(1) + col("below")).cast("long").as("rank"))
+    val cuts = values.join(ranked, Seq("value"))
+      .select(col("feat_id"), floor(col("rank") / nItems).cast("int").as("cut"))
+    val setCuts = cuts.join(featureSet, Seq("feat_id")).select("cut").distinct()
+    graft.ops.Windows.topKPerGroup(
+        cuts.join(broadcast(setCuts), Seq("cut")),
+        "cut", ctrlSize,
+        Seq(md5(concat(lit(s"$seed:"), col("feat_id"))), col("feat_id")))
+      .join(featureSet, Seq("feat_id"), "left_anti")
+      .select("feat_id")
   }
 
   /** smart_label (scarf/datastore/datastore.py:1189-1239): relabel each
