@@ -46,5 +46,6 @@ object SparkEntry {
     graft.queries.CoreQueries.oracle ++
       graft.queries.RelationalQueries.oracle ++
       graft.queries.TrainingQueries.oracle ++
-      graft.queries.ExtendedQueries.oracle
+      graft.queries.ExtendedQueries.oracle ++
+      graft.queries.MlQueries.oracle
 }
