@@ -78,6 +78,78 @@ object UmapLayout {
       .toSeq.toDF("cell_id", "umap1", "umap2")
   }
 
+  /** Distributed UMAP epoch loop: batch-synchronous SGD — the scale-up
+    * path the driver SGD lacks. Per epoch, every edge contributes its
+    * attractive gradient (Bernoulli-sampled by weight via a deterministic
+    * hash of (src, dst, epoch)) and every cell repulses against the other
+    * members of a per-epoch random hash bucket (bucketed negative
+    * sampling, ~`negPerCell` negatives each). Forces are summed per cell
+    * with one aggregation and applied once — parameter-averaged batch
+    * updates rather than sequential per-edge ones (the standard
+    * synchronous relaxation of UMAP's async SGD; converges to the same
+    * attractor layout). Everything is joins + aggregations; no driver
+    * state, any graph size.
+    */
+  def distributedLayout(edges: DataFrame, init: DataFrame, nEpochs: Int = 30,
+                        negPerCell: Int = 8,
+                        a: Double = 1.576943, b: Double = 0.895061,
+                        learningRate: Double = 1.0, seed: Long = 4444L): DataFrame = {
+    val spark = edges.sparkSession
+    val sym = edges.select(col("src"), col("dst"), col("weight"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(max("weight").as("weight"))
+    val symCk = graft.core.Lineage.reset(sym)
+    val wMax = symCk.agg(max("weight")).head().getDouble(0).max(1e-12)
+    val nCells = init.count()
+    val nBuckets = math.max(1L, nCells / (negPerCell + 1))
+    def clip(c: org.apache.spark.sql.Column) = greatest(lit(-4.0), least(lit(4.0), c))
+
+    var coords = graft.core.Lineage.reset(init.select("cell_id", "x", "y"))
+    for (epoch <- 0 until nEpochs) {
+      val alpha = learningRate * (1.0 - epoch.toDouble / nEpochs)
+      val cs = coords.select(col("cell_id").as("src"), col("x").as("sx"), col("y").as("sy"))
+      val cd = coords.select(col("cell_id").as("dst"), col("x").as("dx"), col("y").as("dy"))
+      // attraction: per-edge Bernoulli by weight, deterministic in epoch
+      val att = symCk
+        .withColumn("u", (pmod(hash(col("src"), col("dst"), lit(epoch), lit(seed)), lit(100000)) / 100000.0))
+        .filter(col("u") < col("weight") / wMax)
+        .join(cs, Seq("src")).join(cd, Seq("dst"))
+        .withColumn("d2", (col("sx") - col("dx")) * (col("sx") - col("dx"))
+          + (col("sy") - col("dy")) * (col("sy") - col("dy")))
+        .withColumn("g", when(col("d2") > 0,
+          (lit(-2.0 * a * b) * pow(col("d2"), b - 1)) / (lit(1.0) + lit(a) * pow(col("d2"), b)))
+          .otherwise(0.0))
+        .select(col("src").as("cell_id"),
+          clip(col("g") * (col("sx") - col("dx"))).as("fx"),
+          clip(col("g") * (col("sy") - col("dy"))).as("fy"))
+      // bucketed negative sampling: random per-epoch buckets, all-pairs
+      // repulsion within a bucket (bucket size ≈ negPerCell + 1)
+      val bucketed = coords.withColumn("bucket",
+        pmod(hash(col("cell_id"), lit(epoch + 7919), lit(seed)), lit(nBuckets)))
+      val bA = bucketed.select(col("bucket"), col("cell_id"), col("x").as("sx"), col("y").as("sy"))
+      val bB = bucketed.select(col("bucket"), col("cell_id").as("other"),
+        col("x").as("ox"), col("y").as("oy"))
+      val rep = bA.join(bB, Seq("bucket"))
+        .filter(col("cell_id") =!= col("other"))
+        .withColumn("r2", (col("sx") - col("ox")) * (col("sx") - col("ox"))
+          + (col("sy") - col("oy")) * (col("sy") - col("oy")))
+        .withColumn("g", lit(2.0 * b) /
+          ((lit(0.001) + col("r2")) * (lit(1.0) + lit(a) * pow(col("r2"), b))))
+        .select(col("cell_id"),
+          clip(col("g") * (col("sx") - col("ox"))).as("fx"),
+          clip(col("g") * (col("sy") - col("oy"))).as("fy"))
+      val force = att.unionByName(rep)
+        .groupBy("cell_id").agg(sum("fx").as("fx"), sum("fy").as("fy"))
+      coords = graft.core.Lineage.reset(
+        coords.join(force, Seq("cell_id"), "left")
+          .select(col("cell_id"),
+            (col("x") + lit(alpha) * coalesce(col("fx"), lit(0.0))).as("x"),
+            (col("y") + lit(alpha) * coalesce(col("fy"), lit(0.0))).as("y")))
+    }
+    coords.select(col("cell_id"), col("x").as("umap1"), col("y").as("umap2"))
+  }
+
   /** PCA-based init (reference seeds layouts from reduced space,
     * _get_ini_embed, scarf/datastore/graph_datastore.py:427-457): first
     * two latent components, rescaled to ~[-10, 10].

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Unified, UmapLayout}
+
+/** Unified mapping embedding (mapping_datastore.py:366-668) and the
+  * distributed UMAP epoch loop.
+  */
+class UnifiedUmapSpec extends SparkSpec {
+
+  // two reference cliques: {0,1,2} and {10,11,12}
+  private def refEdges = {
+    import spark.implicits._
+    Seq((0L, 1L, 1.0), (0L, 2L, 1.0), (1L, 2L, 1.0),
+      (10L, 11L, 1.0), (10L, 12L, 1.0), (11L, 12L, 1.0))
+      .toDF("src", "dst", "weight")
+  }
+
+  // targets 100, 101: 100 projects onto clique A, 101 onto clique B
+  private def hits = {
+    import spark.implicits._
+    Seq((100L, 0L, 1), (100L, 1L, 2), (100L, 2L, 3),
+      (101L, 10L, 1), (101L, 11L, 2), (101L, 12L, 3))
+      .toDF("target_id", "ref_id", "rank")
+  }
+
+  private def refInit = {
+    import spark.implicits._
+    Seq((0L, -5.0, 0.0), (1L, -5.2, 0.3), (2L, -4.8, -0.3),
+      (10L, 5.0, 0.0), (11L, 5.2, 0.3), (12L, 4.8, -0.3))
+      .toDF("cell_id", "x", "y")
+  }
+
+  test("unifiedGraph offsets targets and bounds their edges by useK") {
+    val (edges, mapping) = Unified.unifiedGraph(refEdges, hits, useK = 2, targetWeight = 0.1)
+    assert(edges.count() == 6 + 4) // 6 ref + 2 targets × 2 edges
+    val m = mapping.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(m.count(_._2 == "ref") == 6 && m.count(_._2 == "target") == 2)
+    val tIds = m.filter(_._2 == "target").map(_._1)
+    assert(tIds.forall(_ > 12L), s"target unified ids $tIds must be offset past ref ids")
+    val tEdges = edges.filter(col("weight") === 0.1).collect()
+    assert(tEdges.forall(r => tIds.contains(r.getLong(0))))
+  }
+
+  test("unifiedUmap keeps targets embedded beside their reference clique") {
+    val out = Unified.unifiedUmap(refEdges, hits, refInit,
+      useK = 2, targetWeight = 0.5, nEpochs = 30)
+    val rows = out.collect().map(r =>
+      (r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == 8)
+    val pos = rows.map { case (o, id, x, y) => (s"$o$id", (x, y)) }.toMap
+    def dist(a: (Double, Double), b: (Double, Double)) =
+      math.hypot(a._1 - b._1, a._2 - b._2)
+    // target 100 must sit nearer clique A's centroid than clique B's
+    val cA = ((pos("ref0")._1 + pos("ref1")._1 + pos("ref2")._1) / 3,
+      (pos("ref0")._2 + pos("ref1")._2 + pos("ref2")._2) / 3)
+    val cB = ((pos("ref10")._1 + pos("ref11")._1 + pos("ref12")._1) / 3,
+      (pos("ref10")._2 + pos("ref11")._2 + pos("ref12")._2) / 3)
+    assert(dist(pos("target100"), cA) < dist(pos("target100"), cB))
+    assert(dist(pos("target101"), cB) < dist(pos("target101"), cA))
+  }
+
+  test("distributedLayout separates two cliques from a mixed init") {
+    import spark.implicits._
+    val edges = refEdges
+    // interleaved initial positions: cliques NOT pre-separated
+    val init = Seq((0L, 0.1, 0.0), (10L, -0.1, 0.05), (1L, 0.2, -0.1),
+      (11L, -0.15, -0.05), (2L, 0.0, 0.1), (12L, 0.05, -0.12))
+      .toDF("cell_id", "x", "y")
+    // batch-synchronous updates need a damped step: both endpoints of a
+    // symmetrized edge move each epoch, so lr 1.0 overshoots
+    val out = UmapLayout.distributedLayout(edges, init, nEpochs = 60,
+        negPerCell = 2, learningRate = 0.15)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    def dist(a: (Double, Double), b: (Double, Double)) =
+      math.hypot(a._1 - b._1, a._2 - b._2)
+    val intra = Seq((0L, 1L), (0L, 2L), (1L, 2L), (10L, 11L), (10L, 12L), (11L, 12L))
+      .map { case (i, j) => dist(out(i), out(j)) }
+    val inter = Seq((0L, 10L), (1L, 11L), (2L, 12L), (0L, 12L))
+      .map { case (i, j) => dist(out(i), out(j)) }
+    assert(intra.max < inter.min,
+      s"clusters not separated: intra ${intra.max} vs inter ${inter.min}")
+    out.values.foreach { case (x, y) => assert(!x.isNaN && !y.isNaN) }
+  }
+
+  test("distributedLayout is deterministic for a fixed seed") {
+    import spark.implicits._
+    val init = Seq((0L, 0.1, 0.0), (1L, 0.2, -0.1), (2L, 0.0, 0.1))
+      .toDF("cell_id", "x", "y")
+    val e = Seq((0L, 1L, 1.0), (1L, 2L, 0.5)).toDF("src", "dst", "weight")
+    val r1 = UmapLayout.distributedLayout(e, init, nEpochs = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val r2 = UmapLayout.distributedLayout(e, init, nEpochs = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(r1 == r2)
+  }
+}
