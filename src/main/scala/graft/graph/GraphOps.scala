@@ -35,6 +35,46 @@ object GraphOps {
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
       .groupBy("src", "dst").agg(max(col("weight")).as("weight"))
 
+  /** load_graph's full option set (scarf/datastore/graph_datastore.py:
+    * 1021-1076): per-node truncation to the top `useK` outgoing edges by
+    * weight, optional symmetrization, optional upper-triangle-only output.
+    */
+  def loadGraph(edges: DataFrame, symmetric: Boolean = true, useK: Int = -1,
+                upperOnly: Boolean = false): DataFrame = {
+    val truncated =
+      if (useK > 0)
+        graft.ops.Windows.topKPerGroup(edges.select("src", "dst", "weight"),
+          "src", useK, Seq(col("weight").desc, col("dst"))).drop("rn")
+      else edges.select("src", "dst", "weight")
+    val sym = if (symmetric) symmetrize(truncated) else truncated
+    if (upperOnly) sym.filter(col("src") < col("dst")) else sym
+  }
+
+  /** Weighted-Jaccard cluster similarity (calculate_weighted_cluster_
+    * similarity, scarf/metrics.py:178-245): inter-cluster edge mass
+    * (symmetrized halves), per-cluster totals, similarity =
+    * w(i,j) / (tot_i + tot_j − w(i,j)). Output: (ca, cb, sim) for all
+    * ordered pairs including the diagonal.
+    */
+  def clusterSimilarity(edges: DataFrame, clusters: DataFrame): DataFrame = {
+    val cl = clusters.select(col("cell_id"), col("cluster"))
+    val pair = edges
+      .join(cl.withColumnRenamed("cell_id", "src").withColumnRenamed("cluster", "ca"), Seq("src"))
+      .join(cl.withColumnRenamed("cell_id", "dst").withColumnRenamed("cluster", "cb"), Seq("dst"))
+      .groupBy("ca", "cb").agg(sum("weight").as("w"))
+    // symmetrize: (W + Wᵀ)/2
+    val symPair = pair.unionByName(
+        pair.select(col("cb").as("ca"), col("ca").as("cb"), col("w")))
+      .groupBy("ca", "cb").agg((sum("w") / 2).as("w"))
+    val tot = symPair.groupBy("ca").agg(sum("w").as("tot"))
+    symPair
+      .join(broadcast(tot), Seq("ca"))
+      .join(broadcast(tot.withColumnRenamed("ca", "cb").withColumnRenamed("tot", "tot_b")), Seq("cb"))
+      .select(col("ca"), col("cb"),
+        when(col("tot") + col("tot_b") - col("w") > 0,
+          col("w") / (col("tot") + col("tot_b") - col("w"))).otherwise(0.0).as("sim"))
+  }
+
   /** One step of MAGIC-style diffusion (scarf/datastore/graph_datastore.py:
     * 1729-1816): row-normalize the adjacency to a transition matrix and
     * apply it to a per-cell signal: `x' = D⁻¹A · x`.

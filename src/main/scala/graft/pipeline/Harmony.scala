@@ -28,8 +28,13 @@ object Harmony {
         s => s.getField(value)).as(value))
 
   def correct(latent: DataFrame, batches: DataFrame, k: Int,
-              iters: Int = 3, sigma: Double = 0.3, seed: Long = 4466L): DataFrame = {
+              iters: Int = 3, sigma: Double = 0.3, seed: Long = 4466L,
+              theta: Double = 0.0): DataFrame = {
     var cur = graft.core.Lineage.reset(latent.join(batches, Seq("cell_id")))
+    // batch priors Pr_b for the diversity penalty (harmony.py:185-276)
+    val nAll = batches.count()
+    val prB = batches.groupBy("batch")
+      .agg((count(lit(1)) / nAll.toDouble).as("pr_b"))
 
     for (_ <- 1 to iters) {
       // hard kmeans seed -> centroid arrays (k rows, broadcastable)
@@ -40,7 +45,7 @@ object Harmony {
       val centroids = toArray(centLong, Seq("cluster"), "centroid")
 
       // E-step: responsibilities via squared distance to each centroid
-      val assigned = cur.crossJoin(broadcast(centroids))
+      val assigned0 = cur.crossJoin(broadcast(centroids))
         .withColumn("d2",
           dot_product(col("latent"), col("latent"))
             - lit(2) * dot_product(col("latent"), col("centroid"))
@@ -49,8 +54,28 @@ object Harmony {
         // cell far from every centroid never underflows to 0/0 = NaN.
         .withColumn("d2min", min(col("d2")).over(Window.partitionBy("cell_id")))
         .withColumn("aff", exp(-(col("d2") - col("d2min")) / lit(sigma)))
-        .withColumn("r", col("aff") / sum(col("aff")).over(Window.partitionBy("cell_id")))
-        .select("cell_id", "batch", "cluster", "r", "latent")
+        .withColumn("r0", col("aff") / sum(col("aff")).over(Window.partitionBy("cell_id")))
+      // diversity penalty (Korsunsky 2019; harmony.py update_R): scale
+      // responsibilities by ((E_kb+1)/(O_kb+1))^θ — O = observed soft
+      // batch mass per cluster, E = expected under the batch prior —
+      // then renormalize per cell. θ = 0 recovers plain soft kmeans.
+      // (Synchronous variant of the reference's block-wise update.)
+      val assigned = {
+        if (theta == 0.0)
+          assigned0.withColumnRenamed("r0", "r")
+            .select("cell_id", "batch", "cluster", "r", "latent")
+        else {
+          val o = assigned0.groupBy("cluster", "batch").agg(sum("r0").as("o_kb"))
+          val rk = assigned0.groupBy("cluster").agg(sum("r0").as("r_k"))
+          val pen = o.join(rk, Seq("cluster")).join(broadcast(prB), Seq("batch"))
+            .select(col("cluster"), col("batch"),
+              pow((col("r_k") * col("pr_b") + 1) / (col("o_kb") + 1), theta).as("pen"))
+          assigned0.join(broadcast(pen), Seq("cluster", "batch"))
+            .withColumn("rp", col("r0") * col("pen"))
+            .withColumn("r", col("rp") / sum(col("rp")).over(Window.partitionBy("cell_id")))
+            .select("cell_id", "batch", "cluster", "r", "latent")
+        }
+      }
 
       // M-step in long form: weighted means per (cluster[, batch], pos)
       val long = assigned

@@ -88,7 +88,11 @@ object Knn {
     * pure per-row function — runs inside codegen'd stages as a UDF.
     */
   def membershipStrengths(dists: Seq[Double], bandwidth: Double = 1.5,
-                          nIter: Int = 64): Seq[Double] = {
+                          nIter: Int = 64): Seq[Double] =
+    membershipStrengths(dists, bandwidth, nIter, patchZeros = true)
+
+  def membershipStrengths(dists: Seq[Double], bandwidth: Double,
+                          nIter: Int, patchZeros: Boolean): Seq[Double] = {
     val k = dists.length
     if (k == 0) return Seq.empty
     val target = (math.log(k) / math.log(2)) * bandwidth
@@ -111,16 +115,24 @@ object Knn {
       }
     }
     val w = dists.map(d => math.exp(-math.max(d - rho, 0.0) / mid))
-    // zero weights patched to the row minimum positive weight (reference
-    // patches to the global min; row-local keeps it a pure per-row kernel)
-    val minPos = w.filter(_ > 0).foldLeft(1.0)(math.min)
-    w.map(x => if (x <= 0) minPos else x)
+    if (!patchZeros) w
+    else {
+      // row-local zero patch (kept for the standalone kernel; smoothEdges
+      // applies the reference's GLOBAL min patch as a second pass)
+      val minPos = w.filter(_ > 0).foldLeft(1.0)(math.min)
+      w.map(x => if (x <= 0) minPos else x)
+    }
   }
 
-  /** Smooth a KNN result into weighted edges `(src, dst, weight)`. */
+  /** Smooth a KNN result into weighted edges `(src, dst, weight)`. Zero
+    * weights are patched to the GLOBAL minimum positive weight, exactly
+    * as the reference does after its full pass (scarf/knn_utils.py:
+    * 145-152) — one extra broadcast aggregation.
+    */
   def smoothEdges(knn: DataFrame, bandwidth: Double = 1.5): DataFrame = {
-    val smooth = udf((d: Seq[Double]) => membershipStrengths(d, bandwidth))
-    knn
+    val smooth = udf((d: Seq[Double]) =>
+      membershipStrengths(d, bandwidth, 64, patchZeros = false))
+    val raw = knn
       .groupBy("src")
       .agg(collect_list(struct(col("rn"), col("dst"), col("dist"))).as("nbrs"))
       .select(col("src"),
@@ -129,6 +141,11 @@ object Knn {
           smooth(transform(array_sort(col("nbrs")), x => x.getField("dist"))).as("weight")))
           .as("e"))
       .select(col("src"), col("e.dst").as("dst"), col("e.weight").as("weight"))
+    val minPos = raw.filter(col("weight") > 0)
+      .agg(min(col("weight")).as("w_min"))
+    raw.crossJoin(broadcast(minPos))
+      .select(col("src"), col("dst"),
+        when(col("weight") <= 0, col("w_min")).otherwise(col("weight")).as("weight"))
   }
 
   /** Self-KNN recall of an approximate result against exact ground truth

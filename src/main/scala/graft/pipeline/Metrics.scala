@@ -57,6 +57,71 @@ object Metrics {
           transform(array_sort(col("nbrs")), x => x.getField("label"))).as("lisi"))
   }
 
+  /** Full sampled graph silhouette (silhouette_scoring, scarf/metrics.py:
+    * 260-433): per cluster, two disjoint seeded samples of k cells;
+    * self-distance = mean of each sample-1 cell's top-(k−1) latent
+    * distances into sample 2; nearest cluster by weighted-Jaccard graph
+    * similarity; other-distance = same against the nearest cluster's
+    * sample; score = (other − self) / max(self, other). The reference
+    * shuffles with numpy and adjusts k to half the smallest cluster;
+    * sampling here is seeded md5 order (engine-reproducible), k adjusted
+    * identically. All pair computations are k-bounded per cluster.
+    * `latent(cell_id, latent)`, `clusters(cell_id, cluster)`,
+    * `edges(src, dst, weight)`.
+    */
+  def silhouetteScores(edges: DataFrame, clusters: DataFrame, latent: DataFrame,
+                       k0: Int = 11, seed: Long = 4466L): DataFrame = {
+    val spark = edges.sparkSession
+    val sizes = clusters.groupBy("cluster").agg(count(lit(1)).as("sz"))
+    val minSz = sizes.agg(min("sz")).head().getLong(0)
+    val k = math.min(k0.toLong, minSz / 2).toInt
+    require(k >= 2, s"smallest cluster too small for silhouette (k = $k)")
+
+    // nearest cluster by weighted-Jaccard similarity (ties → higher id,
+    // matching np.argsort's last-position pick)
+    val sim = graft.graph.GraphOps.clusterSimilarity(edges, clusters)
+      .filter(col("ca") =!= col("cb"))
+    val nearest = sim.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("ca")
+          .orderBy(col("sim").desc, col("cb").desc)))
+      .filter(col("rn") === 1)
+      .select(col("ca").as("cluster"), col("cb").as("near"))
+
+    // seeded 2k sample per cluster, split into sample 1 and sample 2
+    val sampled = graft.ops.Windows.topKPerGroup(
+        clusters.join(latent, Seq("cell_id")),
+        "cluster", 2 * k,
+        Seq(md5(concat(lit(s"$seed:"), col("cell_id"))), col("cell_id")))
+    val s1 = sampled.filter(col("rn") <= k)
+      .select(col("cluster"), col("cell_id").as("a_id"), col("latent").as("va"))
+    val s2 = sampled.filter(col("rn") > k)
+      .select(col("cluster"), col("cell_id").as("b_id"), col("latent").as("vb"))
+
+    def l2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      sqrt(greatest(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x), lit(0.0)))
+
+    def meanTopK(pairs: DataFrame): DataFrame =
+      pairs.withColumn("prn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("cluster", "a_id")
+            .orderBy(col("d"), col("b_id"))))
+        .filter(col("prn") <= k - 1)
+        .groupBy("cluster").agg(avg("d").as("md"))
+
+    val selfD = meanTopK(s1.join(s2, Seq("cluster"))
+        .select(col("cluster"), col("a_id"), col("b_id"), l2(col("va"), col("vb")).as("d")))
+      .withColumnRenamed("md", "self_d")
+    val otherD = meanTopK(s1.join(nearest, Seq("cluster"))
+        .join(s1.select(col("cluster").as("near"), col("a_id").as("b_id"),
+          col("va").as("vb")), Seq("near"))
+        .select(col("cluster"), col("a_id"), col("b_id"), l2(col("va"), col("vb")).as("d")))
+      .withColumnRenamed("md", "other_d")
+    selfD.join(otherD, Seq("cluster"))
+      .select(col("cluster"),
+        ((col("other_d") - col("self_d")) / greatest(col("self_d"), col("other_d")))
+          .as("silhouette"))
+  }
+
   /** Graph silhouette ingredient (scarf/metrics.py:152-433): inter-cluster
     * affinity = summed edge weight between cluster pairs, normalized by
     * the geometric mean of intra-cluster weights.

@@ -82,6 +82,43 @@ object Pseudobulk {
     * Crosstab + per-A argmax window; ties break lexicographically on B —
     * deterministic stand-in for the reference's suffix ordering.
     */
+  /** Full smart_label naming (scarf/datastore/datastore.py:1189-1239):
+    * per A-value majority B-value; A-values sharing a majority B get
+    * letter suffixes ordered by their fraction of that B row ("1a", "1b",
+    * …); B-values claimed by no A are hyphen-appended into the label of
+    * the A-column holding their maximum ("1-3a"). The crosstab is
+    * |A|×|B| — collected, like the reference's pandas solve.
+    * Returns `(a_value, label)`.
+    */
+  def smartLabelNames(df: DataFrame, a: String, b: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ct = df.groupBy(a, b).agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.get(0).toString, r.get(1).toString, r.getLong(2)))
+    val aVals = ct.map(_._1).distinct.sorted
+    val bVals = ct.map(_._2).distinct.sorted
+    val n = ct.map(t => (t._1, t._2) -> t._3).toMap.withDefaultValue(0L)
+    val rowSum = bVals.map(bv => bv -> aVals.map(av => n((av, bv))).sum).toMap
+    // per-A majority B (pandas idxmax: first max in sorted row order)
+    val idxmax = aVals.map(av => av -> bVals.maxBy(bv => (n((av, bv)), bVals.length -
+      bVals.indexOf(bv)))).toMap
+    val newNames = scala.collection.mutable.LinkedHashMap[String, String]()
+    idxmax.values.toSeq.distinct.sorted.foreach { bv =>
+      val claimants = aVals.filter(idxmax(_) == bv)
+        .sortBy(av => (-n((av, bv)).toDouble / rowSum(bv), aVals.indexOf(av)))
+      claimants.zipWithIndex.foreach { case (av, i) =>
+        newNames(av) = s"$bv${('a' + i).toChar}"
+      }
+    }
+    val missing = bVals.filterNot(idxmax.values.toSet)
+    missing.sorted.foreach { bv =>
+      val v = aVals.maxBy(av => (n((av, bv)), aVals.length - aVals.indexOf(av)))
+      val cur = newNames(v)
+      newNames(v) = s"${cur.dropRight(1)}-$bv${cur.last}"
+    }
+    newNames.toSeq.toDF("a_value", "label")
+  }
+
   def smartLabel(df: DataFrame, a: String, b: String): DataFrame =
     df.groupBy(a, b).agg(count(lit(1)).as("overlap"))
       .withColumn("rn", row_number().over(
