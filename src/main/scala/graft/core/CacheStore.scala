@@ -33,6 +33,31 @@ class CacheStore(root: String) {
     s"${r.getLong(0)}_${r.getLong(1)}"
   }
 
+  /** latest_* pointers (the reference records the most recent graph's
+    * parameter-encoded location as `latest_graph`/`latest_cell_key`/… ,
+    * scarf/datastore/graph_datastore.py:738-780): one json file per op
+    * naming the param set last materialized.
+    */
+  def setLatest(op: String, params: Map[String, String]): Unit = {
+    Files.createDirectories(Paths.get(root))
+    Files.writeString(Paths.get(s"$root/latest_$op.json"),
+      params.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("__"))
+  }
+
+  def latest(op: String): Option[Map[String, String]] = {
+    val p = Paths.get(s"$root/latest_$op.json")
+    if (!Files.exists(p)) None
+    else Some(Files.readString(p).split("__").filter(_.nonEmpty)
+      .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap)
+  }
+
+  /** Read the table the latest pointer for `op` names, if present. */
+  def loadLatest(spark: SparkSession, op: String): Option[DataFrame] =
+    latest(op).flatMap { params =>
+      val d = dir(op, params)
+      if (Files.exists(Paths.get(d))) Some(spark.read.parquet(d)) else None
+    }
+
   /** Return the cached result if the manifest matches (params + input
     * fingerprint); otherwise compute, persist, stamp, and return.
     */

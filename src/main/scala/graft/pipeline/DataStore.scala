@@ -63,20 +63,46 @@ case class DataStore(
   }
 
   /** make_graph (scarf/datastore/graph_datastore.py:513-1020): normalize →
-    * assemble vectors over the HVG slice → z-scale+PCA → exact self-KNN →
-    * UMAP-style smoothing. Caches `latent`, `knn`, and `edges`.
+    * assemble vectors over the HVG slice → z-scale+PCA → self-KNN (exact,
+    * or LSH-bucketed ANN via `ann = true` — the reference's pluggable ANN
+    * strategy) → UMAP-style smoothing. Caches `latent`, `knn`, `edges`.
+    *
+    * With `cacheRoot` set, each stage persists at a param-encoded path
+    * guarded by the input fingerprint (CacheStore) and the `latest_*`
+    * pointers are updated — the reference's latest_graph bookkeeping
+    * (graph_datastore.py:738-780). A repeat call with unchanged mask and
+    * params is a metadata read, exactly like the reference's Zarr reuse.
     */
-  def makeGraph(dims: Int = 11, k: Int = 11): DataStore = {
+  def makeGraph(dims: Int = 11, k: Int = 11, ann: Boolean = false,
+                cacheRoot: Option[String] = None): DataStore = {
     val sel = feats.filter(col("hvg")).select("feat_id")
     val normed = Normalize.libSizeLog(activeCoo)
       .join(broadcast(sel), Seq("feat_id"))
       .select("cell_id", "feat_id", "normed")
-    val fi = Reduce.featureIndex(sel)
-    val vecs = Reduce.assembleVectors(normed, fi, "normed")
-    val latent = Reduce.pca(vecs, dims).cache()
-    val knn = Knn.exactSelfKnn(latent, k).cache()
-    val edges = Knn.smoothEdges(knn).cache()
-    copy(caches = caches ++ Map("latent" -> latent, "knn" -> knn, "edges" -> edges))
+    def knnOf(latent: DataFrame) =
+      if (ann) Knn.bucketedSelfKnn(latent, k) else Knn.exactSelfKnn(latent, k)
+    cacheRoot match {
+      case None =>
+        val fi = Reduce.featureIndex(sel)
+        val vecs = Reduce.assembleVectors(normed, fi, "normed")
+        val latent = Reduce.pca(vecs, dims).cache()
+        val knn = knnOf(latent).cache()
+        val edges = Knn.smoothEdges(knn).cache()
+        copy(caches = caches ++ Map("latent" -> latent, "knn" -> knn, "edges" -> edges))
+      case Some(rootDir) =>
+        val spark = coo.sparkSession
+        val cs = new graft.core.CacheStore(rootDir)
+        val params = Map("dims" -> dims.toString, "k" -> k.toString,
+          "ann" -> ann.toString)
+        val latent = cs.getOrCompute(spark, "latent", params, normed) {
+          Reduce.pca(Reduce.assembleVectors(normed, Reduce.featureIndex(sel),
+            "normed"), dims)
+        }
+        val knn = cs.getOrCompute(spark, "knn", params, latent)(knnOf(latent))
+        val edges = cs.getOrCompute(spark, "edges", params, knn)(Knn.smoothEdges(knn))
+        Seq("latent", "knn", "edges").foreach(cs.setLatest(_, params))
+        copy(caches = caches ++ Map("latent" -> latent, "knn" -> knn, "edges" -> edges))
+    }
   }
 
   /** run_clustering: KMeans over the latent cache (the reference's

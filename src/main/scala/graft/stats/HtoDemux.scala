@@ -37,13 +37,15 @@ object HtoDemux {
 
   /** NB2 log-likelihood for counts with mean mu and dispersion alpha
     * (r = 1/alpha, p = r/(r+mu)) — the model NegativeBinomial(...).fit
-    * estimates for an intercept-only design.
+    * estimates for an intercept-only design. Weighted form: counts are
+    * discrete, so the data arrives as (value, multiplicity) pairs — the
+    * likelihood over millions of cells costs |distinct values| lgammas.
     */
-  private def nbLogLik(vals: Array[Double], mu: Double, alpha: Double): Double = {
+  private def nbLogLik(vals: Array[(Double, Long)], mu: Double, alpha: Double): Double = {
     val r = 1.0 / alpha
     val p = r / (r + mu)
-    vals.map { y =>
-      lgamma(y + r) - lgamma(r) - lgamma(y + 1) + r * math.log(p) + y * math.log1p(-p)
+    vals.map { case (y, m) =>
+      m * (lgamma(y + r) - lgamma(r) - lgamma(y + 1) + r * math.log(p) + y * math.log1p(-p))
     }.sum
   }
 
@@ -52,9 +54,14 @@ object HtoDemux {
     * section on log scale), then round(mu + ppf(q)) mirroring the
     * reference's nbinom(n, p, loc=mu).ppf(quantile).
     */
-  def nbCutoff(vals: Array[Double], quantile: Double = 0.99): Long = {
+  def nbCutoff(vals0: Array[Double], quantile: Double = 0.99): Long =
+    nbCutoffWeighted(vals0.groupBy(identity).map { case (v, a) => (v, a.length.toLong) }
+      .toArray.sortBy(_._1), quantile)
+
+  def nbCutoffWeighted(vals: Array[(Double, Long)], quantile: Double = 0.99): Long = {
     require(vals.nonEmpty)
-    val mu = math.max(vals.sum / vals.length, 1e-8)
+    val nTot = vals.map(_._2).sum
+    val mu = math.max(vals.map { case (v, m) => v * m }.sum / nTot, 1e-8)
     // golden-section maximize ll over log-alpha in [-12, 8]
     var lo = -12.0; var hi = 8.0
     val phi = (math.sqrt(5.0) - 1) / 2
@@ -112,14 +119,19 @@ object HtoDemux {
     val bg = avgExp.withColumn("rn", row_number().over(
         Window.partitionBy("hto").orderBy(col("m"), col("cluster"))))
       .filter(col("rn") === 1).select(col("hto"), col("cluster").as("bg_cluster"))
-    // NB cutoffs from raw background counts (driver-side fit per HTO)
+    // NB cutoffs from background count HISTOGRAMS (counts are discrete —
+    // only (value, multiplicity) pairs reach the driver, so the fit costs
+    // |distinct values| regardless of cell count)
     val bgVals = counts.join(clusters, Seq("cell_id"))
       .join(broadcast(bg), Seq("hto"))
       .filter(col("cluster") === col("bg_cluster"))
-      .select(col("hto"), col("count").cast("double"))
-      .as[(String, Double)].collect().groupBy(_._1)
+      .groupBy(col("hto"), col("count").cast("double").as("v"))
+      .agg(count(lit(1)).as("m"))
+      .as[(String, Double, Long)].collect().groupBy(_._1)
     val cutoffs = htos.map(h =>
-      h -> nbCutoff(bgVals.getOrElse(h, Array.empty).map(_._2).toArray, quantile)).toMap
+      h -> nbCutoffWeighted(
+        bgVals.getOrElse(h, Array.empty).map(t => (t._2, t._3)).sortBy(_._1),
+        quantile)).toMap
     val cutDf = cutoffs.toSeq.toDF("hto", "cutoff")
     val disc = counts.join(broadcast(cutDf), Seq("hto"))
       .select(col("cell_id"), col("hto"), col("count"),

@@ -95,6 +95,29 @@ class PolishSpec extends SparkSpec {
     assert(w((2L, 21L)) == minPos, "underflowed weight takes the global min")
   }
 
+  test("makeGraph cacheRoot: param-encoded caches, latest pointers, fingerprint reuse") {
+    val dir = java.nio.file.Files.createTempDirectory("graftcache").toString
+    val ds = graft.pipeline.DataStore.fromTestData(spark, "/root/testdata/sf0.001")
+      .withQcStats.markHvgs(topN = 20)
+    val g1 = ds.makeGraph(dims = 3, k = 4, cacheRoot = Some(dir))
+    val lat1 = g1.caches("latent").orderBy("cell_id").collect()
+    val cs = new graft.core.CacheStore(dir)
+    assert(cs.latest("latent").contains(Map("dims" -> "3", "k" -> "4", "ann" -> "false")))
+    assert(cs.loadLatest(spark, "edges").isDefined)
+    // same params + same mask -> manifest hit, identical result
+    val manifest = new java.io.File(s"$dir").listFiles()
+      .filter(_.getName.endsWith(".manifest.json")).map(f => f.getName -> f.lastModified()).toMap
+    val g2 = ds.makeGraph(dims = 3, k = 4, cacheRoot = Some(dir))
+    val lat2 = g2.caches("latent").orderBy("cell_id").collect()
+    assert(lat1.sameElements(lat2))
+    val manifest2 = new java.io.File(s"$dir").listFiles()
+      .filter(_.getName.endsWith(".manifest.json")).map(f => f.getName -> f.lastModified()).toMap
+    assert(manifest == manifest2, "unchanged inputs must not restamp manifests")
+    // different params materialize a second path and move the pointer
+    ds.makeGraph(dims = 2, k = 4, cacheRoot = Some(dir))
+    assert(cs.latest("latent").contains(Map("dims" -> "2", "k" -> "4", "ann" -> "false")))
+  }
+
   test("Harmony theta: diversity penalty changes assignments, stays finite") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
