@@ -75,6 +75,21 @@ object MlQueries {
         .orderBy("cell_id")
     }),
 
+    // full sampled graph silhouette over the embeddings' KNN graph
+    "q61_silhouette" -> ((s, d) => {
+      val e = Tables.t(s, d, "embeddings")
+      val all = e.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val knn = graft.sim.Similarity.cosineTopK(all, e, 5)
+        .select(col("qid").as("src"), col("vec_id").as("dst"), lit(1.0).as("weight"))
+      val clusters = e.select(col("vec_id").as("cell_id"),
+        col("label").cast("long").as("cluster"))
+      val latent = e.select(col("vec_id").as("cell_id"),
+        col("embedding").cast("array<double>").as("latent"))
+      Metrics.silhouetteScores(knn, clusters, latent, k0 = 11, seed = 4466L)
+        .select(col("cluster"), round(col("silhouette"), 4).as("silhouette"))
+        .orderBy("cluster")
+    }),
+
     // lazy-PPR pseudotime over the SNN co-occurrence graph
     "q55_pseudotime" -> ((s, d) => {
       val edges = Tables.t(s, d, "lineitem").filter(col("l_partkey") % 10 === 0)
@@ -133,6 +148,59 @@ object MlQueries {
          SELECT cell_id, ROUND((pot - lo) / (hi - lo), 4) AS pseudotime
          FROM pot CROSS JOIN mm ORDER BY cell_id"""
     },
+
+    "q61_silhouette" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, CAST(label AS BIGINT) AS cluster FROM embeddings),
+         p0 AS (SELECT a.vec_id AS qid, b.vec_id,
+                  LIST_DOT_PRODUCT(a.e, b.e)
+                    / (SQRT(LIST_DOT_PRODUCT(a.e, a.e)) * SQRT(LIST_DOT_PRODUCT(b.e, b.e))) AS cos
+                FROM v a CROSS JOIN v b WHERE a.vec_id != b.vec_id),
+         topk AS (SELECT qid, vec_id,
+                         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ROUND(cos, 6) DESC, vec_id) AS rn
+                  FROM p0),
+         knn AS MATERIALIZED (SELECT qid AS src, vec_id AS dst, 1.0 AS w FROM topk WHERE rn <= 5),
+         cl AS (SELECT vec_id AS cell_id, cluster FROM v),
+         pair AS (SELECT ca.cluster AS ca, cb.cluster AS cb, SUM(k.w) AS w
+                  FROM knn k JOIN cl ca ON k.src = ca.cell_id JOIN cl cb ON k.dst = cb.cell_id
+                  GROUP BY 1, 2),
+         symp AS (SELECT ca, cb, SUM(w) / 2 AS w FROM (
+                    SELECT ca, cb, w FROM pair UNION ALL SELECT cb, ca, w FROM pair)
+                  GROUP BY ca, cb),
+         tot AS (SELECT ca, SUM(w) AS tot FROM symp GROUP BY ca),
+         sim AS (SELECT s.ca, s.cb,
+                   CASE WHEN ta.tot + tb.tot - s.w > 0 THEN s.w / (ta.tot + tb.tot - s.w) ELSE 0 END AS sim
+                 FROM symp s JOIN tot ta ON s.ca = ta.ca JOIN tot tb ON s.cb = tb.ca
+                 WHERE s.ca != s.cb),
+         nearest AS (SELECT ca AS cluster, cb AS near FROM (
+                       SELECT *, ROW_NUMBER() OVER (PARTITION BY ca ORDER BY sim DESC, cb DESC) AS rn
+                       FROM sim) WHERE rn = 1),
+         sz AS (SELECT CAST(LEAST(11, (SELECT MIN(cnt) FROM (SELECT COUNT(*) AS cnt FROM cl GROUP BY cluster)) // 2) AS INT) AS k),
+         sampled AS (SELECT cluster, cell_id,
+                       ROW_NUMBER() OVER (PARTITION BY cluster
+                         ORDER BY MD5('4466:' || cell_id), cell_id) AS rn
+                     FROM cl),
+         s1 AS (SELECT s.cluster, s.cell_id AS a_id, v.e AS va FROM sampled s
+                JOIN v ON s.cell_id = v.vec_id CROSS JOIN sz WHERE s.rn <= sz.k),
+         s2 AS (SELECT s.cluster, s.cell_id AS b_id, v.e AS vb FROM sampled s
+                JOIN v ON s.cell_id = v.vec_id CROSS JOIN sz
+                WHERE s.rn > sz.k AND s.rn <= 2 * sz.k),
+         selfp AS (SELECT s1.cluster, s1.a_id, s2.b_id,
+                     SQRT(GREATEST(LIST_DOT_PRODUCT(va, va) - 2 * LIST_DOT_PRODUCT(va, vb)
+                       + LIST_DOT_PRODUCT(vb, vb), 0)) AS d
+                   FROM s1 JOIN s2 ON s1.cluster = s2.cluster),
+         selfd AS (SELECT cluster, AVG(d) AS self_d FROM (
+                     SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster, a_id ORDER BY d, b_id) AS prn
+                     FROM selfp) t CROSS JOIN sz WHERE t.prn <= sz.k - 1 GROUP BY cluster),
+         otherp AS (SELECT s1.cluster, s1.a_id, o.a_id AS b_id,
+                      SQRT(GREATEST(LIST_DOT_PRODUCT(s1.va, s1.va) - 2 * LIST_DOT_PRODUCT(s1.va, o.va)
+                        + LIST_DOT_PRODUCT(o.va, o.va), 0)) AS d
+                    FROM s1 JOIN nearest n ON s1.cluster = n.cluster
+                    JOIN s1 o ON o.cluster = n.near),
+         otherd AS (SELECT cluster, AVG(d) AS other_d FROM (
+                      SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster, a_id ORDER BY d, b_id) AS prn
+                      FROM otherp) t CROSS JOIN sz WHERE t.prn <= sz.k - 1 GROUP BY cluster)
+         SELECT s.cluster, ROUND((o.other_d - s.self_d) / GREATEST(s.self_d, o.other_d), 4) AS silhouette
+         FROM selfd s JOIN otherd o ON s.cluster = o.cluster ORDER BY s.cluster""",
 
     "q54_lisi" ->
       """WITH RECURSIVE
