@@ -28,6 +28,22 @@ object Streaming {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
+  /** Streaming exact dedup — the streaming twin of q33_exact_dedup: drop
+    * every document whose content digest was already seen inside the
+    * watermark horizon. State is the digest set Spark maintains for
+    * dropDuplicates; the watermark bounds it, which is the only way a
+    * dedup state survives an unbounded corpus (SURVEY §2 training-data
+    * ops; same digest-only-shuffles design as the batch operator).
+    */
+  def dedupStream(docs: Dataset[Doc], watermark: String = "1 hour"): DataFrame =
+    docs.toDF()
+      .withColumn("digest", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicates("digest")
+      .select("doc_id", "ts", "digest")
+
   /** Gap-based sessionization with explicit keyed state — the streaming
     * twin of q42_sessionize (30-minute inactivity gap), emitting one
     * update per closed batch of a user's events.
