@@ -6,13 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling for training-data pipelines: media payloads
   * travel as opaque `binary` columns with typed metadata alongside, and
   * decode / feature-extract steps run as partition-batched kernels
-  * (`mapPartitions`) so a real decoder processes one batch per task with
+  * (`mapPartitions`) so the decoder processes one batch per task with
   * bounded memory — the Scala analogue of `mapInPandas`.
   *
-  * The decode kernels themselves are STUBBED with deterministic fakes
-  * (no image/audio codecs in this environment); the Spark-side plumbing —
-  * schema, batch shape, partitioning, metadata extraction — is real and
-  * tested. Swap [[FakeCodec]] for a JNI/javax codec to productionize.
+  * Image (PNG/JPEG/BMP/GIF via javax.imageio) and audio (WAV PCM via
+  * javax.sound.sampled) decoding is REAL — both codecs ship in the JDK,
+  * no external libraries. Video remains a declared deterministic stub
+  * ([[FakeCodec]]): the JDK has no video codec and this environment
+  * cannot add one; the plumbing (schema, batching, fan-out) is identical,
+  * so a JNI codec drops in per-kernel.
   */
 object Multimodal {
 
@@ -20,10 +22,96 @@ object Multimodal {
   case class MediaMeta(doc_id: Long, mime: String, n_bytes: Int,
                        width: Int, height: Int, digest: String)
   case class Patch(doc_id: Long, patch_id: Int, feature: Array[Float])
+  case class ImageMeta(doc_id: Long, width: Int, height: Int, channels: Int,
+                       mean_luma: Double, dhash: Long)
+  case class AudioMeta(doc_id: Long, sample_rate: Int, n_frames: Long,
+                       rms: Double, zero_cross_rate: Double)
 
-  /** STUB decoder: derives deterministic pseudo-dimensions and features
-    * from the payload bytes. A real implementation decodes the codec
-    * header / samples frames; the call shape is identical.
+  /** Real JDK image decode: dimensions, channel count, mean luminance,
+    * and a 64-bit dHash (9×8 area-mean grayscale, horizontal gradient
+    * sign bits — the standard public perceptual-hash construction).
+    */
+  object ImageCodec {
+    def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+
+    def luma(rgb: Int): Double = {
+      val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+      0.299 * r + 0.587 * g + 0.114 * b
+    }
+
+    /** Deterministic area-mean downsample to (gw × gh) gray cells. */
+    def grayGrid(img: java.awt.image.BufferedImage, gw: Int, gh: Int): Array[Double] = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val acc = new Array[Double](gw * gh)
+      val cnt = new Array[Long](gw * gh)
+      var y = 0
+      while (y < h) {
+        val gy = math.min(gh - 1, y * gh / h)
+        var x = 0
+        while (x < w) {
+          val gx = math.min(gw - 1, x * gw / w)
+          acc(gy * gw + gx) += luma(img.getRGB(x, y))
+          cnt(gy * gw + gx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      acc.indices.map(i => if (cnt(i) > 0) acc(i) / cnt(i) else 0.0).toArray
+    }
+
+    def dHash64(img: java.awt.image.BufferedImage): Long = {
+      val g = grayGrid(img, 9, 8)
+      var bits = 0L
+      var row = 0
+      while (row < 8) {
+        var c = 0
+        while (c < 8) {
+          if (g(row * 9 + c) > g(row * 9 + c + 1)) bits |= 1L << (row * 8 + c)
+          c += 1
+        }
+        row += 1
+      }
+      bits
+    }
+  }
+
+  /** Real JDK WAV decode: PCM samples → RMS + zero-crossing rate. */
+  object AudioCodec {
+    def decode(payload: Array[Byte]): Option[(Int, Array[Double])] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = in.getFormat
+        val bytes = in.readAllBytes()
+        in.close()
+        val bps = fmt.getSampleSizeInBits / 8
+        val n = bytes.length / (bps * fmt.getChannels)
+        val buf = java.nio.ByteBuffer.wrap(bytes).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        val samples = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          // first channel only; 8/16-bit PCM
+          var c = 0
+          while (c < fmt.getChannels) {
+            val v = fmt.getSampleSizeInBits match {
+              case 8 => (buf.get() & 0xFF) - 128.0
+              case 16 => buf.getShort().toDouble
+              case b => sys.error(s"unsupported sample size $b")
+            }
+            if (c == 0) samples(i) = v / (1 << (fmt.getSampleSizeInBits - 1))
+            c += 1
+          }
+          i += 1
+        }
+        Some((fmt.getSampleRate.toInt, samples))
+      } catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
+  }
+
+  /** Deterministic stub — retained ONLY for mimes the JDK cannot decode
+    * (video); declared, not hidden.
     */
   object FakeCodec {
     def dims(payload: Array[Byte]): (Int, Int) = {
@@ -43,24 +131,79 @@ object Multimodal {
     docs.select(col("doc_id"), lit(mime).as("mime"),
       encode(col("text"), "UTF-8").as("payload"))
 
-  /** Decode metadata partition-batched: one kernel invocation per
-    * partition, streaming rows — bounded memory however large the corpus.
+  /** Decode metadata partition-batched: real image dimensions for image
+    * mimes, stub dims otherwise — one kernel invocation per partition,
+    * bounded memory however large the corpus.
     */
   def decodeMeta(media: Dataset[Media]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("SHA-256")
       it.map { m =>
-        val (w, h) = FakeCodec.dims(m.payload)
+        val (w, h) =
+          if (m.mime.startsWith("image/"))
+            ImageCodec.decode(m.payload)
+              .map(i => (i.getWidth, i.getHeight))
+              .getOrElse((-1, -1))
+          else FakeCodec.dims(m.payload)
         val digest = md.digest(m.payload).map("%02x".format(_)).mkString
         MediaMeta(m.doc_id, m.mime, m.payload.length, w, h, digest)
       }
     }
   }
 
-  /** Feature extraction with fan-out (frame sampling / patching): each
-    * payload yields `patches` fixed-size feature vectors — the
-    * explode-shaped half of a decode → embed pipeline.
+  /** Real image metadata + perceptual hash over an image corpus;
+    * undecodable payloads drop (the standard data-pipeline policy).
+    */
+  def decodeImages(media: Dataset[Media]): Dataset[ImageMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        ImageCodec.decode(m.payload).map { img =>
+          val grid = ImageCodec.grayGrid(img, 8, 8)
+          ImageMeta(m.doc_id, img.getWidth, img.getHeight,
+            img.getColorModel.getNumComponents,
+            grid.sum / grid.length, ImageCodec.dHash64(img))
+        }
+      }
+    }
+  }
+
+  /** Real image patch features: gw×gh area-mean gray grid per image —
+    * the decode → embed fan-out with actual pixel content.
+    */
+  def imagePatches(media: Dataset[Media], grid: Int): Dataset[Patch] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        ImageCodec.decode(m.payload).map { img =>
+          Patch(m.doc_id, 0,
+            ImageCodec.grayGrid(img, grid, grid).map(v => (v / 255.0).toFloat))
+        }
+      }
+    }
+  }
+
+  /** Real WAV audio metadata: sample rate, frame count, RMS, zero-cross
+    * rate — partition-batched.
+    */
+  def decodeAudio(media: Dataset[Media]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        AudioCodec.decode(m.payload).map { case (rate, s) =>
+          val rms = math.sqrt(s.map(x => x * x).sum / math.max(1, s.length))
+          val zc = (1 until s.length).count(i => s(i - 1) * s(i) < 0)
+          AudioMeta(m.doc_id, rate, s.length.toLong, rms,
+            if (s.length > 1) zc.toDouble / (s.length - 1) else 0.0)
+        }
+      }
+    }
+  }
+
+  /** Feature extraction with fan-out (frame sampling / patching) for
+    * payloads without a JDK codec (video): each payload yields `patches`
+    * fixed-size feature vectors from the declared stub.
     */
   def extractPatches(media: Dataset[Media], patches: Int, dim: Int): Dataset[Patch] = {
     import media.sparkSession.implicits._

@@ -108,6 +108,40 @@ object TrainingQueries {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("hour_bucket", "event_type")),
 
+    // embedding-cosine near-duplicate pairs: LSH bucket candidates only
+    // (never all-pairs), planted scaled copies guarantee expected rows
+    "q62_cosine_neardup" -> ((s, d) => {
+      val e = embs(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val planted = e.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"), x => x * 1.5).as("embedding"))
+      val all = e.unionByName(planted)
+      val cand = (0 until 2).map { r =>
+        val b = Similarity.lshBucketsSeeded(all, 4, r)
+        b.select(col("bucket"), col("vec_id").as("ida"))
+          .join(b.select(col("bucket"), col("vec_id").as("idb")), Seq("bucket"))
+          .filter(col("ida") < col("idb"))
+          .select("ida", "idb")
+      }.reduce(_ unionByName _).distinct()
+      cand
+        .join(all.select(col("vec_id").as("ida"), col("embedding").as("va")), Seq("ida"))
+        .join(all.select(col("vec_id").as("idb"), col("embedding").as("vb")), Seq("idb"))
+        .select(col("ida"), col("idb"),
+          round(Similarity.cosine(col("va"), col("vb")), 6).as("cos"))
+        .filter(col("cos") >= 0.999)
+        .orderBy("ida", "idb")
+    }),
+
+    // BPE-ish regex token counting alongside whitespace tokens
+    "q63_bpe_tokens" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+          size(split(col("text"), "\\s+")).as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"),
+            lit("'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+"),
+            lit(0))).as("n_bpe_tokens"))
+        .orderBy("doc_id")),
+
     // scalable ANN self-KNN: LSH buckets + multi-probe + in-bucket exact
     "q57_bucketed_knn" -> ((s, d) => {
       val latent = embs(s, d).select(col("vec_id").as("cell_id"),
@@ -306,6 +340,47 @@ object TrainingQueries {
            COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value,
            COUNT(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""",
+
+    "q62_cosine_neardup" ->
+      """WITH base AS (
+           SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000, LIST_TRANSFORM(embedding::DOUBLE[], x -> x * 1.5)
+           FROM embeddings WHERE vec_id % 25 = 0),
+         ex AS (SELECT vec_id, UNNEST(e) AS x, GENERATE_SUBSCRIPTS(e, 1) AS j FROM base),
+         proj AS (
+           SELECT s.seed, p.h, ex.vec_id,
+                  SUM(CASE WHEN SUBSTRING(MD5(CONCAT(s.seed, ':', p.h, ':', ex.j - 1)), 1, 1)
+                           BETWEEN '8' AND 'f' THEN ex.x ELSE -ex.x END) AS pr
+           FROM ex
+           CROSS JOIN (SELECT UNNEST(RANGE(0, 2)) AS seed) s
+           CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS h) p
+           GROUP BY s.seed, p.h, ex.vec_id),
+         buck AS (
+           SELECT seed, vec_id,
+                  CAST(SUM(CASE WHEN pr > 0 THEN (1::BIGINT << h) ELSE 0 END) AS BIGINT) AS bucket
+           FROM proj GROUP BY seed, vec_id),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+           FROM buck a JOIN buck b ON a.seed = b.seed AND a.bucket = b.bucket
+           WHERE a.vec_id < b.vec_id),
+         scored AS (
+           SELECT c.ida, c.idb,
+                  ROUND(LIST_DOT_PRODUCT(va.e, vb.e)
+                    / (SQRT(LIST_DOT_PRODUCT(va.e, va.e))
+                       * SQRT(LIST_DOT_PRODUCT(vb.e, vb.e))), 6) AS cos
+           FROM cand c
+           JOIN base va ON c.ida = va.vec_id
+           JOIN base vb ON c.idb = vb.vec_id)
+         SELECT ida, idb, cos FROM scored WHERE cos >= 0.999 ORDER BY ida, idb""",
+
+    "q63_bpe_tokens" ->
+      """SELECT doc_id,
+           CAST(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\s+')) AS INT) AS n_ws_tokens,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS INT)
+             AS n_bpe_tokens
+         FROM documents ORDER BY doc_id""",
 
     "q57_bucketed_knn" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

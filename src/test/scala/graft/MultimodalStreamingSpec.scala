@@ -12,7 +12,7 @@ class MultimodalStreamingSpec extends SparkSpec {
 
   lazy val media = Multimodal.packBinary(
     Seq((1L, "hello world"), (2L, "hello world"), (3L, "different bytes"))
-      .toDF("doc_id", "text"), "image/fake").as[Media]
+      .toDF("doc_id", "text"), "video/fake").as[Media] // stub-codec path; real image/audio in RealCodecSpec
 
   test("decodeMeta: deterministic metadata, equal payloads equal digests") {
     val m = Multimodal.decodeMeta(media).collect().map(x => x.doc_id -> x).toMap

@@ -1,0 +1,84 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+import javax.sound.sampled._
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.Media
+
+/** Real JDK codecs on the multimodal path: PNG via javax.imageio, WAV PCM
+  * via javax.sound — fixtures generated in-JVM, no external libraries.
+  */
+class RealCodecSpec extends SparkSpec {
+
+  private def pngBytes(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def wavBytes(freq: Double, rate: Float, seconds: Double,
+                       amp: Double): Array[Byte] = {
+    val n = (rate * seconds).toInt
+    val pcm = new Array[Byte](n * 2)
+    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach { i =>
+      bb.putShort((amp * Short.MaxValue * math.sin(2 * math.Pi * freq * i / rate)).toShort)
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("decodeImages: real PNG dimensions, luma, deterministic dHash") {
+    import spark.implicits._
+    val halfHalf = pngBytes(32, 16, (x, _) => if (x < 16) 0x000000 else 0xFFFFFF)
+    val solid = pngBytes(20, 20, (_, _) => 0x808080)
+    val media = Seq(Media(1L, "image/png", halfHalf), Media(2L, "image/png", solid),
+      Media(3L, "image/png", halfHalf)).toDS()
+    val metas = Multimodal.decodeImages(media).collect().map(m => m.doc_id -> m).toMap
+    assert(metas(1L).width == 32 && metas(1L).height == 16 && metas(1L).channels == 3)
+    assert(approx(metas(1L).mean_luma, 127.5, 1.0))
+    assert(approx(metas(2L).mean_luma, 128.0, 1.0))
+    assert(metas(1L).dhash == metas(3L).dhash, "identical images share the dHash")
+    assert(metas(1L).dhash != metas(2L).dhash, "distinct content differs")
+    // left-white/right-black has a falling gradient -> nonzero dHash
+    val wb = pngBytes(32, 16, (x, _) => if (x < 16) 0xFFFFFF else 0x000000)
+    val m2 = Multimodal.decodeImages(Seq(Media(9L, "image/png", wb)).toDS()).head()
+    assert(m2.dhash != 0L)
+  }
+
+  test("imagePatches: 2x2 grid means reflect actual pixel content") {
+    import spark.implicits._
+    val halfHalf = pngBytes(32, 32, (x, _) => if (x < 16) 0x000000 else 0xFFFFFF)
+    val p = Multimodal.imagePatches(Seq(Media(1L, "image/png", halfHalf)).toDS(), 2)
+      .head().feature
+    assert(approx(p(0), 0f, 0.01) && approx(p(2), 0f, 0.01), "left cells black")
+    assert(approx(p(1), 1f, 0.01) && approx(p(3), 1f, 0.01), "right cells white")
+  }
+
+  test("decodeMeta dispatches image mimes to the real decoder") {
+    import spark.implicits._
+    val png = pngBytes(10, 7, (_, _) => 0x123456)
+    val meta = Multimodal.decodeMeta(Seq(Media(5L, "image/png", png)).toDS()).head()
+    assert(meta.width == 10 && meta.height == 7)
+  }
+
+  test("decodeAudio: WAV sine has the expected RMS and zero-cross rate") {
+    import spark.implicits._
+    val wav = wavBytes(freq = 440.0, rate = 8000f, seconds = 0.5, amp = 0.5)
+    val a = Multimodal.decodeAudio(Seq(Media(1L, "audio/wav", wav)).toDS()).head()
+    assert(a.sample_rate == 8000 && a.n_frames == 4000L)
+    assert(approx(a.rms, 0.5 / math.sqrt(2), 0.01), s"rms ${a.rms}")
+    assert(approx(a.zero_cross_rate, 2 * 440.0 / 8000, 0.01), s"zcr ${a.zero_cross_rate}")
+    // non-WAV payload drops instead of crashing
+    val bad = Multimodal.decodeAudio(Seq(Media(2L, "audio/wav",
+      Array[Byte](1, 2, 3, 4))).toDS()).collect()
+    assert(bad.isEmpty)
+  }
+}
