@@ -180,6 +180,19 @@ case class DataStore(
       feats, newCoo)
   }
 
+  /** to_h5ad: write the ACTIVE cells back out as AnnData — the round-trip
+    * that lets this engine sit inside an existing scanpy/scarf workflow.
+    */
+  def toH5ad(path: String): Unit = {
+    val act = cells.filter(col("I"))
+    graft.sources.hdf5.H5Sources.toH5ad(
+      coo.join(act.select("cell_id"), Seq("cell_id")),
+      act.withColumn("ids", concat(lit("cell_"), col("cell_id"))),
+      feats.withColumn("ids", concat(lit("feat_"), col("feat_id")))
+        .select("feat_id", "ids"),
+      path)
+  }
+
   /** run_marker_search (scarf/datastore/datastore.py:351-430) against the
     * current cluster labels.
     */
@@ -192,6 +205,35 @@ case class DataStore(
 }
 
 object DataStore {
+
+  /** Open a store from an AnnData .h5ad file (the ecosystem interchange
+    * format) — H5adReader semantics end-to-end: distributed CSR X read,
+    * obs/var with categorical decode. Ids are 0-based ordinals; original
+    * string ids stay as metadata columns.
+    */
+  def fromH5ad(spark: SparkSession, path: String): DataStore = {
+    val (coo, obs, varF) = graft.sources.hdf5.H5Sources.h5ad(spark, path)
+    val cells = obs.withColumnRenamed("ordinal", "cell_id")
+      .withColumn("I", lit(true))
+    val feats = varF.withColumnRenamed("ordinal", "feat_id")
+      .withColumn("I", lit(true))
+      .withColumnRenamed("id", "name")
+    DataStore(cells, feats, coo)
+  }
+
+  /** Open a store from a 10x CellRanger .h5 (CrH5Reader semantics,
+    * optional background-barcode cutoff).
+    */
+  def fromCrH5(spark: SparkSession, path: String, isFiltered: Boolean = true,
+               filteringCutoff: Long = 500): DataStore = {
+    val (coo, cells0, feats0) = graft.sources.hdf5.H5Sources.crH5(
+      spark, path, isFiltered, filteringCutoff)
+    DataStore(
+      cells0.withColumn("I", lit(true)),
+      feats0.withColumn("I", lit(true)),
+      coo)
+  }
+
   /** Open a store from the generic test tables: cells = orders,
     * features = parts, matrix = lineitem quantities (FIXTURES.md §5).
     */

@@ -209,6 +209,22 @@ class H5Spec extends SparkSpec {
     assert(var2.count() == 4)
   }
 
+  test("DataStore round-trips through h5ad: fromH5ad(toH5ad(ds)) preserves the matrix") {
+    val ds = graft.pipeline.DataStore.fromTestData(spark, "/root/testdata/sf0.001")
+      .withQcStats
+    val p = tmp("store.h5ad")
+    ds.toH5ad(p)
+    val back = graft.pipeline.DataStore.fromH5ad(spark, p)
+    // matrix mass and nnz survive; cell count matches active cells
+    val orig = ds.coo.agg(sum("value"), count(lit(1))).head()
+    val rt = back.coo.agg(sum("value"), count(lit(1))).head()
+    assert(orig.getDouble(0) == rt.getDouble(0) && orig.getLong(1) == rt.getLong(1))
+    assert(back.cells.count() == ds.cells.filter(col("I")).count())
+    // and the pipeline still runs on the re-imported store
+    val hvg = back.markHvgs(topN = 10)
+    assert(hvg.feats.filter(col("hvg")).count() == 10)
+  }
+
   test("csrCoo partitions by nnz ranges without shipping global indptr") {
     val p = tmp("parts.h5ad")
     val w = new H5Writer
