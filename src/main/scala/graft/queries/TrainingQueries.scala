@@ -133,6 +133,10 @@ object TrainingQueries {
         .orderBy("ida", "idb")
     }),
 
+    // winnowing rolling-hash document fingerprints
+    "q64_winnow_fp" -> ((s, d) =>
+      TextOps.winnowFingerprints(docs(s, d), k = 5, w = 4).orderBy("doc_id")),
+
     // BPE-ish regex token counting alongside whitespace tokens
     "q63_bpe_tokens" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -373,6 +377,19 @@ object TrainingQueries {
            JOIN base va ON c.ida = va.vec_id
            JOIN base vb ON c.idb = vb.vec_id)
          SELECT ida, idb, cos FROM scored WHERE cos >= 0.999 ORDER BY ida, idb""",
+
+    "q64_winnow_fp" ->
+      """WITH g AS (
+           SELECT doc_id,
+                  LIST_TRANSFORM(RANGE(1, LENGTH(text) - 3), i -> MD5(SUBSTRING(text, i, 5))) AS grams
+           FROM documents WHERE LENGTH(text) >= 8),
+         wins AS (
+           SELECT doc_id,
+                  LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(grams) - 2),
+                    j -> LIST_MIN(grams[j:j+3]))) AS fps
+           FROM g)
+         SELECT doc_id, CAST(LEN(fps) AS INT) AS n_fp, LIST_MIN(fps) AS min_fp
+         FROM wins ORDER BY doc_id""",
 
     "q63_bpe_tokens" ->
       """SELECT doc_id,

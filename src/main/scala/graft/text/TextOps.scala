@@ -14,6 +14,35 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    * the standard rolling-hash fingerprint scheme): hash every k-char
+    * gram, take the minimum hash of each w-wide window, dedupe. Robust to
+    * local edits: only grams near a change alter the fingerprint set.
+    * Hashes are md5 strings (engine-independent); entirely column
+    * expressions — no UDF, no shuffle.
+    */
+  def winnowFingerprints(docs: org.apache.spark.sql.DataFrame, k: Int,
+                         w: Int): org.apache.spark.sql.DataFrame = {
+    // explode + per-doc sliding window: a nested transform(array_min(
+    // slice(g,...))) gets its gram array inlined per window by Catalyst's
+    // projection collapse — O(len²) md5 re-evaluation; the windowed form
+    // hashes each gram exactly once and partitions by doc_id
+    val grams = docs
+      .filter(length(col("text")) >= k + w - 1)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, length(text) - ${k - 1}), i -> md5(substring(text, i, $k)))"))
+        .as(Seq("pos", "h")))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    grams
+      .withColumn("wmin", min(col("h")).over(
+        byDoc.orderBy("pos").rowsBetween(0, w - 1)))
+      .withColumn("ng", count(lit(1)).over(byDoc))
+      .filter(col("pos") <= col("ng") - w) // full windows only
+      .groupBy("doc_id")
+      .agg(countDistinct(col("wmin")).cast("int").as("n_fp"),
+        min(col("wmin")).as("min_fp"))
+  }
+
   val tokensCol: Column = split(col("text"), "\\s+")
 
   /** Per-document token/char statistics. */
