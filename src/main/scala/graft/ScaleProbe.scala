@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up probe: replicates the sf0.1 tables in-plan (key-shifted
+  * copies — no extra storage) and times the core operators at ~10-20×
+  * the bench volume, answering "does the plan hold at the next order of
+  * magnitude?" with measurements instead of assertions. Not part of the
+  * driver contract; results recorded in PERF.md.
+  */
+object ScaleProbe {
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_COPIES", "20").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "64m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def replicate(df: DataFrame, keyCols: Seq[String], shift: Long): DataFrame = {
+      val reps = spark.range(copies).select(col("id").as("_rep"))
+      val wide = df.crossJoin(reps)
+      keyCols.foldLeft(wide) { (d, k) =>
+        d.withColumn(k, col(k) + col("_rep") * shift)
+      }.drop("_rep")
+    }
+
+    // ~12M-row COO (20 × 600k), cell keys disjoint per copy
+    val coo0 = graft.core.Tables.coo(spark, sfDir)
+    val coo = replicate(coo0, Seq("cell_id"), 100000000L).cache()
+    val nnz = coo.count() // materialize outside the timers
+    val out = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    val (_, tCell) = time {
+      graft.stats.MatrixStats.cellProps(coo).write.format("noop").mode("overwrite").save()
+    }
+    out("cell_props") = tCell
+
+    val (_, tHvg) = time {
+      val normed = graft.norm.Normalize.libSizeLog(coo).select("cell_id", "feat_id", "normed")
+      val nTot = coo.select(countDistinct("cell_id").as("n_total_cells"))
+      val stats = graft.stats.MatrixStats.featureStats(normed, nTot)
+      graft.stats.MatrixStats.topVariableFeatures(stats, 20, 500, 10)
+        .write.format("noop").mode("overwrite").save()
+    }
+    out("hvg") = tHvg
+
+    val (_, tMarkers) = time {
+      val groups = coo.select("cell_id").distinct()
+        .select(col("cell_id"), pmod(col("cell_id"), lit(5)).cast("string").as("group"))
+      graft.stats.Markers.findMarkersByRank(coo, groups)
+        .write.format("noop").mode("overwrite").save()
+    }
+    out("markers_12M") = tMarkers
+
+    // ANN at 20× the embedding count: 40k vectors (2000 × 20 copies)
+    val emb0 = graft.core.Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("latent"))
+    val emb = replicate(emb0.withColumnRenamed("vec_id", "cell_id"),
+      Seq("cell_id"), 100000000L).cache()
+    val nVec = emb.count()
+    val (_, tAnn) = time {
+      graft.pipeline.Knn.bucketedSelfKnn(emb, 5, nPlanes = 10, rounds = 6)
+        .write.format("noop").mode("overwrite").save()
+    }
+    out(s"bucketed_knn_${nVec}") = tAnn
+
+    val (_, tDedup) = time {
+      val docs = replicate(
+        graft.core.Tables.t(spark, sfDir, "documents").select("doc_id", "text"),
+        Seq("doc_id"), 100000000L)
+      graft.dedup.Dedup.exactDupGroups(docs).write.format("noop").mode("overwrite").save()
+    }
+    out("exact_dedup_100k_docs") = tDedup
+
+    val qs = out.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_probe","copies":$copies,"nnz":$nnz,"timings":$qs}""")
+    spark.stop()
+  }
+}
