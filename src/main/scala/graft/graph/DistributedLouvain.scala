@@ -83,11 +83,13 @@ object DistributedLouvain {
   /** Distributed Leiden-style refinement: split every community into its
     * connected components (the guarantee Leiden adds over Louvain —
     * Traag 2019 Thm. 1 gives connectivity, not optimality). Min-label
-    * propagation restricted to same-community edges converges in
-    * O(diameter) join+aggregate rounds; all-DataFrame, no driver graph.
-    * Input/output schema: `(cell_id, cluster)`.
+    * propagation restricted to same-community edges, iterated UNTIL
+    * CONVERGENCE (no label changed) with `maxRounds` as a safety cap —
+    * a fixed round count would wrongly split connected communities whose
+    * diameter exceeds it (e.g. path-shaped trajectory clusters).
+    * All-DataFrame, no driver graph. Schema: `(cell_id, cluster)`.
     */
-  def refine(edges: DataFrame, labels: DataFrame, rounds: Int = 10): DataFrame = {
+  def refine(edges: DataFrame, labels: DataFrame, maxRounds: Int = 64): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
@@ -99,14 +101,19 @@ object DistributedLouvain {
       .filter(col("c_src") === col("c_dst"))
       .select("src", "dst"))
     var sub = lab.select(col("node"), col("comm"), col("node").as("sub"))
-    for (_ <- 0 until rounds) {
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
       val nbrMin = within
         .join(sub.withColumnRenamed("node", "dst").drop("comm")
           .withColumnRenamed("sub", "nb_sub"), Seq("dst"))
         .groupBy(col("src").as("node")).agg(min(col("nb_sub")).as("nb_min"))
-      sub = Lineage.reset(sub.join(nbrMin, Seq("node"), "left")
-        .select(col("node"), col("comm"),
+      val next = Lineage.reset(sub.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("comm"), col("sub").as("sub_prev"),
           least(col("sub"), coalesce(col("nb_min"), col("sub"))).as("sub")))
+      changed = next.filter(col("sub") =!= col("sub_prev")).count()
+      sub = next.drop("sub_prev")
+      round += 1
     }
     val sizes = sub.groupBy("comm", "sub").agg(count(lit(1)).as("sz"))
     val relabel = graft.ops.Windows.globalOrdinal(

@@ -32,8 +32,13 @@ object Multimodal {
     * sign bits — the standard public perceptual-hash construction).
     */
   object ImageCodec {
+    /** Corrupt/truncated/unknown payloads yield None — one bad file in a
+      * 100 TB corpus must drop, not fail the job (ImageIO throws
+      * IIOException on truncation rather than returning null).
+      */
     def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case scala.util.control.NonFatal(_) => None }
 
     def luma(rgb: Int): Double = {
       val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
@@ -90,24 +95,28 @@ object Multimodal {
         val buf = java.nio.ByteBuffer.wrap(bytes).order(
           if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
           else java.nio.ByteOrder.LITTLE_ENDIAN)
-        val samples = new Array[Double](n)
-        var i = 0
-        while (i < n) {
-          // first channel only; 8/16-bit PCM
-          var c = 0
-          while (c < fmt.getChannels) {
-            val v = fmt.getSampleSizeInBits match {
-              case 8 => (buf.get() & 0xFF) - 128.0
-              case 16 => buf.getShort().toDouble
-              case b => sys.error(s"unsupported sample size $b")
+        if (fmt.getSampleSizeInBits != 8 && fmt.getSampleSizeInBits != 16) None
+        else {
+          val samples = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            // first channel only; 8/16-bit PCM
+            var c = 0
+            while (c < fmt.getChannels) {
+              val v = fmt.getSampleSizeInBits match {
+                case 8 => (buf.get() & 0xFF) - 128.0
+                case _ => buf.getShort().toDouble
+              }
+              if (c == 0) samples(i) = v / (1 << (fmt.getSampleSizeInBits - 1))
+              c += 1
             }
-            if (c == 0) samples(i) = v / (1 << (fmt.getSampleSizeInBits - 1))
-            c += 1
+            i += 1
           }
-          i += 1
+          Some((fmt.getSampleRate.toInt, samples))
         }
-        Some((fmt.getSampleRate.toInt, samples))
-      } catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
+        // any malformed payload (bad RIFF header, truncated body, exotic
+        // encodings) drops rather than failing the task
+      } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Deterministic stub — retained ONLY for mimes the JDK cannot decode

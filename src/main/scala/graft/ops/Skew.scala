@@ -23,6 +23,10 @@ object Skew {
     // Salt must be deterministic under task retry: derive it from row
     // content (all columns), never monotonically_increasing_id(), which can
     // differ on recompute and double-count / drop rows post-shuffle.
+    // Fully-IDENTICAL duplicate rows all take one salt, but that does not
+    // re-concentrate the reducer: identical (key, salt) rows pre-combine
+    // MAP-SIDE in the phase-1 hash aggregation, so the shuffle carries at
+    // most one partial row per input partition for them.
     df.withColumn("_salt", pmod(hash(df.columns.map(col): _*), lit(nSalts)))
       .groupBy(col(key), col("_salt"))
       .agg(sum(col(valueCol)).as("_s"), count(lit(1)).as("_n"))

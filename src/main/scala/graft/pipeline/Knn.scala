@@ -35,16 +35,9 @@ object Knn {
       .filter(col("rn") <= k)
   }
 
-  /** Euclidean distance via the dot-product identity |a−b|² =
-    * a·a − 2a·b + b·b on the native codegen'd DotProduct — the same
-    * ascending fold a SQL engine's list_dot_product performs, so results
-    * are engine-reproducible bit-for-bit. Clamped at 0 against −1e−16
-    * cancellation noise before the sqrt.
-    */
-  private def l2dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
-    val d = graft.sim.Similarity.dot _
-    sqrt(greatest(d(a, a) - lit(2) * d(a, b) + d(b, b), lit(0.0)))
-  }
+  /** Engine-reproducible euclidean distance — the shared kernel. */
+  private def l2dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    graft.sim.Similarity.l2(a, b)
 
   /** Scalable self-KNN (the HNSW-index replacement, scarf/ann.py:290-326):
     * multi-round seeded hyperplane LSH buckets + Hamming-1 multi-probe,

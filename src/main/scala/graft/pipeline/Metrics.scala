@@ -97,12 +97,8 @@ object Metrics {
     val s2 = sampled.filter(col("rn") > k)
       .select(col("cluster"), col("cell_id").as("b_id"), col("latent").as("vb"))
 
-    // dot-product identity so DuckDB's LIST_DOT_PRODUCT reproduces the
-    // distances bit-for-bit (same fold order as the native expression)
-    def l2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) => {
-      val d = graft.sim.Similarity.dot _
-      sqrt(greatest(d(a, a) - lit(2) * d(a, b) + d(b, b), lit(0.0)))
-    }
+    // the shared engine-reproducible distance kernel (Similarity.l2)
+    def l2 = graft.sim.Similarity.l2 _
 
     def meanTopK(pairs: DataFrame): DataFrame =
       pairs.withColumn("prn", row_number().over(

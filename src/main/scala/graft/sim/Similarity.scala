@@ -39,6 +39,16 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Euclidean distance via the dot-product identity |a−b|² =
+    * a·a − 2a·b + b·b — the same ascending fold a SQL engine's
+    * list_dot_product performs, so results are engine-reproducible
+    * bit-for-bit. Clamped at 0 against −1e−16 cancellation noise.
+    * The single shared kernel behind Knn.bucketedSelfKnn and
+    * Metrics.silhouetteScores.
+    */
+  def l2(a: Column, b: Column): Column =
+    sqrt(greatest(dot(a, a) - lit(2) * dot(a, b) + dot(b, b), lit(0.0)))
+
   /** Exact top-k cosine neighbors of each query vector (self excluded).
     * `queries(qid, qvec)`, `corpus(vec_id, embedding)`.
     */

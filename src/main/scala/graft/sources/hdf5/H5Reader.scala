@@ -356,7 +356,9 @@ final class H5Reader(path: String) extends AutoCloseable {
         case _ =>
       }
     }
-    out.toMap
+    // preserve link order (plain .toMap would hash-scramble it; legacy
+    // multi-group roots need deterministic iteration)
+    scala.collection.immutable.ListMap(out.toSeq: _*)
   }
 
   private def symbolTableLinks(btreeAddr: Long, heapAddr: Long): Seq[(String, Long)] = {

@@ -74,17 +74,21 @@ object H5Sources {
     val dims = try r.dataset(dsPath).dims finally r.close()
     require(dims.length == 2, s"$dsPath is not 2-d")
     val (nr, nc) = (dims(0), dims(1))
-    val rowsPer = math.max(1L, nr / nPartitions)
+    // per-task element count must stay well under Int.MaxValue (the slice
+    // materializes as one byte array): cap rows-per-task accordingly
+    val maxRowsPerTask = math.max(1L, (Int.MaxValue / 16) / math.max(1L, nc))
+    val rowsPer = math.max(1L, math.min(nr / nPartitions, maxRowsPerTask))
     val tasks = (0L until nr by rowsPer).map(r0 => (r0, math.min(nr, r0 + rowsPer)))
     val rdd = spark.sparkContext.parallelize(tasks, tasks.size).flatMap { case (r0, r1) =>
       val rr = new H5Reader(path)
       try {
         val ds = rr.dataset(dsPath)
         val vals = ds.readDoubles(r0 * nc, r1 * nc)
-        (0 until ((r1 - r0) * nc).toInt).iterator.filter(vals(_) != 0.0).map { i =>
-          val row = r0 + i / nc; val colI = i % nc
-          if (transpose) Row(colI.toLong, row, vals(i)) else Row(row, colI.toLong, vals(i))
-        }.toVector
+        (0L until (r1 - r0) * nc).iterator
+          .filter(i => vals(i.toInt) != 0.0).map { i =>
+            val row = r0 + i / nc; val colI = i % nc
+            if (transpose) Row(colI, row, vals(i.toInt)) else Row(row, colI, vals(i.toInt))
+          }.toVector
       } finally rr.close()
     }
     spark.createDataFrame(rdd, cooSchema)
@@ -196,7 +200,9 @@ object H5Sources {
     val r = new H5Reader(path)
     val (grp, featIds, featNames, featTypes, barcodes) = try {
       val rootKeys = r.childNames("")
-      val g = rootKeys.head
+      // modern files root at "matrix"; legacy (multi-)genome roots are
+      // picked deterministically by name (children order is not stable)
+      val g = if (rootKeys.contains("matrix")) "matrix" else rootKeys.sorted.head
       if (g == "matrix") {
         val ids = r.dataset("matrix/features/id").readStrings()
         val names = r.dataset("matrix/features/name").readStrings()
@@ -294,20 +300,36 @@ object H5Sources {
     * AnnData-compatible file: X as a CSR group with encoding attrs, obs
     * and var frames with `_index` + column-order attrs. String columns
     * are fixed-size (vs the reference's vlen) — readable by h5py/AnnData
-    * either way. Data streams through toLocalIterator in cell order, so
-    * driver memory stays bounded by one partition, not the matrix.
+    * either way.
+    *
+    * Cell and feature ids in `coo` may be ARBITRARY (masked/sparse) —
+    * they are re-indexed to dense CSR positions against the provided
+    * cells/feats frames (cell_id sort order), so a filtered DataStore
+    * exports correctly. Single-node boundary: the CSR arrays and the
+    * output file are built in driver memory (same boundary as the
+    * reference's h5py writer); files are capped at 2 GB by the in-memory
+    * builder — `save` raises past that rather than corrupting.
     */
   def toH5ad(coo: DataFrame, cells: DataFrame, feats: DataFrame, path: String): Unit = {
     val nCells = cells.count().toInt
     val nFeats = feats.count().toInt
+    // dense re-index: ordinal position of each id in its metadata frame
+    val cellRemap = graft.ops.Windows.globalOrdinal(
+        cells.select("cell_id"), Seq(col("cell_id")), "pos")
+      .select(col("cell_id"), (col("pos") - 1).as("c_pos"))
+    val featRemap = graft.ops.Windows.globalOrdinal(
+        feats.select("feat_id"), Seq(col("feat_id")), "pos")
+      .select(col("feat_id"), (col("pos") - 1).as("f_pos"))
     val w = new H5Writer
-    // X: stream CSR in cell order
+    // X: stream CSR in dense cell order
     val indptr = new Array[Long](nCells + 1)
     val dataB = scala.collection.mutable.ArrayBuffer.empty[Double]
     val idxB = scala.collection.mutable.ArrayBuffer.empty[Int]
-    val it = coo.select(col("cell_id").cast("long"), col("feat_id").cast("long"),
-        col("value").cast("double"))
-      .orderBy("cell_id", "feat_id").toLocalIterator()
+    val it = coo
+      .join(cellRemap, Seq("cell_id"))
+      .join(broadcast(featRemap), Seq("feat_id"))
+      .select(col("c_pos"), col("f_pos"), col("value").cast("double"))
+      .orderBy("c_pos", "f_pos").toLocalIterator()
     var prev = 0L
     var n = 0L
     while (it.hasNext) {

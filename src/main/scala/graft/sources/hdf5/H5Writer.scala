@@ -436,6 +436,9 @@ final class H5Writer {
   def save(path: String): Unit = {
     val out = new Out
     out.alloc(96) // superblock v0 incl. root symbol table entry
+    // the in-memory builder is capped at 2 GB; fail loudly, never truncate
+    def guard(): Unit = require(out.len < Int.MaxValue.toLong,
+      "H5Writer in-memory builder exceeds 2 GB — split the export")
     val rootAddr = writeGroup(out, root)
     val sb = le(96) { b =>
       b.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
@@ -456,6 +459,7 @@ final class H5Writer {
       b.putLong(0L); b.putLong(0L)
     }
     out.write(0L, sb)
+    guard()
     val f = new java.io.FileOutputStream(path)
     try f.write(out.bytes, 0, out.len.toInt) finally f.close()
   }

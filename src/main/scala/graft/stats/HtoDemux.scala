@@ -99,11 +99,17 @@ object HtoDemux {
     import spark.implicits._
     val htos = counts.select("hto").distinct().as[String].collect().sorted
     val k = htos.length + 1
+    // densify: sparse inputs (COO-derived) may omit zero (cell, hto)
+    // rows; ragged CLR vectors would crash KMeans on mixed dimensions
+    val denseCounts = counts.select("cell_id").distinct()
+      .crossJoin(broadcast(counts.select("hto").distinct()))
+      .join(counts, Seq("cell_id", "hto"), "left")
+      .na.fill(0.0, Seq("count"))
     // CLR: f(hto) = exp(Σ_cells log1p(x) / nCells); clr = log1p(x / f)
-    val nCells = counts.select("cell_id").distinct().count()
-    val f = counts.groupBy("hto")
+    val nCells = denseCounts.select("cell_id").distinct().count()
+    val f = denseCounts.groupBy("hto")
       .agg((exp(sum(log1p(col("count"))) / nCells)).as("f"))
-    val clr = counts.join(broadcast(f), Seq("hto"))
+    val clr = denseCounts.join(broadcast(f), Seq("hto"))
       .select(col("cell_id"), col("hto"), log1p(col("count") / col("f")).as("clr"))
     // assemble fixed-order CLR vectors and cluster
     val hIdx = htos.zipWithIndex.toMap
@@ -122,7 +128,7 @@ object HtoDemux {
     // NB cutoffs from background count HISTOGRAMS (counts are discrete —
     // only (value, multiplicity) pairs reach the driver, so the fit costs
     // |distinct values| regardless of cell count)
-    val bgVals = counts.join(clusters, Seq("cell_id"))
+    val bgVals = denseCounts.join(clusters, Seq("cell_id"))
       .join(broadcast(bg), Seq("hto"))
       .filter(col("cluster") === col("bg_cluster"))
       .groupBy(col("hto"), col("count").cast("double").as("v"))
@@ -133,7 +139,7 @@ object HtoDemux {
         bgVals.getOrElse(h, Array.empty).map(t => (t._2, t._3)).sortBy(_._1),
         quantile)).toMap
     val cutDf = cutoffs.toSeq.toDF("hto", "cutoff")
-    val disc = counts.join(broadcast(cutDf), Seq("hto"))
+    val disc = denseCounts.join(broadcast(cutDf), Seq("hto"))
       .select(col("cell_id"), col("hto"), col("count"),
         (col("count") > col("cutoff")).cast("int").as("pos"))
     val best = disc.withColumn("rn", row_number().over(

@@ -60,7 +60,8 @@ object Pseudobulk {
   def binnedSampling(values: DataFrame, featureSet: DataFrame, ctrlSize: Int,
                      nBins: Int, seed: Long = 4466L): DataFrame = {
     val n = values.count()
-    val nItems = math.floor(n.toDouble / (nBins - 1) + 0.5)
+    // guard tiny feature sets: round(n/(nBins-1)) = 0 would null every cut
+    val nItems = math.max(1.0, math.floor(n.toDouble / (nBins - 1) + 0.5))
     // min-rank by value: 1 + (count of strictly smaller values)
     val perVal = values.groupBy("value").agg(count(lit(1)).cast("double").as("cnt"))
     val ranked = graft.ops.Windows.runningTotal(perVal,

@@ -209,6 +209,27 @@ class H5Spec extends SparkSpec {
     assert(var2.count() == 4)
   }
 
+  test("toH5ad re-indexes masked/sparse ids to dense CSR positions") {
+    import spark.implicits._
+    // non-prefix cell ids and sparse feature ids
+    val coo = Seq((5L, 10L, 2.0), (5L, 30L, 1.0), (42L, 10L, 7.0))
+      .toDF("cell_id", "feat_id", "value")
+    val cells = Seq((5L, "c5"), (42L, "c42")).toDF("cell_id", "ids")
+    val feats = Seq((10L, "gA"), (30L, "gB")).toDF("feat_id", "ids")
+    val p = tmp("masked.h5ad")
+    H5Sources.toH5ad(coo, cells, feats, p)
+    val r = new H5Reader(p)
+    try {
+      assert(r.dataset("X/indptr").readLongs().toSeq == Seq(0L, 2L, 3L))
+      assert(r.dataset("X/indices").readLongs().toSeq == Seq(0L, 1L, 0L))
+      assert(r.dataset("obs/_index").readStrings().toSeq == Seq("c5", "c42"))
+    } finally r.close()
+    val (coo2, _, _) = H5Sources.h5ad(spark, p)
+    val got = coo2.orderBy("cell_id", "feat_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq
+    assert(got == Seq((0L, 0L, 2.0), (0L, 1L, 1.0), (1L, 0L, 7.0)))
+  }
+
   test("DataStore round-trips through h5ad: fromH5ad(toH5ad(ds)) preserves the matrix") {
     val ds = graft.pipeline.DataStore.fromTestData(spark, "/root/testdata/sf0.001")
       .withQcStats

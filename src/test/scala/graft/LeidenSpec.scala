@@ -71,6 +71,17 @@ class LeidenSpec extends SparkSpec {
     assert(Set(refined(3L), refined(4L), refined(5L)).size == 1)
   }
 
+  test("distributed refine keeps a long-diameter connected community whole") {
+    import spark.implicits._
+    // 30-node path: min-label propagation needs ~29 rounds — a fixed
+    // round cap would wrongly split it; convergence looping must not
+    val path = (0L until 29L).map(i => (i, i + 1, 1.0)).toDF("src", "dst", "weight")
+    val labels = (0L to 29L).map(n => (n, 1L)).toDF("cell_id", "cluster")
+    val refined = DistributedLouvain.refine(path, labels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(refined.values.toSet.size == 1, s"path community split: $refined")
+  }
+
   test("distributed louvain + refine covers all nodes with dense 1-based ids") {
     val clustered = DistributedLouvain.cluster(cliquePair, rounds = 4)
     val refined = DistributedLouvain.refine(cliquePair, clustered)

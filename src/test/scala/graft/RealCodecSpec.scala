@@ -81,4 +81,21 @@ class RealCodecSpec extends SparkSpec {
       Array[Byte](1, 2, 3, 4))).toDS()).collect()
     assert(bad.isEmpty)
   }
+
+  test("corrupt payloads drop across all decoders (one bad file must not fail the job)") {
+    import spark.implicits._
+    val truncatedPng = pngBytes(8, 8, (_, _) => 0xFFFFFF).take(20) // valid magic, cut body
+    val garbage = Array.fill[Byte](64)(0x42)
+    val good = pngBytes(4, 4, (_, _) => 0x000000)
+    val media = Seq(Media(1L, "image/png", truncatedPng),
+      Media(2L, "image/png", garbage), Media(3L, "image/png", good)).toDS()
+    val metas = Multimodal.decodeImages(media).collect()
+    assert(metas.map(_.doc_id).toSet == Set(3L), "only the intact image survives")
+    // truncated RIFF header for audio
+    val wav = wavBytes(440.0, 8000f, 0.1, 0.5)
+    val cut = wav.take(30)
+    val a = Multimodal.decodeAudio(Seq(Media(4L, "audio/wav", cut),
+      Media(5L, "audio/wav", wav)).toDS()).collect()
+    assert(a.map(_.doc_id).toSet == Set(5L))
+  }
 }

@@ -85,6 +85,18 @@ class StatFidelitySpec extends SparkSpec {
     assert((140L until 170L).forall(calls(_) == "Negative"))
   }
 
+  test("hto demux densifies sparse (cell, hto) inputs instead of crashing KMeans") {
+    import spark.implicits._
+    // cells 0-19 have ONLY an HTO1 row (HTO2 omitted = implicit zero)
+    val rows = (0L until 20L).map(c => (c, "HTO1", 150.0)) ++
+      (20L until 40L).flatMap(c => Seq((c, "HTO1", 1.0), (c, "HTO2", 160.0)))
+    val calls = HtoDemux.demux(rows.toDF("cell_id", "hto", "count"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(calls.size == 40)
+    assert((0L until 20L).forall(calls(_) == "HTO1"))
+    assert((20L until 40L).forall(calls(_) == "HTO2"))
+  }
+
   test("binnedSampling draws at most ctrlSize per cut, seeded, excluding the set") {
     import spark.implicits._
     val values = (1 to 300).map(i => (i.toLong, i / 10.0)).toDF("feat_id", "value")
