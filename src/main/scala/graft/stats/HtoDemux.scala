@@ -101,10 +101,13 @@ object HtoDemux {
     val k = htos.length + 1
     // densify: sparse inputs (COO-derived) may omit zero (cell, hto)
     // rows; ragged CLR vectors would crash KMeans on mixed dimensions
+    // cached: feeds the CLR stage, the background fit and the
+    // discretization — three separate actions
     val denseCounts = counts.select("cell_id").distinct()
       .crossJoin(broadcast(counts.select("hto").distinct()))
       .join(counts, Seq("cell_id", "hto"), "left")
       .na.fill(0.0, Seq("count"))
+      .cache()
     // CLR: f(hto) = exp(Σ_cells log1p(x) / nCells); clr = log1p(x / f)
     val nCells = denseCounts.select("cell_id").distinct().count()
     val f = denseCounts.groupBy("hto")
