@@ -247,6 +247,31 @@ object H5Sources {
     }
   }
 
+  /** CrToZarr's multi-assay split (scarf/writers.py:245-365): partition a
+    * CrH5 COO stream into per-assay matrices by `feature_type`, with
+    * feature ids remapped to dense 0-based per-assay ordinals (the
+    * offset remap the reference applies per feature-index range).
+    * Returns assayName → (coo, feats) with feats carrying the original
+    * id/name columns plus the new dense `feat_id`.
+    */
+  def splitAssays(coo: DataFrame, feats: DataFrame)
+      : Map[String, (DataFrame, DataFrame)] = {
+    val spark = coo.sparkSession
+    import spark.implicits._
+    val types = feats.select("feature_type").distinct().as[String].collect().sorted
+    types.map { t =>
+      val sub = feats.filter(col("feature_type") === t)
+      val remap = graft.ops.Windows.globalOrdinal(
+          sub.select("feat_id"), Seq(col("feat_id")), "pos")
+        .select(col("feat_id"), (col("pos") - 1).as("new_id"))
+      val newFeats = sub.join(remap, Seq("feat_id"))
+        .drop("feat_id").withColumnRenamed("new_id", "feat_id")
+      val newCoo = coo.join(broadcast(remap), Seq("feat_id"))
+        .select(col("cell_id"), col("new_id").as("feat_id"), col("value"))
+      t -> (newCoo, newFeats)
+    }.toMap
+  }
+
   /** LoomReader: dense (features × cells) `matrix` + row/col attrs
     * (scarf/readers.py:976-1120). Output COO is (cell_id, feat_id, value).
     */

@@ -145,6 +145,34 @@ class H5Spec extends SparkSpec {
     assert(g == Seq((0L, 0L, 10.0), (1L, 1L, 8.0)))
   }
 
+  test("splitAssays partitions a CrH5 stream by feature_type with dense remap") {
+    val p = tmp("multi.h5")
+    val w = new H5Writer
+    // feats 0,2 = Gene Expression; feat 1 = Antibody Capture
+    w.putDoubles("matrix/data", Array(5.0, 3.0, 2.0))
+    w.putInts("matrix/indices", Array(0, 1, 2))
+    w.putLongs("matrix/indptr", Array(0L, 2L, 3L))
+    w.putStrings("matrix/barcodes", Array("AAA", "CCC"))
+    w.putStrings("matrix/features/id", Array("G1", "AB1", "G2"))
+    w.putStrings("matrix/features/name", Array("GeneA", "CD3", "GeneB"))
+    w.putStrings("matrix/features/feature_type",
+      Array("Gene Expression", "Antibody Capture", "Gene Expression"))
+    w.save(p)
+    val (coo, _, feats) = H5Sources.crH5(spark, p)
+    val assays = H5Sources.splitAssays(coo, feats)
+    assert(assays.keySet == Set("Gene Expression", "Antibody Capture"))
+    val (gCoo, gFeats) = assays("Gene Expression")
+    // features remap densely: G1 -> 0, G2 -> 1
+    assert(gFeats.orderBy("feat_id").collect().map(_.getAs[String]("id")).toSeq ==
+      Seq("G1", "G2"))
+    val g = gCoo.orderBy("cell_id", "feat_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(g == Seq((0L, 0L, 5.0), (1L, 1L, 2.0)))
+    val (aCoo, _) = assays("Antibody Capture")
+    assert(aCoo.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((0L, 0L, 3.0)))
+  }
+
   test("loom: dense features×cells matrix transposes to (cell, feat) COO") {
     val p = tmp("toy.loom")
     val w = new H5Writer
