@@ -72,8 +72,21 @@ object Dedup {
 
   /** Pairwise n-gram Jaccard similarity via inverted-index self-join:
     * only pairs sharing at least one shingle are scored.
+    *
+    * Hot-shingle guard: a shingle appearing in `df` documents contributes
+    * df² rows to the self-join, so one stopword-like shingle shared by all
+    * docs makes the plan quadratic regardless of bucketing. Shingles with
+    * document frequency > `dfCap` are removed from the shingle universe
+    * (both intersection AND sizes — Jaccard stays a true Jaccard over the
+    * capped universe). They carry no discriminative signal: a shingle in
+    * half the corpus says nothing about any particular pair. This is the
+    * standard df-cap used by large-scale near-dup pipelines.
     */
-  def ngramJaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame = {
+  def ngramJaccardPairs(sh0: DataFrame, minJaccard: Double,
+                        dfCap: Int = 10000): DataFrame = {
+    val hot = sh0.groupBy("shingle").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > dfCap).select("shingle")
+    val sh = sh0.join(hot, Seq("shingle"), "left_anti")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.select(col("shingle"), col("doc_id").as("ida"))
       .join(sh.select(col("shingle"), col("doc_id").as("idb")), Seq("shingle"))

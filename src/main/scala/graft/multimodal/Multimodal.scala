@@ -119,8 +119,93 @@ object Multimodal {
       } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Deterministic stub — retained ONLY for mimes the JDK cannot decode
-    * (video); declared, not hidden.
+  /** Real MP4 / ISO-BMFF container metadata via a box walk — the public
+    * ISO/IEC 14496-12 box structure (size+type headers, ftyp major brand,
+    * moov→mvhd timescale/duration, moov→trak→tkhd 16.16 fixed-point
+    * presentation dims). METADATA only: the JDK has no video codec, so
+    * frame decode stays with the declared [[FakeCodec]] stub; dims and
+    * duration here come from the actual container bytes.
+    */
+  object VideoCodec {
+    case class Mp4Meta(width: Int, height: Int, durationMs: Long, brand: String)
+
+    private def u32(b: java.nio.ByteBuffer): Long = b.getInt() & 0xFFFFFFFFL
+    private def tag(b: java.nio.ByteBuffer): String = {
+      val t = new Array[Byte](4); b.get(t); new String(t, "ISO-8859-1")
+    }
+
+    /** None for anything that isn't well-formed ISO-BMFF — corrupt
+      * payloads drop, same policy as the image/audio codecs.
+      */
+    def mp4Meta(payload: Array[Byte]): Option[Mp4Meta] = try {
+      val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.BIG_ENDIAN)
+      var brand = ""
+      var timescale = 0L; var duration = 0L
+      var w = 0; var h = 0
+      def walk(start: Long, end: Long, depth: Int): Unit = {
+        var p = start
+        var ok = true
+        while (ok && p + 8 <= end) {
+          buf.position(p.toInt)
+          var sz: Long = u32(buf)
+          val typ = tag(buf)
+          var hdr = 8L
+          if (sz == 1) { sz = buf.getLong(); hdr = 16 }
+          else if (sz == 0) sz = end - p
+          if (sz < hdr || p + sz > end) ok = false
+          else {
+            typ match {
+              case "ftyp" => brand = tag(buf)
+              case "moov" | "trak" | "mdia" =>
+                if (depth < 8) walk(p + hdr, p + sz, depth + 1)
+              case "mvhd" =>
+                val ver = buf.get() & 0xFF
+                buf.position(buf.position() + 3) // flags
+                // v1: 64-bit ctime/mtime/duration; v0: 32-bit
+                buf.position(buf.position() + (if (ver == 1) 16 else 8))
+                timescale = u32(buf)
+                duration = if (ver == 1) buf.getLong() else u32(buf)
+              case "tkhd" =>
+                val ver = buf.get() & 0xFF
+                buf.position(buf.position() + 3)
+                buf.position(buf.position() + (if (ver == 1) 32 else 20))
+                buf.position(buf.position() + 52) // reserved+layer+volume+matrix
+                val tw = (u32(buf) >> 16).toInt // 16.16 fixed point
+                val th = (u32(buf) >> 16).toInt
+                if (tw > 0 && th > 0) { w = math.max(w, tw); h = math.max(h, th) }
+              case _ =>
+            }
+            p += sz
+          }
+        }
+      }
+      walk(0, payload.length.toLong, 0)
+      if (brand.nonEmpty || timescale > 0 || w > 0)
+        Some(Mp4Meta(w, h,
+          if (timescale > 0) duration * 1000 / timescale else 0L, brand))
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  case class VideoMeta(doc_id: Long, width: Int, height: Int,
+                       duration_ms: Long, brand: String)
+
+  /** Real container metadata over a video corpus, partition-batched;
+    * non-BMFF payloads drop.
+    */
+  def decodeVideoMeta(media: Dataset[Media]): Dataset[VideoMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        VideoCodec.mp4Meta(m.payload).map(v =>
+          VideoMeta(m.doc_id, v.width, v.height, v.durationMs, v.brand))
+      }
+    }
+  }
+
+  /** Deterministic stub — retained ONLY for payloads without any JDK
+    * decode path (video FRAMES; container metadata is real, see
+    * [[VideoCodec]]); declared, not hidden.
     */
   object FakeCodec {
     def dims(payload: Array[Byte]): (Int, Int) = {

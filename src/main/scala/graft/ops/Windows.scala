@@ -61,17 +61,19 @@ object Windows {
     */
   def ntileBin(df: DataFrame, order: Seq[Column], n: Int,
                binCol: String = "bin"): DataFrame = {
-    val ranked = globalOrdinal(df, order, "_r")
-    val cnt = ranked.agg(count(lit(1)).as("_c"))
-    ranked.crossJoin(broadcast(cnt))
-      .withColumn("_q", expr(s"_c div $n"))
-      .withColumn("_m", col("_c") % n)
+    // The total row count falls out of globalOrdinal's partition-count
+    // pass — fold it in as literals instead of a second full scan
+    // (count agg) + cross join, which doubled this operator's cost.
+    val (ranked, c) = globalOrdinalWithCount(df, order, "_r")
+    val q = c / n
+    val m = c % n
+    ranked
       .withColumn(binCol,
-        when(col("_r") <= col("_m") * (col("_q") + 1),
-          expr("(_r - 1) div (_q + 1)") + 1)
-          .otherwise(col("_m") + expr("(_r - _m * (_q + 1) - 1) div greatest(_q, 1)") + 1)
+        when(col("_r") <= lit(m * (q + 1)),
+          expr(s"(_r - 1) div ${q + 1}") + 1)
+          .otherwise(lit(m) + expr(s"(_r - ${m * (q + 1)} - 1) div ${math.max(q, 1)}") + 1)
           .cast("int"))
-      .drop("_r", "_c", "_q", "_m")
+      .drop("_r")
   }
 
   /** Global 1-based ordinal in `order`-column order WITHOUT a
@@ -81,10 +83,20 @@ object Windows {
     * frame is unbounded — used by the merge interleave; semantics are
     * identical given a total ordering.
     */
-  def globalOrdinal(df: DataFrame, order: Seq[Column], out: String = "pos"): DataFrame = {
+  def globalOrdinal(df: DataFrame, order: Seq[Column], out: String = "pos"): DataFrame =
+    globalOrdinalWithCount(df, order, out)._1
+
+  /** globalOrdinal plus the (already-computed) total row count — callers
+    * needing both (ntileBin) avoid a second scan.
+    */
+  def globalOrdinalWithCount(df: DataFrame, order: Seq[Column],
+                             out: String = "pos"): (DataFrame, Long) = {
     val sorted = df.orderBy(order: _*)
     val spark = df.sparkSession
-    val rdd = sorted.rdd
+    // Persist between the two passes: without it the range-partitioned sort
+    // runs twice (once for the counts job, once for the data scan). The
+    // ContextCleaner reclaims the block once the RDD is unreachable.
+    val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = rdd.mapPartitionsWithIndex { (i, it) =>
       Iterator((i, it.size.toLong))
     }.collect().sortBy(_._1).map(_._2)
@@ -93,9 +105,10 @@ object Windows {
       var p = offsets(i)
       it.map { row => p += 1; org.apache.spark.sql.Row.fromSeq(row.toSeq :+ p) }
     }
-    spark.createDataFrame(withPos,
+    (spark.createDataFrame(withPos,
       org.apache.spark.sql.types.StructType(sorted.schema.fields :+
-        org.apache.spark.sql.types.StructField(out, org.apache.spark.sql.types.LongType, nullable = false)))
+        org.apache.spark.sql.types.StructField(out, org.apache.spark.sql.types.LongType, nullable = false))),
+      offsets.last)
   }
 
   /** Exclusive running total of `valueCol` in `order`-column order WITHOUT
@@ -108,7 +121,8 @@ object Windows {
     val sorted = df.orderBy(order: _*)
     val spark = df.sparkSession
     val vIdx = sorted.schema.fieldIndex(valueCol)
-    val rdd = sorted.rdd
+    // Same two-pass persist as globalOrdinal: avoid re-running the sort.
+    val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sums = rdd.mapPartitionsWithIndex { (i, it) =>
       Iterator((i, it.map(_.getAs[Number](vIdx).doubleValue()).sum))
     }.collect().sortBy(_._1).map(_._2)

@@ -63,9 +63,17 @@ case class DataStore(
   }
 
   /** make_graph (scarf/datastore/graph_datastore.py:513-1020): normalize →
-    * assemble vectors over the HVG slice → z-scale+PCA → self-KNN (exact,
-    * or LSH-bucketed ANN via `ann = true` — the reference's pluggable ANN
-    * strategy) → UMAP-style smoothing. Caches `latent`, `knn`, `edges`.
+    * assemble vectors over the HVG slice → z-scale+PCA → self-KNN → UMAP-
+    * style smoothing. Caches `latent`, `knn`, `edges`.
+    *
+    * KNN strategy: `ann = None` (the default) auto-selects — the scale-safe
+    * LSH-bucketed ANN (`Knn.bucketedSelfKnn`, the analogue of the
+    * reference's default HNSW index, scarf/ann.py:290-326) whenever the
+    * active cell count exceeds `annThreshold`, exact blocked top-k below it
+    * (where O(n²) is trivially cheap and recall is 1.0). `Some(true)` /
+    * `Some(false)` force a strategy; exact remains the explicit
+    * correctness mode. The default orchestration therefore never runs an
+    * O(n²) join at cluster scale.
     *
     * With `cacheRoot` set, each stage persists at a param-encoded path
     * guarded by the input fingerprint (CacheStore) and the `latest_*`
@@ -73,14 +81,16 @@ case class DataStore(
     * (graph_datastore.py:738-780). A repeat call with unchanged mask and
     * params is a metadata read, exactly like the reference's Zarr reuse.
     */
-  def makeGraph(dims: Int = 11, k: Int = 11, ann: Boolean = false,
+  def makeGraph(dims: Int = 11, k: Int = 11, ann: Option[Boolean] = None,
+                annThreshold: Long = 10000,
                 cacheRoot: Option[String] = None): DataStore = {
     val sel = feats.filter(col("hvg")).select("feat_id")
     val normed = Normalize.libSizeLog(activeCoo)
       .join(broadcast(sel), Seq("feat_id"))
       .select("cell_id", "feat_id", "normed")
+    val useAnn = ann.getOrElse(cells.filter(col("I")).count() > annThreshold)
     def knnOf(latent: DataFrame) =
-      if (ann) Knn.bucketedSelfKnn(latent, k) else Knn.exactSelfKnn(latent, k)
+      if (useAnn) Knn.bucketedSelfKnn(latent, k) else Knn.exactSelfKnn(latent, k)
     cacheRoot match {
       case None =>
         val fi = Reduce.featureIndex(sel)
@@ -93,7 +103,7 @@ case class DataStore(
         val spark = coo.sparkSession
         val cs = new graft.core.CacheStore(rootDir)
         val params = Map("dims" -> dims.toString, "k" -> k.toString,
-          "ann" -> ann.toString)
+          "ann" -> useAnn.toString)
         val latent = cs.getOrCompute(spark, "latent", params, normed) {
           Reduce.pca(Reduce.assembleVectors(normed, Reduce.featureIndex(sel),
             "normed"), dims)

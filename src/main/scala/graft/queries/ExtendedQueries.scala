@@ -170,6 +170,7 @@ object ExtendedQueries {
     // run_pseudotime_aggregation's relational core (scarf/assay.py:577-696):
     // order cells by pseudotime, densify the top-feature slice, centered
     // rolling mean, per-feature z-scale, ntile-bin, per-bin means.
+    // (PtimeAgg.binnedProfiles — the same stage feeds q67's full chain.)
     "q56_ptime_agg" -> ((s, d) => {
       val coo = Tables.coo(s, d).groupBy("cell_id", "feat_id")
         .agg(sum(col("value")).as("value"))
@@ -177,22 +178,44 @@ object ExtendedQueries {
         .orderBy(col("nnz").desc, col("feat_id")).limit(20).select("feat_id")
       val ptime = tb(s, d, "orders").select(col("o_orderkey").as("cell_id"),
         unix_millis(to_utc_timestamp(col("o_orderdate"), "UTC")).as("ptime"))
-      val dense = ptime.crossJoin(broadcast(sel))
-        .join(coo, Seq("cell_id", "feat_id"), "left")
-        .select(col("cell_id"), col("feat_id"), col("ptime"),
-          coalesce(col("value"), lit(0.0)).as("v"))
-      val w = Window.partitionBy("feat_id").orderBy("ptime", "cell_id")
-      val rolled = dense.withColumn("r",
-        avg(col("v")).over(w.rowsBetween(-2, 2)))
-      val stats = rolled.groupBy("feat_id").agg(
-        avg(col("r")).as("mu"), stddev_samp(col("r")).as("sd"))
-      rolled.join(broadcast(stats), Seq("feat_id"))
-        .withColumn("z", (col("r") - col("mu")) / col("sd"))
-        .withColumn("bin", ntile(20).over(w))
-        .groupBy("feat_id", "bin")
-        .agg(round(avg(col("z")), 6).as("z_mean"))
-        .select(col("feat_id"), col("bin"), col("z_mean"))
+      graft.pipeline.PtimeAgg.binnedProfiles(coo, ptime, sel,
+          halfWidth = 2, nBins = 20)
+        .select(col("feat_id"), col("bin"), round(col("z_mean"), 6).as("z_mean"))
         .orderBy("feat_id", "bin")
+    }),
+
+    // add_grouped_assay (scarf/datastore/datastore.py:824-894): features
+    // collapsed into module identities, per-(cell, group) dense mean of
+    // lib-size-normalized values; group -1 excluded.
+    "q65_grouped_assay" -> ((s, d) => {
+      val normed = graft.norm.Normalize.libSize(Tables.coo(s, d))
+        .select("cell_id", "feat_id", "normed")
+      val groups = tb(s, d, "part").select(col("p_partkey").as("feat_id"),
+        when(col("p_partkey") % 7 === 0, lit(-1L))
+          .otherwise(col("p_partkey") % 5).as("group"))
+      val cells = tb(s, d, "orders").select(col("o_orderkey").as("cell_id"))
+      graft.ops.Meld.groupedAssay(normed, groups, cells)
+        .select(col("cell_id"), col("group"),
+          round(col("mean_normed"), 6).as("mean_normed"))
+        .orderBy("cell_id", "group")
+    }),
+
+    // create_counts_mat (scarf/meld_assay.py:385-440): TF-IDF → peak→
+    // feature many-to-one sum (some peaks feed two features) → per-cell
+    // rescale to 1e5.
+    "q66_counts_mat" -> ((s, d) => {
+      val parts = tb(s, d, "part")
+      val m1 = parts.select(col("p_partkey").as("feat_id"),
+        expr("p_partkey div 10").as("new_feat"))
+      val m2 = parts.filter(col("p_partkey") % 3 === 0)
+        .select(col("p_partkey").as("feat_id"),
+          expr("p_partkey div 10 + 1").as("new_feat"))
+      val coo = Tables.coo(s, d)
+      graft.ops.Meld.createCountsMat(coo, m1.unionByName(m2),
+          Tables.nCells(coo), scalarCoeff = 1e5, renormalization = true)
+        .select(col("cell_id"), col("new_feat"),
+          round(col("value"), 6).as("value"))
+        .orderBy("cell_id", "new_feat")
     }),
 
     "q52_dummy_assay" -> ((s, d) => {
@@ -428,5 +451,51 @@ object ExtendedQueries {
          SELECT COALESCE(a.feat_id, b.feat_id) AS feat_id,
                 COALESCE(a.sum_a, 0) AS sum_a, COALESCE(b.sum_b, 0) AS sum_b
          FROM a FULL OUTER JOIN b ON a.feat_id = b.feat_id
-         ORDER BY feat_id""")
+         ORDER BY feat_id""",
+
+    "q65_grouped_assay" ->
+      """WITH normed AS (
+           SELECT l_orderkey AS cell_id, l_partkey AS feat_id,
+                  10000.0 * l_quantity / SUM(l_quantity) OVER (PARTITION BY l_orderkey) AS normed
+           FROM lineitem),
+         g AS (
+           SELECT p_partkey AS feat_id, p_partkey % 5 AS grp
+           FROM part WHERE p_partkey % 7 <> 0),
+         sizes AS (SELECT grp, COUNT(*) AS gsz FROM g GROUP BY grp),
+         sums AS (
+           SELECT n.cell_id, g.grp, SUM(n.normed) AS gsum
+           FROM normed n JOIN g ON n.feat_id = g.feat_id
+           GROUP BY n.cell_id, g.grp),
+         cells AS (SELECT o_orderkey AS cell_id FROM orders)
+         SELECT c.cell_id, s.grp AS "group",
+                ROUND(COALESCE(m.gsum, 0) / s.gsz, 6) AS mean_normed
+         FROM cells c CROSS JOIN sizes s
+         LEFT JOIN sums m ON c.cell_id = m.cell_id AND s.grp = m.grp
+         ORDER BY c.cell_id, "group"""",
+
+    "q66_counts_mat" ->
+      """WITH n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_total_cells FROM lineitem),
+         idf AS (
+           SELECT l_partkey AS feat_id,
+                  LOG2(1 + n.n_total_cells / (COUNT(CASE WHEN l_quantity > 0 THEN 1 END) + 1)) AS idf
+           FROM lineitem CROSS JOIN n GROUP BY l_partkey, n.n_total_cells),
+         tf AS (
+           SELECT l_orderkey AS cell_id, l_partkey AS feat_id, l_quantity,
+                  COUNT(CASE WHEN l_quantity > 0 THEN 1 END) OVER (PARTITION BY l_orderkey) AS nf
+           FROM lineitem),
+         tfidf AS (
+           SELECT tf.cell_id, tf.feat_id, tf.l_quantity / tf.nf * idf.idf AS normed
+           FROM tf JOIN idf ON tf.feat_id = idf.feat_id),
+         map AS (
+           SELECT p_partkey AS feat_id, p_partkey // 10 AS new_feat FROM part
+           UNION ALL
+           SELECT p_partkey, p_partkey // 10 + 1 FROM part WHERE p_partkey % 3 = 0),
+         melded AS (
+           SELECT t.cell_id, m.new_feat, SUM(t.normed) AS value
+           FROM tfidf t JOIN map m ON t.feat_id = m.feat_id
+           GROUP BY t.cell_id, m.new_feat),
+         rs AS (SELECT cell_id, SUM(value) AS rs FROM melded GROUP BY cell_id)
+         SELECT m.cell_id, m.new_feat, ROUND(100000.0 * m.value / r.rs, 6) AS value
+         FROM melded m JOIN rs r ON m.cell_id = r.cell_id
+         ORDER BY m.cell_id, m.new_feat""")
 }

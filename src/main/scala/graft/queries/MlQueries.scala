@@ -90,6 +90,22 @@ object MlQueries {
         .orderBy("cluster")
     }),
 
+    // run_pseudotime_aggregation end-to-end (q56's oracled bin stage →
+    // feature self-KNN → Paris cut_straight → argmax-median module
+    // reorder, scarf/markers.py:323-439); Paris is not SQL-expressible,
+    // so the chain is rows-checked here and value-checked in PtimeAggSpec
+    "q67_knn_clustering" -> ((s, d) => {
+      val coo = Tables.coo(s, d).groupBy("cell_id", "feat_id")
+        .agg(sum(col("value")).as("value"))
+      val sel = coo.groupBy("feat_id").agg(count(lit(1)).as("nnz"))
+        .orderBy(col("nnz").desc, col("feat_id")).limit(40).select("feat_id")
+      val ptime = Tables.t(s, d, "orders").select(col("o_orderkey").as("cell_id"),
+        unix_millis(to_utc_timestamp(col("o_orderdate"), "UTC")).as("ptime"))
+      graft.pipeline.PtimeAgg.runPseudotimeAggregation(coo, ptime, sel,
+          halfWidth = 2, nBins = 20, k = 5, nClusters = 4)
+        .orderBy("feat_id")
+    }),
+
     // lazy-PPR pseudotime over the SNN co-occurrence graph
     "q55_pseudotime" -> ((s, d) => {
       val edges = Tables.t(s, d, "lineitem").filter(col("l_partkey") % 10 === 0)

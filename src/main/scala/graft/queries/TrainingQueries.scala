@@ -68,7 +68,7 @@ object TrainingQueries {
         .orderBy("ida", "idb")),
 
     "q35_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(sh(s, d), 0.01)
+      Dedup.ngramJaccardPairs(sh(s, d), 0.01, dfCap = 500)
         .select(col("ida"), col("idb"), col("inter"),
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy("ida", "idb")),
@@ -281,10 +281,13 @@ object TrainingQueries {
 
     "q35_ngram_jaccard" ->
       s"""WITH $shSql,
-         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         shc AS (
+           SELECT * FROM sh WHERE shingle IN (
+             SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 500)),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id),
          inter AS (
            SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter
-           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
          SELECT i.ida AS ida, i.idb AS idb, i.inter AS inter,
                 ROUND(i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) AS jaccard

@@ -334,6 +334,24 @@ final class H5Reader(path: String) extends AutoCloseable {
   def children(addr: Long): Map[String, Long] = {
     val msgs = parseObjectHeader(addr)
     val out = mutable.LinkedHashMap.empty[String, Long]
+    // Link Info (0x0002) with a defined fractal-heap address marks DENSE
+    // link storage (libhdf5 switches to it past the compact-links limit).
+    // We don't walk fractal heaps; fail loudly rather than silently
+    // reading such a group as empty.
+    var denseLinks = false
+    msgs.foreach { m =>
+      val b = ByteBuffer.wrap(m.body).order(ByteOrder.LITTLE_ENDIAN)
+      m.typ match {
+        case 0x0002 =>
+          val ver = u8(b); val flags = u8(b)
+          if (ver == 0) {
+            if ((flags & 0x1) != 0) u64(b) // max creation index
+            val fheap = u64(b)
+            if (fheap != -1L) denseLinks = true // -1 = undefined address
+          }
+        case _ =>
+      }
+    }
     msgs.foreach { m =>
       val b = ByteBuffer.wrap(m.body).order(ByteOrder.LITTLE_ENDIAN)
       m.typ match {
@@ -356,6 +374,8 @@ final class H5Reader(path: String) extends AutoCloseable {
         case _ =>
       }
     }
+    require(!(denseLinks && out.isEmpty),
+      s"group at $addr uses dense link storage (fractal heap) — unsupported")
     // preserve link order (plain .toMap would hash-scramble it; legacy
     // multi-group roots need deterministic iteration)
     scala.collection.immutable.ListMap(out.toSeq: _*)

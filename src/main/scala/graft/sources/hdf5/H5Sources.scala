@@ -315,7 +315,10 @@ object H5Sources {
     val cells = cellNames.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toSeq
       .toDF("cell_id", "id")
     val feats = geneNames.zipWithIndex.map { case (n, i) =>
-      (i.toLong, s"feature_$i", n.split("_").dropRight(1).mkString("_"))
+      // rsplit("_", 1)[0] (readers.py:957): strip only PAST the last
+      // underscore; a name with no underscore keeps its full form
+      val cut = n.lastIndexOf('_')
+      (i.toLong, s"feature_$i", if (cut >= 0) n.substring(0, cut) else n)
     }.toSeq.toDF("feat_id", "id", "name")
     (coo, cells, feats)
   }
@@ -374,23 +377,43 @@ object H5Sources {
     w.attrLongs("X", "shape", Array(nCells.toLong, nFeats.toLong))
 
     // order by the internal ordinal, drop it, and map the `ids` column to
-    // `_index` (scarf/writers.py:1204: save_attr("obs", "_index", "ids"))
-    def writeFrame(grp: String, df: DataFrame, ordCol: String): Unit = {
+    // `_index` (scarf/writers.py:1204: save_attr("obs", "_index", "ids")).
+    // A frame WITHOUT an `ids` column (e.g. crH5 output keyed by barcode)
+    // gets `_index` synthesized from the ordinal — the dataframe-encoding
+    // attrs must never name a dataset that doesn't exist (silent AnnData
+    // incompatibility otherwise). Rows stream via toLocalIterator like the
+    // matrix path, so a very tall obs never collects as a Row[].
+    def writeFrame(grp: String, df0: DataFrame, ordCol: String): Unit = {
+      val df = if (df0.columns.contains("ids")) df0
+               else df0.withColumn("ids", col(ordCol).cast("string"))
       val cols = df.columns.toSeq.filterNot(_ == ordCol)
-      val local = df.orderBy(ordCol).collect()
-      val outCols = scala.collection.mutable.ArrayBuffer.empty[String]
-      cols.foreach { c =>
-        val name = if (c == "ids") "_index" else c
-        val i = df.columns.indexOf(c)
-        df.schema(c).dataType match {
-          case LongType | IntegerType =>
-            w.putLongs(s"$grp/$name", local.map(_.get(i).asInstanceOf[Number].longValue()))
-          case DoubleType | FloatType =>
-            w.putDoubles(s"$grp/$name", local.map(_.get(i).asInstanceOf[Number].doubleValue()))
-          case _ =>
-            w.putStrings(s"$grp/$name", local.map(r => String.valueOf(r.get(i))))
+      val longB = Map.empty[String, scala.collection.mutable.ArrayBuffer[Long]] ++
+        cols.collect { case c if (df.schema(c).dataType == LongType ||
+          df.schema(c).dataType == IntegerType) =>
+          c -> scala.collection.mutable.ArrayBuffer.empty[Long] }
+      val dblB = Map.empty[String, scala.collection.mutable.ArrayBuffer[Double]] ++
+        cols.collect { case c if (df.schema(c).dataType == DoubleType ||
+          df.schema(c).dataType == FloatType) =>
+          c -> scala.collection.mutable.ArrayBuffer.empty[Double] }
+      val strB = Map.empty[String, scala.collection.mutable.ArrayBuffer[String]] ++
+        cols.collect { case c if !longB.contains(c) && !dblB.contains(c) =>
+          c -> scala.collection.mutable.ArrayBuffer.empty[String] }
+      val proj = df.orderBy(ordCol).select(cols.map(col): _*)
+      val it = proj.toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        cols.zipWithIndex.foreach { case (c, i) =>
+          if (longB.contains(c)) longB(c) += r.get(i).asInstanceOf[Number].longValue()
+          else if (dblB.contains(c)) dblB(c) += r.get(i).asInstanceOf[Number].doubleValue()
+          else strB(c) += String.valueOf(r.get(i))
         }
-        outCols += name
+      }
+      val outCols = cols.map { c =>
+        val name = if (c == "ids") "_index" else c
+        if (longB.contains(c)) w.putLongs(s"$grp/$name", longB(c).toArray)
+        else if (dblB.contains(c)) w.putDoubles(s"$grp/$name", dblB(c).toArray)
+        else w.putStrings(s"$grp/$name", strB(c).toArray)
+        name
       }
       w.attrStr(grp, "_index", "_index")
       w.attrStrArray(grp, "column-order", outCols.filterNot(_ == "_index").toArray)

@@ -263,6 +263,9 @@ final class H5Writer {
   /** One v1 message with header, body padded to 8. */
   private def msg(typ: Int, body: Array[Byte]): Array[Byte] = {
     val bp = pad8(body.length)
+    // v1 message size is a u16 — fail loudly (same policy as save()'s 2 GB
+    // cap) instead of silently truncating e.g. a huge column-order attr
+    require(bp <= 0xFFFF, s"header message too large ($bp bytes, type $typ)")
     le(8 + bp) { b =>
       b.putShort(typ.toShort); b.putShort(bp.toShort)
       b.put(0.toByte); b.put(0.toByte); b.put(0.toByte); b.put(0.toByte)

@@ -142,7 +142,19 @@ object HtoDemux {
         bgVals.getOrElse(h, Array.empty).map(t => (t._2, t._3)).sortBy(_._1),
         quantile)).toMap
     val cutDf = cutoffs.toSeq.toDF("hto", "cutoff")
-    val disc = denseCounts.join(broadcast(cutDf), Seq("hto"))
+    classify(denseCounts, cutDf)
+  }
+
+  /** The discretize-and-classify tail given per-HTO cutoffs (the pure-
+    * relational back half of hto_demux, scarf/feat_utils.py:140-162):
+    * mark each (cell, hto) positive above its cutoff, then call
+    * Negative (0 positives) / Doublet (>1) / the argmax-count HTO
+    * (ties break to the lexicographically first HTO name). Split out of
+    * [[demux]] so this half is independently oracle-checkable — the
+    * KMeans+NB-MLE front half is the only unoracled remainder.
+    */
+  def classify(denseCounts: DataFrame, cutoffs: DataFrame): DataFrame = {
+    val disc = denseCounts.join(broadcast(cutoffs), Seq("hto"))
       .select(col("cell_id"), col("hto"), col("count"),
         (col("count") > col("cutoff")).cast("int").as("pos"))
     val best = disc.withColumn("rn", row_number().over(

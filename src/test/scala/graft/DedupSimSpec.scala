@@ -34,6 +34,25 @@ class DedupSimSpec extends SparkSpec {
     assert(!p.contains((1L, 4L)))
   }
 
+  test("ngramJaccard dfCap drops a universal hot shingle from the join") {
+    // 40 docs, each with a unique trigram plus one shingle shared by ALL of
+    // them ("common filler words"). Without the cap the hot shingle alone
+    // makes 40*39/2 = 780 candidate pairs; with dfCap below 40 it is
+    // treated as a stopword and contributes none.
+    val hotDocs = (0 until 40).map(i =>
+      (i.toLong, s"unique$i token$i here common filler words")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(hotDocs, 3)
+    val capped = Dedup.ngramJaccardPairs(sh, 0.0, dfCap = 10)
+    assert(capped.count() === 0)
+    // sanity: uncapped, the hot shingle does create the quadratic pair set
+    val uncapped = Dedup.ngramJaccardPairs(sh, 0.0)
+    assert(uncapped.count() === 40L * 39 / 2)
+    // and a genuine near-dup pair still survives the cap
+    val near = Dedup.ngramJaccardPairs(Dedup.shingles(docs, 3), 0.0, dfCap = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(approx(near((1L, 2L)), 1.0))
+  }
+
   test("minhash LSH finds the exact-dup pair as a candidate") {
     val sig = Dedup.minHashSignature(Dedup.shingles(docs, 3), 8)
     val pairs = rows(Dedup.lshCandidatePairs(sig, 8, 2))

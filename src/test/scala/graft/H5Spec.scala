@@ -195,7 +195,7 @@ class H5Spec extends SparkSpec {
     val p = tmp("toy.nabo.h5")
     val w = new H5Writer
     w.putStrings("names/cells", Array("cellA", "cellB"))
-    w.putStrings("names/genes", Array("TP53_1", "MYC_2"))
+    w.putStrings("names/genes", Array("TP53_1", "MYC"))
     w.putCompound("cell_data/cellA", 2, Seq("idx" -> Array(0L, 1L), "val" -> Array(4L, 6L)))
     w.putCompound("cell_data/cellB", 1, Seq("idx" -> Array(1L), "val" -> Array(9L)))
     w.save(p)
@@ -203,9 +203,28 @@ class H5Spec extends SparkSpec {
     val got = coo.orderBy("cell_id", "feat_id").collect()
       .map(r0 => (r0.getLong(0), r0.getLong(1), r0.getDouble(2))).toSeq
     assert(got == Seq((0L, 0L, 4.0), (0L, 1L, 6.0), (1L, 1L, 9.0)))
+    // rsplit semantics: trailing _token stripped; NO-underscore name intact
     assert(feats.orderBy("feat_id").collect().map(_.getAs[String]("name")).toSeq ==
       Seq("TP53", "MYC"))
     assert(cells.count() == 2)
+  }
+
+  test("toH5ad synthesizes _index when frames lack an ids column") {
+    import spark.implicits._
+    val coo = Seq((0L, 0L, 2.0), (1L, 1L, 3.0)).toDF("cell_id", "feat_id", "value")
+    val cells = Seq((0L, "b0"), (1L, "b1")).toDF("cell_id", "barcode")
+    val feats = Seq((0L, "gA"), (1L, "gB")).toDF("feat_id", "name")
+    val p = tmp("noids.h5ad")
+    H5Sources.toH5ad(coo, cells, feats, p)
+    val r = new H5Reader(p)
+    try {
+      // the stamped `_index` dataset must EXIST (was: silent AnnData break)
+      assert(r.dataset("obs/_index").readStrings().toSeq == Seq("0", "1"))
+      assert(r.dataset("var/_index").readStrings().toSeq == Seq("0", "1"))
+      assert(r.dataset("obs/barcode").readStrings().toSeq == Seq("b0", "b1"))
+      val order = r.attributes("obs")("column-order").asInstanceOf[Array[String]]
+      assert(!order.contains("_index") && order.contains("barcode"))
+    } finally r.close()
   }
 
   test("to_h5ad export round-trips through the h5ad reader") {

@@ -106,6 +106,23 @@ class PipelineSpec extends SparkSpec {
     assert(pc.cells.filter($"cluster".isNotNull).select("cluster").distinct().count() === 3)
   }
 
+  test("default makeGraph auto-selects scale-safe ANN: no O(n²) join, recall ≥ 0.95") {
+    // annThreshold = 0 forces the auto path onto ANN at this fixture size —
+    // the same branch the default takes once active cells exceed 10k.
+    val annDs = DataStore.fromTestData(spark, "/root/testdata/sf0.001")
+      .withQcStats
+      .filterCells(Seq("n_counts"), Seq(1), Seq(1e9))
+      .markHvgs(topN = 30, minCells = 5)
+      .makeGraph(dims = 5, k = 6, annThreshold = 0)
+    val knn = annDs.caches("knn")
+    val plan = knn.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(Knn.recall(knn, ds.caches("knn")) >= 0.95)
+    // below the threshold the auto path stays exact (recall 1.0 vs ds)
+    assert(Knn.recall(ds.caches("knn"), ds.caches("knn")) == 1.0)
+  }
+
   test("subsetActive re-indexes cells densely and resets the mask") {
     import spark.implicits._
     val filtered = ds.copy(cells = ds.cells.withColumn("I",

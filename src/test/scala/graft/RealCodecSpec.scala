@@ -98,4 +98,58 @@ class RealCodecSpec extends SparkSpec {
       Media(5L, "audio/wav", wav)).toDS()).collect()
     assert(a.map(_.doc_id).toSet == Set(5L))
   }
+
+  /** Minimal ISO-BMFF fixture built box-by-box from the public spec:
+    * ftyp(isom) + moov[mvhd(timescale 1000, duration 2500) +
+    * trak[tkhd(v0, 640×360 as 16.16 fixed)]].
+    */
+  private def mp4Bytes(w: Int, h: Int, timescale: Int, duration: Int): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      b.putInt(8 + payload.length).put(typ.getBytes("ISO-8859-1")).put(payload)
+      b.array()
+    }
+    val ftyp = box("ftyp", "isomiso2".getBytes("ISO-8859-1"))
+    val mvhd = {
+      val b = java.nio.ByteBuffer.allocate(100).order(java.nio.ByteOrder.BIG_ENDIAN)
+      b.putInt(0)               // version 0 + flags
+      b.putInt(0).putInt(0)     // ctime, mtime
+      b.putInt(timescale).putInt(duration)
+      box("mvhd", b.array())
+    }
+    val tkhd = {
+      val b = java.nio.ByteBuffer.allocate(84).order(java.nio.ByteOrder.BIG_ENDIAN)
+      b.putInt(0)                         // version 0 + flags
+      b.putInt(0).putInt(0)               // ctime, mtime
+      b.putInt(1).putInt(0).putInt(duration) // track id, reserved, duration
+      b.position(b.position() + 52)       // reserved/layer/volume/matrix
+      b.putInt(w << 16).putInt(h << 16)   // 16.16 fixed
+      box("tkhd", b.array())
+    }
+    ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
+  }
+
+  test("VideoCodec: MP4 box walk reads real dims, duration, brand") {
+    val m = Multimodal.VideoCodec.mp4Meta(mp4Bytes(640, 360, 1000, 2500)).get
+    assert(m.width === 640 && m.height === 360)
+    assert(m.durationMs === 2500L) // 2500 ticks at timescale 1000 → 2500 ms
+    assert(m.brand === "isom")
+    // corrupt payloads drop, they do not throw: pure junk and a payload
+    // truncated mid-moov (declared box size overruns the buffer)
+    assert(Multimodal.VideoCodec.mp4Meta("not a video".getBytes).isEmpty)
+    val trunc = Multimodal.VideoCodec.mp4Meta(mp4Bytes(640, 360, 1000, 2500).take(30))
+    assert(trunc.forall(_.width === 0)) // ftyp alone: no dims claimed
+  }
+
+  test("decodeVideoMeta datasets: BMFF payloads parse, junk drops") {
+    import spark.implicits._
+    val vids = Seq(
+      Media(1L, "video/mp4", mp4Bytes(1920, 1080, 600, 1200)),
+      Media(2L, "video/mp4", Array[Byte](1, 2, 3, 4))).toDS()
+    val out = Multimodal.decodeVideoMeta(vids).collect()
+    assert(out.map(_.doc_id).toSet == Set(1L))
+    val v = out.head
+    assert(v.width === 1920 && v.height === 1080 && v.duration_ms === 2000L)
+  }
 }
