@@ -115,9 +115,14 @@ object Paris {
     * ordered by size desc.
     */
   def cut(edges: DataFrame, nClusters: Int): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
     val (links, leafId) = dendrogram(edges)
+    cutFromLinkage(edges.sparkSession, links, leafId, nClusters)
+  }
+
+  /** cut_straight over an already-computed linkage. */
+  def cutFromLinkage(spark: org.apache.spark.sql.SparkSession, links: Array[Link],
+                     leafId: Map[Long, Long], nClusters: Int): DataFrame = {
+    import spark.implicits._
     val n = leafId.size
     val parent = scala.collection.mutable.Map[Long, Long]()
     // apply all but the last (nClusters - 1) merges
@@ -228,6 +233,84 @@ object Paris {
     bps.zipWithIndex.flatMap { case ((_, ls), ci) =>
       ls.map(l => l.toLong -> (ci + 1L))
     }.toMap
+  }
+
+  /** Paris over a TopACeDo-sketched CONTRACTION of the graph — the scale
+    * path for the driver-side agglomeration (VERDICT r2 #7). The full
+    * graph never reaches the driver:
+    *
+    *  1. [[graft.graph.Sketch.topacedo]] picks s anchor cells
+    *     (density/SNN-modulated seeded rates, all distributed);
+    *  2. every cell is assigned to its nearest anchor by iterated
+    *     weighted majority vote over the KNN edges (`assignRounds`
+    *     join+agg rounds — multilevel coarsening, the aggregation step
+    *     of METIS/Louvain);
+    *  3. the graph is CONTRACTED onto the anchors: supergraph edge
+    *     (a, b) = Σ weights between a's and b's assigned groups. Paris
+    *     collects only this s-node graph. Contraction (vs inducing on
+    *     the sketch) preserves the full graph's mass structure, so
+    *     weak inter-cluster bridges keep merging last — an induced
+    *     subgraph would give Paris tiny node masses and let a bridge
+    *     between two low-degree sketched cells masquerade as a tight
+    *     pair (d = m·m′/(W·w) collapses when masses shrink);
+    *  4. disconnected (infinite-distance) merges are undone, the
+    *     nClusters largest real clusters form the core, and each cell
+    *     inherits its anchor's label. Cells unreached by any anchor
+    *     after all rounds keep cluster 0.
+    *
+    * Driver memory bound: the contracted graph has ≤ s·k̄ edges (s =
+    * sketch size ≈ maxRate·n + connectors) — with the default maxRate
+    * 0.05 that is ~5 % of the reference's own sknetwork boundary
+    * (scarf/datastore/graph_datastore.py:1461-1584, full n·k CSR).
+    */
+  def sketchedCut(edges: DataFrame, clusters: DataFrame, nClusters: Int,
+                  maxRate: Double = 0.05, minRate: Double = 0.01,
+                  minCellsPerGroup: Int = 3, assignRounds: Int = 4,
+                  seed: Long = 4466L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sk = graft.graph.Sketch.topacedo(edges, clusters,
+        maxRate = maxRate, minRate = minRate,
+        minCellsPerGroup = minCellsPerGroup, seed = seed)
+      .filter(col("sketched")).select("cell_id")
+    val sym = edges.select(col("src"), col("dst"), col("weight"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+      .groupBy("src", "dst").agg(max("weight").as("weight"))
+    val symCk = graft.core.Lineage.reset(sym)
+    // nearest-anchor assignment by iterated weighted vote
+    var anchored = graft.core.Lineage.reset(
+      sk.select(col("cell_id"), col("cell_id").as("anchor")))
+    for (_ <- 1 to assignRounds) {
+      val votes = symCk
+        .join(anchored.select(col("cell_id").as("dst"), col("anchor")), Seq("dst"))
+        .join(anchored.select(col("cell_id").as("src")), Seq("src"), "left_anti")
+        .groupBy(col("src").as("cell_id"), col("anchor"))
+        .agg(sum("weight").as("w"))
+      val byVote = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cell_id")).orderBy(col("w").desc, col("anchor"))
+      val pick = votes.withColumn("rn", row_number().over(byVote))
+        .filter(col("rn") === 1).select("cell_id", "anchor")
+      anchored = graft.core.Lineage.reset(anchored.unionByName(pick))
+    }
+    // contract onto anchors; each undirected cross-group edge lands in
+    // both ordered buckets with equal weight, so keep src < dst once
+    val superE = symCk
+      .join(anchored.select(col("cell_id").as("src"), col("anchor").as("asrc")), Seq("src"))
+      .join(anchored.select(col("cell_id").as("dst"), col("anchor").as("adst")), Seq("dst"))
+      .filter(col("asrc") < col("adst"))
+      .groupBy(col("asrc").as("src"), col("adst").as("dst"))
+      .agg(sum("weight").as("weight"))
+    // the ONLY collect: the s-node contracted graph
+    val (links, leafId) = dendrogram(superE)
+    val nComponents = links.count(_.dist < 0) + 1
+    val anchorLabels = cutFromLinkage(edges.sparkSession, links, leafId,
+        math.max(nClusters, nComponents))
+      .filter(col("cluster") <= nClusters)
+      .withColumnRenamed("cell_id", "anchor")
+    val all = symCk.select(col("src").as("cell_id")).distinct()
+    all.join(anchored, Seq("cell_id"), "left")
+      .join(anchorLabels, Seq("anchor"), "left")
+      .na.fill(0L, Seq("cluster"))
+      .select("cell_id", "cluster")
   }
 
   /** BalancedCut over a weighted edge DataFrame → (cell_id, cluster). */

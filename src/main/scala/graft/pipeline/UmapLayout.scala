@@ -15,10 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object UmapLayout {
 
+  /** densMAP local-radius terms (Narayan, Berger & Cho 2021; the
+    * reference enables them through umap-learn's densmap_kwds,
+    * scarf/umap.py:15-38 calc_dens_map_params). With `densLambda` > 0 the
+    * loss adds λ·Corr(log original local radius, log embedding local
+    * radius); `dists` must then supply the original-space distances for
+    * the graph edges as `(src, dst, dist)`. densLambda = 0 (default) is
+    * bit-identical to plain UMAP — the dens code neither runs nor
+    * consumes RNG draws.
+    */
   def layout(edges: DataFrame, init: DataFrame, nEpochs: Int = 50,
              a: Double = 1.576943, b: Double = 0.895061,
              learningRate: Double = 1.0, negSamples: Int = 5,
-             seed: Long = 4444L): DataFrame = {
+             seed: Long = 4444L,
+             densLambda: Double = 0.0, densFrac: Double = 0.3,
+             densVarShift: Double = 0.1,
+             dists: Option[DataFrame] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -31,14 +43,72 @@ object UmapLayout {
       coords.getOrElseUpdate(d, Array(0.0, 0.0))
     }
     val ids = coords.keys.toArray.sorted
+    val idIdx = ids.zipWithIndex.toMap
     val rnd = new scala.util.Random(seed)
     val wMax = es.map(_._3).foldLeft(1e-12)(math.max)
 
     def clip(x: Double): Double = math.max(-4.0, math.min(4.0, x))
 
+    // --- densMAP originals: mu_sum and standardized log radius R -------
+    val nV = ids.length
+    val eps = 1e-8
+    val muSum = new Array[Double](nV)
+    val densR = new Array[Double](nV)
+    val muTot = es.map(_._3).sum
+    if (densLambda > 0) {
+      val dMap = dists.getOrElse(throw new IllegalArgumentException(
+          "densLambda > 0 requires original-space dists (src, dst, dist)"))
+        .select("src", "dst", "dist").as[(Long, Long, Double)].collect()
+        .map { case (s, d, v) => (s, d) -> v }.toMap
+      val ro = new Array[Double](nV)
+      es.foreach { case (s, d, mu) =>
+        val dd = dMap.getOrElse((s, d), dMap.getOrElse((d, s), 0.0))
+        val j = idIdx(s); val k = idIdx(d)
+        val dsq = dd * dd
+        ro(j) += mu * dsq; ro(k) += mu * dsq
+        muSum(j) += mu; muSum(k) += mu
+      }
+      var i = 0
+      while (i < nV) {
+        ro(i) = math.log(eps + (if (muSum(i) > 0) ro(i) / muSum(i) else 0.0))
+        i += 1
+      }
+      val mean = ro.sum / nV
+      val sd = math.sqrt(ro.map(x => (x - mean) * (x - mean)).sum / nV)
+      i = 0
+      while (i < nV) { densR(i) = if (sd > 0) (ro(i) - mean) / sd else 0.0; i += 1 }
+    }
+    val reSum = new Array[Double](nV) // log embedding radius, per dens epoch
+    val phiSum = new Array[Double](nV)
+    var reMean = 0.0; var reStd = 1.0; var reCov = 0.0
+
     var epoch = 0
     while (epoch < nEpochs) {
       val alpha = learningRate * (1.0 - epoch.toDouble / nEpochs)
+      // densMAP epoch init: embedding local radii from the current
+      // coords (re_sum, phi_sum), then the correlation statistics
+      val densOn = densLambda > 0 && epoch.toDouble / nEpochs >= 1.0 - densFrac
+      if (densOn) {
+        java.util.Arrays.fill(reSum, 0.0); java.util.Arrays.fill(phiSum, 0.0)
+        es.foreach { case (s, d, _) =>
+          val cs = coords(s); val cd = coords(d)
+          val dx = cs(0) - cd(0); val dy = cs(1) - cd(1)
+          val d2 = dx * dx + dy * dy
+          val phi = 1.0 / (1.0 + a * math.pow(d2, b))
+          val j = idIdx(s); val k = idIdx(d)
+          reSum(j) += phi * d2; reSum(k) += phi * d2
+          phiSum(j) += phi; phiSum(k) += phi
+        }
+        var i = 0
+        while (i < nV) {
+          reSum(i) = math.log(eps + (if (phiSum(i) > 0) reSum(i) / phiSum(i) else 0.0))
+          i += 1
+        }
+        reMean = reSum.sum / nV
+        val v = reSum.map(x => (x - reMean) * (x - reMean)).sum / nV
+        reStd = math.sqrt(v + densVarShift)
+        reCov = reSum.zip(densR).map { case (x, r) => x * r }.sum / (nV - 1) / reStd
+      }
       es.foreach { case (s, d, w) =>
         if (rnd.nextDouble() < w / wMax) {
           val cs = coords(s); val cd = coords(d)
@@ -48,9 +118,24 @@ object UmapLayout {
           // attractive gradient of the (a, b) curve
           val gradCo = if (d2 > 0) (-2.0 * a * b * math.pow(d2, b - 1)) /
             (1.0 + a * math.pow(d2, b)) else 0.0
+          // densMAP correlation gradient (local-radius chain rule)
+          val corCo = if (densOn && d2 > 0) {
+            val j = idIdx(s); val k = idIdx(d)
+            val phi = 1.0 / (1.0 + a * math.pow(d2, b))
+            val dphiTerm = a * b * math.pow(d2, b - 1) / (1.0 + a * math.pow(d2, b))
+            val qjk = phi / phiSum(k)
+            val qkj = phi / phiSum(j)
+            val drk = qjk * ((1.0 - b * (1.0 - phi)) / math.exp(reSum(k)) + dphiTerm)
+            val drj = qkj * ((1.0 - b * (1.0 - phi)) / math.exp(reSum(j)) + dphiTerm)
+            val reStdSq = reStd * reStd
+            val wK = densR(k) - reCov * (reSum(k) - reMean) / reStdSq
+            val wJ = densR(j) - reCov * (reSum(j) - reMean) / reStdSq
+            densLambda * muTot * (wK * drk + wJ * drj) / (w * nV)
+          } else 0.0
           var i = 0
           while (i < 2) {
-            val g = clip(gradCo * (cs(i) - cd(i)))
+            var g = clip(gradCo * (cs(i) - cd(i)))
+            if (densOn) g += clip(2.0 * corCo * (cs(i) - cd(i)))
             cs(i) += alpha * g
             cd(i) -= alpha * g
             i += 1

@@ -218,6 +218,31 @@ object ExtendedQueries {
         .orderBy("cell_id", "new_feat")
     }),
 
+    // hto_demux discretize-and-classify tail (scarf/feat_utils.py:140-162)
+    // with deterministic rank-quantile cutoffs — the pure-relational back
+    // half of q60's demux, fully oracled. Cutoff derivation is histogram-
+    // bounded: the cumulative window runs over |distinct count values|
+    // rows per HTO, never |cells|.
+    "q68_hto_classify" -> ((s, d) => {
+      val counts = Tables.coo(s, d).groupBy("cell_id").agg(
+          sum(when(col("feat_id").between(1, 50), col("value")).otherwise(0.0)).as("HTO1"),
+          sum(when(col("feat_id").between(51, 100), col("value")).otherwise(0.0)).as("HTO2"))
+        .select(col("cell_id"), explode(array(
+          struct(lit("HTO1").as("hto"), col("HTO1").as("count")),
+          struct(lit("HTO2").as("hto"), col("HTO2").as("count")))).as("e"))
+        .select(col("cell_id"), col("e.hto"), col("e.count"))
+      // per-HTO cutoff = smallest count value whose cumulative frequency
+      // reaches ceil(0.95 n) — an exact discrete quantile
+      val hist = counts.groupBy("hto", "count").agg(count(lit(1)).as("m"))
+      val cum = hist.withColumn("cum",
+        sum("m").over(Window.partitionBy("hto").orderBy("count")))
+      val n = counts.groupBy("hto").agg(count(lit(1)).as("n"))
+      val cutoffs = cum.join(n, Seq("hto"))
+        .filter(col("cum") >= ceil(col("n") * lit(0.95)))
+        .groupBy("hto").agg(min(col("count")).as("cutoff"))
+      graft.stats.HtoDemux.classify(counts, cutoffs).orderBy("cell_id")
+    }),
+
     "q52_dummy_assay" -> ((s, d) => {
       val coo = Tables.coo(s, d)
       val a = coo.filter(col("cell_id") % 2 === 0).groupBy("feat_id")
@@ -497,5 +522,34 @@ object ExtendedQueries {
          rs AS (SELECT cell_id, SUM(value) AS rs FROM melded GROUP BY cell_id)
          SELECT m.cell_id, m.new_feat, ROUND(100000.0 * m.value / r.rs, 6) AS value
          FROM melded m JOIN rs r ON m.cell_id = r.cell_id
-         ORDER BY m.cell_id, m.new_feat""")
+         ORDER BY m.cell_id, m.new_feat""",
+
+    "q68_hto_classify" ->
+      """WITH h AS (
+           SELECT l_orderkey AS cell_id,
+                  SUM(CASE WHEN l_partkey BETWEEN 1 AND 50 THEN l_quantity ELSE 0 END) AS h1,
+                  SUM(CASE WHEN l_partkey BETWEEN 51 AND 100 THEN l_quantity ELSE 0 END) AS h2
+           FROM lineitem GROUP BY l_orderkey),
+         c AS (SELECT cell_id, 'HTO1' AS hto, h1 AS cnt FROM h
+               UNION ALL SELECT cell_id, 'HTO2', h2 FROM h),
+         hist AS (SELECT hto, cnt, COUNT(*) AS m FROM c GROUP BY hto, cnt),
+         cum AS (SELECT hto, cnt, SUM(m) OVER (PARTITION BY hto ORDER BY cnt) AS cum FROM hist),
+         n AS (SELECT hto, COUNT(*) AS n FROM c GROUP BY hto),
+         cut AS (SELECT cum.hto, MIN(cnt) AS cutoff
+                 FROM cum JOIN n ON cum.hto = n.hto
+                 WHERE cum.cum >= CEIL(n.n * 0.95) GROUP BY cum.hto),
+         disc AS (SELECT c.cell_id, c.hto, c.cnt,
+                         CASE WHEN c.cnt > t.cutoff THEN 1 ELSE 0 END AS pos
+                  FROM c JOIN cut t ON c.hto = t.hto),
+         best AS (SELECT cell_id, hto AS top_hto FROM (
+                    SELECT cell_id, hto,
+                           ROW_NUMBER() OVER (PARTITION BY cell_id ORDER BY cnt DESC, hto) AS rn
+                    FROM disc) WHERE rn = 1),
+         agg AS (SELECT cell_id, SUM(pos) AS n_pos FROM disc GROUP BY cell_id)
+         SELECT a.cell_id,
+                CASE WHEN a.n_pos = 0 THEN 'Negative'
+                     WHEN a.n_pos > 1 THEN 'Doublet'
+                     ELSE b.top_hto END AS call
+         FROM agg a JOIN best b ON a.cell_id = b.cell_id
+         ORDER BY a.cell_id""")
 }

@@ -121,15 +121,117 @@ object MlQueries {
         .orderBy("cell_id")
     }))
 
+  /** The q59 LOWESS oracle: graft.stats.Lowess.correctedVar(nBins=10,
+    * frac=0.5, iters=100) reproduced in DuckDB as a SINGLE-ROW recursive
+    * CTE that carries the ≤ 10 bin-representative points as lists —
+    * exactly the state the Scala fit holds on the driver. Each recursion
+    * step is one robustifying iteration: bisquare delta from the current
+    * residuals (median via list_aggregate), then the tricube-weighted
+    * local linear fit per point. The k-nearest window per point is the
+    * greedy expansion (ties prefer left) expressed as a struct sort on
+    * (distance, side, −j/j); WLS sums run in ascending-j order to match
+    * the Scala loop's float summation order bit-for-bit.
+    */
+  private def q59OracleSql: String = {
+    // d_j = |xs[j]-xs[i]| / h (0 when h == 0), inside binding `bb`
+    val dj = "(CASE WHEN bb.h > 0 THEN ABS(xs[j] - xs[i]) / bb.h ELSE 0.0 END)"
+    // tricube: t = 1 - d^3; w0 = t*t*t, zero at d >= 1
+    val w0 = s"(CASE WHEN $dj >= 1.0 THEN 0.0 ELSE " +
+      s"(1.0 - $dj*$dj*$dj)*(1.0 - $dj*$dj*$dj)*(1.0 - $dj*$dj*$dj) END)"
+    // WLS fitted list given the delta-list expression `dl`; three binding
+    // levels via single-element list_transform: win (k-nearest window),
+    // bb (h + j-ascending window indices), sm (the five WLS sums)
+    def localFit(dl: String): String = {
+      val w = s"($w0 * $dl[j])"
+      s"""list_transform(range(1, n + 1), i ->
+      list_transform([list_slice(list_sort(
+          list_transform(range(1, n + 1), j ->
+            {'d': ABS(xs[j] - xs[i]),
+             's': CASE WHEN j = i THEN -1 WHEN j < i THEN 0 ELSE 1 END,
+             'jj': CASE WHEN j < i THEN -j ELSE j END,
+             'j': j})), 1, k)], win ->
+        list_transform([{'h': win[k].d,
+                         'wj': list_sort(list_transform(win, w -> w.j))}], bb ->
+          list_transform([{
+              'sw':   list_sum(list_transform(bb.wj, j -> $w)),
+              'swx':  list_sum(list_transform(bb.wj, j -> $w * xs[j])),
+              'swy':  list_sum(list_transform(bb.wj, j -> $w * ys[j])),
+              'swxx': list_sum(list_transform(bb.wj, j -> $w * xs[j] * xs[j])),
+              'swxy': list_sum(list_transform(bb.wj, j -> $w * xs[j] * ys[j]))}], sm ->
+            CASE WHEN sm.sw <= 0 THEN ys[i]
+                 WHEN ABS(sm.sw * sm.swxx - sm.swx * sm.swx)
+                      < 1e-12 * GREATEST(1.0, sm.swxx * sm.sw) THEN sm.swy / sm.sw
+                 ELSE (sm.swy - ((sm.sw * sm.swxy - sm.swx * sm.swy)
+                        / (sm.sw * sm.swxx - sm.swx * sm.swx)) * sm.swx) / sm.sw
+                      + ((sm.sw * sm.swxy - sm.swx * sm.swy)
+                        / (sm.sw * sm.swxx - sm.swx * sm.swx)) * xs[i]
+            END)[1])[1])[1])"""
+    }
+    // robust scale s = max(median |res|, 1e-9 * max|y|); bisquare delta
+    val sExpr = "GREATEST(list_aggregate(list_transform(range(1, n + 1), " +
+      "i -> ABS(ys[i] - fitted[i])), 'median'), 1e-9 * may)"
+    val u = s"((ys[i] - fitted[i]) / (6.0 * $sExpr))"
+    val nd = s"CASE WHEN it = -1 OR $sExpr <= 0 THEN delta " +
+      s"ELSE list_transform(range(1, n + 1), i -> " +
+      s"CASE WHEN ABS($u) >= 1.0 THEN 0.0 " +
+      s"ELSE (1.0 - $u*$u)*(1.0 - $u*$u) END) END"
+    // MATERIALIZED everywhere floats feed two consumers: a re-evaluated
+    // stats subtree would re-run DuckDB's parallel sums with a different
+    // partial order, and the min-la feature sits exactly on bin 0's edge
+    s"""WITH RECURSIVE normed AS MATERIALIZED (
+    SELECT l_orderkey AS cell_id, l_partkey AS feat_id,
+           LN(1 + 10000.0 * l_quantity / SUM(l_quantity) OVER (PARTITION BY l_orderkey)) AS normed
+    FROM lineitem),
+  nc AS (SELECT COUNT(DISTINCT l_orderkey) AS n_total_cells FROM lineitem),
+  stats AS MATERIALIZED (
+    SELECT feat_id,
+           SUM(normed) / nc.n_total_cells AS avg,
+           (SUM(normed * normed) - SUM(normed) * SUM(normed) / nc.n_total_cells)
+             / (nc.n_total_cells - 1) AS sigmas
+    FROM normed CROSS JOIN nc GROUP BY feat_id, nc.n_total_cells),
+  s AS MATERIALIZED (SELECT feat_id, LN(avg) AS la, LN(sigmas) AS lb FROM stats
+        WHERE avg > 0 AND sigmas > 0),
+  bounds AS MATERIALIZED (SELECT MIN(la) AS lo, MAX(la) AS hi FROM s),
+  binned AS MATERIALIZED (SELECT s.feat_id, s.la, s.lb,
+                    CAST(GREATEST(LEAST(FLOOR((s.la - b.lo) / ((b.hi - b.lo) / 10)), 9), 0) AS INT) AS bin
+             FROM s CROSS JOIN bounds b),
+  reps AS MATERIALIZED (SELECT bin, la AS ra, lb AS rb FROM (
+             SELECT bin, la, lb,
+                    ROW_NUMBER() OVER (PARTITION BY bin ORDER BY lb, feat_id) AS rn
+             FROM binned) WHERE rn = 1),
+  pts AS (SELECT LIST(ra ORDER BY bin) AS xs, LIST(rb ORDER BY bin) AS ys,
+                 LIST(bin ORDER BY bin) AS bins, LEN(LIST(ra)) AS n,
+                 GREATEST(2, LEAST(LEN(LIST(ra)),
+                   CAST(CEIL(0.5 * LEN(LIST(ra))) AS INT))) AS k,
+                 MAX(ABS(rb)) AS may
+          FROM reps),
+  rec AS (
+    SELECT -1 AS it, xs, ys, bins, n, k, may,
+           list_transform(xs, x -> 1.0) AS delta, ys AS fitted
+    FROM pts
+    UNION ALL
+    SELECT it + 1, xs, ys, bins, n, k, may,
+           $nd AS nd,
+           ${localFit("nd")} AS f2
+    FROM rec WHERE it < 100),
+  fin AS (SELECT * FROM rec WHERE it = 100),
+  corr AS (SELECT UNNEST(bins) AS bin, UNNEST(fitted) AS bcf FROM fin)
+  SELECT b.feat_id, ROUND(EXP(b.lb - c.bcf), 4) AS c_var_lowess
+  FROM binned b JOIN corr c ON b.bin = c.bin
+  ORDER BY b.feat_id"""
+  }
+
   /** DuckDB oracles for the ML queries that ARE SQL-expressible after all:
     * q55's lazy-PPR core unrolls to 10 materialized join+aggregate CTEs
     * (materialization matters — x_k is referenced twice, so inlined CTEs
     * would re-expand 2^10 scans); q54's perplexity calibration is the
     * exact 64-step beta bisection as a recursive CTE over k-bounded
-    * neighbor lists. Both verified bit-identical at 4 dp against the
-    * Spark plans on sf0.01.
+    * neighbor lists; q59's LOWESS is a single-row recursive CTE over the
+    * bin-representative lists ([[q59OracleSql]]). All verified
+    * bit-identical at 4 dp against the Spark plans on sf0.01.
     */
   val oracle: Map[String, String] = Map(
+    "q59_hvg_lowess" -> q59OracleSql,
     "q55_pseudotime" -> {
       val om = (1 - 0.85).toString // Scala's exact double bits for 1-alpha
       val iters = (1 to 10).map { k =>

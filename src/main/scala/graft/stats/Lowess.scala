@@ -105,10 +105,13 @@ object Lowess {
       .withColumn("la", log(col("avg")))
       .withColumn("lb", log(col("sigmas")))
     val bounds = s.agg(min(col("la")).as("lo"), max(col("la")).as("hi"))
+    // greatest(0, …): bin is mathematically ≥ 0 (la ≥ lo), but the min-la
+    // feature sits exactly on the boundary, where float jitter between
+    // separate evaluations of the stats subtree could push it to −1
     val binned = s.crossJoin(broadcast(bounds))
       .withColumn("bin",
-        least(floor((col("la") - col("lo")) / ((col("hi") - col("lo")) / nBins)),
-          lit(nBins - 1)).cast("int"))
+        greatest(least(floor((col("la") - col("lo")) / ((col("hi") - col("lo")) / nBins)),
+          lit(nBins - 1)), lit(0)).cast("int"))
     val reps = binned.groupBy("bin")
       .agg(min_by(struct(col("lb"), col("la")), struct(col("lb"), col("feat_id"))).as("r"))
       .select(col("bin"), col("r.la").as("ra"), col("r.lb").as("rb"))

@@ -70,4 +70,57 @@ class ParisSpec extends SparkSpec {
     assert(split(0L) == split(1L) && split(2L) == split(3L))
     assert(split(0L) != split(2L))
   }
+
+  test("sketchedCut recovers planted clusters from a ~100k-edge graph " +
+    "while the driver sees only the sketched subgraph") {
+    import org.apache.spark.sql.functions._
+    // planted partition: 4 blocks x 1250 nodes, 20 deterministic
+    // same-block neighbours each (~100k edges, weight 1), plus weak
+    // bridges every 50th node to the next block (weight 0.05)
+    val n = 10000L
+    val blockSz = 2500L
+    val base = spark.range(n).select(col("id").as("src"),
+      (col("id") / blockSz).cast("long").as("block"))
+    val intra = base.select(col("src"), col("block"),
+        explode(sequence(lit(1), lit(10))).as("j"))
+      .select(col("src"),
+        (col("block") * blockSz +
+          pmod(col("src") % blockSz + col("j") * col("j") + col("j") + 1, lit(blockSz)))
+          .as("dst"), lit(1.0).as("weight"))
+      .filter(col("src") =!= col("dst"))
+    val bridges = base.filter(col("src") % 50 === 0)
+      .select(col("src"),
+        (pmod(col("block") + 1, lit(4L)) * blockSz + col("src") % blockSz).as("dst"),
+        lit(0.05).as("weight"))
+    val edges = intra.unionByName(bridges).cache()
+    val planted = base.select(col("src").as("cell_id"), col("block").as("cluster"))
+
+    // driver bound: the sketch (and thus the collected induced subgraph)
+    // must be a small fraction of the graph
+    val sk = graft.graph.Sketch.topacedo(edges, planted,
+      maxRate = 0.02, minRate = 0.005, minCellsPerGroup = 3)
+    val nSketched = sk.filter(col("sketched")).count()
+    assert(nSketched < n / 4, s"sketch too large: $nSketched of $n")
+    assert(nSketched >= 4 * 3, "every planted block needs its seed floor")
+
+    val labels = Paris.sketchedCut(edges, planted, nClusters = 4,
+      maxRate = 0.02, minRate = 0.005)
+    val plantedBlocks = planted.withColumnRenamed("cluster", "block")
+    val joined = labels.join(plantedBlocks, Seq("cell_id"))
+      .groupBy("cluster", "block").count().collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    // purity: each Paris cluster should be dominated by one planted block
+    val byCluster = joined.groupBy(_._1._1)
+    val pure = byCluster.values.map { rows =>
+      val tot = rows.map(_._2).sum.toDouble
+      rows.map(_._2).max / tot
+    }
+    assert(pure.forall(_ >= 0.95), s"cluster purity $pure below 0.95")
+    // coverage: all 4 blocks recovered as distinct clusters
+    val dominant = byCluster.map { case (c, rows) => rows.maxBy(_._2)._1._2 }
+    assert(dominant.toSet.size == 4, s"blocks collapsed: $dominant")
+    // propagation reached every cell (cluster 0 marks unreached)
+    assert(labels.filter(col("cluster") === 0).count() == 0)
+    assert(labels.count() == n)
+  }
 }

@@ -94,4 +94,61 @@ class UnifiedUmapSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1).toSeq
     assert(r1 == r2)
   }
+
+  // --- densMAP (Narayan, Berger & Cho 2021; scarf/umap.py:15-38) -------
+
+  // two 8-node rings with chords, identical topology and weights; ring A
+  // is DENSE in the original space (edge dist 0.1), ring B SPARSE (2.0)
+  private def densFixture = {
+    import spark.implicits._
+    def ring(off: Long) = (0 until 8).flatMap { i =>
+      Seq((off + i, off + (i + 1) % 8), (off + i, off + (i + 2) % 8))
+    }
+    val edges = (ring(0) ++ ring(10L)).map { case (s, d) => (s, d, 1.0) }
+      .toDF("src", "dst", "weight")
+    val dists = (ring(0).map { case (s, d) => (s, d, 0.1) } ++
+      ring(10L).map { case (s, d) => (s, d, 2.0) })
+      .toDF("src", "dst", "dist")
+    val init = (0 until 8).map { i =>
+      val t = 2 * math.Pi * i / 8
+      (i.toLong, -5.0 + math.cos(t), math.sin(t))
+    } ++ (0 until 8).map { i =>
+      val t = 2 * math.Pi * i / 8
+      (10L + i, 5.0 + math.cos(t), math.sin(t))
+    }
+    (edges, dists, init.toDF("cell_id", "x", "y"))
+  }
+
+  // mean embedded distance over each ring's own edges
+  private def ringRadii(out: Map[Long, (Double, Double)]) = {
+    def ring(off: Long) = (0 until 8).flatMap { i =>
+      Seq((off + i, off + (i + 1) % 8), (off + i, off + (i + 2) % 8))
+    }
+    def mean(es: Seq[(Long, Long)]) = es.map { case (s, d) =>
+      math.hypot(out(s)._1 - out(d)._1, out(s)._2 - out(d)._2)
+    }.sum / es.size
+    (mean(ring(0)), mean(ring(10L)))
+  }
+
+  test("densMAP: original-space density shows up as embedding radius; " +
+    "densLambda = 0 is the identical plain-UMAP path") {
+    val (edges, dists, init) = densFixture
+    def run(lambda: Double, withDists: Boolean) =
+      UmapLayout.layout(edges, init, nEpochs = 200, densLambda = lambda,
+          densFrac = 0.6, dists = if (withDists) Some(dists) else None)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val plain = run(0.0, withDists = false)
+    val plainD = run(0.0, withDists = true)
+    assert(plain == plainD, "densLambda = 0 must ignore dists entirely")
+    val (pa, pb) = ringRadii(plain)
+    val dens = run(5.0, withDists = true)
+    val (da, db) = ringRadii(dens)
+    // plain UMAP normalizes the density difference away; densMAP must
+    // systematically expand the sparse ring relative to the dense one
+    val plainRatio = pb / pa
+    val densRatio = db / da
+    assert(densRatio > plainRatio * 1.25,
+      s"densMAP ratio $densRatio not above plain ratio $plainRatio")
+    dens.values.foreach { case (x, y) => assert(!x.isNaN && !y.isNaN) }
+  }
 }
