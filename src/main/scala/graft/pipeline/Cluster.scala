@@ -28,6 +28,65 @@ object Cluster {
       .select(col("cell_id"), (col("cluster0") + 1).cast("long").as("cluster"))
   }
 
+  /** Deterministic seeded Lloyd's KMeans over array latent vectors.
+    * Unlike MLlib's KMeans (k-means|| randomized init, engine-private
+    * RNG), every step here is a deterministic join + aggregate an
+    * external engine can replay bit-for-bit: init = the k cells with
+    * the smallest md5(seed:cell_id) digests; fixed iteration count;
+    * argmin ties break to the lowest center index; empty clusters keep
+    * their previous center; per-iteration centers are rounded to 9 dp
+    * so cross-engine float-summation-order noise cannot accumulate.
+    * This is what makes the full HTO-demux chain (q60) oracle-checkable
+    * end-to-end. Per iteration: one distributed aggregation; only the
+    * k×dims center matrix ever reaches the driver. Returns
+    * `(cell_id, cluster)` 1-based.
+    */
+  def lloyd(latent0: DataFrame, k: Int, iters: Int = 25,
+            seed: Long = 4466L): DataFrame = {
+    val spark = latent0.sparkSession
+    import spark.implicits._
+    // the vector frame feeds init + every iteration + the final
+    // assignment (iters + 2 actions) — without a cache the whole
+    // upstream plan re-executes each time
+    val latent = latent0.cache()
+    // init: k smallest-digest cells with DISTINCT vectors (duplicate
+    // init centers would permanently empty the later cluster)
+    val byVec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("latent")).orderBy(col("h"), col("cell_id"))
+    var centers: Array[Array[Double]] = latent
+      .withColumn("h", md5(concat(lit(s"$seed:"), col("cell_id"))))
+      .withColumn("rv", row_number().over(byVec)).filter(col("rv") === 1)
+      .orderBy(col("h"), col("cell_id")).limit(k)
+      .select("latent").as[Seq[Double]].collect().map(_.toArray)
+    def assignUdf(cs: Array[Array[Double]]) = udf { (v: Seq[Double]) =>
+      var best = 0; var bd = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        while (i < cs(c).length) {
+          val t = v(i) - cs(c)(i); d += t * t; i += 1
+        }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      best
+    }
+    for (_ <- 1 to iters) {
+      val means = latent.withColumn("c0", assignUdf(centers)(col("latent")))
+        .select(col("c0"), posexplode(col("latent")).as(Seq("pos", "x")))
+        .groupBy("c0", "pos").agg(round(avg(col("x")), 9).as("m"))
+        .as[(Int, Int, Double)].collect()
+        .groupBy(_._1).map { case (c, rs) =>
+          c -> rs.sortBy(_._2).map(_._3).toArray
+        }
+      centers = centers.zipWithIndex.map { case (old, c) =>
+        means.getOrElse(c, old)
+      }
+    }
+    latent.withColumn("c0", assignUdf(centers)(col("latent")))
+      .select(col("cell_id"), (col("c0") + 1).cast("long").as("cluster"))
+  }
+
   /** Driver-side greedy modularity (Louvain-style, deterministic node
     * order) over a collected weighted edge list — the stand-in for the
     * reference's Leiden call (external C library). Returns

@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.pipeline.{Metrics, Pseudotime, Reduce}
 
-/** ML-tagged operators exposed as driver queries WITHOUT SQL oracles
-  * (SURVEY.md §2 [ML]): the driver records a rows-only check; value-level
-  * validation lives in the ScalaTest specs (golden/invariant style, as
-  * the reference's own CI does — SURVEY.md §5).
+/** ML-tagged operators exposed as driver queries (SURVEY.md §2 [ML]).
+  * Most now carry full DuckDB oracles despite the label (q54 LISI, q55
+  * PPR, q59 LOWESS, q60 demux, q61 silhouette); the rows-only remainder
+  * is q53 (MLlib SVD core) and q67 (Paris linkage), both value-validated
+  * in ScalaTest (golden/invariant style, as the reference's own CI
+  * does — SURVEY.md §5).
   */
 object MlQueries {
 
@@ -59,8 +61,9 @@ object MlQueries {
         .orderBy("feat_id")
     }),
 
-    // Seurat-style HTO demux: CLR → KMeans → NB-MLE background cutoff
-    // (hto_demux, scarf/feat_utils.py:95-162)
+    // Seurat-style HTO demux: CLR → deterministic Lloyd's KMeans →
+    // NB-MLE background cutoff (hto_demux, scarf/feat_utils.py:95-162);
+    // fully oracled end-to-end ([[q60OracleSql]])
     "q60_hto_nb" -> ((s, d) => {
       val coo = Tables.coo(s, d)
       val counts = coo.groupBy("cell_id").agg(
@@ -221,6 +224,157 @@ object MlQueries {
   ORDER BY b.feat_id"""
   }
 
+  /** The q60 full-demux oracle: HtoDemux.demux reproduced in DuckDB end
+    * to end — CLR (6 dp-rounded normalizer), Cluster.lloyd's 25
+    * deterministic KMeans iterations unrolled as assign/cent CTE pairs
+    * (argmin ties to the lowest center id, 9 dp-rounded means, empty
+    * clusters keep their center), background-cluster argmin, NB-MLE
+    * golden section as a recursive CTE whose log-likelihood inlines the
+    * SAME Lanczos lgamma constants and summation order as the Scala fit,
+    * log-space ppf as a second recursive CTE, then the classify tail.
+    * Zero mismatches against the Spark plan at sf0.01 (14743 calls).
+    */
+  private def q60OracleSql: String = {
+    val phi = "((SQRT(5.0) - 1) / 2)"
+    // Lanczos lgamma body for z >= 0.5 — constants and left-to-right
+    // addition order identical to HtoDemux.lgamma
+    def body(z: String): String = {
+      val a = Seq(
+        "0.99999999999980993",
+        s"676.5203681218851/($z)",
+        s"(-1259.1392167224028)/(($z) + 1.0)",
+        s"771.32342877765313/(($z) + 2.0)",
+        s"(-176.61502916214059)/(($z) + 3.0)",
+        s"12.507343278686905/(($z) + 4.0)",
+        s"(-0.13857109526572012)/(($z) + 5.0)",
+        s"9.9843695780195716e-6/(($z) + 6.0)",
+        s"1.5056327351493116e-7/(($z) + 7.0)").mkString(" + ")
+      s"(0.5 * LN(2 * PI()) + (($z) - 0.5) * LN(($z) + 6.5) - (($z) + 6.5) + LN($a))"
+    }
+    def lgam(x: String): String =
+      s"(CASE WHEN ($x) < 0.5 THEN LN(PI() / SIN(PI() * ($x))) - ${body(s"1.0 - ($x)")} " +
+        s"ELSE ${body(x)} END)"
+    def ll(alpha: String): String = {
+      val r = s"(1.0/($alpha))"
+      val p = s"($r/($r + mu))"
+      s"list_sum(list_transform(vals, e -> e.m * (" +
+        s"${lgam(s"e.v + $r")} - ${lgam(r)} - ${lgam("e.v + 1.0")}" +
+        s" + $r * LN($p) + e.v * LN(1.0 - $p))))"
+    }
+    val lloyd = (1 to 25).map { t =>
+      s"""
+  assign$t AS MATERIALIZED (
+    SELECT cell_id, x1, x2, cid FROM (
+      SELECT c.cell_id, c.x1, c.x2, k.cid,
+             ROW_NUMBER() OVER (PARTITION BY c.cell_id
+               ORDER BY (c.x1 - k.cx)*(c.x1 - k.cx) + (c.x2 - k.cy)*(c.x2 - k.cy), k.cid) AS rn
+      FROM cells c CROSS JOIN cent${t - 1} k) WHERE rn = 1),
+  cent$t AS MATERIALIZED (
+    SELECT p.cid, COALESCE(m.mx, p.cx) AS cx, COALESCE(m.my, p.cy) AS cy
+    FROM cent${t - 1} p LEFT JOIN (
+      SELECT cid, ROUND(AVG(x1), 9) AS mx, ROUND(AVG(x2), 9) AS my
+      FROM assign$t GROUP BY cid) m ON p.cid = m.cid)"""
+    }.mkString(",")
+    val c0 = s"(8.0 - $phi * (8.0 - (-12.0)))"
+    val d0 = s"((-12.0) + $phi * (8.0 - (-12.0)))"
+    s"""WITH RECURSIVE h AS MATERIALIZED (
+    SELECT l_orderkey AS cell_id,
+           SUM(CASE WHEN l_partkey BETWEEN 1 AND 50 THEN l_quantity ELSE 0 END) AS h1,
+           SUM(CASE WHEN l_partkey BETWEEN 51 AND 100 THEN l_quantity ELSE 0 END) AS h2
+    FROM lineitem GROUP BY l_orderkey),
+  nc AS (SELECT COUNT(*) AS n FROM h),
+  f AS MATERIALIZED (
+    SELECT ROUND(EXP(SUM(LN(h1 + 1)) / nc.n), 6) AS f1,
+           ROUND(EXP(SUM(LN(h2 + 1)) / nc.n), 6) AS f2
+    FROM h CROSS JOIN nc GROUP BY nc.n),
+  cells AS MATERIALIZED (
+    SELECT cell_id, h1, h2,
+           LN(h1 / f.f1 + 1) AS x1, LN(h2 / f.f2 + 1) AS x2,
+           MD5('4466:' || cell_id) AS hsh
+    FROM h CROSS JOIN f),
+  cent0 AS MATERIALIZED (
+    SELECT ROW_NUMBER() OVER (ORDER BY hsh, cell_id) AS cid, x1 AS cx, x2 AS cy
+    FROM (SELECT * FROM (
+            SELECT cells.*, ROW_NUMBER() OVER (PARTITION BY x1, x2
+              ORDER BY hsh, cell_id) AS rv FROM cells) WHERE rv = 1)
+    ORDER BY hsh, cell_id LIMIT 3),$lloyd,
+  avgexp AS MATERIALIZED (
+    SELECT hto, cid, AVG(x) AS m FROM (
+      SELECT cid, 'HTO1' AS hto, x1 AS x FROM assign25
+      UNION ALL SELECT cid, 'HTO2', x2 FROM assign25) GROUP BY hto, cid),
+  bg AS MATERIALIZED (SELECT hto, cid AS bgc FROM (
+      SELECT hto, cid, ROW_NUMBER() OVER (PARTITION BY hto ORDER BY m, cid) AS rn
+      FROM avgexp) WHERE rn = 1),
+  hist AS MATERIALIZED (
+    SELECT nv.hto, nv.v, CAST(COUNT(*) AS BIGINT) AS m FROM (
+      SELECT a.cid, 'HTO1' AS hto, CAST(c.h1 AS DOUBLE) AS v
+      FROM assign25 a JOIN cells c USING (cell_id)
+      UNION ALL
+      SELECT a.cid, 'HTO2', CAST(c.h2 AS DOUBLE)
+      FROM assign25 a JOIN cells c USING (cell_id)) nv
+    JOIN bg ON nv.hto = bg.hto AND nv.cid = bg.bgc
+    GROUP BY nv.hto, nv.v),
+  nb0 AS MATERIALIZED (
+    SELECT hto, LIST({'v': v, 'm': m} ORDER BY v) AS vals,
+           GREATEST(SUM(v * m) / SUM(m), 1e-8) AS mu
+    FROM hist GROUP BY hto),
+  gold AS (
+    SELECT hto, vals, mu,
+           CAST(-12.0 AS DOUBLE) AS lo, CAST(8.0 AS DOUBLE) AS hi,
+           $c0 AS c, $d0 AS d,
+           ${ll(s"EXP($c0)")} AS fc,
+           ${ll(s"EXP($d0)")} AS fd,
+           0 AS it
+    FROM nb0
+    UNION ALL
+    SELECT hto, vals, mu,
+           CASE WHEN fc > fd THEN lo ELSE c END AS nlo,
+           CASE WHEN fc > fd THEN d ELSE hi END AS nhi,
+           CASE WHEN fc > fd THEN nhi - $phi * (nhi - nlo) ELSE d END AS ncc,
+           CASE WHEN fc > fd THEN c ELSE nlo + $phi * (nhi - nlo) END AS ndd,
+           CASE WHEN fc > fd THEN ${ll("EXP(ncc)")} ELSE fd END AS nfc,
+           CASE WHEN fc > fd THEN fc ELSE ${ll("EXP(ndd)")} END AS nfd,
+           it + 1
+    FROM gold WHERE it < 80 AND hi - lo > 1e-9),
+  goldfin AS MATERIALIZED (
+    SELECT hto, mu, EXP((lo + hi) / 2) AS alpha FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY hto ORDER BY it DESC) AS r
+      FROM gold) WHERE r = 1),
+  nbp AS MATERIALIZED (
+    SELECT hto, mu, 1.0/alpha AS r,
+           (1.0/alpha) / ((1.0/alpha) + mu) AS p
+    FROM goldfin),
+  ppf AS (
+    SELECT hto, mu, r, p, CAST(0 AS BIGINT) AS k,
+           r * LN(p) AS logpmf, EXP(r * LN(p)) AS cdf
+    FROM nbp
+    UNION ALL
+    SELECT hto, mu, r, p, k + 1,
+           logpmf + LN((k + r) / (k + 1.0)) + LN(1.0 - p) AS nlogpmf,
+           cdf + EXP(nlogpmf) AS ncdf
+    FROM ppf WHERE cdf < 0.99 AND k < 1000000),
+  cut AS MATERIALIZED (
+    SELECT hto, CAST(FLOOR(mu + k + 0.5) AS BIGINT) AS cutoff FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY hto ORDER BY k DESC) AS rr
+      FROM ppf) WHERE rr = 1),
+  c2 AS (SELECT cell_id, 'HTO1' AS hto, h1 AS cnt FROM h
+         UNION ALL SELECT cell_id, 'HTO2', h2 FROM h),
+  disc AS (SELECT c2.cell_id, c2.hto, c2.cnt,
+                  CASE WHEN c2.cnt > t.cutoff THEN 1 ELSE 0 END AS pos
+           FROM c2 JOIN cut t ON c2.hto = t.hto),
+  best AS (SELECT cell_id, hto AS top_hto FROM (
+             SELECT cell_id, hto,
+                    ROW_NUMBER() OVER (PARTITION BY cell_id ORDER BY cnt DESC, hto) AS rn
+             FROM disc) WHERE rn = 1),
+  agg AS (SELECT cell_id, SUM(pos) AS n_pos FROM disc GROUP BY cell_id)
+  SELECT a.cell_id,
+         CASE WHEN a.n_pos = 0 THEN 'Negative'
+              WHEN a.n_pos > 1 THEN 'Doublet'
+              ELSE b.top_hto END AS call
+  FROM agg a JOIN best b ON a.cell_id = b.cell_id
+  ORDER BY a.cell_id"""
+  }
+
   /** DuckDB oracles for the ML queries that ARE SQL-expressible after all:
     * q55's lazy-PPR core unrolls to 10 materialized join+aggregate CTEs
     * (materialization matters — x_k is referenced twice, so inlined CTEs
@@ -232,6 +386,7 @@ object MlQueries {
     */
   val oracle: Map[String, String] = Map(
     "q59_hvg_lowess" -> q59OracleSql,
+    "q60_hto_nb" -> q60OracleSql,
     "q55_pseudotime" -> {
       val om = (1 - 0.85).toString // Scala's exact double bits for 1-alpha
       val iters = (1 to 10).map { k =>

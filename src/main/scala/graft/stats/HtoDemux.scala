@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   * binomial to the background counts by maximum likelihood, cut at its
   * 0.99 quantile, then classify Negative / singlet (argmax HTO) / Doublet.
   *
-  * Distributed: CLR + cluster means + discretization are joins/aggs; the
-  * two driver-side steps are KMeans (MLlib, seeded — RNG differs from
-  * sklearn's n_init=100 random restarts; documented) and the NB fit,
-  * which sees only the background-cluster count vector per HTO.
+  * Distributed: CLR + cluster means + discretization are joins/aggs;
+  * clustering is [[graft.pipeline.Cluster.lloyd]] (deterministic seeded
+  * Lloyd's — the reference's sklearn n_init=100 RNG is unmatchable by
+  * any engine, and a deterministic clustering makes the WHOLE demux
+  * chain replayable by the q60 DuckDB oracle); the only driver-side
+  * step is the NB fit, which sees only the background-cluster count
+  * histogram per HTO.
   */
 object HtoDemux {
 
@@ -44,8 +47,11 @@ object HtoDemux {
   private def nbLogLik(vals: Array[(Double, Long)], mu: Double, alpha: Double): Double = {
     val r = 1.0 / alpha
     val p = r / (r + mu)
+    // ln(1 - p) rather than log1p(-p): identical bits to the DuckDB
+    // oracle's LN(1.0 - p) (q60); p is never close enough to 1 for the
+    // log1p precision edge to matter here
     vals.map { case (y, m) =>
-      m * (lgamma(y + r) - lgamma(r) - lgamma(y + 1) + r * math.log(p) + y * math.log1p(-p))
+      m * (lgamma(y + r) - lgamma(r) - lgamma(y + 1) + r * math.log(p) + y * math.log(1.0 - p))
     }.sum
   }
 
@@ -84,7 +90,7 @@ object HtoDemux {
     var cdf = math.exp(logPmf)
     while (cdf < quantile && k < 1000000L) {
       // pmf(k+1)/pmf(k) = (k + r)/(k + 1) · (1−p)
-      logPmf += math.log((k + r) / (k + 1.0)) + math.log1p(-p)
+      logPmf += math.log((k + r) / (k + 1.0)) + math.log(1.0 - p)
       cdf += math.exp(logPmf)
       k += 1
     }
@@ -108,12 +114,17 @@ object HtoDemux {
       .join(counts, Seq("cell_id", "hto"), "left")
       .na.fill(0.0, Seq("count"))
       .cache()
-    // CLR: f(hto) = exp(Σ_cells log1p(x) / nCells); clr = log1p(x / f)
+    // CLR: f(hto) = exp(Σ_cells ln(1+x) / nCells); clr = ln(x / f + 1).
+    // f is rounded to 6 dp and ln(1+·) is spelled as ln(x+1) (not log1p)
+    // so the DuckDB oracle (q60) sees bit-identical inputs: counts are
+    // integer-valued, making x+1 exact, while the Σ ln term's float
+    // summation order differs between engines — the 6 dp round absorbs
+    // that wobble before it can shift every CLR value coherently
     val nCells = denseCounts.select("cell_id").distinct().count()
     val f = denseCounts.groupBy("hto")
-      .agg((exp(sum(log1p(col("count"))) / nCells)).as("f"))
+      .agg(round(exp(sum(log(col("count") + 1)) / nCells), 6).as("f"))
     val clr = denseCounts.join(broadcast(f), Seq("hto"))
-      .select(col("cell_id"), col("hto"), log1p(col("count") / col("f")).as("clr"))
+      .select(col("cell_id"), col("hto"), log(col("count") / col("f") + 1).as("clr"))
     // assemble fixed-order CLR vectors and cluster
     val hIdx = htos.zipWithIndex.toMap
     val idxCol = udf((h: String) => hIdx(h))
@@ -121,7 +132,12 @@ object HtoDemux {
       .groupBy("cell_id")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("clr")))),
         s => s.getField("clr")).as("latent"))
-    val clusters = graft.pipeline.Cluster.kmeans(vecs, k, seed)
+    // deterministic Lloyd's rather than MLlib KMeans: the reference's
+    // sklearn n_init=100 RNG is unmatchable either way, and a fully
+    // deterministic clustering makes the whole demux chain (CLR →
+    // cluster → NB-MLE cutoff → classify) replayable by the DuckDB
+    // oracle (q60)
+    val clusters = graft.pipeline.Cluster.lloyd(vecs, k, iters = 25, seed = seed)
     // per-HTO background cluster = argmin of mean CLR
     val avgExp = clr.join(clusters, Seq("cell_id"))
       .groupBy("hto", "cluster").agg(avg(col("clr")).as("m"))
