@@ -126,10 +126,18 @@ case class DataStore(
     copy(cells = cells.drop("cluster").join(labels, Seq("cell_id"), "left"))
   }
 
-  /** run_umap: driver SGD layout from the smoothed graph. */
-  def runUmap(nEpochs: Int = 50, seed: Long = 4444L): DataStore = {
+  /** run_umap: driver SGD layout from the smoothed graph. `densLambda`
+    * > 0 enables the densMAP local-radius terms (scarf/umap.py:15-38);
+    * the original-space distances come from the cached KNN frame.
+    */
+  def runUmap(nEpochs: Int = 50, seed: Long = 4444L,
+              densLambda: Double = 0.0): DataStore = {
+    val dists =
+      if (densLambda > 0) Some(caches("knn").select("src", "dst", "dist"))
+      else None
     val um = UmapLayout.layout(caches("edges"),
-      UmapLayout.initFromLatent(caches("latent")), nEpochs = nEpochs, seed = seed)
+      UmapLayout.initFromLatent(caches("latent")), nEpochs = nEpochs,
+      seed = seed, densLambda = densLambda, dists = dists)
     copy(cells = cells.drop("umap1", "umap2").join(um, Seq("cell_id"), "left"))
   }
 
@@ -167,9 +175,26 @@ case class DataStore(
     copy(cells = cells.drop("pseudotime").join(pt, Seq("cell_id"), "left"))
   }
 
-  /** Paris hierarchical clustering cut to n clusters. */
-  def runParis(n: Int): DataStore = {
-    val labels = Paris.cut(caches("edges"), n)
+  /** Paris hierarchical clustering cut to n clusters. Like [[makeGraph]]'s
+    * ANN auto-switch, the default (`sketch = None`) collects the full
+    * n·k edge list only below `sketchThreshold` active cells; above it
+    * the TopACeDo-sketched contraction ([[Paris.sketchedCut]]) runs, so
+    * the driver never holds more than the s-node supergraph. Requires a
+    * prior clustering (the `cluster` column) for the sketch rates when
+    * the sketched path is taken — falls back to a single pseudo-cluster
+    * when absent.
+    */
+  def runParis(n: Int, sketch: Option[Boolean] = None,
+               sketchThreshold: Long = 100000): DataStore = {
+    val useSketch = sketch.getOrElse(cells.filter(col("I")).count() > sketchThreshold)
+    val labels =
+      if (useSketch) {
+        val prelim =
+          if (cells.columns.contains("cluster"))
+            cells.select(col("cell_id"), col("cluster"))
+          else cells.select(col("cell_id"), lit(1L).as("cluster"))
+        Paris.sketchedCut(caches("edges"), prelim, n)
+      } else Paris.cut(caches("edges"), n)
     copy(cells = cells.drop("cluster").join(labels, Seq("cell_id"), "left"))
   }
 

@@ -104,6 +104,17 @@ class PipelineSpec extends SparkSpec {
     assert(pt.cells.filter($"pseudotime".isNotNull).count() > 0)
     val pc = ds.runParis(3)
     assert(pc.cells.filter($"cluster".isNotNull).select("cluster").distinct().count() === 3)
+    // the scale path: sketchThreshold = 0 forces the same auto branch the
+    // default takes above 100k cells — sketched contraction, labels for
+    // every active cell, no full-graph collect
+    // every graph node (cells with >= 1 HVG feature) gets a label
+    val graphNodes = ds.caches("latent").count()
+    val ps = ds.runParis(3, sketchThreshold = 0)
+    assert(ps.cells.filter($"cluster".isNotNull).count() === graphNodes)
+    // densMAP-flavoured layout stays finite for every graph node
+    val du = ds.runUmap(nEpochs = 5, densLambda = 2.0)
+    assert(du.cells.filter($"umap1".isNotNull && !isnan($"umap1")).count() ===
+      graphNodes)
   }
 
   test("default makeGraph auto-selects scale-safe ANN: no O(n²) join, recall ≥ 0.95") {
