@@ -59,6 +59,88 @@ object Reduce {
       .select(col("cell_id"), toArr(col("pc")).as("latent"))
   }
 
+  /** Deterministic z-scale + PCA — cross-engine replayable (backs the
+    * q53 oracle the way [[graft.pipeline.Cluster.lloyd]] backs q60's).
+    * MLlib's PCA is deterministic within Spark but its SVD is
+    * engine-private; this variant is defined purely in terms an external
+    * engine can replay bit-for-bit:
+    *
+    *  - dense per-cell vectors over the d selected features;
+    *  - per-feature mean and sample std (moment form), ROUNDED to 5 dp —
+    *    float-summation-order noise across engines is ~1e-11, far below
+    *    the 5e-6 grain, so both engines see identical moments;
+    *  - covariance of the z-scaled data (d×d, 5 dp-rounded, same
+    *    argument);
+    *  - top-`dims` eigenvectors by fixed-count subspace iteration with
+    *    classical Gram-Schmidt from the identity init — pure
+    *    +,*,/,sqrt in a fixed order, all correctly-rounded IEEE ops, so
+    *    identical covariance bits give identical basis bits on any
+    *    engine;
+    *  - latent = scaled row · basis, ascending-index dot products.
+    *
+    * Only the d×d covariance reaches the driver; everything row-scale is
+    * joins/aggregations. Intended for d ≤ ~100 (covariance eigensolve —
+    * the same regime where MLlib PCA also materializes the Gramian).
+    */
+  def pcaDeterministic(vectors: DataFrame, dims: Int, iters: Int = 300): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    // feeds moments + covariance + projection (4 actions)
+    val dense = vectors.select(col("cell_id"), col("features"))
+      .as[(Long, Vector)].map { case (c, v) => (c, v.toArray) }
+      .cache()
+    val d = dense.head()._2.length
+    val n = dense.count()
+    // 5 dp-rounded per-feature moments (moment-form sample std)
+    val moments = dense.flatMap { case (_, xs) =>
+        xs.iterator.zipWithIndex.map { case (x, i) => (i, x, x * x) }
+      }.toDF("i", "x", "xx")
+      .groupBy("i").agg(
+        round(sum(col("x")) / n, 5).as("m"),
+        round(sqrt((sum(col("xx")) - sum(col("x")) * sum(col("x")) / n) / (n - 1)), 5).as("s"))
+      .as[(Int, Double, Double)].collect().sortBy(_._1)
+    val ms = moments.map(_._2)
+    val ss = moments.map(_._3)
+    def scale(xs: Array[Double]): Array[Double] =
+      Array.tabulate(d)(i => if (ss(i) > 0) (xs(i) - ms(i)) / ss(i) else 0.0)
+    // 5 dp-rounded covariance of the scaled data (d×d to the driver)
+    val cov = Array.ofDim[Double](d, d)
+    dense.flatMap { case (_, xs) =>
+        val z = scale(xs)
+        for (i <- 0 until d; j <- i until d) yield (i, j, z(i) * z(j))
+      }.toDF("i", "j", "p")
+      .groupBy("i", "j").agg(round(sum(col("p")) / (n - 1), 5).as("c"))
+      .as[(Int, Int, Double)].collect()
+      .foreach { case (i, j, c) => cov(i)(j) = c; cov(j)(i) = c }
+    // subspace iteration, classical Gram-Schmidt, fixed order
+    var v = Array.tabulate(dims)(j => Array.tabulate(d)(i => if (i == j) 1.0 else 0.0))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    for (_ <- 1 to iters) {
+      val w = v.map(col0 => Array.tabulate(d)(i => dot(cov(i), col0)))
+      val nv = new Array[Array[Double]](dims)
+      for (j <- 0 until dims) {
+        val u = w(j).clone()
+        for (l <- 0 until j) {
+          val dl = dot(w(j), nv(l))
+          var i = 0
+          while (i < d) { u(i) -= dl * nv(l)(i); i += 1 }
+        }
+        val nrm = math.sqrt(dot(u, u))
+        nv(j) = if (nrm > 0) u.map(_ / nrm) else u
+      }
+      v = nv
+    }
+    val basis = v
+    dense.map { case (c, xs) =>
+      val z = scale(xs)
+      (c, basis.map(col0 => dot(z, col0)).toSeq)
+    }.toDF("cell_id", "latent")
+  }
+
   /** LSI (scarf/ann.py:258-288): SVD of the (TF-IDF-normalized) matrix
     * WITHOUT centering — the ATAC path. Computes `dims + 1` components
     * and drops the first (depth-correlated) one when `skipFirst`, the

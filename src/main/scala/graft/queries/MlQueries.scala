@@ -27,9 +27,10 @@ object MlQueries {
       val vecs = Reduce.assembleVectors(
         normed.join(broadcast(sel), Seq("feat_id")),
         Reduce.featureIndex(sel), "normed")
-      // Scalar rows (cell_id, component, value): the driver's rows-only
-      // check sorts/hashes columns, which fails on array columns.
-      Reduce.pca(vecs, dims = 5)
+      // pcaDeterministic (cross-engine-replayable subspace iteration,
+      // spec-tied to MLlib's subspace) so the whole chain is oracled;
+      // scalar rows because the driver hash sorts plain columns
+      Reduce.pcaDeterministic(vecs, dims = 5)
         .select(col("cell_id"), posexplode(col("latent")).as(Seq("component", "value")))
         .select(col("cell_id"), col("component"), round(col("value"), 4).as("value"))
         .orderBy("cell_id", "component")
@@ -224,6 +225,131 @@ object MlQueries {
   ORDER BY b.feat_id"""
   }
 
+  /** The q53 deterministic-PCA oracle: Reduce.pcaDeterministic replayed
+    * in DuckDB — HVG top-30 (q12's oracle machinery), dense z-scaled
+    * vectors over 5 dp-rounded moments, 5 dp-rounded covariance, then
+    * the fixed-count subspace iteration (matvec + classical Gram-Schmidt)
+    * as a recursive CTE over a single row carrying the 5×30 basis.
+    * Every iteration step is pure +,*,/,sqrt in the same evaluation
+    * order as the Scala loop — all correctly-rounded IEEE ops, so
+    * identical (rounded) covariance bits give identical basis bits.
+    * Intermediates share through nested single-element list_transform
+    * bindings (a lateral-alias chain would re-inline each matvec
+    * exponentially), and the identity init is CAST to DOUBLE (bare 1.0
+    * literals type as DECIMAL(2,1) and the recursive CTE would unify —
+    * i.e. quantize — every iteration's basis to one decimal).
+    * Exact match at sf0.01: 4410/4410 latent values.
+    */
+  private def q53OracleSql: String = {
+    val d = 30; val k = 5; val iters = 300
+    val rng = s"range(1, ${d + 1})"
+    def dotL(a: String, b: String) =
+      s"list_sum(list_transform($rng, i2 -> $a[i2] * $b[i2]))"
+    // normalize(u): bind u, then its norm
+    def gs(uExpr: String) =
+      s"list_transform([$uExpr], u -> " +
+        s"list_transform([SQRT(list_sum(list_transform(u, e -> e * e)))], nrm -> " +
+        s"CASE WHEN nrm > 0 THEN list_transform(u, e -> e / nrm) ELSE u END)[1])[1]"
+    // classical GS residual of wN[j] against nv1..nv{j-1}, left-assoc
+    def uExpr(j: Int): String =
+      if (j == 1) "wN[1]"
+      else {
+        val ds = (1 until j).map(l => s"'d$l': ${dotL(s"wN[$j]", s"nv$l")}").mkString(", ")
+        val sub = (1 until j).foldLeft(s"wN[$j][i]") { (acc, l) =>
+          s"($acc - ds.d$l * nv$l[i])"
+        }
+        s"list_transform([{$ds}], ds -> list_transform($rng, i -> $sub))[1]"
+      }
+    val mv = "list_value(" + (1 to k).map(j =>
+      s"list_transform($rng, i -> list_sum(list_transform($rng, kk -> c[i][kk] * v[$j][kk])))")
+      .mkString(", ") + ")"
+    val vNext = {
+      val sb = new StringBuilder(s"list_transform([$mv], wN -> ")
+      var close = ")[1]"
+      for (j <- 1 to k) {
+        sb.append(s"list_transform([${gs(uExpr(j))}], nv$j -> ")
+        close += ")[1]"
+      }
+      sb.append("list_value(" + (1 to k).map(j => s"nv$j").mkString(", ") + ")")
+      sb.append(close)
+      sb.toString
+    }
+    val ident = (1 to k).map(j =>
+      s"list_transform($rng, i -> CASE WHEN i = $j THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)")
+      .mkString(", ")
+    s"""WITH RECURSIVE normed AS MATERIALIZED (
+    SELECT l_orderkey AS cell_id, l_partkey AS feat_id,
+           LN(1 + 10000.0 * l_quantity / SUM(l_quantity) OVER (PARTITION BY l_orderkey)) AS normed
+    FROM lineitem),
+  nc AS (SELECT COUNT(DISTINCT l_orderkey) AS n_total_cells FROM lineitem),
+  stats AS MATERIALIZED (
+    SELECT feat_id,
+           COUNT(CASE WHEN normed > 0 THEN 1 END) AS normed_n,
+           (SUM(normed * normed) - SUM(normed) * SUM(normed) / nc.n_total_cells)
+             / (nc.n_total_cells - 1) AS sigmas,
+           SUM(normed) / nc.n_total_cells AS avg_all
+    FROM normed CROSS JOIN nc GROUP BY feat_id, nc.n_total_cells),
+  s AS MATERIALIZED (
+    SELECT feat_id, sigmas, LOG2(avg_all) AS log_mean
+    FROM stats WHERE normed_n >= 5),
+  bounds AS MATERIALIZED (SELECT MIN(log_mean) AS lo, MAX(log_mean) AS hi FROM s),
+  binned AS MATERIALIZED (
+    SELECT s.*, LEAST(FLOOR((s.log_mean - b.lo) / ((b.hi - b.lo) / 10)), 9) AS bin
+    FROM s CROSS JOIN bounds b),
+  sel AS MATERIALIZED (
+    SELECT feat_id FROM (
+      SELECT feat_id, ROUND(sigmas / AVG(sigmas) OVER (PARTITION BY bin), 6) AS c_var
+      FROM binned)
+    ORDER BY c_var DESC, feat_id LIMIT $d),
+  fidx AS MATERIALIZED (
+    SELECT feat_id, CAST(ROW_NUMBER() OVER (ORDER BY feat_id) AS INT) AS idx
+    FROM sel),
+  vals AS MATERIALIZED (
+    SELECT n.cell_id, f.idx, SUM(n.normed) AS x
+    FROM normed n JOIN fidx f ON n.feat_id = f.feat_id
+    GROUP BY n.cell_id, f.idx),
+  cells0 AS MATERIALIZED (SELECT DISTINCT cell_id FROM vals),
+  n1 AS (SELECT COUNT(*) AS n FROM cells0),
+  dense AS MATERIALIZED (
+    SELECT c.cell_id, f.idx, COALESCE(v.x, 0.0) AS x
+    FROM cells0 c CROSS JOIN fidx f
+    LEFT JOIN vals v ON c.cell_id = v.cell_id AND f.idx = v.idx),
+  mom AS MATERIALIZED (
+    SELECT idx, ROUND(SUM(x) / n1.n, 5) AS m,
+           ROUND(SQRT((SUM(x * x) - SUM(x) * SUM(x) / n1.n) / (n1.n - 1)), 5) AS sd
+    FROM dense CROSS JOIN n1 GROUP BY idx, n1.n),
+  z AS MATERIALIZED (
+    SELECT d.cell_id, d.idx,
+           CASE WHEN mom.sd > 0 THEN (d.x - mom.m) / mom.sd ELSE 0.0 END AS z
+    FROM dense d JOIN mom ON d.idx = mom.idx),
+  covu AS MATERIALIZED (
+    SELECT a.idx AS i, b.idx AS j,
+           ROUND(SUM(a.z * b.z) / (n1.n - 1), 5) AS cv
+    FROM z a JOIN z b ON a.cell_id = b.cell_id AND a.idx <= b.idx
+    CROSS JOIN n1
+    GROUP BY a.idx, b.idx, n1.n),
+  covf AS MATERIALIZED (
+    SELECT i, j, cv FROM covu
+    UNION ALL SELECT j, i, cv FROM covu WHERE i <> j),
+  covm AS MATERIALIZED (
+    SELECT LIST(rl ORDER BY i) AS c FROM (
+      SELECT i, LIST(cv ORDER BY j) AS rl FROM covf GROUP BY i)),
+  iter AS (
+    SELECT 0 AS it, c, list_value($ident) AS v
+    FROM covm
+    UNION ALL
+    SELECT it + 1, c, $vNext AS v
+    FROM iter WHERE it < $iters),
+  fin AS MATERIALIZED (SELECT v FROM iter WHERE it = $iters),
+  zrows AS MATERIALIZED (
+    SELECT cell_id, LIST(z ORDER BY idx) AS zs FROM z GROUP BY cell_id)
+  SELECT r.cell_id, comp.j - 1 AS component,
+         ROUND(list_sum(list_transform($rng, i -> r.zs[i] * f.v[comp.j][i])), 4) AS value
+  FROM zrows r CROSS JOIN fin f
+  CROSS JOIN (SELECT UNNEST(range(1, ${k + 1})) AS j) comp
+  ORDER BY r.cell_id, component"""
+  }
+
   /** The q60 full-demux oracle: HtoDemux.demux reproduced in DuckDB end
     * to end — CLR (6 dp-rounded normalizer), Cluster.lloyd's 25
     * deterministic KMeans iterations unrolled as assign/cent CTE pairs
@@ -385,6 +511,7 @@ object MlQueries {
     * bit-identical at 4 dp against the Spark plans on sf0.01.
     */
   val oracle: Map[String, String] = Map(
+    "q53_pca_latent" -> q53OracleSql,
     "q59_hvg_lowess" -> q59OracleSql,
     "q60_hto_nb" -> q60OracleSql,
     "q55_pseudotime" -> {

@@ -74,4 +74,32 @@ class AdvancedPipelineSpec extends SparkSpec {
     val r2 = graft.pipeline.Reduce.lsi(vecs, dims = 2, skipFirst = true)
     assert(rows(r.orderBy("cell_id")) === rows(r2.orderBy("cell_id")))
   }
+
+  test("pcaDeterministic spans the same subspace as MLlib PCA") {
+    import org.apache.spark.ml.linalg.Vectors
+    val rnd = new scala.util.Random(11)
+    // anisotropic cloud: two strong directions + noise in four dims
+    val vecs = (1 to 300).map { i =>
+      val a = rnd.nextGaussian() * 5; val b = rnd.nextGaussian() * 2
+      (i.toLong, Vectors.dense(
+        a + rnd.nextGaussian() * 0.1, b + rnd.nextGaussian() * 0.1,
+        0.5 * a - b + rnd.nextGaussian() * 0.1, rnd.nextGaussian() * 0.1))
+    }.toDF("cell_id", "features")
+    val det = graft.pipeline.Reduce.pcaDeterministic(vecs, dims = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val ml = graft.pipeline.Reduce.pca(vecs, dims = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // same subspace => per-cell projection NORMS agree (basis rotation
+    // and sign are engine-private; the norm is rotation-invariant)
+    val relErr = det.keys.map { c =>
+      val nd = math.sqrt(det(c).map(x => x * x).sum)
+      val nm = math.sqrt(ml(c).map(x => x * x).sum)
+      math.abs(nd - nm) / math.max(nm, 1e-9)
+    }
+    assert(relErr.max < 0.01, s"projection norms diverge: max ${relErr.max}")
+    // deterministic across invocations
+    val det2 = graft.pipeline.Reduce.pcaDeterministic(vecs, dims = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(det == det2)
+  }
 }
