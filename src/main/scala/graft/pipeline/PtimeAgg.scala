@@ -35,8 +35,11 @@ object PtimeAgg {
       .select(col("cell_id"), col("feat_id"), col("ptime"),
         coalesce(col("value"), lit(0.0)).as("v"))
     val w = Window.partitionBy("feat_id").orderBy("ptime", "cell_id")
+    // cached: the rolled frame feeds the stats aggregation AND the z/bin
+    // pass — uncached, the |cells|·|sel| window sort runs twice
     val rolled = dense.withColumn("r",
-      avg(col("v")).over(w.rowsBetween(-halfWidth, halfWidth)))
+        avg(col("v")).over(w.rowsBetween(-halfWidth, halfWidth)))
+      .cache()
     val stats = rolled.groupBy("feat_id").agg(
       avg(col("r")).as("mu"), stddev_samp(col("r")).as("sd"))
     rolled.join(broadcast(stats), Seq("feat_id"))
