@@ -6,11 +6,14 @@ import graft.core.Tables
 import graft.pipeline.{Metrics, Pseudotime, Reduce}
 
 /** ML-tagged operators exposed as driver queries (SURVEY.md §2 [ML]).
-  * Most now carry full DuckDB oracles despite the label (q54 LISI, q55
-  * PPR, q59 LOWESS, q60 demux, q61 silhouette); the rows-only remainder
-  * is q53 (MLlib SVD core) and q67 (Paris linkage), both value-validated
-  * in ScalaTest (golden/invariant style, as the reference's own CI
-  * does — SURVEY.md §5).
+  * ALL of them now carry full DuckDB oracles despite the label: q54
+  * LISI (recursive-CTE bisection), q55 PPR (unrolled CTEs), q59 LOWESS
+  * (single-row list-state recursion), q60 demux (unrolled deterministic
+  * Lloyd's + golden-section NB-MLE), q61 silhouette, q53 PCA
+  * (subspace-iteration replay) and q67 knn_clustering (the Paris
+  * agglomeration itself, integer-exact on binary KNN weights). Value
+  * semantics additionally covered in ScalaTest, as the reference's own
+  * CI does (SURVEY.md §5).
   */
 object MlQueries {
 
@@ -96,8 +99,11 @@ object MlQueries {
 
     // run_pseudotime_aggregation end-to-end (q56's oracled bin stage →
     // feature self-KNN → Paris cut_straight → argmax-median module
-    // reorder, scarf/markers.py:323-439); Paris is not SQL-expressible,
-    // so the chain is rows-checked here and value-checked in PtimeAggSpec
+    // reorder, scarf/markers.py:323-439). Fully ORACLED ([[q67OracleSql]]):
+    // the binary-weight agglomeration is integer-exact, so the whole
+    // merge sequence replays in SQL; the 6 dp profile rounding between
+    // the stages is the cross-engine determinism fence (same role as
+    // q56's output rounding)
     "q67_knn_clustering" -> ((s, d) => {
       val coo = Tables.coo(s, d).groupBy("cell_id", "feat_id")
         .agg(sum(col("value")).as("value"))
@@ -105,8 +111,10 @@ object MlQueries {
         .orderBy(col("nnz").desc, col("feat_id")).limit(40).select("feat_id")
       val ptime = Tables.t(s, d, "orders").select(col("o_orderkey").as("cell_id"),
         unix_millis(to_utc_timestamp(col("o_orderdate"), "UTC")).as("ptime"))
-      graft.pipeline.PtimeAgg.runPseudotimeAggregation(coo, ptime, sel,
-          halfWidth = 2, nBins = 20, k = 5, nClusters = 4)
+      val profiles = graft.pipeline.PtimeAgg.binnedProfiles(coo, ptime, sel,
+          halfWidth = 2, nBins = 20)
+        .select(col("feat_id"), col("bin"), round(col("z_mean"), 6).as("z_mean"))
+      graft.pipeline.PtimeAgg.knnClustering(profiles, k = 5, nClusters = 4)
         .orderBy("feat_id")
     }),
 
@@ -350,6 +358,157 @@ object MlQueries {
   ORDER BY r.cell_id, component"""
   }
 
+  /** The q67 knn_clustering oracle — the Paris agglomeration itself
+    * replayed in DuckDB. The binary KNN adjacency (+ symmetrization)
+    * makes every weight, mass and W an integer, so all 39 merge steps
+    * are float-EXACT: the recursive CTE carries the 79×79 weight matrix,
+    * masses and alive mask, each step binds the argmin pair by
+    * (distance, a, b) — provably equal to the Scala lazy-invalidation
+    * priority queue, since an alive pair's distance never changes —
+    * and rewrites the matrix. Upstream, q56's oracled bin stage feeds
+    * the 6 dp-rounded profiles (the cross-engine fence) into the exact
+    * self-KNN; downstream, cut_straight is a parent-chase over the kept
+    * links and the argmax-median reorder is quantile_cont + ROW_NUMBER.
+    * Exact at sf0.01: 40/40 module labels.
+    */
+  private def q67OracleSql: String = {
+    val nf = 40; val k = 5; val nC = 4; val nB = 20
+    val tot = 2 * nf - 1
+    val merges = nf - 1
+    val keep = merges - (nC - 1)
+    val rN = s"range(1, ${tot + 1})"
+    val cands = s"""flatten(list_transform($rN, a ->
+  flatten(list_transform(range(a + 1, ${tot + 1}), b ->
+    CASE WHEN alive[a] = 1 AND alive[b] = 1 AND c[a][b] > 0
+         THEN [{'d': mass[a] * mass[b] / (wtot * c[a][b]), 'a': a, 'b': b}]
+         ELSE [] END))))"""
+    val best = s"""list_transform([$cands], cd ->
+  CASE WHEN len(cd) > 0 THEN {'a': list_sort(cd)[1].a, 'b': list_sort(cd)[1].b}
+       ELSE list_transform([list_filter($rN, x2 -> alive[x2] = 1)], al ->
+              {'a': al[1], 'b': al[2]})[1] END)[1]"""
+    val stepV = s"""list_transform([$best], bst ->
+  {'alive': list_transform($rN, x -> CASE WHEN x = bst.a OR x = bst.b THEN 0
+       WHEN x = $nf + it + 1 THEN 1 ELSE alive[x] END),
+   'mass': list_transform($rN, x -> CASE WHEN x = $nf + it + 1
+       THEN mass[bst.a] + mass[bst.b] ELSE mass[x] END),
+   'links': list_append(links, {'a': bst.a, 'b': bst.b}),
+   'c': list_transform($rN, x -> list_transform($rN, y ->
+      CASE WHEN x = $nf + it + 1 THEN
+             CASE WHEN y = bst.a OR y = bst.b OR y = x THEN 0.0
+                  ELSE c[bst.a][y] + c[bst.b][y] END
+           WHEN y = $nf + it + 1 THEN
+             CASE WHEN x = bst.a OR x = bst.b THEN 0.0
+                  ELSE c[x][bst.a] + c[x][bst.b] END
+           WHEN x = bst.a OR x = bst.b OR y = bst.a OR y = bst.b THEN 0.0
+           ELSE c[x][y] END))})[1]"""
+    s"""WITH RECURSIVE coo AS MATERIALIZED (
+    SELECT l_orderkey AS cell_id, l_partkey AS feat_id,
+           SUM(l_quantity) AS value
+    FROM lineitem GROUP BY 1, 2),
+  sel AS MATERIALIZED (
+    SELECT feat_id FROM (
+      SELECT feat_id, COUNT(*) AS nnz FROM coo GROUP BY feat_id)
+    ORDER BY nnz DESC, feat_id LIMIT $nf),
+  dense AS MATERIALIZED (
+    SELECT o.o_orderkey AS cell_id, s.feat_id,
+           EPOCH_MS(o.o_orderdate) AS ptime,
+           COALESCE(c.value, 0) AS v
+    FROM orders o CROSS JOIN sel s
+    LEFT JOIN coo c ON c.cell_id = o.o_orderkey AND c.feat_id = s.feat_id),
+  rolled AS MATERIALIZED (
+    SELECT *, AVG(v) OVER (PARTITION BY feat_id ORDER BY ptime, cell_id
+           ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS r
+    FROM dense),
+  st AS MATERIALIZED (
+    SELECT feat_id, AVG(r) AS mu, STDDEV_SAMP(r) AS sd
+    FROM rolled GROUP BY feat_id),
+  zb AS MATERIALIZED (
+    SELECT rolled.feat_id AS feat_id,
+           CASE WHEN st.sd <> 0 THEN (rolled.r - st.mu) / st.sd ELSE 0.0 END AS z,
+           NTILE($nB) OVER (PARTITION BY rolled.feat_id
+             ORDER BY rolled.ptime, rolled.cell_id) AS bin
+    FROM rolled JOIN st ON rolled.feat_id = st.feat_id),
+  prof AS MATERIALIZED (
+    SELECT feat_id, bin, ROUND(AVG(z), 6) AS z_mean
+    FROM zb GROUP BY feat_id, bin),
+  vecs AS MATERIALIZED (
+    SELECT feat_id, LIST(z_mean ORDER BY bin) AS p FROM prof GROUP BY feat_id),
+  fmap AS MATERIALIZED (
+    SELECT feat_id, CAST(ROW_NUMBER() OVER (ORDER BY feat_id) AS INT) AS leaf
+    FROM vecs),
+  knn AS MATERIALIZED (
+    SELECT src, dst FROM (
+      SELECT a.feat_id AS src, b.feat_id AS dst,
+             ROW_NUMBER() OVER (PARTITION BY a.feat_id ORDER BY
+               SQRT(list_sum(list_transform(range(1, ${nB + 1}),
+                 i -> (a.p[i] - b.p[i]) * (a.p[i] - b.p[i])))), b.feat_id) AS rn
+      FROM vecs a JOIN vecs b ON a.feat_id <> b.feat_id)
+    WHERE rn <= $k),
+  wm AS MATERIALIZED (
+    SELECT fa.leaf AS i, fb.leaf AS j, CAST(COUNT(*) AS DOUBLE) AS w FROM (
+      SELECT src, dst FROM knn UNION ALL SELECT dst, src FROM knn) e
+    JOIN fmap fa ON e.src = fa.feat_id JOIN fmap fb ON e.dst = fb.feat_id
+    GROUP BY fa.leaf, fb.leaf),
+  init AS MATERIALIZED (
+    SELECT LIST(rl ORDER BY x) AS c,
+           LIST(ms ORDER BY x) AS mass,
+           LIST(CASE WHEN x <= $nf THEN 1 ELSE 0 END ORDER BY x) AS alive,
+           SUM(ms) AS wtot
+    FROM (
+      SELECT x.x AS x,
+             LIST(COALESCE(wm.w, 0.0) ORDER BY y.x) AS rl,
+             SUM(COALESCE(wm.w, 0.0)) AS ms
+      FROM (SELECT UNNEST($rN) AS x) x
+      CROSS JOIN (SELECT UNNEST($rN) AS x) y
+      LEFT JOIN wm ON wm.i = x.x AND wm.j = y.x
+      GROUP BY x.x)),
+  agg AS (
+    SELECT 0 AS it, c, mass, alive, wtot,
+           CAST([] AS STRUCT(a INT, b INT)[]) AS links
+    FROM init
+    UNION ALL
+    SELECT it + 1, stp.c, stp.mass, stp.alive, wtot, stp.links
+    FROM (SELECT *, $stepV AS stp FROM agg WHERE it < $merges)),
+  linksf AS MATERIALIZED (
+    SELECT links FROM agg WHERE it = $merges),
+  parents AS MATERIALIZED (
+    SELECT l.e.a AS child, $nf + l.j AS parent FROM (
+      SELECT UNNEST(links) AS e, GENERATE_SUBSCRIPTS(links, 1) AS j
+      FROM linksf) l
+    WHERE l.j <= $keep
+    UNION ALL
+    SELECT l.e.b, $nf + l.j FROM (
+      SELECT UNNEST(links) AS e, GENERATE_SUBSCRIPTS(links, 1) AS j
+      FROM linksf) l
+    WHERE l.j <= $keep),
+  chase AS (
+    SELECT leaf, leaf AS cur FROM (SELECT UNNEST(range(1, ${nf + 1})) AS leaf)
+    UNION ALL
+    SELECT chase.leaf, p.parent FROM chase JOIN parents p ON chase.cur = p.child),
+  roots AS MATERIALIZED (
+    SELECT leaf, MAX(cur) AS root FROM chase GROUP BY leaf),
+  relabel AS MATERIALIZED (
+    SELECT root, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, root) AS BIGINT) AS cl
+    FROM (SELECT root, COUNT(*) AS cnt FROM roots GROUP BY root)),
+  labels0 AS MATERIALIZED (
+    SELECT f.feat_id, rl.cl AS cluster
+    FROM roots r JOIN fmap f ON r.leaf = f.leaf
+    JOIN relabel rl ON r.root = rl.root),
+  amax AS MATERIALIZED (
+    SELECT feat_id, CAST(list_position(p, list_aggregate(p, 'max')) AS BIGINT) AS am
+    FROM vecs),
+  med AS MATERIALIZED (
+    SELECT l.cluster, quantile_cont(a.am, 0.5) AS md
+    FROM labels0 l JOIN amax a ON l.feat_id = a.feat_id
+    GROUP BY l.cluster),
+  ord2 AS MATERIALIZED (
+    SELECT cluster, CAST(ROW_NUMBER() OVER (ORDER BY md, cluster) AS BIGINT) AS newc
+    FROM med)
+  SELECT l.feat_id, o.newc AS cluster
+  FROM labels0 l JOIN ord2 o ON l.cluster = o.cluster
+  ORDER BY l.feat_id"""
+  }
+
   /** The q60 full-demux oracle: HtoDemux.demux reproduced in DuckDB end
     * to end — CLR (6 dp-rounded normalizer), Cluster.lloyd's 25
     * deterministic KMeans iterations unrolled as assign/cent CTE pairs
@@ -514,6 +673,7 @@ object MlQueries {
     "q53_pca_latent" -> q53OracleSql,
     "q59_hvg_lowess" -> q59OracleSql,
     "q60_hto_nb" -> q60OracleSql,
+    "q67_knn_clustering" -> q67OracleSql,
     "q55_pseudotime" -> {
       val om = (1 - 0.85).toString // Scala's exact double bits for 1-alpha
       val iters = (1 to 10).map { k =>
