@@ -87,6 +87,30 @@ object ScaleProbe {
     }
     out("exact_dedup_100k_docs") = tDedup
 
+    // deterministic Lloyd's at 20× the vector count (the q60 clustering
+    // core): per iteration one aggregation; centers-only driver traffic
+    val (_, tLloyd) = time {
+      graft.pipeline.Cluster.lloyd(emb, k = 3, iters = 25)
+        .write.format("noop").mode("overwrite").save()
+    }
+    out(s"lloyd_25it_${nVec}") = tLloyd
+
+    // sketched Paris at 20×: the driver only ever collects the contracted
+    // supergraph — record the contraction ratio alongside the time
+    val knnE = graft.pipeline.Knn.bucketedSelfKnn(emb, 5, nPlanes = 10, rounds = 4)
+      .select(col("src"), col("dst"), lit(1.0).as("weight")).cache()
+    knnE.count()
+    val clusters = emb.select(col("cell_id"),
+      pmod(col("cell_id"), lit(8)).as("cluster"))
+    val ((nAnchors, nCells2), tParis) = time {
+      val sk = graft.graph.Sketch.topacedo(knnE, clusters)
+        .filter(col("sketched")).count()
+      graft.pipeline.Paris.sketchedCut(knnE, clusters, nClusters = 8)
+        .write.format("noop").mode("overwrite").save()
+      (sk, nVec)
+    }
+    out(s"sketched_paris_${nAnchors}_of_$nCells2") = tParis
+
     val qs = out.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe","copies":$copies,"nnz":$nnz,"timings":$qs}""")
     spark.stop()
