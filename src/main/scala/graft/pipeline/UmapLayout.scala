@@ -178,7 +178,10 @@ object UmapLayout {
   def distributedLayout(edges: DataFrame, init: DataFrame, nEpochs: Int = 30,
                         negPerCell: Int = 8,
                         a: Double = 1.576943, b: Double = 0.895061,
-                        learningRate: Double = 1.0, seed: Long = 4444L): DataFrame = {
+                        learningRate: Double = 1.0, seed: Long = 4444L,
+                        densLambda: Double = 0.0, densFrac: Double = 0.3,
+                        densVarShift: Double = 0.1,
+                        dists: Option[DataFrame] = None): DataFrame = {
     val spark = edges.sparkSession
     val sym = edges.select(col("src"), col("dst"), col("weight"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
@@ -190,13 +193,62 @@ object UmapLayout {
     val nBuckets = math.max(1L, nCells / (negPerCell + 1))
     def clip(c: org.apache.spark.sql.Column) = greatest(lit(-4.0), least(lit(4.0), c))
 
+    // densMAP originals (distributed twin of the driver path): per-cell
+    // mu_sum and standardized log original radius R — one join + one
+    // aggregation over the symmetric edges, broadcast-joined thereafter
+    val eps = 1e-8
+    val muTot = if (densLambda > 0) symCk.agg(sum("weight")).head().getDouble(0) else 0.0
+    val densR: Option[DataFrame] = if (densLambda > 0) {
+      val dd = dists.getOrElse(throw new IllegalArgumentException(
+          "densLambda > 0 requires original-space dists (src, dst, dist)"))
+        .select(col("src"), col("dst"), col("dist"))
+      val symD = dd.unionByName(
+          dd.select(col("dst").as("src"), col("src").as("dst"), col("dist")))
+        .groupBy("src", "dst").agg(max("dist").as("dist"))
+      val ro = symCk.join(symD, Seq("src", "dst"), "left")
+        .na.fill(0.0, Seq("dist"))
+        .groupBy(col("src").as("cell_id"))
+        .agg(sum(col("weight") * col("dist") * col("dist")).as("rosum"),
+          sum(col("weight")).as("mu_sum"))
+        .withColumn("ro", log(lit(eps) +
+          when(col("mu_sum") > 0, col("rosum") / col("mu_sum")).otherwise(0.0)))
+      val st = ro.agg(avg("ro").as("rm"), stddev_pop(col("ro")).as("rs"))
+      Some(graft.core.Lineage.reset(
+        ro.crossJoin(broadcast(st))
+          .select(col("cell_id"),
+            when(col("rs") > 0, (col("ro") - col("rm")) / col("rs")).otherwise(0.0).as("r_orig"),
+            col("mu_sum"))))
+    } else None
+
     var coords = graft.core.Lineage.reset(init.select("cell_id", "x", "y"))
     for (epoch <- 0 until nEpochs) {
       val alpha = learningRate * (1.0 - epoch.toDouble / nEpochs)
       val cs = coords.select(col("cell_id").as("src"), col("x").as("sx"), col("y").as("sy"))
       val cd = coords.select(col("cell_id").as("dst"), col("x").as("dx"), col("y").as("dy"))
+      val densOn = densLambda > 0 && epoch.toDouble / nEpochs >= 1.0 - densFrac
+      // densMAP epoch stats: embedding local radii (re, phi sums) from
+      // the current coords, then the correlation scalars — one extra
+      // aggregation per dens epoch, joined back per-cell
+      val densCols: Option[(DataFrame, Double, Double, Double)] = if (densOn) {
+        val re0 = symCk.join(cs, Seq("src")).join(cd, Seq("dst"))
+          .withColumn("d2", (col("sx") - col("dx")) * (col("sx") - col("dx"))
+            + (col("sy") - col("dy")) * (col("sy") - col("dy")))
+          .withColumn("phi", lit(1.0) / (lit(1.0) + lit(a) * pow(col("d2"), b)))
+          .groupBy(col("src").as("cell_id"))
+          .agg(sum(col("phi") * col("d2")).as("resum"), sum(col("phi")).as("phisum"))
+          .withColumn("re", log(lit(eps) +
+            when(col("phisum") > 0, col("resum") / col("phisum")).otherwise(0.0)))
+          .join(densR.get, Seq("cell_id"))
+        val reCk = graft.core.Lineage.reset(re0)
+        val strow = reCk.agg(avg("re").as("rm"), var_pop(col("re")).as("rv"),
+          (sum(col("re") * col("r_orig")) / (nCells - 1)).as("rcov0")).head()
+        val reMean = strow.getDouble(0)
+        val reStd = math.sqrt(strow.getDouble(1) + densVarShift)
+        val reCov = strow.getDouble(2) / reStd
+        Some((reCk, reMean, reStd, reCov))
+      } else None
       // attraction: per-edge Bernoulli by weight, deterministic in epoch
-      val att = symCk
+      val attBase = symCk
         .withColumn("u", (pmod(hash(col("src"), col("dst"), lit(epoch), lit(seed)), lit(100000)) / 100000.0))
         .filter(col("u") < col("weight") / wMax)
         .join(cs, Seq("src")).join(cd, Seq("dst"))
@@ -205,9 +257,38 @@ object UmapLayout {
         .withColumn("g", when(col("d2") > 0,
           (lit(-2.0 * a * b) * pow(col("d2"), b - 1)) / (lit(1.0) + lit(a) * pow(col("d2"), b)))
           .otherwise(0.0))
-        .select(col("src").as("cell_id"),
-          clip(col("g") * (col("sx") - col("dx"))).as("fx"),
-          clip(col("g") * (col("sy") - col("dy"))).as("fy"))
+      val att = (densCols match {
+        case Some((re, reMean, reStd, reCov)) =>
+          val reS = re.select(col("cell_id").as("src"), col("re").as("re_s"),
+            col("r_orig").as("r_s"), col("phisum").as("ph_s"))
+          val reD = re.select(col("cell_id").as("dst"), col("re").as("re_d"),
+            col("r_orig").as("r_d"), col("phisum").as("ph_d"))
+          val reStdSq = reStd * reStd
+          attBase.join(reS, Seq("src")).join(reD, Seq("dst"))
+            .withColumn("phi", lit(1.0) / (lit(1.0) + lit(a) * pow(col("d2"), b)))
+            .withColumn("dphi", lit(a * b) * pow(col("d2"), b - 1)
+              / (lit(1.0) + lit(a) * pow(col("d2"), b)))
+            .withColumn("drd", (col("phi") / col("ph_d")) *
+              ((lit(1.0) - lit(b) * (lit(1.0) - col("phi"))) / exp(col("re_d")) + col("dphi")))
+            .withColumn("drs", (col("phi") / col("ph_s")) *
+              ((lit(1.0) - lit(b) * (lit(1.0) - col("phi"))) / exp(col("re_s")) + col("dphi")))
+            .withColumn("wtd", col("r_d") - lit(reCov) * (col("re_d") - lit(reMean)) / lit(reStdSq))
+            .withColumn("wts", col("r_s") - lit(reCov) * (col("re_s") - lit(reMean)) / lit(reStdSq))
+            .withColumn("cor", lit(densLambda * muTot) *
+              (col("wtd") * col("drd") + col("wts") * col("drs"))
+              / (col("weight") * lit(nCells.toDouble)))
+            // separate clips for the UMAP and correlation terms, matching
+            // the driver SGD twin
+            .select(col("src").as("cell_id"),
+              (clip(col("g") * (col("sx") - col("dx"))) +
+                clip(lit(2.0) * col("cor") * (col("sx") - col("dx")))).as("fx"),
+              (clip(col("g") * (col("sy") - col("dy"))) +
+                clip(lit(2.0) * col("cor") * (col("sy") - col("dy")))).as("fy"))
+        case None => attBase
+          .select(col("src").as("cell_id"),
+            clip(col("g") * (col("sx") - col("dx"))).as("fx"),
+            clip(col("g") * (col("sy") - col("dy"))).as("fy"))
+      })
       // bucketed negative sampling: random per-epoch buckets, all-pairs
       // repulsion within a bucket (bucket size ≈ negPerCell + 1)
       val bucketed = coords.withColumn("bucket",

@@ -151,4 +151,21 @@ class UnifiedUmapSpec extends SparkSpec {
       s"densMAP ratio $densRatio not above plain ratio $plainRatio")
     dens.values.foreach { case (x, y) => assert(!x.isNaN && !y.isNaN) }
   }
+
+  test("distributedLayout densMAP: same radius separation on the scale path") {
+    val (edges, dists, init) = densFixture
+    def run(lambda: Double) =
+      UmapLayout.distributedLayout(edges, init, nEpochs = 80,
+          negPerCell = 2, learningRate = 0.15,
+          densLambda = lambda, densFrac = 0.6,
+          dists = if (lambda > 0) Some(dists) else None)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val plain = run(0.0)
+    val dens = run(4.0)
+    val (pa, pb) = ringRadii(plain)
+    val (da, db) = ringRadii(dens)
+    assert(db / da > (pb / pa) * 1.15,
+      s"distributed densMAP ratio ${db / da} not above plain ${pb / pa}")
+    dens.values.foreach { case (x, y) => assert(!x.isNaN && !y.isNaN) }
+  }
 }
