@@ -42,4 +42,21 @@ class KnnRecallSpec extends SparkSpec {
     val cross = res.filter(expr("src div 4 != dst div 4")).count()
     assert(cross == 0L, s"$cross cross-cluster edges in top-3")
   }
+
+  test("ivfSelfKnn recall >= 0.9 vs exact at sf0.01, no O(n²) stage") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val latent = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("cell_id"),
+        col("embedding").cast("array<double>").as("latent"))
+    val exact = Knn.exactSelfKnn(latent, 5).cache()
+    val ivf = Knn.ivfSelfKnn(latent, 5, nLists = 16, nProbe = 4, rounds = 4).cache()
+    val r = Knn.recall(ivf, exact)
+    assert(r >= 0.9, s"IVF recall $r below 0.9")
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "IVF plan has a cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "IVF plan has a nested-loop join")
+    // deterministic: same seed reproduces the result exactly
+    val ivf2 = Knn.ivfSelfKnn(latent, 5, nLists = 16, nProbe = 4, rounds = 4)
+    assert(Knn.recall(ivf2, ivf) == 1.0 && Knn.recall(ivf, ivf2) == 1.0)
+  }
 }
