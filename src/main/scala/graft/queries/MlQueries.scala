@@ -118,6 +118,19 @@ object MlQueries {
         .orderBy("feat_id")
     }),
 
+    // multi-index IVF ANN self-KNN over the embeddings (FAISS-style;
+    // fully oracled — the seeded-Lloyd's training replays like q60's,
+    // and every distance after the 9 dp center fence is pure IEEE)
+    "q69_ivf_knn" -> ((s, d) => {
+      val latent = Tables.t(s, d, "embeddings")
+        .select(col("vec_id").as("cell_id"),
+          col("embedding").cast("array<double>").as("latent"))
+      graft.pipeline.Knn.ivfSelfKnn(latent, 5, nLists = 16, nProbe = 4, rounds = 3)
+        .select(col("src"), col("dst"), round(col("dist"), 6).as("dist"),
+          col("rn").cast("int").as("rn"))
+        .orderBy("src", "rn")
+    }),
+
     // lazy-PPR pseudotime over the SNN co-occurrence graph
     "q55_pseudotime" -> ((s, d) => {
       val edges = Tables.t(s, d, "lineitem").filter(col("l_partkey") % 10 === 0)
@@ -660,6 +673,86 @@ object MlQueries {
   ORDER BY a.cell_id"""
   }
 
+  /** The q69 multi-index IVF ANN oracle: for each round, Cluster.lloyd's
+    * training replays exactly as in q60's oracle (md5-ranked
+    * distinct-vector init, fixed iterations, 9 dp-rounded means — here
+    * generalized to 128-dim center lists via UNNEST/GENERATE_SUBSCRIPTS
+    * re-aggregation), then list assignment, nProbe probing and exact l2
+    * within the probed lists; rounds union, dedupe on min distance,
+    * global top-k. Every distance after the 9 dp center fence is pure
+    * IEEE +,*,sqrt. Exact at sf0.01: 2500/2500 neighbor rows.
+    */
+  private def q69OracleSql: String = {
+    val nLists = 16; val nProbe = 4; val rounds = 3; val iters = 10
+    val k = 5; val dim = 128; val seed = 4466L
+    val rd = s"range(1, ${dim + 1})"
+    def d2(a: String, c: String) =
+      s"list_sum(list_transform($rd, i -> ($a[i] - $c[i]) * ($a[i] - $c[i])))"
+    def lloydRound(r: Int): String = {
+      val rSeed = seed + 7919 * r
+      val head = s"""
+  init$r AS MATERIALIZED (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY hsh, cell_id) AS INT) AS cid, p AS c
+    FROM (SELECT * FROM (
+            SELECT v.*, MD5('$rSeed:' || cell_id) AS hsh,
+                   ROW_NUMBER() OVER (PARTITION BY p ORDER BY MD5('$rSeed:' || cell_id), cell_id) AS rv
+            FROM v) WHERE rv = 1)
+    ORDER BY hsh, cell_id LIMIT $nLists),
+  cent${r}_0 AS MATERIALIZED (SELECT cid, c FROM init$r)"""
+      val its = (1 to iters).map { t =>
+        s"""
+  asg${r}_$t AS MATERIALIZED (
+    SELECT cell_id, cid FROM (
+      SELECT v.cell_id, k.cid,
+             ROW_NUMBER() OVER (PARTITION BY v.cell_id
+               ORDER BY ${d2("v.p", "k.c")}, k.cid) AS rn
+      FROM v CROSS JOIN cent${r}_${t - 1} k) WHERE rn = 1),
+  cent${r}_$t AS MATERIALIZED (
+    SELECT p.cid, COALESCE(m.c, p.c) AS c
+    FROM cent${r}_${t - 1} p LEFT JOIN (
+      SELECT cid, LIST(m ORDER BY pos) AS c FROM (
+        SELECT a.cid, u.pos, ROUND(AVG(u.x), 9) AS m
+        FROM asg${r}_$t a JOIN vex u ON a.cell_id = u.cell_id
+        GROUP BY a.cid, u.pos)
+      GROUP BY cid) m ON p.cid = m.cid)"""
+      }.mkString(",")
+      val tail = s"""
+  lists$r AS MATERIALIZED (
+    SELECT cell_id, cid AS list FROM (
+      SELECT v.cell_id, k.cid,
+             ROW_NUMBER() OVER (PARTITION BY v.cell_id
+               ORDER BY ${d2("v.p", "k.c")}, k.cid) AS rn
+      FROM v CROSS JOIN cent${r}_$iters k) WHERE rn = 1),
+  probes$r AS MATERIALIZED (
+    SELECT cell_id, cid AS list FROM (
+      SELECT v.cell_id, k.cid,
+             ROW_NUMBER() OVER (PARTITION BY v.cell_id
+               ORDER BY ${d2("v.p", "k.c")}, k.cid) AS rn
+      FROM v CROSS JOIN cent${r}_$iters k) WHERE rn <= $nProbe),
+  cand$r AS MATERIALIZED (
+    SELECT p.cell_id AS src, l.cell_id AS dst,
+           SQRT(list_sum(list_transform($rd,
+             i -> (a.p[i] - b.p[i]) * (a.p[i] - b.p[i])))) AS dist
+    FROM probes$r p JOIN lists$r l ON p.list = l.list
+    JOIN v a ON p.cell_id = a.cell_id JOIN v b ON l.cell_id = b.cell_id
+    WHERE p.cell_id <> l.cell_id)"""
+      head + "," + its + "," + tail
+    }
+    val roundCtes = (0 until rounds).map(lloydRound).mkString(",")
+    val union = (0 until rounds).map(r => s"SELECT * FROM cand$r").mkString(" UNION ALL ")
+    s"""WITH v AS MATERIALIZED (
+    SELECT vec_id AS cell_id, embedding::DOUBLE[] AS p FROM embeddings),
+  vex AS MATERIALIZED (
+    SELECT cell_id, GENERATE_SUBSCRIPTS(p, 1) AS pos, UNNEST(p) AS x FROM v),$roundCtes,
+  allc AS MATERIALIZED ($union),
+  dd AS MATERIALIZED (
+    SELECT src, dst, MIN(dist) AS dist FROM allc GROUP BY src, dst)
+  SELECT src, dst, ROUND(dist, 6) AS dist, CAST(rn AS INT) AS rn FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+    FROM dd) WHERE rn <= $k
+  ORDER BY src, rn"""
+  }
+
   /** DuckDB oracles for the ML queries that ARE SQL-expressible after all:
     * q55's lazy-PPR core unrolls to 10 materialized join+aggregate CTEs
     * (materialization matters — x_k is referenced twice, so inlined CTEs
@@ -674,6 +767,7 @@ object MlQueries {
     "q59_hvg_lowess" -> q59OracleSql,
     "q60_hto_nb" -> q60OracleSql,
     "q67_knn_clustering" -> q67OracleSql,
+    "q69_ivf_knn" -> q69OracleSql,
     "q55_pseudotime" -> {
       val om = (1 - 0.85).toString // Scala's exact double bits for 1-alpha
       val iters = (1 to 10).map { k =>
