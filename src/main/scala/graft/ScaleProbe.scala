@@ -103,7 +103,8 @@ object ScaleProbe {
     val clusters = emb.select(col("cell_id"),
       pmod(col("cell_id"), lit(8)).as("cluster"))
     val ((nAnchors, nCells2), tParis) = time {
-      val sk = graft.graph.Sketch.topacedo(knnE, clusters)
+      // usePcst = false: the probe measures the never-collect scale path
+      val sk = graft.graph.Sketch.topacedo(knnE, clusters, usePcst = false)
         .filter(col("sketched")).count()
       graft.pipeline.Paris.sketchedCut(knnE, clusters, nClusters = 8)
         .write.format("noop").mode("overwrite").save()

@@ -11,8 +11,22 @@ import org.apache.spark.sql.functions._
   * rates modulated down by neighbourhood density and up for low-SNN
   * (loosely knit) clusters, clamped to [minRate, maxRate] with a
   * min-cells floor; seeded deterministic draws; plus connector cells
-  * (neighbors bridging ≥ 2 seeds) standing in for the package's
-  * prize-collecting Steiner tree pass. All joins/aggregations.
+  * picked by a real prize-collecting Steiner tree pass ([[Pcst]], the
+  * Goemans–Williamson scheme behind the pcst_fast library topacedo
+  * uses) with the reference's documented knobs — seed_reward,
+  * non_seed_reward, edge_cost_multiplier, edge_cost_bandwidth
+  * (graph_datastore.py:1599-1602). Edge costs: a KNN edge of weight w
+  * costs `edgeCostMultiplier · edgeCostBandwidth^(1 − w/w_max)` —
+  * strong edges are cheap to traverse, weak ones exponentially dear,
+  * matching the docstring's "bandwidth raised to edge cost" shaping.
+  *
+  * The PCST pass collects the (deduped) edge list on the driver — the
+  * same boundary as the reference, whose pcst_fast is single-node C++
+  * over the full CSR. Above `pcstMaxDriverEdges` it falls back to the
+  * relational connector heuristic (a non-seed adjacent to ≥ 2 seeds of
+  * its own cluster joins the sketch), which never collects; at that
+  * scale [[graft.pipeline.Paris.sketchedCut]]'s anchor contraction is
+  * the intended host for an exact PCST.
   */
 object Sketch {
 
@@ -42,7 +56,10 @@ object Sketch {
                maxRate: Double = 0.05, minRate: Double = 0.01,
                minCellsPerGroup: Int = 3, densityDepth: Int = 2,
                densityBandwidth: Double = 5.0, snnBandwidth: Double = 5.0,
-               seed: Long = 4466L): DataFrame = {
+               seed: Long = 4466L, usePcst: Boolean = true,
+               seedReward: Double = 3.0, nonSeedReward: Double = 0.0,
+               edgeCostMultiplier: Double = 1.0, edgeCostBandwidth: Double = 10.0,
+               pcstMaxDriverEdges: Long = 5000000L): DataFrame = {
     val dens = neighbourhoodDensity(edges, densityDepth)
     // per-cluster mean density, min-max normalized across clusters
     val cdens = clusters.join(dens, Seq("cell_id"), "left")
@@ -81,11 +98,75 @@ object Sketch {
         .orderBy(md5(concat(lit(s"$seed:"), col("cell_id"))), col("cell_id"))))
     val seeds = ranked.filter(col("rn") <= col("n_take"))
       .select(col("cell_id"), col("cluster"))
-    // connector pass (PCST stand-in): a non-seed adjacent to >= 2 seeds of
-    // its own cluster joins the sketch to keep seed neighbourhoods linked
+    // connector pass: exact GW prize-collecting Steiner forest between
+    // the seeds (driver-side at the reference's own pcst_fast boundary),
+    // falling back to the relational >= 2-seed-neighbours heuristic when
+    // the edge list is too large to collect
+    val nEdges = if (usePcst) edges.count() else Long.MaxValue
+    val connectors =
+      if (usePcst && nEdges <= pcstMaxDriverEdges)
+        pcstConnectors(edges, clusters, seeds, seedReward, nonSeedReward,
+          edgeCostMultiplier, edgeCostBandwidth)
+      else relationalConnectors(edges, clusters, seeds)
+    clusters.select("cell_id")
+      .join(seeds.select(col("cell_id"), lit(true).as("is_seed")), Seq("cell_id"), "left")
+      .join(connectors.withColumn("is_conn", lit(true)), Seq("cell_id"), "left")
+      .select(col("cell_id"),
+        coalesce(col("is_seed"), lit(false)).as("is_seed"),
+        (coalesce(col("is_seed"), lit(false)) || coalesce(col("is_conn"), lit(false)))
+          .as("sketched"))
+  }
+
+  /** GW-PCST connectors: seeds carry `seedReward` prizes, every other
+    * cell `nonSeedReward`; an edge of weight w costs
+    * `mult · bw^(1 − w/w_max)`. Kept Steiner nodes that are not seeds
+    * become connectors. Seeds are never dropped from the sketch even if
+    * pruning forfeits them (the caller unions seeds back in).
+    */
+  private def pcstConnectors(edges: DataFrame, clusters: DataFrame, seeds: DataFrame,
+                             seedReward: Double, nonSeedReward: Double,
+                             mult: Double, bw: Double): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val hasW = edges.columns.contains("weight")
+    val cells = clusters.select(col("cell_id").cast("long")).as[Long].collect().sorted
+    val idx = cells.zipWithIndex.toMap
+    val collected = (if (hasW) edges.select(col("src").cast("long"), col("dst").cast("long"),
+        col("weight").cast("double"))
+      else edges.select(col("src").cast("long"), col("dst").cast("long"), lit(1.0).as("weight")))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("weight"))
+      .groupBy("a", "b").agg(max("weight").as("w"))
+      .as[(Long, Long, Double)].collect()
+      .filter(t => idx.contains(t._1) && idx.contains(t._2))
+      .sortBy(t => (t._1, t._2)) // collect order is not deterministic; event ids are
+    val seedIds = seeds.select(col("cell_id").cast("long")).as[Long].collect().toSet
+    val prize = cells.map(c => if (seedIds(c)) seedReward else nonSeedReward)
+    val wMax = if (collected.isEmpty) 1.0 else math.max(collected.map(_._3).max, 1e-300)
+    val src = new Array[Int](collected.length)
+    val dst = new Array[Int](collected.length)
+    val cost = new Array[Double](collected.length)
+    var i = 0
+    while (i < collected.length) {
+      val (a, b, w) = collected(i)
+      src(i) = idx(a); dst(i) = idx(b)
+      cost(i) = mult * math.pow(bw, 1.0 - w / wMax)
+      i += 1
+    }
+    val (kept, _) = Pcst.gw(cells.length, src, dst, cost, prize)
+    kept.map(cells).filterNot(seedIds).toSeq.toDF("cell_id")
+  }
+
+  /** Scale fallback (never collects): a non-seed adjacent to ≥ 2 seeds
+    * of its own cluster joins the sketch to keep seed neighbourhoods
+    * linked.
+    */
+  private def relationalConnectors(edges: DataFrame, clusters: DataFrame,
+                                   seeds: DataFrame): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-    val connectors = sym
+    sym
       .join(seeds.withColumnRenamed("cell_id", "dst"), Seq("dst"))
       .join(clusters.withColumnRenamed("cell_id", "src")
         .withColumnRenamed("cluster", "c_src"), Seq("src"))
@@ -94,12 +175,5 @@ object Sketch {
       .filter(col("n_seed_nbrs") >= 2)
       .join(seeds.select(col("cell_id")), Seq("cell_id"), "left_anti")
       .select("cell_id")
-    clusters.select("cell_id")
-      .join(seeds.select(col("cell_id"), lit(true).as("is_seed")), Seq("cell_id"), "left")
-      .join(connectors.withColumn("is_conn", lit(true)), Seq("cell_id"), "left")
-      .select(col("cell_id"),
-        coalesce(col("is_seed"), lit(false)).as("is_seed"),
-        (coalesce(col("is_seed"), lit(false)) || coalesce(col("is_conn"), lit(false)))
-          .as("sketched"))
   }
 }

@@ -268,9 +268,13 @@ object Paris {
                   minCellsPerGroup: Int = 3, assignRounds: Int = 4,
                   seed: Long = 4466L): DataFrame = {
     import org.apache.spark.sql.functions._
+    // usePcst = false: sketchedCut's contract is that the driver only
+    // ever sees the contracted supergraph, so the connector pass stays
+    // relational here; exact GW-PCST connectors are the Sketch.topacedo
+    // default for graphs within its documented collect boundary
     val sk = graft.graph.Sketch.topacedo(edges, clusters,
         maxRate = maxRate, minRate = minRate,
-        minCellsPerGroup = minCellsPerGroup, seed = seed)
+        minCellsPerGroup = minCellsPerGroup, seed = seed, usePcst = false)
       .filter(col("sketched")).select("cell_id")
     val sym = edges.select(col("src"), col("dst"), col("weight"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("weight")))

@@ -85,4 +85,26 @@ class GenomicsSketchSpec extends SparkSpec {
     val sketched = sk.filter(col("sketched")).collect().map(_.getLong(0)).toSet
     assert(seeds.subsetOf(sketched))
   }
+
+  test("topacedo PCST connectors: zero-prize hub bridging seeds joins the sketch") {
+    import spark.implicits._
+    // star: hub 0 with 20 leaves, all one cluster — any two leaf seeds
+    // are worth connecting through the hub (reward 3+3 > hub path cost 2)
+    val edges = (1 to 20).map(i => (0L, i.toLong)).toDF("src", "dst")
+    val clusters = (0 to 20).map(i => (i.toLong, 1L)).toDF("cell_id", "cluster")
+    val sk = Sketch.topacedo(edges, clusters, maxRate = 0.1, minRate = 0.05,
+      minCellsPerGroup = 2)
+    val rows = sk.collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    val seeds = rows.filter(_._2).map(_._1).toSet
+    assert(seeds.size >= 2)
+    val leafSeeds = seeds.filter(_ != 0L)
+    if (leafSeeds.size >= 2 && !seeds.contains(0L)) {
+      // GW growth: both leaf moats cover their hub edge at t=1; strong
+      // pruning keeps the hub (marginal 3 − 1 > 0 per leaf branch)
+      val hub = rows.find(_._1 == 0L).get
+      assert(hub._3 && !hub._2, "hub should be sketched as a connector, not a seed")
+    }
+    // connectors never drop seeds
+    assert(seeds.subsetOf(rows.filter(_._3).map(_._1).toSet))
+  }
 }
