@@ -70,6 +70,53 @@ object Dedup {
       .select("ida", "idb").distinct()
   }
 
+  /** Near-duplicate GROUP assignment — the keep-one tail of the dedup
+    * pipeline. Candidate pairs (from LSH banding or Jaccard scoring) are
+    * closed under transitivity with distributed connected components
+    * (large-star/small-star — A~B plus B~C collapses to one group even
+    * when A~C never surfaced as a candidate), then every document in
+    * `universe` gets `(doc_id, group_id, n_docs, keep)`:
+    * `group_id` = the minimum doc_id of its duplicate group (singletons
+    * are their own group), `keep` = this is that minimum — the canonical
+    * deterministic keep-one policy large-scale pipelines apply before
+    * training. Only ids shuffle; text never moves.
+    */
+  def nearDupGroups(universe: DataFrame, pairs: DataFrame): DataFrame = {
+    val lbl = graft.graph.ConnectedComponents.labels(
+      pairs.select(col("ida").as("src"), col("idb").as("dst")))
+    val assigned = universe.select(col("doc_id").cast("long").as("doc_id"))
+      .join(lbl.select(col("node").as("doc_id"), col("component")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("group_id"))
+    val sizes = assigned.groupBy("group_id").agg(count(lit(1)).as("n_docs"))
+    assigned.join(sizes, Seq("group_id"))
+      .select(col("doc_id"), col("group_id"), col("n_docs"),
+        (col("doc_id") === col("group_id")).as("keep"))
+  }
+
+  /** Benchmark decontamination (the GPT-3-style n-gram overlap check):
+    * flag every training document sharing at least one word n-gram with
+    * any evaluation document. Inverted-index join on the shingle — only
+    * (train, eval) co-occurrences materialize, never the cross product —
+    * with the same document-frequency cap as `ngramJaccardPairs` so one
+    * boilerplate n-gram in half the corpus cannot quadratically explode
+    * the join (a capped shingle is exactly the kind that carries no
+    * contamination signal). Output per flagged train doc: distinct shared
+    * n-grams and how many eval docs it collides with.
+    */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame, n: Int,
+                    dfCap: Int = 10000): DataFrame = {
+    val trSh0 = shingles(train, n)
+    val hot = trSh0.groupBy("shingle").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > dfCap).select("shingle")
+    val trSh = trSh0.join(hot, Seq("shingle"), "left_anti")
+    val evSh = shingles(evalDocs, n)
+      .withColumnRenamed("doc_id", "eval_id")
+    trSh.join(evSh, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("shingle")).as("n_shared"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+  }
+
   /** Pairwise n-gram Jaccard similarity via inverted-index self-join:
     * only pairs sharing at least one shingle are scored.
     *

@@ -1,0 +1,93 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components via alternating large-star /
+  * small-star rounds (Kiveris et al., "Connected Components in MapReduce
+  * and Beyond", SoCC 2014 — the algorithm behind GraphFrames'
+  * `connectedComponents`). Converges in O(log n) rounds versus the
+  * O(diameter) of plain label propagation, and every round is two
+  * hash-aggregations plus a join — no driver-side graph ever
+  * materializes, so the operator holds at 100 TB edge lists.
+  *
+  * This is the missing tail of the near-duplicate pipeline: LSH/Jaccard
+  * candidate PAIRS (Dedup.lshCandidatePairs / ngramJaccardPairs) become
+  * duplicate GROUPS, and a keep-one policy needs the group, not the
+  * pairs (A~B and B~C must collapse to one kept document even when A~C
+  * was never emitted as a candidate).
+  *
+  * Invariant maintained throughout: edges are stored canonically as
+  * `(u, v)` with `u > v`. large-star connects every neighbor larger
+  * than `u` to the minimum of `u`'s neighborhood (including `u`);
+  * small-star connects `u` and its smaller neighbors to that minimum.
+  * Both emissions only ever point a node at a strictly smaller node, so
+  * the canonical orientation is preserved and self-loops cannot appear.
+  */
+object ConnectedComponents {
+
+  /** Component labels for an undirected edge list `(src, dst)`.
+    * Output: `(node, component)` for every node incident to an edge,
+    * where `component` is the minimum node id of its component.
+    * Nodes not present in `edges` are absent (callers union singletons).
+    *
+    * Convergence is detected by a (count, xxhash64-sum) checksum of the
+    * canonical edge set — one tiny aggregate per round. `maxIter`
+    * bounds a pathological input; 2·log₂(n) rounds suffice per the
+    * paper, so 25 covers any realistic graph.
+    */
+  def labels(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    var e = edges
+      .select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct()
+
+    def checksum(d: DataFrame): (Long, Long) = {
+      // bit_xor, not sum: ANSI mode makes a Long sum of 2⁶³-range hashes
+      // an overflow error; xor is closed over Long and order-independent
+      // (edges are distinct, so parity cancellation needs a full set
+      // collision — the same 2⁻⁶⁴ regime as a sum collision).
+      val r = d.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var prev = (-1L, 0L)
+    var cur = checksum(e)
+    var it = 0
+    while (cur != prev && it < maxIter) {
+      // large-star: m = min(N(u) ∪ {u}) over the FULL neighborhood;
+      // every neighbor larger than u re-points at m.
+      val nbrs = e.select("u", "v")
+        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val bigMin = nbrs.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val afterLarge = nbrs.join(bigMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: m = min over the ≤-neighborhood (canonical v's plus
+      // u itself — and all v < u here, so m = min(v)); u and every
+      // smaller neighbor except m re-point at m.
+      val smallMin = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
+      val withMin = afterLarge.join(smallMin, "u")
+      val afterSmall = withMin.select(col("u"), col("m").as("v"))
+        .unionAll(withMin.filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v")))
+        .distinct()
+      e = graft.core.Lineage.reset(afterSmall)
+      prev = cur
+      cur = checksum(e)
+      it += 1
+    }
+    // Converged edge set is a star forest: (u, center). Centers label
+    // themselves; min() is a no-op safety net if maxIter cut the loop.
+    val members = e.groupBy("u").agg(min(col("v")).as("component"))
+      .select(col("u").as("node"), col("component"))
+    val centers = e.select(col("v").as("node")).distinct()
+      .join(members.select("node"), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("component"))
+    members.unionByName(centers)
+  }
+}

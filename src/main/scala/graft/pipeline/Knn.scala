@@ -169,12 +169,27 @@ object Knn {
     * the recall target. Returns `(src, dst, dist, rn)` like the other
     * KNN paths.
     */
-  def ivfSelfKnn(latent: DataFrame, k: Int, nLists: Int = 16,
+  def ivfSelfKnn(latent0: DataFrame, k: Int, nLists: Int = 16,
                  nProbe: Int = 3, rounds: Int = 3, trainN: Int = 10000,
                  seed: Long = 4466L): DataFrame = {
-    val spark = latent.sparkSession
+    val spark = latent0.sparkSession
     import spark.implicits._
-    val cand = (0 until rounds).map { r =>
+    // The vector frame feeds every round twice (lists + probes) plus the
+    // training sample — cache it once instead of re-scanning the source
+    // 3·rounds times.
+    val latent = latent0.cache()
+    latent.count()
+    // The rounds are fully independent (separate seeds, separate centroid
+    // sets) and each spends its wall-clock in DRIVER-blocking Lloyd's
+    // collect-loops over a tiny sample — run them as concurrent Spark
+    // action threads so round 2's training overlaps round 1's, instead of
+    // serializing 3 × (10 + 2) small jobs. Determinism is untouched:
+    // nothing is shared across rounds, and the union is order-insensitive
+    // (the final groupBy re-sorts).
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futs = (0 until rounds).map { r => Future {
       val rSeed = seed + 7919 * r
       val sample = latent
         .withColumn("h", md5(concat(lit(s"$rSeed:"), col("cell_id"))))
@@ -205,7 +220,9 @@ object Knn {
           Seq("list"))
         .filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst"), l2(col("va"), col("vb")).as("dist"))
-    }.reduce(_ unionByName _)
+    } }
+    val cand = Await.result(Future.sequence(futs), Duration.Inf)
+      .reduce(_ unionByName _)
     // a (src, dst) pair can meet in several probed lists/rounds — dedupe
     cand.groupBy("src", "dst").agg(min("dist").as("dist"))
       .withColumn("rn", row_number().over(

@@ -76,6 +76,39 @@ object TrainingQueries {
     "q36_simhash" -> ((s, d) =>
       TextOps.simHash16(docs(s, d)).orderBy("doc_id")),
 
+    // near-dup pairs → duplicate GROUPS: distributed connected components
+    // (large-star/small-star) over the q34 LSH candidate pairs, plus the
+    // deterministic keep-one policy over the planted universe
+    "q70_neardup_groups" -> ((s, d) => {
+      val base = docs(s, d).filter(col("doc_id") % 20 === 0).select("doc_id")
+      val dups = docs(s, d).filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"))
+      val pairs = Dedup.lshCandidatePairs(Dedup.minHashSignature(plantedSh(s, d), 8), 8, 2)
+      Dedup.nearDupGroups(base.unionByName(dups), pairs).orderBy("doc_id")
+    }),
+
+    // Gopher-style n-gram repetition signals + keep-flag
+    "q71_repetition" -> ((s, d) =>
+      TextOps.repetitionStats(docs(s, d)).orderBy("doc_id")),
+
+    // deterministic per-language mixture sampling (hash-gated, no RNG)
+    "q72_mix_sample" -> ((s, d) =>
+      graft.text.Mix.stratifiedSample(docs(s, d), col("lang"), mixFractions, seed = 7)
+        .select("doc_id", "lang", "source").orderBy("doc_id")),
+
+    // concat-and-chunk token packing into 2048-token context windows
+    "q73_pack_chunks" -> ((s, d) =>
+      graft.text.Mix.packChunks(docs(s, d), 2048).orderBy("doc_id")),
+
+    // benchmark decontamination: train docs sharing any 5-gram with the
+    // eval slice (planted exact copies guarantee expected hits at any SF)
+    "q74_decontam" -> ((s, d) => {
+      val ev = docs(s, d).filter(col("doc_id") % 100 === 0).select("doc_id", "text")
+      val tr = docs(s, d).filter(col("doc_id") % 100 =!= 0).select("doc_id", "text")
+        .unionByName(ev.select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      Dedup.decontaminate(tr, ev, 5, dfCap = 500).orderBy("doc_id")
+    }),
+
     "q37_cosine_topk" -> ((s, d) => topKHits(s, d).orderBy("qid", "rn")),
 
     "q38_label_transfer" -> ((s, d) => {
@@ -176,6 +209,43 @@ object TrainingQueries {
                FROM documents WHERE doc_id % 20 = 0) t,
               LATERAL (SELECT UNNEST(RANGE(1, LEN(w) - 1)) AS i))"""
 
+  /** Mixture weights for q72 — per-language keep fractions. */
+  private val mixFractions = Map(
+    "en" -> 0.8, "es" -> 0.5, "de" -> 0.5, "fr" -> 0.25, "zh" -> 0.1)
+
+  /** Shared CTE chain for the planted-near-dup LSH pipeline: planted docs →
+    * 3-gram shingles → 8-hash MinHash signature → 4 bands × 2 rows →
+    * candidate pairs. Used by q34 (pairs) and q70 (connected groups).
+    */
+  private val lshPairsSql =
+    s"""planted AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text || ' graft dup marker' AS text
+           FROM documents WHERE doc_id % 40 = 0),
+         psh AS (
+           SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+           FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\\s+') AS w
+                 FROM planted) t,
+                LATERAL (SELECT UNNEST(RANGE(1, LEN(w) - 1)) AS i)),
+         sig AS (
+           SELECT doc_id,
+                  MIN(MD5('0:' || shingle)) AS m0, MIN(MD5('1:' || shingle)) AS m1,
+                  MIN(MD5('2:' || shingle)) AS m2, MIN(MD5('3:' || shingle)) AS m3,
+                  MIN(MD5('4:' || shingle)) AS m4, MIN(MD5('5:' || shingle)) AS m5,
+                  MIN(MD5('6:' || shingle)) AS m6, MIN(MD5('7:' || shingle)) AS m7
+           FROM psh GROUP BY doc_id),
+         bl AS (
+           SELECT doc_id, 0 AS band_id, m0 || m1 AS band_key FROM sig UNION ALL
+           SELECT doc_id, 1, m2 || m3 FROM sig UNION ALL
+           SELECT doc_id, 2, m4 || m5 FROM sig UNION ALL
+           SELECT doc_id, 3, m6 || m7 FROM sig),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+           FROM bl a JOIN bl b
+             ON a.band_id = b.band_id AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id)"""
+
   private val topkSql =
     """q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
              WHERE vec_id % 50 = 0),
@@ -251,33 +321,110 @@ object TrainingQueries {
          FROM documents GROUP BY MD5(text) ORDER BY digest""",
 
     "q34_minhash_lsh" ->
-      s"""WITH planted AS (
-           SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+      s"""WITH $lshPairsSql
+         SELECT ida, idb FROM pairs ORDER BY ida, idb""",
+
+    "q70_neardup_groups" ->
+      s"""WITH RECURSIVE $lshPairsSql,
+         uni AS (
+           SELECT doc_id FROM documents WHERE doc_id % 20 = 0
            UNION ALL
-           SELECT doc_id + 1000000 AS doc_id, text || ' graft dup marker' AS text
-           FROM documents WHERE doc_id % 40 = 0),
-         sh AS (
-           SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-           FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\\s+') AS w
-                 FROM planted) t,
-                LATERAL (SELECT UNNEST(RANGE(1, LEN(w) - 1)) AS i)),
-         sig AS (
+           SELECT doc_id + 1000000 FROM documents WHERE doc_id % 40 = 0),
+         e AS (SELECT ida AS s, idb AS t FROM pairs
+               UNION ALL SELECT idb, ida FROM pairs),
+         reach AS (
+           SELECT doc_id AS node, doc_id AS lbl FROM uni
+           UNION
+           SELECT e.t, r.lbl FROM reach r JOIN e ON e.s = r.node),
+         comp AS (SELECT node AS doc_id, MIN(lbl) AS group_id
+                  FROM reach GROUP BY node),
+         szs AS (SELECT group_id, COUNT(*) AS n_docs FROM comp GROUP BY group_id)
+         SELECT c.doc_id AS doc_id, c.group_id AS group_id, z.n_docs AS n_docs,
+                c.doc_id = c.group_id AS keep
+         FROM comp c JOIN szs z USING (group_id) ORDER BY c.doc_id""",
+
+    "q71_repetition" ->
+      """WITH t AS (
+           SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w FROM documents),
+         g AS (
+           SELECT doc_id, 2 AS n, w[i] || ' ' || w[i+1] AS gram
+           FROM t, LATERAL (SELECT UNNEST(RANGE(1, LEN(w))) AS i)
+           UNION ALL
+           SELECT doc_id, 3 AS n, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+           FROM t, LATERAL (SELECT UNNEST(RANGE(1, LEN(w) - 1)) AS i)),
+         c AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+         s AS (SELECT doc_id, n, CAST(SUM(c) AS DOUBLE) AS total,
+                      CAST(COUNT(*) AS DOUBLE) AS dist,
+                      CAST(MAX(c) AS DOUBLE) AS maxc
+               FROM c GROUP BY 1, 2),
+         wide AS (
            SELECT doc_id,
-                  MIN(MD5('0:' || shingle)) AS m0, MIN(MD5('1:' || shingle)) AS m1,
-                  MIN(MD5('2:' || shingle)) AS m2, MIN(MD5('3:' || shingle)) AS m3,
-                  MIN(MD5('4:' || shingle)) AS m4, MIN(MD5('5:' || shingle)) AS m5,
-                  MIN(MD5('6:' || shingle)) AS m6, MIN(MD5('7:' || shingle)) AS m7
-           FROM sh GROUP BY doc_id),
-         bl AS (
-           SELECT doc_id, 0 AS band_id, m0 || m1 AS band_key FROM sig UNION ALL
-           SELECT doc_id, 1, m2 || m3 FROM sig UNION ALL
-           SELECT doc_id, 2, m4 || m5 FROM sig UNION ALL
-           SELECT doc_id, 3, m6 || m7 FROM sig)
-         SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-         FROM bl a JOIN bl b
-           ON a.band_id = b.band_id AND a.band_key = b.band_key
-          AND a.doc_id < b.doc_id
-         ORDER BY ida, idb""",
+                  ROUND(MAX(CASE WHEN n = 2 THEN maxc / total END), 6) AS top_frac_2,
+                  ROUND(MAX(CASE WHEN n = 2 THEN 1.0 - dist / total END), 6) AS dup_frac_2,
+                  ROUND(MAX(CASE WHEN n = 3 THEN maxc / total END), 6) AS top_frac_3,
+                  ROUND(MAX(CASE WHEN n = 3 THEN 1.0 - dist / total END), 6) AS dup_frac_3
+           FROM s GROUP BY doc_id)
+         SELECT d.doc_id,
+                COALESCE(top_frac_2, 0.0) AS top_frac_2,
+                COALESCE(dup_frac_2, 0.0) AS dup_frac_2,
+                COALESCE(top_frac_3, 0.0) AS top_frac_3,
+                COALESCE(dup_frac_3, 0.0) AS dup_frac_3,
+                (COALESCE(top_frac_2, 0.0) <= 0.20
+                 AND COALESCE(dup_frac_3, 0.0) <= 0.18) AS keep
+         FROM documents d LEFT JOIN wide USING (doc_id) ORDER BY d.doc_id""",
+
+    "q72_mix_sample" -> {
+      val cases = mixFractions.toSeq.sortBy(_._1)
+        .map { case (l, p) => s"WHEN '$l' THEN '${graft.text.Mix.hexCutoff(p)}'" }
+        .mkString(" ")
+      s"""SELECT doc_id, lang, source FROM documents
+         WHERE SUBSTRING(MD5('7:' || doc_id::VARCHAR), 1, 8) <
+               CASE lang $cases ELSE '' END
+         ORDER BY doc_id"""
+    },
+
+    "q73_pack_chunks" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         r AS (
+           SELECT doc_id, n_tokens,
+                  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                    AS start_tok
+           FROM t)
+         SELECT doc_id, n_tokens, start_tok,
+                start_tok // 2048 AS chunk_start,
+                (start_tok + n_tokens - 1) // 2048 AS chunk_end,
+                (start_tok // 2048) != ((start_tok + n_tokens - 1) // 2048) AS crosses
+         FROM r ORDER BY doc_id""",
+
+    "q74_decontam" ->
+      """WITH ev AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0),
+         tr AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 100 != 0
+           UNION ALL SELECT doc_id + 2000000, text FROM ev),
+         trsh0 AS (
+           SELECT DISTINCT doc_id,
+                  w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+                    AS shingle
+           FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w FROM tr) t,
+                LATERAL (SELECT UNNEST(RANGE(1, LEN(w) - 3)) AS i)),
+         trsh AS (
+           SELECT * FROM trsh0 WHERE shingle IN (
+             SELECT shingle FROM trsh0 GROUP BY shingle HAVING COUNT(*) <= 500)),
+         evsh AS (
+           SELECT DISTINCT doc_id AS eval_id,
+                  w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+                    AS shingle
+           FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w FROM ev) t,
+                LATERAL (SELECT UNNEST(RANGE(1, LEN(w) - 3)) AS i))
+         SELECT t.doc_id AS doc_id, COUNT(DISTINCT t.shingle) AS n_shared,
+                COUNT(DISTINCT e.eval_id) AS n_eval_docs
+         FROM trsh t JOIN evsh e USING (shingle)
+         GROUP BY t.doc_id ORDER BY doc_id""",
 
     "q35_ngram_jaccard" ->
       s"""WITH $shSql,

@@ -1,0 +1,69 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-mixing operators for assembling a training corpus at 100 TB:
+  * deterministic per-stratum sampling (the "data mixture" step — X% of
+  * web, Y% of code, per-language rebalancing) and token-stream packing
+  * into fixed context windows (the GPT-style concat-and-chunk layout).
+  *
+  * Both are engine-independent and replayable: sampling decisions hash
+  * the document id (never RNG state), so adding executors, re-running a
+  * failed task, or replaying in another engine selects the SAME rows.
+  */
+object Mix {
+
+  /** Lexicographic md5-hex cutoff for keep-fraction `p`: a document keeps
+    * iff the first 8 hex chars of its seeded md5 sort below the cutoff.
+    * Lowercase hex compares identically in any engine (ASCII '0'-'9' <
+    * 'a'-'f'), and 8 chars = 32 uniform bits — granularity 2⁻³², plenty
+    * for mixture weights.
+    */
+  def hexCutoff(p: Double): String =
+    if (p >= 1.0) "g" // sorts above every hex digit: keep all
+    else if (p <= 0.0) "" // nothing sorts below the empty string: drop all
+    else f"${(p * (1L << 32)).round.min((1L << 32) - 1)}%08x"
+
+  /** Deterministic stratified sample: keep each row with the fraction its
+    * stratum value maps to (strata absent from `fractions` drop).
+    * Pure row-local projection + filter — no shuffle, no RNG, retries and
+    * engine replays keep identical rows.
+    */
+  def stratifiedSample(docs: DataFrame, stratum: Column,
+                       fractions: Map[String, Double], seed: Int): DataFrame = {
+    val cutoff = fractions.toSeq.sortBy(_._1)
+      .foldLeft(lit("")) { case (acc, (k, p)) =>
+        when(stratum === k, lit(hexCutoff(p))).otherwise(acc)
+      }
+    docs.filter(
+      substring(md5(concat(lit(s"$seed:"), col("doc_id").cast("string"))), 1, 8)
+        < cutoff)
+  }
+
+  /** Concat-and-chunk packing: documents are laid out end-to-end in
+    * `doc_id` order and cut every `budget` tokens (boundary-straddling
+    * documents split across chunks — the standard pretraining layout, as
+    * opposed to greedy bin-packing whose fill decisions are inherently
+    * sequential). Output per document: token offset of its first token,
+    * first/last chunk ids, and whether it straddles a chunk boundary.
+    *
+    * The global running total uses the two-pass range-partitioned
+    * `Windows.runningTotal` — no single-partition window, so the layout
+    * step scales to the full corpus.
+    */
+  def packChunks(docs: DataFrame, budget: Int): DataFrame = {
+    val withTok = docs.select(col("doc_id"),
+      size(TextOps.tokensCol).cast("double").as("n_tokens"))
+    val run = graft.ops.Windows.runningTotal(withTok, Seq(col("doc_id")),
+      "n_tokens", out = "start_tok")
+    run.select(
+      col("doc_id"),
+      col("n_tokens").cast("long").as("n_tokens"),
+      col("start_tok").cast("long").as("start_tok"),
+      (col("start_tok").cast("long") / budget).cast("long").as("chunk_start"),
+      ((col("start_tok").cast("long") + col("n_tokens").cast("long") - 1) / budget)
+        .cast("long").as("chunk_end"))
+      .withColumn("crosses", col("chunk_start") =!= col("chunk_end"))
+  }
+}

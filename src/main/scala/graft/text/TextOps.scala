@@ -73,6 +73,52 @@ object TextOps {
         distinctRatio >= 0.1).as("keep"))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): for each
+    * n-gram size, the fraction of n-gram occurrences claimed by the single
+    * most frequent n-gram (`top_frac_n`) and the fraction that are repeats
+    * of an already-seen n-gram (`dup_frac_n` = 1 − distinct/total), plus a
+    * keep-flag at the published-style thresholds. Boilerplate-heavy and
+    * degenerately repetitive documents (the classic web-crawl failure
+    * mode) spike both signals while length-normalized stats stay sane.
+    *
+    * One explode + two hash aggregations, all keyed by `doc_id` (skew is
+    * bounded by document length, not corpus size) — both n-gram sizes ride
+    * the same shuffle via an `n` tag column.
+    */
+  def repetitionStats(docs: DataFrame, ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    val grams = ns.map { n =>
+      val starts = when(size(col("w")) >= n, sequence(lit(0), size(col("w")) - n))
+        .otherwise(array().cast("array<int>"))
+      docs.select(col("doc_id"), tokensCol.as("w"))
+        .select(col("doc_id"), lit(n).as("n"),
+          explode(transform(starts,
+            i => concat_ws(" ", (0 until n).map(o => element_at(col("w"), i + o + 1)): _*)))
+            .as("gram"))
+    }.reduce(_ unionByName _)
+    val counts = grams.groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("c"))
+    val stats = counts.groupBy("doc_id", "n").agg(
+      sum(col("c")).cast("double").as("total"),
+      count(lit(1)).cast("double").as("dist"),
+      max(col("c")).cast("double").as("maxc"))
+    val perN = ns.map { n =>
+      Seq(round(max(when(col("n") === n, col("maxc") / col("total"))), 6)
+            .as(s"top_frac_$n"),
+          round(max(when(col("n") === n, lit(1.0) - col("dist") / col("total"))), 6)
+            .as(s"dup_frac_$n"))
+    }
+    val wide = stats.groupBy("doc_id").agg(perN.flatten.head, perN.flatten.tail: _*)
+    // Short docs (< n tokens) produce no n-grams → treat as non-repetitive.
+    val filled = docs.select(col("doc_id")).join(wide, Seq("doc_id"), "left")
+      .select(col("doc_id") +:
+        ns.flatMap(n => Seq(
+          coalesce(col(s"top_frac_$n"), lit(0.0)).as(s"top_frac_$n"),
+          coalesce(col(s"dup_frac_$n"), lit(0.0)).as(s"dup_frac_$n"))): _*)
+    if (ns.contains(2) && ns.contains(3))
+      filled.withColumn("keep",
+        col("top_frac_2") <= 0.20 && col("dup_frac_3") <= 0.18)
+    else filled
+  }
+
   /** Language ID by marker-token counting (the n-gram-heuristic shape of
     * fastText/CLD-style classifiers reduced to a deterministic relational
     * computation): per language, count tokens in its marker set; predict
