@@ -112,6 +112,43 @@ object ScaleProbe {
     }
     out(s"sketched_paris_${nAnchors}_of_$nCells2") = tParis
 
+    // distributed connected components on a 2M-node chain forest: 1000-long
+    // chains are the diameter worst case where plain label propagation
+    // needs 1000 rounds; large/small-star must close them in O(log n)
+    val (_, tCc) = time {
+      val n = 2000000L
+      val edges = spark.range(1L, n).select(col("id").as("src"),
+        when(col("id") % 1000 === 0, col("id")).otherwise(col("id") - 1).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      graft.graph.ConnectedComponents.labels(edges)
+        .write.format("noop").mode("overwrite").save()
+    }
+    out("connected_components_2M_chains") = tCc
+
+    // text-pipeline tails at 100k docs (20 × 5k): repetition signals,
+    // token packing (range-partitioned running total), decontamination
+    val docsRep = replicate(
+      graft.core.Tables.t(spark, sfDir, "documents").select("doc_id", "text"),
+      Seq("doc_id"), 100000000L).cache()
+    val nDocs = docsRep.count()
+    val (_, tRep) = time {
+      graft.text.TextOps.repetitionStats(docsRep)
+        .write.format("noop").mode("overwrite").save()
+    }
+    out(s"repetition_${nDocs}_docs") = tRep
+    val (_, tPack) = time {
+      graft.text.Mix.packChunks(docsRep, 2048)
+        .write.format("noop").mode("overwrite").save()
+    }
+    out(s"pack_chunks_${nDocs}_docs") = tPack
+    val (_, tDecon) = time {
+      val ev = graft.core.Tables.t(spark, sfDir, "documents")
+        .filter(col("doc_id") % 100 === 0).select("doc_id", "text")
+      graft.dedup.Dedup.decontaminate(docsRep, ev, 5, dfCap = 500)
+        .write.format("noop").mode("overwrite").save()
+    }
+    out(s"decontaminate_${nDocs}_docs") = tDecon
+
     val qs = out.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe","copies":$copies,"nnz":$nnz,"timings":$qs}""")
     spark.stop()
