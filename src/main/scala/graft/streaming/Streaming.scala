@@ -44,6 +44,68 @@ object Streaming {
       .dropDuplicates("digest")
       .select("doc_id", "ts", "digest")
 
+  case class BandHit(band_id: Int, band_key: String, doc_id: Long)
+  case class CandPair(ida: Long, idb: Long, band_id: Int)
+
+  /** Per-document MinHash LSH band keys as a single row-local column
+    * expression (shingle → seeded-md5 min per hash → concat per band) —
+    * the streaming-safe form of `Dedup.minHashSignature` +
+    * `lshCandidatePairs`'s banding: no shuffle, no per-doc aggregation,
+    * so it runs identically in a batch projection or a stream.
+    */
+  def lshBandKeys(n: Int, numHashes: Int, rowsPerBand: Int): org.apache.spark.sql.Column = {
+    val w = split(col("text"), "\\s+")
+    val starts = when(size(w) >= n, sequence(lit(0), size(w) - n))
+      .otherwise(array().cast("array<int>"))
+    val sh = array_distinct(transform(starts,
+      i => concat_ws(" ", (0 until n).map(o => element_at(w, i + o + 1)): _*)))
+    val mins = (0 until numHashes).map(s =>
+      array_min(transform(sh, g => md5(concat(lit(s + ":"), g)))))
+    val nBands = numHashes / rowsPerBand
+    array((0 until nBands).map { b =>
+      struct(lit(b).as("band_id"),
+        concat((0 until rowsPerBand).map(r => mins(b * rowsPerBand + r)): _*)
+          .as("band_key"))
+    }: _*)
+  }
+
+  /** Streaming near-duplicate detection — the streaming twin of
+    * q34_minhash_lsh: every incoming document explodes to its LSH band
+    * hits; keyed state per (band, band_key) bucket holds the doc ids
+    * seen there and emits a candidate pair for each new arrival against
+    * the bucket's history. `maxBucket` caps per-bucket state (the
+    * streaming analogue of the batch df-cap: a degenerate bucket of
+    * boilerplate near-dups stops growing state and stops emitting
+    * quadratic pairs). Downstream, pairs feed the same scoring/grouping
+    * as the batch path.
+    */
+  def nearDupStream(docs: Dataset[Doc], n: Int = 3, numHashes: Int = 8,
+                    rowsPerBand: Int = 2, maxBucket: Int = 64): Dataset[CandPair] = {
+    import docs.sparkSession.implicits._
+    val hits = docs.toDF()
+      .select(col("doc_id"), explode(lshBandKeys(n, numHashes, rowsPerBand)).as("b"))
+      .select(col("b.band_id").as("band_id"), col("b.band_key").as("band_key"),
+        col("doc_id"))
+      .as[BandHit]
+    hits.groupByKey(h => (h.band_id, h.band_key))
+      .flatMapGroupsWithState[List[Long], CandPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((bandId, _), it, state: GroupState[List[Long]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer[CandPair]()
+          it.map(_.doc_id).toSeq.distinct.sorted.foreach { d =>
+            if (!seen.contains(d) && seen.size < maxBucket) {
+              seen.foreach { p =>
+                out += CandPair(math.min(p, d), math.max(p, d), bandId)
+              }
+              seen = d :: seen
+            }
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** Gap-based sessionization with explicit keyed state — the streaming
     * twin of q42_sessionize (30-minute inactivity gap), emitting one
     * update per closed batch of a user's events.

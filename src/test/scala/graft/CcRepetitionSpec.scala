@@ -81,6 +81,30 @@ class CcRepetitionSpec extends SparkSpec {
     assert(Dedup.decontaminate(tr2, ev, n = 4, dfCap = 1).count() == 0)
   }
 
+  test("nearDupStream: near-identical docs pair across batches; unrelated stay apart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streaming
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Streaming.Doc]
+    val q = Streaming.nearDupStream(input.toDS())
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    input.addData(
+      Streaming.Doc(1L, ts(0), base),
+      Streaming.Doc(3L, ts(1), "completely different words about query engines and shuffles"))
+    q.processAllAvailable()
+    input.addData(Streaming.Doc(2L, ts(2), base + " extra")) // near-dup, later batch
+    q.processAllAvailable()
+    val pairs = spark.sql("SELECT DISTINCT ida, idb FROM neardup_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("repetitionStats: degenerate repetition spikes the signals; diverse text keeps") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam"),          // one bigram repeated
