@@ -42,7 +42,17 @@ object Cluster {
     * `(cell_id, cluster)` 1-based.
     */
   def lloyd(latent0: DataFrame, k: Int, iters: Int = 25,
-            seed: Long = 4466L): DataFrame = {
+            seed: Long = 4466L): DataFrame =
+    lloydWithCenters(latent0, k, iters, seed)._1
+
+  /** [[lloyd]] plus the final 9 dp-rounded center matrix (index i =
+    * init-rank i, the oracle's `cid = i+1`). Callers that assign OTHER
+    * vectors to the trained centers (IVF list assignment) must use these
+    * exact centers — recomputing means from the assignment adds an extra
+    * un-rounded update step that drifts from the replayable fence.
+    */
+  def lloydWithCenters(latent0: DataFrame, k: Int, iters: Int = 25,
+                       seed: Long = 4466L): (DataFrame, Array[Array[Double]]) = {
     val spark = latent0.sparkSession
     import spark.implicits._
     // the vector frame feeds init + every iteration + the final
@@ -83,8 +93,9 @@ object Cluster {
         means.getOrElse(c, old)
       }
     }
-    latent.withColumn("c0", assignUdf(centers)(col("latent")))
-      .select(col("cell_id"), (col("c0") + 1).cast("long").as("cluster"))
+    (latent.withColumn("c0", assignUdf(centers)(col("latent")))
+      .select(col("cell_id"), (col("c0") + 1).cast("long").as("cluster")),
+      centers)
   }
 
   /** Driver-side greedy modularity (Louvain-style, deterministic node

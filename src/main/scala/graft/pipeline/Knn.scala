@@ -195,15 +195,11 @@ object Knn {
         .withColumn("h", md5(concat(lit(s"$rSeed:"), col("cell_id"))))
         .orderBy(col("h"), col("cell_id")).limit(trainN)
         .select("cell_id", "latent")
-      val assign = Cluster.lloyd(sample, nLists, iters = 10, seed = rSeed)
-      val centers: Array[(Long, Array[Double])] = sample.join(assign, Seq("cell_id"))
-        .select(col("cluster"), posexplode(col("latent")).as(Seq("pos", "x")))
-        .groupBy("cluster", "pos").agg(avg("x").as("m"))
-        .as[(Long, Int, Double)].collect()
-        .groupBy(_._1).map { case (c, rs) =>
-          (c, rs.sortBy(_._2).map(_._3).toArray)
-        }.toArray.sortBy(_._1)
-      val bc = centers.map(_._2)
+      // Use Lloyd's final 9 dp-rounded centers directly: recomputing means
+      // from the assignment would add an 11th un-rounded update outside
+      // the cross-engine determinism fence (boundary vectors would then
+      // land in different lists than the oracle's).
+      val bc = Cluster.lloydWithCenters(sample, nLists, iters = 10, seed = rSeed)._2
       def nearestLists(n: Int) = udf { (v: Seq[Double]) =>
         bc.zipWithIndex.map { case (c, i) =>
           var d = 0.0; var j = 0

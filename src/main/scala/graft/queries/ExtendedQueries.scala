@@ -211,10 +211,16 @@ object ExtendedQueries {
         .select(col("p_partkey").as("feat_id"),
           expr("p_partkey div 10 + 1").as("new_feat"))
       val coo = Tables.coo(s, d)
+      // 4 dp, not 6: value = 1e5·sum/rowsum where both sums are
+      // order-nondeterministic float aggregations (~1e-9 reassociation
+      // noise on a ~5e4 magnitude). At 6 dp one sf0.1 row per ~1e6 lands
+      // on the rounding knife edge and flips between engines; 4 dp keeps
+      // 9 significant digits while pushing the flip probability below
+      // 1e-2 per full sf0.1 run.
       graft.ops.Meld.createCountsMat(coo, m1.unionByName(m2),
           Tables.nCells(coo), scalarCoeff = 1e5, renormalization = true)
         .select(col("cell_id"), col("new_feat"),
-          round(col("value"), 6).as("value"))
+          round(col("value"), 4).as("value"))
         .orderBy("cell_id", "new_feat")
     }),
 
@@ -520,7 +526,7 @@ object ExtendedQueries {
            FROM tfidf t JOIN map m ON t.feat_id = m.feat_id
            GROUP BY t.cell_id, m.new_feat),
          rs AS (SELECT cell_id, SUM(value) AS rs FROM melded GROUP BY cell_id)
-         SELECT m.cell_id, m.new_feat, ROUND(100000.0 * m.value / r.rs, 6) AS value
+         SELECT m.cell_id, m.new_feat, ROUND(100000.0 * m.value / r.rs, 4) AS value
          FROM melded m JOIN rs r ON m.cell_id = r.cell_id
          ORDER BY m.cell_id, m.new_feat""",
 

@@ -674,29 +674,37 @@ object MlQueries {
   }
 
   /** The q69 multi-index IVF ANN oracle: for each round, Cluster.lloyd's
-    * training replays exactly as in q60's oracle (md5-ranked
-    * distinct-vector init, fixed iterations, 9 dp-rounded means — here
-    * generalized to 128-dim center lists via UNNEST/GENERATE_SUBSCRIPTS
-    * re-aggregation), then list assignment, nProbe probing and exact l2
-    * within the probed lists; rounds union, dedupe on min distance,
-    * global top-k. Every distance after the 9 dp center fence is pure
-    * IEEE +,*,sqrt. Exact at sf0.01: 2500/2500 neighbor rows.
+    * training replays exactly as in q60's oracle (md5-ranked ≤trainN
+    * TRAINING SAMPLE — the samp CTE mirrors ivfSelfKnn's
+    * `orderBy(md5).limit(trainN)`, which diverges from whole-set training
+    * once n > trainN — then md5-ranked distinct-vector init, fixed
+    * iterations, 9 dp-rounded means, generalized to 128-dim center lists
+    * via UNNEST/GENERATE_SUBSCRIPTS re-aggregation), then whole-set list
+    * assignment against the final rounded centers, nProbe probing and
+    * exact l2 within the probed lists; rounds union, dedupe on min
+    * distance, global top-k. Every distance after the 9 dp center fence
+    * is pure IEEE +,*,sqrt. Exact at sf0.01 (2500/2500) and sf0.1
+    * (25000/25000, where the sample is a strict subset).
     */
   private def q69OracleSql: String = {
     val nLists = 16; val nProbe = 4; val rounds = 3; val iters = 10
-    val k = 5; val dim = 128; val seed = 4466L
+    val k = 5; val dim = 128; val seed = 4466L; val trainN = 10000
     val rd = s"range(1, ${dim + 1})"
     def d2(a: String, c: String) =
       s"list_sum(list_transform($rd, i -> ($a[i] - $c[i]) * ($a[i] - $c[i])))"
     def lloydRound(r: Int): String = {
       val rSeed = seed + 7919 * r
       val head = s"""
+  samp$r AS MATERIALIZED (
+    SELECT cell_id, p FROM (
+      SELECT v.*, MD5('$rSeed:' || cell_id) AS hs FROM v)
+    ORDER BY hs, cell_id LIMIT $trainN),
   init$r AS MATERIALIZED (
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY hsh, cell_id) AS INT) AS cid, p AS c
     FROM (SELECT * FROM (
-            SELECT v.*, MD5('$rSeed:' || cell_id) AS hsh,
+            SELECT s.*, MD5('$rSeed:' || cell_id) AS hsh,
                    ROW_NUMBER() OVER (PARTITION BY p ORDER BY MD5('$rSeed:' || cell_id), cell_id) AS rv
-            FROM v) WHERE rv = 1)
+            FROM samp$r s) WHERE rv = 1)
     ORDER BY hsh, cell_id LIMIT $nLists),
   cent${r}_0 AS MATERIALIZED (SELECT cid, c FROM init$r)"""
       val its = (1 to iters).map { t =>
@@ -706,7 +714,7 @@ object MlQueries {
       SELECT v.cell_id, k.cid,
              ROW_NUMBER() OVER (PARTITION BY v.cell_id
                ORDER BY ${d2("v.p", "k.c")}, k.cid) AS rn
-      FROM v CROSS JOIN cent${r}_${t - 1} k) WHERE rn = 1),
+      FROM samp$r v CROSS JOIN cent${r}_${t - 1} k) WHERE rn = 1),
   cent${r}_$t AS MATERIALIZED (
     SELECT p.cid, COALESCE(m.c, p.c) AS c
     FROM cent${r}_${t - 1} p LEFT JOIN (

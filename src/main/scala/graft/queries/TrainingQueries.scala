@@ -109,6 +109,18 @@ object TrainingQueries {
       Dedup.decontaminate(tr, ev, 5, dfCap = 500).orderBy("doc_id")
     }),
 
+    // the corpus-prep pipeline composed end-to-end: exact dedup (planted
+    // copies must vanish) → quality + repetition filters → mixture
+    // sample → chunk packing — every stage individually oracled above
+    "q75_corpus_prep" -> ((s, d) => {
+      val base = docs(s, d)
+      val planted = base.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 3000000).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars"))
+      graft.text.Mix.prepareCorpus(base.unionByName(planted), stopwords,
+        mixFractions, seed = 7, budget = 2048).orderBy("doc_id")
+    }),
+
     "q37_cosine_topk" -> ((s, d) => topKHits(s, d).orderBy("qid", "rn")),
 
     "q38_label_transfer" -> ((s, d) => {
@@ -372,6 +384,67 @@ object TrainingQueries {
                 (COALESCE(top_frac_2, 0.0) <= 0.20
                  AND COALESCE(dup_frac_3, 0.0) <= 0.18) AS keep
          FROM documents d LEFT JOIN wide USING (doc_id) ORDER BY d.doc_id""",
+
+    "q75_corpus_prep" -> {
+      val mixCases = mixFractions.toSeq.sortBy(_._1)
+        .map { case (l, p) => s"WHEN '$l' THEN '${graft.text.Mix.hexCutoff(p)}'" }
+        .mkString(" ")
+      s"""WITH srcdocs AS (
+           SELECT doc_id, text, lang FROM documents
+           UNION ALL
+           SELECT doc_id + 3000000, text, lang FROM documents WHERE doc_id % 50 = 0),
+         keepx AS (SELECT MIN(doc_id) AS doc_id FROM srcdocs GROUP BY MD5(text)),
+         d1 AS (SELECT s.* FROM srcdocs s JOIN keepx USING (doc_id)),
+         qt AS (SELECT doc_id, LENGTH(text) AS nc,
+                       REGEXP_SPLIT_TO_ARRAY(text, '\\s+') AS toks
+                FROM d1),
+         qm AS (SELECT doc_id,
+                       CAST(LEN(toks) AS DOUBLE) AS nt,
+                       CAST(LEN(LIST_FILTER(toks, x -> ${langFilterSql(stopwords)})) AS DOUBLE) AS sh,
+                       CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) AS nd
+                FROM qt),
+         qkeep AS (SELECT doc_id FROM qm
+                   WHERE nt >= 20 AND nt <= 2000 AND sh / nt >= 0.01 AND nd / nt >= 0.1),
+         rt AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\\s+') AS w FROM d1),
+         rg AS (
+           SELECT doc_id, 2 AS n, w[i] || ' ' || w[i+1] AS gram
+           FROM rt, LATERAL (SELECT UNNEST(RANGE(1, LEN(w))) AS i)
+           UNION ALL
+           SELECT doc_id, 3 AS n, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+           FROM rt, LATERAL (SELECT UNNEST(RANGE(1, LEN(w) - 1)) AS i)),
+         rc AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM rg GROUP BY 1, 2, 3),
+         rs AS (SELECT doc_id, n, CAST(SUM(c) AS DOUBLE) AS total,
+                       CAST(COUNT(*) AS DOUBLE) AS dist,
+                       CAST(MAX(c) AS DOUBLE) AS maxc
+                FROM rc GROUP BY 1, 2),
+         rwide AS (
+           SELECT doc_id,
+                  ROUND(MAX(CASE WHEN n = 2 THEN maxc / total END), 6) AS top_frac_2,
+                  ROUND(MAX(CASE WHEN n = 3 THEN 1.0 - dist / total END), 6) AS dup_frac_3
+           FROM rs GROUP BY doc_id),
+         rkeep AS (
+           SELECT t.doc_id FROM rt t LEFT JOIN rwide USING (doc_id)
+           WHERE COALESCE(top_frac_2, 0.0) <= 0.20
+             AND COALESCE(dup_frac_3, 0.0) <= 0.18),
+         d3 AS (
+           SELECT d1.doc_id, d1.text FROM d1
+           JOIN qkeep USING (doc_id) JOIN rkeep USING (doc_id)
+           WHERE SUBSTRING(MD5('7:' || d1.doc_id::VARCHAR), 1, 8) <
+                 CASE d1.lang $mixCases ELSE '' END),
+         pt AS (SELECT doc_id,
+                       CAST(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')) AS BIGINT) AS n_tokens
+                FROM d3),
+         pr AS (SELECT doc_id, n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                         AS start_tok
+                FROM pt)
+         SELECT doc_id, n_tokens, start_tok,
+                start_tok // 2048 AS chunk_start,
+                (start_tok + n_tokens - 1) // 2048 AS chunk_end,
+                (start_tok // 2048) != ((start_tok + n_tokens - 1) // 2048) AS crosses
+         FROM pr ORDER BY doc_id"""
+    },
 
     "q72_mix_sample" -> {
       val cases = mixFractions.toSeq.sortBy(_._1)

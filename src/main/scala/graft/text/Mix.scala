@@ -41,6 +41,27 @@ object Mix {
         < cutoff)
   }
 
+  /** The full corpus-preparation pipeline composed end-to-end — what a
+    * user actually runs before training: exact dedup (keep the min-id
+    * copy of each digest), quality + repetition keep-filters, hash-gated
+    * mixture sampling, then concat-and-chunk packing of the survivors.
+    * Every stage is one of the individually-oracled operators; the
+    * composition is semi-joins on `doc_id` (ids only — text never
+    * re-shuffles between stages).
+    */
+  def prepareCorpus(docs: DataFrame, stopwords: Seq[String],
+                    fractions: Map[String, Double], seed: Int,
+                    budget: Int): DataFrame = {
+    val keepExact = graft.dedup.Dedup.exactDupGroups(docs)
+      .select(col("keep_id").as("doc_id"))
+    val d1 = docs.join(keepExact, Seq("doc_id"), "left_semi")
+    val q = TextOps.qualityScore(d1, stopwords).filter(col("keep")).select("doc_id")
+    val r = TextOps.repetitionStats(d1).filter(col("keep")).select("doc_id")
+    val d2 = d1.join(q, Seq("doc_id"), "left_semi").join(r, Seq("doc_id"), "left_semi")
+    val d3 = stratifiedSample(d2, col("lang"), fractions, seed)
+    packChunks(d3.select("doc_id", "text"), budget)
+  }
+
   /** Concat-and-chunk packing: documents are laid out end-to-end in
     * `doc_id` order and cut every `budget` tokens (boundary-straddling
     * documents split across chunks — the standard pretraining layout, as

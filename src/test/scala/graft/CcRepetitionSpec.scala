@@ -81,6 +81,29 @@ class CcRepetitionSpec extends SparkSpec {
     assert(Dedup.decontaminate(tr2, ev, n = 4, dfCap = 1).count() == 0)
   }
 
+  test("prepareCorpus: each stage drops its case; survivors pack in id order") {
+    val good1 = "the quick brown fox jumps over a lazy dog while many other animals" +
+      " watch from nearby hills during sunset hours" // 20 distinct tokens, has stopwords
+    val good2 = "a research engine processes tables with joins filters windows and" +
+      " the aggregations needed for large scale statistical work today ok" // 20 tokens
+    val docs = Seq(
+      (1L, good1, "en"),
+      (10L, good1, "en"), // exact dup of 1 → dedup drop (min id kept)
+      (3L, Seq.fill(30)("spam").mkString(" "), "en"), // repetitive → drop
+      (4L, "tiny doc", "en"), // < 20 tokens → quality drop
+      (5L, good2, "en"),
+      (6L, good2 + " extra", "zh") // stratum fraction 0 → sampling drop
+    ).toDF("doc_id", "text", "lang")
+    val out = graft.text.Mix.prepareCorpus(docs, Seq("the", "a"),
+        Map("en" -> 1.0, "zh" -> 0.0), seed = 7, budget = 20)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(out.map(_._1).toSeq == Seq(1L, 5L))
+    assert(out(0) == ((1L, 20L, 0L, 0L, 0L, false)))  // exactly fills chunk 0
+    assert(out(1) == ((5L, 20L, 20L, 1L, 1L, false))) // starts chunk 1 cleanly
+  }
+
   test("nearDupStream: near-identical docs pair across batches; unrelated stay apart") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.Streaming
