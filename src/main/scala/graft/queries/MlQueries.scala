@@ -125,7 +125,9 @@ object MlQueries {
       val latent = Tables.t(s, d, "embeddings")
         .select(col("vec_id").as("cell_id"),
           col("embedding").cast("array<double>").as("latent"))
-      graft.pipeline.Knn.ivfSelfKnn(latent, 5, nLists = 16, nProbe = 4, rounds = 3)
+      // nLists = 32 per the n/targetListSize sizing rule (20k vectors at
+      // sf0.1 → ~625/list); nProbe/rounds hold the multi-index recall
+      graft.pipeline.Knn.ivfSelfKnn(latent, 5, nLists = 32, nProbe = 4, rounds = 3)
         .select(col("src"), col("dst"), round(col("dist"), 6).as("dist"),
           col("rn").cast("int").as("rn"))
         .orderBy("src", "rn")
@@ -364,7 +366,7 @@ object MlQueries {
   fin AS MATERIALIZED (SELECT v FROM iter WHERE it = $iters),
   zrows AS MATERIALIZED (
     SELECT cell_id, LIST(z ORDER BY idx) AS zs FROM z GROUP BY cell_id)
-  SELECT r.cell_id, comp.j - 1 AS component,
+  SELECT r.cell_id, CAST(comp.j - 1 AS INT) AS component,
          ROUND(list_sum(list_transform($rng, i -> r.zs[i] * f.v[comp.j][i])), 4) AS value
   FROM zrows r CROSS JOIN fin f
   CROSS JOIN (SELECT UNNEST(range(1, ${k + 1})) AS j) comp
@@ -687,7 +689,7 @@ object MlQueries {
     * (25000/25000, where the sample is a strict subset).
     */
   private def q69OracleSql: String = {
-    val nLists = 16; val nProbe = 4; val rounds = 3; val iters = 10
+    val nLists = 32; val nProbe = 4; val rounds = 3; val iters = 10
     val k = 5; val dim = 128; val seed = 4466L; val trainN = 10000
     val rd = s"range(1, ${dim + 1})"
     def d2(a: String, c: String) =
