@@ -109,6 +109,15 @@ object TrainingQueries {
       Dedup.decontaminate(tr, ev, 5, dfCap = 500).orderBy("doc_id")
     }),
 
+    // PII scrub: planted emails/phones must be counted and redacted
+    // (synthetic docs carry none naturally — a 0==0 pass proves nothing)
+    "q76_pii_redact" -> ((s, d) =>
+      TextOps.piiRedact(docs(s, d).select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" contact bob@example.com or 555-123-4567 now")))
+            .otherwise(col("text")).as("text")))
+        .orderBy("doc_id")),
+
     // the corpus-prep pipeline composed end-to-end: exact dedup (planted
     // copies must vanish) → quality + repetition filters → mixture
     // sample → chunk packing — every stage individually oracled above
@@ -384,6 +393,25 @@ object TrainingQueries {
                 (COALESCE(top_frac_2, 0.0) <= 0.20
                  AND COALESCE(dup_frac_3, 0.0) <= 0.18) AS keep
          FROM documents d LEFT JOIN wide USING (doc_id) ORDER BY d.doc_id""",
+
+    "q76_pii_redact" -> {
+      // DuckDB single-quoted strings pass backslashes through verbatim,
+      // so the Java-side pattern string embeds as-is
+      val em = TextOps.emailPat
+      val ph = TextOps.phonePat
+      s"""WITH p AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 0
+                       THEN text || ' contact bob@example.com or 555-123-4567 now'
+                       ELSE text END AS text
+           FROM documents)
+         SELECT doc_id,
+                CAST(LEN(REGEXP_EXTRACT_ALL(text, '$em')) AS INT) AS n_emails,
+                CAST(LEN(REGEXP_EXTRACT_ALL(text, '$ph')) AS INT) AS n_phones,
+                MD5(REGEXP_REPLACE(REGEXP_REPLACE(text, '$em', '<EMAIL>', 'g'),
+                                   '$ph', '<PHONE>', 'g')) AS redacted_digest
+         FROM p ORDER BY doc_id"""
+    },
 
     "q75_corpus_prep" -> {
       val mixCases = mixFractions.toSeq.sortBy(_._1)

@@ -119,6 +119,27 @@ object TextOps {
     else filled
   }
 
+  /** PII detection + redaction (the C4-style scrub pass): count and
+    * replace email and North-American-phone shaped spans with typed
+    * placeholder tokens. Patterns stay in the regex subset Java and RE2
+    * share, so the same strings drive Spark codegen and the DuckDB
+    * oracle. Pure row-local projection — no shuffle; at 100 TB this is
+    * a map-only pass fused into the scan.
+    */
+  val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePat = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(col("text"), lit(emailPat), lit("<EMAIL>")),
+      lit(phonePat), lit("<PHONE>"))
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(phonePat), lit(0))).as("n_phones"),
+      md5(redacted).as("redacted_digest"))
+  }
+
   /** Language ID by marker-token counting (the n-gram-heuristic shape of
     * fastText/CLD-style classifiers reduced to a deterministic relational
     * computation): per language, count tokens in its marker set; predict

@@ -26,6 +26,32 @@ class CcRepetitionSpec extends SparkSpec {
     assert(lbl.size == 100 && lbl.values.forall(_ == 0L))
   }
 
+  test("connected components: random graphs match a union-find reference") {
+    val rnd = new scala.util.Random(11)
+    (0 until 3).foreach { trial =>
+      val n = 300
+      val edges = (0 until 400).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      // driver-side union-find ground truth
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> {
+          // component label = min node id reachable; chase to the root,
+          // which union-by-min makes the minimum
+          find(v.toInt).toLong
+        }).toMap
+      val got = ConnectedComponents.labels(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("nearDupGroups: transitive closure + keep-one over the universe") {
     // pairs A~B, B~C (A~C never emitted) plus an untouched singleton D
     val universe = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
