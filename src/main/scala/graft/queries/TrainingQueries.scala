@@ -109,6 +109,10 @@ object TrainingQueries {
       Dedup.decontaminate(tr, ev, 5, dfCap = 500).orderBy("doc_id")
     }),
 
+    // self-trained bigram-LM perplexity (CCNet-style quality signal)
+    "q77_lm_perplexity" -> ((s, d) =>
+      TextOps.lmPerplexity(docs(s, d)).orderBy("doc_id")),
+
     // PII scrub: planted emails/phones must be counted and redacted
     // (synthetic docs carry none naturally — a 0==0 pass proves nothing)
     "q76_pii_redact" -> ((s, d) =>
@@ -393,6 +397,26 @@ object TrainingQueries {
                 (COALESCE(top_frac_2, 0.0) <= 0.20
                  AND COALESCE(dup_frac_3, 0.0) <= 0.18) AS keep
          FROM documents d LEFT JOIN wide USING (doc_id) ORDER BY d.doc_id""",
+
+    "q77_lm_perplexity" ->
+      """WITH t AS (
+           SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w FROM documents),
+         uni AS (
+           SELECT x AS w1, COUNT(*) AS c1
+           FROM (SELECT UNNEST(w) AS x FROM t) GROUP BY x),
+         vocab AS (SELECT COUNT(*) AS v FROM uni),
+         big AS (
+           SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+           FROM t, LATERAL (SELECT UNNEST(RANGE(1, LEN(w))) AS i)),
+         big2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2)
+         SELECT b.doc_id, COUNT(*) AS n_bigrams,
+                ROUND(AVG(-LN((c.c2 + CAST(1.0 AS DOUBLE))
+                  / (u.c1 + CAST(1.0 AS DOUBLE) * v.v))), 6) AS mean_nll
+         FROM big b
+         JOIN big2 c ON b.w1 = c.w1 AND b.w2 = c.w2
+         JOIN uni u ON b.w1 = u.w1
+         CROSS JOIN vocab v
+         GROUP BY b.doc_id ORDER BY b.doc_id""",
 
     "q76_pii_redact" -> {
       // DuckDB single-quoted strings pass backslashes through verbatim,

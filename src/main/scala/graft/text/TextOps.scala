@@ -119,6 +119,37 @@ object TextOps {
     else filled
   }
 
+  /** Bigram-LM perplexity scoring (the CCNet/RedPajama-style quality
+    * signal, self-trained): corpus bigram/unigram counts with add-α
+    * smoothing give p(w₂|w₁) = (c₂+α)/(c₁+α·V); each document scores its
+    * mean negative log-likelihood (low = fluent under the corpus LM,
+    * high = gibberish/outlier). Three hash aggregations (unigram counts,
+    * bigram counts, per-doc mean) + one broadcastable count join — the
+    * LM "training" is just counting, so the whole operator is relational
+    * and runs at corpus scale with no model state on the driver.
+    */
+  def lmPerplexity(docs: DataFrame, alpha: Double = 1.0): DataFrame = {
+    val w = tokensCol
+    val bigStarts = when(size(col("w")) >= 2, sequence(lit(0), size(col("w")) - 2))
+      .otherwise(array().cast("array<int>"))
+    val uni = docs.select(explode(w).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = docs.select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), explode(transform(bigStarts,
+        i => struct(element_at(col("w"), i + 1).as("w1"),
+          element_at(col("w"), i + 2).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val big2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    big.join(big2, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll",
+        -log((col("c2") + lit(alpha)) / (col("c1") + lit(alpha) * col("v"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nll")), 6).as("mean_nll"))
+  }
+
   /** PII detection + redaction (the C4-style scrub pass): count and
     * replace email and North-American-phone shaped spans with typed
     * placeholder tokens. Patterns stay in the regex subset Java and RE2

@@ -154,6 +154,18 @@ class CcRepetitionSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("lmPerplexity: corpus-frequent bigrams score fluent; rare ones score high") {
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha beta"),
+      (2L, "alpha beta alpha beta gamma"),
+      (3L, "zeta omega kappa")).toDF("doc_id", "text")
+    val out = TextOps.lmPerplexity(docs).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 5 && out(3L)._1 == 2)
+    // "alpha beta" dominates the corpus → doc 1 fluent, doc 3 surprising
+    assert(out(1L)._2 < out(3L)._2)
+  }
+
   test("repetitionStats: degenerate repetition spikes the signals; diverse text keeps") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam"),          // one bigram repeated
