@@ -54,15 +54,29 @@ object Dedup {
   /** LSH candidate pairs: band the signature (`rowsPerBand` hashes per
     * band), equi-join documents sharing any band value. Output distinct
     * `(ida, idb)` with ida < idb.
+    *
+    * Hot-bucket guard (the banded analogue of `ngramJaccardPairs`'
+    * df cap): a band bucket holding `n` documents contributes n²/2 pairs,
+    * so one degenerate bucket of boilerplate-identical docs makes the
+    * self-join quadratic no matter how the rest of the corpus shards.
+    * Buckets above `bucketCap` are dropped before the join — their
+    * members are near-identical mass that exact dedup (or any surviving
+    * smaller band) already covers, and the pair explosion carries no new
+    * information.
     */
-  def lshCandidatePairs(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+  def lshCandidatePairs(sig: DataFrame, numHashes: Int, rowsPerBand: Int,
+                        bucketCap: Int = 10000): DataFrame = {
     val nBands = numHashes / rowsPerBand
     val bands = (0 until nBands).map { b =>
       val key = concat((0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
       struct(lit(b).as("band_id"), key.as("band_key"))
     }
-    val long = sig.select(col("doc_id"), explode(array(bands: _*)).as("b"))
+    val long0 = sig.select(col("doc_id"), explode(array(bands: _*)).as("b"))
       .select(col("doc_id"), col("b.band_id"), col("b.band_key"))
+    val hot = long0.groupBy("band_id", "band_key")
+      .agg(count(lit(1)).as("_bn")).filter(col("_bn") > bucketCap)
+      .select("band_id", "band_key")
+    val long = long0.join(hot, Seq("band_id", "band_key"), "left_anti")
     val a = long.select(col("band_id"), col("band_key"), col("doc_id").as("ida"))
     val bb = long.select(col("band_id"), col("band_key"), col("doc_id").as("idb"))
     a.join(bb, Seq("band_id", "band_key"))

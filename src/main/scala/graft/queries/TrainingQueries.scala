@@ -265,9 +265,14 @@ object TrainingQueries {
            SELECT doc_id, 1, m2 || m3 FROM sig UNION ALL
            SELECT doc_id, 2, m4 || m5 FROM sig UNION ALL
            SELECT doc_id, 3, m6 || m7 FROM sig),
+         blc AS (
+           SELECT bl.* FROM bl JOIN (
+             SELECT band_id, band_key FROM bl
+             GROUP BY band_id, band_key HAVING COUNT(*) <= 10000) ok
+           USING (band_id, band_key)),
          pairs AS (
            SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-           FROM bl a JOIN bl b
+           FROM blc a JOIN blc b
              ON a.band_id = b.band_id AND a.band_key = b.band_key
             AND a.doc_id < b.doc_id)"""
 

@@ -52,6 +52,22 @@ class CcRepetitionSpec extends SparkSpec {
     }
   }
 
+  test("lshCandidatePairs bucketCap drops a degenerate bucket, keeps real pairs") {
+    // 30 identical docs → every band bucket holds all 30 (435 pairs
+    // uncapped); plus one genuine near-dup pair with distinct content
+    val docs = ((0 until 30).map(i => (i.toLong, "all the same boilerplate text here")) ++
+      Seq((100L, "a genuinely unique document about spark engines"),
+        (101L, "a genuinely unique document about spark engines tweaked")))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minHashSignature(Dedup.shingles(docs, 3), 8)
+    val uncapped = Dedup.lshCandidatePairs(sig, 8, 2, bucketCap = 10000)
+    assert(uncapped.filter(col("ida") < 30 && col("idb") < 30).count() == 435)
+    val capped = Dedup.lshCandidatePairs(sig, 8, 2, bucketCap = 10)
+    // degenerate bucket gone, the real near-dup pair survives
+    assert(capped.filter(col("ida") < 30).count() == 0)
+    assert(capped.filter(col("ida") === 100 && col("idb") === 101).count() == 1)
+  }
+
   test("nearDupGroups: transitive closure + keep-one over the universe") {
     // pairs A~B, B~C (A~C never emitted) plus an untouched singleton D
     val universe = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
