@@ -82,12 +82,15 @@ object DistributedLouvain {
 
   /** Distributed Leiden-style refinement: split every community into its
     * connected components (the guarantee Leiden adds over Louvain —
-    * Traag 2019 Thm. 1 gives connectivity, not optimality). Min-label
-    * propagation restricted to same-community edges, iterated UNTIL
-    * CONVERGENCE (no label changed) with `maxRounds` as a safety cap —
-    * a fixed round count would wrongly split connected communities whose
-    * diameter exceeds it (e.g. path-shaped trajectory clusters).
-    * All-DataFrame, no driver graph. Schema: `(cell_id, cluster)`.
+    * Traag 2019 Thm. 1 gives connectivity, not optimality). Components
+    * come from [[ConnectedComponents.labels]] — alternating large-star/
+    * small-star, O(log n) rounds — restricted to same-community edges.
+    * (This replaced a min-label-propagation loop whose round count grew
+    * with the component DIAMETER: a path-shaped trajectory cluster of
+    * length 10⁴ needed 10⁴ rounds there, ~14 here.) The resulting `sub`
+    * label is identical — the minimum node id of each within-community
+    * component. All-DataFrame, no driver graph. Schema:
+    * `(cell_id, cluster)`.
     */
   def refine(edges: DataFrame, labels: DataFrame, maxRounds: Int = 64): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
@@ -100,21 +103,11 @@ object DistributedLouvain {
       .join(lab.withColumnRenamed("node", "dst").withColumnRenamed("comm", "c_dst"), Seq("dst"))
       .filter(col("c_src") === col("c_dst"))
       .select("src", "dst"))
-    var sub = lab.select(col("node"), col("comm"), col("node").as("sub"))
-    var changed = 1L
-    var round = 0
-    while (changed > 0 && round < maxRounds) {
-      val nbrMin = within
-        .join(sub.withColumnRenamed("node", "dst").drop("comm")
-          .withColumnRenamed("sub", "nb_sub"), Seq("dst"))
-        .groupBy(col("src").as("node")).agg(min(col("nb_sub")).as("nb_min"))
-      val next = Lineage.reset(sub.join(nbrMin, Seq("node"), "left")
-        .select(col("node"), col("comm"), col("sub").as("sub_prev"),
-          least(col("sub"), coalesce(col("nb_min"), col("sub"))).as("sub")))
-      changed = next.filter(col("sub") =!= col("sub_prev")).count()
-      sub = next.drop("sub_prev")
-      round += 1
-    }
+    val cc = ConnectedComponents.labels(within, maxIter = maxRounds)
+    // nodes with no within-community edge are their own singleton
+    val sub = lab.join(cc, Seq("node"), "left")
+      .select(col("node"), col("comm"),
+        coalesce(col("component"), col("node")).as("sub"))
     val sizes = sub.groupBy("comm", "sub").agg(count(lit(1)).as("sz"))
     val relabel = graft.ops.Windows.globalOrdinal(
         sizes, Seq(col("sz").desc, col("comm"), col("sub")), "cluster")
