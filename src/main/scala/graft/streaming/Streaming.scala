@@ -44,7 +44,8 @@ object Streaming {
       .dropDuplicates("digest")
       .select("doc_id", "ts", "digest")
 
-  case class BandHit(band_id: Int, band_key: String, doc_id: Long)
+  case class BandHit(band_id: Int, band_key: String, doc_id: Long,
+                     ts: java.sql.Timestamp)
   case class CandPair(ida: Long, idb: Long, band_id: Int)
 
   /** Per-document MinHash LSH band keys as a single row-local column
@@ -73,36 +74,51 @@ object Streaming {
     * q34_minhash_lsh: every incoming document explodes to its LSH band
     * hits; keyed state per (band, band_key) bucket holds the doc ids
     * seen there and emits a candidate pair for each new arrival against
-    * the bucket's history. `maxBucket` caps per-bucket state (the
-    * streaming analogue of the batch df-cap: a degenerate bucket of
-    * boilerplate near-dups stops growing state and stops emitting
-    * quadratic pairs). Downstream, pairs feed the same scoring/grouping
-    * as the batch path.
+    * the bucket's history. Two state bounds make this run forever:
+    * `maxBucket` caps per-bucket membership (the streaming analogue of
+    * the batch df-cap — a degenerate bucket of boilerplate near-dups
+    * stops growing state and stops emitting quadratic pairs), and
+    * an EVENT-TIME timeout expires buckets whose last hit has fallen
+    * `idleness` behind the watermark (exactly dedupStream's horizon
+    * semantics: without it, TOTAL state grows with the number of
+    * distinct band keys ever seen — unbounded on an unbounded corpus).
+    * Downstream, pairs feed the same scoring/grouping as the batch path.
     */
   def nearDupStream(docs: Dataset[Doc], n: Int = 3, numHashes: Int = 8,
-                    rowsPerBand: Int = 2, maxBucket: Int = 64): Dataset[CandPair] = {
+                    rowsPerBand: Int = 2, maxBucket: Int = 64,
+                    idleness: String = "1 hour"): Dataset[CandPair] = {
     import docs.sparkSession.implicits._
     val hits = docs.toDF()
-      .select(col("doc_id"), explode(lshBandKeys(n, numHashes, rowsPerBand)).as("b"))
+      .withWatermark("ts", idleness)
+      .select(col("doc_id"), col("ts"),
+        explode(lshBandKeys(n, numHashes, rowsPerBand)).as("b"))
       .select(col("b.band_id").as("band_id"), col("b.band_key").as("band_key"),
-        col("doc_id"))
+        col("doc_id"), col("ts"))
       .as[BandHit]
     hits.groupByKey(h => (h.band_id, h.band_key))
       .flatMapGroupsWithState[List[Long], CandPair](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case ((bandId, _), it, state: GroupState[List[Long]]) =>
-          var seen = state.getOption.getOrElse(Nil)
-          val out = scala.collection.mutable.ListBuffer[CandPair]()
-          it.map(_.doc_id).toSeq.distinct.sorted.foreach { d =>
-            if (!seen.contains(d) && seen.size < maxBucket) {
-              seen.foreach { p =>
-                out += CandPair(math.min(p, d), math.max(p, d), bandId)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = it.toSeq
+            var seen = state.getOption.getOrElse(Nil)
+            val out = scala.collection.mutable.ListBuffer[CandPair]()
+            batch.map(_.doc_id).distinct.sorted.foreach { d =>
+              if (!seen.contains(d) && seen.size < maxBucket) {
+                seen.foreach { p =>
+                  out += CandPair(math.min(p, d), math.max(p, d), bandId)
+                }
+                seen = d :: seen
               }
-              seen = d :: seen
             }
+            state.update(seen)
+            // expire once the watermark passes the bucket's last hit + idleness
+            state.setTimeoutTimestamp(batch.map(_.ts.getTime).max, idleness)
+            out.iterator
           }
-          state.update(seen)
-          out.iterator
       }
   }
 

@@ -170,6 +170,31 @@ class CcRepetitionSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("nearDupStream: idle buckets expire past the watermark; history is forgotten") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streaming
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Streaming.Doc]
+    val q = Streaming.nearDupStream(input.toDS(), idleness = "10 minutes")
+      .writeStream.format("memory").queryName("neardup_exp")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    input.addData(Streaming.Doc(1L, ts(0), base))
+    q.processAllAvailable()
+    // unrelated late traffic pushes the watermark far past doc 1 + idleness
+    input.addData(Streaming.Doc(9L, ts(60), "completely different words about engines"))
+    q.processAllAvailable()
+    // doc 1's buckets have expired: its near-dup arriving now finds no history
+    input.addData(Streaming.Doc(2L, ts(61), base + " extra"))
+    q.processAllAvailable()
+    val pairs = spark.sql("SELECT DISTINCT ida, idb FROM neardup_exp").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(!pairs.contains((1L, 2L)))
+  }
+
   test("lmPerplexity: corpus-frequent bigrams score fluent; rare ones score high") {
     val docs = Seq(
       (1L, "alpha beta alpha beta alpha beta"),
