@@ -109,6 +109,17 @@ object TrainingQueries {
       Dedup.decontaminate(tr, ev, 5, dfCap = 500).orderBy("doc_id")
     }),
 
+    // corpus composition report: per-(lang, source) + per-lang + grand
+    // totals in one pass via ROLLUP grouping sets — the end-of-pipeline
+    // reporting query every corpus build emits
+    "q78_corpus_rollup" -> ((s, d) =>
+      docs(s, d)
+        .select(col("lang"), col("source"), size(TextOps.tokensCol).as("n_tokens"))
+        .rollup("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"))
+        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)),
+
     // self-trained bigram-LM perplexity (CCNet-style quality signal)
     "q77_lm_perplexity" -> ((s, d) =>
       TextOps.lmPerplexity(docs(s, d)).orderBy("doc_id")),
@@ -402,6 +413,13 @@ object TrainingQueries {
                 (COALESCE(top_frac_2, 0.0) <= 0.20
                  AND COALESCE(dup_frac_3, 0.0) <= 0.18) AS keep
          FROM documents d LEFT JOIN wide USING (doc_id) ORDER BY d.doc_id""",
+
+    "q78_corpus_rollup" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\s+'))) AS BIGINT) AS total_tokens
+         FROM documents
+         GROUP BY ROLLUP (lang, source)
+         ORDER BY lang NULLS FIRST, source NULLS FIRST""",
 
     "q77_lm_perplexity" ->
       """WITH t AS (
