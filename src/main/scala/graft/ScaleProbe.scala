@@ -73,11 +73,14 @@ object ScaleProbe {
     val emb = replicate(emb0.withColumnRenamed("vec_id", "cell_id"),
       Seq("cell_id"), 100000000L).cache()
     val nVec = emb.count()
+    // planes default 10 (right for ~40k); override to probe the sizing
+    // rule (planes ~ log2(n / target occupancy)) at larger replication
+    val annPlanes = sys.env.getOrElse("SPARK_GRAFT_ANN_PLANES", "10").toInt
     val (_, tAnn) = time {
-      graft.pipeline.Knn.bucketedSelfKnn(emb, 5, nPlanes = 10, rounds = 6)
+      graft.pipeline.Knn.bucketedSelfKnn(emb, 5, nPlanes = annPlanes, rounds = 6)
         .write.format("noop").mode("overwrite").save()
     }
-    out(s"bucketed_knn_${nVec}") = tAnn
+    out(s"bucketed_knn_${nVec}_p$annPlanes") = tAnn
 
     val (_, tDedup) = time {
       val docs = replicate(
