@@ -100,9 +100,14 @@ object Dedup {
       pairs.select(col("ida").as("src"), col("idb").as("dst")))
     val assigned = universe.select(col("doc_id").cast("long").as("doc_id"))
       .join(lbl.select(col("node").as("doc_id"), col("component")), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("group_id"))
-    val sizes = assigned.groupBy("group_id").agg(count(lit(1)).as("n_docs"))
-    assigned.join(sizes, Seq("group_id"))
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("_comp"))
+    // Re-base the group id to the minimum doc id WITHIN the universe:
+    // when pairs come from a broader corpus than the slice being
+    // labeled, the component minimum may not be a universe member, and
+    // keying keep on it would keep ZERO documents of that group.
+    val rebased = assigned.groupBy("_comp").agg(
+      min(col("doc_id")).as("group_id"), count(lit(1)).as("n_docs"))
+    assigned.join(rebased, Seq("_comp"))
       .select(col("doc_id"), col("group_id"), col("n_docs"),
         (col("doc_id") === col("group_id")).as("keep"))
   }

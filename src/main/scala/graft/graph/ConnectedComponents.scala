@@ -37,11 +37,16 @@ object ConnectedComponents {
     * paper, so 25 covers any realistic graph.
     */
   def labels(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    var e = edges
+    // Reset (localCheckpoint) the canonicalized input: the first round
+    // references it three times (checksum + both unionAll branches of
+    // the neighborhood), and without materialization the input's
+    // distinct shuffle — the heaviest step on a large edge list —
+    // would re-execute for each.
+    var e = graft.core.Lineage.reset(edges
       .select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
-      .distinct()
+      .distinct())
 
     def checksum(d: DataFrame): (Long, Long) = {
       // bit_xor, not sum: ANSI mode makes a Long sum of 2⁶³-range hashes

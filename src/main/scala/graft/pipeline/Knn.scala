@@ -176,7 +176,10 @@ object Knn {
     import spark.implicits._
     // The vector frame feeds every round twice (lists + probes) plus the
     // training sample — cache it once instead of re-scanning the source
-    // 3·rounds times.
+    // 3·rounds times. The cache (and lloyd's internal sample cache) live
+    // until the session ends or the ContextCleaner reclaims them: the
+    // returned frame is lazy, so an eager unpersist here would force
+    // recomputation at the caller's action.
     val latent = latent0.cache()
     latent.count()
     // The rounds are fully independent (separate seeds, separate centroid

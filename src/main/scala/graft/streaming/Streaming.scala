@@ -94,17 +94,21 @@ object Streaming {
         explode(lshBandKeys(n, numHashes, rowsPerBand)).as("b"))
       .select(col("b.band_id").as("band_id"), col("b.band_key").as("band_key"),
         col("doc_id"), col("ts"))
+      // docs shorter than n tokens have no shingles → NULL band keys;
+      // without this filter every short doc would share one NULL bucket
+      // and pair spuriously (the batch twin emits no row for them at all)
+      .filter(col("band_key").isNotNull)
       .as[BandHit]
     hits.groupByKey(h => (h.band_id, h.band_key))
-      .flatMapGroupsWithState[List[Long], CandPair](
+      .flatMapGroupsWithState[(List[Long], Long), CandPair](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        case ((bandId, _), it, state: GroupState[List[Long]]) =>
+        case ((bandId, _), it, state: GroupState[(List[Long], Long)]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
             val batch = it.toSeq
-            var seen = state.getOption.getOrElse(Nil)
+            var (seen, lastTs) = state.getOption.getOrElse((Nil, Long.MinValue))
             val out = scala.collection.mutable.ListBuffer[CandPair]()
             batch.map(_.doc_id).distinct.sorted.foreach { d =>
               if (!seen.contains(d) && seen.size < maxBucket) {
@@ -114,9 +118,12 @@ object Streaming {
                 seen = d :: seen
               }
             }
-            state.update(seen)
-            // expire once the watermark passes the bucket's last hit + idleness
-            state.setTimeoutTimestamp(batch.map(_.ts.getTime).max, idleness)
+            // expire once the watermark passes the bucket's LAST hit +
+            // idleness — the running max lives in state, so a late
+            // (in-watermark) arrival cannot regress the expiry
+            lastTs = math.max(lastTs, batch.map(_.ts.getTime).max)
+            state.update((seen, lastTs))
+            state.setTimeoutTimestamp(lastTs, idleness)
             out.iterator
           }
       }

@@ -78,13 +78,15 @@ object Mix {
       size(TextOps.tokensCol).cast("double").as("n_tokens"))
     val run = graft.ops.Windows.runningTotal(withTok, Seq(col("doc_id")),
       "n_tokens", out = "start_tok")
-    run.select(
-      col("doc_id"),
-      col("n_tokens").cast("long").as("n_tokens"),
-      col("start_tok").cast("long").as("start_tok"),
-      (col("start_tok").cast("long") / budget).cast("long").as("chunk_start"),
-      ((col("start_tok").cast("long") + col("n_tokens").cast("long") - 1) / budget)
-        .cast("long").as("chunk_end"))
+    // `div`, not `/`: Spark's `/` is a double divide, and past 2⁵³
+    // tokens (or with a budget whose reciprocal rounds badly) a/b can
+    // round UP across an integer boundary before the truncating cast —
+    // the integral `div` matches the oracle's `//` at every magnitude.
+    run.select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("start_tok").cast("long").as("start_tok"))
+      .withColumn("chunk_start", expr(s"start_tok div $budget"))
+      .withColumn("chunk_end", expr(s"(start_tok + n_tokens - 1) div $budget"))
       .withColumn("crosses", col("chunk_start") =!= col("chunk_end"))
   }
 }

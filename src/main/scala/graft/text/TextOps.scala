@@ -147,6 +147,10 @@ object TextOps {
       .withColumn("nll",
         -log((col("c2") + lit(alpha)) / (col("c1") + lit(alpha) * col("v"))))
       .groupBy("doc_id")
+      // 6 dp is safe here (unlike q66's sums): the AVG runs over one
+      // doc's ~n_tokens bigrams of magnitude ~5, so cross-engine
+      // reassociation noise is ~1e-14 — nine orders below the rounding
+      // step, not a knife edge.
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nll")), 6).as("mean_nll"))
   }
 

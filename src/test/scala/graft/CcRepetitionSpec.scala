@@ -79,6 +79,17 @@ class CcRepetitionSpec extends SparkSpec {
       (3L, 1L, 3L, false), (9L, 9L, 1L, true)))
   }
 
+  test("nearDupGroups: keep-one survives a component min outside the universe") {
+    // pairs span a broader corpus (doc 3 exists only there); the group id
+    // must re-base to the universe minimum so exactly one doc keeps
+    val universe = Seq(5L, 6L).toDF("doc_id")
+    val pairs = Seq((3L, 5L), (5L, 6L)).toDF("ida", "idb")
+    val out = Dedup.nearDupGroups(universe, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((5L, 5L, 2L, true), (6L, 5L, 2L, false)))
+  }
+
   test("stratifiedSample: deterministic, per-stratum, and near the asked fraction") {
     val docs = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
       .toDF("doc_id", "lang")
@@ -162,12 +173,17 @@ class CcRepetitionSpec extends SparkSpec {
       Streaming.Doc(3L, ts(1), "completely different words about query engines and shuffles"))
     q.processAllAvailable()
     input.addData(Streaming.Doc(2L, ts(2), base + " extra")) // near-dup, later batch
+    // two unrelated SHORT docs (no 3-gram): NULL band keys must be
+    // dropped, not collide into one shared bucket
+    input.addData(Streaming.Doc(7L, ts(3), "hi there"),
+      Streaming.Doc(8L, ts(4), "buy now"))
     q.processAllAvailable()
     val pairs = spark.sql("SELECT DISTINCT ida, idb FROM neardup_out").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     q.stop()
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+    assert(!pairs.contains((7L, 8L)))
   }
 
   test("nearDupStream: idle buckets expire past the watermark; history is forgotten") {
