@@ -82,16 +82,20 @@ object MlQueries {
         .orderBy("cell_id")
     }),
 
-    // full sampled graph silhouette over the embeddings' KNN graph
+    // full sampled graph silhouette over the embeddings' KNN graph. The
+    // graph input is the oracled ANN path (Knn.bucketedSelfKnn — the
+    // same seeded-LSH chain q57 replays in DuckDB), NOT all-pairs
+    // cosine: the silhouette kernel itself is k-bounded, so the graph
+    // build was the only O(n²) stage and this keeps the whole query
+    // linear in n (Σ_b |b|·probes candidate work).
     "q61_silhouette" -> ((s, d) => {
       val e = Tables.t(s, d, "embeddings")
-      val all = e.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val knn = graft.sim.Similarity.cosineTopK(all, e, 5)
-        .select(col("qid").as("src"), col("vec_id").as("dst"), lit(1.0).as("weight"))
-      val clusters = e.select(col("vec_id").as("cell_id"),
-        col("label").cast("long").as("cluster"))
       val latent = e.select(col("vec_id").as("cell_id"),
         col("embedding").cast("array<double>").as("latent"))
+      val knn = graft.pipeline.Knn.bucketedSelfKnn(latent, 5, nPlanes = 4, rounds = 6)
+        .select(col("src"), col("dst"), lit(1.0).as("weight"))
+      val clusters = e.select(col("vec_id").as("cell_id"),
+        col("label").cast("long").as("cluster"))
       Metrics.silhouetteScores(knn, clusters, latent, k0 = 11, seed = 4466L)
         .select(col("cluster"), round(col("silhouette"), 4).as("silhouette"))
         .orderBy("cluster")
@@ -815,14 +819,40 @@ object MlQueries {
 
     "q61_silhouette" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, CAST(label AS BIGINT) AS cluster FROM embeddings),
-         p0 AS (SELECT a.vec_id AS qid, b.vec_id,
-                  LIST_DOT_PRODUCT(a.e, b.e)
-                    / (SQRT(LIST_DOT_PRODUCT(a.e, a.e)) * SQRT(LIST_DOT_PRODUCT(b.e, b.e))) AS cos
-                FROM v a CROSS JOIN v b WHERE a.vec_id != b.vec_id),
-         topk AS (SELECT qid, vec_id,
-                         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ROUND(cos, 6) DESC, vec_id) AS rn
-                  FROM p0),
-         knn AS MATERIALIZED (SELECT qid AS src, vec_id AS dst, 1.0 AS w FROM topk WHERE rn <= 5),
+         ex AS (SELECT vec_id, UNNEST(e) AS x, GENERATE_SUBSCRIPTS(e, 1) AS j FROM v),
+         proj AS (
+           SELECT s.seed, p.h, ex.vec_id,
+                  SUM(CASE WHEN SUBSTRING(MD5(CONCAT(s.seed, ':', p.h, ':', ex.j - 1)), 1, 1)
+                           BETWEEN '8' AND 'f' THEN ex.x ELSE -ex.x END) AS pr
+           FROM ex
+           CROSS JOIN (SELECT UNNEST(RANGE(0, 6)) AS seed) s
+           CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS h) p
+           GROUP BY s.seed, p.h, ex.vec_id),
+         buck AS (
+           SELECT seed, vec_id,
+                  CAST(SUM(CASE WHEN pr > 0 THEN (1::BIGINT << h) ELSE 0 END) AS BIGINT) AS bucket
+           FROM proj GROUP BY seed, vec_id),
+         probes AS (
+           SELECT seed, vec_id,
+                  UNNEST([bucket, xor(bucket, 1::BIGINT), xor(bucket, 2::BIGINT),
+                          xor(bucket, 4::BIGINT), xor(bucket, 8::BIGINT)]) AS probe
+           FROM buck),
+         cand AS (
+           SELECT DISTINCT p.vec_id AS src, b.vec_id AS dst
+           FROM probes p JOIN buck b ON p.seed = b.seed AND p.probe = b.bucket
+           WHERE p.vec_id != b.vec_id),
+         cd AS (
+           SELECT c.src, c.dst,
+                  SQRT(GREATEST(LIST_DOT_PRODUCT(va.e, va.e)
+                    - 2 * LIST_DOT_PRODUCT(va.e, vb.e)
+                    + LIST_DOT_PRODUCT(vb.e, vb.e), 0)) AS dist
+           FROM cand c
+           JOIN v va ON c.src = va.vec_id
+           JOIN v vb ON c.dst = vb.vec_id),
+         topk AS (SELECT src, dst,
+                         ROW_NUMBER() OVER (PARTITION BY src ORDER BY ROUND(dist, 6), dst) AS rn
+                  FROM cd),
+         knn AS MATERIALIZED (SELECT src, dst, 1.0 AS w FROM topk WHERE rn <= 5),
          cl AS (SELECT vec_id AS cell_id, cluster FROM v),
          pair AS (SELECT ca.cluster AS ca, cb.cluster AS cb, SUM(k.w) AS w
                   FROM knn k JOIN cl ca ON k.src = ca.cell_id JOIN cl cb ON k.dst = cb.cell_id

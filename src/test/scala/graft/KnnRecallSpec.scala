@@ -43,6 +43,15 @@ class KnnRecallSpec extends SparkSpec {
     assert(cross == 0L, s"$cross cross-cluster edges in top-3")
   }
 
+  test("q61 silhouette plan is ANN-fed: no cartesian/nested-loop stage") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val df = graft.queries.MlQueries.queries("q61_silhouette")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "q61 plan has a cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "q61 plan has a nested-loop join")
+    assert(df.count() > 0)
+  }
+
   test("ivfSelfKnn recall >= 0.9 vs exact at sf0.01, no O(n²) stage") {
     assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
     val latent = spark.read.parquet(s"$sfDir/embeddings.parquet")
