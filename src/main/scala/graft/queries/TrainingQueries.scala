@@ -178,7 +178,10 @@ object TrainingQueries {
         .orderBy("hour_bucket", "event_type")),
 
     // embedding-cosine near-duplicate pairs: LSH bucket candidates only
-    // (never all-pairs), planted scaled copies guarantee expected rows
+    // (never all-pairs), planes sized from n by the ScaleProbe rule +
+    // hot-bucket cap (Similarity.cosineNearDupPairs — the oracle
+    // computes the identical plane count from COUNT(*)); planted scaled
+    // copies guarantee expected rows
     "q62_cosine_neardup" -> ((s, d) => {
       val e = embs(s, d).select(col("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
@@ -186,19 +189,7 @@ object TrainingQueries {
         .select((col("vec_id") + 1000000).as("vec_id"),
           transform(col("embedding"), x => x * 1.5).as("embedding"))
       val all = e.unionByName(planted)
-      val cand = (0 until 2).map { r =>
-        val b = Similarity.lshBucketsSeeded(all, 4, r)
-        b.select(col("bucket"), col("vec_id").as("ida"))
-          .join(b.select(col("bucket"), col("vec_id").as("idb")), Seq("bucket"))
-          .filter(col("ida") < col("idb"))
-          .select("ida", "idb")
-      }.reduce(_ unionByName _).distinct()
-      cand
-        .join(all.select(col("vec_id").as("ida"), col("embedding").as("va")), Seq("ida"))
-        .join(all.select(col("vec_id").as("idb"), col("embedding").as("vb")), Seq("idb"))
-        .select(col("ida"), col("idb"),
-          round(Similarity.cosine(col("va"), col("vb")), 6).as("cos"))
-        .filter(col("cos") >= 0.999)
+      Similarity.cosineNearDupPairs(all, rounds = 2, minCos = 0.999)
         .orderBy("ida", "idb")
     }),
 
@@ -649,6 +640,9 @@ object TrainingQueries {
            UNION ALL
            SELECT vec_id + 1000000, LIST_TRANSFORM(embedding::DOUBLE[], x -> x * 1.5)
            FROM embeddings WHERE vec_id % 25 = 0),
+         params AS (
+           SELECT GREATEST(4, CAST(CEIL(LOG2(GREATEST(1.0, COUNT(*) / 128.0))) AS INT)) AS np
+           FROM base),
          ex AS (SELECT vec_id, UNNEST(e) AS x, GENERATE_SUBSCRIPTS(e, 1) AS j FROM base),
          proj AS (
            SELECT s.seed, p.h, ex.vec_id,
@@ -656,15 +650,18 @@ object TrainingQueries {
                            BETWEEN '8' AND 'f' THEN ex.x ELSE -ex.x END) AS pr
            FROM ex
            CROSS JOIN (SELECT UNNEST(RANGE(0, 2)) AS seed) s
-           CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS h) p
+           CROSS JOIN (SELECT UNNEST(RANGE(0, (SELECT np FROM params))) AS h) p
            GROUP BY s.seed, p.h, ex.vec_id),
          buck AS (
            SELECT seed, vec_id,
                   CAST(SUM(CASE WHEN pr > 0 THEN (1::BIGINT << h) ELSE 0 END) AS BIGINT) AS bucket
            FROM proj GROUP BY seed, vec_id),
+         hot AS (SELECT seed, bucket FROM buck GROUP BY seed, bucket HAVING COUNT(*) > 10000),
+         ok AS (SELECT * FROM buck b WHERE NOT EXISTS (
+                  SELECT 1 FROM hot h WHERE h.seed = b.seed AND h.bucket = b.bucket)),
          cand AS (
            SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
-           FROM buck a JOIN buck b ON a.seed = b.seed AND a.bucket = b.bucket
+           FROM ok a JOIN ok b ON a.seed = b.seed AND a.bucket = b.bucket
            WHERE a.vec_id < b.vec_id),
          scored AS (
            SELECT c.ida, c.idb,

@@ -80,6 +80,51 @@ object Similarity {
   def lshBucketsSeeded(corpus: DataFrame, nPlanes: Int, seed: Int): DataFrame =
     bucketsWithKey(corpus, nPlanes, h => s"$seed:$h:")
 
+  /** ANN/LSH sizing rule (ScaleProbe-measured, PERF.md): enough
+    * hyperplanes that the expected bucket occupancy n / 2^planes lands
+    * at `targetBucketSize` — in-bucket pair work is Σ_b |b|², so holding
+    * occupancy constant keeps the candidate join linear in n instead of
+    * quadratic at fixed planes.
+    */
+  def planesFor(n: Long, targetBucketSize: Int = 128, minPlanes: Int = 4): Int =
+    math.max(minPlanes,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketSize)) / math.log(2)).toInt)
+
+  /** Embedding-cosine near-duplicate pairs at corpus scale: seeded
+    * multi-round hyperplane LSH buckets (planes sized from n by
+    * [[planesFor]]), exact cosine only WITHIN buckets, pairs above
+    * `minCos`. Two skew guards mirror `Dedup.lshCandidatePairs`:
+    * buckets above `bucketCap` are dropped before the self-join (a
+    * degenerate bucket of near-identical mass contributes |b|²/2 pairs
+    * and no new information — exact dedup already covers it), and the
+    * rule-sized plane count keeps expected occupancy flat as n grows.
+    * `corpus(vec_id, embedding)` → `(ida, idb, cos)` with ida < idb,
+    * cos rounded 6 dp (the cross-engine fence).
+    */
+  def cosineNearDupPairs(corpus: DataFrame, rounds: Int, minCos: Double,
+                         targetBucketSize: Int = 128,
+                         bucketCap: Int = 10000): DataFrame = {
+    val nPlanes = planesFor(corpus.count(), targetBucketSize)
+    val cand = (0 until rounds).map { r =>
+      val b = lshBucketsSeeded(corpus, nPlanes, r)
+      val hot = b.groupBy("bucket").agg(count(lit(1)).as("_bn"))
+        .filter(col("_bn") > bucketCap).select("bucket")
+      val ok = b.join(hot, Seq("bucket"), "left_anti")
+      ok.select(col("bucket"), col("vec_id").as("ida"))
+        .join(ok.select(col("bucket"), col("vec_id").as("idb")), Seq("bucket"))
+        .filter(col("ida") < col("idb"))
+        .select("ida", "idb")
+    }.reduce(_ unionByName _).distinct()
+    cand
+      .join(corpus.select(col("vec_id").as("ida"),
+        toDouble(col("embedding")).as("va")), Seq("ida"))
+      .join(corpus.select(col("vec_id").as("idb"),
+        toDouble(col("embedding")).as("vb")), Seq("idb"))
+      .select(col("ida"), col("idb"),
+        round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   private def bucketsWithKey(corpus: DataFrame, nPlanes: Int,
                              prefix: Int => String): DataFrame = {
     val v = toDouble(col("embedding"))

@@ -97,6 +97,44 @@ class DedupSimSpec extends SparkSpec {
     assert(m(0L) !== m(3L))
   }
 
+  test("planesFor holds expected bucket occupancy flat as n grows") {
+    assert(Similarity.planesFor(100) === 4)          // floor at minPlanes
+    assert(Similarity.planesFor(2048) === 4)         // 2048/128 = 16 = 2^4
+    assert(Similarity.planesFor(20800) === 8)        // sf0.1 embeddings+planted
+    assert(Similarity.planesFor(2080000) === 14)     // 100× that — still ~128/bucket
+    // occupancy n / 2^planes stays bounded (≤ 256) across 4 decades
+    Seq(1000L, 10000L, 100000L, 1000000L, 10000000L).foreach { n =>
+      val occ = n.toDouble / (1L << Similarity.planesFor(n))
+      assert(occ <= 256, s"n=$n occupancy $occ")
+    }
+  }
+
+  test("cosineNearDupPairs: hot-bucket cap suppresses a degenerate bucket") {
+    // 40 identical vectors: every round puts all of them in ONE bucket →
+    // 780 pairs uncapped; with bucketCap=10 the bucket is dropped whole
+    val same = (0L until 40L).map(i => (i, Array(1.0, 2.0, 3.0, 4.0)))
+    val df = same.toDF("vec_id", "embedding")
+    val uncapped = Similarity.cosineNearDupPairs(df, rounds = 2, minCos = 0.999,
+      bucketCap = 10000)
+    assert(uncapped.count() === 780L)
+    val capped = Similarity.cosineNearDupPairs(df, rounds = 2, minCos = 0.999,
+      bucketCap = 10)
+    assert(capped.count() === 0L)
+  }
+
+  test("cosineNearDupPairs finds planted scaled copies and no self pairs") {
+    val base = (0L until 30L).map(i =>
+      (i, Array.tabulate(6)(j => math.sin(i * 7.0 + j) + 2.0)))
+    val planted = base.take(5).map { case (i, v) => (i + 1000L, v.map(_ * 1.5)) }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val got = Similarity.cosineNearDupPairs(df, rounds = 2, minCos = 0.9999)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    // every planted copy is exactly collinear with its source → same side
+    // of every hyperplane → guaranteed candidate, cos = 1
+    assert((0L until 5L).forall(i => got.contains((i, i + 1000L))))
+    assert(got.forall { case (a, b) => a < b })
+  }
+
   test("native DotProduct matches the interpreted fold bit-for-bit") {
     val df = vecs.select($"vec_id",
       $"embedding".cast("array<double>").as("a"))
