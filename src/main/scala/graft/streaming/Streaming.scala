@@ -83,6 +83,19 @@ object Streaming {
     * semantics: without it, TOTAL state grows with the number of
     * distinct band keys ever seen — unbounded on an unbounded corpus).
     * Downstream, pairs feed the same scoring/grouping as the batch path.
+    *
+    * DELIBERATE batch-path divergence on degenerate buckets: the batch
+    * `Dedup.lshCandidatePairs` drops a bucket above `bucketCap` ENTIRELY
+    * (zero pairs — the cap is applied after seeing the whole bucket),
+    * while this stream emits pairs among a degenerate bucket's first
+    * `maxBucket` arrivals (≤ maxBucket·(maxBucket−1)/2, ~2k at the
+    * default 64) before capping. Append mode cannot retract pairs
+    * already emitted when a bucket later turns out to be degenerate, so
+    * the batch semantics are unreachable here by construction; the
+    * stream bounds the damage (finite state, finite pairs per bucket)
+    * instead of reproducing the batch result. Replaying the corpus
+    * through the batch path remains the authority on bucket-capped
+    * candidates.
     */
   def nearDupStream(docs: Dataset[Doc], n: Int = 3, numHashes: Int = 8,
                     rowsPerBand: Int = 2, maxBucket: Int = 64,
