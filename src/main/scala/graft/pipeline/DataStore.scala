@@ -198,6 +198,95 @@ case class DataStore(
     copy(cells = cells.drop("cluster").join(labels, Seq("cell_id"), "left"))
   }
 
+  /** run_mapping (scarf/datastore/mapping_datastore.py:31-209): project a
+    * TARGET store's cells into THIS store's latent space and save each
+    * one's top-`saveK` reference neighbors — the cross-dataset entry
+    * point behind the reference's mapping tutorial. Composition:
+    *
+    *  1. align features (mapping_utils.py:102-220, exclude_missing
+    *     semantics): the mapping feature set = this store's HVGs that
+    *     the target also carries, indexed by ONE shared ordinal;
+    *  2. lib-size-log normalize both actives at the same size factor
+    *     (the reference resets the target's sf to the source's);
+    *  3. optional CORAL (mapping_utils.py:15-96): correct the target's
+    *     feature matrix toward the reference domain — like the
+    *     reference, feature std-scaling is disabled under CORAL;
+    *  4. project BOTH sides through the reducer fitted on the REFERENCE
+    *     (ref_mu/ref_sigma = True: target moments never enter);
+    *  5. ANN top-k ([[Mapping.project]] — exact cosine below the
+    *     threshold, bucketed-LSH cross-KNN above, so the step has no
+    *     O(|target|·|ref|) plan at scale).
+    *
+    * Hits land in `caches("projection:<name>")` exactly like the
+    * reference's zarr `projections/<target_name>` group;
+    * [[getMappingScore]] / [[getTargetClasses]] / [[getUnifiedUmap]]
+    * consume them.
+    */
+  def runMapping(target: DataStore, targetName: String, saveK: Int = 3,
+                 runCoral: Boolean = false, dims: Int = 11,
+                 ann: Option[Boolean] = None,
+                 annThreshold: Long = 10000): DataStore = {
+    val sel = feats.filter(col("hvg")).select("feat_id")
+    val shared = sel.join(target.coo.select("feat_id").distinct(),
+      Seq("feat_id"), "left_semi")
+    val fi = Reduce.featureIndex(shared)
+    def vecsOf(ds: DataStore) = Reduce.assembleVectors(
+      Normalize.libSizeLog(ds.activeCoo).select("cell_id", "feat_id", "normed"),
+      fi, "normed")
+    val srcVecs = vecsOf(this)
+    val tgtVecs = vecsOf(target)
+    val toArr = udf((v: org.apache.spark.ml.linalg.Vector) => v.toArray)
+    val toVec = udf((a: Seq[Double]) =>
+      org.apache.spark.ml.linalg.Vectors.dense(a.toArray))
+    val tgtIn =
+      if (runCoral) {
+        val srcArr = srcVecs.select(col("cell_id"), toArr(col("features")).as("latent"))
+        val tgtArr = tgtVecs.select(col("cell_id"), toArr(col("features")).as("latent"))
+        // correction moves the TARGET into the reference domain:
+        // A = (Ct+I)^{-1/2} (Cs+I)^{1/2}, applied to target rows
+        val a = Coral.correction(Coral.covariance(tgtArr), Coral.covariance(srcArr))
+        Coral.apply(tgtArr, a)
+          .select(col("cell_id"), toVec(col("latent")).as("features"))
+      } else tgtVecs
+    val reducer = Reduce.pcaReducer(srcVecs, dims, withStd = !runCoral)
+    val hits = Mapping.project(reducer(tgtIn), reducer(srcVecs), saveK,
+      ann, annThreshold)
+    copy(caches = caches + (s"projection:$targetName" -> hits.cache()))
+  }
+
+  /** get_mapping_score (scarf/datastore/mapping_datastore.py:211-285)
+    * over a saved projection: per reference cell, summed
+    * `1/(log1p(dist)+1)` across its hits, grouped by the target cells'
+    * `targetGroups(target_id, group)` label.
+    */
+  def getMappingScore(targetName: String, targetGroups: DataFrame): DataFrame =
+    graft.graph.GraphOps.mappingScore(
+      caches(s"projection:$targetName").select("target_id", "ref_id", "dist"),
+      targetGroups)
+
+  /** get_target_classes (scarf/datastore/mapping_datastore.py:287-364)
+    * over a saved projection: weighted-KNN label transfer from
+    * `refLabels(ref_id, label)` to every target cell.
+    */
+  def getTargetClasses(targetName: String, refLabels: DataFrame,
+                       threshold: Double = 0.5): DataFrame =
+    graft.graph.GraphOps.labelTransfer(
+      caches(s"projection:$targetName").select("target_id", "ref_id", "dist"),
+      refLabels, threshold)
+
+  /** run_unified_umap over a saved projection (mapping_datastore.py:
+    * 366-668): reference graph + projection edges, targets initialized
+    * at their rank-1 neighbor. Requires a prior [[makeGraph]] (edges +
+    * latent caches).
+    */
+  def getUnifiedUmap(targetName: String, useK: Int = 3,
+                     targetWeight: Double = 0.1, nEpochs: Int = 50,
+                     seed: Long = 4444L): DataFrame =
+    Unified.unifiedUmap(caches("edges"),
+      caches(s"projection:$targetName").select("target_id", "ref_id", "rank"),
+      UmapLayout.initFromLatent(caches("latent")),
+      useK, targetWeight, nEpochs, seed)
+
   /** SubsetZarr equivalent (scarf/writers.py:938-1110): extract the
     * active cells into a new store with dense re-indexed cell ids
     * (semi-join + scalable global ordinal), optionally resetting `I`.

@@ -49,21 +49,38 @@ object Knn {
     * sf0.01 embeddings; see KnnRecallSpec).
     */
   def bucketedSelfKnn(latent: DataFrame, k: Int, nPlanes: Int = 4,
-                      rounds: Int = 6): DataFrame = {
-    val emb = latent.select(col("cell_id").as("vec_id"), col("latent").as("embedding"))
+                      rounds: Int = 6): DataFrame =
+    bucketedKnn(latent, latent, k, nPlanes, rounds, excludeSelf = true)
+
+  /** Query-vs-corpus bucketed ANN — the cross-dataset form of
+    * [[bucketedSelfKnn]] (run_mapping's projection at scale,
+    * scarf/datastore/mapping_datastore.py:188-209 transform_ann): the
+    * same seeded hyperplane rounds bucket BOTH sides, queries multi-probe
+    * their own bucket plus every 1-bit flip, exact distances only within
+    * probed buckets, global top-k per query. `excludeSelf` drops id-equal
+    * pairs (self-KNN); leave false when query and corpus ids are
+    * different datasets. Both inputs `(cell_id, latent)`; output
+    * `(src, dst, dist, rn)`.
+    */
+  def bucketedKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+                  nPlanes: Int = 4, rounds: Int = 6,
+                  excludeSelf: Boolean = false): DataFrame = {
     val cand = (0 until rounds).map { r =>
-      val bk = graft.sim.Similarity.lshBucketsSeeded(emb, nPlanes, r)
-      val withVec = bk.join(latent, bk("vec_id") === latent("cell_id"))
-        .select(col("vec_id").as("id"), col("bucket"), col("latent"))
+      def bucketed(side: DataFrame) = {
+        val emb = side.select(col("cell_id").as("vec_id"), col("latent").as("embedding"))
+        val bk = graft.sim.Similarity.lshBucketsSeeded(emb, nPlanes, r)
+        bk.join(side, bk("vec_id") === side("cell_id"))
+          .select(col("vec_id").as("id"), col("bucket"), col("latent"))
+      }
       // multi-probe: own bucket plus every 1-bit flip of it
       val probes = array((col("bucket") +: (0 until nPlanes).map(h =>
         col("bucket").bitwiseXOR(lit(1L << h)))): _*)
-      val qside = withVec.select(col("id").as("src"), col("latent").as("va"),
-        explode(probes).as("bucket"))
-      val cside = withVec.select(col("bucket"), col("id").as("dst"),
+      val qside = bucketed(queries).select(col("id").as("src"),
+        col("latent").as("va"), explode(probes).as("bucket"))
+      val cside = bucketed(corpus).select(col("bucket"), col("id").as("dst"),
         col("latent").as("vb"))
-      qside.join(cside, Seq("bucket"))
-        .filter(col("src") =!= col("dst"))
+      val joined = qside.join(cside, Seq("bucket"))
+      (if (excludeSelf) joined.filter(col("src") =!= col("dst")) else joined)
         .select(col("src"), col("dst"), l2dot(col("va"), col("vb")).as("dist"))
     }.reduce(_ unionByName _)
     cand.groupBy("src", "dst").agg(min(col("dist")).as("dist"))

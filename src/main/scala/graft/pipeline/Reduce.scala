@@ -59,6 +59,26 @@ object Reduce {
       .select(col("cell_id"), toArr(col("pc")).as("latent"))
   }
 
+  /** Fit the z-scale + PCA reducer on `train` and return a projector
+    * applicable to ANY vector frame over the same feature index —
+    * run_mapping's "project through the SOURCE's reducer" step
+    * (scarf/datastore/mapping_datastore.py:152-176; ref_mu/ref_sigma=True
+    * semantics: the scaler's moments come from the train side only, never
+    * from the frame being projected).
+    */
+  def pcaReducer(train: DataFrame, dims: Int,
+                 withStd: Boolean = true): DataFrame => DataFrame = {
+    val scaler = new StandardScaler()
+      .setInputCol("features").setOutputCol("scaled")
+      .setWithMean(true).setWithStd(withStd)
+      .fit(train)
+    val pcaModel = new PCA().setInputCol("scaled").setOutputCol("pc")
+      .setK(dims).fit(scaler.transform(train))
+    val toArr = udf((v: Vector) => v.toArray)
+    df => pcaModel.transform(scaler.transform(df))
+      .select(col("cell_id"), toArr(col("pc")).as("latent"))
+  }
+
   /** Deterministic z-scale + PCA — cross-engine replayable (backs the
     * q53 oracle the way [[graft.pipeline.Cluster.lloyd]] backs q60's).
     * MLlib's PCA is deterministic within Spark but its SVD is

@@ -38,11 +38,13 @@ object ExtendedQueries {
 
     "q44_mapping_score" -> ((s, d) => {
       val e = tb(s, d, "embeddings")
+      // hits via the run_mapping facade kernel (see TrainingQueries.topKHits)
       val q = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val hits = graft.sim.Similarity.cosineTopK(q, e, 5)
-        .select(col("vec_id").as("ref_id"), col("qid").as("target_id"),
-          (lit(1.0) - col("cos")).as("dist"))
+        .select(col("vec_id").as("cell_id"), col("embedding").as("latent"))
+      val ref = e.select(col("vec_id").as("cell_id"), col("embedding").as("latent"))
+      val hits = graft.pipeline.Mapping.project(q, ref, 5, ann = Some(false),
+          excludeSelf = true, metric = "cosine")
+        .select(col("ref_id"), col("target_id"), col("dist"))
       val groups = e.select(col("vec_id").as("target_id"),
         col("label").cast("string").as("group"))
       GraphOps.mappingScore(hits, groups)

@@ -49,20 +49,45 @@ object Similarity {
   def l2(a: Column, b: Column): Column =
     sqrt(greatest(dot(a, a) - lit(2) * dot(a, b) + dot(b, b), lit(0.0)))
 
-  /** Exact top-k cosine neighbors of each query vector (self excluded).
-    * `queries(qid, qvec)`, `corpus(vec_id, embedding)`.
+  /** Exact top-k cosine neighbors of each query vector.
+    * `queries(qid, qvec)`, `corpus(vec_id, embedding)`. `excludeSelf`
+    * drops id-equal pairs — right when queries are drawn FROM the corpus
+    * (self-KNN); set false when the two id spaces are different datasets
+    * (run_mapping projections: a target cell identical to a reference
+    * cell legitimately hits it).
     */
-  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                 excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col("qid"), toDouble(col("qvec")).as("qvec"))
     val c = corpus.select(col("vec_id"), toDouble(col("embedding")).as("cvec"))
-    val pairs = c.crossJoin(broadcast(q))
-      .filter(col("qid") =!= col("vec_id"))
+    val crossed = c.crossJoin(broadcast(q))
+    val pairs = (if (excludeSelf) crossed.filter(col("qid") =!= col("vec_id")) else crossed)
       .select(col("qid"), col("vec_id"),
         cosine(col("qvec"), col("cvec")).as("cos"))
     pairs.withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(round(col("cos"), 6).desc, col("vec_id"))))
       .filter(col("rn") <= k)
       .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rn"))
+  }
+
+  /** Exact top-k EUCLIDEAN neighbors — the metric of the reference's
+    * latent-space HNSW index ('l2', scarf/ann.py:50). Same broadcast
+    * shape and tie-break discipline as [[cosineTopK]] (6 dp-rounded
+    * dist asc, then id). Unlike cosine it is not magnitude-blind, so a
+    * query identical to a corpus vector beats every merely-collinear
+    * one — the property mapping projections rely on.
+    */
+  def l2TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col("qid"), toDouble(col("qvec")).as("qvec"))
+    val c = corpus.select(col("vec_id"), toDouble(col("embedding")).as("cvec"))
+    val crossed = c.crossJoin(broadcast(q))
+    val pairs = (if (excludeSelf) crossed.filter(col("qid") =!= col("vec_id")) else crossed)
+      .select(col("qid"), col("vec_id"), l2(col("qvec"), col("cvec")).as("dist"))
+    pairs.withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(round(col("dist"), 6), col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), round(col("dist"), 6).as("dist"), col("rn"))
   }
 
   /** Deterministic random-hyperplane LSH bucketing: hyperplane h has

@@ -134,6 +134,75 @@ class PipelineSpec extends SparkSpec {
     assert(Knn.recall(ds.caches("knn"), ds.caches("knn")) == 1.0)
   }
 
+  // Duplicate-free dense store for the mapping e2e: the TPC-H fixture
+  // has proportional sparse rows that lib-size-normalize to IDENTICAL
+  // vectors, making "self is the unique nearest neighbor" untestable.
+  private lazy val mapSrc = {
+    val n = 60; val m = 8
+    val coo = (for { i <- 1 to n; j <- 1 to m } yield
+      (i.toLong, j.toLong, math.abs(math.sin(i * 7.3 + j * 1.7)) * 5 + 0.5))
+      .toDF("cell_id", "feat_id", "value")
+    val cells = (1 to n).map(i =>
+      (i.toLong, true, if (i % 2 == 0) "A" else "B")).toDF("cell_id", "I", "grp")
+    val feats = (1 to m).map(j => (j.toLong, true, s"f$j")).toDF("feat_id", "I", "name")
+    DataStore(cells, feats, coo)
+      .markHvgs(topN = m, minCells = 1)
+      .makeGraph(dims = 3, k = 4, ann = Some(false))
+  }
+
+  test("runMapping facade: target projects onto itself at rank 1, score + classes + unified flow") {
+    // target = every 3rd source cell with the same data → each target
+    // cell's rank-1 reference hit must be ITSELF at dist 0 — the
+    // reference tutorial's sanity check for mapping a store onto its
+    // own reference
+    val tgtCells = mapSrc.cells.filter($"cell_id" % 3 === 0)
+    val tgt = mapSrc.copy(cells = tgtCells,
+      coo = mapSrc.coo.join(tgtCells.select("cell_id"), Seq("cell_id")))
+    val mapped = mapSrc.runMapping(tgt, "t1", saveK = 3, dims = 3, ann = Some(false))
+    val hits = mapped.caches("projection:t1")
+    val r1 = hits.filter($"rank" === 1)
+    assert(r1.count() === 20)
+    assert(r1.filter($"target_id" =!= $"ref_id").count() === 0,
+      "a target cell's best hit is not itself")
+    assert(r1.agg(max("dist")).head().getDouble(0) < 1e-9)
+    // every projected target has exactly saveK hits
+    assert(hits.groupBy("target_id").count()
+      .filter($"count" =!= 3).count() === 0)
+    // get_mapping_score: both groups present, scores positive
+    val groups = tgt.cells.select($"cell_id".as("target_id"), $"grp".as("group"))
+    val score = mapped.getMappingScore("t1", groups)
+    assert(score.select("group").distinct().count() === 2)
+    assert(score.filter($"score" <= 0).count() === 0)
+    // get_target_classes: the self-hit at dist 0 carries weight 1 and
+    // the farthest of k hits weight 0, so every target's assigned label
+    // is its own group
+    val refLabels = mapSrc.cells.select($"cell_id".as("ref_id"), $"grp".as("label"))
+    val classes = mapped.getTargetClasses("t1", refLabels, threshold = 0.4)
+    val own = tgt.cells.select($"cell_id".as("target_id"), $"grp".as("own"))
+    assert(classes.join(own, Seq("target_id"))
+      .filter($"assigned" =!= $"own").count() === 0)
+    // unified UMAP: one finite row per ref graph node + projected target
+    val uni = mapped.getUnifiedUmap("t1", nEpochs = 2)
+    val refN = mapSrc.caches("latent").count()
+    assert(uni.count() === refN + 20)
+    assert(uni.filter(isnan($"umap1") || isnan($"umap2")).count() === 0)
+    // CORAL path: correction is computed from the TARGET's own
+    // covariance, so it is ≈ identity only when the domains match as
+    // DISTRIBUTIONS — use the full store as target (a 20-cell subset's
+    // empirical covariance differs and CORAL would legitimately warp it)
+    val coralMapped = mapSrc.runMapping(mapSrc, "t2", saveK = 2, dims = 3,
+      runCoral = true, ann = Some(false))
+    val cr1 = coralMapped.caches("projection:t2").filter($"rank" === 1)
+    assert(cr1.filter($"target_id" =!= $"ref_id").count() === 0)
+    // the ANN path agrees at rank 1 with the same schema
+    val annMapped = mapSrc.runMapping(tgt, "t3", saveK = 2, dims = 3,
+      ann = Some(true))
+    val annHits = annMapped.caches("projection:t3")
+    assert(annHits.columns.toSet === Set("target_id", "ref_id", "dist", "rank"))
+    assert(annHits.filter($"rank" === 1)
+      .filter($"target_id" =!= $"ref_id").count() === 0)
+  }
+
   test("subsetActive re-indexes cells densely and resets the mask") {
     import spark.implicits._
     val filtered = ds.copy(cells = ds.cells.withColumn("I",
