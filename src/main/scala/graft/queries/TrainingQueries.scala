@@ -132,9 +132,10 @@ object TrainingQueries {
           sum(col("n_tokens")).cast("long").as("total_tokens"))
         .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)),
 
-    // self-trained bigram-LM perplexity (CCNet-style quality signal)
+    // self-trained interpolated trigram-LM perplexity (CCNet-style
+    // quality signal; the bigram model remains as TextOps.lmPerplexity)
     "q77_lm_perplexity" -> ((s, d) =>
-      TextOps.lmPerplexity(docs(s, d)).orderBy("doc_id")),
+      TextOps.lmPerplexityTrigram(docs(s, d)).orderBy("doc_id")),
 
     // PII scrub: planted emails/phones must be counted and redacted
     // (synthetic docs carry none naturally — a 0==0 pass proves nothing)
@@ -428,21 +429,34 @@ object TrainingQueries {
       """WITH t AS (
            SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w FROM documents),
          uni AS (
-           SELECT x AS w1, COUNT(*) AS c1
+           SELECT x AS tok, COUNT(*) AS c1
            FROM (SELECT UNNEST(w) AS x FROM t) GROUP BY x),
-         vocab AS (SELECT COUNT(*) AS v FROM uni),
-         big AS (
-           SELECT doc_id, w[i] AS w1, w[i+1] AS w2
-           FROM t, LATERAL (SELECT UNNEST(RANGE(1, LEN(w))) AS i)),
-         big2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2)
-         SELECT b.doc_id, COUNT(*) AS n_bigrams,
-                ROUND(AVG(-LN((c.c2 + CAST(1.0 AS DOUBLE))
-                  / (u.c1 + CAST(1.0 AS DOUBLE) * v.v))), 6) AS mean_nll
-         FROM big b
-         JOIN big2 c ON b.w1 = c.w1 AND b.w2 = c.w2
-         JOIN uni u ON b.w1 = u.w1
-         CROSS JOIN vocab v
-         GROUP BY b.doc_id ORDER BY b.doc_id""",
+         tot AS (SELECT COUNT(*) AS v, CAST(SUM(c1) AS BIGINT) AS n FROM uni),
+         big2 AS (
+           SELECT w1, w2, COUNT(*) AS c2 FROM (
+             SELECT w[i] AS w1, w[i+1] AS w2
+             FROM t, LATERAL (SELECT UNNEST(RANGE(1, LEN(w))) AS i))
+           GROUP BY w1, w2),
+         tri AS (
+           SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+           FROM t, LATERAL (SELECT UNNEST(RANGE(1, LEN(w) - 1)) AS i)),
+         tri3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tri GROUP BY w1, w2, w3)
+         SELECT tr.doc_id, COUNT(*) AS n_trigrams,
+                ROUND(AVG(-LN(
+                  CAST(0.6 AS DOUBLE) * ((t3.c3 + CAST(1.0 AS DOUBLE))
+                    / (b12.c2 + CAST(1.0 AS DOUBLE) * tot.v))
+                  + CAST(0.3 AS DOUBLE) * ((b23.c2 + CAST(1.0 AS DOUBLE))
+                    / (u2.c1 + CAST(1.0 AS DOUBLE) * tot.v))
+                  + CAST(0.1 AS DOUBLE) * ((u3.c1 + CAST(1.0 AS DOUBLE))
+                    / (tot.n + CAST(1.0 AS DOUBLE) * tot.v)))), 6) AS mean_nll
+         FROM tri tr
+         JOIN tri3 t3 ON tr.w1 = t3.w1 AND tr.w2 = t3.w2 AND tr.w3 = t3.w3
+         JOIN big2 b12 ON tr.w1 = b12.w1 AND tr.w2 = b12.w2
+         JOIN big2 b23 ON tr.w2 = b23.w1 AND tr.w3 = b23.w2
+         JOIN uni u2 ON tr.w2 = u2.tok
+         JOIN uni u3 ON tr.w3 = u3.tok
+         CROSS JOIN tot
+         GROUP BY tr.doc_id ORDER BY tr.doc_id""",
 
     "q76_pii_redact" -> {
       // DuckDB single-quoted strings pass backslashes through verbatim,

@@ -223,6 +223,39 @@ class CcRepetitionSpec extends SparkSpec {
     assert(out(1L)._2 < out(3L)._2)
   }
 
+  test("lmPerplexityTrigram: longer context separates what bigrams cannot") {
+    // by construction D1 and D2 have near-identical BIGRAM statistics
+    // (same bigram multiset {pq/sq, qr, rs}, all corpus-frequent) but D2
+    // contains the unseen trigram "r s q" — only the trigram model can
+    // tell them apart
+    val docs = ((1L to 10L).map(i => (i, "p q r s"))
+      ++ (11L to 20L).map(i => (i, "s q r p"))
+      ++ Seq((101L, "p q r s"), (102L, "r s q r"))).toDF("doc_id", "text")
+    def nll(df: org.apache.spark.sql.DataFrame, id: Long) =
+      df.filter(col("doc_id") === id).select("mean_nll").head().getDouble(0)
+    val big = TextOps.lmPerplexity(docs)
+    val tri = TextOps.lmPerplexityTrigram(docs)
+    val bigSep = math.abs(nll(big, 102L) - nll(big, 101L))
+    val triSep = nll(tri, 102L) - nll(tri, 101L)
+    assert(bigSep < 0.05, s"bigram should be nearly blind here, sep=$bigSep")
+    assert(triSep > 0.2, s"trigram must flag the unseen trigram, sep=$triSep")
+    assert(triSep > 5 * bigSep)
+  }
+
+  test("lmPerplexityTrigram: repeated boilerplate scores more fluent than under the bigram") {
+    val docs = ((1L to 20L).map(i => (i, "the cat sat on the mat"))
+      ++ Seq((21L, "zyx wvu tsr qpo nml kji"))).toDF("doc_id", "text")
+    def nll(df: org.apache.spark.sql.DataFrame, id: Long) =
+      df.filter(col("doc_id") === id).select("mean_nll").head().getDouble(0)
+    val big = TextOps.lmPerplexity(docs)
+    val tri = TextOps.lmPerplexityTrigram(docs)
+    // seen trigrams are near-deterministic → boilerplate drops; the
+    // all-novel doc rises: the trigram gate keeps a different set
+    assert(nll(tri, 1L) < nll(big, 1L))
+    assert(nll(tri, 21L) > nll(big, 21L))
+    assert(nll(tri, 21L) > nll(tri, 1L) + 1.0)
+  }
+
   test("repetitionStats: degenerate repetition spikes the signals; diverse text keeps") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam"),          // one bigram repeated
