@@ -58,7 +58,17 @@ object Cluster {
     // the vector frame feeds init + every iteration + the final
     // assignment (iters + 2 actions) — without a cache the whole
     // upstream plan re-executes each time
-    val latent = latent0.cache()
+    val cached = latent0.cache()
+    // Wall-clock here is `iters` SEQUENTIAL tiny jobs, so per-job task
+    // overhead multiplies by 25: compact the cached vectors to
+    // ~200k-vector partitions (a cap keeps a real cluster parallel) so
+    // each iteration schedules a handful of tasks instead of one per
+    // input partition. Partitioning only — every value and the 9 dp
+    // center fence are untouched (group-sum order shifts are exactly
+    // the noise the fence already absorbs across engines).
+    val n = cached.count()
+    val parts = math.max(1, math.min(((n - 1) / 200000L).toInt + 1, 1024))
+    val latent = cached.coalesce(parts)
     // init: k smallest-digest cells with DISTINCT vectors (duplicate
     // init centers would permanently empty the later cluster)
     val byVec = org.apache.spark.sql.expressions.Window
@@ -93,9 +103,16 @@ object Cluster {
         means.getOrElse(c, old)
       }
     }
-    (latent.withColumn("c0", assignUdf(centers)(col("latent")))
-      .select(col("cell_id"), (col("c0") + 1).cast("long").as("cluster")),
-      centers)
+    // materialize the final assignment (eager localCheckpoint) so the
+    // input cache can be released NOW — repeated lloyd calls in one
+    // session (ivfSelfKnn trains one per round) no longer accumulate
+    // cached partitions, and downstream consumers re-read a tiny
+    // (cell_id, cluster) frame instead of re-running the assign UDF
+    val assigned = latent.withColumn("c0", assignUdf(centers)(col("latent")))
+      .select(col("cell_id"), (col("c0") + 1).cast("long").as("cluster"))
+      .localCheckpoint()
+    cached.unpersist()
+    (assigned, centers)
   }
 
   /** Driver-side greedy modularity (Louvain-style, deterministic node
