@@ -115,6 +115,25 @@ object ScaleProbe {
     }
     out(s"sketched_paris_${nAnchors}_of_$nCells2") = tParis
 
+    // metrics path at replication scale: graph silhouette (ANN edges +
+    // k-bounded per-cluster samples) and LISI (per-cell kernel over
+    // k-bounded neighbor lists, graph build included) — measures the
+    // round-4 q61 fix's scaling claim instead of arguing it
+    val (_, tSil) = time {
+      graft.pipeline.Metrics.silhouetteScores(knnE, clusters, emb, k0 = 11)
+        .write.format("noop").mode("overwrite").save()
+    }
+    out(s"silhouette_$nVec") = tSil
+    val (_, tLisi) = time {
+      val knnD = graft.pipeline.Knn.bucketedSelfKnn(emb, 10, nPlanes = 10, rounds = 4)
+        .select(col("src"), col("dst"), col("dist"))
+      val labels = emb.select(col("cell_id"),
+        pmod(col("cell_id"), lit(5)).cast("string").as("label"))
+      graft.pipeline.Metrics.lisi(knnD, labels, perplexity = 5.0)
+        .write.format("noop").mode("overwrite").save()
+    }
+    out(s"lisi_$nVec") = tLisi
+
     // distributed connected components on a 2M-node chain forest: 1000-long
     // chains are the diameter worst case where plain label propagation
     // needs 1000 rounds; large/small-star must close them in O(log n)
