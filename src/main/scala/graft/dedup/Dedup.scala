@@ -136,6 +136,67 @@ object Dedup {
         countDistinct(col("eval_id")).as("n_eval_docs"))
   }
 
+  /** Exact-substring duplication signals — the relational form of
+    * suffix-array substring dedup ("remove every substring of ≥ n tokens
+    * that appears twice in the corpus", Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"; the reference corpus
+    * tooling applies the same gate as a dup-fraction filter):
+    *
+    *  1. hash every SLIDING n-token window (doc_id, start, md5) — the
+    *     map-side materialization is len× rows of 16-byte digests + two
+    *     ints; the text itself never shuffles;
+    *  2. a window is duplicated iff its hash occurs at ≥ 2 (doc, start)
+    *     sites corpus-wide — one count aggregation keyed by digest, no
+    *     pair join anywhere (this is what keeps it linear where the
+    *     pairwise operators need df caps);
+    *  3. per document, merge the duplicated windows' [start, start+n)
+    *     intervals (classic island detection: running max of interval
+    *     end over a doc_id-partitioned window) and report the covered
+    *     token count.
+    *
+    * Output per input document: `(doc_id, n_tokens, n_dup_windows,
+    * dup_tokens, dup_frac)` — `dup_frac` is the fraction of the
+    * document's tokens inside at least one corpus-duplicated n-token
+    * substring, the signal the ≥50-token-substring training-data gate
+    * thresholds on. Deterministic: integer/digest logic with a single
+    * 6 dp rounding at the end.
+    */
+  def dupWindowStats(docs0: DataFrame, n: Int): DataFrame = {
+    val docs = docs0.select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+    val toks = docs.select(col("doc_id"), size(col("w")).as("n_tokens"))
+    // 1-based starts (matches SQL array slicing); a doc shorter than n
+    // tokens yields no windows (unguarded sequence would descend).
+    val starts = when(size(col("w")) >= n, sequence(lit(1), size(col("w")) - n + 1))
+      .otherwise(array().cast("array<int>"))
+    val wins = docs.select(col("doc_id"), col("w"), explode(starts).as("i"))
+      .select(col("doc_id"), col("i"),
+        md5(concat_ws(" ", slice(col("w"), col("i"), lit(n)))).as("h"))
+    val dupH = wins.groupBy("h").agg(count(lit(1)).as("_sites"))
+      .filter(col("_sites") >= 2).select("h")
+    val dup = wins.join(dupH, Seq("h"))
+      .select(col("doc_id"), col("i"), (col("i") + n).as("e"))
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id").orderBy("i")
+    val prevMaxEnd = max(col("e"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = dup
+      .withColumn("_new",
+        when(col("i") > coalesce(prevMaxEnd, lit(-1)), 1).otherwise(0))
+      .withColumn("_isl", sum(col("_new"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    val perDoc = islands.groupBy("doc_id", "_isl")
+      .agg((max(col("e")) - min(col("i"))).as("_cov"), count(lit(1)).as("_nw"))
+      .groupBy("doc_id")
+      .agg(sum(col("_nw")).cast("long").as("n_dup_windows"),
+        sum(col("_cov")).cast("long").as("dup_tokens"))
+    toks.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens"), 6).as("dup_frac"))
+  }
+
   /** Pairwise n-gram Jaccard similarity via inverted-index self-join:
     * only pairs sharing at least one shingle are scored.
     *

@@ -121,6 +121,21 @@ object TrainingQueries {
       Dedup.decontaminate(tr, ev, 5, dfCap = 500).orderBy("doc_id")
     }),
 
+    // exact-substring duplication signals (the relational suffix-window
+    // form of Lee et al. 2022): sliding 10-token windows, duplicated iff
+    // the hash occurs at >= 2 sites corpus-wide, per-doc interval-union
+    // coverage. Planted partial copies (25-token prefix + unique tail)
+    // guarantee dup_frac strictly between 0 and 1 at every SF — a pass
+    // on all-zero coverage would prove nothing.
+    "q79_dup_substrings" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val planted = docs(s, d).filter(col("doc_id") % 30 === 0)
+        .select((col("doc_id") + 4000000).as("doc_id"),
+          concat(concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 25)),
+            lit(" planted tail "), col("doc_id").cast("string")).as("text"))
+      Dedup.dupWindowStats(base.unionByName(planted), 10).orderBy("doc_id")
+    }),
+
     // corpus composition report: per-(lang, source) + per-lang + grand
     // totals in one pass via ROLLUP grouping sets — the end-of-pipeline
     // reporting query every corpus build emits
@@ -205,6 +220,14 @@ object TrainingQueries {
       Similarity.cosineNearDupPairs(all, rounds = 2, minCos = 0.999)
         .orderBy("ida", "idb")
     }),
+
+    // int8 scalar-quantized ANN: LSH bucket candidates scored with
+    // code-space cosine — every term an exact small integer in a double,
+    // so the score is engine-exact by construction (the memory-
+    // compression path a 100 TB ANN index scores candidates through)
+    "q80_quantized_knn" -> ((s, d) =>
+      Similarity.quantizedSelfTopK(embs(s, d), 5, rounds = 2)
+        .orderBy("src", "rn")),
 
     // winnowing rolling-hash document fingerprints
     "q64_winnow_fp" -> ((s, d) =>
@@ -564,6 +587,91 @@ object TrainingQueries {
                 (start_tok + n_tokens - 1) // 2048 AS chunk_end,
                 (start_tok // 2048) != ((start_tok + n_tokens - 1) // 2048) AS crosses
          FROM r ORDER BY doc_id""",
+
+    "q80_quantized_knn" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         params AS (
+           SELECT GREATEST(4, CAST(CEIL(LOG2(GREATEST(1.0, COUNT(*) / 128.0))) AS INT)) AS np
+           FROM v),
+         ex AS (SELECT vec_id, UNNEST(e) AS x, GENERATE_SUBSCRIPTS(e, 1) AS j FROM v),
+         proj AS (
+           SELECT s.seed, p.h, ex.vec_id,
+                  SUM(CASE WHEN SUBSTRING(MD5(CONCAT(s.seed, ':', p.h, ':', ex.j - 1)), 1, 1)
+                           BETWEEN '8' AND 'f' THEN ex.x ELSE -ex.x END) AS pr
+           FROM ex
+           CROSS JOIN (SELECT UNNEST(RANGE(0, 2)) AS seed) s
+           CROSS JOIN (SELECT UNNEST(RANGE(0, (SELECT np FROM params))) AS h) p
+           GROUP BY s.seed, p.h, ex.vec_id),
+         buck AS (
+           SELECT seed, vec_id,
+                  CAST(SUM(CASE WHEN pr > 0 THEN (1::BIGINT << h) ELSE 0 END) AS BIGINT) AS bucket
+           FROM proj GROUP BY seed, vec_id),
+         hot AS (SELECT seed, bucket FROM buck GROUP BY seed, bucket
+                 HAVING COUNT(*) > 10000),
+         ok AS (SELECT * FROM buck b WHERE NOT EXISTS (
+                  SELECT 1 FROM hot h WHERE h.seed = b.seed AND h.bucket = b.bucket)),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+           FROM ok a JOIN ok b ON a.seed = b.seed AND a.bucket = b.bucket
+           WHERE a.vec_id != b.vec_id),
+         codes AS (
+           SELECT vec_id,
+                  LIST_TRANSFORM(e, x -> FLOOR(x * (127.0 /
+                    GREATEST(LIST_MAX(LIST_TRANSFORM(e, y -> ABS(y))), 1e-300))
+                    + 0.5)) AS c
+           FROM v),
+         scored AS (
+           SELECT c.src, c.dst,
+                  ROUND(LIST_DOT_PRODUCT(ca.c, cb.c)
+                    / (SQRT(LIST_DOT_PRODUCT(ca.c, ca.c))
+                       * SQRT(LIST_DOT_PRODUCT(cb.c, cb.c))), 6) AS qcos
+           FROM cand c
+           JOIN codes ca ON c.src = ca.vec_id
+           JOIN codes cb ON c.dst = cb.vec_id),
+         topk AS (
+           SELECT src, dst, qcos,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY src
+                    ORDER BY qcos DESC, dst) AS INT) AS rn
+           FROM scored)
+         SELECT src, dst, qcos, rn FROM topk WHERE rn <= 5 ORDER BY src, rn""",
+
+    "q79_dup_substrings" ->
+      """WITH src AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 4000000,
+                  ARRAY_TO_STRING((REGEXP_SPLIT_TO_ARRAY(text, '\s+'))[1:25], ' ')
+                    || ' planted tail ' || doc_id::VARCHAR
+           FROM documents WHERE doc_id % 30 = 0),
+         d AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w FROM src),
+         wins AS (
+           SELECT doc_id, i, MD5(ARRAY_TO_STRING(w[i:i+9], ' ')) AS h
+           FROM d, LATERAL (SELECT UNNEST(RANGE(1, LEN(w) - 8)) AS i)),
+         duph AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+         dw AS (SELECT doc_id, i, i + 10 AS e FROM wins
+                WHERE h IN (SELECT h FROM duph)),
+         isl AS (
+           SELECT doc_id, i, e,
+                  CASE WHEN i > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+                         ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), -1)
+                       THEN 1 ELSE 0 END AS nw
+           FROM dw),
+         isl2 AS (SELECT doc_id, i, e,
+                         SUM(nw) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+                  FROM isl),
+         cov AS (SELECT doc_id, grp, MAX(e) - MIN(i) AS covered, COUNT(*) AS nwin
+                 FROM isl2 GROUP BY 1, 2),
+         perdoc AS (SELECT doc_id, CAST(SUM(nwin) AS BIGINT) AS n_dup_windows,
+                           CAST(SUM(covered) AS BIGINT) AS dup_tokens
+                    FROM cov GROUP BY 1)
+         SELECT t.doc_id, CAST(LEN(t.w) AS BIGINT) AS n_tokens,
+                COALESCE(p.n_dup_windows, 0) AS n_dup_windows,
+                COALESCE(p.dup_tokens, 0) AS dup_tokens,
+                ROUND(COALESCE(p.dup_tokens, 0) / CAST(LEN(t.w) AS DOUBLE), 6)
+                  AS dup_frac
+         FROM d t LEFT JOIN perdoc p USING (doc_id) ORDER BY t.doc_id""",
 
     "q74_decontam" ->
       """WITH ev AS (

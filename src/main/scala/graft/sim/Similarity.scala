@@ -150,6 +150,64 @@ object Similarity {
       .filter(col("cos") >= minCos)
   }
 
+  /** Per-vector symmetric int8 scalar quantization — the memory side of
+    * a 100 TB ANN index: codes are 4-8× smaller than the float
+    * embeddings they stand in for, which is what lets the
+    * candidate-scoring working set stay in executor memory when the
+    * corpus doesn't. `scale = 127 / max|x|` per vector, `code_j =
+    * floor(x_j·scale + 0.5)` — pure double arithmetic in a fixed
+    * operation order, so a SQL engine replays it bit-for-bit (no
+    * banker's-rounding ambiguity: floor(+0.5) is deterministic on both
+    * engines). The max-magnitude component always codes to ±127, so
+    * code vectors are never all-zero and code-space cosine is always
+    * defined.
+    */
+  def int8Codes(corpus: DataFrame): DataFrame = {
+    val e = toDouble(col("embedding"))
+    val scale = lit(127.0) /
+      greatest(array_max(transform(e, x => abs(x))), lit(1e-300))
+    corpus.select(col("vec_id"),
+      transform(e, x => floor(x * scale + lit(0.5)).cast("double")).as("code"))
+  }
+
+  /** Quantized ANN self-top-k: seeded multi-round hyperplane LSH
+    * candidates (planes sized from n by [[planesFor]], hot buckets
+    * capped like [[cosineNearDupPairs]]) scored with INT8-code cosine
+    * instead of the float embeddings. Code-space cosine is
+    * scale-invariant (each vector's quantization scale cancels), and
+    * because every term is an exact small integer held in a double
+    * (|code| ≤ 127 → dot ≤ dim·127² ≪ 2⁵³), the score is
+    * order-independent and engine-exact — the strongest determinism
+    * class of any scoring kernel here; the 6 dp rounding is only for
+    * the rank tie-break fence. Returns `(src, dst, qcos, rn)`.
+    */
+  def quantizedSelfTopK(corpus: DataFrame, k: Int, rounds: Int,
+                        targetBucketSize: Int = 128,
+                        bucketCap: Int = 10000): DataFrame = {
+    val nPlanes = planesFor(corpus.count(), targetBucketSize)
+    val cand = (0 until rounds).map { r =>
+      val b = lshBucketsSeeded(corpus, nPlanes, r)
+      val hot = b.groupBy("bucket").agg(count(lit(1)).as("_bn"))
+        .filter(col("_bn") > bucketCap).select("bucket")
+      val ok = b.join(hot, Seq("bucket"), "left_anti")
+      ok.select(col("bucket"), col("vec_id").as("src"))
+        .join(ok.select(col("bucket"), col("vec_id").as("dst")), Seq("bucket"))
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+    }.reduce(_ unionByName _).distinct()
+    val codes = int8Codes(corpus)
+    cand
+      .join(codes.select(col("vec_id").as("src"), col("code").as("ca")), Seq("src"))
+      .join(codes.select(col("vec_id").as("dst"), col("code").as("cb")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        round(dot(col("ca"), col("cb")) /
+          (sqrt(dot(col("ca"), col("ca"))) * sqrt(dot(col("cb"), col("cb")))), 6)
+          .as("qcos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("src").orderBy(col("qcos").desc, col("dst"))))
+      .filter(col("rn") <= k)
+  }
+
   private def bucketsWithKey(corpus: DataFrame, nPlanes: Int,
                              prefix: Int => String): DataFrame = {
     val v = toDouble(col("embedding"))

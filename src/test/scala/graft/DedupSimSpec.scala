@@ -53,6 +53,37 @@ class DedupSimSpec extends SparkSpec {
     assert(approx(near((1L, 2L)), 1.0))
   }
 
+  test("dupWindowStats: interval-union coverage, adjacency merge, short docs") {
+    // n=3 windows. Duplicated hashes across this corpus: "a b c" (docs
+    // 1/2/5), "b c d" (1/2), "c d e" (1/2), "f g h" (1/5).
+    val dd = Seq(
+      (1L, "a b c d e f g h"),       // dup wins i=1,2,3,6 -> [1,6) U [6,9)
+                                     // ADJACENT: i=6 == prevMaxEnd merges
+                                     // into ONE island [1,9) = 8 tokens
+      (2L, "a b c d e x y z"),       // dup wins i=1,2,3 -> [1,6) = 5 tokens
+      (3L, "p q r s t u v w"),       // nothing shared
+      (5L, "a b c m1 m2 m3 f g h"),  // TWO disjoint islands [1,4) + [7,10)
+      (6L, "a b")                    // shorter than n: zero windows
+    ).toDF("doc_id", "text")
+    val r = rows(Dedup.dupWindowStats(dd, 3).orderBy("doc_id"))
+    assert(r === Seq(
+      Seq(1L, 8L, 4L, 8L, 1.0),
+      Seq(2L, 8L, 3L, 5L, 0.625),
+      Seq(3L, 8L, 0L, 0L, 0.0),
+      Seq(5L, 9L, 2L, 6L, 0.666667),
+      Seq(6L, 2L, 0L, 0L, 0.0)))
+  }
+
+  test("dupWindowStats: within-doc repetition alone counts as duplication") {
+    // Lee et al.'s gate also fires on a substring repeated INSIDE one
+    // document: both occurrences are sites of the same hash.
+    val dd = Seq((1L, "x y z q q2 q3 x y z"), (2L, "totally unrelated words here")
+    ).toDF("doc_id", "text")
+    val r = rows(Dedup.dupWindowStats(dd, 3).filter($"doc_id" === 1))
+    // "x y z" at i=1 and i=7 -> two islands, 6 covered of 9
+    assert(r === Seq(Seq(1L, 9L, 2L, 6L, 0.666667)))
+  }
+
   test("minhash LSH finds the exact-dup pair as a candidate") {
     val sig = Dedup.minHashSignature(Dedup.shingles(docs, 3), 8)
     val pairs = rows(Dedup.lshCandidatePairs(sig, 8, 2))
@@ -133,6 +164,55 @@ class DedupSimSpec extends SparkSpec {
     // of every hyperplane → guaranteed candidate, cos = 1
     assert((0L until 5L).forall(i => got.contains((i, i + 1000L))))
     assert(got.forall { case (a, b) => a < b })
+  }
+
+  test("int8Codes: max component codes to +-127, codes are integers in range") {
+    val e = Seq((1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+                (2L, Array(-0.002f, 0.001f, 0.0005f, 0.002f)))
+      .toDF("vec_id", "embedding")
+    val c = Similarity.int8Codes(e).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(c(1L) === Seq(64.0, -127.0, 32.0, 0.0))
+    // tiny magnitudes still span the full code range (per-vector scale)
+    assert(c(2L).map(math.abs).max === 127.0)
+    c.values.flatten.foreach { x =>
+      assert(x == math.floor(x) && math.abs(x) <= 127.0)
+    }
+  }
+
+  test("quantized cosine tracks float cosine within quantization error") {
+    // deterministic pseudo-random vectors (no RNG): md5-derived components
+    val n = 60
+    val dim = 16
+    val vecs = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(dim) { j =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$i:$j".getBytes).take(4)
+        (java.nio.ByteBuffer.wrap(h).getInt.toDouble / Int.MaxValue).toFloat
+      })
+    }.toDF("vec_id", "embedding")
+    val q = Similarity.quantizedSelfTopK(vecs, 5, rounds = 2,
+      targetBucketSize = 16)
+    val codesCos = q.select(col("src"), col("dst"), col("qcos"))
+    val exact = codesCos
+      .join(vecs.select(col("vec_id").as("src"), col("embedding").cast("array<double>").as("va")), Seq("src"))
+      .join(vecs.select(col("vec_id").as("dst"), col("embedding").cast("array<double>").as("vb")), Seq("dst"))
+      .select(col("qcos"), Similarity.cosine(col("va"), col("vb")).as("cos"))
+      .collect()
+    assert(exact.nonEmpty)
+    exact.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.02,
+        s"qcos ${r.getDouble(0)} vs cos ${r.getDouble(1)}")
+    }
+  }
+
+  test("quantizedSelfTopK: identical vectors rank each other first with qcos 1") {
+    val e = Seq((1L, Array(0.3f, 0.7f, -0.2f)), (2L, Array(0.3f, 0.7f, -0.2f)),
+                (3L, Array(-0.9f, 0.1f, 0.4f))).toDF("vec_id", "embedding")
+    val top = Similarity.quantizedSelfTopK(e, 1, rounds = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(top(1L) === ((2L, 1.0)))
+    assert(top(2L) === ((1L, 1.0)))
   }
 
   test("native DotProduct matches the interpreted fold bit-for-bit") {
