@@ -229,11 +229,22 @@ case class DataStore(
     val sel = feats.filter(col("hvg")).select("feat_id")
     val shared = sel.join(target.coo.select("feat_id").distinct(),
       Seq("feat_id"), "left_semi")
+    // The reference side depends on the target ONLY through the shared
+    // feature set, so its assembled vectors and projected latent are
+    // reused across targets under a (feature-set fingerprint, dims,
+    // withStd) cache key — mapping many batches against one big
+    // reference (the 100 TB shape: N targets × one corpus) pays the
+    // reference-side normalize/assemble shuffles and latent transform
+    // ONCE, not per target. The fingerprint aggregation is over the
+    // ≤|HVG| shared set — driver cost is one tiny job.
+    val fp = shared.agg(count(lit(1)),
+      coalesce(expr("bit_xor(xxhash64(feat_id))"), lit(0L))).head
+    val refKey = s"${fp.getLong(0)}:${fp.getLong(1)}:$dims:${!runCoral}"
     val fi = Reduce.featureIndex(shared)
     def vecsOf(ds: DataStore) = Reduce.assembleVectors(
       Normalize.libSizeLog(ds.activeCoo).select("cell_id", "feat_id", "normed"),
       fi, "normed")
-    val srcVecs = vecsOf(this)
+    val srcVecs = caches.getOrElse(s"mapvecs:$refKey", vecsOf(this).cache())
     val tgtVecs = vecsOf(target)
     val toArr = udf((v: org.apache.spark.ml.linalg.Vector) => v.toArray)
     val toVec = udf((a: Seq[Double]) =>
@@ -248,10 +259,18 @@ case class DataStore(
         Coral.apply(tgtArr, a)
           .select(col("cell_id"), toVec(col("latent")).as("features"))
       } else tgtVecs
+    // The refit over the CACHED vectors is two in-memory passes and is
+    // deterministic (identical input → identical model), so the target
+    // projection stays consistent with the cached reference latent.
     val reducer = Reduce.pcaReducer(srcVecs, dims, withStd = !runCoral)
-    val hits = Mapping.project(reducer(tgtIn), reducer(srcVecs), saveK,
+    val srcLatent = caches.getOrElse(s"maplatent:$refKey",
+      reducer(srcVecs).cache())
+    val hits = Mapping.project(reducer(tgtIn), srcLatent, saveK,
       ann, annThreshold)
-    copy(caches = caches + (s"projection:$targetName" -> hits.cache()))
+    copy(caches = caches +
+      (s"mapvecs:$refKey" -> srcVecs) +
+      (s"maplatent:$refKey" -> srcLatent) +
+      (s"projection:$targetName" -> hits.cache()))
   }
 
   /** get_mapping_score (scarf/datastore/mapping_datastore.py:211-285)

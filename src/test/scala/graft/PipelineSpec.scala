@@ -203,6 +203,29 @@ class PipelineSpec extends SparkSpec {
       .filter($"target_id" =!= $"ref_id").count() === 0)
   }
 
+  test("runMapping reuses the reference latent across targets sharing a feature set") {
+    val tgtCells = mapSrc.cells.filter($"cell_id" % 3 === 0)
+    val tgt = mapSrc.copy(cells = tgtCells,
+      coo = mapSrc.coo.join(tgtCells.select("cell_id"), Seq("cell_id")))
+    val once = mapSrc.runMapping(tgt, "a", saveK = 2, dims = 3, ann = Some(false))
+    val refKeys = once.caches.keys.filter(k =>
+      k.startsWith("mapvecs:") || k.startsWith("maplatent:")).toSeq
+    assert(refKeys.size === 2, s"expected mapvecs+maplatent keys, got $refKeys")
+    // second target with the SAME feature universe: the cached frames
+    // must be the IDENTICAL objects (structural reuse, not a rebuild)
+    val twice = once.runMapping(tgt, "b", saveK = 2, dims = 3, ann = Some(false))
+    refKeys.foreach { k =>
+      assert(twice.caches(k) eq once.caches(k), s"$k was rebuilt")
+    }
+    // and the reused-latent projection is identical to the fresh one
+    val a = once.caches("projection:a").orderBy("target_id", "rank").collect().toSeq
+    val b = twice.caches("projection:b").orderBy("target_id", "rank").collect().toSeq
+    assert(a === b)
+    // a DIFFERENT dims gets a different key — no false sharing
+    val other = once.runMapping(tgt, "c", saveK = 2, dims = 2, ann = Some(false))
+    assert(other.caches.keys.count(_.startsWith("maplatent:")) === 2)
+  }
+
   test("subsetActive re-indexes cells densely and resets the mask") {
     import spark.implicits._
     val filtered = ds.copy(cells = ds.cells.withColumn("I",
