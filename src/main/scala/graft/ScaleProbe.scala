@@ -171,6 +171,25 @@ object ScaleProbe {
     }
     out(s"decontaminate_${nDocs}_docs") = tDecon
 
+    // exact-substring dedup at 100k/200k docs: key-shifted copies make
+    // EVERY window corpus-duplicated — the join-back and island pass run
+    // over the full window set, the operator's worst case
+    val (_, tDupWin) = time {
+      graft.dedup.Dedup.dupWindowStats(docsRep, 10)
+        .write.format("noop").mode("overwrite").save()
+    }
+    out(s"dup_substrings_${nDocs}_docs") = tDupWin
+    // int8-quantized ANN scoring under the same adversarial replica
+    // occupancy floor as the bucketed-ANN rows (every vector has
+    // copies−1 exact replicas sharing every bucket)
+    val (_, tQuant) = time {
+      graft.sim.Similarity.quantizedSelfTopK(
+          emb.withColumnRenamed("cell_id", "vec_id")
+            .withColumnRenamed("latent", "embedding"), 5, rounds = 2)
+        .write.format("noop").mode("overwrite").save()
+    }
+    out(s"quantized_knn_$nVec") = tQuant
+
     val qs = out.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe","copies":$copies,"nnz":$nnz,"timings":$qs}""")
     spark.stop()
