@@ -44,11 +44,19 @@ object Knn {
     * exact distances only WITHIN buckets, union of rounds, global top-k
     * per source. No O(n²) stage: per round the join fans out to
     * (nPlanes+1) probes × bucket occupancy, so work is Σ_b |b|·probes —
-    * at scale, grow `nPlanes` with log₂(n / targetBucketSize) and `rounds`
+    * `nPlanes` must grow with log₂(n / targetBucketSize) and `rounds`
     * with the recall target (4 planes × 6 rounds ⇒ recall ≈ 0.98 on the
     * sf0.01 embeddings; see KnnRecallSpec).
+    *
+    * `nPlanes = 0` (the default) AUTO-SIZES from the corpus count by
+    * [[graft.sim.Similarity.planesFor]] — the occupancy rule that keeps
+    * the in-bucket join linear in n. Callers that orchestrate at scale
+    * (makeGraph, PtimeAgg, Mapping.project) ride this default; a fixed
+    * plane count at growing n is the measured quadratic-blowup regime
+    * (PERF.md's deliberately-mis-tuned ANN control). Costs one count()
+    * on the corpus when auto-sizing.
     */
-  def bucketedSelfKnn(latent: DataFrame, k: Int, nPlanes: Int = 4,
+  def bucketedSelfKnn(latent: DataFrame, k: Int, nPlanes: Int = 0,
                       rounds: Int = 6): DataFrame =
     bucketedKnn(latent, latent, k, nPlanes, rounds, excludeSelf = true)
 
@@ -60,20 +68,24 @@ object Knn {
     * probed buckets, global top-k per query. `excludeSelf` drops id-equal
     * pairs (self-KNN); leave false when query and corpus ids are
     * different datasets. Both inputs `(cell_id, latent)`; output
-    * `(src, dst, dist, rn)`.
+    * `(src, dst, dist, rn)`. `nPlanes = 0` auto-sizes from the corpus
+    * count (see [[bucketedSelfKnn]]).
     */
   def bucketedKnn(queries: DataFrame, corpus: DataFrame, k: Int,
-                  nPlanes: Int = 4, rounds: Int = 6,
+                  nPlanes: Int = 0, rounds: Int = 6,
                   excludeSelf: Boolean = false): DataFrame = {
+    val planes =
+      if (nPlanes > 0) nPlanes
+      else graft.sim.Similarity.planesFor(corpus.count())
     val cand = (0 until rounds).map { r =>
       def bucketed(side: DataFrame) = {
         val emb = side.select(col("cell_id").as("vec_id"), col("latent").as("embedding"))
-        val bk = graft.sim.Similarity.lshBucketsSeeded(emb, nPlanes, r)
+        val bk = graft.sim.Similarity.lshBucketsSeeded(emb, planes, r)
         bk.join(side, bk("vec_id") === side("cell_id"))
           .select(col("vec_id").as("id"), col("bucket"), col("latent"))
       }
       // multi-probe: own bucket plus every 1-bit flip of it
-      val probes = array((col("bucket") +: (0 until nPlanes).map(h =>
+      val probes = array((col("bucket") +: (0 until planes).map(h =>
         col("bucket").bitwiseXOR(lit(1L << h)))): _*)
       val qside = bucketed(queries).select(col("id").as("src"),
         col("latent").as("va"), explode(probes).as("bucket"))

@@ -27,6 +27,23 @@ class KnnRecallSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "bucketed KNN plan has a nested-loop join")
   }
 
+  test("default nPlanes auto-sizes via planesFor and matches explicit planes at small n") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val latent = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("cell_id"),
+        col("embedding").cast("array<double>").as("latent"))
+    // n = 500 → planesFor = max(4, ceil(log2(500/128))) = 4, so the
+    // auto default must reproduce the explicit-4-planes result exactly;
+    // the quadratic-regime guard is that big-n callers (makeGraph etc.)
+    // get log₂-grown planes without opting in
+    val auto = Knn.bucketedSelfKnn(latent, 5).orderBy("src", "rn").collect()
+    val fixed = Knn.bucketedSelfKnn(latent, 5, nPlanes = 4, rounds = 6)
+      .orderBy("src", "rn").collect()
+    assert(auto === fixed)
+    assert(graft.sim.Similarity.planesFor(500) === 4)
+    assert(graft.sim.Similarity.planesFor(1000000) === 13)
+  }
+
   test("bucketedSelfKnn emits exactly k neighbors per source on a grid") {
     import spark.implicits._
     // 3 tight clusters of 4 points each in 8-d
