@@ -152,6 +152,12 @@ object TrainingQueries {
     "q77_lm_perplexity" -> ((s, d) =>
       TextOps.lmPerplexityTrigram(docs(s, d)).orderBy("doc_id")),
 
+    // full-order 5-gram interpolated LM — the order CCNet's Kneser–Ney
+    // model actually runs at; five count aggregations, each order
+    // joined per position as numerator context + next-lower denominator
+    "q81_lm_5gram" -> ((s, d) =>
+      TextOps.lmPerplexity5(docs(s, d)).orderBy("doc_id")),
+
     // PII scrub: planted emails/phones must be counted and redacted
     // (synthetic docs carry none naturally — a 0==0 pass proves nothing)
     "q76_pii_redact" -> ((s, d) =>
@@ -587,6 +593,58 @@ object TrainingQueries {
                 (start_tok + n_tokens - 1) // 2048 AS chunk_end,
                 (start_tok // 2048) != ((start_tok + n_tokens - 1) // 2048) AS crosses
          FROM r ORDER BY doc_id""",
+
+    "q81_lm_5gram" ->
+      """WITH t AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w
+                    FROM documents),
+         g5 AS (
+           SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3,
+                  w[i+3] AS w4, w[i+4] AS w5
+           FROM t, LATERAL (SELECT UNNEST(RANGE(1, LEN(w) - 3)) AS i)),
+         c5 AS (SELECT w1, w2, w3, w4, w5, COUNT(*) AS c
+                FROM g5 GROUP BY 1, 2, 3, 4, 5),
+         g4 AS (
+           SELECT w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3, w[i+3] AS w4
+           FROM t, LATERAL (SELECT UNNEST(RANGE(1, LEN(w) - 2)) AS i)),
+         c4 AS (SELECT w1, w2, w3, w4, COUNT(*) AS c FROM g4 GROUP BY 1, 2, 3, 4),
+         g3 AS (
+           SELECT w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+           FROM t, LATERAL (SELECT UNNEST(RANGE(1, LEN(w) - 1)) AS i)),
+         c3 AS (SELECT w1, w2, w3, COUNT(*) AS c FROM g3 GROUP BY 1, 2, 3),
+         g2 AS (
+           SELECT w[i] AS w1, w[i+1] AS w2
+           FROM t, LATERAL (SELECT UNNEST(RANGE(1, LEN(w))) AS i)),
+         c2 AS (SELECT w1, w2, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+         c1 AS (SELECT w1, COUNT(*) AS c
+                FROM (SELECT UNNEST(w) AS w1 FROM t) GROUP BY 1),
+         tot AS (SELECT COUNT(*) AS v, SUM(c) AS n FROM c1)
+         SELECT g.doc_id, COUNT(*) AS n_5grams,
+                ROUND(AVG(-LN(
+                  CAST(0.4 AS DOUBLE) * ((n5.c + CAST(1.0 AS DOUBLE))
+                    / (d4.c + CAST(1.0 AS DOUBLE) * tot.v))
+                  + CAST(0.25 AS DOUBLE) * ((n4.c + CAST(1.0 AS DOUBLE))
+                    / (d3.c + CAST(1.0 AS DOUBLE) * tot.v))
+                  + CAST(0.2 AS DOUBLE) * ((n3.c + CAST(1.0 AS DOUBLE))
+                    / (d2.c + CAST(1.0 AS DOUBLE) * tot.v))
+                  + CAST(0.1 AS DOUBLE) * ((n2.c + CAST(1.0 AS DOUBLE))
+                    / (d1.c + CAST(1.0 AS DOUBLE) * tot.v))
+                  + CAST(0.05 AS DOUBLE) * ((n1.c + CAST(1.0 AS DOUBLE))
+                    / (tot.n + CAST(1.0 AS DOUBLE) * tot.v)))), 6) AS mean_nll
+         FROM g5 g
+         JOIN c5 n5 ON g.w1 = n5.w1 AND g.w2 = n5.w2 AND g.w3 = n5.w3
+                   AND g.w4 = n5.w4 AND g.w5 = n5.w5
+         JOIN c4 d4 ON g.w1 = d4.w1 AND g.w2 = d4.w2 AND g.w3 = d4.w3
+                   AND g.w4 = d4.w4
+         JOIN c4 n4 ON g.w2 = n4.w1 AND g.w3 = n4.w2 AND g.w4 = n4.w3
+                   AND g.w5 = n4.w4
+         JOIN c3 d3 ON g.w2 = d3.w1 AND g.w3 = d3.w2 AND g.w4 = d3.w3
+         JOIN c3 n3 ON g.w3 = n3.w1 AND g.w4 = n3.w2 AND g.w5 = n3.w3
+         JOIN c2 d2 ON g.w3 = d2.w1 AND g.w4 = d2.w2
+         JOIN c2 n2 ON g.w4 = n2.w1 AND g.w5 = n2.w2
+         JOIN c1 d1 ON g.w4 = d1.w1
+         JOIN c1 n1 ON g.w5 = n1.w1
+         CROSS JOIN tot
+         GROUP BY g.doc_id ORDER BY g.doc_id""",
 
     "q80_quantized_knn" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

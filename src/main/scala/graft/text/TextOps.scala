@@ -214,6 +214,70 @@ object TextOps {
       .agg(count(lit(1)).as("n_trigrams"), round(avg(col("nll")), 6).as("mean_nll"))
   }
 
+  /** Interpolated 5-gram-LM perplexity — the full-order form of the
+    * CCNet-style quality signal (CCNet's model is a 5-gram Kneser–Ney;
+    * this is 5-gram interpolation with add-α components, the same
+    * smoothing family as [[lmPerplexityTrigram]] carried to the order
+    * that actually separates boilerplate from fluent-but-novel prose):
+    * per 5-gram position,
+    * `p = λ5·p̂5 + λ4·p̂4 + λ3·p̂3 + λ2·p̂2 + λ1·p̂1` with
+    * p̂k = (c(w_{6-k}..w5)+α)/(c(w_{6-k}..w4)+αV) for k ≥ 2 and
+    * p̂1 = (c(w5)+α)/(N+αV); score = mean −log p.
+    *
+    * Still pure counting: FIVE count aggregations (orders 1..5), each
+    * order's table joined back per position twice (numerator context +
+    * next-lower denominator) — no model state on the driver, so the
+    * "training" runs at corpus scale as ordinary shuffles. Output
+    * `(doc_id, n_5grams, mean_nll)` over docs with ≥5 tokens.
+    */
+  def lmPerplexity5(docs: DataFrame, alpha: Double = 1.0,
+                    lams: Seq[Double] = Seq(0.4, 0.25, 0.2, 0.1, 0.05))
+      : DataFrame = {
+    require(lams.length == 5)
+    val w = tokensCol
+    def starts(n: Int) =
+      when(size(col("w")) >= n, sequence(lit(0), size(col("w")) - n))
+        .otherwise(array().cast("array<int>"))
+    def gramCol(n: Int) = transform(starts(n), i =>
+      struct((1 to n).map(o =>
+        element_at(col("w"), i + o).as(s"g$o")): _*))
+    // order-n counts keyed g1..gn
+    def counts(n: Int) = docs.select(w.as("w"))
+      .select(explode(gramCol(n)).as("g"))
+      .select((1 to n).map(o => col(s"g.g$o")): _*)
+      .groupBy((1 to n).map(o => col(s"g$o")): _*)
+      .agg(count(lit(1)).as(s"c$n"))
+    val uni = counts(1)
+    val totals = uni.agg(count(lit(1)).as("v"), sum(col("c1")).as("n"))
+    val pos = docs.select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), explode(gramCol(5)).as("g"))
+      .select(col("doc_id") +: (1 to 5).map(o => col(s"g.g$o").as(s"w$o")): _*)
+    // join order-n counts at position offset `off` (gram = w{off+1}..w{off+n})
+    def joined(df: DataFrame, n: Int, off: Int, as: String) = {
+      val c = counts(n).select(
+        (1 to n).map(o => col(s"g$o").as(s"w${off + o}")) :+ col(s"c$n").as(as): _*)
+      df.join(c, (1 to n).map(o => s"w${off + o}"))
+    }
+    val a = lit(alpha)
+    val withCounts = Seq(
+      (5, 0, "c5_num"), (4, 0, "c4_den"), (4, 1, "c4_num"), (3, 1, "c3_den"),
+      (3, 2, "c3_num"), (2, 2, "c2_den"), (2, 3, "c2_num"), (1, 3, "c1_den"),
+      (1, 4, "c1_num")
+    ).foldLeft(pos) { case (df, (n, off, as)) => joined(df, n, off, as) }
+    withCounts
+      .crossJoin(broadcast(totals))
+      .withColumn("nll", -log(
+        lit(lams(0)) * ((col("c5_num") + a) / (col("c4_den") + a * col("v")))
+          + lit(lams(1)) * ((col("c4_num") + a) / (col("c3_den") + a * col("v")))
+          + lit(lams(2)) * ((col("c3_num") + a) / (col("c2_den") + a * col("v")))
+          + lit(lams(3)) * ((col("c2_num") + a) / (col("c1_den") + a * col("v")))
+          + lit(lams(4)) * ((col("c1_num") + a) / (col("n") + a * col("v")))))
+      .groupBy("doc_id")
+      // same 6 dp fence argument as the lower orders: per-doc AVG over
+      // ~n_tokens values of magnitude ~5; reassociation noise ~1e-14
+      .agg(count(lit(1)).as("n_5grams"), round(avg(col("nll")), 6).as("mean_nll"))
+  }
+
   /** PII detection + redaction (the C4-style scrub pass): count and
     * replace email and North-American-phone shaped spans with typed
     * placeholder tokens. Patterns stay in the regex subset Java and RE2

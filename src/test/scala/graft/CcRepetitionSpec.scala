@@ -256,6 +256,39 @@ class CcRepetitionSpec extends SparkSpec {
     assert(nll(tri, 21L) > nll(tri, 1L) + 1.0)
   }
 
+  test("lmPerplexity5: 5-gram context separates what trigrams cannot") {
+    // D1 "a b c d z" copies the corpus; D2 "a b c d e" has corpus-
+    // frequent trigrams (abc/bcd/cde) AND 4-grams (abcd from the X docs,
+    // bcde from the Y docs) but its 5-gram abcde occurs nowhere else —
+    // only the 5-gram model can flag it
+    val docs = ((1L to 10L).map(i => (i, "a b c d z"))
+      ++ (11L to 20L).map(i => (i, "b c d e z"))
+      ++ Seq((101L, "a b c d z"), (102L, "a b c d e"))).toDF("doc_id", "text")
+    def nll(df: org.apache.spark.sql.DataFrame, id: Long) =
+      df.filter(col("doc_id") === id).select("mean_nll").head().getDouble(0)
+    val tri = TextOps.lmPerplexityTrigram(docs)
+    val five = TextOps.lmPerplexity5(docs)
+    val triSep = math.abs(nll(tri, 102L) - nll(tri, 101L))
+    val fiveSep = nll(five, 102L) - nll(five, 101L)
+    assert(triSep < 0.05, s"trigram should be nearly blind here, sep=$triSep")
+    assert(fiveSep > 0.2, s"5-gram must flag the unseen 5-gram, sep=$fiveSep")
+    assert(fiveSep > 5 * triSep)
+  }
+
+  test("lmPerplexity5: boilerplate scores yet more fluent than under the trigram") {
+    val docs = ((1L to 20L).map(i => (i, "the cat sat on the mat again"))
+      ++ Seq((21L, "zyx wvu tsr qpo nml kji hgf"))).toDF("doc_id", "text")
+    def nll(df: org.apache.spark.sql.DataFrame, id: Long) =
+      df.filter(col("doc_id") === id).select("mean_nll").head().getDouble(0)
+    val tri = TextOps.lmPerplexityTrigram(docs)
+    val five = TextOps.lmPerplexity5(docs)
+    // a fully-seen 5-gram context is near-deterministic: boilerplate
+    // drops below even its trigram score, and the all-novel doc stays
+    // clearly separated — the higher order sharpens the gate further
+    assert(nll(five, 1L) < nll(tri, 1L))
+    assert(nll(five, 21L) > nll(five, 1L) + 1.0)
+  }
+
   test("repetitionStats: degenerate repetition spikes the signals; diverse text keeps") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam"),          // one bigram repeated
