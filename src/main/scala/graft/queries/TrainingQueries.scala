@@ -158,6 +158,12 @@ object TrainingQueries {
     "q81_lm_5gram" -> ((s, d) =>
       TextOps.lmPerplexity5(docs(s, d)).orderBy("doc_id")),
 
+    // Kneser-Ney smoothing proper: absolute discounting + continuation-
+    // count backoff (the smoothing family CCNet's model uses), at the
+    // bigram order where the continuation math is direct
+    "q82_lm_kneser_ney" -> ((s, d) =>
+      TextOps.lmPerplexityKn(docs(s, d)).orderBy("doc_id")),
+
     // PII scrub: planted emails/phones must be counted and redacted
     // (synthetic docs carry none naturally — a 0==0 pass proves nothing)
     "q76_pii_redact" -> ((s, d) =>
@@ -593,6 +599,30 @@ object TrainingQueries {
                 (start_tok + n_tokens - 1) // 2048 AS chunk_end,
                 (start_tok // 2048) != ((start_tok + n_tokens - 1) // 2048) AS crosses
          FROM r ORDER BY doc_id""",
+
+    "q82_lm_kneser_ney" ->
+      """WITH t AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w
+                    FROM documents),
+         big AS (
+           SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+           FROM t, LATERAL (SELECT UNNEST(RANGE(1, LEN(w))) AS i)),
+         c2 AS (SELECT w1, w2, COUNT(*) AS c FROM big GROUP BY 1, 2),
+         pre AS (SELECT w1, SUM(c) AS c1sum, COUNT(*) AS types1
+                 FROM c2 GROUP BY 1),
+         contn AS (SELECT w2, COUNT(*) AS cn FROM c2 GROUP BY 1),
+         tot AS (SELECT COUNT(*) AS ttypes FROM c2)
+         SELECT b.doc_id, COUNT(*) AS n_bigrams,
+                ROUND(AVG(-LN(
+                  GREATEST(x.c - CAST(0.75 AS DOUBLE), CAST(0.0 AS DOUBLE))
+                    / p.c1sum
+                  + CAST(0.75 AS DOUBLE) * p.types1 / p.c1sum
+                    * (k.cn / CAST(tot.ttypes AS DOUBLE)))), 6) AS mean_nll
+         FROM big b
+         JOIN c2 x ON b.w1 = x.w1 AND b.w2 = x.w2
+         JOIN pre p ON b.w1 = p.w1
+         JOIN contn k ON b.w2 = k.w2
+         CROSS JOIN tot
+         GROUP BY b.doc_id ORDER BY b.doc_id""",
 
     "q81_lm_5gram" ->
       """WITH t AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w

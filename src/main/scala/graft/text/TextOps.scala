@@ -214,6 +214,57 @@ object TextOps {
       .agg(count(lit(1)).as("n_trigrams"), round(avg(col("nll")), 6).as("mean_nll"))
   }
 
+  /** Interpolated Kneser–Ney bigram-LM perplexity — the SMOOTHING family
+    * CCNet's model actually uses, at the order where the continuation
+    * math is direct. Unlike add-α (which backs off to raw unigram
+    * frequency), KN backs off to the CONTINUATION probability — how many
+    * distinct contexts a word follows — which is the textbook fix for
+    * the "San Francisco" effect: "francisco" is frequent but occurs
+    * after almost nothing except "san", so it should get almost no mass
+    * after a novel context, while an equally-frequent word seen in many
+    * contexts should. Per bigram position:
+    *
+    *   p(w2|w1) = max(c(w1w2)−D, 0)/c(w1·)
+    *            + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+    *
+    * with absolute discount `D`, c(w1·) = Σ_w c(w1w), N1+(w1·) = distinct
+    * continuations of w1, N1+(·w2) = distinct contexts preceding w2,
+    * N1+(··) = total distinct bigram types. Every term is a count or
+    * distinct-count aggregation over the bigram table — no driver-side
+    * model, and since c(w1w2) ≥ 1 for every observed position the
+    * discounted term is ≥ (1−D) > 0, so the log is always defined.
+    * Output `(doc_id, n_bigrams, mean_nll)` over docs with ≥2 tokens.
+    */
+  def lmPerplexityKn(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    val w = tokensCol
+    val bigStarts = when(size(col("w")) >= 2, sequence(lit(0), size(col("w")) - 2))
+      .otherwise(array().cast("array<int>"))
+    val big = docs.select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), explode(transform(bigStarts,
+        i => struct(element_at(col("w"), i + 1).as("w1"),
+          element_at(col("w"), i + 2).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    // per-context totals and continuation-type counts, all from c2
+    val pre = c2.groupBy("w1")
+      .agg(sum(col("c2")).as("c1sum"), count(lit(1)).as("types1"))
+    val contNum = c2.groupBy("w2").agg(count(lit(1)).as("contn"))
+    val tot = c2.agg(count(lit(1)).as("ttypes"))
+    val d = lit(discount)
+    big
+      .join(c2, Seq("w1", "w2"))
+      .join(pre, Seq("w1"))
+      .join(contNum, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("nll", -log(
+        greatest(col("c2") - d, lit(0.0)) / col("c1sum")
+          + d * col("types1") / col("c1sum")
+            * (col("contn") / col("ttypes"))))
+      .groupBy("doc_id")
+      // same 6 dp fence argument as the other LM orders
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nll")), 6).as("mean_nll"))
+  }
+
   /** Interpolated 5-gram-LM perplexity — the full-order form of the
     * CCNet-style quality signal (CCNet's model is a 5-gram Kneser–Ney;
     * this is 5-gram interpolation with add-α components, the same

@@ -256,6 +256,25 @@ class CcRepetitionSpec extends SparkSpec {
     assert(nll(tri, 21L) > nll(tri, 1L) + 1.0)
   }
 
+  test("lmPerplexityKn: continuation counts fix the San-Francisco effect") {
+    // "francisco" and "the" are equally frequent (10 each) and both test
+    // bigrams are singletons after the same novel context, so the add-α
+    // model scores them IDENTICALLY. KN backs off to how many distinct
+    // contexts each word follows — francisco follows only {san, new},
+    // "the" follows 11 — and penalizes the single-context word hard.
+    val docs = ((1L to 10L).map(i => (i, "san francisco"))
+      ++ (11L to 20L).map(i => (i, s"ctx$i the"))
+      ++ Seq((101L, "new francisco"), (102L, "new the"))).toDF("doc_id", "text")
+    def nll(df: org.apache.spark.sql.DataFrame, id: Long) =
+      df.filter(col("doc_id") === id).select("mean_nll").head().getDouble(0)
+    val addA = TextOps.lmPerplexity(docs)
+    val kn = TextOps.lmPerplexityKn(docs)
+    assert(math.abs(nll(addA, 101L) - nll(addA, 102L)) < 1e-9,
+      "add-alpha should be exactly blind here")
+    val knSep = nll(kn, 101L) - nll(kn, 102L)
+    assert(knSep > 0.5, s"KN must penalize the single-context word, sep=$knSep")
+  }
+
   test("lmPerplexity5: 5-gram context separates what trigrams cannot") {
     // D1 "a b c d z" copies the corpus; D2 "a b c d e" has corpus-
     // frequent trigrams (abc/bcd/cde) AND 4-grams (abcd from the X docs,
