@@ -179,6 +179,15 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
     out(s"dup_substrings_${nDocs}_docs") = tDupWin
+    // the 5-gram LM is the join-heaviest text-pipeline shape (five count
+    // aggregations + nine per-position joins); replicated copies multiply
+    // every count by `copies` without changing the type universe — the
+    // worst case for the join-back volume, not the aggregation
+    val (_, tLm5) = time {
+      graft.text.TextOps.lmPerplexity5(docsRep)
+        .write.format("noop").mode("overwrite").save()
+    }
+    out(s"lm5gram_${nDocs}_docs") = tLm5
     // int8-quantized ANN scoring under the same adversarial replica
     // occupancy floor as the bucketed-ANN rows (every vector has
     // copies−1 exact replicas sharing every bucket)
