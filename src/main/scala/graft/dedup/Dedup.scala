@@ -112,6 +112,62 @@ object Dedup {
         (col("doc_id") === col("group_id")).as("keep"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): embedding-space dedup
+    * via cluster-then-dedup. The k-means clusters ARE the buckets — the
+    * pair join runs only WITHIN a cluster, so the clustering itself
+    * bounds the quadratic stage by cluster size (SemDeDup's own scaling
+    * argument; at 100 TB grow k with n / targetClusterSize exactly like
+    * [[graft.sim.Similarity.planesFor]] grows planes). Deterministic end
+    * to end with the q60/q69 replay chain: seeded Lloyd's on an
+    * md5-ranked ≤`trainN` sample (9 dp-fenced centers), every vector
+    * assigned to its nearest final center with the (distance, index)
+    * tie-break, exact cosine within clusters at the 6 dp fence,
+    * transitive closure + keep-one via distributed connected components.
+    * `corpus(vec_id, embedding)` → `(vec_id, group_id, n_docs, keep)`.
+    */
+  def semDeDup(corpus: DataFrame, k: Int, iters: Int, seed: Long,
+               minCos: Double, trainN: Int = 10000): DataFrame = {
+    // cluster NORMALIZED embeddings, as the published method does:
+    // euclidean k-means on the unit sphere ≈ cosine clustering, and a
+    // scaled duplicate becomes bit-identical to its original after
+    // normalization — so true near-dups provably co-cluster instead of
+    // being split across Voronoi cells by magnitude
+    val e = col("embedding").cast("array<double>")
+    val latent = corpus.select(col("vec_id").cast("long").as("cell_id"),
+      transform(e, x =>
+        x / sqrt(graft.sim.Similarity.dot(e, e))).as("latent"))
+    val sample = latent
+      .withColumn("h", md5(concat(lit(s"$seed:"), col("cell_id"))))
+      .orderBy(col("h"), col("cell_id")).limit(trainN)
+      .select("cell_id", "latent")
+    val bc = graft.pipeline.Cluster.lloydWithCenters(sample, k, iters, seed)._2
+    val nearest = udf { (v: Seq[Double]) =>
+      var best = 0; var bd = Double.MaxValue; var c = 0
+      while (c < bc.length) {
+        var d = 0.0; var j = 0
+        while (j < bc(c).length) { val t = v(j) - bc(c)(j); d += t * t; j += 1 }
+        if (d < bd) { bd = d; best = c } // strict < keeps the lowest index
+        c += 1                          // on ties, like ORDER BY (d, cid)
+      }
+      best
+    }
+    val assigned = latent.withColumn("cl", nearest(col("latent")))
+    val a = assigned.select(col("cl"), col("cell_id").as("ida"),
+      col("latent").as("va"))
+    val b = assigned.select(col("cl"), col("cell_id").as("idb"),
+      col("latent").as("vb"))
+    val pairs = a.join(b, Seq("cl"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        round(graft.sim.Similarity.cosine(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= minCos)
+      .select("ida", "idb")
+    nearDupGroups(corpus.select(col("vec_id").cast("long").as("doc_id")), pairs)
+      .select(col("doc_id").as("vec_id"), col("group_id"), col("n_docs"),
+        col("keep"))
+  }
+
   /** Benchmark decontamination (the GPT-3-style n-gram overlap check):
     * flag every training document sharing at least one word n-gram with
     * any evaluation document. Inverted-index join on the shingle — only

@@ -241,6 +241,24 @@ object TrainingQueries {
       Similarity.quantizedSelfTopK(embs(s, d), 5, rounds = 2)
         .orderBy("src", "rn")),
 
+    // SemDeDup (Abbas et al. 2023): embedding-space dedup via
+    // cluster-then-dedup — deterministic Lloyd's clusters bound the
+    // pair join by cluster size, exact cosine within clusters,
+    // CC closure + keep-one; planted scaled copies normalize to
+    // bit-identical vectors so they provably co-cluster
+    "q83_semdedup" -> ((s, d) => {
+      val e = embs(s, d).select(col("vec_id"), col("embedding"))
+      val planted = e.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding").cast("array<double>"), x => x * 1.5)
+            .as("embedding"))
+      graft.dedup.Dedup.semDeDup(
+          e.select(col("vec_id"), col("embedding").cast("array<double>")
+            .as("embedding")).unionByName(planted),
+          k = 8, iters = 10, seed = 4466L, minCos = 0.999)
+        .orderBy("vec_id")
+    }),
+
     // winnowing rolling-hash document fingerprints
     "q64_winnow_fp" -> ((s, d) =>
       TextOps.winnowFingerprints(docs(s, d), k = 5, w = 4).orderBy("doc_id")),
@@ -343,7 +361,90 @@ object TrainingQueries {
   private def langFilterSql(words: Seq[String]): String =
     words.map(w => s"x = '$w'").mkString(" OR ")
 
+  /** q83's DuckDB replay: the q69-style deterministic-Lloyd chain
+    * (md5-ranked sample → distinct-by-vector md5-ordered init →
+    * `iters` assign/update rounds with 9 dp-rounded means) on
+    * NORMALIZED embeddings, then all-vector assignment, in-cluster
+    * cosine pairs, and the q70-style recursive min-label closure.
+    */
+  private def q83OracleSql: String = {
+    val k = 8; val iters = 10; val seed = 4466L
+    val trainN = 10000; val dim = 128
+    val rd = s"range(1, ${dim + 1})"
+    def d2(a: String, c: String) =
+      s"list_sum(list_transform($rd, i -> ($a[i] - $c[i]) * ($a[i] - $c[i])))"
+    val its = (1 to iters).map { t =>
+      s"""
+  asg_$t AS MATERIALIZED (
+    SELECT cell_id, cid FROM (
+      SELECT s.cell_id, kk.cid,
+             ROW_NUMBER() OVER (PARTITION BY s.cell_id
+               ORDER BY ${d2("s.p", "kk.c")}, kk.cid) AS rn
+      FROM samp s CROSS JOIN cent_${t - 1} kk) WHERE rn = 1),
+  cent_$t AS MATERIALIZED (
+    SELECT pp.cid, COALESCE(m.c, pp.c) AS c
+    FROM cent_${t - 1} pp LEFT JOIN (
+      SELECT cid, LIST(m ORDER BY pos) AS c FROM (
+        SELECT a.cid, u.pos, ROUND(AVG(u.x), 9) AS m
+        FROM asg_$t a JOIN vex u ON a.cell_id = u.cell_id
+        GROUP BY a.cid, u.pos)
+      GROUP BY cid) m ON pp.cid = m.cid)"""
+    }.mkString(",")
+    s"""WITH RECURSIVE base AS MATERIALIZED (
+    SELECT vec_id, embedding::DOUBLE[] AS p0 FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000, LIST_TRANSFORM(embedding::DOUBLE[], x -> x * 1.5)
+    FROM embeddings WHERE vec_id % 25 = 0),
+  v AS MATERIALIZED (
+    SELECT vec_id AS cell_id,
+           LIST_TRANSFORM(p0, x -> x / SQRT(LIST_DOT_PRODUCT(p0, p0))) AS p
+    FROM base),
+  vex AS MATERIALIZED (
+    SELECT cell_id, GENERATE_SUBSCRIPTS(p, 1) AS pos, UNNEST(p) AS x FROM v),
+  samp AS MATERIALIZED (
+    SELECT cell_id, p FROM (
+      SELECT v.*, MD5('$seed:' || cell_id) AS hs FROM v)
+    ORDER BY hs, cell_id LIMIT $trainN),
+  init AS MATERIALIZED (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY hsh, cell_id) AS INT) AS cid, p AS c
+    FROM (SELECT * FROM (
+            SELECT s.*, MD5('$seed:' || cell_id) AS hsh,
+                   ROW_NUMBER() OVER (PARTITION BY p
+                     ORDER BY MD5('$seed:' || cell_id), cell_id) AS rv
+            FROM samp s) WHERE rv = 1)
+    ORDER BY hsh, cell_id LIMIT $k),
+  cent_0 AS MATERIALIZED (SELECT cid, c FROM init),$its,
+  asgall AS MATERIALIZED (
+    SELECT cell_id, cid AS cl FROM (
+      SELECT v.cell_id, kk.cid,
+             ROW_NUMBER() OVER (PARTITION BY v.cell_id
+               ORDER BY ${d2("v.p", "kk.c")}, kk.cid) AS rn
+      FROM v CROSS JOIN cent_$iters kk) WHERE rn = 1),
+  prs AS MATERIALIZED (
+    SELECT a.cell_id AS ida, b.cell_id AS idb
+    FROM asgall a JOIN asgall b ON a.cl = b.cl AND a.cell_id < b.cell_id
+    JOIN v va ON a.cell_id = va.cell_id
+    JOIN v vb ON b.cell_id = vb.cell_id
+    WHERE ROUND(LIST_DOT_PRODUCT(va.p, vb.p)
+      / (SQRT(LIST_DOT_PRODUCT(va.p, va.p))
+         * SQRT(LIST_DOT_PRODUCT(vb.p, vb.p))), 6) >= 0.999),
+  uni AS (SELECT vec_id FROM base),
+  eg AS (SELECT ida AS s, idb AS t FROM prs
+         UNION ALL SELECT idb, ida FROM prs),
+  reach AS (
+    SELECT vec_id AS node, vec_id AS lbl FROM uni
+    UNION
+    SELECT eg.t, r.lbl FROM reach r JOIN eg ON eg.s = r.node),
+  comp AS (SELECT node AS vec_id, MIN(lbl) AS group_id
+           FROM reach GROUP BY node),
+  szs AS (SELECT group_id, COUNT(*) AS n_docs FROM comp GROUP BY group_id)
+  SELECT c.vec_id AS vec_id, c.group_id AS group_id, z.n_docs AS n_docs,
+         c.vec_id = c.group_id AS keep
+  FROM comp c JOIN szs z USING (group_id) ORDER BY c.vec_id"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "q83_semdedup" -> q83OracleSql,
     "q30_token_stats" ->
       """SELECT doc_id, CAST(LENGTH(text) AS INT) AS n_chars,
            CAST(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\s+')) AS INT) AS n_tokens,

@@ -166,6 +166,25 @@ class DedupSimSpec extends SparkSpec {
     assert(got.forall { case (a, b) => a < b })
   }
 
+  test("semDeDup: scaled copies group under keep-one; distinct vectors stay singletons") {
+    // three well-separated directions; ids 10/11 are scaled copies of 1
+    // (identical after normalization → same cluster, cosine exactly 1)
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (10L, Array(2.0f, 0.0f, 0.0f, 0.0f)),
+      (11L, Array(0.5f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Dedup.semDeDup(e, k = 3, iters = 5, seed = 1L, minCos = 0.999)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r(1L) === ((1L, 3L, true)))   // keeps the min id of the group
+    assert(r(10L) === ((1L, 3L, false)))
+    assert(r(11L) === ((1L, 3L, false)))
+    assert(r(2L) === ((2L, 1L, true)))
+    assert(r(3L) === ((3L, 1L, true)))
+  }
+
   test("int8Codes: max component codes to +-127, codes are integers in range") {
     val e = Seq((1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
                 (2L, Array(-0.002f, 0.001f, 0.0005f, 0.002f)))
