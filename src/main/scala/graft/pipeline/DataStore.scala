@@ -225,7 +225,8 @@ case class DataStore(
   def runMapping(target: DataStore, targetName: String, saveK: Int = 3,
                  runCoral: Boolean = false, dims: Int = 11,
                  ann: Option[Boolean] = None,
-                 annThreshold: Long = 10000): DataStore = {
+                 annThreshold: Long = 10000,
+                 cacheRoot: Option[String] = None): DataStore = {
     val sel = feats.filter(col("hvg")).select("feat_id")
     val shared = sel.join(target.coo.select("feat_id").distinct(),
       Seq("feat_id"), "left_semi")
@@ -244,6 +245,16 @@ case class DataStore(
     def vecsOf(ds: DataStore) = Reduce.assembleVectors(
       Normalize.libSizeLog(ds.activeCoo).select("cell_id", "feat_id", "normed"),
       fi, "normed")
+    // With `cacheRoot` set the reference-side frames additionally
+    // persist to param-encoded parquet paths guarded by the active-COO
+    // fingerprint (same CacheStore discipline as makeGraph) — a
+    // mapping SERVER that restarts between target batches reloads the
+    // reference projection from disk instead of recomputing it. Note
+    // ML Vector columns don't round-trip parquet as-is, so the disk
+    // cache stores the latent (plain arrays); the vector frame stays
+    // session-local.
+    val cs = cacheRoot.map(new graft.core.CacheStore(_))
+    val params = Map("key" -> refKey)
     val srcVecs = caches.getOrElse(s"mapvecs:$refKey", vecsOf(this).cache())
     val tgtVecs = vecsOf(target)
     val toArr = udf((v: org.apache.spark.ml.linalg.Vector) => v.toArray)
@@ -263,8 +274,12 @@ case class DataStore(
     // deterministic (identical input → identical model), so the target
     // projection stays consistent with the cached reference latent.
     val reducer = Reduce.pcaReducer(srcVecs, dims, withStd = !runCoral)
-    val srcLatent = caches.getOrElse(s"maplatent:$refKey",
-      reducer(srcVecs).cache())
+    val srcLatent = caches.getOrElse(s"maplatent:$refKey", cs match {
+      case Some(store) => store.getOrCompute(coo.sparkSession, "maplatent",
+        params, activeCoo)(reducer(srcVecs))
+      case None => reducer(srcVecs).cache()
+    })
+    cs.foreach(_.setLatest("maplatent", params))
     val hits = Mapping.project(reducer(tgtIn), srcLatent, saveK,
       ann, annThreshold)
     copy(caches = caches +

@@ -226,6 +226,32 @@ class PipelineSpec extends SparkSpec {
     assert(other.caches.keys.count(_.startsWith("maplatent:")) === 2)
   }
 
+  test("runMapping cacheRoot: reference latent survives a fresh session") {
+    val dir = java.nio.file.Files.createTempDirectory("graftmap").toString
+    val tgtCells = mapSrc.cells.filter($"cell_id" % 3 === 0)
+    val tgt = mapSrc.copy(cells = tgtCells,
+      coo = mapSrc.coo.join(tgtCells.select("cell_id"), Seq("cell_id")))
+    val first = mapSrc.runMapping(tgt, "a", saveK = 2, dims = 3,
+      ann = Some(false), cacheRoot = Some(dir))
+    val a = first.caches("projection:a").orderBy("target_id", "rank").collect().toSeq
+    val manifests = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".manifest.json"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(manifests.nonEmpty, "maplatent must persist to the cache root")
+    // a FRESH store (no in-session caches — a restarted mapping server)
+    // must reload the reference latent from disk, not restamp it
+    val fresh = mapSrc.copy(caches = Map.empty)
+    val second = fresh.runMapping(tgt, "b", saveK = 2, dims = 3,
+      ann = Some(false), cacheRoot = Some(dir))
+    val b = second.caches("projection:b").orderBy("target_id", "rank").collect().toSeq
+    assert(a === b)
+    val manifests2 = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".manifest.json"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(manifests === manifests2, "unchanged inputs must not restamp manifests")
+    assert(new graft.core.CacheStore(dir).latest("maplatent").isDefined)
+  }
+
   test("subsetActive re-indexes cells densely and resets the mask") {
     import spark.implicits._
     val filtered = ds.copy(cells = ds.cells.withColumn("I",
