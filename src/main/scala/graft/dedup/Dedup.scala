@@ -132,11 +132,17 @@ object Dedup {
     // euclidean k-means on the unit sphere ≈ cosine clustering, and a
     // scaled duplicate becomes bit-identical to its original after
     // normalization — so true near-dups provably co-cluster instead of
-    // being split across Voronoi cells by magnitude
+    // being split across Voronoi cells by magnitude. The norm is
+    // projected ONCE per vector (an in-lambda dot would re-fold the
+    // whole vector per element — O(dim²)); the per-element value is
+    // bit-identical either way, so the oracle's in-lambda form replays
+    // this exactly.
     val e = col("embedding").cast("array<double>")
-    val latent = corpus.select(col("vec_id").cast("long").as("cell_id"),
-      transform(e, x =>
-        x / sqrt(graft.sim.Similarity.dot(e, e))).as("latent"))
+    val latent = corpus
+      .select(col("vec_id").cast("long").as("cell_id"), e.as("_e"))
+      .withColumn("_n", sqrt(graft.sim.Similarity.dot(col("_e"), col("_e"))))
+      .select(col("cell_id"),
+        transform(col("_e"), x => x / col("_n")).as("latent"))
     val sample = latent
       .withColumn("h", md5(concat(lit(s"$seed:"), col("cell_id"))))
       .orderBy(col("h"), col("cell_id")).limit(trainN)
@@ -152,7 +158,10 @@ object Dedup {
       }
       best
     }
-    val assigned = latent.withColumn("cl", nearest(col("latent")))
+    // the assignment feeds BOTH sides of the in-cluster self-join —
+    // without the cache the normalize + k-center distance scan over the
+    // full corpus executes twice
+    val assigned = latent.withColumn("cl", nearest(col("latent"))).cache()
     val a = assigned.select(col("cl"), col("cell_id").as("ida"),
       col("latent").as("va"))
     val b = assigned.select(col("cl"), col("cell_id").as("idb"),

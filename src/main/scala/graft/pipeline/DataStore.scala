@@ -232,27 +232,40 @@ case class DataStore(
       Seq("feat_id"), "left_semi")
     // The reference side depends on the target ONLY through the shared
     // feature set, so its assembled vectors and projected latent are
-    // reused across targets under a (feature-set fingerprint, dims,
-    // withStd) cache key — mapping many batches against one big
-    // reference (the 100 TB shape: N targets × one corpus) pays the
-    // reference-side normalize/assemble shuffles and latent transform
-    // ONCE, not per target. The fingerprint aggregation is over the
-    // ≤|HVG| shared set — driver cost is one tiny job.
+    // reused across targets under a (feature-set fingerprint, active-
+    // cell fingerprint, dims, withStd) cache key — mapping many batches
+    // against one big reference (the 100 TB shape: N targets × one
+    // corpus) pays the reference-side normalize/assemble shuffles and
+    // latent transform ONCE, not per target. The active-cell term is
+    // what keeps the key honest across MUTATION: filterCells carries
+    // `caches` through copy(), so without it a post-filter runMapping
+    // would silently reuse vectors built from the pre-filter cell set.
+    // Both fingerprints are tiny aggregations (≤|HVG| rows; id column
+    // of the cell table).
     val fp = shared.agg(count(lit(1)),
       coalesce(expr("bit_xor(xxhash64(feat_id))"), lit(0L))).head
-    val refKey = s"${fp.getLong(0)}:${fp.getLong(1)}:$dims:${!runCoral}"
+    val cfp = cells.filter(col("I")).agg(count(lit(1)),
+      coalesce(expr("bit_xor(xxhash64(cell_id))"), lit(0L))).head
+    val refKey = s"${fp.getLong(0)}:${fp.getLong(1)}:" +
+      s"${cfp.getLong(0)}:${cfp.getLong(1)}:$dims:${!runCoral}"
     val fi = Reduce.featureIndex(shared)
     def vecsOf(ds: DataStore) = Reduce.assembleVectors(
       Normalize.libSizeLog(ds.activeCoo).select("cell_id", "feat_id", "normed"),
       fi, "normed")
-    // With `cacheRoot` set the reference-side frames additionally
-    // persist to param-encoded parquet paths guarded by the active-COO
-    // fingerprint (same CacheStore discipline as makeGraph) — a
-    // mapping SERVER that restarts between target batches reloads the
-    // reference projection from disk instead of recomputing it. Note
-    // ML Vector columns don't round-trip parquet as-is, so the disk
-    // cache stores the latent (plain arrays); the vector frame stays
-    // session-local.
+    // With `cacheRoot` set the reference LATENT additionally persists
+    // to a param-encoded parquet path guarded by the active-COO
+    // fingerprint (same CacheStore discipline as makeGraph). Honest
+    // scope of the restart win: a fresh session still recomputes the
+    // reference vectors and refits the scaler/PCA (the target side
+    // needs the reducer), so the disk hit skips only the reference-
+    // side TRANSFORM; full restart amortization would persist the
+    // fitted model + vectors as well. Caveat: the refit is
+    // deterministic for a fixed partitioning, but MLlib's
+    // treeAggregate moment sums can shift by ulps under a different
+    // partition layout — a restarted server that changes parallelism
+    // should clear the cache dir rather than pair a fresh fit with an
+    // old latent. The ML-vector frame itself doesn't round-trip
+    // parquet, so only the latent (plain arrays) is disk-cached.
     val cs = cacheRoot.map(new graft.core.CacheStore(_))
     val params = Map("key" -> refKey)
     val srcVecs = caches.getOrElse(s"mapvecs:$refKey", vecsOf(this).cache())
@@ -274,12 +287,21 @@ case class DataStore(
     // deterministic (identical input → identical model), so the target
     // projection stays consistent with the cached reference latent.
     val reducer = Reduce.pcaReducer(srcVecs, dims, withStd = !runCoral)
-    val srcLatent = caches.getOrElse(s"maplatent:$refKey", cs match {
-      case Some(store) => store.getOrCompute(coo.sparkSession, "maplatent",
-        params, activeCoo)(reducer(srcVecs))
-      case None => reducer(srcVecs).cache()
-    })
-    cs.foreach(_.setLatest("maplatent", params))
+    // With a cache root, maplatent ALWAYS resolves through the disk
+    // layer (manifest check → read or materialize), and only then is
+    // the latest pointer stamped — resolving through the session map
+    // first would stamp latest_maplatent at a path getOrCompute never
+    // wrote (a session hit skips it), making latest() name a
+    // materialization that does not exist.
+    val srcLatent = cs match {
+      case Some(store) =>
+        val fromDisk = store.getOrCompute(coo.sparkSession, "maplatent",
+          params, activeCoo)(reducer(srcVecs))
+        store.setLatest("maplatent", params)
+        fromDisk
+      case None =>
+        caches.getOrElse(s"maplatent:$refKey", reducer(srcVecs).cache())
+    }
     val hits = Mapping.project(reducer(tgtIn), srcLatent, saveK,
       ann, annThreshold)
     copy(caches = caches +

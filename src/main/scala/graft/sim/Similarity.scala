@@ -126,20 +126,36 @@ object Similarity {
     * `corpus(vec_id, embedding)` → `(ida, idb, cos)` with ida < idb,
     * cos rounded 6 dp (the cross-engine fence).
     */
-  def cosineNearDupPairs(corpus: DataFrame, rounds: Int, minCos: Double,
-                         targetBucketSize: Int = 128,
-                         bucketCap: Int = 10000): DataFrame = {
+  /** Seeded multi-round LSH candidate generation — the one shared block
+    * behind [[cosineNearDupPairs]] and [[quantizedSelfTopK]]: planes
+    * sized from n by [[planesFor]], per-round hot-bucket cap, within-
+    * bucket self-join, union + distinct across rounds. `undirected`
+    * emits each pair once (left < right); otherwise both directions
+    * (each side needs its own top-k).
+    */
+  private def lshCandidates(corpus: DataFrame, rounds: Int,
+                            targetBucketSize: Int, bucketCap: Int,
+                            leftCol: String, rightCol: String,
+                            undirected: Boolean): DataFrame = {
     val nPlanes = planesFor(corpus.count(), targetBucketSize)
-    val cand = (0 until rounds).map { r =>
+    (0 until rounds).map { r =>
       val b = lshBucketsSeeded(corpus, nPlanes, r)
       val hot = b.groupBy("bucket").agg(count(lit(1)).as("_bn"))
         .filter(col("_bn") > bucketCap).select("bucket")
       val ok = b.join(hot, Seq("bucket"), "left_anti")
-      ok.select(col("bucket"), col("vec_id").as("ida"))
-        .join(ok.select(col("bucket"), col("vec_id").as("idb")), Seq("bucket"))
-        .filter(col("ida") < col("idb"))
-        .select("ida", "idb")
+      val j = ok.select(col("bucket"), col("vec_id").as(leftCol))
+        .join(ok.select(col("bucket"), col("vec_id").as(rightCol)), Seq("bucket"))
+      (if (undirected) j.filter(col(leftCol) < col(rightCol))
+       else j.filter(col(leftCol) =!= col(rightCol)))
+        .select(leftCol, rightCol)
     }.reduce(_ unionByName _).distinct()
+  }
+
+  def cosineNearDupPairs(corpus: DataFrame, rounds: Int, minCos: Double,
+                         targetBucketSize: Int = 128,
+                         bucketCap: Int = 10000): DataFrame = {
+    val cand = lshCandidates(corpus, rounds, targetBucketSize, bucketCap,
+      "ida", "idb", undirected = true)
     cand
       .join(corpus.select(col("vec_id").as("ida"),
         toDouble(col("embedding")).as("va")), Seq("ida"))
@@ -184,17 +200,8 @@ object Similarity {
   def quantizedSelfTopK(corpus: DataFrame, k: Int, rounds: Int,
                         targetBucketSize: Int = 128,
                         bucketCap: Int = 10000): DataFrame = {
-    val nPlanes = planesFor(corpus.count(), targetBucketSize)
-    val cand = (0 until rounds).map { r =>
-      val b = lshBucketsSeeded(corpus, nPlanes, r)
-      val hot = b.groupBy("bucket").agg(count(lit(1)).as("_bn"))
-        .filter(col("_bn") > bucketCap).select("bucket")
-      val ok = b.join(hot, Seq("bucket"), "left_anti")
-      ok.select(col("bucket"), col("vec_id").as("src"))
-        .join(ok.select(col("bucket"), col("vec_id").as("dst")), Seq("bucket"))
-        .filter(col("src") =!= col("dst"))
-        .select("src", "dst")
-    }.reduce(_ unionByName _).distinct()
+    val cand = lshCandidates(corpus, rounds, targetBucketSize, bucketCap,
+      "src", "dst", undirected = false)
     val codes = int8Codes(corpus)
     cand
       .join(codes.select(col("vec_id").as("src"), col("code").as("ca")), Seq("src"))

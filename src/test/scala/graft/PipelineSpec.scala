@@ -226,6 +226,26 @@ class PipelineSpec extends SparkSpec {
     assert(other.caches.keys.count(_.startsWith("maplatent:")) === 2)
   }
 
+  test("runMapping does NOT reuse the reference latent after the mask changes") {
+    val tgtCells = mapSrc.cells.filter($"cell_id" % 3 === 0)
+    val tgt = mapSrc.copy(cells = tgtCells,
+      coo = mapSrc.coo.join(tgtCells.select("cell_id"), Seq("cell_id")))
+    val once = mapSrc.runMapping(tgt, "a", saveK = 2, dims = 3, ann = Some(false))
+    // mutate the reference's active mask; `caches` rides along through
+    // copy(), so a stale key would silently serve pre-filter vectors
+    val filtered = once.copy(cells = once.cells
+      .withColumn("I", $"I" && $"cell_id" % 2 === 0))
+    val again = filtered.runMapping(tgt, "b", saveK = 2, dims = 3,
+      ann = Some(false))
+    assert(again.caches.keys.count(_.startsWith("maplatent:")) === 2,
+      "a mask change must mint a NEW reference-latent key, not reuse the old")
+    // and the post-filter projection only ever hits active reference cells
+    val active = again.cells.filter($"I").select($"cell_id".as("ref_id"))
+    val hits = again.caches("projection:b")
+    assert(hits.join(active, Seq("ref_id"), "left_anti").count() === 0,
+      "projection hit a reference cell that is no longer active")
+  }
+
   test("runMapping cacheRoot: reference latent survives a fresh session") {
     val dir = java.nio.file.Files.createTempDirectory("graftmap").toString
     val tgtCells = mapSrc.cells.filter($"cell_id" % 3 === 0)
