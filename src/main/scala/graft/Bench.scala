@@ -49,22 +49,44 @@ object Bench {
       }
     spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count().count()
 
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // a failed rep records (elapsed, ok = false) — it is EXCLUDED from
+    // the median (a planning-time crash would otherwise record near-zero
+    // seconds and silently improve the gate number) and surfaces in the
+    // JSON "errors" map instead; a query with no successful rep reports
+    // null
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case _: Throwable => false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to REPS).map(_ => once(fn)).sorted
-      name -> times(times.length / 2) // median
+      val reps = (1 to REPS).map(_ => once(fn))
+      val good = reps.filter(_._2).map(_._1).sorted
+      val median = if (good.nonEmpty) Some(good(good.length / 2)) else None
+      (name, median, reps.map(_._1), reps.count(!_._2))
     }
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     // short key = the qNN prefix (unique across the query set)
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+    def short(k: String) = k.takeWhile(_ != '_')
+    val qs = results.map { case (k, v, _, _) =>
+      "\"" + short(k) + "\":" + v.map(fmt(_).toString).getOrElse("null")
+    }.mkString("{", ",", "}")
+    // per-rep times for the 10 slowest queries only (the divergence-
+    // debugging ask: a driver-vs-builder 2.6 s-vs-13 s discrepancy is
+    // attributable to GC/contention vs plan from the spread alone);
+    // fast queries are dropped to keep the line inside the driver's
+    // 2000-byte output tail window
+    val slow = results.filter(_._2.isDefined).sortBy(-_._2.get).take(10)
+      .map { case (k, _, reps, _) =>
+        "\"" + short(k) + "\":[" + reps.map(fmt(_)).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+    val errs = results.filter(_._4 > 0)
+      .map { case (k, _, _, n) => "\"" + short(k) + "\":" + n }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$REPS,"queries":$qs,"sf":"$sfDir"}""")
+    val total = results.flatMap(_._2).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$REPS,"queries":$qs,"reps_slow":$slow,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

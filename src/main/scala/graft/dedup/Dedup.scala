@@ -126,8 +126,18 @@ object Dedup {
     * transitive closure + keep-one via distributed connected components.
     * `corpus(vec_id, embedding)` → `(vec_id, group_id, n_docs, keep)`.
     */
+  /** SemDeDup cluster-count rule, mirroring
+    * [[graft.sim.Similarity.planesFor]]: enough centroids that the
+    * expected cluster occupancy n / k lands at `targetClusterSize` — the
+    * in-cluster pair join is Σ_c |c|², so holding occupancy flat keeps it
+    * linear in n instead of quadratic at fixed k.
+    */
+  def clustersFor(n: Long, targetClusterSize: Int = 1024, minK: Int = 8): Int =
+    math.max(minK, ((n + targetClusterSize - 1) / targetClusterSize).toInt)
+
   def semDeDup(corpus: DataFrame, k: Int, iters: Int, seed: Long,
-               minCos: Double, trainN: Int = 10000): DataFrame = {
+               minCos: Double, trainN: Int = 10000,
+               clusterCap: Int = 10000): DataFrame = {
     // cluster NORMALIZED embeddings, as the published method does:
     // euclidean k-means on the unit sphere ≈ cosine clustering, and a
     // scaled duplicate becomes bit-identical to its original after
@@ -138,16 +148,24 @@ object Dedup {
     // bit-identical either way, so the oracle's in-lambda form replays
     // this exactly.
     val e = col("embedding").cast("array<double>")
+    // zero-norm clamp (the int8Codes guard): an all-zero embedding would
+    // otherwise yield a NaN latent that silently poisons the nearest-
+    // center scan and diverges from the oracle's division behavior
     val latent = corpus
       .select(col("vec_id").cast("long").as("cell_id"), e.as("_e"))
-      .withColumn("_n", sqrt(graft.sim.Similarity.dot(col("_e"), col("_e"))))
+      .withColumn("_n", greatest(
+        sqrt(graft.sim.Similarity.dot(col("_e"), col("_e"))), lit(1e-300)))
       .select(col("cell_id"),
         transform(col("_e"), x => x / col("_n")).as("latent"))
+    // k = 0 auto-sizes from the corpus count ([[clustersFor]]) — a caller
+    // keeping a fixed default k on a grown corpus is the measured
+    // quadratic regime, exactly like fixed LSH planes
+    val nClusters = if (k > 0) k else clustersFor(corpus.count())
     val sample = latent
       .withColumn("h", md5(concat(lit(s"$seed:"), col("cell_id"))))
       .orderBy(col("h"), col("cell_id")).limit(trainN)
       .select("cell_id", "latent")
-    val bc = graft.pipeline.Cluster.lloydWithCenters(sample, k, iters, seed)._2
+    val bc = graft.pipeline.Cluster.lloydWithCenters(sample, nClusters, iters, seed)._2
     val nearest = udf { (v: Seq[Double]) =>
       var best = 0; var bd = Double.MaxValue; var c = 0
       while (c < bc.length) {
@@ -160,18 +178,36 @@ object Dedup {
     }
     // the assignment feeds BOTH sides of the in-cluster self-join —
     // without the cache the normalize + k-center distance scan over the
-    // full corpus executes twice
-    val assigned = latent.withColumn("cl", nearest(col("latent"))).cache()
-    val a = assigned.select(col("cl"), col("cell_id").as("ida"),
+    // full corpus executes twice. Hot-cluster guard: members are ranked
+    // inside their cluster by a content-independent md5 order and
+    // sub-split into `clusterCap`-sized slices — for clusters under the
+    // cap the slice id is 0 for every member (identity), so the guard is
+    // always on yet replays exactly in the oracle; a degenerate cluster
+    // (boilerplate mass) contributes Σ cap² pairs instead of |c|².
+    // Near-dups straddling a slice boundary are the recall trade, same
+    // as lshCandidatePairs' dropped hot buckets.
+    val assigned = latent.withColumn("cl", nearest(col("latent")))
+      .withColumn("_rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("cl")
+        .orderBy(md5(concat(lit("split:"), col("cell_id"))), col("cell_id"))))
+      .withColumn("sub", expr(s"(_rn - 1) div $clusterCap"))
+      .cache()
+    val a = assigned.select(col("cl"), col("sub"), col("cell_id").as("ida"),
       col("latent").as("va"))
-    val b = assigned.select(col("cl"), col("cell_id").as("idb"),
+    val b = assigned.select(col("cl"), col("sub"), col("cell_id").as("idb"),
       col("latent").as("vb"))
-    val pairs = a.join(b, Seq("cl"))
+    // eager checkpoint: the pair set is small (candidates over minCos);
+    // materializing it here lets the full-corpus assignment cache be
+    // released before the CC iterations instead of leaking (the
+    // lloyd/ivfSelfKnn pattern)
+    val pairs = a.join(b, Seq("cl", "sub"))
       .filter(col("ida") < col("idb"))
       .select(col("ida"), col("idb"),
         round(graft.sim.Similarity.cosine(col("va"), col("vb")), 6).as("cos"))
       .filter(col("cos") >= minCos)
       .select("ida", "idb")
+      .localCheckpoint()
+    assigned.unpersist()
     nearDupGroups(corpus.select(col("vec_id").cast("long").as("doc_id")), pairs)
       .select(col("doc_id").as("vec_id"), col("group_id"), col("n_docs"),
         col("keep"))

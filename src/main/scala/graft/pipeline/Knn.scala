@@ -74,28 +74,44 @@ object Knn {
   def bucketedKnn(queries: DataFrame, corpus: DataFrame, k: Int,
                   nPlanes: Int = 0, rounds: Int = 6,
                   excludeSelf: Boolean = false): DataFrame = {
+    // both sides are re-bucketed every round — cache them once; released
+    // after the eager checkpoint of the (k-bounded) candidate aggregate
+    val self = queries eq corpus
+    val q0 = queries.cache()
+    val c0 = if (self) q0 else corpus.cache()
+    // one pass resolves row count (planesFor) AND dim (sign matrices)
+    val stats = c0.agg(count(lit(1)).as("n"),
+      max(size(col("latent").cast("array<double>"))).as("d")).head
     val planes =
       if (nPlanes > 0) nPlanes
-      else graft.sim.Similarity.planesFor(corpus.count())
+      else graft.sim.Similarity.planesFor(stats.getLong(0))
+    val dim = stats.getInt(1)
     val cand = (0 until rounds).map { r =>
-      def bucketed(side: DataFrame) = {
-        val emb = side.select(col("cell_id").as("vec_id"), col("latent").as("embedding"))
-        val bk = graft.sim.Similarity.lshBucketsSeeded(emb, planes, r)
-        bk.join(side, bk("vec_id") === side("cell_id"))
-          .select(col("vec_id").as("id"), col("bucket"), col("latent"))
-      }
+      // precomputed ±1 sign matrix, bucket id as codegen'd dot products —
+      // no per-row hashing and no bucket-frame re-join (see
+      // Similarity.bucketCol)
+      val signs = graft.sim.Similarity.signMatrix(planes, dim, r)
+      def bucketed(side: DataFrame) = side.select(
+        col("cell_id").as("id"),
+        graft.sim.Similarity.bucketCol(
+          col("latent").cast("array<double>"), signs).as("bucket"),
+        col("latent"))
       // multi-probe: own bucket plus every 1-bit flip of it
       val probes = array((col("bucket") +: (0 until planes).map(h =>
         col("bucket").bitwiseXOR(lit(1L << h)))): _*)
-      val qside = bucketed(queries).select(col("id").as("src"),
+      val qside = bucketed(q0).select(col("id").as("src"),
         col("latent").as("va"), explode(probes).as("bucket"))
-      val cside = bucketed(corpus).select(col("bucket"), col("id").as("dst"),
+      val cside = bucketed(c0).select(col("bucket"), col("id").as("dst"),
         col("latent").as("vb"))
       val joined = qside.join(cside, Seq("bucket"))
       (if (excludeSelf) joined.filter(col("src") =!= col("dst")) else joined)
         .select(col("src"), col("dst"), l2dot(col("va"), col("vb")).as("dist"))
     }.reduce(_ unionByName _)
-    cand.groupBy("src", "dst").agg(min(col("dist")).as("dist"))
+    val agg = cand.groupBy("src", "dst").agg(min(col("dist")).as("dist"))
+      .localCheckpoint()
+    q0.unpersist()
+    if (!self) c0.unpersist()
+    agg
       .withColumn("rn", row_number().over(
         Window.partitionBy("src").orderBy(round(col("dist"), 6), col("dst"))))
       .filter(col("rn") <= k)

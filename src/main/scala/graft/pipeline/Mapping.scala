@@ -35,31 +35,50 @@ object Mapping {
     * pass `excludeSelf = true` when the queries are drawn FROM the
     * reference itself (q37's sampled-query form).
     */
-  def project(target: DataFrame, ref: DataFrame, saveK: Int,
+  def project(target0: DataFrame, ref: DataFrame, saveK: Int,
               ann: Option[Boolean] = None,
               annThreshold: Long = 10000,
               excludeSelf: Boolean = false,
               metric: String = "l2"): DataFrame = {
+    // auto path selection needs a count — cache the target latent FIRST
+    // so the count doesn't execute the whole target-side
+    // normalize/assemble/transform plan once and the chosen path a
+    // second time (runMapping hits this on its default path every call).
+    // bucketedKnn re-caches the same plan (CacheManager no-op) and
+    // unpersists it; the exact path releases after an eager checkpoint
+    // of its k-bounded output.
+    val (target, cached) = ann match {
+      case Some(_) => (target0, false)
+      case None => (target0.cache(), true)
+    }
     val useAnn = ann.getOrElse(target.count() > annThreshold)
     require(!useAnn || metric == "l2",
       "the bucketed ANN path is l2-only (the reference's index space)")
-    if (useAnn)
-      Knn.bucketedKnn(target, ref, saveK, excludeSelf = excludeSelf)
-        .select(col("src").as("target_id"), col("dst").as("ref_id"),
-          col("dist"), col("rn").as("rank"))
-    else if (metric == "cosine")
-      graft.sim.Similarity.cosineTopK(
-          target.select(col("cell_id").as("qid"), col("latent").as("qvec")),
-          ref.select(col("cell_id").as("vec_id"), col("latent").as("embedding")),
-          saveK, excludeSelf = excludeSelf)
-        .select(col("qid").as("target_id"), col("vec_id").as("ref_id"),
-          col("cos"), (lit(1.0) - col("cos")).as("dist"), col("rn").as("rank"))
-    else
-      graft.sim.Similarity.l2TopK(
-          target.select(col("cell_id").as("qid"), col("latent").as("qvec")),
-          ref.select(col("cell_id").as("vec_id"), col("latent").as("embedding")),
-          saveK, excludeSelf = excludeSelf)
-        .select(col("qid").as("target_id"), col("vec_id").as("ref_id"),
-          col("dist"), col("rn").as("rank"))
+    val out =
+      if (useAnn)
+        Knn.bucketedKnn(target, ref, saveK, excludeSelf = excludeSelf)
+          .select(col("src").as("target_id"), col("dst").as("ref_id"),
+            col("dist"), col("rn").as("rank"))
+      else if (metric == "cosine")
+        graft.sim.Similarity.cosineTopK(
+            target.select(col("cell_id").as("qid"), col("latent").as("qvec")),
+            ref.select(col("cell_id").as("vec_id"), col("latent").as("embedding")),
+            saveK, excludeSelf = excludeSelf)
+          .select(col("qid").as("target_id"), col("vec_id").as("ref_id"),
+            col("cos"), (lit(1.0) - col("cos")).as("dist"), col("rn").as("rank"))
+      else
+        graft.sim.Similarity.l2TopK(
+            target.select(col("cell_id").as("qid"), col("latent").as("qvec")),
+            ref.select(col("cell_id").as("vec_id"), col("latent").as("embedding")),
+            saveK, excludeSelf = excludeSelf)
+          .select(col("qid").as("target_id"), col("vec_id").as("ref_id"),
+            col("dist"), col("rn").as("rank"))
+    if (!cached) out
+    else if (useAnn) out // bucketedKnn already checkpointed and unpersisted
+    else {
+      val o = out.localCheckpoint()
+      target.unpersist()
+      o
+    }
   }
 }

@@ -92,7 +92,7 @@ object MlQueries {
       val e = Tables.t(s, d, "embeddings")
       val latent = e.select(col("vec_id").as("cell_id"),
         col("embedding").cast("array<double>").as("latent"))
-      val knn = graft.pipeline.Knn.bucketedSelfKnn(latent, 5, nPlanes = 4, rounds = 6)
+      val knn = graft.pipeline.Knn.bucketedSelfKnn(latent, 5, rounds = 6)
         .select(col("src"), col("dst"), lit(1.0).as("weight"))
       val clusters = e.select(col("vec_id").as("cell_id"),
         col("label").cast("long").as("cluster"))
@@ -819,23 +819,30 @@ object MlQueries {
 
     "q61_silhouette" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, CAST(label AS BIGINT) AS cluster FROM embeddings),
-         ex AS (SELECT vec_id, UNNEST(e) AS x, GENERATE_SUBSCRIPTS(e, 1) AS j FROM v),
-         proj AS (
-           SELECT s.seed, p.h, ex.vec_id,
-                  SUM(CASE WHEN SUBSTRING(MD5(CONCAT(s.seed, ':', p.h, ':', ex.j - 1)), 1, 1)
-                           BETWEEN '8' AND 'f' THEN ex.x ELSE -ex.x END) AS pr
-           FROM ex
-           CROSS JOIN (SELECT UNNEST(RANGE(0, 6)) AS seed) s
-           CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS h) p
-           GROUP BY s.seed, p.h, ex.vec_id),
+         params AS (
+           SELECT GREATEST(4, CAST(CEIL(LOG2(CAST(CEIL(COUNT(*) / 128.0) AS BIGINT))) AS INT)) AS np
+           FROM v),
+         dims AS (SELECT MAX(LEN(e)) AS nd FROM v),
+         signs AS (
+           SELECT s.seed, p.h,
+                  LIST(CASE WHEN SUBSTRING(MD5(CONCAT(s.seed, ':', p.h, ':', j.j)), 1, 1)
+                            BETWEEN '8' AND 'f' THEN CAST(1.0 AS DOUBLE)
+                       ELSE CAST(-1.0 AS DOUBLE) END ORDER BY j.j) AS sv
+           FROM (SELECT UNNEST(RANGE(0, 6)) AS seed) s
+           CROSS JOIN (SELECT UNNEST(RANGE(0, (SELECT np FROM params))) AS h) p
+           CROSS JOIN (SELECT UNNEST(RANGE(0, (SELECT nd FROM dims))) AS j) j
+           GROUP BY s.seed, p.h),
          buck AS (
-           SELECT seed, vec_id,
-                  CAST(SUM(CASE WHEN pr > 0 THEN (1::BIGINT << h) ELSE 0 END) AS BIGINT) AS bucket
-           FROM proj GROUP BY seed, vec_id),
+           SELECT g.seed, v.vec_id,
+                  CAST(SUM(CASE WHEN LIST_DOT_PRODUCT(v.e, g.sv) > 0
+                                THEN (1::BIGINT << g.h) ELSE 0 END) AS BIGINT) AS bucket
+           FROM v CROSS JOIN signs g
+           GROUP BY g.seed, v.vec_id),
          probes AS (
            SELECT seed, vec_id,
-                  UNNEST([bucket, xor(bucket, 1::BIGINT), xor(bucket, 2::BIGINT),
-                          xor(bucket, 4::BIGINT), xor(bucket, 8::BIGINT)]) AS probe
+                  UNNEST(LIST_PREPEND(bucket,
+                    LIST_TRANSFORM(RANGE(0, (SELECT np FROM params)),
+                      h -> xor(bucket, 1::BIGINT << h)))) AS probe
            FROM buck),
          cand AS (
            SELECT DISTINCT p.vec_id AS src, b.vec_id AS dst

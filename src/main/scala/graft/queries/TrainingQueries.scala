@@ -272,11 +272,14 @@ object TrainingQueries {
             lit(0))).as("n_bpe_tokens"))
         .orderBy("doc_id")),
 
-    // scalable ANN self-KNN: LSH buckets + multi-probe + in-bucket exact
+    // scalable ANN self-KNN: LSH buckets + multi-probe + in-bucket exact.
+    // Plane count AUTO-SIZES from COUNT(*) (planesFor) — the benched plan
+    // is the occupancy-ruled one you'd run at 100×, and the oracle derives
+    // the identical count from its own COUNT(*)
     "q57_bucketed_knn" -> ((s, d) => {
       val latent = embs(s, d).select(col("vec_id").as("cell_id"),
         col("embedding").cast("array<double>").as("latent"))
-      graft.pipeline.Knn.bucketedSelfKnn(latent, 5, nPlanes = 4, rounds = 6)
+      graft.pipeline.Knn.bucketedSelfKnn(latent, 5, rounds = 6)
         .orderBy("src", "rn")
     }),
 
@@ -369,7 +372,7 @@ object TrainingQueries {
     */
   private def q83OracleSql: String = {
     val k = 8; val iters = 10; val seed = 4466L
-    val trainN = 10000; val dim = 128
+    val trainN = 10000; val dim = 128; val clusterCap = 10000
     val rd = s"range(1, ${dim + 1})"
     def d2(a: String, c: String) =
       s"list_sum(list_transform($rd, i -> ($a[i] - $c[i]) * ($a[i] - $c[i])))"
@@ -397,7 +400,7 @@ object TrainingQueries {
     FROM embeddings WHERE vec_id % 25 = 0),
   v AS MATERIALIZED (
     SELECT vec_id AS cell_id,
-           LIST_TRANSFORM(p0, x -> x / SQRT(LIST_DOT_PRODUCT(p0, p0))) AS p
+           LIST_TRANSFORM(p0, x -> x / GREATEST(SQRT(LIST_DOT_PRODUCT(p0, p0)), 1e-300)) AS p
     FROM base),
   vex AS MATERIALIZED (
     SELECT cell_id, GENERATE_SUBSCRIPTS(p, 1) AS pos, UNNEST(p) AS x FROM v),
@@ -420,9 +423,14 @@ object TrainingQueries {
              ROW_NUMBER() OVER (PARTITION BY v.cell_id
                ORDER BY ${d2("v.p", "kk.c")}, kk.cid) AS rn
       FROM v CROSS JOIN cent_$iters kk) WHERE rn = 1),
+  sp AS MATERIALIZED (
+    SELECT cell_id, cl,
+           (ROW_NUMBER() OVER (PARTITION BY cl
+              ORDER BY MD5('split:' || cell_id), cell_id) - 1) // $clusterCap AS sub
+    FROM asgall),
   prs AS MATERIALIZED (
     SELECT a.cell_id AS ida, b.cell_id AS idb
-    FROM asgall a JOIN asgall b ON a.cl = b.cl AND a.cell_id < b.cell_id
+    FROM sp a JOIN sp b ON a.cl = b.cl AND a.sub = b.sub AND a.cell_id < b.cell_id
     JOIN v va ON a.cell_id = va.cell_id
     JOIN v vb ON b.cell_id = vb.cell_id
     WHERE ROUND(LIST_DOT_PRODUCT(va.p, vb.p)
@@ -780,21 +788,24 @@ object TrainingQueries {
     "q80_quantized_knn" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          params AS (
-           SELECT GREATEST(4, CAST(CEIL(LOG2(GREATEST(1.0, COUNT(*) / 128.0))) AS INT)) AS np
+           SELECT GREATEST(4, CAST(CEIL(LOG2(CAST(CEIL(COUNT(*) / 128.0) AS BIGINT))) AS INT)) AS np
            FROM v),
-         ex AS (SELECT vec_id, UNNEST(e) AS x, GENERATE_SUBSCRIPTS(e, 1) AS j FROM v),
-         proj AS (
-           SELECT s.seed, p.h, ex.vec_id,
-                  SUM(CASE WHEN SUBSTRING(MD5(CONCAT(s.seed, ':', p.h, ':', ex.j - 1)), 1, 1)
-                           BETWEEN '8' AND 'f' THEN ex.x ELSE -ex.x END) AS pr
-           FROM ex
-           CROSS JOIN (SELECT UNNEST(RANGE(0, 2)) AS seed) s
+         dims AS (SELECT MAX(LEN(e)) AS nd FROM v),
+         signs AS (
+           SELECT s.seed, p.h,
+                  LIST(CASE WHEN SUBSTRING(MD5(CONCAT(s.seed, ':', p.h, ':', j.j)), 1, 1)
+                            BETWEEN '8' AND 'f' THEN CAST(1.0 AS DOUBLE)
+                       ELSE CAST(-1.0 AS DOUBLE) END ORDER BY j.j) AS sv
+           FROM (SELECT UNNEST(RANGE(0, 2)) AS seed) s
            CROSS JOIN (SELECT UNNEST(RANGE(0, (SELECT np FROM params))) AS h) p
-           GROUP BY s.seed, p.h, ex.vec_id),
+           CROSS JOIN (SELECT UNNEST(RANGE(0, (SELECT nd FROM dims))) AS j) j
+           GROUP BY s.seed, p.h),
          buck AS (
-           SELECT seed, vec_id,
-                  CAST(SUM(CASE WHEN pr > 0 THEN (1::BIGINT << h) ELSE 0 END) AS BIGINT) AS bucket
-           FROM proj GROUP BY seed, vec_id),
+           SELECT g.seed, v.vec_id,
+                  CAST(SUM(CASE WHEN LIST_DOT_PRODUCT(v.e, g.sv) > 0
+                                THEN (1::BIGINT << g.h) ELSE 0 END) AS BIGINT) AS bucket
+           FROM v CROSS JOIN signs g
+           GROUP BY g.seed, v.vec_id),
          hot AS (SELECT seed, bucket FROM buck GROUP BY seed, bucket
                  HAVING COUNT(*) > 10000),
          ok AS (SELECT * FROM buck b WHERE NOT EXISTS (
@@ -964,21 +975,24 @@ object TrainingQueries {
            SELECT vec_id + 1000000, LIST_TRANSFORM(embedding::DOUBLE[], x -> x * 1.5)
            FROM embeddings WHERE vec_id % 25 = 0),
          params AS (
-           SELECT GREATEST(4, CAST(CEIL(LOG2(GREATEST(1.0, COUNT(*) / 128.0))) AS INT)) AS np
+           SELECT GREATEST(4, CAST(CEIL(LOG2(CAST(CEIL(COUNT(*) / 128.0) AS BIGINT))) AS INT)) AS np
            FROM base),
-         ex AS (SELECT vec_id, UNNEST(e) AS x, GENERATE_SUBSCRIPTS(e, 1) AS j FROM base),
-         proj AS (
-           SELECT s.seed, p.h, ex.vec_id,
-                  SUM(CASE WHEN SUBSTRING(MD5(CONCAT(s.seed, ':', p.h, ':', ex.j - 1)), 1, 1)
-                           BETWEEN '8' AND 'f' THEN ex.x ELSE -ex.x END) AS pr
-           FROM ex
-           CROSS JOIN (SELECT UNNEST(RANGE(0, 2)) AS seed) s
+         dims AS (SELECT MAX(LEN(e)) AS nd FROM base),
+         signs AS (
+           SELECT s.seed, p.h,
+                  LIST(CASE WHEN SUBSTRING(MD5(CONCAT(s.seed, ':', p.h, ':', j.j)), 1, 1)
+                            BETWEEN '8' AND 'f' THEN CAST(1.0 AS DOUBLE)
+                       ELSE CAST(-1.0 AS DOUBLE) END ORDER BY j.j) AS sv
+           FROM (SELECT UNNEST(RANGE(0, 2)) AS seed) s
            CROSS JOIN (SELECT UNNEST(RANGE(0, (SELECT np FROM params))) AS h) p
-           GROUP BY s.seed, p.h, ex.vec_id),
+           CROSS JOIN (SELECT UNNEST(RANGE(0, (SELECT nd FROM dims))) AS j) j
+           GROUP BY s.seed, p.h),
          buck AS (
-           SELECT seed, vec_id,
-                  CAST(SUM(CASE WHEN pr > 0 THEN (1::BIGINT << h) ELSE 0 END) AS BIGINT) AS bucket
-           FROM proj GROUP BY seed, vec_id),
+           SELECT g.seed, v.vec_id,
+                  CAST(SUM(CASE WHEN LIST_DOT_PRODUCT(v.e, g.sv) > 0
+                                THEN (1::BIGINT << g.h) ELSE 0 END) AS BIGINT) AS bucket
+           FROM base v CROSS JOIN signs g
+           GROUP BY g.seed, v.vec_id),
          hot AS (SELECT seed, bucket FROM buck GROUP BY seed, bucket HAVING COUNT(*) > 10000),
          ok AS (SELECT * FROM buck b WHERE NOT EXISTS (
                   SELECT 1 FROM hot h WHERE h.seed = b.seed AND h.bucket = b.bucket)),
@@ -1019,23 +1033,30 @@ object TrainingQueries {
 
     "q57_bucketed_knn" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         ex AS (SELECT vec_id, UNNEST(e) AS x, GENERATE_SUBSCRIPTS(e, 1) AS j FROM v),
-         proj AS (
-           SELECT s.seed, p.h, ex.vec_id,
-                  SUM(CASE WHEN SUBSTRING(MD5(CONCAT(s.seed, ':', p.h, ':', ex.j - 1)), 1, 1)
-                           BETWEEN '8' AND 'f' THEN ex.x ELSE -ex.x END) AS pr
-           FROM ex
-           CROSS JOIN (SELECT UNNEST(RANGE(0, 6)) AS seed) s
-           CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS h) p
-           GROUP BY s.seed, p.h, ex.vec_id),
+         params AS (
+           SELECT GREATEST(4, CAST(CEIL(LOG2(CAST(CEIL(COUNT(*) / 128.0) AS BIGINT))) AS INT)) AS np
+           FROM v),
+         dims AS (SELECT MAX(LEN(e)) AS nd FROM v),
+         signs AS (
+           SELECT s.seed, p.h,
+                  LIST(CASE WHEN SUBSTRING(MD5(CONCAT(s.seed, ':', p.h, ':', j.j)), 1, 1)
+                            BETWEEN '8' AND 'f' THEN CAST(1.0 AS DOUBLE)
+                       ELSE CAST(-1.0 AS DOUBLE) END ORDER BY j.j) AS sv
+           FROM (SELECT UNNEST(RANGE(0, 6)) AS seed) s
+           CROSS JOIN (SELECT UNNEST(RANGE(0, (SELECT np FROM params))) AS h) p
+           CROSS JOIN (SELECT UNNEST(RANGE(0, (SELECT nd FROM dims))) AS j) j
+           GROUP BY s.seed, p.h),
          buck AS (
-           SELECT seed, vec_id,
-                  CAST(SUM(CASE WHEN pr > 0 THEN (1::BIGINT << h) ELSE 0 END) AS BIGINT) AS bucket
-           FROM proj GROUP BY seed, vec_id),
+           SELECT g.seed, v.vec_id,
+                  CAST(SUM(CASE WHEN LIST_DOT_PRODUCT(v.e, g.sv) > 0
+                                THEN (1::BIGINT << g.h) ELSE 0 END) AS BIGINT) AS bucket
+           FROM v CROSS JOIN signs g
+           GROUP BY g.seed, v.vec_id),
          probes AS (
            SELECT seed, vec_id,
-                  UNNEST([bucket, xor(bucket, 1::BIGINT), xor(bucket, 2::BIGINT),
-                          xor(bucket, 4::BIGINT), xor(bucket, 8::BIGINT)]) AS probe
+                  UNNEST(LIST_PREPEND(bucket,
+                    LIST_TRANSFORM(RANGE(0, (SELECT np FROM params)),
+                      h -> xor(bucket, 1::BIGINT << h)))) AS probe
            FROM buck),
          cand AS (
            SELECT DISTINCT p.vec_id AS src, b.vec_id AS dst

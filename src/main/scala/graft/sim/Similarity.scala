@@ -96,24 +96,75 @@ object Similarity {
     * near-duplicates candidates — the scale path for ANN.
     */
   def lshBuckets(corpus: DataFrame, nPlanes: Int): DataFrame =
-    bucketsWithKey(corpus, nPlanes, h => s"$h:")
+    bucketsWithKey(corpus, nPlanes, h => s"$h:", embeddingDim(corpus))
 
   /** Seeded hyperplane set for multi-round ANN: round r uses planes keyed
     * `"r:h:j"`, giving `rounds` independent bucketings whose candidate
     * unions drive recall toward 1 (see Knn.bucketedSelfKnn).
     */
   def lshBucketsSeeded(corpus: DataFrame, nPlanes: Int, seed: Int): DataFrame =
-    bucketsWithKey(corpus, nPlanes, h => s"$seed:$h:")
+    bucketsWithKey(corpus, nPlanes, h => s"$seed:$h:", embeddingDim(corpus))
+
+  /** The ±1 hyperplane sign matrix, built ONCE on the driver: component j
+    * of plane h is +1 iff the first md5 hex digit of `prefix(h) + j` is
+    * in '8'..'f' — i.e. the digest's top bit is set. Bit-identical to the
+    * per-row `md5(concat(...))` expression it replaces (Spark's `md5`
+    * hashes the UTF-8 bytes and the first hex char is the first byte's
+    * high nibble), but computed nPlanes × dim times TOTAL instead of
+    * nPlanes × dim times PER ROW: embedded as a literal array, each
+    * plane's projection becomes one codegen'd [[dot]] against the sign
+    * vector (x·(+1.0)/x·(−1.0) are exact, and the ascending fold order
+    * is unchanged, so bucket ids are bit-for-bit the old ones).
+    */
+  private def signMatrix(nPlanes: Int, dim: Int,
+                         prefix: Int => String): Array[Array[Double]] =
+    Array.tabulate(nPlanes) { h =>
+      val key = prefix(h)
+      Array.tabulate(dim) { j =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest((key + j).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if ((d(0) & 0x80) != 0) 1.0 else -1.0
+      }
+    }
+
+  /** Seeded sign matrix (keys `"seed:h:j"`, the lshBucketsSeeded keying)
+    * for orchestrators that bucket several frames per round (Knn).
+    */
+  def signMatrix(nPlanes: Int, dim: Int, seed: Int): Array[Array[Double]] =
+    signMatrix(nPlanes, dim, h => s"$seed:$h:")
+
+  /** Packed LSH bucket id of vector column `v` for a precomputed sign
+    * matrix — one codegen'd dot product per plane, no per-row hashing.
+    */
+  def bucketCol(v: Column, signs: Array[Array[Double]]): Column =
+    signs.zipWithIndex.map { case (s, h) =>
+      when(dot(v, lit(s)) > 0, lit(1L << h)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Seeded bucketing with a caller-known dimension (skips the dim probe
+    * job — orchestrators that loop over rounds resolve dim once).
+    */
+  def lshBucketsSeeded(corpus: DataFrame, nPlanes: Int, seed: Int,
+                       dim: Int): DataFrame =
+    bucketsWithKey(corpus, nPlanes, h => s"$seed:$h:", dim)
+
+  private def embeddingDim(corpus: DataFrame): Int =
+    corpus.select(size(toDouble(col("embedding"))).as("d")).head.getInt(0)
 
   /** ANN/LSH sizing rule (ScaleProbe-measured, PERF.md): enough
     * hyperplanes that the expected bucket occupancy n / 2^planes lands
     * at `targetBucketSize` — in-bucket pair work is Σ_b |b|², so holding
     * occupancy constant keeps the candidate join linear in n instead of
-    * quadratic at fixed planes.
+    * quadratic at fixed planes. Integer arithmetic (ceil-div then
+    * bit-length) so exact power-of-two ratios don't pick up a spurious
+    * extra plane from float log noise — the DuckDB oracles mirror it as
+    * CEIL(LOG2(CAST(CEIL(n / target) AS BIGINT))), exact for integer
+    * inputs.
     */
-  def planesFor(n: Long, targetBucketSize: Int = 128, minPlanes: Int = 4): Int =
-    math.max(minPlanes,
-      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketSize)) / math.log(2)).toInt)
+  def planesFor(n: Long, targetBucketSize: Int = 128, minPlanes: Int = 4): Int = {
+    val ratio = math.max(1L, (n + targetBucketSize - 1) / targetBucketSize)
+    math.max(minPlanes, 64 - java.lang.Long.numberOfLeadingZeros(ratio - 1))
+  }
 
   /** Embedding-cosine near-duplicate pairs at corpus scale: seeded
     * multi-round hyperplane LSH buckets (planes sized from n by
@@ -137,9 +188,17 @@ object Similarity {
                             targetBucketSize: Int, bucketCap: Int,
                             leftCol: String, rightCol: String,
                             undirected: Boolean): DataFrame = {
-    val nPlanes = planesFor(corpus.count(), targetBucketSize)
+    // one pass resolves BOTH auto-sizing inputs (row count for planesFor,
+    // dim for the sign matrices) instead of a count() plus a dim probe
+    val stats = corpus.agg(count(lit(1)).as("n"),
+      max(size(toDouble(col("embedding")))).as("d")).head
+    val nPlanes = planesFor(stats.getLong(0), targetBucketSize)
+    val dim = stats.getInt(1)
     (0 until rounds).map { r =>
-      val b = lshBucketsSeeded(corpus, nPlanes, r)
+      // localCheckpoint (eager): the tiny (vec_id, bucket) frame feeds the
+      // hot-bucket agg AND both sides of the self-join — without it the
+      // bucketing projection re-evaluates three times per round
+      val b = lshBucketsSeeded(corpus, nPlanes, r, dim).localCheckpoint()
       val hot = b.groupBy("bucket").agg(count(lit(1)).as("_bn"))
         .filter(col("_bn") > bucketCap).select("bucket")
       val ok = b.join(hot, Seq("bucket"), "left_anti")
@@ -151,12 +210,16 @@ object Similarity {
     }.reduce(_ unionByName _).distinct()
   }
 
-  def cosineNearDupPairs(corpus: DataFrame, rounds: Int, minCos: Double,
+  def cosineNearDupPairs(corpus0: DataFrame, rounds: Int, minCos: Double,
                          targetBucketSize: Int = 128,
                          bucketCap: Int = 10000): DataFrame = {
+    // the corpus feeds the sizing pass, every round's bucketing, and both
+    // sides of the scoring join — cache once, release after the eager
+    // checkpoint of the (small) pair output (the ivfSelfKnn pattern)
+    val corpus = corpus0.cache()
     val cand = lshCandidates(corpus, rounds, targetBucketSize, bucketCap,
       "ida", "idb", undirected = true)
-    cand
+    val out = cand
       .join(corpus.select(col("vec_id").as("ida"),
         toDouble(col("embedding")).as("va")), Seq("ida"))
       .join(corpus.select(col("vec_id").as("idb"),
@@ -164,6 +227,9 @@ object Similarity {
       .select(col("ida"), col("idb"),
         round(cosine(col("va"), col("vb")), 6).as("cos"))
       .filter(col("cos") >= minCos)
+      .localCheckpoint()
+    corpus.unpersist()
+    out
   }
 
   /** Per-vector symmetric int8 scalar quantization — the memory side of
@@ -197,13 +263,14 @@ object Similarity {
     * class of any scoring kernel here; the 6 dp rounding is only for
     * the rank tie-break fence. Returns `(src, dst, qcos, rn)`.
     */
-  def quantizedSelfTopK(corpus: DataFrame, k: Int, rounds: Int,
+  def quantizedSelfTopK(corpus0: DataFrame, k: Int, rounds: Int,
                         targetBucketSize: Int = 128,
                         bucketCap: Int = 10000): DataFrame = {
+    val corpus = corpus0.cache()
     val cand = lshCandidates(corpus, rounds, targetBucketSize, bucketCap,
       "src", "dst", undirected = false)
     val codes = int8Codes(corpus)
-    cand
+    val out = cand
       .join(codes.select(col("vec_id").as("src"), col("code").as("ca")), Seq("src"))
       .join(codes.select(col("vec_id").as("dst"), col("code").as("cb")), Seq("dst"))
       .select(col("src"), col("dst"),
@@ -213,21 +280,14 @@ object Similarity {
       .withColumn("rn", row_number().over(
         Window.partitionBy("src").orderBy(col("qcos").desc, col("dst"))))
       .filter(col("rn") <= k)
+      .localCheckpoint()
+    corpus.unpersist()
+    out
   }
 
   private def bucketsWithKey(corpus: DataFrame, nPlanes: Int,
-                             prefix: Int => String): DataFrame = {
-    val v = toDouble(col("embedding"))
-    val bits = (0 until nPlanes).map { h =>
-      // component j of plane h: +1 if md5(key(h) + j) first hex digit >= '8'
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, j) =>
-          when(substring(md5(concat(lit(prefix(h)), j.cast("string"))), 1, 1)
-            .isInCollection(Seq("8", "9", "a", "b", "c", "d", "e", "f")), x)
-            .otherwise(-x)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << h)).otherwise(lit(0L))
-    }
-    corpus.select(col("vec_id"), bits.reduce(_ + _).as("bucket"))
-  }
+                             prefix: Int => String, dim: Int): DataFrame =
+    corpus.select(col("vec_id"),
+      bucketCol(toDouble(col("embedding")),
+        signMatrix(nPlanes, dim, prefix)).as("bucket"))
 }

@@ -128,11 +128,43 @@ class DedupSimSpec extends SparkSpec {
     assert(m(0L) !== m(3L))
   }
 
+  test("precomputed sign-matrix buckets are bit-identical to the per-row md5 form") {
+    // the legacy formulation bucketsWithKey replaced: per-row, per-plane,
+    // per-element md5 parity inside a zip_with/aggregate fold — kept here
+    // as the ground truth the driver-side MessageDigest signs must match
+    def legacy(corpus: org.apache.spark.sql.DataFrame, nPlanes: Int, seed: Int) = {
+      val v = col("embedding").cast("array<double>")
+      val bits = (0 until nPlanes).map { h =>
+        val proj = aggregate(
+          zip_with(v, sequence(lit(0), size(v) - 1), (x, j) =>
+            when(substring(md5(concat(lit(s"$seed:$h:"), j.cast("string"))), 1, 1)
+              .isInCollection(Seq("8", "9", "a", "b", "c", "d", "e", "f")), x)
+              .otherwise(-x)),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj > 0, lit(1L << h)).otherwise(lit(0L))
+      }
+      corpus.select(col("vec_id"), bits.reduce(_ + _).as("bucket"))
+    }
+    val mixed = (0L until 50L).map(i =>
+      (i, Array.tabulate(7)(j => math.sin(i * 31 + j * 17).toFloat)))
+      .toDF("vec_id", "embedding")
+    (0 until 3).foreach { seed =>
+      val fast = rows(Similarity.lshBucketsSeeded(mixed, 9, seed).orderBy("vec_id"))
+      val slow = rows(legacy(mixed, 9, seed).orderBy("vec_id"))
+      assert(fast === slow, s"seed $seed")
+    }
+  }
+
   test("planesFor holds expected bucket occupancy flat as n grows") {
     assert(Similarity.planesFor(100) === 4)          // floor at minPlanes
     assert(Similarity.planesFor(2048) === 4)         // 2048/128 = 16 = 2^4
     assert(Similarity.planesFor(20800) === 8)        // sf0.1 embeddings+planted
     assert(Similarity.planesFor(2080000) === 14)     // 100× that — still ~128/bucket
+    // integer-exact at power-of-two ratios: no float-log spurious plane
+    // (the old ln-division gave 30/32/40/48 here — ADVICE r4)
+    assert(Similarity.planesFor(128L << 29) === 29)
+    assert(Similarity.planesFor(128L << 31) === 31)
+    assert(Similarity.planesFor((128L << 29) + 1) === 30)
     // occupancy n / 2^planes stays bounded (≤ 256) across 4 decades
     Seq(1000L, 10000L, 100000L, 1000000L, 10000000L).foreach { n =>
       val occ = n.toDouble / (1L << Similarity.planesFor(n))
@@ -183,6 +215,42 @@ class DedupSimSpec extends SparkSpec {
     assert(r(11L) === ((1L, 3L, false)))
     assert(r(2L) === ((2L, 1L, true)))
     assert(r(3L) === ((3L, 1L, true)))
+  }
+
+  test("semDeDup: hot-cluster cap sub-splits a degenerate cluster before the pair join") {
+    // 50 identical vectors all land in ONE cluster: uncapped that is
+    // C(50,2) = 1225 pairs; clusterCap = 10 slices the cluster into 5
+    // md5-ranked sub-clusters, bounding the join at 5 × C(10,2) = 225
+    // pairs while still deduping within each slice → exactly 5 keeps of
+    // n_docs = 10, instead of one giant |c|² stage
+    val same = (0L until 50L).map(i => (i, Array(1.0f, 2.0f, 3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val capped = Dedup.semDeDup(same, k = 2, iters = 3, seed = 1L,
+      minCos = 0.999, clusterCap = 10).collect()
+    val groups = capped.groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    assert(groups.size === 5, s"expected 5 cap-sized groups, got $groups")
+    assert(groups.values.forall(_ == 10))
+    assert(capped.count(_.getBoolean(3)) === 5)
+    // identity for clusters under the cap: the default-cap result still
+    // collapses everything into one group
+    val uncapped = Dedup.semDeDup(same, k = 2, iters = 3, seed = 1L,
+      minCos = 0.999).collect()
+    assert(uncapped.count(_.getBoolean(3)) === 1)
+    assert(uncapped.forall(_.getLong(2) === 50L))
+  }
+
+  test("semDeDup: k = 0 auto-sizes clusters from the corpus count") {
+    assert(Dedup.clustersFor(100) === 8)           // floor at minK
+    assert(Dedup.clustersFor(1024 * 8) === 8)
+    assert(Dedup.clustersFor(1024 * 8 + 1) === 9)  // ceil-div growth
+    assert(Dedup.clustersFor(10000000) === 9766)   // occupancy stays ~1024
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f)), (10L, Array(2.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Dedup.semDeDup(e, k = 0, iters = 3, seed = 1L, minCos = 0.999)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(3)).toMap
+    assert(r === Map(1L -> true, 10L -> false, 2L -> true))
   }
 
   test("int8Codes: max component codes to +-127, codes are integers in range") {
