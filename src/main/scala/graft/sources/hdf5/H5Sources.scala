@@ -174,18 +174,77 @@ object H5Sources {
     } finally r.close()
   }
 
+  /** H5adReader `obsm` import (scarf/readers.py:845-868): each 2-d
+    * dataset `obsm/<name>` with nCells rows becomes per-cell columns
+    * `<name>1 .. <name>d` (the reference's `f"{i}{j+1}"` naming), keyed
+    * by `ordinal` for joining onto the obs frame. Mis-sized slots and a
+    * missing/non-group `obsm` are skipped, as the reference does.
+    *
+    * Scale: embedding widths are small (2-50) but nCells is not, so each
+    * slot is read by row-range tasks like [[denseCoo]] — the driver only
+    * touches dims; slot frames then join on `ordinal`.
+    */
+  def obsmFrame(spark: SparkSession, path: String, nCells: Long,
+                obsmKey: String = "obsm", nPartitions: Int = 32)
+      : Option[DataFrame] = {
+    val r = new H5Reader(path)
+    val slots: Seq[(String, Long)] = try {
+      if (!r.exists(obsmKey) || !r.isGroup(obsmKey)) Seq.empty
+      else r.childNames(obsmKey).sorted.flatMap { nm =>
+        val dims = r.dataset(s"$obsmKey/$nm").dims
+        if (dims.length == 2 && dims(0) == nCells) Some((nm, dims(1))) else None
+      }
+    } finally r.close()
+    if (slots.isEmpty) return None
+    val frames = slots.map { case (nm, nc) =>
+      val rowsPer = math.max(1L, nCells / nPartitions)
+      val tasks = (0L until nCells by rowsPer)
+        .map(r0 => (r0, math.min(nCells, r0 + rowsPer)))
+      val schema = StructType(
+        StructField("ordinal", LongType, nullable = false) +:
+        (1L to nc).map(j => StructField(s"$nm$j", DoubleType, nullable = false)))
+      val rdd = spark.sparkContext.parallelize(tasks, tasks.size).flatMap {
+        case (r0, r1) =>
+          val rr = new H5Reader(path)
+          try {
+            val vals = rr.dataset(s"$obsmKey/$nm").readDoubles(r0 * nc, r1 * nc)
+            (r0 until r1).iterator.map { row =>
+              val off = ((row - r0) * nc).toInt
+              Row.fromSeq(row +: (0 until nc.toInt).map(j => vals(off + j)))
+            }.toVector
+          } finally rr.close()
+      }
+      spark.createDataFrame(rdd, schema)
+    }
+    Some(frames.reduce(_.join(_, "ordinal")))
+  }
+
   // ---------------------------------------------------------------- readers
   /** H5adReader: (X as COO, obs, var). Dense `X` datasets are also
-    * accepted (consume_dataset path, scarf/readers.py:881-893).
+    * accepted (consume_dataset path, scarf/readers.py:881-893). When the
+    * file carries an `obsm` group, its embedding matrices land as extra
+    * per-cell columns on the obs frame (`X_umap1`, `X_umap2`, ... —
+    * scarf/readers.py:630-644, 845-868).
     */
   def h5ad(spark: SparkSession, path: String, matrixKey: String = "X")
       : (DataFrame, DataFrame, DataFrame) = {
     val r = new H5Reader(path)
-    val isCsr = try r.isGroup(matrixKey) finally r.close()
+    val (isCsr, nCells) = try {
+      val csr = r.isGroup(matrixKey)
+      val n =
+        if (csr) r.dataset(s"$matrixKey/indptr").dims(0) - 1
+        else r.dataset(matrixKey).dims(0)
+      (csr, n)
+    } finally r.close()
     val coo =
       if (isCsr) csrCoo(spark, path, matrixKey)
       else denseCoo(spark, path, matrixKey, transpose = false)
-    (coo, attrsFrame(spark, path, "obs"), attrsFrame(spark, path, "var"))
+    val obs0 = attrsFrame(spark, path, "obs")
+    val obs = obsmFrame(spark, path, nCells) match {
+      case Some(m) => obs0.join(m, "ordinal")
+      case None => obs0
+    }
+    (coo, obs, attrsFrame(spark, path, "var"))
   }
 
   /** CrH5Reader: 10x CellRanger HDF5. Modern files root at `matrix` with
@@ -338,7 +397,8 @@ object H5Sources {
     * reference's h5py writer); files are capped at 2 GB by the in-memory
     * builder — `save` raises past that rather than corrupting.
     */
-  def toH5ad(coo: DataFrame, cells: DataFrame, feats: DataFrame, path: String): Unit = {
+  def toH5ad(coo: DataFrame, cells: DataFrame, feats: DataFrame, path: String,
+             obsm: Map[String, DataFrame] = Map.empty): Unit = {
     val nCells = cells.count().toInt
     val nFeats = feats.count().toInt
     // dense re-index: ordinal position of each id in its metadata frame
@@ -422,6 +482,23 @@ object H5Sources {
     }
     writeFrame("obs", cells, "cell_id")
     writeFrame("var", feats, "feat_id")
+    // obsm export: each (cell_id, v1..vd) frame becomes a dense 2-d
+    // dataset obsm/<name> in dense cell order — the inverse of
+    // [[obsmFrame]], so a toH5ad → h5ad round-trip preserves embeddings.
+    obsm.foreach { case (nm, df) =>
+      val vcols = df.columns.toSeq.filterNot(_ == "cell_id")
+      val d = vcols.length
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val it2 = df.join(cellRemap, Seq("cell_id")).orderBy("c_pos")
+        .select(vcols.map(c => col(c).cast("double")): _*).toLocalIterator()
+      while (it2.hasNext) {
+        val r = it2.next()
+        (0 until d).foreach(i => buf += r.getDouble(i))
+      }
+      require(buf.length == nCells.toLong * d,
+        s"obsm/$nm has ${buf.length / math.max(1, d)} rows; expected $nCells")
+      w.putDense2D(s"obsm/$nm", nCells.toLong, d.toLong, buf.toArray)
+    }
     w.save(path)
   }
 }

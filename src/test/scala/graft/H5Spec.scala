@@ -256,6 +256,46 @@ class H5Spec extends SparkSpec {
     assert(var2.count() == 4)
   }
 
+  test("obsm round-trips: toH5ad(planted obsm) -> h5ad reads X_umap1.. columns") {
+    import spark.implicits._
+    val coo = Seq((0L, 0L, 2.0), (1L, 1L, 4.0), (2L, 2L, 7.0))
+      .toDF("cell_id", "feat_id", "value")
+    val cells = Seq((0L, "c0"), (1L, "c1"), (2L, "c2")).toDF("cell_id", "ids")
+    val feats = Seq((0L, "g0"), (1L, "g1"), (2L, "g2")).toDF("feat_id", "ids")
+    val umap = Seq((0L, 0.5, -1.0), (1L, 1.5, 2.25), (2L, -3.0, 0.0))
+      .toDF("cell_id", "u1", "u2")
+    val pca = Seq((0L, 9.0), (1L, 8.0), (2L, 7.0)).toDF("cell_id", "p1")
+    val p = tmp("obsm.h5ad")
+    H5Sources.toH5ad(coo, cells, feats, p,
+      obsm = Map("X_umap" -> umap, "X_pca" -> pca))
+    val (_, obs, _) = H5Sources.h5ad(spark, p)
+    // reference naming: f"{slot}{j+1}" (scarf/readers.py:860-861)
+    assert(Seq("X_umap1", "X_umap2", "X_pca1").forall(obs.columns.contains))
+    val o = obs.orderBy("ordinal").collect()
+    assert(o.map(_.getAs[Double]("X_umap1")).toSeq == Seq(0.5, 1.5, -3.0))
+    assert(o.map(_.getAs[Double]("X_umap2")).toSeq == Seq(-1.0, 2.25, 0.0))
+    assert(o.map(_.getAs[Double]("X_pca1")).toSeq == Seq(9.0, 8.0, 7.0))
+    assert(o.map(_.getAs[String]("id")).toSeq == Seq("c0", "c1", "c2"))
+  }
+
+  test("obsm import skips mis-sized slots, as the reference does") {
+    val p = tmp("badobsm.h5ad")
+    val w = new H5Writer
+    w.putDoubles("X/data", Array(1.0))
+    w.putInts("X/indices", Array(0))
+    w.putLongs("X/indptr", Array(0L, 1L, 1L))
+    w.putStrings("obs/_index", Array("c0", "c1"))
+    w.putStrings("var/_index", Array("g0"))
+    // wrong row count (3 != nCells 2): must be skipped, not fail
+    w.putDense2D("obsm/X_bad", 3L, 2L, Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+    w.putDense2D("obsm/X_ok", 2L, 1L, Array(0.25, 0.75))
+    w.save(p)
+    val (_, obs, _) = H5Sources.h5ad(spark, p)
+    assert(obs.columns.contains("X_ok1") && !obs.columns.exists(_.startsWith("X_bad")))
+    assert(obs.orderBy("ordinal").collect().map(_.getAs[Double]("X_ok1")).toSeq ==
+      Seq(0.25, 0.75))
+  }
+
   test("toH5ad re-indexes masked/sparse ids to dense CSR positions") {
     import spark.implicits._
     // non-prefix cell ids and sparse feature ids
