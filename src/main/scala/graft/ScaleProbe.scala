@@ -199,6 +199,27 @@ object ScaleProbe {
     }
     out(s"quantized_knn_$nVec") = tQuant
 
+    // the q58/q59 shapes at replication scale (round-4 watch items): the
+    // seeded pseudo-rep pseudobulk is one md5-gated groupBy over the COO;
+    // the LOWESS chain is normalize → featureStats → nBins-bounded
+    // driver solve — both should scale with the COO volume, nothing else
+    val (_, tBulk) = time {
+      val groups = coo.select("cell_id").distinct()
+        .select(col("cell_id"), pmod(col("cell_id"), lit(5)).cast("string").as("group"))
+      graft.stats.Pseudobulk.makeBulk(coo, groups, pseudoReps = 3, seed = 4466L)
+        .write.format("noop").mode("overwrite").save()
+    }
+    out("make_bulk_reps_12M") = tBulk
+    val (_, tLowess) = time {
+      val normed = graft.norm.Normalize.libSizeLog(coo)
+        .select("cell_id", "feat_id", "normed")
+      val stats = graft.stats.MatrixStats.featureStats(
+        normed, coo.select(countDistinct("cell_id").as("n_total_cells")))
+      graft.stats.Lowess.correctedVar(stats, nBins = 10, frac = 0.5)
+        .write.format("noop").mode("overwrite").save()
+    }
+    out("hvg_lowess_12M") = tLowess
+
     val qs = out.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe","copies":$copies,"nnz":$nnz,"timings":$qs}""")
     spark.stop()

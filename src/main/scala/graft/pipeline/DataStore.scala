@@ -343,6 +343,16 @@ case class DataStore(
       UmapLayout.initFromLatent(caches("latent")),
       useK, targetWeight, nEpochs, seed)
 
+  /** run_unified_tsne over a saved projection (mapping_datastore.py:
+    * 573-668) — same unified graph + init, t-SNE kernel. */
+  def getUnifiedTsne(targetName: String, useK: Int = 3,
+                     targetWeight: Double = 0.5, nIter: Int = 300,
+                     learningRate: Double = 200.0): DataFrame =
+    Unified.unifiedTsne(caches("edges"),
+      caches(s"projection:$targetName").select("target_id", "ref_id", "rank"),
+      UmapLayout.initFromLatent(caches("latent")),
+      useK, targetWeight, nIter, learningRate)
+
   /** SubsetZarr equivalent (scarf/writers.py:938-1110): extract the
     * active cells into a new store with dense re-indexed cell ids
     * (semi-join + scalable global ordinal), optionally resetting `I`.

@@ -92,9 +92,73 @@ object TsneLayout {
     // normal init, made reproducible)
     val rnd = new scala.util.Random(seed)
     val y = Array.fill(n, 2)(rnd.nextGaussian() * 1e-4)
+    descend(p, y, nIter, learningRate)
+    ids.indices.map(i0 => (ids(i0), y(i0)(0), y(i0)(1)))
+      .toSeq.toDF("cell_id", "tsne1", "tsne2")
+  }
+
+  /** Graph-affinity t-SNE: P comes from the symmetrized, mass-normalized
+    * edge weights instead of a latent-space Gaussian kernel, and descent
+    * starts from the caller's init coordinates — the role SG-tSNE-Π
+    * plays for run_tsne/run_unified_tsne (the reference feeds it the KNN
+    * graph, scarf/datastore/graph_datastore.py run_tsne;
+    * mapping_datastore.py:573-668). Same single-node boundary as
+    * [[layout]]; nodes present in `init` but absent from `edges` feel
+    * only repulsion, and every edge endpoint must carry an init row.
+    */
+  def layoutFromGraph(edges: DataFrame, init: DataFrame, nIter: Int = 300,
+                      learningRate: Double = 200.0): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val rows = init.select("cell_id", "x", "y").as[(Long, Double, Double)]
+      .collect().sortBy(_._1)
+    val ids = rows.map(_._1)
+    val idx = ids.zipWithIndex.toMap
+    val n = ids.length
+    require(n >= 3, "t-SNE needs at least 3 points")
+    val p = Array.ofDim[Double](n, n)
+    edges.select("src", "dst", "weight").as[(Long, Long, Double)].collect()
+      .foreach { case (s, d, w) =>
+        require(idx.contains(s) && idx.contains(d),
+          s"edge endpoint without an init row: ($s, $d)")
+        if (s != d) { p(idx(s))(idx(d)) += w; p(idx(d))(idx(s)) += w }
+      }
+    var tot = 0.0
+    var i = 0
+    while (i < n) { var j = 0; while (j < n) { tot += p(i)(j); j += 1 }; i += 1 }
+    i = 0
+    while (i < n) {
+      var j = 0
+      while (j < n) {
+        if (j != i) p(i)(j) = math.max(if (tot > 0) p(i)(j) / tot else 0.0, 1e-12)
+        j += 1
+      }
+      i += 1
+    }
+    // rescale the init to std 1e-4 (openTSNE's convention for informed
+    // inits): the descent's step sizes assume a near-origin start, and a
+    // wide init makes the early-exaggeration phase diverge. Relative
+    // geometry — the only thing the init carries — is preserved.
+    val y = rows.map(r => Array(r._2, r._3))
+    val mx = Array(y.map(_(0)).sum / n, y.map(_(1)).sum / n)
+    val sd = math.sqrt(y.map(r => {
+      val a = r(0) - mx(0); val b = r(1) - mx(1); a * a + b * b
+    }).sum / (2 * n))
+    val sc = if (sd > 0) 1e-4 / sd else 1.0
+    y.foreach { r => r(0) = (r(0) - mx(0)) * sc; r(1) = (r(1) - mx(1)) * sc }
+    descend(p, y, nIter, learningRate)
+    ids.indices.map(i0 => (ids(i0), y(i0)(0), y(i0)(1)))
+      .toSeq.toDF("cell_id", "tsne1", "tsne2")
+  }
+
+  /** Early-exaggerated momentum gradient descent on the Student-t Q
+    * (van der Maaten 2008) — mutates `y` in place. */
+  private def descend(p: Array[Array[Double]], y: Array[Array[Double]],
+                      nIter: Int, learningRate: Double): Unit = {
+    val n = y.length
     val dy = Array.fill(n, 2)(0.0)
     val gains = Array.fill(n, 2)(1.0)
-
+    var i = 0
     var iter = 0
     while (iter < nIter) {
       val exag = if (iter < 100) 12.0 else 1.0
@@ -141,7 +205,5 @@ object TsneLayout {
       }
       iter += 1
     }
-    ids.indices.map(i0 => (ids(i0), y(i0)(0), y(i0)(1)))
-      .toSeq.toDF("cell_id", "tsne1", "tsne2")
   }
 }

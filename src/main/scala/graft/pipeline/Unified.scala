@@ -40,6 +40,18 @@ object Unified {
     (edges, mapping)
   }
 
+  /** _get_uni_ini_embed: targets start at their rank-1 reference
+    * neighbor's init coordinates; references keep their own. */
+  private def unifiedInit(mapping: DataFrame, hits: DataFrame,
+                          refInit: DataFrame): DataFrame = {
+    val targetInit = hits.filter(col("rank") === 1)
+      .join(mapping.filter(col("origin") === "target")
+        .select(col("orig_id").as("target_id"), col("unified_id")), Seq("target_id"))
+      .join(refInit.withColumnRenamed("cell_id", "ref_id"), Seq("ref_id"))
+      .select(col("unified_id").as("cell_id"), col("x"), col("y"))
+    refInit.select("cell_id", "x", "y").unionByName(targetInit)
+  }
+
   /** run_unified_umap: targets start at their rank-1 reference neighbor's
     * init coordinates (_get_uni_ini_embed), then the union graph is laid
     * out. `refInit(cell_id, x, y)`. Output:
@@ -49,15 +61,29 @@ object Unified {
                   useK: Int = 3, targetWeight: Double = 0.1,
                   nEpochs: Int = 50, seed: Long = 4444L): DataFrame = {
     val (edges, mapping) = unifiedGraph(refEdges, hits, useK, targetWeight)
-    val targetInit = hits.filter(col("rank") === 1)
-      .join(mapping.filter(col("origin") === "target")
-        .select(col("orig_id").as("target_id"), col("unified_id")), Seq("target_id"))
-      .join(refInit.withColumnRenamed("cell_id", "ref_id"), Seq("ref_id"))
-      .select(col("unified_id").as("cell_id"), col("x"), col("y"))
-    val init = refInit.select("cell_id", "x", "y").unionByName(targetInit)
+    val init = unifiedInit(mapping, hits, refInit)
     UmapLayout.layout(edges, init, nEpochs = nEpochs, seed = seed)
       .join(mapping.withColumnRenamed("unified_id", "cell_id"), Seq("cell_id"))
       .select(col("cell_id").as("unified_id"), col("origin"), col("orig_id"),
         col("umap1"), col("umap2"))
+  }
+
+  /** run_unified_tsne (scarf/datastore/mapping_datastore.py:573-668):
+    * the same unified graph + rank-1 init, laid out with the graph-
+    * affinity t-SNE kernel instead of UMAP (the reference processes the
+    * loaded graph "the same way as run_tsne", feeding it to SG-tSNE-Π).
+    * Reference defaults: use_k = 3, target_weight = 0.5. Output:
+    * (unified_id, origin, orig_id, tsne1, tsne2).
+    */
+  def unifiedTsne(refEdges: DataFrame, hits: DataFrame, refInit: DataFrame,
+                  useK: Int = 3, targetWeight: Double = 0.5,
+                  nIter: Int = 300, learningRate: Double = 200.0): DataFrame = {
+    val (edges, mapping) = unifiedGraph(refEdges, hits, useK, targetWeight)
+    val init = unifiedInit(mapping, hits, refInit)
+    TsneLayout.layoutFromGraph(edges, init, nIter = nIter,
+        learningRate = learningRate)
+      .join(mapping.withColumnRenamed("unified_id", "cell_id"), Seq("cell_id"))
+      .select(col("cell_id").as("unified_id"), col("origin"), col("orig_id"),
+        col("tsne1"), col("tsne2"))
   }
 }

@@ -60,6 +60,32 @@ class UnifiedUmapSpec extends SparkSpec {
     assert(dist(pos("target101"), cB) < dist(pos("target101"), cA))
   }
 
+  test("unifiedTsne keeps targets embedded beside their reference clique") {
+    val out = Unified.unifiedTsne(refEdges, hits, refInit,
+      useK = 2, targetWeight = 0.5, nIter = 120)
+    val rows = out.collect().map(r =>
+      (r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == 8)
+    rows.foreach { case (_, _, x, y) => assert(!x.isNaN && !y.isNaN) }
+    val pos = rows.map { case (o, id, x, y) => (s"$o$id", (x, y)) }.toMap
+    def dist(a: (Double, Double), b: (Double, Double)) =
+      math.hypot(a._1 - b._1, a._2 - b._2)
+    val cA = ((pos("ref0")._1 + pos("ref1")._1 + pos("ref2")._1) / 3,
+      (pos("ref0")._2 + pos("ref1")._2 + pos("ref2")._2) / 3)
+    val cB = ((pos("ref10")._1 + pos("ref11")._1 + pos("ref12")._1) / 3,
+      (pos("ref10")._2 + pos("ref11")._2 + pos("ref12")._2) / 3)
+    assert(dist(pos("target100"), cA) < dist(pos("target100"), cB))
+    assert(dist(pos("target101"), cB) < dist(pos("target101"), cA))
+  }
+
+  test("unifiedTsne is deterministic (init-seeded, no RNG in the descent)") {
+    def run() = Unified.unifiedTsne(refEdges, hits, refInit,
+        useK = 2, targetWeight = 0.5, nIter = 40)
+      .collect().map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1).toSeq
+    assert(run() == run())
+  }
+
   test("distributedLayout separates two cliques from a mixed init") {
     import spark.implicits._
     val edges = refEdges
