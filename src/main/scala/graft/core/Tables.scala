@@ -28,14 +28,26 @@ object Tables {
       col("l_partkey").as("feat_id"),
       col("l_quantity").as("value"))
 
-  /** `events` with its nanosecond timestamp exposed as an epoch-ns long
-    * (`ts_ns`): Spark's parquet reader rejects TIMESTAMP(NANOS), so the
-    * legacy nanosAsLong mode maps it to LongType — lossless, and the
-    * oracle mirrors it with DuckDB's epoch_ns().
+  /** `events` with its timestamp exposed as an epoch-ns long (`ts_ns`),
+    * whatever the parquet physical type:
+    *  - TIMESTAMP(NANOS) files: Spark's reader rejects nanos, so the
+    *    legacy nanosAsLong mode maps the column to LongType (lossless)
+    *    and it is already epoch-ns;
+    *  - TIMESTAMP(MICROS) files (the current generator): the column
+    *    arrives as a timestamp (possibly NTZ); under the UTC session
+    *    timezone `unix_micros(cast)` recovers the naive epoch value the
+    *    oracle's DuckDB `EPOCH_US(ts)` sees, scaled to ns.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events").withColumnRenamed("ts", "ts_ns")
+    val df = t(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumnRenamed("ts", "ts_ns")
+      case _ =>
+        df.withColumn("ts_ns", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+          .drop("ts")
+    }
   }
 
   /** Scalar total number of cells (orders) as a 1-row DataFrame to
