@@ -112,6 +112,36 @@ object Dedup {
         (col("doc_id") === col("group_id")).as("keep"))
   }
 
+  /** Canonical-document selection over near-duplicate groups: the
+    * quality-aware refinement of [[nearDupGroups]]'s min-id keep-one —
+    * real pipelines keep the BEST copy of each duplicate cluster (longest
+    * / highest quality score), not the smallest id. `universe` carries a
+    * numeric `weight` (higher = better); the canonical member of each
+    * group maximizes `(weight, -doc_id)` — a deterministic total order,
+    * packed into one numeric key so the engine-replay is exact: weights
+    * are integral and doc ids are below `idBase`.
+    *
+    * Scale: the group labels come from the O(log n) distributed
+    * connected components; canonical election is ONE `max_by`
+    * aggregation keyed by group id (partial map-side combine — a
+    * popular boilerplate cluster contributes one candidate per
+    * partition, never its full membership, to the reduce side).
+    */
+  def canonicalDocs(universe: DataFrame, pairs: DataFrame,
+                    idBase: Long = 10000000L): DataFrame = {
+    val groups = nearDupGroups(universe.select("doc_id"), pairs)
+    val withW = groups.join(
+      universe.select(col("doc_id").cast("long").as("doc_id"),
+        col("weight").cast("long").as("weight")), Seq("doc_id"))
+    val canon = withW.groupBy("group_id").agg(
+      max_by(col("doc_id"), col("weight") * idBase - col("doc_id"))
+        .as("canonical_id"))
+    withW.join(canon, Seq("group_id"))
+      .select(col("doc_id"), col("group_id"), col("n_docs"),
+        col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): embedding-space dedup
     * via cluster-then-dedup. The k-means clusters ARE the buckets — the

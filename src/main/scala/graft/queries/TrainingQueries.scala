@@ -296,6 +296,64 @@ object TrainingQueries {
           round(sum(col("value")), 6).as("sum_value"),
           (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
         .orderBy("user_id", "session_id")
+    }),
+
+    // C4-style passage-level exact dedup: non-overlapping 15-token
+    // windows, keep only the corpus-wide first site of each passage.
+    // Planted full copies (%50 → +3e6) guarantee fully-duplicated docs
+    // (kept_frac 0) at every SF alongside untouched originals
+    "q84_passage_dedup" -> ((s, d) => {
+      val base = docs(s, d).select("doc_id", "text")
+      val copies = base.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 3000000).as("doc_id"), col("text"))
+      TextOps.passageDedup(base.unionByName(copies), span = 15)
+        .orderBy("doc_id")
+    }),
+
+    // deterministic per-language exact-count sampling (salted two-phase
+    // top-n — no single-stratum window at scale)
+    "q85_stratified_topn" -> ((s, d) =>
+      graft.text.Mix.stratifiedTopN(docs(s, d), col("lang"), n = 10, seed = 7)
+        .select(col("stratum").as("lang"), col("doc_id"), col("rank"))
+        .orderBy("lang", "rank")),
+
+    // tokenizer-budget diagnostic: vocab size needed to cover each
+    // target fraction of token occurrences
+    "q86_vocab_coverage" -> ((s, d) =>
+      TextOps.vocabCoverage(docs(s, d), Seq(0.5, 0.9, 0.99))
+        .orderBy("target")),
+
+    // Zipf rank-frequency OLS fit over the top tokens
+    "q87_zipf_fit" -> ((s, d) =>
+      TextOps.zipfFit(docs(s, d), topN = 500)),
+
+    // quality-aware canonical selection over near-dup groups: keep the
+    // highest-weight copy (planted copies carry +17 chars from the dup
+    // marker, so the canonical is the PLANTED copy — exercising a
+    // non-trivial, non-min-id election)
+    "q88_canonical_docs" -> ((s, d) => {
+      val base = docs(s, d).filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), col("n_chars").as("weight"))
+      val dups = docs(s, d).filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          (col("n_chars") + 17).as("weight"))
+      val pairs = Dedup.lshCandidatePairs(
+        Dedup.minHashSignature(plantedSh(s, d), 8), 8, 2)
+      Dedup.canonicalDocs(base.unionByName(dups), pairs).orderBy("doc_id")
+    }),
+
+    // typed JSON metadata extraction + per-type aggregation (the
+    // metadata-filtering shape of crawl pipelines); from_json is a
+    // codegen'd map-side projection
+    "q89_props_json" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("k",
+        get_json_object(col("props"), "$.k").cast("int"))
+      ev.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          round(avg(col("k")), 6).as("avg_k"),
+          max(col("k")).as("max_k"),
+          countDistinct(when(col("k") > 50, col("user_id"))).as("n_users_hi"))
+        .orderBy("event_type")
     }))
 
   private val shSql =
@@ -1094,5 +1152,101 @@ object TrainingQueries {
                 ROUND(SUM(value), 6) AS sum_value,
                 MAX(ts_us) - MIN(ts_us) AS duration_us
          FROM sess GROUP BY user_id, session_id
-         ORDER BY user_id, session_id""")
+         ORDER BY user_id, session_id""",
+
+    "q84_passage_dedup" ->
+      """WITH uni AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 50 = 0),
+         t AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w FROM uni),
+         wins AS (
+           SELECT doc_id, i AS pos,
+                  MD5(ARRAY_TO_STRING(w[(i*15+1):(i*15+15)], ' ')) AS dg,
+                  doc_id * 1000 + i AS site
+           FROM t, LATERAL (SELECT UNNEST(RANGE(0,
+                  CAST(CEIL(LEN(w) / 15.0) AS BIGINT))) AS i)),
+         firsts AS (SELECT dg, MIN(site) AS first_site FROM wins GROUP BY dg)
+         SELECT w.doc_id, CAST(COUNT(*) AS INT) AS n_passages,
+                CAST(SUM(CASE WHEN w.site = f.first_site THEN 1 ELSE 0 END) AS INT)
+                  AS n_kept,
+                ROUND(CAST(SUM(CASE WHEN w.site = f.first_site THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS kept_frac
+         FROM wins w JOIN firsts f USING (dg)
+         GROUP BY w.doc_id ORDER BY w.doc_id""",
+
+    "q85_stratified_topn" ->
+      """SELECT lang, doc_id, rank FROM (
+           SELECT lang, doc_id,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY MD5('7:' || CAST(doc_id AS VARCHAR))) AS INT) AS rank
+           FROM documents)
+         WHERE rank <= 10 ORDER BY lang, rank""",
+
+    "q86_vocab_coverage" ->
+      """WITH c AS (
+           SELECT tok, COUNT(*) AS c FROM (
+             SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(text, '\s+')) AS tok
+             FROM documents) GROUP BY tok),
+         r AS (
+           SELECT tok, c,
+                  ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rk,
+                  SUM(c) OVER (ORDER BY c DESC, tok ROWS UNBOUNDED PRECEDING) AS cum,
+                  SUM(c) OVER () AS total
+           FROM c),
+         t AS (SELECT UNNEST([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS target)
+         SELECT t.target, CAST(MIN(r.rk) AS INT) AS vocab_size,
+                ROUND(ARG_MIN(CAST(r.cum AS DOUBLE) / r.total, r.rk), 6) AS coverage
+         FROM r JOIN t ON CAST(r.cum AS DOUBLE) / r.total >= t.target
+         GROUP BY t.target ORDER BY t.target""",
+
+    "q87_zipf_fit" ->
+      """WITH c AS (
+           SELECT tok, COUNT(*) AS c FROM (
+             SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(text, '\s+')) AS tok
+             FROM documents) GROUP BY tok),
+         r AS (
+           SELECT tok, c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rk
+           FROM c QUALIFY rk <= 500),
+         xy AS (SELECT LN(CAST(rk AS DOUBLE)) AS x, LN(CAST(c AS DOUBLE)) AS y FROM r)
+         SELECT CAST(COUNT(*) AS INT) AS n_fit,
+                ROUND(REGR_SLOPE(y, x), 6) AS slope,
+                ROUND(AVG(y) - REGR_SLOPE(y, x) * AVG(x), 6) AS intercept,
+                ROUND(CORR(x, y), 6) AS r
+         FROM xy""",
+
+    "q88_canonical_docs" ->
+      s"""WITH RECURSIVE $lshPairsSql,
+         uni AS (
+           SELECT doc_id, n_chars AS w FROM documents WHERE doc_id % 20 = 0
+           UNION ALL
+           SELECT doc_id + 1000000, n_chars + 17 FROM documents
+           WHERE doc_id % 40 = 0),
+         e AS (SELECT ida AS s, idb AS t FROM pairs
+               UNION ALL SELECT idb, ida FROM pairs),
+         reach AS (
+           SELECT doc_id AS node, doc_id AS lbl FROM uni
+           UNION
+           SELECT e.t, r.lbl FROM reach r JOIN e ON e.s = r.node),
+         comp AS (SELECT node AS doc_id, MIN(lbl) AS group_id
+                  FROM reach GROUP BY node),
+         szs AS (SELECT group_id, COUNT(*) AS n_docs FROM comp GROUP BY group_id),
+         cw AS (SELECT c.doc_id, c.group_id, u.w
+                FROM comp c JOIN uni u USING (doc_id)),
+         canon AS (
+           SELECT group_id,
+                  ARG_MAX(doc_id, w * 10000000 - doc_id) AS canonical_id
+           FROM cw GROUP BY group_id)
+         SELECT c.doc_id, c.group_id, z.n_docs, n.canonical_id,
+                c.doc_id = n.canonical_id AS is_canonical
+         FROM comp c JOIN szs z USING (group_id) JOIN canon n USING (group_id)
+         ORDER BY c.doc_id""",
+
+    "q89_props_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+           ROUND(AVG(CAST(json_extract(props, '$.k') AS INT)), 6) AS avg_k,
+           MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
+           COUNT(DISTINCT CASE WHEN CAST(json_extract(props, '$.k') AS INT) > 50
+                 THEN user_id END) AS n_users_hi
+         FROM events GROUP BY event_type ORDER BY event_type""")
 }

@@ -89,4 +89,36 @@ object Mix {
       .withColumn("chunk_end", expr(s"(start_tok + n_tokens - 1) div $budget"))
       .withColumn("crosses", col("chunk_start") =!= col("chunk_end"))
   }
+
+  /** Deterministic per-stratum top-`n` selection: within each stratum
+    * value, keep the `n` rows with the smallest seeded md5 rank key —
+    * the exact-count companion to the fraction-gated
+    * [[stratifiedSample]] (curation recipes say "exactly 10k docs per
+    * language", not "roughly 1 %"). md5 over the seeded doc id makes
+    * the choice replay-identical in any engine and collision-free in
+    * practice, so no secondary tie-break is needed (row_number over the
+    * rank key alone is still total because keys are distinct).
+    *
+    * Scale: a naive `Window.partitionBy(stratum)` puts an entire
+    * stratum — possibly most of the corpus — in ONE task. Instead a
+    * salted two-phase top-n: phase 1 takes the local top-n within each
+    * of `salts` deterministic sub-partitions (bounded tasks), phase 2
+    * re-ranks the ≤ `salts`·n survivors per stratum (tiny). Identical
+    * result to the single-window form — the global top-n is contained
+    * in the union of sub-partition top-ns.
+    */
+  def stratifiedTopN(docs: DataFrame, stratum: Column, n: Int, seed: Int,
+                     salts: Int = 16): DataFrame = {
+    val salted = docs.select(stratum.as("stratum"), col("doc_id"),
+      md5(concat(lit(s"$seed:"), col("doc_id").cast("string"))).as("rk"),
+      pmod(col("doc_id"), lit(salts)).as("_salt"))
+    val local = org.apache.spark.sql.expressions.Window
+      .partitionBy("stratum", "_salt").orderBy("rk")
+    val survivors = salted.withColumn("_r", row_number().over(local))
+      .filter(col("_r") <= n).drop("_r", "_salt")
+    val global = org.apache.spark.sql.expressions.Window
+      .partitionBy("stratum").orderBy("rk")
+    survivors.withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= n).drop("rk")
+  }
 }

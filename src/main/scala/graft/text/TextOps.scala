@@ -399,6 +399,100 @@ object TextOps {
     agg.select(col("doc_id"), hash.as("simhash"))
   }
 
+  /** Passage-level exact deduplication (the C4 "repeated span" filter —
+    * Raffel et al. 2020 §2.2 remove any three-sentence span seen before;
+    * here the unit is a fixed `span`-token window, the whitespace-corpus
+    * analogue): documents split into NON-overlapping `span`-token
+    * passages, a passage is kept iff this (doc, position) is the
+    * corpus-wide first occurrence of its content — "first" by the
+    * smallest packed `(doc_id, pos)` site key, the deterministic policy
+    * an engine replay reproduces. Returns per-document passage counts
+    * and the kept fraction.
+    *
+    * Scale: one explode + ONE digest-keyed aggregation + one digest
+    * equi-join — only 32-char digests and long site keys shuffle, text
+    * never leaves its scan partition. Skew is bounded: a digest's group
+    * is its duplication count, and the join fans out per duplicate site,
+    * never |corpus|². The packed site key assumes `pos` < 1000 (i.e.
+    * documents under 1000·span tokens — 15k tokens at span 15); callers
+    * with longer documents raise the packing base.
+    */
+  def passageDedup(docs: DataFrame, span: Int): DataFrame = {
+    val w = docs.select(col("doc_id"), tokensCol.as("w"))
+      .withColumn("nw", size(col("w")))
+    val wins = w.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0),
+          ceil(col("nw").cast("double") / span).cast("int") - 1),
+        i => concat_ws(" ", slice(col("w"), i * span + 1, lit(span)))))
+        .as(Seq("pos", "passage")))
+    val sited = wins.select(col("doc_id"), col("pos"),
+      md5(col("passage")).as("dg"),
+      (col("doc_id") * 1000 + col("pos")).as("site"))
+    val firsts = sited.groupBy("dg").agg(min(col("site")).as("first_site"))
+    sited.join(firsts, Seq("dg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_passages"),
+        sum(when(col("site") === col("first_site"), 1).otherwise(0))
+          .cast("int").as("n_kept"))
+      .withColumn("kept_frac",
+        round(col("n_kept").cast("double") / col("n_passages"), 6))
+  }
+
+  /** Vocabulary coverage curve: how many distinct tokens (by descending
+    * corpus frequency, ties broken by token) are needed to cover each
+    * target fraction of all token occurrences — the standard
+    * tokenizer-budget / vocab-truncation diagnostic. One corpus-wide
+    * token count, then the two-pass range-partitioned ordinal + running
+    * total ([[graft.ops.Windows]]) over the DISTINCT-token table — no
+    * single-partition window even when the vocabulary is billions of
+    * types. Counts stay integral (exact in doubles to 2^53), so the
+    * coverage ratio is bit-identical across engines.
+    */
+  def vocabCoverage(docs: DataFrame, targets: Seq[Double]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs.select(explode(tokensCol).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).cast("double").as("c"))
+    val ranked = graft.ops.Windows.globalOrdinal(
+      counts, Seq(col("c").desc, col("tok").asc), "rk")
+    val withRun = graft.ops.Windows.runningTotal(
+      ranked, Seq(col("rk").asc), "c", "run")
+    val total = counts.agg(sum(col("c")).as("total"))
+    val cum = withRun.crossJoin(broadcast(total))
+      .withColumn("cumfrac", (col("run") + col("c")) / col("total"))
+    val tdf = broadcast(targets.toDF("target"))
+    cum.join(tdf, cum("cumfrac") >= tdf("target"))
+      .groupBy("target")
+      .agg(min(col("rk")).cast("int").as("vocab_size"),
+        round(min_by(col("cumfrac"), col("rk")), 6).as("coverage"))
+  }
+
+  /** Zipf's-law fit over the rank–frequency curve: OLS of ln(count) on
+    * ln(rank) for the top `topN` tokens (slope ≈ −1 for natural text —
+    * the classic corpus-health diagnostic; gibberish and boilerplate
+    * flatten or steepen it). Uses `covar_pop/var_pop` — the exact
+    * definition DuckDB's REGR_SLOPE implements — so the oracle replays
+    * it. The fit input is `topN` rows; everything before it is the same
+    * scale-safe count + ordinal as [[vocabCoverage]].
+    */
+  def zipfFit(docs: DataFrame, topN: Int): DataFrame = {
+    val counts = docs.select(explode(tokensCol).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).cast("double").as("c"))
+    val ranked = graft.ops.Windows.globalOrdinal(
+      counts, Seq(col("c").desc, col("tok").asc), "rk")
+      .filter(col("rk") <= topN)
+    val xy = ranked.select(log(col("rk").cast("double")).as("x"),
+      log(col("c")).as("y"))
+    xy.agg(
+      count(lit(1)).cast("int").as("n_fit"),
+      round(covar_pop(col("x"), col("y")) / var_pop(col("x")), 6).as("slope"),
+      round(avg(col("y")) -
+        covar_pop(col("x"), col("y")) / var_pop(col("x")) * avg(col("x")), 6)
+        .as("intercept"),
+      round(corr(col("x"), col("y")), 6).as("r"))
+  }
+
   /** SQL fragment mirroring [[simHash16]] for the DuckDB oracle. */
   def simHash16Sql(docsRel: String): String = {
     val sums = (1 to 4).flatMap { i =>

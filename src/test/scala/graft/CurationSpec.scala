@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.text.{Mix, TextOps}
+
+/** Specs for the corpus-curation operators added in round 6: passage-level
+  * exact dedup, stratified exact-count sampling, vocab coverage / Zipf
+  * diagnostics, and canonical-document election. The driver's DuckDB
+  * oracle (q84–q89) checks full-corpus values; these pin the semantic
+  * properties on small hand-built inputs.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDF(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("passageDedup: exact copy keeps nothing, original keeps everything") {
+    val base = (1L, Seq.tabulate(45)(i => s"w$i").mkString(" "))
+    val copy = (2L, base._2)
+    val out = TextOps.passageDedup(docsDF(base, copy), span = 15)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(out(1L) == ((3, 3))) // 45 tokens = 3 passages, all first sites
+    assert(out(2L) == ((3, 0))) // every passage already seen in doc 1
+  }
+
+  test("passageDedup: within-doc repeats count once; partial tail window kept") {
+    val p = Seq.tabulate(15)(i => s"p$i").mkString(" ")
+    // doc = passage, passage again, unique 7-token tail
+    val text = s"$p $p " + Seq.tabulate(7)(i => s"t$i").mkString(" ")
+    val out = TextOps.passageDedup(docsDF((5L, text)), span = 15)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getDouble(3))).head
+    assert(out._1 == 3 && out._2 == 2) // repeat dropped, tail kept
+    assert(approx(out._3, 2.0 / 3)) // kept_frac is 6 dp-rounded
+  }
+
+  test("stratifiedTopN == naive single-window top-n at every salt count") {
+    val docs = (0L until 300L).map(i => (i, s"lang${i % 3}"))
+      .toDF("doc_id", "lang")
+    val naive = docs
+      .withColumn("rk", md5(concat(lit("7:"), col("doc_id").cast("string"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("lang").orderBy("rk")))
+      .filter(col("rank") <= 10)
+      .select(col("lang"), col("doc_id"), col("rank"))
+      .collect().map(_.toSeq).toSet
+    for (salts <- Seq(1, 4, 16)) {
+      val two = Mix.stratifiedTopN(docs, col("lang"), n = 10, seed = 7,
+          salts = salts)
+        .select(col("stratum").as("lang"), col("doc_id"), col("rank"))
+        .collect().map(_.toSeq).toSet
+      assert(two == naive, s"salts=$salts")
+    }
+  }
+
+  test("canonicalDocs elects max weight, tie-broken by min id, per group") {
+    val uni = Seq((1L, 10L), (2L, 30L), (3L, 30L), (9L, 5L))
+      .toDF("doc_id", "weight")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("ida", "idb")
+    val out = Dedup.canonicalDocs(uni, pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    // group {1,2,3}: weights 10/30/30 → canonical 2 (max weight, min id)
+    assert(out(1L) == ((2L, false)))
+    assert(out(2L) == ((2L, true)))
+    assert(out(3L) == ((2L, false)))
+    assert(out(9L) == ((9L, true))) // singleton is its own canonical
+  }
+
+  test("vocabCoverage: monotone vocab_size, exact on a known distribution") {
+    // 8×a 4×b 2×c 2×d → total 16; cum: a=.5, b=.75, c=.875, d=1.0
+    val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++
+      Seq.fill(2)("c") ++ Seq.fill(2)("d")).mkString(" ")
+    val out = TextOps.vocabCoverage(docsDF((1L, text)),
+        Seq(0.5, 0.75, 0.9, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getInt(1)).toMap
+    assert(out(0.5) == 1 && out(0.75) == 2 && out(0.9) == 4 && out(1.0) == 4)
+  }
+
+  test("zipfFit recovers the slope of an exact power law") {
+    // counts c(r) = 1000·r^(-1) over 20 ranks: construct the corpus so
+    // the rank ordering is exactly by construction count
+    val words = (1 to 20).flatMap { r =>
+      Seq.fill(math.max(1, 1000 / r))(f"w$r%02d")
+    }
+    val out = TextOps.zipfFit(docsDF((1L, words.mkString(" "))), topN = 20)
+      .collect().head
+    val slope = out.getDouble(1)
+    assert(slope < -0.9 && slope > -1.1, s"slope=$slope")
+    assert(math.abs(out.getDouble(3)) > 0.99) // |r| ~ 1: near-perfect fit
+  }
+}
