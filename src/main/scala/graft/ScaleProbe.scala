@@ -179,6 +179,15 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
     out(s"dup_substrings_${nDocs}_docs") = tDupWin
+    // passage dedup under the same total-duplication worst case: every
+    // replicated copy shares every passage with the base doc, so the
+    // digest join-back fans out `copies`-wide on every passage — the
+    // operator's maximum join volume for a given corpus size
+    val (_, tPassage) = time {
+      graft.text.TextOps.passageDedup(docsRep, 15)
+        .write.format("noop").mode("overwrite").save()
+    }
+    out(s"passage_dedup_${nDocs}_docs") = tPassage
     // the 5-gram LM is the join-heaviest text-pipeline shape (five count
     // aggregations + nine per-position joins); replicated copies multiply
     // every count by `copies` without changing the type universe — the

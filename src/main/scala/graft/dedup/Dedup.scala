@@ -130,9 +130,12 @@ object Dedup {
   def canonicalDocs(universe: DataFrame, pairs: DataFrame,
                     idBase: Long = 10000000L): DataFrame = {
     val groups = nearDupGroups(universe.select("doc_id"), pairs)
-    val withW = groups.join(
+    // Materialize the weighted membership once: both consumers below
+    // (the election aggregate and the final join) would otherwise
+    // re-run the component-label joins end to end.
+    val withW = graft.core.Lineage.reset(groups.join(
       universe.select(col("doc_id").cast("long").as("doc_id"),
-        col("weight").cast("long").as("weight")), Seq("doc_id"))
+        col("weight").cast("long").as("weight")), Seq("doc_id")))
     val canon = withW.groupBy("group_id").agg(
       max_by(col("doc_id"), col("weight") * idBase - col("doc_id"))
         .as("canonical_id"))

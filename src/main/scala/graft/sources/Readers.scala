@@ -68,6 +68,30 @@ object Readers {
     (coo, meta)
   }
 
+  /** JSONL corpus ingestion — the de-facto interchange format of
+    * training-data pipelines (one JSON document per line, typically
+    * *.jsonl or *.jsonl.gz; Spark's text-based json source splits
+    * uncompressed files and parallelizes gz per-file). An explicit
+    * schema is required: schema inference is a full extra pass over
+    * 100 TB and silently unions drifting shapes; corrupt lines are
+    * preserved in `_corrupt_record` mode PERMISSIVE (the lossless
+    * default for crawl data — count them, don't die mid-job).
+    */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
+  /** JSONL export: one JSON object per line, field order = column order.
+    * Partitioned output (one file per partition) — the caller coalesces
+    * for a single canonical file the same way writeMtx does.
+    */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** Export a COO matrix as MTX text (to_mtx, scarf/writers.py:1262-1304):
     * header + dims line + sorted triples, written distributively then
     * concatenated by Spark's text sink (one part per partition; a single

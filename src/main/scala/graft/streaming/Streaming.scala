@@ -44,6 +44,31 @@ object Streaming {
       .dropDuplicates("digest")
       .select("doc_id", "ts", "digest")
 
+  /** Streaming passage-level dedup — the streaming twin of
+    * q84_passage_dedup: each incoming document explodes to its
+    * non-overlapping `span`-token passages as a row-local projection
+    * (no shuffle until the digest state lookup), and a passage is
+    * emitted iff its digest was not seen inside the watermark horizon.
+    * First-arrival-wins replaces the batch operator's min-site policy —
+    * the inherent batch-vs-stream divergence for ties inside one
+    * micro-batch, same caveat as [[nearDupStream]]'s documented one.
+    * State = digest set under watermark (bounded on unbounded input).
+    */
+  def passageDedupStream(docs: Dataset[Doc], span: Int = 15,
+                         watermark: String = "1 hour"): DataFrame = {
+    val w = split(col("text"), "\\s+")
+    val nWin = ceil(size(w).cast("double") / span).cast("int")
+    docs.toDF()
+      .select(col("doc_id"), col("ts"),
+        posexplode(transform(sequence(lit(0), nWin - 1),
+          i => concat_ws(" ", slice(w, i * span + 1, lit(span)))))
+          .as(Seq("pos", "passage")))
+      .withColumn("digest", md5(col("passage")))
+      .withWatermark("ts", watermark)
+      .dropDuplicates("digest")
+      .select("doc_id", "pos", "ts", "digest")
+  }
+
   case class BandHit(band_id: Int, band_key: String, doc_id: Long,
                      ts: java.sql.Timestamp)
   case class CandPair(ida: Long, idb: Long, band_id: Int)
