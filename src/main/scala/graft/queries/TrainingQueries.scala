@@ -342,6 +342,30 @@ object TrainingQueries {
       Dedup.canonicalDocs(base.unionByName(dups), pairs).orderBy("doc_id")
     }),
 
+    // CCNet-style per-language perplexity terciles (head/middle/tail)
+    // by exact integer rank — no interpolated-cutoff knife edge
+    "q90_ccnet_buckets" -> ((s, d) =>
+      TextOps.perplexityBuckets(docs(s, d)).orderBy("doc_id")),
+
+    // OOV-ratio quality gate against the top-30 corpus vocabulary
+    "q91_oov_filter" -> ((s, d) =>
+      TextOps.oovStats(docs(s, d), vocabSize = 30, maxOov = 0.2)
+        .orderBy("doc_id")),
+
+    // overlapping sliding-window chunking (RAG layout): width 20,
+    // stride 10, per-chunk token span + content digest
+    "q92_chunk_overlap" -> ((s, d) =>
+      graft.text.Mix.chunkOverlap(
+          docs(s, d).filter(col("doc_id") % 10 === 0), width = 20, stride = 10)
+        .orderBy("doc_id", "chunk_id")),
+
+    // per-language TF-IDF top terms (salted two-phase top-n)
+    "q93_tfidf_terms" -> ((s, d) =>
+      TextOps.tfidfTopTerms(docs(s, d), col("lang"), n = 5)
+        .select(col("grp").as("lang"), col("term"), col("tf"), col("df"),
+          col("score"), col("rank"))
+        .orderBy("lang", "rank")),
+
     // typed JSON metadata extraction + per-type aggregation (the
     // metadata-filtering shape of crawl pipelines); from_json is a
     // codegen'd map-side projection
@@ -1241,6 +1265,100 @@ object TrainingQueries {
                 c.doc_id = n.canonical_id AS is_canonical
          FROM comp c JOIN szs z USING (group_id) JOIN canon n USING (group_id)
          ORDER BY c.doc_id""",
+
+    "q90_ccnet_buckets" ->
+      """WITH t AS (
+           SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w FROM documents),
+         uni AS (
+           SELECT x AS w1, COUNT(*) AS c1
+           FROM (SELECT UNNEST(w) AS x FROM t) GROUP BY x),
+         v AS (SELECT COUNT(*) AS v FROM uni),
+         big AS (
+           SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+           FROM t, LATERAL (SELECT UNNEST(RANGE(1, LEN(w))) AS i)),
+         big2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+         nll AS (
+           SELECT b.doc_id,
+                  ROUND(AVG(-LN((b2.c2 + CAST(1.0 AS DOUBLE))
+                    / (u.c1 + CAST(1.0 AS DOUBLE) * v.v))), 6) AS mean_nll
+           FROM big b
+           JOIN big2 b2 ON b.w1 = b2.w1 AND b.w2 = b2.w2
+           JOIN uni u ON b.w1 = u.w1 CROSS JOIN v
+           GROUP BY b.doc_id),
+         wl AS (
+           SELECT n.doc_id, d.lang, n.mean_nll
+           FROM nll n JOIN documents d USING (doc_id)),
+         r AS (
+           SELECT doc_id, lang, mean_nll,
+                  ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY mean_nll, doc_id) AS rank,
+                  COUNT(*) OVER (PARTITION BY lang) AS n
+           FROM wl)
+         SELECT doc_id, lang, mean_nll,
+                CASE WHEN rank <= (n // 3) +
+                       (CASE WHEN n % 3 >= 1 THEN 1 ELSE 0 END) THEN 'head'
+                     WHEN rank <= 2 * (n // 3) +
+                       (CASE WHEN n % 3 >= 1 THEN 1 ELSE 0 END) +
+                       (CASE WHEN n % 3 >= 2 THEN 1 ELSE 0 END) THEN 'middle'
+                     ELSE 'tail' END AS bucket
+         FROM r ORDER BY doc_id""",
+
+    "q91_oov_filter" ->
+      """WITH c AS (
+           SELECT tok, COUNT(*) AS c FROM (
+             SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(text, '\s+')) AS tok
+             FROM documents) GROUP BY tok),
+         vocab AS (
+           SELECT tok FROM (
+             SELECT tok, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rk
+             FROM c) WHERE rk <= 30),
+         ex AS (
+           SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(text, '\s+')) AS tok
+           FROM documents),
+         agg AS (
+           SELECT e.doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+                  ROUND(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                        AS DOUBLE) / COUNT(*), 6) AS oov_ratio
+           FROM ex e LEFT JOIN vocab v ON e.tok = v.tok
+           GROUP BY e.doc_id)
+         SELECT doc_id, n_tokens, oov_ratio, oov_ratio <= 0.2 AS keep
+         FROM agg ORDER BY doc_id""",
+
+    "q92_chunk_overlap" ->
+      """WITH t AS (
+           SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w
+           FROM documents WHERE doc_id % 10 = 0),
+         d AS (
+           SELECT doc_id, w,
+                  1 + (GREATEST(LEN(w) - 20, 0) + 9) // 10 AS n_chunks
+           FROM t),
+         ch AS (
+           SELECT doc_id, i AS chunk_id, CAST(i * 10 AS INT) AS start_tok,
+                  ARRAY_TO_STRING(w[(i*10+1):(i*10+20)], ' ') AS chunk
+           FROM d, LATERAL (SELECT UNNEST(RANGE(0, n_chunks)) AS i))
+         SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, start_tok,
+                CAST(LEN(STR_SPLIT(chunk, ' ')) AS INT) AS n_chunk_tokens,
+                MD5(chunk) AS digest
+         FROM ch ORDER BY doc_id, chunk_id""",
+
+    "q93_tfidf_terms" ->
+      """WITH tf AS (
+           SELECT lang, tok AS term, COUNT(*) AS tf FROM (
+             SELECT lang, UNNEST(REGEXP_SPLIT_TO_ARRAY(text, '\s+')) AS tok
+             FROM documents) GROUP BY lang, tok),
+         df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         g AS (SELECT COUNT(DISTINCT lang) AS ng FROM documents),
+         scored AS (
+           SELECT tf.lang, tf.term, tf.tf, df.df,
+                  tf.tf * LN((1.0 + g.ng) / (1.0 + df.df)) AS score
+           FROM tf JOIN df USING (term) CROSS JOIN g),
+         r AS (
+           SELECT lang, term, tf, df, score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY score DESC, term) AS INT) AS rank
+           FROM scored)
+         SELECT lang, term, tf, df, ROUND(score, 6) AS score, rank
+         FROM r WHERE rank <= 5 ORDER BY lang, rank""",
 
     "q89_props_json" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -90,6 +90,34 @@ object Mix {
       .withColumn("crosses", col("chunk_start") =!= col("chunk_end"))
   }
 
+  /** Overlapping sliding-window chunking (the retrieval/RAG layout, vs
+    * [[packChunks]]'s disjoint pretraining layout): windows of `width`
+    * tokens every `stride` tokens; the last window starts at
+    * `len − width` coverage so no tail token is orphaned. Emits one row
+    * per chunk with its token span and content digest — a row-local
+    * explode, no shuffle; chunk counts are
+    * `1 + ceil(max(len − width, 0) / stride)` in integer arithmetic so
+    * the engine replay is exact at any document length.
+    */
+  def chunkOverlap(docs: DataFrame, width: Int, stride: Int): DataFrame = {
+    val w = TextOps.tokensCol
+    val d = docs.select(col("doc_id"), w.as("w"))
+      .withColumn("nw", size(col("w")))
+      // integer ceil-div: (max(nw-width,0) + stride-1) div stride
+      .withColumn("n_chunks",
+        lit(1) + expr(s"(greatest(nw - $width, 0) + ${stride - 1}) div $stride"))
+    d.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
+          i => struct((i * stride).cast("int").as("start"),
+            concat_ws(" ", slice(col("w"), i * stride + 1, lit(width)))
+              .as("chunk"))))
+          .as(Seq("chunk_id", "c")))
+      .select(col("doc_id"), col("chunk_id"),
+        col("c.start").as("start_tok"),
+        size(split(col("c.chunk"), " ")).as("n_chunk_tokens"),
+        md5(col("c.chunk")).as("digest"))
+  }
+
   /** Deterministic per-stratum top-`n` selection: within each stratum
     * value, keep the `n` rows with the smallest seeded md5 rank key —
     * the exact-count companion to the fraction-gated

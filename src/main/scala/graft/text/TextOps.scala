@@ -468,6 +468,95 @@ object TextOps {
         round(min_by(col("cumfrac"), col("rk")), 6).as("coverage"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3: score
+    * each document under a language-specific LM, split each language
+    * into head/middle/tail perplexity terciles — head trains first,
+    * tail is usually dropped). Model = the self-trained add-α bigram LM
+    * ([[lmPerplexity]]). Buckets come from exact integer tercile RANKS
+    * (NTILE group sizes: `n div 3` plus one for the first `n mod 3`
+    * tiles), not interpolated percentile cutoffs — an interpolated
+    * cutoff can land within an ulp of a data point when `p·(n−1)` is
+    * near-integral, and the two engines' `a+(b−a)f` vs `(1−f)a+fb`
+    * round that collision differently; ranks are engine-exact.
+    *
+    * Scale: ONE global two-pass ordinal over `(lang, score, doc_id)` —
+    * per-language contiguous positions minus a broadcast per-language
+    * offset give the rank; no per-language window task even when one
+    * language is most of the corpus.
+    */
+  def perplexityBuckets(docs: DataFrame): DataFrame = {
+    val nll = lmPerplexity(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val pos = graft.ops.Windows.globalOrdinal(nll,
+      Seq(col("lang").asc, col("mean_nll").asc, col("doc_id").asc), "pos")
+    val offsets = pos.groupBy("lang").agg(
+      min(col("pos")).as("off"), count(lit(1)).as("n"))
+    pos.join(broadcast(offsets), Seq("lang"))
+      .withColumn("rank", col("pos") - col("off") + 1)
+      .withColumn("b", expr("n div 3"))
+      .withColumn("r1", col("b") + when(col("n") % 3 >= 1, 1).otherwise(0))
+      .withColumn("r2", col("r1") + col("b") +
+        when(col("n") % 3 >= 2, 1).otherwise(0))
+      .select(col("doc_id"), col("lang"), col("mean_nll"),
+        when(col("rank") <= col("r1"), lit("head"))
+          .when(col("rank") <= col("r2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /** Out-of-vocabulary filtering: the fraction of a document's tokens
+    * outside the top-`vocabSize` corpus vocabulary (by frequency, token
+    * tie-break), plus the keep-flag at `maxOov` — the vocabulary-
+    * coverage quality gate tokenizer-bound pipelines apply. The vocab
+    * is `vocabSize` rows (broadcast); the per-doc pass is one explode +
+    * left-semi-ish join + doc-keyed aggregation.
+    */
+  def oovStats(docs: DataFrame, vocabSize: Int, maxOov: Double): DataFrame = {
+    val counts = docs.select(explode(tokensCol).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).cast("double").as("c"))
+    val vocab = graft.ops.Windows.globalOrdinal(
+        counts, Seq(col("c").desc, col("tok").asc), "rk")
+      .filter(col("rk") <= vocabSize).select(col("tok"), lit(1).as("_in"))
+    docs.select(col("doc_id"), explode(tokensCol).as("tok"))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        round(sum(when(col("_in").isNull, 1).otherwise(0)).cast("double") /
+          count(lit(1)), 6).as("oov_ratio"))
+      .withColumn("keep", col("oov_ratio") <= maxOov)
+  }
+
+  /** Per-group TF-IDF top terms: term frequency within each group (lang),
+    * document frequency = number of groups containing the term,
+    * `score = tf · ln((1+G)/(1+df))`, top `n` terms per group by
+    * (score desc, term). The integral tf/df make the score double
+    * bit-identical across engines, so the ordering replays exactly.
+    *
+    * Scale: the ranked table is (group × vocab); the top-n uses the same
+    * salted two-phase pattern as [[graft.text.Mix.stratifiedTopN]] — a
+    * million-type vocabulary never lands in one window task.
+    */
+  def tfidfTopTerms(docs: DataFrame, groupCol: Column, n: Int,
+                    salts: Int = 16): DataFrame = {
+    val tf = docs.select(groupCol.as("grp"), explode(tokensCol).as("term"))
+      .groupBy("grp", "term").agg(count(lit(1)).as("tf"))
+    val nGroups = docs.select(groupCol.as("grp")).distinct().count()
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, Seq("term"))
+      .withColumn("score",
+        col("tf") * log((lit(1.0) + nGroups) / (lit(1.0) + col("df"))))
+      .withColumn("_salt", pmod(abs(hash(col("term"))), lit(salts)))
+    val local = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp", "_salt").orderBy(col("score").desc, col("term"))
+    val survivors = scored.withColumn("_r", row_number().over(local))
+      .filter(col("_r") <= n).drop("_r", "_salt")
+    val global = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("score").desc, col("term"))
+    survivors.withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= n)
+      .select(col("grp"), col("term"), col("tf"), col("df"),
+        round(col("score"), 6).as("score"), col("rank"))
+  }
+
   /** Zipf's-law fit over the rank–frequency curve: OLS of ln(count) on
     * ln(rank) for the top `topN` tokens (slope ≈ −1 for natural text —
     * the classic corpus-health diagnostic; gibberish and boilerplate
