@@ -229,6 +229,44 @@ object ScaleProbe {
     }
     out("hvg_lowess_12M") = tLowess
 
+    // temporal joins + event analytics at `copies`× users (key-shifted
+    // user_id — more keys at the generator's per-user density, the
+    // scale path these single-shuffle-per-key plans are designed for)
+    val evRep = replicate(
+      graft.core.Tables.events(spark, sfDir)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .select("event_id", "user_id", "ts_us", "event_type", "value"),
+      Seq("user_id", "event_id"), 100000000L).cache()
+    val nEv = evRep.count()
+    val (_, tAsof) = time {
+      graft.ops.AsOf.asofJoin(
+          evRep.filter(col("event_type") === "view")
+            .select("event_id", "user_id", "ts_us"),
+          evRep.filter(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts_us", "value"),
+          "user_id", "ts_us", "event_id", "value")
+        .write.format("noop").mode("overwrite").save()
+    }
+    out(s"asof_join_${nEv}_events") = tAsof
+    val (_, tRange) = time {
+      graft.ops.AsOf.rangePairs(evRep.select("user_id", "ts_us", "event_id"),
+          "user_id", "ts_us", "event_id", 21600000000L)
+        .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    out(s"range_pairs_${nEv}_events") = tRange
+    val (_, tFunnel) = time {
+      graft.analytics.Analytics.funnel(evRep, Seq("view", "click", "purchase"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    out(s"funnel_${nEv}_events") = tFunnel
+    val (_, tKmv) = time {
+      graft.stats.Sketches.kmvDistinct(evRep, "event_type", "user_id", 64)
+        .write.format("noop").mode("overwrite").save()
+    }
+    out(s"kmv_${nEv}_events") = tKmv
+    evRep.unpersist()
+
     val qs = out.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe","copies":$copies,"nnz":$nnz,"timings":$qs}""")
     spark.stop()

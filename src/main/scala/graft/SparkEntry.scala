@@ -37,7 +37,8 @@ object SparkEntry {
       graft.queries.RelationalQueries.queries ++
       graft.queries.TrainingQueries.queries ++
       graft.queries.ExtendedQueries.queries ++
-      graft.queries.MlQueries.queries
+      graft.queries.MlQueries.queries ++
+      graft.queries.TemporalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -47,5 +48,6 @@ object SparkEntry {
       graft.queries.RelationalQueries.oracle ++
       graft.queries.TrainingQueries.oracle ++
       graft.queries.ExtendedQueries.oracle ++
-      graft.queries.MlQueries.oracle
+      graft.queries.MlQueries.oracle ++
+      graft.queries.TemporalQueries.oracle
 }

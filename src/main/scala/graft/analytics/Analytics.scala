@@ -1,0 +1,60 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-log analytics staples: ordered funnel progression and cohort
+  * retention. Both are per-user aggregations over a single hash
+  * partitioning of the log — at 100 TB each is one shuffle on user_id
+  * (AQE-coalesced), with the per-user state a handful of timestamps.
+  */
+object Analytics {
+
+  /** Ordered funnel: for each user, the earliest time of step 1, the
+    * earliest step-2 event STRICTLY AFTER that, the earliest step-3
+    * event strictly after that, and the step count reached. The strict
+    * ordering is what makes it a funnel (a purchase before the first
+    * view does not count) — a plain per-type min would overcount.
+    *
+    * Shape: one conditional aggregation per step over the same user_id
+    * partitioning — step n's aggregation joins step n-1's times back on
+    * user_id (same key → Catalyst reuses the exchange), never a window
+    * over the whole log.
+    */
+  def funnel(ev: DataFrame, steps: Seq[String], typeCol: String = "event_type",
+             tsCol: String = "ts_us", userCol: String = "user_id"): DataFrame = {
+    require(steps.nonEmpty)
+    val s1 = ev.filter(col(typeCol) === steps.head)
+      .groupBy(userCol).agg(min(col(tsCol)).as("t1"))
+    val withTimes = steps.zipWithIndex.drop(1).foldLeft(s1) {
+      case (acc, (step, i)) =>
+        val cur = s"t${i + 1}"
+        val nxt = ev.filter(col(typeCol) === step)
+          .join(acc.select(col(userCol), col(s"t$i")), Seq(userCol))
+          .filter(col(tsCol) > col(s"t$i"))
+          .groupBy(userCol).agg(min(col(tsCol)).as(cur))
+        acc.join(nxt, Seq(userCol), "left")
+    }
+    val reached = (1 to steps.length).map(i => when(col(s"t$i").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    withTimes.withColumn("steps_reached", reached)
+  }
+
+  /** Cohort retention: users grouped by the period of their first event
+    * (the cohort); per (cohort, period-offset) the count of distinct
+    * users active in that period. `periodUs` is the bucket width (e.g.
+    * 7 days in µs). Three aggregations: first-seen per user, distinct
+    * (user, period), then the cohort×offset matrix — all keyed on
+    * user_id then small grouped output.
+    */
+  def retention(ev: DataFrame, periodUs: Long, tsCol: String = "ts_us",
+                userCol: String = "user_id"): DataFrame = {
+    val period = expr(s"$tsCol div ${periodUs}L")
+    val first = ev.groupBy(userCol)
+      .agg(min(period).as("cohort"))
+    val active = ev.select(col(userCol), period.as("p")).distinct()
+    active.join(first, Seq(userCol))
+      .groupBy(col("cohort"), (col("p") - col("cohort")).as("offset"))
+      .agg(countDistinct(col(userCol)).as("n_active"))
+  }
+}

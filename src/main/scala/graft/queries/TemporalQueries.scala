@@ -1,0 +1,271 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.AsOf
+import graft.stats.Sketches
+import graft.text.TextOps
+
+/** Driver-verified queries for the temporal-join and sketching surface:
+  * point-in-time (as-of) join, bounded-window range self-join, KMV
+  * distinct-count sketching, and collocation mining. The joins are the
+  * two event-log shapes Spark has no native operator for; both rewrite
+  * to single-shuffle plans (union+window / binned equi-join) in
+  * [[graft.ops.AsOf]].
+  */
+object TemporalQueries {
+
+  private def ev(s: SparkSession, d: String) =
+    Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+  private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
+
+  /** 6 hours in microseconds — the q95 pair window (≈37 qualifying
+    * successors per user-month at the generator's event density). */
+  private val pairWindowUs = 21600000000L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // point-in-time join: each view event annotated with the latest
+    // prior-or-simultaneous purchase of the same user (feature backfill
+    // at label time — the leak-free training-data join). One shuffle on
+    // user_id, no join operator at all: union + ordered carry-forward
+    "q94_asof_join" -> ((s, d) => {
+      val e = ev(s, d)
+      val views = e.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts_us")
+      val buys = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us", "value")
+      AsOf.asofJoin(views, buys, "user_id", "ts_us", "event_id", "value")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          round(col("asof_value"), 6).as("asof_value"),
+          (col("ts_us") - col("asof_ts")).as("lag_us"))
+        .orderBy("event_id")
+    }),
+
+    // bounded-window range self-join: per user, every ordered event pair
+    // within 6 hours — binned to window-width buckets so the per-user
+    // cross product never materializes; aggregated to per-user burst
+    // statistics (the retention/abuse-detection shape)
+    "q95_range_pairs" -> ((s, d) =>
+      AsOf.rangePairs(ev(s, d).select("user_id", "ts_us", "event_id"),
+          "user_id", "ts_us", "event_id", pairWindowUs)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("gap")).as("sum_gap_us"),
+          max(col("gap")).as("max_gap_us"))
+        .orderBy("user_id")),
+
+    // KMV distinct-count sketch: per event_type distinct users, exact vs
+    // the (k-1)·2^60/m_k estimate — k=64 sits below the sf0.01+ user
+    // count (estimator exercised) and above sf0.001's (exact branch)
+    "q96_kmv_distinct" -> ((s, d) =>
+      Sketches.kmvDistinct(
+          Tables.t(s, d, "events").select("event_type", "user_id"),
+          "event_type", "user_id", k = 64)
+        .orderBy("event_type")),
+
+    // collocation mining: PMI of adjacent token pairs with a min-count
+    // gate (25 keeps 718 of 916 sf0.01 bigrams — the gate is exercised)
+    "q97_collocations" -> ((s, d) =>
+      TextOps.collocations(docs(s, d), minCount = 25)
+        .orderBy("w1", "w2")),
+
+    // ordered funnel: view → later click → later purchase per user;
+    // strict ordering (a purchase before the first view doesn't count),
+    // one conditional aggregation per step on the same user_id key
+    "q98_funnel" -> ((s, d) =>
+      graft.analytics.Analytics
+        .funnel(ev(s, d), Seq("view", "click", "purchase"))
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+          col("steps_reached"))
+        .orderBy("user_id")),
+
+    // weekly cohort retention: users bucketed by first-seen week,
+    // distinct-active counts per (cohort, week offset)
+    "q99_retention" -> ((s, d) =>
+      graft.analytics.Analytics.retention(ev(s, d), 604800000000L)
+        .orderBy("cohort", "offset")),
+
+    // count-min frequency sketch over word bigrams: 4×256 counters —
+    // deliberately under-sized vs the 916-bigram domain so one-sided
+    // collision inflation is exercised, and the md5-derived estimate
+    // replays bit-for-bit in the oracle
+    "q100_count_min" -> ((s, d) => {
+      val starts = when(size(col("w")) >= 2, sequence(lit(0), size(col("w")) - 2))
+        .otherwise(array().cast("array<int>"))
+      val bigrams = docs(s, d).select(TextOps.tokensCol.as("w"))
+        .select(explode(transform(starts,
+          i => concat(element_at(col("w"), i + 1), lit(" "),
+            element_at(col("w"), i + 2)))).as("item"))
+      Sketches.countMinCompare(bigrams, "item", depth = 4, width = 256,
+        minCount = 1L).orderBy("item")
+    }),
+
+    // Z-order layout report: events clustered on the (user, time) Morton
+    // curve, split into 16 equal z-ranges ("files"); each bucket's
+    // bounding box is what a parquet footer would min/max-prune on
+    "q101_zorder" -> ((s, d) =>
+      graft.ops.Layout.zOrderStats(
+          ev(s, d).select(col("user_id"), col("ts_us")),
+          "user_id", "ts_us", bucketBits = 4)
+        .orderBy("bucket")))
+
+  def oracle: Map[String, String] = Map(
+
+    "q94_asof_join" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, EPOCH_US(ts) AS ts_us, event_type, value
+           FROM events),
+         u AS (
+           SELECT event_id, user_id, ts_us, 1 AS side,
+                  NULL::DOUBLE AS rv, NULL::BIGINT AS rts
+           FROM ev WHERE event_type = 'view'
+           UNION ALL
+           SELECT event_id, user_id, ts_us, 0, value, ts_us
+           FROM ev WHERE event_type = 'purchase'),
+         w AS (
+           SELECT *,
+             LAST_VALUE(rv IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts_us, side, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS av,
+             LAST_VALUE(rts IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts_us, side, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS at
+           FROM u)
+         SELECT event_id, user_id, ts_us, ROUND(av, 6) AS asof_value,
+                ts_us - at AS lag_us
+         FROM w WHERE side = 1 ORDER BY event_id""",
+
+    "q95_range_pairs" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, EPOCH_US(ts) AS ts_us FROM events)
+         SELECT a.user_id, COUNT(*) AS n_pairs,
+                SUM(b.ts_us - a.ts_us) AS sum_gap_us,
+                MAX(b.ts_us - a.ts_us) AS max_gap_us
+         FROM ev a JOIN ev b ON a.user_id = b.user_id
+           AND b.ts_us - a.ts_us <= 21600000000
+           AND (b.ts_us > a.ts_us
+                OR (b.ts_us = a.ts_us AND b.event_id > a.event_id))
+         GROUP BY a.user_id ORDER BY a.user_id""",
+
+    // the salted two-phase min-k provably equals the global min-k
+    // (every global top-k hash survives its salt's local top-k), so the
+    // oracle replays the simple single-window form
+    "q96_kmv_distinct" ->
+      """WITH h AS (
+           SELECT DISTINCT event_type, MD5(CAST(user_id AS VARCHAR)) AS hhex
+           FROM events),
+         ex AS (SELECT event_type, COUNT(*) AS n_exact FROM h GROUP BY 1),
+         rk AS (
+           SELECT event_type, hhex,
+                  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hhex) AS r
+           FROM h),
+         sk AS (
+           SELECT event_type,
+                  MAX(CAST('0x' || SUBSTR(hhex, 1, 15) AS BIGINT)) AS mk,
+                  COUNT(*) AS n_in
+           FROM rk WHERE r <= 64 GROUP BY 1)
+         SELECT e.event_type, e.n_exact,
+                CASE WHEN s.n_in < 64 THEN CAST(s.n_in AS DOUBLE)
+                     ELSE ROUND(CAST(63.0 AS DOUBLE) * POW(CAST(2.0 AS DOUBLE), 60)
+                                / CAST(s.mk AS DOUBLE), 4) END AS kmv_est
+         FROM ex e JOIN sk s USING (event_type) ORDER BY event_type""",
+
+    "q97_collocations" ->
+      """WITH t AS (
+           SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w FROM documents),
+         uc AS (
+           SELECT x AS tok, COUNT(*) AS c
+           FROM (SELECT UNNEST(w) AS x FROM t) GROUP BY x),
+         nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uc),
+         bg AS (
+           SELECT w1, w2, COUNT(*) AS c12 FROM (
+             SELECT w[i] AS w1, w[i+1] AS w2
+             FROM t, LATERAL (SELECT UNNEST(RANGE(1, LEN(w))) AS i))
+           GROUP BY w1, w2),
+         nb AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_big FROM bg)
+         SELECT b.w1, b.w2, b.c12,
+                ROUND(LN(CAST(b.c12 AS DOUBLE) * CAST(nu.n_uni AS DOUBLE)
+                           * CAST(nu.n_uni AS DOUBLE)
+                         / (CAST(nb.n_big AS DOUBLE) * CAST(u1.c AS DOUBLE)
+                            * CAST(u2.c AS DOUBLE))), 6) AS pmi
+         FROM bg b
+         JOIN uc u1 ON b.w1 = u1.tok
+         JOIN uc u2 ON b.w2 = u2.tok
+         CROSS JOIN nu CROSS JOIN nb
+         WHERE b.c12 >= 25
+         ORDER BY b.w1, b.w2""",
+
+    "q98_funnel" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, EPOCH_US(ts) AS ts_us FROM events),
+         s1 AS (
+           SELECT user_id, MIN(ts_us) AS t1 FROM ev
+           WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (
+           SELECT e.user_id, MIN(ts_us) AS t2 FROM ev e JOIN s1 USING (user_id)
+           WHERE event_type = 'click' AND ts_us > t1 GROUP BY 1),
+         s3 AS (
+           SELECT e.user_id, MIN(ts_us) AS t3 FROM ev e JOIN s2 USING (user_id)
+           WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY 1)
+         SELECT s1.user_id, t1, t2, t3,
+                1 + CAST(t2 IS NOT NULL AS INT) + CAST(t3 IS NOT NULL AS INT)
+                  AS steps_reached
+         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+         ORDER BY user_id""",
+
+    "q99_retention" ->
+      """WITH ev AS (
+           SELECT user_id, EPOCH_US(ts) // 604800000000 AS p FROM events),
+         f AS (SELECT user_id, MIN(p) AS cohort FROM ev GROUP BY 1),
+         a AS (SELECT DISTINCT user_id, p FROM ev)
+         SELECT cohort, p - cohort AS "offset",
+                COUNT(DISTINCT user_id) AS n_active
+         FROM a JOIN f USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q100_count_min" ->
+      """WITH t AS (
+           SELECT REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w FROM documents),
+         items AS (
+           SELECT w[i] || ' ' || w[i+1] AS item
+           FROM t, LATERAL (SELECT UNNEST(RANGE(1, LEN(w))) AS i)),
+         cells AS (
+           SELECT item, r,
+                  CAST('0x' || SUBSTR(MD5(r || ':' || item), 1, 15) AS BIGINT)
+                    % 256 AS cell
+           FROM items, LATERAL (SELECT UNNEST(RANGE(0, 4)) AS r)),
+         counters AS (
+           SELECT r, cell, COUNT(*) AS c FROM cells GROUP BY 1, 2),
+         exact AS (
+           SELECT item, COUNT(*) AS c_true FROM items GROUP BY 1
+           HAVING COUNT(*) >= 1),
+         est AS (
+           SELECT d.item, MIN(co.c) AS cm_est
+           FROM (SELECT DISTINCT item, r, cell FROM cells) d
+           JOIN counters co USING (r, cell)
+           GROUP BY 1)
+         SELECT e.item, e.c_true, s.cm_est, s.cm_est > e.c_true AS inflated
+         FROM exact e JOIN est s USING (item)
+         ORDER BY e.item""",
+
+    "q101_zorder" -> {
+      val zterms = (0 until 16).map { i =>
+        s"((((xq >> $i) & 1) << ${2 * i}) + (((yq >> $i) & 1) << ${2 * i + 1}))"
+      }.mkString(" + ")
+      s"""WITH ev AS (
+           SELECT user_id AS x, EPOCH_US(ts) AS y FROM events),
+         b AS (SELECT MIN(x) AS x_min0, MAX(x) AS x_max0,
+                      MIN(y) AS y_min0, MAX(y) AS y_max0 FROM ev),
+         q AS (
+           SELECT ((x - x_min0) * 65535) // (x_max0 - x_min0) AS xq,
+                  ((y - y_min0) * 65535) // (y_max0 - y_min0) AS yq
+           FROM ev CROSS JOIN b),
+         z AS (SELECT xq, yq, $zterms AS z FROM q)
+         SELECT z >> 28 AS bucket, COUNT(*) AS n,
+                MIN(xq) AS xq_min, MAX(xq) AS xq_max,
+                MIN(yq) AS yq_min, MAX(yq) AS yq_max
+         FROM z GROUP BY 1 ORDER BY 1"""
+    })
+}

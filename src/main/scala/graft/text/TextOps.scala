@@ -604,4 +604,44 @@ object TextOps {
            FROM ex GROUP BY doc_id)
          SELECT doc_id, CAST($hash AS BIGINT) AS simhash FROM ag"""
   }
+
+  /** Collocation mining: pointwise mutual information of adjacent token
+    * pairs, `PMI = ln(p(w1,w2) / (p(w1)·p(w2)))` with pair probability
+    * over bigram positions and unigram probabilities over token
+    * positions. High-PMI frequent pairs are the corpus's multi-word
+    * units ("new york"); a boilerplate-heavy crawl shows a fat tail of
+    * template pairs here before any dedup pass sees them.
+    *
+    * Shape: two count aggregations (unigrams, bigrams) + two equi-joins
+    * of the frequent bigrams against the unigram counts — the vocabulary
+    * is never broadcast, so a 100 TB corpus's open vocabulary shuffles
+    * like any aggregation. The `minCount` gate cuts the join input to the
+    * frequent tail, and the ratio is assembled left-associated in doubles
+    * so the oracle replays the IEEE arithmetic exactly.
+    */
+  def collocations(docs: DataFrame, minCount: Int): DataFrame = {
+    val w = tokensCol
+    val bigStarts = when(size(col("w")) >= 2, sequence(lit(0), size(col("w")) - 2))
+      .otherwise(array().cast("array<int>"))
+    val uni = docs.select(explode(w).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val nUni = uni.agg(sum(col("c")).as("n_uni"))
+    val big = docs.select(w.as("w"))
+      .select(explode(transform(bigStarts,
+        i => struct(element_at(col("w"), i + 1).as("w1"),
+          element_at(col("w"), i + 2).as("w2")))).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val nBig = big.agg(sum(col("c12")).as("n_big"))
+    big.filter(col("c12") >= minCount)
+      .join(uni.select(col("tok").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBig))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log(
+          col("c12").cast("double") * col("n_uni").cast("double")
+            * col("n_uni").cast("double")
+            / (col("n_big").cast("double") * col("c1").cast("double")
+              * col("c2").cast("double"))), 6).as("pmi"))
+  }
 }

@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.AsOf
+import graft.stats.Sketches
+import graft.text.TextOps
+
+/** Specs for the temporal-join + sketching surface (q94–q97): as-of join
+  * semantics (including the tie rules that make it a total order), binned
+  * range self-join vs the naive quadratic definition, KMV's exact branch
+  * and estimator accuracy, and PMI on a corpus with a known value.
+  */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoin: latest right row at-or-before each left ts; ties visible") {
+    val left = Seq( // (event_id, user_id, ts)
+      (100L, 1L, 10L), (101L, 1L, 25L), (102L, 1L, 5L),
+      (103L, 2L, 50L), (104L, 3L, 7L))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq( // purchase at ts; one tie pair for user 1 at ts=25
+      (1L, 1L, 8L, 1.5), (2L, 1L, 25L, 2.5), (3L, 1L, 25L, 3.5),
+      (4L, 2L, 50L, 9.0), (5L, 2L, 60L, 7.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = AsOf.asofJoin(left, right, "user_id", "ts", "event_id", "value")
+      .select("event_id", "asof_value", "asof_ts")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(out(100L) == ((Some(1.5), Some(8L))))  // plain before
+    assert(out(101L) == ((Some(3.5), Some(25L)))) // tie ts: larger right id wins
+    assert(out(102L) == ((None, None)))           // nothing precedes
+    assert(out(103L) == ((Some(9.0), Some(50L)))) // equal ts is visible
+    assert(out(104L) == ((None, None)))           // user with no right rows
+  }
+
+  test("rangePairs == naive quadratic filter, each pair exactly once") {
+    // deterministic pseudo-random event log; consecutive id pairs share
+    // (user, ts) so zero-gap tie pairs are exercised
+    val ev = (0L until 400L).map { i =>
+      val user = (i / 2) % 7
+      val ts = ((i / 2) * 2654435761L) % 997L
+      (user, ts, i)
+    }.toDF("user_id", "ts", "event_id")
+    val w = 100L
+    val got = AsOf.rangePairs(ev, "user_id", "ts", "event_id", w)
+      .select("id_a", "id_b", "gap").as[(Long, Long, Long)].collect().toSet
+    val a = ev.select(col("user_id").as("u"), col("ts").as("ta"),
+      col("event_id").as("ia"))
+    val b = ev.select(col("user_id").as("u"), col("ts").as("tb"),
+      col("event_id").as("ib"))
+    val naive = a.join(b, Seq("u"))
+      .filter(col("tb") - col("ta") <= w &&
+        (col("tb") > col("ta") ||
+          (col("tb") === col("ta") && col("ib") > col("ia"))))
+      .select(col("ia"), col("ib"), (col("tb") - col("ta")).as("gap"))
+      .as[(Long, Long, Long)].collect()
+    assert(naive.length == naive.toSet.size)
+    assert(got == naive.toSet)
+    assert(got.nonEmpty && got.exists(_._3 == 0L)) // same-ts pairs exercised
+  }
+
+  test("kmvDistinct: exact below capacity, close above it") {
+    val small = (0 until 40).map(i => ("g1", i)).toDF("grp", "k")
+    val sOut = Sketches.kmvDistinct(small, "grp", "k", k = 64).collect().head
+    assert(sOut.getLong(1) == 40L && sOut.getDouble(2) == 40.0)
+
+    val big = (0 until 5000).flatMap(i => Seq(("g2", i), ("g2", i))) // dups collapse
+      .toDF("grp", "k")
+    val bOut = Sketches.kmvDistinct(big, "grp", "k", k = 64).collect().head
+    assert(bOut.getLong(1) == 5000L)
+    val rel = math.abs(bOut.getDouble(2) - 5000.0) / 5000.0
+    assert(rel < 0.5, s"KMV estimate ${bOut.getDouble(2)} off by $rel")
+  }
+
+  test("kmvDistinct: salted two-phase top-k equals the global min-k") {
+    val df = (0 until 2000).map(i => ("g", i * 31)).toDF("grp", "k")
+    val viaOp = Sketches.kmvDistinct(df, "grp", "k", k = 32, salts = 8)
+      .collect().head.getDouble(2)
+    // single-window replay of the definition
+    val h = df.select(col("grp"), md5(col("k").cast("string")).as("hhex")).distinct()
+    val mk = h.withColumn("_r",
+        row_number().over(Window.partitionBy("grp").orderBy("hhex")))
+      .filter(col("_r") <= 32)
+      .agg(max(conv(substring(col("hhex"), 1, 15), 16, 10).cast("long")))
+      .collect().head.getLong(0)
+    val want = BigDecimal(31.0 * math.pow(2.0, 60) / mk.toDouble)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(viaOp == want)
+  }
+
+  test("funnel: strict ordering — out-of-order steps don't count") {
+    val ev = Seq( // user 1: full ordered funnel; user 2: purchase BEFORE
+      // first view (must not count) then click, no purchase after;
+      // user 3: view only; user 4: never views (absent from output)
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "purchase", 5L), (2L, "view", 10L), (2L, "click", 15L),
+      (3L, "view", 40L), (3L, "purchase", 35L),
+      (4L, "click", 1L), (4L, "purchase", 2L))
+      .toDF("user_id", "event_type", "ts_us")
+    val out = graft.analytics.Analytics
+      .funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+          r.getInt(4)))).toMap
+    assert(out(1L) == ((Some(10L), Some(20L), Some(30L), 3)))
+    assert(out(2L) == ((Some(10L), Some(15L), None, 2))) // early buy ignored
+    assert(out(3L) == ((Some(40L), None, None, 1)))      // early buy ignored
+    assert(!out.contains(4L))
+  }
+
+  test("funnel: same-ts step does not satisfy strict 'after'") {
+    val ev = Seq((1L, "view", 10L), (1L, "click", 10L), (1L, "click", 11L))
+      .toDF("user_id", "event_type", "ts_us")
+    val out = graft.analytics.Analytics.funnel(ev, Seq("view", "click"))
+      .collect().head
+    assert(out.getLong(1) == 10L && out.getLong(2) == 11L)
+  }
+
+  test("retention: cohort by first period, offsets count distinct actives") {
+    val ev = Seq( // period width 10: u1 first in p0, active p0/p2;
+      // u2 first in p1, active p1 only (twice — distinct); u3 p0+p1
+      (1L, 3L), (1L, 25L), (2L, 12L), (2L, 17L), (3L, 8L), (3L, 14L))
+      .toDF("user_id", "ts_us")
+    val out = graft.analytics.Analytics.retention(ev, 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L,
+      (1L, 0L) -> 1L))
+  }
+
+  test("countMinCompare: never underestimates, exact at generous width") {
+    val items = (0 until 500).flatMap(i =>
+      Seq.fill(1 + i % 5)(s"item${i % 50}")).toDF("item")
+    val wide = Sketches.countMinCompare(items, "item", depth = 4,
+      width = 4096, minCount = 1L).collect()
+    assert(wide.length == 50)
+    assert(wide.forall(r => r.getLong(2) >= r.getLong(1)))
+    assert(wide.forall(r => !r.getBoolean(3))) // 50 items in 4096 cells: exact
+    val tight = Sketches.countMinCompare(items, "item", depth = 2,
+      width = 8, minCount = 1L).collect()
+    assert(tight.forall(r => r.getLong(2) >= r.getLong(1)))
+    assert(tight.exists(r => r.getBoolean(3))) // 50 items in 8 cells: collides
+  }
+
+  test("zOrder16 interleaves bits; zOrderStats boxes nest both dims") {
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L))
+      .toDF("x", "y")
+    val z = pts.select(graft.ops.Layout.zOrder16(col("x"), col("y")).as("z"))
+      .as[Long].collect().toSet
+    // x=3 (011), y=5 (101): interleave → y2 x2 y1 x1 y0 x0 = 100111 = 39
+    assert(z == Set(0L, 1L, 2L, 39L, 4294967295L))
+
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L)
+      yield (x * 1000L, y * 1000L)).toDF("px", "py")
+    val stats = graft.ops.Layout.zOrderStats(grid, "px", "py", bucketBits = 2)
+      .collect()
+    assert(stats.length == 4 && stats.map(_.getLong(1)).sum == 4096L)
+    // each of the 4 buckets must bound BOTH dims to half the domain
+    stats.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= 32768L, s"x box too wide: $r")
+      assert(r.getLong(5) - r.getLong(4) <= 32768L, s"y box too wide: $r")
+    }
+  }
+
+  test("collocations: known PMI for an always-paired bigram") {
+    // 10 docs, each "x y f f": c(x y)=10, c(x)=c(y)=10, c(f f)=10,
+    // c(f)=20, N=40 tokens, Nb=30 bigram positions
+    val docs = (0L until 10L).map(i => (i, "x y f f")).toDF("doc_id", "text")
+    val out = TextOps.collocations(docs, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    def pmi(c12: Long, c1: Long, c2: Long): Double =
+      BigDecimal(math.log(c12.toDouble * 40.0 * 40.0 / (30.0 * c1 * c2)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(("x", "y")) == pmi(10, 10, 10))
+    assert(out(("y", "f")) == pmi(10, 10, 20))
+    assert(out(("f", "f")) == pmi(10, 20, 20))
+    assert(out.size == 3)
+  }
+}
