@@ -57,4 +57,29 @@ object Analytics {
       .groupBy(col("cohort"), (col("p") - col("cohort")).as("offset"))
       .agg(countDistinct(col(userCol)).as("n_active"))
   }
+
+  /** Exact per-group quantiles (nearest-rank: the value at rank
+    * `max(1, ceil(p·n))` — no interpolation, so the result is a real data
+    * point and replays engine-exact). The p50/p95/p99 observability
+    * shape, computed WITHOUT a per-group window: one global
+    * range-partitioned ordinal over (group, value) — groups share the
+    * sort, no group ever lands in a single task — then per-group ranks
+    * from a small (|groups|-row) offset join.
+    */
+  def groupQuantiles(df: DataFrame, group: String, valueCol: String,
+                     ps: Seq[Double]): DataFrame = {
+    val ordered = graft.ops.Windows.globalOrdinal(
+      df.select(col(group), col(valueCol)),
+      Seq(col(group), col(valueCol)), "pos")
+    val bounds = ordered.groupBy(group)
+      .agg(min(col("pos")).as("p0"), count(lit(1)).as("cnt"))
+    val targets = bounds
+      .select(col(group), col("p0"), col("cnt"),
+        explode(typedlit(ps)).as("p"))
+      .withColumn("target_rk",
+        greatest(lit(1L), ceil(col("p") * col("cnt")).cast("long")))
+    ordered.join(broadcast(targets), Seq(group))
+      .filter(col("pos") - col("p0") + 1 === col("target_rk"))
+      .select(col(group), col("p"), col(valueCol).as("q_value"))
+  }
 }

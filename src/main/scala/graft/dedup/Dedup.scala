@@ -361,4 +361,51 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("ida", "idb", "inter", "jaccard")
   }
+
+  /** Bloom-filter decontamination — the broadcast-bitmap scale path for
+    * [[decontaminate]]: instead of joining the train corpus's shingles
+    * against the eval set (a shuffle of every matching posting), the eval
+    * set's shingles are folded driver-side into an `mBits`-bit bloom
+    * bitmap (`k` md5-derived probes each) that ships to every executor as
+    * ONE literal array — the train side then runs a MAP-ONLY membership
+    * pass with a codegen'd bit test, no join and no shuffle until the
+    * per-doc count aggregation. The eval side is small by definition (a
+    * benchmark suite); the driver materializes only bit positions,
+    * bounded by min(k·|eval shingles|, mBits).
+    *
+    * Bloom error is one-sided and, because the probes are md5-derived,
+    * DETERMINISTIC — the oracle replays the exact same false positives.
+    * Output per train doc: shingle count, bloom-positive count, true
+    * match count (kept here to validate the fp behavior; production
+    * drops the exact join — that is the whole point), and the fp count.
+    */
+  def bloomDecontaminate(train: DataFrame, evalDocs: DataFrame, n: Int,
+                         mBits: Int = 1 << 16, k: Int = 3): DataFrame = {
+    require(mBits % 64 == 0 && Integer.bitCount(mBits) == 1)
+    val evSh = shingles(evalDocs, n).select("shingle").distinct()
+    val posCol = (j: Int) =>
+      pmod(conv(substring(md5(concat(lit(s"$j:"), col("shingle"))), 1, 15),
+        16, 10).cast("long"), lit(mBits.toLong))
+    val positions = evSh
+      .select(explode(array((0 until k).map(posCol): _*)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val bitmap = new Array[Long](mBits / 64)
+    positions.foreach(p => bitmap((p / 64).toInt) |= (1L << (p % 64)))
+    val trSh = shingles(train, n)
+    val probed = (0 until k).foldLeft(
+        trSh.withColumn("_bm", typedlit(bitmap.toIndexedSeq))) { (df, j) =>
+        df.withColumn(s"_p$j", posCol(j))
+      }
+      .withColumn("_hits", expr((0 until k).map(j =>
+        s"(shiftright(element_at(_bm, cast(_p$j div 64 as int) + 1), " +
+          s"cast(_p$j % 64 as int)) & 1)").mkString("(", " + ", s") = $k")))
+    val bloomCounts = probed.groupBy("doc_id").agg(
+      count(lit(1)).as("n_shingles"),
+      sum(when(col("_hits"), 1L).otherwise(0L)).as("n_bloom_hits"))
+    val trueCounts = trSh.join(evSh, Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_true_hits"))
+    bloomCounts.join(trueCounts, Seq("doc_id"), "left")
+      .withColumn("n_true_hits", coalesce(col("n_true_hits"), lit(0L)))
+      .withColumn("n_false_pos", col("n_bloom_hits") - col("n_true_hits"))
+  }
 }

@@ -109,7 +109,41 @@ object TemporalQueries {
       graft.ops.Layout.zOrderStats(
           ev(s, d).select(col("user_id"), col("ts_us")),
           "user_id", "ts_us", bucketBits = 4)
-        .orderBy("bucket")))
+        .orderBy("bucket")),
+
+    // BM25 retrieval: top-10 docs for 4 queries — postings join the
+    // broadcast query-term set first, top-k per query is salted
+    // two-phase, ranking orders by the ROUNDED score (+doc_id) so the
+    // cut is deterministic cross-engine
+    "q102_bm25" -> ((s, d) =>
+      TextOps.bm25TopK(docs(s, d), bm25Queries, topK = 10)
+        .orderBy("q_id", "rank")),
+
+    // bloom-filter decontamination: eval = every 97th doc (planted
+    // self-contamination), 2^18-bit bitmap built driver-side from the
+    // eval shingles and shipped as ONE literal — the corpus side is a
+    // map-only codegen'd bit test, no join; md5-derived probes make the
+    // false positives themselves deterministic and oracle-checked
+    "q103_bloom_decontam" -> ((s, d) => {
+      val all = docs(s, d).select("doc_id", "text")
+      graft.dedup.Dedup.bloomDecontaminate(
+          all, all.filter(col("doc_id") % 97 === 0), n = 5,
+          mBits = 1 << 18, k = 3)
+        .orderBy("doc_id")
+    }),
+
+    // exact per-group latency-style quantiles (nearest-rank p50/p95/p99
+    // of value per event_type): one global range-partitioned ordinal
+    // shared by all groups — no per-group window task at any group size
+    "q104_group_quantiles" -> ((s, d) =>
+      graft.analytics.Analytics.groupQuantiles(
+          ev(s, d).select(col("event_type"), col("value")),
+          "event_type", "value", Seq(0.5, 0.95, 0.99))
+        .orderBy("event_type", "p")))
+
+  private val bm25Queries = Seq(
+    (1, "data table scan"), (2, "hash join order"),
+    (3, "fast query filter"), (4, "stream window agg"))
 
   def oracle: Map[String, String] = Map(
 
@@ -267,5 +301,95 @@ object TemporalQueries {
                 MIN(xq) AS xq_min, MAX(xq) AS xq_max,
                 MIN(yq) AS yq_min, MAX(yq) AS yq_max
          FROM z GROUP BY 1 ORDER BY 1"""
-    })
+    },
+
+    // literals written as the same ops Scala performs (1.2 + 1.0, not
+    // 2.2) so every IEEE intermediate is bit-identical
+    "q102_bm25" ->
+      """WITH t AS (
+           SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w FROM documents),
+         tf AS (
+           SELECT doc_id, x AS term, COUNT(*) AS tf
+           FROM (SELECT doc_id, UNNEST(w) AS x FROM t) GROUP BY 1, 2),
+         dl AS (SELECT doc_id, LEN(w) AS dl FROM t),
+         st AS (
+           SELECT COUNT(*) AS n_docs,
+                  CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+           FROM dl),
+         dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         qd AS (
+           SELECT DISTINCT q_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(qtext, '\s+')) AS term
+           FROM (VALUES (1, 'data table scan'), (2, 'hash join order'),
+                        (3, 'fast query filter'), (4, 'stream window agg'))
+                v(q_id, qtext)),
+         sc AS (
+           SELECT qd.q_id, tf.doc_id,
+             ROUND(SUM(
+               LN(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                        / (CAST(d.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(tf.tf AS DOUBLE)
+                  + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl))
+             ), 6) AS score
+           FROM tf JOIN qd USING (term) JOIN dfreq d USING (term)
+           JOIN dl USING (doc_id) CROSS JOIN st
+           GROUP BY 1, 2),
+         rk AS (
+           SELECT q_id, doc_id, score,
+                  ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY score DESC, doc_id) AS "rank"
+           FROM sc)
+         SELECT q_id, doc_id, score, "rank" FROM rk
+         WHERE "rank" <= 10 ORDER BY q_id, "rank" """,
+
+    "q103_bloom_decontam" ->
+      """WITH t AS (
+           SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w FROM documents),
+         trsh AS (
+           SELECT DISTINCT doc_id,
+                  w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+                    AS shingle
+           FROM t, LATERAL (SELECT UNNEST(RANGE(1, LEN(w) - 3)) AS i)),
+         evsh AS (
+           SELECT DISTINCT shingle FROM trsh WHERE doc_id % 97 = 0),
+         pos AS (
+           SELECT DISTINCT
+             CAST('0x' || SUBSTR(MD5(j || ':' || shingle), 1, 15) AS BIGINT)
+               % 262144 AS p
+           FROM evsh, LATERAL (SELECT UNNEST(RANGE(0, 3)) AS j)),
+         probe AS (
+           SELECT doc_id, shingle,
+             CAST('0x' || SUBSTR(MD5(j || ':' || shingle), 1, 15) AS BIGINT)
+               % 262144 AS pj
+           FROM trsh, LATERAL (SELECT UNNEST(RANGE(0, 3)) AS j)),
+         bits AS (
+           SELECT doc_id, shingle, COUNT(*) AS nb
+           FROM probe JOIN pos ON probe.pj = pos.p
+           GROUP BY 1, 2),
+         bloom AS (
+           SELECT t2.doc_id, COUNT(*) AS n_shingles,
+                  COUNT(*) FILTER (b.nb = 3) AS n_bloom_hits
+           FROM trsh t2 LEFT JOIN bits b
+             ON t2.doc_id = b.doc_id AND t2.shingle = b.shingle
+           GROUP BY 1),
+         tru AS (
+           SELECT doc_id, COUNT(*) AS n_true_hits FROM trsh
+           WHERE shingle IN (SELECT shingle FROM evsh) GROUP BY 1)
+         SELECT b.doc_id, b.n_shingles, b.n_bloom_hits,
+                COALESCE(u.n_true_hits, 0) AS n_true_hits,
+                b.n_bloom_hits - COALESCE(u.n_true_hits, 0) AS n_false_pos
+         FROM bloom b LEFT JOIN tru u USING (doc_id)
+         ORDER BY b.doc_id""",
+
+    "q104_group_quantiles" ->
+      """WITH ev AS (SELECT event_type, value AS v FROM events),
+         r AS (
+           SELECT event_type, v,
+                  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+                  COUNT(*) OVER (PARTITION BY event_type) AS cnt
+           FROM ev)
+         SELECT event_type, p, v AS q_value
+         FROM r JOIN (SELECT UNNEST([0.5, 0.95, 0.99]) AS p) ps
+           ON rk = GREATEST(1, CEIL(p * cnt))
+         ORDER BY event_type, p""")
 }

@@ -189,4 +189,48 @@ object Streaming {
           SessionUpdate(user, start, n, sum)
       }
   }
+
+  case class AsofUpdate(event_id: Long, user_id: Long, ts_us: Long,
+                        asof_value: Option[Double], asof_ts: Option[Long])
+
+  /** Streaming twin of q94's as-of join: each `leftType` event is
+    * annotated with the latest prior-or-simultaneous `rightType` event of
+    * the same user. State per user is ONE (ts, id, value) triple — the
+    * running best right event — so total state is O(users) and never
+    * grows with the stream (no watermark needed to bound it).
+    *
+    * Batch-vs-stream divergence (deliberate, same convention as
+    * [[nearDupStream]]): within a micro-batch events process in
+    * (ts, right-before-left, id) order — identical to the batch total
+    * order — but a right event arriving in a LATER micro-batch than an
+    * already-emitted left event cannot retro-annotate it. An
+    * out-of-order right is still absorbed into state only if it beats
+    * the current best in the (ts, id) order, so state itself converges
+    * to the batch answer.
+    */
+  def asofStream(events: Dataset[Event], leftType: String = "view",
+                 rightType: String = "purchase"): Dataset[AsofUpdate] = {
+    import events.sparkSession.implicits._
+    events.filter(e => e.event_type == leftType || e.event_type == rightType)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Double), AsofUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, it, state: GroupState[(Long, Long, Double)]) =>
+          val evs = it.toVector.sortBy(e =>
+            (e.ts.getTime, if (e.event_type == rightType) 0 else 1, e.event_id))
+          var st = state.getOption
+          val out = Vector.newBuilder[AsofUpdate]
+          evs.foreach { e =>
+            val tsUs = e.ts.getTime * 1000L
+            if (e.event_type == rightType) {
+              if (st.forall(s => s._1 < tsUs || (s._1 == tsUs && s._2 < e.event_id)))
+                st = Some((tsUs, e.event_id, e.value))
+            } else {
+              out += AsofUpdate(e.event_id, user, tsUs, st.map(_._3), st.map(_._1))
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
 }

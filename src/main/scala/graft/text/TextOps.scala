@@ -644,4 +644,55 @@ object TextOps {
             / (col("n_big").cast("double") * col("c1").cast("double")
               * col("c2").cast("double"))), 6).as("pmi"))
   }
+
+  /** BM25 retrieval: top-k documents per query under the Robertson/
+    * Lucene scoring `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * with `idf = ln(1 + (N−df+0.5)/(df+0.5))` — the ranking function a
+    * training-data pipeline uses for benchmark-similarity retrieval and
+    * quality-by-reference scoring.
+    *
+    * Shape: the postings (doc, term, tf) join against the BROADCAST
+    * query-term set first, so only matching postings ever shuffle; df
+    * joins on the (query-bounded) term set; doc length joins on doc_id.
+    * Top-k per query runs as the salted two-phase selection — a hot
+    * query matching the whole corpus never lands in one window task.
+    * tf/df/dl are integral so every score replays engine-exact up to
+    * the final 6 dp rounding, and ranking orders by the ROUNDED score
+    * (doc_id tie-break) so selection is deterministic cross-engine.
+    */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Int, String)], topK: Int,
+               k1: Double = 1.2, b: Double = 0.75, salts: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = docs.select(col("doc_id"), explode(tokensCol).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = docs.select(col("doc_id"), size(tokensCol).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qTerms = queries.toDF("q_id", "qtext")
+      .select(col("q_id"), explode(split(col("qtext"), "\\s+")).as("term"))
+      .distinct()
+    val scored = tf.join(broadcast(qTerms), Seq("term"))
+      .join(broadcast(dfreq.join(broadcast(qTerms.select("term").distinct()),
+        Seq("term"))), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5))))
+      .withColumn("s", col("idf") * (col("tf").cast("double") * lit(k1 + 1.0))
+        / (col("tf").cast("double") + lit(k1)
+          * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+      .groupBy("q_id", "doc_id").agg(round(sum(col("s")), 6).as("score"))
+    val local = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id", "_salt").orderBy(col("score").desc, col("doc_id"))
+    val global = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("_salt", pmod(col("doc_id"), lit(salts)))
+      .withColumn("_r", row_number().over(local)).filter(col("_r") <= topK)
+      .drop("_r", "_salt")
+      .withColumn("rank", row_number().over(global).cast("long"))
+      .filter(col("rank") <= topK)
+  }
 }

@@ -68,4 +68,35 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(rs.contains((3, 7.0)))  // continued session saw 3 events
     assert(rs.contains((1, 8.0)))  // gap reset state
   }
+
+  test("streaming asofStream carries purchase state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streaming.asofStream(input.toDS())
+      .writeStream.format("memory").queryName("asof")
+      .outputMode("append").start()
+    // batch 1: purchase then view (in-batch join); a view with nothing
+    // preceding it emits None
+    input.addData(
+      Event(1, ts(5), 7, "view", 0.0),     // ts before any purchase
+      Event(2, ts(10), 7, "purchase", 9.5),
+      Event(3, ts(20), 7, "view", 0.0))
+    q.processAllAvailable()
+    // batch 2: view joins state from batch 1; an OLDER purchase must not
+    // overwrite the state; a newer one must
+    input.addData(
+      Event(4, ts(30), 7, "view", 0.0),
+      Event(5, ts(2), 7, "purchase", 1.1),  // late + older: ignored
+      Event(6, ts(40), 7, "purchase", 7.7),
+      Event(7, ts(50), 7, "view", 0.0))
+    q.processAllAvailable()
+    val rs = spark.table("asof").collect()
+      .map(x => x.getAs[Long]("event_id") ->
+        Option(x.getAs[Any]("asof_value")).map(_.asInstanceOf[Double])).toMap
+    q.stop()
+    assert(rs(1L).isEmpty)            // nothing precedes
+    assert(rs(3L).contains(9.5))      // in-batch purchase visible
+    assert(rs(4L).contains(9.5))      // state carried across batches
+    assert(rs(7L).contains(7.7))      // newer purchase replaced state
+  }
 }

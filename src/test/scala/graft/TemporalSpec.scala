@@ -162,6 +162,65 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("bm25TopK: exact-match doc outranks partial; rare term dominates") {
+    // doc 1 has both query terms, doc 2 one, doc 3 none; doc 4 is long
+    // with one occurrence (length-normalization pushes it below doc 2)
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha delta epsilon"),
+      (3L, "zeta eta theta"),
+      (4L, "alpha " + Seq.fill(60)("filler").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(docs, Seq((1, "alpha beta")), topK = 10)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L, 4L)) // doc 3 absent
+    assert(out.head.getDouble(2) > out(1).getDouble(2))
+    assert(out(1).getDouble(2) > out(2).getDouble(2))
+  }
+
+  test("bm25TopK: salted two-phase equals the naive single-window top-k") {
+    val docs = (0L until 200L).map(i =>
+      (i, Seq.fill(1 + (i % 7).toInt)("term").mkString(" ") + s" pad$i"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bm25TopK(docs, Seq((1, "term")), topK = 5, salts = 4)
+      .select("doc_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = TextOps.bm25TopK(docs, Seq((1, "term")), topK = 5, salts = 1)
+      .select("doc_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive && got.size == 5)
+  }
+
+  test("bloomDecontaminate: no false negatives; clean corpus under-reports only via fp") {
+    val mkDoc = (i: Long, s: String) => (i, s)
+    val train = Seq(
+      mkDoc(1L, "a b c d e f g"),       // contains eval shingle "a b c d e"
+      mkDoc(2L, "x y z w v u t"),       // clean
+      mkDoc(3L, "a b c d e q r"))       // contaminated too
+      .toDF("doc_id", "text")
+    val eval_ = Seq(mkDoc(9L, "a b c d e")).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup
+      .bloomDecontaminate(train, eval_, n = 5, mBits = 1 << 16, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // bloom hits ⊇ true hits (one-sided error), and every true hit found
+    assert(out(1L)._3 == 1L && out(1L)._2 >= 1L)
+    assert(out(3L)._3 == 1L && out(3L)._2 >= 1L)
+    assert(out(2L)._3 == 0L)
+    assert(out.values.forall(v => v._4 == v._2 - v._3 && v._4 >= 0L))
+  }
+
+  test("groupQuantiles: nearest-rank values, no interpolation") {
+    val df = (1 to 100).map(v => ("g1", v.toDouble)) ++
+      (1 to 10).map(v => ("g2", v * 10.0))
+    val out = graft.analytics.Analytics
+      .groupQuantiles(df.toDF("grp", "v"), "grp", "v", Seq(0.5, 0.95, 0.99))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(out(("g1", 0.5)) == 50.0)   // ceil(0.5*100)=50
+    assert(out(("g1", 0.95)) == 95.0)
+    assert(out(("g1", 0.99)) == 99.0)
+    assert(out(("g2", 0.5)) == 50.0)   // ceil(0.5*10)=5 → 5th value = 50
+    assert(out(("g2", 0.99)) == 100.0) // ceil(9.9)=10 → max
+  }
+
   test("collocations: known PMI for an always-paired bigram") {
     // 10 docs, each "x y f f": c(x y)=10, c(x)=c(y)=10, c(f f)=10,
     // c(f)=20, N=40 tokens, Nb=30 bigram positions
