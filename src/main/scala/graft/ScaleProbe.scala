@@ -49,6 +49,7 @@ object ScaleProbe {
       graft.stats.MatrixStats.cellProps(coo).write.format("noop").mode("overwrite").save()
     }
     out("cell_props") = tCell
+    System.err.println("[probe] done " + ("cell_props"))
 
     val (_, tHvg) = time {
       val normed = graft.norm.Normalize.libSizeLog(coo).select("cell_id", "feat_id", "normed")
@@ -58,6 +59,7 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
     out("hvg") = tHvg
+    System.err.println("[probe] done " + ("hvg"))
 
     val (_, tMarkers) = time {
       val groups = coo.select("cell_id").distinct()
@@ -66,6 +68,7 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
     out("markers_12M") = tMarkers
+    System.err.println("[probe] done " + ("markers_12M"))
 
     // ANN at 20× the embedding count: 40k vectors (2000 × 20 copies)
     val emb0 = graft.core.Tables.t(spark, sfDir, "embeddings")
@@ -81,6 +84,7 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
     out(s"bucketed_knn_${nVec}_p$annPlanes") = tAnn
+    System.err.println("[probe] done " + (s"bucketed_knn_${nVec}_p$annPlanes"))
 
     val (_, tDedup) = time {
       val docs = replicate(
@@ -89,6 +93,7 @@ object ScaleProbe {
       graft.dedup.Dedup.exactDupGroups(docs).write.format("noop").mode("overwrite").save()
     }
     out("exact_dedup_100k_docs") = tDedup
+    System.err.println("[probe] done " + ("exact_dedup_100k_docs"))
 
     // deterministic Lloyd's at 20× the vector count (the q60 clustering
     // core): per iteration one aggregation; centers-only driver traffic
@@ -97,6 +102,7 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
     out(s"lloyd_25it_${nVec}") = tLloyd
+    System.err.println("[probe] done " + (s"lloyd_25it_${nVec}"))
 
     // sketched Paris at 20×: the driver only ever collects the contracted
     // supergraph — record the contraction ratio alongside the time
@@ -114,6 +120,7 @@ object ScaleProbe {
       (sk, nVec)
     }
     out(s"sketched_paris_${nAnchors}_of_$nCells2") = tParis
+    System.err.println("[probe] done " + (s"sketched_paris_${nAnchors}_of_$nCells2"))
 
     // metrics path at replication scale: graph silhouette (ANN edges +
     // k-bounded per-cluster samples) and LISI (per-cell kernel over
@@ -124,6 +131,7 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
     out(s"silhouette_$nVec") = tSil
+    System.err.println("[probe] done " + (s"silhouette_$nVec"))
     val (_, tLisi) = time {
       val knnD = graft.pipeline.Knn.bucketedSelfKnn(emb, 10, nPlanes = 10, rounds = 4)
         .select(col("src"), col("dst"), col("dist"))
@@ -133,6 +141,8 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
     out(s"lisi_$nVec") = tLisi
+    System.err.println("[probe] done " + (s"lisi_$nVec"))
+    knnE.unpersist()
 
     // distributed connected components on a 2M-node chain forest: 1000-long
     // chains are the diameter worst case where plain label propagation
@@ -146,6 +156,7 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
     out("connected_components_2M_chains") = tCc
+    System.err.println("[probe] done " + ("connected_components_2M_chains"))
 
     // text-pipeline tails at 100k docs (20 × 5k): repetition signals,
     // token packing (range-partitioned running total), decontamination
@@ -158,11 +169,13 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
     out(s"repetition_${nDocs}_docs") = tRep
+    System.err.println("[probe] done " + (s"repetition_${nDocs}_docs"))
     val (_, tPack) = time {
       graft.text.Mix.packChunks(docsRep, 2048)
         .write.format("noop").mode("overwrite").save()
     }
     out(s"pack_chunks_${nDocs}_docs") = tPack
+    System.err.println("[probe] done " + (s"pack_chunks_${nDocs}_docs"))
     val (_, tDecon) = time {
       val ev = graft.core.Tables.t(spark, sfDir, "documents")
         .filter(col("doc_id") % 100 === 0).select("doc_id", "text")
@@ -170,6 +183,7 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
     out(s"decontaminate_${nDocs}_docs") = tDecon
+    System.err.println("[probe] done " + (s"decontaminate_${nDocs}_docs"))
 
     // exact-substring dedup at 100k/200k docs: key-shifted copies make
     // EVERY window corpus-duplicated — the join-back and island pass run
@@ -179,6 +193,7 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
     out(s"dup_substrings_${nDocs}_docs") = tDupWin
+    System.err.println("[probe] done " + (s"dup_substrings_${nDocs}_docs"))
     // passage dedup under the same total-duplication worst case: every
     // replicated copy shares every passage with the base doc, so the
     // digest join-back fans out `copies`-wide on every passage — the
@@ -188,6 +203,7 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
     out(s"passage_dedup_${nDocs}_docs") = tPassage
+    System.err.println("[probe] done " + (s"passage_dedup_${nDocs}_docs"))
     // the 5-gram LM is the join-heaviest text-pipeline shape (five count
     // aggregations + nine per-position joins); replicated copies multiply
     // every count by `copies` without changing the type universe — the
@@ -197,6 +213,8 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
     out(s"lm5gram_${nDocs}_docs") = tLm5
+    System.err.println("[probe] done " + (s"lm5gram_${nDocs}_docs"))
+    docsRep.unpersist()
     // int8-quantized ANN scoring under the same adversarial replica
     // occupancy floor as the bucketed-ANN rows (every vector has
     // copies−1 exact replicas sharing every bucket)
@@ -207,6 +225,8 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
     out(s"quantized_knn_$nVec") = tQuant
+    System.err.println("[probe] done " + (s"quantized_knn_$nVec"))
+    emb.unpersist()
 
     // the q58/q59 shapes at replication scale (round-4 watch items): the
     // seeded pseudo-rep pseudobulk is one md5-gated groupBy over the COO;
@@ -219,6 +239,7 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
     out("make_bulk_reps_12M") = tBulk
+    System.err.println("[probe] done " + ("make_bulk_reps_12M"))
     val (_, tLowess) = time {
       val normed = graft.norm.Normalize.libSizeLog(coo)
         .select("cell_id", "feat_id", "normed")
@@ -228,6 +249,8 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
     out("hvg_lowess_12M") = tLowess
+    System.err.println("[probe] done " + ("hvg_lowess_12M"))
+    coo.unpersist()
 
     // temporal joins + event analytics at `copies`× users (key-shifted
     // user_id — more keys at the generator's per-user density, the
@@ -248,6 +271,7 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
     out(s"asof_join_${nEv}_events") = tAsof
+    System.err.println("[probe] done " + (s"asof_join_${nEv}_events"))
     val (_, tRange) = time {
       graft.ops.AsOf.rangePairs(evRep.select("user_id", "ts_us", "event_id"),
           "user_id", "ts_us", "event_id", 21600000000L)
@@ -255,16 +279,19 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
     }
     out(s"range_pairs_${nEv}_events") = tRange
+    System.err.println("[probe] done " + (s"range_pairs_${nEv}_events"))
     val (_, tFunnel) = time {
       graft.analytics.Analytics.funnel(evRep, Seq("view", "click", "purchase"))
         .write.format("noop").mode("overwrite").save()
     }
     out(s"funnel_${nEv}_events") = tFunnel
+    System.err.println("[probe] done " + (s"funnel_${nEv}_events"))
     val (_, tKmv) = time {
       graft.stats.Sketches.kmvDistinct(evRep, "event_type", "user_id", 64)
         .write.format("noop").mode("overwrite").save()
     }
     out(s"kmv_${nEv}_events") = tKmv
+    System.err.println("[probe] done " + (s"kmv_${nEv}_events"))
     evRep.unpersist()
 
     val qs = out.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")

@@ -82,4 +82,28 @@ object Analytics {
       .filter(col("pos") - col("p0") + 1 === col("target_rk"))
       .select(col(group), col("p"), col(valueCol).as("q_value"))
   }
+
+  /** Exponentially-decayed activity counters: per user,
+    * `Σ_events 0.5^age` where age is the event's distance (in whole
+    * `periodUs` periods) from the corpus's latest period — the trending/
+    * recency score with half-life one period. One aggregation after a
+    * 1-row broadcast of the reference period.
+    *
+    * Engine-exactness by construction: every term is a power of two, so
+    * the per-user sum is an exact binary fraction (n·lsb well under 53
+    * bits at any realistic horizon) — no rounding step needed, the
+    * double replays bit-for-bit under ANY summation order. That also
+    * makes the counter mergeable across partitions/engines without
+    * drift, unlike an e^{-λt} decay.
+    */
+  def decayedCounts(ev: DataFrame, periodUs: Long, tsCol: String = "ts_us",
+                    userCol: String = "user_id"): DataFrame = {
+    val period = expr(s"$tsCol div ${periodUs}L")
+    val ref = ev.agg(max(period).as("ref_p"))
+    ev.crossJoin(broadcast(ref))
+      .withColumn("_age", (col("ref_p") - period).cast("double"))
+      .groupBy(userCol)
+      .agg(count(lit(1)).as("n_events"),
+        sum(pow(lit(0.5), col("_age"))).as("decayed"))
+  }
 }

@@ -107,15 +107,23 @@ object Knn {
       (if (excludeSelf) joined.filter(col("src") =!= col("dst")) else joined)
         .select(col("src"), col("dst"), l2dot(col("va"), col("vb")).as("dist"))
     }.reduce(_ unionByName _)
-    val agg = cand.groupBy("src", "dst").agg(min(col("dist")).as("dist"))
-      .localCheckpoint()
-    q0.unpersist()
-    if (!self) c0.unpersist()
-    agg
+    // checkpoint AFTER the k-bound, not before: the (src, dst) candidate
+    // aggregate is occupancy-sized (hundreds of millions of rows under
+    // adversarial replica skew), and an eager localCheckpoint would pin
+    // all of it in the block manager until RDD GC — successive ANN calls
+    // in one session then accumulate to OOM (found by the 40× ScaleProbe:
+    // silhouette's graph survived, LISI's follow-up build blew the heap).
+    // The un-checkpointed aggregate streams through the shuffle instead;
+    // only the n·k result is ever materialized.
+    val topk = cand.groupBy("src", "dst").agg(min(col("dist")).as("dist"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("src").orderBy(round(col("dist"), 6), col("dst"))))
       .filter(col("rn") <= k)
       .select(col("src"), col("dst"), round(col("dist"), 6).as("dist"), col("rn"))
+      .localCheckpoint()
+    q0.unpersist()
+    if (!self) c0.unpersist()
+    topk
   }
 
   /** UMAP smooth-knn-dist kernel: for one cell's ascending distance list,
@@ -266,18 +274,19 @@ object Knn {
     } }
     val cand = Await.result(Future.sequence(futs), Duration.Inf)
       .reduce(_ unionByName _)
-    // a (src, dst) pair can meet in several probed lists/rounds — dedupe.
-    // localCheckpoint (eager) materializes the deduped candidates so the
-    // input cache can be released NOW instead of leaking until session
-    // end — the returned frame reads the checkpointed blocks, never the
-    // unpersisted cache.
-    val dedup = cand.groupBy("src", "dst").agg(min("dist").as("dist"))
-      .localCheckpoint()
-    latent.unpersist()
-    dedup
+    // a (src, dst) pair can meet in several probed lists/rounds — dedupe,
+    // k-bound, THEN localCheckpoint (eager) so the input cache can be
+    // released NOW instead of leaking until session end. Checkpointing
+    // before the k-bound would pin the full occupancy-sized candidate
+    // set in the block manager (the 40× ScaleProbe OOM — see
+    // bucketedKnn); the n·k result is all that ever materializes.
+    val topk = cand.groupBy("src", "dst").agg(min("dist").as("dist"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("src").orderBy(col("dist"), col("dst"))))
       .filter(col("rn") <= k)
+      .localCheckpoint()
+    latent.unpersist()
+    topk
   }
 
   /** Self-KNN recall of an approximate result against exact ground truth

@@ -139,7 +139,21 @@ object TemporalQueries {
       graft.analytics.Analytics.groupQuantiles(
           ev(s, d).select(col("event_type"), col("value")),
           "event_type", "value", Seq(0.5, 0.95, 0.99))
-        .orderBy("event_type", "p")))
+        .orderBy("event_type", "p")),
+
+    // exponentially-decayed activity counters (half-life one week):
+    // every term a power of two so the sum is an exact binary fraction
+    // — bit-identical under any summation order, no rounding step
+    "q105_decayed_counts" -> ((s, d) =>
+      graft.analytics.Analytics.decayedCounts(ev(s, d), 604800000000L)
+        .orderBy("user_id")),
+
+    // positional phrase search: postings filtered to the phrase terms
+    // before n-1 (doc, pos) equi-joins verify adjacency
+    "q106_phrase_search" -> ((s, d) =>
+      TextOps.phraseSearch(docs(s, d),
+          Seq((1, "hash join"), (2, "big data"), (3, "fast scan")))
+        .orderBy("phrase_id", "doc_id")))
 
   private val bm25Queries = Seq(
     (1, "data table scan"), (2, "hash join order"),
@@ -391,5 +405,26 @@ object TemporalQueries {
          SELECT event_type, p, v AS q_value
          FROM r JOIN (SELECT UNNEST([0.5, 0.95, 0.99]) AS p) ps
            ON rk = GREATEST(1, CEIL(p * cnt))
-         ORDER BY event_type, p""")
+         ORDER BY event_type, p""",
+
+    "q105_decayed_counts" ->
+      """WITH ev AS (
+           SELECT user_id, EPOCH_US(ts) // 604800000000 AS p FROM events),
+         r AS (SELECT MAX(p) AS ref_p FROM ev)
+         SELECT user_id, COUNT(*) AS n_events,
+                SUM(POW(0.5, CAST(ref_p - p AS DOUBLE))) AS decayed
+         FROM ev CROSS JOIN r
+         GROUP BY user_id ORDER BY user_id""",
+
+    "q106_phrase_search" ->
+      """WITH t AS (
+           SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w FROM documents),
+         bg AS (
+           SELECT doc_id, w[i] || ' ' || w[i+1] AS s
+           FROM t, LATERAL (SELECT UNNEST(RANGE(1, LEN(w))) AS i)),
+         ph AS (SELECT * FROM (VALUES (1, 'hash join'), (2, 'big data'),
+                                      (3, 'fast scan')) v(phrase_id, phrase))
+         SELECT ph.phrase_id, bg.doc_id, COUNT(*) AS n_matches
+         FROM bg JOIN ph ON bg.s = ph.phrase
+         GROUP BY 1, 2 ORDER BY phrase_id, doc_id""")
 }

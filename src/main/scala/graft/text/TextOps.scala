@@ -695,4 +695,33 @@ object TextOps {
       .withColumn("rank", row_number().over(global).cast("long"))
       .filter(col("rank") <= topK)
   }
+
+  /** Exact phrase search over a positional token index: occurrences of
+    * each multi-word phrase, per document. The classic
+    * inverted-index-with-positions query — term postings are filtered
+    * BEFORE any join (only the phrase's terms ever shuffle), then
+    * chained equi-joins on `(doc_id, pos + i)` verify adjacency. An
+    * n-term phrase is n−1 postings joins, each keyed by (doc, position)
+    * — no document text re-scans, no LIKE over the corpus.
+    */
+  def phraseSearch(docs: DataFrame, phrases: Seq[(Int, String)]): DataFrame = {
+    val pos = docs.select(col("doc_id"),
+      posexplode(tokensCol).as(Seq("pos", "tok")))
+    val perPhrase = phrases.map { case (pid, phrase) =>
+      val terms = phrase.split("\\s+").toSeq
+      val start = pos.filter(col("tok") === terms.head)
+        .select(col("doc_id"), col("pos").as("p0"))
+      val matched = terms.zipWithIndex.drop(1).foldLeft(start) {
+        case (acc, (t, i)) =>
+          acc.join(
+            pos.filter(col("tok") === t)
+              .select(col("doc_id"), (col("pos") - i).as("p0")),
+            Seq("doc_id", "p0"))
+      }
+      matched.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_matches"))
+        .select(lit(pid).as("phrase_id"), col("doc_id"), col("n_matches"))
+    }
+    perPhrase.reduce(_ unionByName _)
+  }
 }

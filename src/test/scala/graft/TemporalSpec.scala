@@ -221,6 +221,32 @@ class TemporalSpec extends SparkSpec {
     assert(out(("g2", 0.99)) == 100.0) // ceil(9.9)=10 → max
   }
 
+  test("decayedCounts: exact powers-of-two sum, half-life semantics") {
+    // ref period = 3; ages: u1 -> {3,1,0}, u2 -> {0,0}
+    val ev = Seq((1L, 0L), (1L, 25L), (1L, 30L), (2L, 31L), (2L, 39L))
+      .toDF("user_id", "ts_us")
+    val out = graft.analytics.Analytics.decayedCounts(ev, periodUs = 10L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((3L, 0.125 + 0.5 + 1.0))) // ages {3,1,0}, exact fractions
+    assert(out(2L) == ((2L, 2.0)))
+  }
+
+  test("phraseSearch: adjacency required, n-term chains, overlaps counted") {
+    val docs = Seq(
+      (1L, "a b c a b"),     // "a b" twice, "a b c" once
+      (2L, "a x b a"),       // terms present but never adjacent
+      (3L, "a b c b c a b c")) // "a b c" twice (pos 0, 5)
+      .toDF("doc_id", "text")
+    val out = TextOps.phraseSearch(docs, Seq((1, "a b"), (2, "a b c")))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1, 1L)) == 2L)
+    assert(out((1, 3L)) == 2L)
+    assert(!out.contains((1, 2L))) // non-adjacent terms never match
+    assert(out((2, 1L)) == 1L)
+    assert(out((2, 3L)) == 2L)
+    assert(out.size == 4)
+  }
+
   test("collocations: known PMI for an always-paired bigram") {
     // 10 docs, each "x y f f": c(x y)=10, c(x)=c(y)=10, c(f f)=10,
     // c(f)=20, N=40 tokens, Nb=30 bigram positions
