@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-log analytics staples: ordered funnel progression and cohort
@@ -81,6 +82,96 @@ object Analytics {
     ordered.join(broadcast(targets), Seq(group))
       .filter(col("pos") - col("p0") + 1 === col("target_rk"))
       .select(col(group), col("p"), col(valueCol).as("q_value"))
+  }
+
+  /** Gap-based sessionization: consecutive events of a user belong to
+    * one session while the inter-event gap stays ≤ `gapUs`; a larger gap
+    * starts a new session. Output is one row per session with its event
+    * count, start/end and duration.
+    *
+    * Shape: ONE shuffle on `userCol` — the lag + running-sum windows and
+    * the per-session aggregation all share the user partitioning, so
+    * Catalyst plans a single exchange. Per-user windows are bounded by a
+    * user's own activity (never the whole log), which is the property
+    * that survives a 1000-executor deployment; there is no global window
+    * anywhere. The `(ts, id)` ordering is total per user (ids unique), so
+    * session numbering is deterministic including simultaneous events.
+    */
+  def sessionize(ev: DataFrame, gapUs: Long, tsCol: String = "ts_us",
+                 userCol: String = "user_id", idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("_prev", lag(col(tsCol), 1).over(w))
+      .withColumn("_new",
+        when(col("_prev").isNull || col(tsCol) - col("_prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("_new")).over(run))
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("start_us"),
+        max(col(tsCol)).as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+  }
+
+  /** First-order (Markov) event-type transition matrix: for each ordered
+    * per-user consecutive event pair, the count and conditional
+    * probability P(to | from). The per-user `lead` shares the same single
+    * user_id shuffle as [[sessionize]]; the matrix itself is
+    * |types|² rows regardless of log size. The probability is ONE
+    * integer-over-integer IEEE division, so it replays engine-exact.
+    */
+  def transitions(ev: DataFrame, typeCol: String = "event_type",
+                  tsCol: String = "ts_us", userCol: String = "user_id",
+                  idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val pairs = ev.withColumn("_next", lead(col(typeCol), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .withColumn("prob",
+        round(col("n").cast("double") / col("n_from").cast("double"), 6))
+  }
+
+  /** Per-user activity-rate anomalies: bucket events into `periodUs`
+    * periods, zero-fill the user's own active span, and flag periods
+    * whose count deviates from that user's mean by ≥ `threshold`
+    * population standard deviations.
+    *
+    * Determinism by construction: the moments are EXACT integer sums
+    * (Σc, Σc²), and mean/variance/z are then fixed expression trees over
+    * them — `(ss - s·s/k)/k` and `(c - s/k)/sqrt(var)` — built from
+    * individually correctly-rounded IEEE ops (divide, multiply, sqrt),
+    * so the z-scores and the threshold cut replay bit-identically in any
+    * engine; no float aggregation ever happens. Zero-variance users
+    * (perfectly uniform) have no z-score and are dropped.
+    *
+    * Shape: two aggregations and a span-explode, all keyed on user_id;
+    * the zero-fill explode is bounded by horizon/period per user.
+    */
+  def rateAnomaly(ev: DataFrame, periodUs: Long, threshold: Double,
+                  tsCol: String = "ts_us", userCol: String = "user_id"): DataFrame = {
+    val period = expr(s"$tsCol div ${periodUs}L")
+    val perP = ev.groupBy(col(userCol), period.as("p"))
+      .agg(count(lit(1)).as("c"))
+    val full = perP.groupBy(userCol)
+      .agg(min(col("p")).as("_p0"), max(col("p")).as("_p1"))
+      .select(col(userCol), explode(sequence(col("_p0"), col("_p1"))).as("p"))
+      .join(perP, Seq(userCol, "p"), "left")
+      .na.fill(0L, Seq("c"))
+    val stats = full.groupBy(userCol).agg(
+      count(lit(1)).as("_k"), sum(col("c")).as("_s"),
+      sum(col("c") * col("c")).as("_ss"))
+    val k = col("_k").cast("double")
+    val s = col("_s").cast("double")
+    val ss = col("_ss").cast("double")
+    full.join(stats, Seq(userCol))
+      .withColumn("_var", (ss - s * s / k) / k)
+      .filter(col("_var") > 0)
+      .withColumn("_z", (col("c").cast("double") - s / k) / sqrt(col("_var")))
+      .filter(abs(col("_z")) >= threshold)
+      .select(col(userCol), col("p"), col("c"), round(col("_z"), 6).as("z"))
   }
 
   /** Exponentially-decayed activity counters: per user,

@@ -153,7 +153,29 @@ object TemporalQueries {
     "q106_phrase_search" -> ((s, d) =>
       TextOps.phraseSearch(docs(s, d),
           Seq((1, "hash join"), (2, "big data"), (3, "fast scan")))
-        .orderBy("phrase_id", "doc_id")))
+        .orderBy("phrase_id", "doc_id")),
+
+    // gap-based sessionization (6 h gap — the q95 window): one shuffle
+    // on user_id shared by the lag window, the running session counter
+    // and the per-session aggregation; 5.7k sessions, max length 10 at
+    // sf0.01 (the gap is exercised both ways)
+    "q107_sessionize" -> ((s, d) =>
+      graft.analytics.Analytics.sessionize(ev(s, d), pairWindowUs)
+        .orderBy("user_id", "session_seq")),
+
+    // first-order event-type transition matrix: per-user lead over the
+    // same user_id shuffle, |types|^2-row output, probability = one
+    // integer/integer IEEE division
+    "q108_transitions" -> ((s, d) =>
+      graft.analytics.Analytics.transitions(ev(s, d))
+        .orderBy("from_type", "to_type")),
+
+    // per-user daily-rate anomalies (|z| >= 2 vs the user's own
+    // zero-filled daily series): moments are exact integer sums, so the
+    // z-scores and the threshold cut replay bit-identically
+    "q109_rate_anomaly" -> ((s, d) =>
+      graft.analytics.Analytics.rateAnomaly(ev(s, d), 86400000000L, 2.0)
+        .orderBy("user_id", "p")))
 
   private val bm25Queries = Seq(
     (1, "data table scan"), (2, "hash join order"),
@@ -415,6 +437,75 @@ object TemporalQueries {
                 SUM(POW(0.5, CAST(ref_p - p AS DOUBLE))) AS decayed
          FROM ev CROSS JOIN r
          GROUP BY user_id ORDER BY user_id""",
+
+    "q107_sessionize" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, EPOCH_US(ts) AS ts_us FROM events),
+         l AS (
+           SELECT *, LAG(ts_us) OVER
+             (PARTITION BY user_id ORDER BY ts_us, event_id) AS pts
+           FROM ev),
+         f AS (
+           SELECT *, CASE WHEN pts IS NULL OR ts_us - pts > 21600000000
+                          THEN 1 ELSE 0 END AS nf
+           FROM l),
+         s AS (
+           SELECT *, CAST(SUM(nf) OVER
+             (PARTITION BY user_id ORDER BY ts_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_seq
+           FROM f)
+         SELECT user_id, session_seq, COUNT(*) AS n_events,
+                MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+                MAX(ts_us) - MIN(ts_us) AS duration_us
+         FROM s GROUP BY 1, 2 ORDER BY user_id, session_seq""",
+
+    "q108_transitions" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, event_type, EPOCH_US(ts) AS ts_us
+           FROM events),
+         l AS (
+           SELECT event_type AS from_type,
+                  LEAD(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts_us, event_id) AS to_type
+           FROM ev),
+         p AS (
+           SELECT from_type, to_type, COUNT(*) AS n
+           FROM l WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+               FROM p GROUP BY 1)
+         SELECT p.from_type, p.to_type, p.n, t.n_from,
+                ROUND(CAST(p.n AS DOUBLE) / CAST(t.n_from AS DOUBLE), 6) AS prob
+         FROM p JOIN t USING (from_type)
+         ORDER BY from_type, to_type""",
+
+    // moments as exact integer sums; mean/var/z written as the SAME
+    // expression trees Spark builds, so the threshold cut replays exactly
+    "q109_rate_anomaly" ->
+      """WITH ev AS (
+           SELECT user_id, EPOCH_US(ts) // 86400000000 AS p FROM events),
+         perp AS (SELECT user_id, p, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+         span AS (SELECT user_id, MIN(p) AS p0, MAX(p) AS p1
+                  FROM perp GROUP BY 1),
+         sp AS (SELECT user_id, UNNEST(RANGE(p0, p1 + 1)) AS p FROM span),
+         fl AS (
+           SELECT sp.user_id, sp.p, COALESCE(perp.c, 0) AS c
+           FROM sp LEFT JOIN perp
+             ON perp.user_id = sp.user_id AND perp.p = sp.p),
+         st AS (SELECT user_id, COUNT(*) AS k, CAST(SUM(c) AS BIGINT) AS s,
+                       CAST(SUM(c * c) AS BIGINT) AS ss
+                FROM fl GROUP BY 1),
+         z AS (
+           SELECT fl.user_id, fl.p, fl.c,
+                  (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                     / CAST(k AS DOUBLE)) / CAST(k AS DOUBLE) AS v,
+                  (CAST(fl.c AS DOUBLE) - CAST(s AS DOUBLE) / CAST(k AS DOUBLE))
+                    AS num
+           FROM fl JOIN st USING (user_id))
+         SELECT user_id, p, CAST(c AS BIGINT) AS c,
+                ROUND(num / SQRT(v), 6) AS z
+         FROM z WHERE v > 0 AND ABS(num / SQRT(v)) >= 2.0
+         ORDER BY user_id, p""",
 
     "q106_phrase_search" ->
       """WITH t AS (

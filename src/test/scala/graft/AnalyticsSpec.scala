@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.Analytics
+
+/** Specs for the event-analytics surface added in round 6 (q107–q109):
+  * sessionization boundary semantics, transition-matrix row-stochastic
+  * property, and rate-anomaly z-scores against hand-computed values.
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sessionize: gap strictly-greater starts a session; ties ordered by id") {
+    // user 1: gaps 10 (<=10 keeps), 11 (>10 splits), 0-tie; user 2: single
+    val ev = Seq(
+      (1L, 100L, 1L), (1L, 110L, 2L), (1L, 121L, 3L), (1L, 121L, 4L),
+      (2L, 500L, 5L))
+      .toDF("user_id", "ts_us", "event_id")
+    val out = Analytics.sessionize(ev, gapUs = 10L)
+      .orderBy("user_id", "session_seq")
+      .select("user_id", "session_seq", "n_events", "start_us", "end_us", "duration_us")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 2L, 100L, 110L, 10L),   // gap exactly 10 does NOT split
+      (1L, 2L, 2L, 121L, 121L, 0L),    // gap 11 splits; tie pair coalesces
+      (2L, 1L, 1L, 500L, 500L, 0L)))
+  }
+
+  test("transitions: counts follow per-user order and rows sum to 1") {
+    val ev = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"),
+      (2L, 1L, "a"), (2L, 2L, "b"))
+      .toDF("user_id", "ts_us", "event_id_raw")
+      .withColumn("event_id", col("ts_us"))
+      .withColumn("event_type", col("event_id_raw"))
+    val out = Analytics.transitions(ev)
+      .select("from_type", "to_type", "n", "prob")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out(("a", "b")) == ((2L, 1.0)))  // a->b twice (both users)
+    assert(out(("b", "a")) == ((1L, 1.0)))  // b->a once (user 1)
+    // row-stochastic: per from_type the probs sum to ~1
+    val sums = out.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2._2).sum)
+    sums.foreach { case (_, s) => assert(approx(s, 1.0)) }
+  }
+
+  test("rateAnomaly: zero-filled span, exact z, threshold cut") {
+    // user 1 active days {0, 2}: counts [4, 0, 1] after zero-fill
+    //   mean 5/3, var (17 - 25/3)/3 = 26/9, sd = sqrt(26)/3
+    //   z(day0) = (4 - 5/3)/(sqrt(26)/3) = 7/sqrt(26) ≈ 1.3728
+    // user 2 uniform: variance 0 → dropped entirely
+    val day = 86400000000L
+    val ev = (Seq.fill(4)((1L, 0L)) ++ Seq((1L, 2L)) ++
+      Seq((2L, 0L), (2L, 1L)))
+      .zipWithIndex
+      .map { case ((u, d), i) => (u, d * day + i, i.toLong) }
+      .toDF("user_id", "ts_us", "event_id")
+    val all = Analytics.rateAnomaly(ev, day, threshold = 0.0)
+      .select("user_id", "p", "c", "z")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(all.forall(_._1 == 1L))         // user 2 has zero variance
+    assert(all.map(_._3) == Seq(4L, 0L, 1L))
+    assert(approx(all.head._4, 7.0 / math.sqrt(26.0), 1e-4))
+    // threshold excludes everything below it
+    val cut = Analytics.rateAnomaly(ev, day, threshold = 1.3)
+      .select("p").as[Long].collect().toSeq
+    assert(cut == Seq(0L))
+  }
+}
