@@ -38,7 +38,8 @@ object SparkEntry {
       graft.queries.TrainingQueries.queries ++
       graft.queries.ExtendedQueries.queries ++
       graft.queries.MlQueries.queries ++
-      graft.queries.TemporalQueries.queries
+      graft.queries.TemporalQueries.queries ++
+      graft.queries.CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -49,5 +50,6 @@ object SparkEntry {
       graft.queries.TrainingQueries.oracle ++
       graft.queries.ExtendedQueries.oracle ++
       graft.queries.MlQueries.oracle ++
-      graft.queries.TemporalQueries.oracle
+      graft.queries.TemporalQueries.oracle ++
+      graft.queries.CurationQueries.oracle
 }

@@ -175,7 +175,17 @@ object TemporalQueries {
     // z-scores and the threshold cut replay bit-identically
     "q109_rate_anomaly" -> ((s, d) =>
       graft.analytics.Analytics.rateAnomaly(ev(s, d), 86400000000L, 2.0)
-        .orderBy("user_id", "p")))
+        .orderBy("user_id", "p")),
+
+    // HyperLogLog distinct users per event_type (m=64) vs exact: rho is
+    // pure integer bit arithmetic and the register sum is an exact
+    // integer, so the estimate replays bit-for-bit; sf0.001 lands in the
+    // linear-counting branch, sf0.01+ in the raw-estimate branch
+    "q112_hll_distinct" -> ((s, d) =>
+      Sketches.hllDistinct(
+          Tables.t(s, d, "events").select("event_type", "user_id"),
+          "event_type", "user_id")
+        .orderBy("event_type")))
 
   private val bm25Queries = Seq(
     (1, "data table scan"), (2, "hash join order"),
@@ -506,6 +516,51 @@ object TemporalQueries {
                 ROUND(num / SQRT(v), 6) AS z
          FROM z WHERE v > 0 AND ABS(num / SQRT(v)) >= 2.0
          ORDER BY user_id, p""",
+
+    "q112_hll_distinct" ->
+      """WITH hs AS (
+           SELECT event_type,
+                  CAST('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h
+           FROM events),
+         p AS (
+           SELECT event_type, h // 18014398509481984 AS idx,
+                  h % 18014398509481984 AS w
+           FROM hs),
+         jb AS (
+           SELECT event_type, idx, w,
+                  MAX(CASE WHEN (w >> j) > 0 THEN j END) AS hbj
+           FROM p, LATERAL (SELECT UNNEST(RANGE(0, 54)) AS j)
+           GROUP BY 1, 2, 3),
+         reg AS (
+           SELECT event_type, idx,
+                  MAX(CASE WHEN w = 0 THEN 55 ELSE 54 - hbj END) AS rho
+           FROM jb GROUP BY 1, 2),
+         ar AS (
+           SELECT g.event_type, i.idx, COALESCE(reg.rho, 0) AS rho
+           FROM (SELECT DISTINCT event_type FROM events) g
+           CROSS JOIN (SELECT UNNEST(RANGE(0, 64)) AS idx) i
+           LEFT JOIN reg ON reg.event_type = g.event_type AND reg.idx = i.idx),
+         s AS (
+           SELECT event_type,
+                  CAST(SUM(CAST(1 AS BIGINT) << CAST(55 - rho AS INT)) AS BIGINT)
+                    AS sm,
+                  CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_zero_regs
+           FROM ar GROUP BY 1),
+         e AS (
+           SELECT event_type, n_zero_regs,
+                  0.709 * 4096.0 * POW(CAST(2.0 AS DOUBLE), 55)
+                    / CAST(sm AS DOUBLE) AS er
+           FROM s),
+         ex AS (
+           SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+           FROM events GROUP BY 1)
+         SELECT ex.event_type, ex.n_exact, e.n_zero_regs,
+                ROUND(CASE WHEN er <= 160.0 AND n_zero_regs > 0
+                           THEN 64.0 * LN(64.0 / CAST(n_zero_regs AS DOUBLE))
+                           ELSE er END, 4) AS hll_est
+         FROM ex JOIN e USING (event_type) ORDER BY event_type""",
 
     "q106_phrase_search" ->
       """WITH t AS (

@@ -57,6 +57,58 @@ object Sketches {
           .as("kmv_est"))
   }
 
+  /** HyperLogLog distinct counting (Flajolet 2007) with m = 64
+    * registers, validated against the exact count. Register index = top
+    * 6 bits of a 60-bit md5 hash; register value = position of the
+    * leading 1-bit in the remaining 54 bits (`rho`); estimate =
+    * `α·m²/Σ 2^(−rho)` with Flajolet's linear-counting correction below
+    * 2.5·m. Duplicates never matter — `max(rho)` per register absorbs
+    * them — so unlike KMV no distinct-aggregation is needed: the state
+    * is 64 tiny integers per group, mergeable by element-wise max, which
+    * is why HLL is THE 100 TB cardinality sketch.
+    *
+    * Engine-exactness: rho is pure integer bit arithmetic; the register
+    * sum is computed as the EXACT integer `Σ 2^(55−rho)` (max 2⁶¹, no
+    * float summation ever — a plain Σ2^(−rho) in doubles would be
+    * order-sensitive once registers exceed 53 bits of spread); the final
+    * estimate is one literal-chain multiply/divide off that integer, so
+    * the sketch replays bit-for-bit in any engine.
+    */
+  def hllDistinct(df: DataFrame, group: String, key: String): DataFrame = {
+    val hashed = df.select(col(group),
+      conv(substring(md5(col(key).cast("string")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    // idx = top 6 bits, w = low 54 bits; rho = 54 - floor(log2 w) via an
+    // integer fold (ascending j keeps the HIGHEST set bit), 55 if w = 0
+    val parts = hashed
+      .withColumn("idx", expr("h div 18014398509481984L"))
+      .withColumn("w", expr("h % 18014398509481984L"))
+      .withColumn("_hb", expr(
+        "aggregate(sequence(0, 53), cast(-1 as bigint), " +
+          "(acc, j) -> IF(shiftright(w, j) > 0, cast(j as bigint), acc))"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(55L)).otherwise(lit(54L) - col("_hb")))
+    val reg = parts.groupBy(col(group), col("idx"))
+      .agg(max(col("rho")).as("rho"))
+    val allReg = df.select(col(group)).distinct()
+      .select(col(group), explode(sequence(lit(0L), lit(63L))).as("idx"))
+      .join(reg, Seq(group, "idx"), "left")
+      .na.fill(0L, Seq("rho"))
+    val sums = allReg.groupBy(group).agg(
+      sum(expr("shiftleft(cast(1 as bigint), cast(55 - rho as int))")).as("s"),
+      sum(when(col("rho") === 0, 1L).otherwise(0L)).as("n_zero_regs"))
+    val est = sums.withColumn("_er",
+      lit(0.709) * lit(4096.0) * pow(lit(2.0), lit(55))
+        / col("s").cast("double"))
+      .withColumn("hll_est", round(
+        when(col("_er") <= 160.0 && col("n_zero_regs") > 0,
+          lit(64.0) * log(lit(64.0) / col("n_zero_regs").cast("double")))
+          .otherwise(col("_er")), 4))
+    val exact = df.groupBy(group).agg(countDistinct(col(key)).as("n_exact"))
+    exact.join(est, Seq(group))
+      .select(col(group), col("n_exact"), col("n_zero_regs"), col("hll_est"))
+  }
+
   /** Count-min frequency estimation (Cormode 2005), validated against
     * the exact counts: `depth` hash rows × `width` counters, estimate =
     * min over rows of the hashed-to counter. The counter table is

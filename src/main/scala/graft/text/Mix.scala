@@ -118,6 +118,45 @@ object Mix {
         md5(col("c.chunk")).as("digest"))
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis 2006):
+    * select `n` rows where each row's inclusion odds are proportional to
+    * `weight`, by keeping the top-`n` rows under the key
+    * `ln(u) / weight` with `u` a seeded md5-uniform in (0, 1] — the
+    * log-monotone form of the paper's `u^(1/w)` key. Hash-derived
+    * uniforms (never RNG state) make the draw replay-identical across
+    * retries, executor counts, and engines.
+    *
+    * Cross-engine determinism: every step to the key is a correctly-
+    * rounded IEEE op (cast, add, divide) except the final `ln`, which
+    * can differ by 1 ulp between libm implementations — so the SELECTION
+    * itself orders by the key ROUNDED to 9 dp with a doc_id tie-break
+    * (the q102 rounded-score-cut technique): identical ranking in any
+    * engine unless a key sits exactly on a 0.5e-9 boundary.
+    *
+    * Scale: salted two-phase top-n — phase 1 bounds every task, phase 2
+    * ranks ≤ `salts`·n survivors (a bounded single window, same as
+    * [[stratifiedTopN]]'s global phase).
+    */
+  def weightedSample(docs: DataFrame, weight: Column, n: Int, seed: Int,
+                     salts: Int = 16): DataFrame = {
+    val u60 = conv(substring(
+      md5(concat(lit(s"$seed:"), col("doc_id").cast("string"))), 1, 15),
+      16, 10).cast("long")
+    val key = round(
+      log((u60.cast("double") + 1.0) / lit(math.pow(2.0, 60)))
+        / weight.cast("double"), 9)
+    val salted = docs.select(col("doc_id"), weight.cast("long").as("w"),
+      key.as("key"), pmod(col("doc_id"), lit(salts)).as("_salt"))
+    val local = org.apache.spark.sql.expressions.Window
+      .partitionBy("_salt").orderBy(col("key").desc, col("doc_id"))
+    val survivors = salted.withColumn("_r", row_number().over(local))
+      .filter(col("_r") <= n).drop("_r", "_salt")
+    val global = org.apache.spark.sql.expressions.Window
+      .orderBy(col("key").desc, col("doc_id"))
+    survivors.withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= n)
+  }
+
   /** Deterministic per-stratum top-`n` selection: within each stratum
     * value, keep the `n` rows with the smallest seeded md5 rank key —
     * the exact-count companion to the fraction-gated

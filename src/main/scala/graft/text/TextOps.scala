@@ -582,6 +582,117 @@ object TextOps {
       round(corr(col("x"), col("y")), 6).as("r"))
   }
 
+  /** DSIR-style importance weights (Xie 2023, "Data Selection via
+    * Importance Resampling"): score every document by how much more
+    * likely its hashed-unigram bag is under the TARGET distribution
+    * (rows matching `targetPred`) than under the RAW corpus
+    * distribution — the per-doc log importance weight
+    * `Σ_tokens ln(p_target(bucket) / p_raw(bucket))` with add-one
+    * smoothing over `buckets` hashed feature buckets. High scores =
+    * "looks like the target domain"; resampling by these weights is the
+    * standard domain-upweighting step of a pretraining mix.
+    *
+    * Engine-exactness: each bucket's log-ratio is ONE `ln` of an
+    * exact-integer ratio — `(ct+1)(tr+B) / ((cr+1)(tt+B))`, products
+    * held in longs and cast once — quantized to integer micro-nats; the
+    * per-doc score is then an EXACT integer sum, immune to float
+    * summation order.
+    *
+    * Shape: two count aggregations keyed by bucket (`buckets` rows), a
+    * broadcast of the `buckets`-row log-ratio table, one per-doc
+    * aggregation — text tokenizes map-side, nothing wider than the
+    * bucket table ever broadcasts.
+    */
+  def dsirWeights(docs: DataFrame, targetPred: Column,
+                  buckets: Int = 1024): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokensCol).as("tok"))
+      .withColumn("b", pmod(conv(substring(md5(col("tok")), 1, 15), 16, 10)
+        .cast("long"), lit(buckets.toLong)))
+    val raw = toks.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgt = toks
+      .join(docs.filter(targetPred).select("doc_id"), Seq("doc_id"), "left_semi")
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val table = raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("ct"))
+    val totals = table.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    val lr = table.crossJoin(broadcast(totals))
+      .select(col("b"), round(
+        log(((col("ct") + 1L) * (col("tr") + lit(buckets.toLong))).cast("double")
+          / ((col("cr") + 1L) * (col("tt") + lit(buckets.toLong))).cast("double"))
+          * lit(1e6))
+        .cast("long").as("lr_micro"))
+    toks.join(broadcast(lr), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum(col("lr_micro")).as("logw_micro"))
+  }
+
+  /** Multinomial Naive Bayes text classifier, trained and evaluated in
+    * one plan: documents with `doc_id % holdMod != 0` train per-label
+    * token counts; the held-out rest are classified by
+    * `argmax_label [ln prior + Σ_tokens ln p(tok|label)]` with add-one
+    * smoothing; output is the label confusion matrix. This is the
+    * quality/domain classifier shape of a curation pipeline (fastText-
+    * style filtering) reduced to its relational core: counting, a
+    * broadcast score table, and one argmax.
+    *
+    * Engine-exactness: every log term is ONE `ln` of an exact-integer
+    * ratio quantized to integer micro-nats, so the per-(doc,label) score
+    * is an exact integer sum and the argmax (score desc, label asc) is a
+    * total order that replays bit-identically — float summation never
+    * happens.
+    *
+    * Shape: token counting shuffles on (label, tok); the score table is
+    * |vocab|·|labels| rows (vocab-bounded, broadcast); scoring is one
+    * per-(doc,label) aggregation; the confusion matrix is |labels|² rows.
+    */
+  def nbClassify(docs: DataFrame, labelCol: String = "lang",
+                 holdMod: Int = 10): DataFrame = {
+    val toks = docs.select(col("doc_id"), col(labelCol).as("label"),
+      explode(tokensCol).as("tok"))
+    val isTest = col("doc_id") % holdMod === 0
+    val train = toks.filter(!isTest)
+
+    // per-label token counts, totals, and the train vocabulary size
+    val classTok = train.groupBy("label", "tok").agg(count(lit(1)).as("c"))
+    val classTot = classTok.groupBy("label").agg(sum(col("c")).as("tot"))
+    val vocab = classTok.select("tok").distinct().agg(count(lit(1)).as("v"))
+
+    // ln priors from train doc counts, micro-nat quantized
+    val trainDocs = docs.filter(!isTest)
+      .groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("nd"))
+    val priors = trainDocs.crossJoin(broadcast(
+        trainDocs.agg(sum(col("nd")).as("ndt"))))
+      .select(col("label"), round(
+        log(col("nd").cast("double") / col("ndt").cast("double")) * lit(1e6))
+        .cast("long").as("prior_micro"))
+
+    // per-(label, tok) and per-label-default log-likelihoods (micro-nats)
+    val lp = classTok.join(classTot, Seq("label")).crossJoin(broadcast(vocab))
+      .select(col("label"), col("tok"), round(
+        log((col("c") + 1L).cast("double") / (col("tot") + col("v")).cast("double"))
+          * lit(1e6))
+        .cast("long").as("lp_micro"))
+    val dflt = classTot.crossJoin(broadcast(vocab))
+      .select(col("label"), round(
+        log(lit(1.0) / (col("tot") + col("v")).cast("double")) * lit(1e6))
+        .cast("long").as("dflt_micro"))
+
+    // score every test doc under every label; OOV tokens take the default
+    val test = toks.filter(isTest)
+      .select(col("doc_id"), col("label").as("label_true"), col("tok"))
+    val scored = test
+      .crossJoin(broadcast(dflt))
+      .join(broadcast(lp), Seq("label", "tok"), "left")
+      .groupBy(col("doc_id"), col("label_true"), col("label"))
+      .agg(sum(coalesce(col("lp_micro"), col("dflt_micro"))).as("like_micro"))
+      .join(broadcast(priors), Seq("label"))
+      .withColumn("score_micro", col("prior_micro") + col("like_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score_micro").desc, col("label").asc)
+    scored.withColumn("_r", row_number().over(w)).filter(col("_r") === 1)
+      .groupBy(col("label_true"), col("label").as("label_pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** SQL fragment mirroring [[simHash16]] for the DuckDB oracle. */
   def simHash16Sql(docsRel: String): String = {
     val sums = (1 to 4).flatMap { i =>

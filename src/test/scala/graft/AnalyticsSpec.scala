@@ -44,6 +44,29 @@ class AnalyticsSpec extends SparkSpec {
     sums.foreach { case (_, s) => assert(approx(s, 1.0)) }
   }
 
+  test("hllDistinct: duplicate-invariant, exact small counts via linear counting") {
+    import graft.stats.Sketches
+    val once = (0 until 30).map(i => ("g", i)).toDF("grp", "k")
+    val dup = (0 until 30).flatMap(i => Seq(("g", i), ("g", i), ("g", i)))
+      .toDF("grp", "k")
+    val a = Sketches.hllDistinct(once, "grp", "k").collect().head
+    val b = Sketches.hllDistinct(dup, "grp", "k").collect().head
+    // duplicates never move a register: identical sketch state + estimate
+    assert(a.getLong(2) == b.getLong(2) && a.getDouble(3) == b.getDouble(3))
+    assert(a.getLong(1) == 30L)
+    assert(math.abs(a.getDouble(3) - 30.0) / 30.0 < 0.4)
+  }
+
+  test("hllDistinct: estimate within HLL error bounds at 20k distinct") {
+    import graft.stats.Sketches
+    val big = (0 until 20000).map(i => ("g", i * 131)).toDF("grp", "k")
+    val out = Sketches.hllDistinct(big, "grp", "k").collect().head
+    assert(out.getLong(1) == 20000L)
+    // m=64 → σ ≈ 1.04/√64 = 13 %; allow 3σ
+    assert(math.abs(out.getDouble(3) - 20000.0) / 20000.0 < 0.39,
+      s"HLL estimate ${out.getDouble(3)}")
+  }
+
   test("rateAnomaly: zero-filled span, exact z, threshold cut") {
     // user 1 active days {0, 2}: counts [4, 0, 1] after zero-fill
     //   mean 5/3, var (17 - 25/3)/3 = 26/9, sd = sqrt(26)/3

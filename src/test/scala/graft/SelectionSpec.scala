@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.{Mix, TextOps}
+
+/** Specs for the round-6 selection primitives: Efraimidis–Spirakis
+  * weighted sampling (salt-invariance, weight monotonicity) and DSIR
+  * importance weights (target-domain tokens score higher).
+  */
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(n: Int) =
+    (1 to n).map(i => (i.toLong, 1L + (i * 7919) % 500)).toDF("doc_id", "w")
+
+  test("weightedSample: salted two-phase equals the naive single window") {
+    val docs = corpus(300)
+    val naive = {
+      val u60 = conv(substring(
+        md5(concat(lit("7:"), col("doc_id").cast("string"))), 1, 15),
+        16, 10).cast("long")
+      val key = round(log((u60.cast("double") + 1.0) / lit(math.pow(2.0, 60)))
+        / col("w").cast("double"), 9)
+      docs.select(col("doc_id"), key.as("key"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("key").desc, col("doc_id"))))
+        .filter(col("rank") <= 40)
+        .select("doc_id", "rank").as[(Long, Int)].collect().toSet
+    }
+    for (salts <- Seq(1, 4, 16)) {
+      val got = Mix.weightedSample(docs, col("w"), n = 40, seed = 7, salts = salts)
+        .select("doc_id", "rank").as[(Long, Int)].collect().toSet
+      assert(got == naive, s"salts=$salts")
+    }
+  }
+
+  test("weightedSample: raising a doc's weight never worsens its rank") {
+    val base = corpus(200)
+    def rankOf(df: org.apache.spark.sql.DataFrame, id: Long): Option[Int] =
+      Mix.weightedSample(df, col("w"), n = 200, seed = 3)
+        .filter(col("doc_id") === id).select("rank")
+        .as[Int].collect().headOption
+    val before = rankOf(base, 42L).get
+    val boosted = base.withColumn("w",
+      when(col("doc_id") === 42L, lit(100000L)).otherwise(col("w")))
+    val after = rankOf(boosted, 42L).get
+    assert(after <= before)
+    assert(after <= 20) // w=1e5 vs ≤500: key ≈ 0, lands near the top
+  }
+
+  test("nbClassify: separable vocabularies classify perfectly; priors break OOV ties") {
+    // lang A speaks {aa bb}, lang B speaks {cc dd}; ids chosen so each
+    // lang has train (id%10!=0) and test (id%10==0) docs
+    val docs = (Seq.tabulate(30)(i => (i.toLong + 1, "A", "aa bb aa")) ++
+      Seq.tabulate(30)(i => (i.toLong + 101, "B", "cc dd cc"))).toSeq
+      .toDF("doc_id", "lang", "text")
+    val out = TextOps.nbClassify(docs)
+      .select("label_true", "label_pred", "n")
+      .as[(String, String, Long)].collect().toSeq.sorted
+    assert(out == Seq(("A", "A", 3L), ("B", "B", 3L)))
+
+    // a fully-OOV test doc falls back to priors: token totals are
+    // equalized (80 vs 80) so the smoothed OOV likelihoods cancel and
+    // the majority-class prior alone decides
+    val skewed = (Seq.tabulate(40)(i => (i.toLong * 10 + 1, "A", "aa bb")) ++
+      Seq.tabulate(10)(i =>
+        (i.toLong * 10 + 3, "B", "cc dd cc dd cc dd cc dd")) ++
+      Seq((20L, "B", "zz zz zz"))).toSeq // test doc, all tokens unseen
+      .toDF("doc_id", "lang", "text")
+    val pred = TextOps.nbClassify(skewed)
+      .select("label_true", "label_pred", "n")
+      .as[(String, String, Long)].collect().toSeq
+    assert(pred == Seq(("B", "A", 1L))) // prior(A) >> prior(B) decides
+  }
+
+  test("dsirWeights: target-domain tokens score above raw-only tokens") {
+    // target docs (lang=t) speak 'aaa bbb'; raw-only docs speak 'zzz yyy'
+    val docs = ((1 to 20).map(i => (i.toLong, "t", "aaa bbb aaa bbb aaa")) ++
+      (21 to 40).map(i => (i.toLong, "r", "zzz yyy zzz yyy zzz"))).toSeq
+      .toDF("doc_id", "lang", "text")
+    val out = TextOps.dsirWeights(docs, col("lang") === "t")
+      .select("doc_id", "n_toks", "logw_micro")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.length == 40)
+    assert(out.forall(_._2 == 5L))
+    val (tgt, raw) = out.partition(_._1 <= 20)
+    // every target doc scores strictly above every raw-only doc
+    assert(tgt.map(_._3).min > raw.map(_._3).max)
+    // raw-only docs are penalized below zero, target docs rewarded above
+    assert(raw.forall(_._3 < 0L) && tgt.forall(_._3 > 0L))
+  }
+}
