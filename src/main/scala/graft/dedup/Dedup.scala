@@ -34,6 +34,51 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-slice contamination matrix: for every slice pair, how many
+    * distinct word n-gram shingles they share, plus each side's distinct
+    * shingle count and the containment ratio `shared / min(|a|, |b|)` —
+    * the between-source / between-snapshot leakage report a corpus audit
+    * runs before mixing slices (train-vs-eval contamination is the
+    * two-slice special case q74 handles per-document).
+    *
+    * Scale shape: shingle text collapses to (slice, digest) DISTINCT
+    * rows immediately — 16-byte digests shuffle, never n-gram text. The
+    * digest self-join is bounded by `sliceCap`: a shingle present in more
+    * than `sliceCap` slices contributes C(k,2) pair rows and carries no
+    * discrimination signal (it is corpus-universal boilerplate), so it is
+    * dropped BEFORE the join — the same df-cap reasoning as
+    * `ngramJaccardPairs`. Per-slice totals are computed pre-cap, so
+    * |a| and |b| stay true set sizes.
+    */
+  def overlapMatrix(docs: DataFrame, sliceCol: Column, n: Int,
+                    sliceCap: Int = 64): DataFrame = {
+    val toks = split(col("text"), "\\s+")
+    val starts = when(size(col("w")) >= n, sequence(lit(0), size(col("w")) - n))
+      .otherwise(array().cast("array<int>"))
+    val sd = docs.select(sliceCol.as("slice"), toks.as("w"))
+      .select(col("slice"), explode(transform(starts,
+        i => md5(concat_ws(" ",
+          (0 until n).map(o => element_at(col("w"), i + o + 1)): _*))))
+        .as("digest"))
+      .distinct()
+    val sizes = sd.groupBy("slice").agg(count(lit(1)).as("n_sh"))
+    val ok = sd.groupBy("digest").agg(count(lit(1)).as("k"))
+      .filter(col("k") <= sliceCap).select("digest")
+    val capped = sd.join(ok, Seq("digest"))
+    val shared = capped.select(col("digest"), col("slice").as("slice_a"))
+      .join(capped.select(col("digest"), col("slice").as("slice_b")), Seq("digest"))
+      .filter(col("slice_a") < col("slice_b"))
+      .groupBy("slice_a", "slice_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(broadcast(sizes.select(col("slice").as("slice_a"), col("n_sh").as("n_a"))),
+        Seq("slice_a"))
+      .join(broadcast(sizes.select(col("slice").as("slice_b"), col("n_sh").as("n_b"))),
+        Seq("slice_b"))
+      .select(col("slice_a"), col("slice_b"), col("shared"), col("n_a"), col("n_b"),
+        round(col("shared").cast("double") / least(col("n_a"), col("n_b")).cast("double"),
+          6).as("containment"))
+  }
+
   /** Exact duplicate groups: digest → group size + representative (min id).
     * Content never shuffles — only (digest, doc_id).
     */

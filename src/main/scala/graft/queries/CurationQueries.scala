@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.dedup.Dedup
 import graft.text.{Mix, TextOps}
 
 /** Round-6 curation surface: weighted sampling without replacement and
@@ -36,7 +37,35 @@ object CurationQueries {
     // argmax replays engine-exact
     "q113_nb_classifier" -> ((s, d) =>
       TextOps.nbClassify(docs(s, d))
-        .orderBy("label_true", "label_pred")))
+        .orderBy("label_true", "label_pred")),
+
+    // per-source unigram KL divergence from the corpus distribution —
+    // the drift/shift diagnostic; exact-integer Σ c·lr with the 1/t
+    // factor pulled out so the sum replays engine-exact
+    "q114_kl_drift" -> ((s, d) =>
+      TextOps.klDrift(docs(s, d), col("source"))
+        .select(col("grp").as("source"), col("n_toks"), col("kl"))
+        .orderBy("source")),
+
+    // pairwise label-centroid cosine over the embeddings table: fixed-
+    // point quantization makes the centroid sums exact integers and the
+    // 1/n factors cancel out of the cosine entirely
+    "q115_centroid_cosine" -> ((s, d) =>
+      graft.sim.Similarity.centroidCosine(Tables.t(s, d, "embeddings"))
+        .orderBy("label_a", "label_b")),
+
+    // quality-gate cascade with first-failing-gate attribution; every
+    // threshold is an exact-integer comparison, so the verdict has no
+    // rounding knife edge to diverge on
+    "q116_filter_cascade" -> ((s, d) =>
+      TextOps.filterCascade(docs(s, d), Seq("the", "a", "data", "query"))
+        .orderBy("source", "verdict")),
+
+    // cross-source 3-gram shingle contamination matrix: shared distinct
+    // shingles + containment per source pair; digests (never text) join
+    "q117_overlap_matrix" -> ((s, d) =>
+      Dedup.overlapMatrix(docs(s, d), col("source"), 3)
+        .orderBy("slice_a", "slice_b")))
 
   def oracle: Map[String, String] = Map(
 
@@ -128,5 +157,98 @@ object CurationQueries {
              (PARTITION BY doc_id ORDER BY score_micro DESC, label) AS r
            FROM fin)
          SELECT label_true, label AS label_pred, COUNT(*) AS n
-         FROM am WHERE r = 1 GROUP BY 1, 2 ORDER BY 1, 2""")
+         FROM am WHERE r = 1 GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q114_kl_drift" ->
+      """WITH t AS (
+           SELECT source, UNNEST(REGEXP_SPLIT_TO_ARRAY(text, '\s+')) AS tok
+           FROM documents),
+         cs AS (SELECT source, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+         ts AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tn FROM cs GROUP BY 1),
+         cr AS (SELECT tok, COUNT(*) AS cc FROM t GROUP BY 1),
+         tr AS (SELECT COUNT(*) AS tt FROM t),
+         terms AS (
+           SELECT cs.source, cs.c, CAST(ROUND(
+               LN(CAST(cs.c * tr.tt AS DOUBLE) / CAST(cr.cc * ts.tn AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS lrm
+           FROM cs JOIN cr USING (tok) JOIN ts USING (source) CROSS JOIN tr),
+         s AS (SELECT source, CAST(SUM(c * lrm) AS BIGINT) AS klm
+               FROM terms GROUP BY 1)
+         SELECT s.source, ts.tn AS n_toks,
+                ROUND(CAST(klm AS DOUBLE) / CAST(ts.tn AS DOUBLE) / 1000000.0, 6)
+                  AS kl
+         FROM s JOIN ts USING (source) ORDER BY s.source""",
+
+    "q115_centroid_cosine" ->
+      """WITH q AS (
+           SELECT label, i AS dim,
+                  CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 16384.0) AS BIGINT)
+                    AS qv
+           FROM embeddings,
+                LATERAL (SELECT UNNEST(RANGE(1, LEN(embedding) + 1)) AS i)),
+         sums AS (
+           SELECT label, dim, CAST(SUM(qv) AS BIGINT) AS sv, COUNT(*) AS n
+           FROM q GROUP BY 1, 2),
+         p AS (
+           SELECT a.label AS label_a, b.label AS label_b, a.dim,
+                  a.sv AS sa, b.sv AS sb, a.n AS n_a, b.n AS n_b
+           FROM sums a JOIN sums b ON a.dim = b.dim AND a.label < b.label),
+         g AS (
+           SELECT label_a, label_b,
+                  CAST(MAX(n_a) AS BIGINT) AS n_a,
+                  CAST(MAX(n_b) AS BIGINT) AS n_b,
+                  CAST(SUM(sa * sb) AS BIGINT) AS dot,
+                  CAST(SUM(sa * sa) AS BIGINT) AS na2,
+                  CAST(SUM(sb * sb) AS BIGINT) AS nb2
+           FROM p GROUP BY 1, 2)
+         SELECT label_a, label_b, n_a, n_b,
+                ROUND(CAST(dot AS DOUBLE)
+                      / (SQRT(CAST(na2 AS DOUBLE)) * SQRT(CAST(nb2 AS DOUBLE))),
+                      6) AS cosine
+         FROM g ORDER BY label_a, label_b""",
+
+    "q116_filter_cascade" ->
+      """WITH t AS (
+           SELECT doc_id, source, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id, source, LEN(toks) AS n,
+                  (SELECT SUM(LEN(x)) FROM UNNEST(toks) AS u(x)) AS sc,
+                  LEN(LIST_FILTER(toks,
+                      x -> x IN ('the', 'a', 'data', 'query'))) AS ns
+           FROM t),
+         v AS (
+           SELECT source,
+                  CASE WHEN n < 20 THEN 'too_short'
+                       WHEN n > 90 THEN 'too_long'
+                       WHEN sc * 10 < n * 43 THEN 'word_len_low'
+                       WHEN sc * 10 > n * 48 THEN 'word_len_high'
+                       WHEN ns * 25 < n THEN 'low_stopword'
+                       ELSE 'pass' END AS verdict
+           FROM s)
+         SELECT source, verdict, COUNT(*) AS n_docs
+         FROM v GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q117_overlap_matrix" ->
+      """WITH sh AS (
+           SELECT DISTINCT source AS slice,
+                  MD5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS digest
+           FROM (SELECT source, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w
+                 FROM documents) t,
+                LATERAL (SELECT UNNEST(RANGE(1, LEN(w) - 1)) AS i)),
+         sizes AS (SELECT slice, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         ok AS (SELECT digest FROM sh GROUP BY digest HAVING COUNT(*) <= 64),
+         shc AS (SELECT sh.* FROM sh JOIN ok USING (digest)),
+         shared AS (
+           SELECT a.slice AS slice_a, b.slice AS slice_b, COUNT(*) AS shared
+           FROM shc a JOIN shc b ON a.digest = b.digest AND a.slice < b.slice
+           GROUP BY 1, 2)
+         SELECT slice_a, slice_b, shared, sa.n_sh AS n_a, sb.n_sh AS n_b,
+                ROUND(CAST(shared AS DOUBLE)
+                      / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE), 6)
+                  AS containment
+         FROM shared
+         JOIN sizes sa ON sa.slice = slice_a
+         JOIN sizes sb ON sb.slice = slice_b
+         ORDER BY slice_a, slice_b""")
 }

@@ -285,6 +285,47 @@ object Similarity {
     out
   }
 
+  /** Per-label centroid similarity report: the pairwise cosine between
+    * every two labels' mean embeddings — the cluster-separation /
+    * label-drift diagnostic (near-1 pairs are candidates for merging or
+    * relabeling audits).
+    *
+    * Engine-exactness: components are quantized to `2^scaleBits` fixed
+    * point FIRST (exact in double: float mantissa × a power of two), so
+    * the per-(label, dim) sums are EXACT integers — a float mean would be
+    * partition-order-sensitive. The cosine then needs no division by
+    * counts at all: `cos(Σa/n_a, Σb/n_b) = ΣSaSb / (√ΣSa² · √ΣSb²)`
+    * (the 1/n factors cancel), three exact-integer dim-sums and a fixed
+    * IEEE tree on top — bit-identical in any engine.
+    *
+    * Shape: one narrow (label, dim) aggregation — |labels|·dim rows —
+    * then a |labels|²·dim self-join of that TINY frame. Corpus size only
+    * enters the first aggregation, which is map-side combinable.
+    */
+  def centroidCosine(embs: DataFrame, labelCol: String = "label",
+                     scaleBits: Int = 14): DataFrame = {
+    val scale = (1L << scaleBits).toDouble
+    val q = embs.select(col(labelCol).as("label"),
+      posexplode(transform(toDouble(col("embedding")),
+        x => round(x * lit(scale)).cast("long"))).as(Seq("dim", "qv")))
+    val sums = q.groupBy("label", "dim")
+      .agg(sum(col("qv")).as("sv"), count(lit(1)).as("n"))
+    val a = sums.select(col("label").as("label_a"), col("dim"),
+      col("sv").as("sa"), col("n").as("n_a"))
+    val b = sums.select(col("label").as("label_b"), col("dim"),
+      col("sv").as("sb"), col("n").as("n_b"))
+    a.join(b, Seq("dim")).filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(col("sa") * col("sb")).as("_dot"),
+        sum(col("sa") * col("sa")).as("_na2"),
+        sum(col("sb") * col("sb")).as("_nb2"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        round(col("_dot").cast("double")
+          / (sqrt(col("_na2").cast("double")) * sqrt(col("_nb2").cast("double"))),
+          6).as("cosine"))
+  }
+
   private def bucketsWithKey(corpus: DataFrame, nPlanes: Int,
                              prefix: Int => String, dim: Int): DataFrame =
     corpus.select(col("vec_id"),

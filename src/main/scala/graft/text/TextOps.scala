@@ -625,6 +625,73 @@ object TextOps {
       .agg(count(lit(1)).as("n_toks"), sum(col("lr_micro")).as("logw_micro"))
   }
 
+  /** Per-slice corpus drift: KL(P_slice ‖ P_corpus) of the unigram
+    * distributions, the standard contamination/shift diagnostic run per
+    * source, per snapshot, or per shard before mixing. No smoothing is
+    * needed — every slice token exists in the corpus by construction.
+    *
+    * Engine-exactness: each token's log-ratio `ln(c·T / (C·t))` is ONE
+    * `ln` of an exact-integer ratio, quantized to micro-nats; the sum
+    * `Σ c·lr` is exact integer arithmetic (the 1/t factor is pulled out
+    * of the sum), and the final KL is two IEEE divisions off that
+    * integer — bit-identical in any engine, no float summation.
+    *
+    * Shape: two count aggregations (slice×token, token), one broadcastable
+    * totals row, one per-slice sum — all shuffles keyed by token or slice.
+    */
+  def klDrift(docs: DataFrame, groupCol: Column): DataFrame = {
+    val toks = docs.select(groupCol.as("grp"), explode(tokensCol).as("tok"))
+    val cs = toks.groupBy("grp", "tok").agg(count(lit(1)).as("c"))
+    val ts = cs.groupBy("grp").agg(sum(col("c")).as("t"))
+    val cr = toks.groupBy("tok").agg(count(lit(1)).as("cc"))
+    val tr = toks.agg(count(lit(1)).as("tt"))
+    cs.join(cr, Seq("tok")).join(ts, Seq("grp")).crossJoin(broadcast(tr))
+      .withColumn("_lrm", round(
+        log((col("c") * col("tt")).cast("double")
+          / (col("cc") * col("t")).cast("double")) * lit(1e6))
+        .cast("long"))
+      .groupBy("grp")
+      .agg(max(col("t")).as("n_toks"),
+        sum(col("c") * col("_lrm")).as("_klm"))
+      .select(col("grp"), col("n_toks"), round(
+        col("_klm").cast("double") / col("n_toks").cast("double") / lit(1e6), 6)
+        .as("kl"))
+  }
+
+  /** Quality-gate cascade with first-failing-gate attribution: every doc
+    * is labeled by the FIRST gate it fails (Gopher/C4-style ordered
+    * rejection rules), and the report counts docs per (slice, verdict) —
+    * the standard "where did my corpus go" diagnostic a filtering run
+    * emits before anything is dropped.
+    *
+    * Gates (in order): too_short (n_tok < minTok), too_long (n_tok >
+    * maxTok), word_len_low / word_len_high (mean word length outside
+    * [wlLo/10, wlHi/10]), low_stopword (stopword fraction < 1/stopDen).
+    * Every comparison is exact-integer (`sum_chars*10 < wlLo*n_tok`, not a
+    * float ratio), so the verdict replays bit-identically in any engine —
+    * no rounding knife edges at the thresholds.
+    *
+    * Shape: one map-only projection + one tiny (slice, verdict) count
+    * aggregation. At 100 TB this is a single scan; nothing wide shuffles.
+    */
+  def filterCascade(docs: DataFrame, stopwords: Seq[String],
+                    minTok: Int = 20, maxTok: Int = 90,
+                    wlLo: Int = 43, wlHi: Int = 48,
+                    stopDen: Int = 25): DataFrame = {
+    val toks = tokensCol
+    val n = size(toks).cast("long")
+    val sumChars = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val nStop = size(filter(toks, t => t.isInCollection(stopwords))).cast("long")
+    val verdict = when(n < minTok, "too_short")
+      .when(n > maxTok, "too_long")
+      .when(sumChars * 10 < n * wlLo, "word_len_low")
+      .when(sumChars * 10 > n * wlHi, "word_len_high")
+      .when(nStop * stopDen < n, "low_stopword")
+      .otherwise("pass")
+    docs.select(col("source"), verdict.as("verdict"))
+      .groupBy("source", "verdict").agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Multinomial Naive Bayes text classifier, trained and evaluated in
     * one plan: documents with `doc_id % holdMod != 0` train per-label
     * token counts; the held-out rest are classified by

@@ -125,6 +125,44 @@ class CurationSpec extends SparkSpec {
     } finally mixed.unpersist()
   }
 
+  test("filterCascade: first failing gate wins; boundary values pass") {
+    val sw = Seq("the", "a")
+    val docs = Seq(
+      // 10 toks => too_short, even though word-len would also fail
+      (1L, "s", "xxxxxxxxxx " * 9 + "xxxxxxxxxx"),
+      // exactly 20 toks of 'the' (len 3 => wl 30 < 43) => word_len_low, NOT too_short
+      (2L, "s", Seq.fill(20)("the").mkString(" ")),
+      // 91 five-char tokens => too_long
+      (3L, "s", Seq.fill(91)("quers").mkString(" ")),
+      // 20 long tokens => word_len_high (mean 10 > 4.8)
+      (4L, "s", Seq.fill(20)("xxxxxxxxxx").mkString(" ")),
+      // mean word len 4.5 in [4.3,4.8] but zero stopwords => low_stopword
+      (5L, "s", (Seq.fill(10)("xxxx") ++ Seq.fill(10)("xxxxx")).mkString(" ")),
+      // mean 4.4 in range, 1/20 stopwords = 5% >= 4% => pass
+      (6L, "s", ("the " + (Seq.fill(10)("xxxx") ++ Seq.fill(9)("xxxxx"))
+        .mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.filterCascade(docs, sw)
+      .select("verdict", "n_docs").as[(String, Long)].collect().toMap
+    assert(out == Map("too_short" -> 1L, "word_len_low" -> 1L, "too_long" -> 1L,
+      "word_len_high" -> 1L, "low_stopword" -> 1L, "pass" -> 1L))
+  }
+
+  test("overlapMatrix: shared shingles count once; capped digests drop out") {
+    val docs = Seq(
+      (1L, "A", "x y z w"), // shingles: "x y z", "y z w"
+      (2L, "B", "x y z q"), // shingles: "x y z", "y z q"
+      (3L, "B", "x y z q"), // duplicate doc: must not double-count
+      (4L, "C", "p q r"))   // disjoint: no pair rows with C
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.overlapMatrix(docs, col("source"), 3)
+      .select("slice_a", "slice_b", "shared", "n_a", "n_b", "containment")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(("A", "B", 1L, 2L, 2L, 0.5)))
+    // sliceCap = 1 drops the only cross-slice digest => empty matrix
+    assert(Dedup.overlapMatrix(docs, col("source"), 3, sliceCap = 1).isEmpty)
+  }
+
   test("zipfFit recovers the slope of an exact power law") {
     // counts c(r) = 1000·r^(-1) over 20 ranks: construct the corpus so
     // the rank ordering is exactly by construction count

@@ -74,6 +74,39 @@ class SelectionSpec extends SparkSpec {
     assert(pred == Seq(("B", "A", 1L))) // prior(A) >> prior(B) decides
   }
 
+  test("klDrift: zero for an undrifted slice, positive and exact for a known drift") {
+    // one slice = the whole corpus → P_s ≡ P_corpus → KL = 0
+    val uni = Seq((1L, "s", "aa bb"), (2L, "s", "aa bb"))
+      .toDF("doc_id", "source", "text")
+    val z = TextOps.klDrift(uni, col("source")).select("kl").as[Double].collect()
+    assert(z.toSeq == Seq(0.0))
+
+    // slice A = {aa}, slice B = {bb}, equal sizes: corpus is 50/50 →
+    // KL(A‖corpus) = ln 2 for both slices
+    val drift = Seq((1L, "A", "aa aa aa aa"), (2L, "B", "bb bb bb bb"))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.klDrift(drift, col("source"))
+      .select("grp", "kl").as[(String, Double)].collect().toMap
+    assert(approx(out("A"), math.log(2.0), 1e-5))
+    assert(approx(out("B"), math.log(2.0), 1e-5))
+  }
+
+  test("centroidCosine: identical labels → 1, opposite → -1, orthogonal → 0") {
+    val embs = (Seq.tabulate(5)(i => (i.toLong, Array(1.0f, 0.0f), 0)) ++
+      Seq.tabulate(5)(i => (i.toLong + 10, Array(0.5f, 0.0f), 1)) ++
+      Seq.tabulate(5)(i => (i.toLong + 20, Array(0.0f, 2.0f), 2)) ++
+      Seq.tabulate(5)(i => (i.toLong + 30, Array(-1.0f, 0.0f), 3))).toSeq
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.sim.Similarity.centroidCosine(embs)
+      .select("label_a", "label_b", "n_a", "n_b", "cosine")
+      .as[(Int, Int, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._5).toMap
+    assert(out((0, 1)) == 1.0)   // same direction, different magnitude
+    assert(out((0, 2)) == 0.0)   // orthogonal
+    assert(out((0, 3)) == -1.0)  // opposite
+    assert(out((1, 2)) == 0.0 && out((2, 3)) == 0.0 && out((1, 3)) == -1.0)
+  }
+
   test("dsirWeights: target-domain tokens score above raw-only tokens") {
     // target docs (lang=t) speak 'aaa bbb'; raw-only docs speak 'zzz yyy'
     val docs = ((1 to 20).map(i => (i.toLong, "t", "aaa bbb aaa bbb aaa")) ++
