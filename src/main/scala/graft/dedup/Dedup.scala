@@ -34,6 +34,85 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental (snapshot-delta) dedup: every NEW document is labeled
+    * `exact_dup` / `near_dup` / `kept` against the OLD corpus — the
+    * crawl-refresh shape where each snapshot dedupes against what is
+    * already in the training set, not against itself (within-snapshot
+    * dedup is `exactDupGroups` / `nearDupGroups`).
+    *
+    * Phases: (1) exact — md5(text) anti-join against old digests (only
+    * 16-byte digests shuffle); (2) near — MinHash bands on both sides,
+    * candidates from the ASYMMETRIC new×old band join (a delta-sized
+    * probe against the corpus index, never old×old), verified by exact
+    * shingle Jaccard. The threshold is a rational `jacNum/jacDen` tested
+    * as `inter * jacDen >= union * jacNum` — exact integers, no float
+    * knife edge at the cut. Best match = highest 6dp-rounded Jaccard,
+    * min old id on ties (a per-new-doc keyed window, never global).
+    *
+    * At scale the old side's signatures/bands are what you'd persist as
+    * the dedup index; old band buckets above `bucketCap` are dropped
+    * before the join (boilerplate mass, same guard as
+    * `lshCandidatePairs`).
+    */
+  def incrementalDedup(oldDocs: DataFrame, newDocs: DataFrame,
+                       numHashes: Int, rowsPerBand: Int,
+                       jacNum: Int, jacDen: Int, n: Int = 3,
+                       bucketCap: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val oldDig = oldDocs.select(md5(col("text")).as("digest"), col("doc_id"))
+      .groupBy("digest").agg(min(col("doc_id")).as("match_id"))
+    val exactJ = newDocs.withColumn("digest", md5(col("text")))
+      .join(oldDig, Seq("digest"), "left")
+    val exact = exactJ.filter(col("match_id").isNotNull)
+      .select(col("doc_id"), lit("exact_dup").as("verdict"), col("match_id"),
+        lit(1.0).as("jaccard"))
+    val surv = exactJ.filter(col("match_id").isNull).select("doc_id", "text")
+
+    val shNew = shingles(surv, n)
+    val shOld = shingles(oldDocs, n)
+    def bandFrame(sig: DataFrame): DataFrame = {
+      val nBands = numHashes / rowsPerBand
+      (0 until nBands).map { b =>
+        sig.select(col("doc_id"), lit(b).as("band_id"),
+          concat((b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => col(s"m$i")): _*).as("band_key"))
+      }.reduce(_.unionByName(_))
+    }
+    val bn = bandFrame(minHashSignature(shNew, numHashes))
+    val bo = bandFrame(minHashSignature(shOld, numHashes))
+    val okOld = bo.groupBy("band_id", "band_key").agg(count(lit(1)).as("k"))
+      .filter(col("k") <= bucketCap).select("band_id", "band_key")
+    val boc = bo.join(okOld, Seq("band_id", "band_key"))
+    val cand = bn.select(col("band_id"), col("band_key"), col("doc_id").as("nid"))
+      .join(boc.select(col("band_id"), col("band_key"), col("doc_id").as("oid")),
+        Seq("band_id", "band_key"))
+      .select("nid", "oid").distinct()
+
+    val szn = shNew.groupBy("doc_id").agg(count(lit(1)).as("szn"))
+    val szo = shOld.groupBy("doc_id").agg(count(lit(1)).as("szo"))
+    val inter = cand
+      .join(shNew.withColumnRenamed("doc_id", "nid"), Seq("nid"))
+      .join(shOld.withColumnRenamed("doc_id", "oid"), Seq("oid", "shingle"))
+      .groupBy("nid", "oid").agg(count(lit(1)).as("inter"))
+    val near = inter
+      .join(szn.withColumnRenamed("doc_id", "nid"), Seq("nid"))
+      .join(szo.withColumnRenamed("doc_id", "oid"), Seq("oid"))
+      .withColumn("uni", col("szn") + col("szo") - col("inter"))
+      .filter(col("inter") * jacDen >= col("uni") * jacNum)
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / col("uni").cast("double"), 6))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("nid").orderBy(col("jaccard").desc, col("oid"))))
+      .filter(col("_rn") === 1)
+      .select(col("nid").as("doc_id"), lit("near_dup").as("verdict"),
+        col("oid").as("match_id"), col("jaccard"))
+    val kept = surv.join(near.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("kept").as("verdict"),
+        lit(null).cast("bigint").as("match_id"),
+        lit(null).cast("double").as("jaccard"))
+    exact.unionByName(near).unionByName(kept)
+  }
+
   /** Cross-slice contamination matrix: for every slice pair, how many
     * distinct word n-gram shingles they share, plus each side's distinct
     * shingle count and the containment ratio `shared / min(|a|, |b|)` —

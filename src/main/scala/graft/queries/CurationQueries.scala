@@ -65,7 +65,22 @@ object CurationQueries {
     // shingles + containment per source pair; digests (never text) join
     "q117_overlap_matrix" -> ((s, d) =>
       Dedup.overlapMatrix(docs(s, d), col("source"), 3)
-        .orderBy("slice_a", "slice_b")))
+        .orderBy("slice_a", "slice_b")),
+
+    // snapshot-delta dedup: new docs (odds + planted exact/near copies of
+    // evens) labeled exact_dup/near_dup/kept against the old corpus
+    // (evens); threshold tested as inter*2 >= union — exact integers
+    "q118_incremental_dedup" -> ((s, d) => {
+      val all = docs(s, d)
+      val oldD = all.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+      val newD = all.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+        .unionByName(all.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+        .unionByName(all.filter(col("doc_id") % 14 === 0)
+          .select((col("doc_id") + 3000000).as("doc_id"),
+            concat(col("text"), lit(" graft delta marker")).as("text")))
+      Dedup.incrementalDedup(oldD, newD, 8, 2, 1, 2).orderBy("doc_id")
+    }))
 
   def oracle: Map[String, String] = Map(
 
@@ -250,5 +265,99 @@ object CurationQueries {
          FROM shared
          JOIN sizes sa ON sa.slice = slice_a
          JOIN sizes sb ON sb.slice = slice_b
-         ORDER BY slice_a, slice_b""")
+         ORDER BY slice_a, slice_b""",
+
+    "q118_incremental_dedup" ->
+      """WITH oldd AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         newd AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+           UNION ALL
+           SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0
+           UNION ALL
+           SELECT doc_id + 3000000, text || ' graft delta marker'
+           FROM documents WHERE doc_id % 14 = 0),
+         odig AS (SELECT MD5(text) AS digest, MIN(doc_id) AS match_id
+                  FROM oldd GROUP BY 1),
+         nd AS (SELECT n.doc_id, n.text, o.match_id
+                FROM newd n LEFT JOIN odig o ON MD5(n.text) = o.digest),
+         exact AS (SELECT doc_id, 'exact_dup' AS verdict, match_id,
+                          1.0 AS jaccard
+                   FROM nd WHERE match_id IS NOT NULL),
+         surv AS (SELECT doc_id, text FROM nd WHERE match_id IS NULL),
+         shn AS (
+           SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+           FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w
+                 FROM surv) t,
+                LATERAL (SELECT UNNEST(RANGE(1, LEN(w) - 1)) AS i)),
+         sho AS (
+           SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+           FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w
+                 FROM oldd) t,
+                LATERAL (SELECT UNNEST(RANGE(1, LEN(w) - 1)) AS i)),
+         sgn AS (
+           SELECT doc_id,
+                  MIN(MD5('0:' || shingle)) AS m0, MIN(MD5('1:' || shingle)) AS m1,
+                  MIN(MD5('2:' || shingle)) AS m2, MIN(MD5('3:' || shingle)) AS m3,
+                  MIN(MD5('4:' || shingle)) AS m4, MIN(MD5('5:' || shingle)) AS m5,
+                  MIN(MD5('6:' || shingle)) AS m6, MIN(MD5('7:' || shingle)) AS m7
+           FROM shn GROUP BY doc_id),
+         sgo AS (
+           SELECT doc_id,
+                  MIN(MD5('0:' || shingle)) AS m0, MIN(MD5('1:' || shingle)) AS m1,
+                  MIN(MD5('2:' || shingle)) AS m2, MIN(MD5('3:' || shingle)) AS m3,
+                  MIN(MD5('4:' || shingle)) AS m4, MIN(MD5('5:' || shingle)) AS m5,
+                  MIN(MD5('6:' || shingle)) AS m6, MIN(MD5('7:' || shingle)) AS m7
+           FROM sho GROUP BY doc_id),
+         bn AS (
+           SELECT doc_id, 0 AS band_id, m0 || m1 AS band_key FROM sgn UNION ALL
+           SELECT doc_id, 1, m2 || m3 FROM sgn UNION ALL
+           SELECT doc_id, 2, m4 || m5 FROM sgn UNION ALL
+           SELECT doc_id, 3, m6 || m7 FROM sgn),
+         bo AS (
+           SELECT doc_id, 0 AS band_id, m0 || m1 AS band_key FROM sgo UNION ALL
+           SELECT doc_id, 1, m2 || m3 FROM sgo UNION ALL
+           SELECT doc_id, 2, m4 || m5 FROM sgo UNION ALL
+           SELECT doc_id, 3, m6 || m7 FROM sgo),
+         boc AS (
+           SELECT bo.* FROM bo JOIN (
+             SELECT band_id, band_key FROM bo
+             GROUP BY 1, 2 HAVING COUNT(*) <= 10000) ok
+           USING (band_id, band_key)),
+         cand AS (
+           SELECT DISTINCT bn.doc_id AS nid, boc.doc_id AS oid
+           FROM bn JOIN boc USING (band_id, band_key)),
+         szn AS (SELECT doc_id, COUNT(*) AS szn FROM shn GROUP BY 1),
+         szo AS (SELECT doc_id, COUNT(*) AS szo FROM sho GROUP BY 1),
+         i AS (
+           SELECT c.nid, c.oid, COUNT(*) AS inter
+           FROM cand c
+           JOIN shn ON shn.doc_id = c.nid
+           JOIN sho ON sho.doc_id = c.oid AND sho.shingle = shn.shingle
+           GROUP BY 1, 2),
+         nearall AS (
+           SELECT i.nid, i.oid, i.inter,
+                  szn.szn + szo.szo - i.inter AS uni
+           FROM i JOIN szn ON szn.doc_id = i.nid
+                  JOIN szo ON szo.doc_id = i.oid
+           WHERE i.inter * 2 >= (szn.szn + szo.szo - i.inter) * 1),
+         best AS (
+           SELECT nid, oid,
+                  ROUND(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE), 6) AS j,
+                  ROW_NUMBER() OVER (PARTITION BY nid
+                    ORDER BY ROUND(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE), 6)
+                               DESC, oid) AS rn
+           FROM nearall),
+         near AS (SELECT nid AS doc_id, 'near_dup' AS verdict,
+                         oid AS match_id, j AS jaccard
+                  FROM best WHERE rn = 1),
+         kept AS (
+           SELECT doc_id, 'kept' AS verdict,
+                  CAST(NULL AS BIGINT) AS match_id,
+                  CAST(NULL AS DOUBLE) AS jaccard
+           FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM near))
+         SELECT doc_id, verdict, match_id, jaccard FROM exact
+         UNION ALL SELECT * FROM near
+         UNION ALL SELECT * FROM kept
+         ORDER BY doc_id""")
 }

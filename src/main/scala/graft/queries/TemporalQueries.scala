@@ -185,6 +185,17 @@ object TemporalQueries {
       Sketches.hllDistinct(
           Tables.t(s, d, "events").select("event_type", "user_id"),
           "event_type", "user_id")
+        .orderBy("event_type")),
+
+    // mergeable 256-bin histogram quantile sketch (the O(bins) scale
+    // path next to q104's exact global-ordinal quantiles); power-of-two
+    // bin width keeps every edge and rank integer/IEEE-exact
+    "q119_hist_quantiles" -> ((s, d) =>
+      Sketches.histQuantiles(
+          Tables.t(s, d, "events").select("event_type", "value"),
+          "event_type", "value")
+        .select(col("grp").as("event_type"), col("n"),
+          col("p50"), col("p95"), col("p99"))
         .orderBy("event_type")))
 
   private val bm25Queries = Seq(
@@ -572,5 +583,26 @@ object TemporalQueries {
                                       (3, 'fast scan')) v(phrase_id, phrase))
          SELECT ph.phrase_id, bg.doc_id, COUNT(*) AS n_matches
          FROM bg JOIN ph ON bg.s = ph.phrase
-         GROUP BY 1, 2 ORDER BY phrase_id, doc_id""")
+         GROUP BY 1, 2 ORDER BY phrase_id, doc_id""",
+
+    "q119_hist_quantiles" ->
+      """WITH b AS (
+           SELECT event_type,
+                  CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 2.0), 0), 255)
+                    AS INT) AS bin
+           FROM events),
+         c AS (SELECT event_type, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+         cum AS (
+           SELECT event_type, bin, c,
+                  SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+                  SUM(c) OVER (PARTITION BY event_type) AS n
+           FROM c)
+         SELECT event_type, MAX(n) AS n,
+                MIN(CASE WHEN cum >= CAST(FLOOR((n * 50 + 99) / 100.0) AS BIGINT)
+                         THEN 0.0 + (bin + 1) * 2.0 END) AS p50,
+                MIN(CASE WHEN cum >= CAST(FLOOR((n * 95 + 99) / 100.0) AS BIGINT)
+                         THEN 0.0 + (bin + 1) * 2.0 END) AS p95,
+                MIN(CASE WHEN cum >= CAST(FLOOR((n * 99 + 99) / 100.0) AS BIGINT)
+                         THEN 0.0 + (bin + 1) * 2.0 END) AS p99
+         FROM cum GROUP BY event_type ORDER BY event_type""")
 }

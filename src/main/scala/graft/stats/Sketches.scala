@@ -17,6 +17,38 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** Mergeable fixed-bin histogram quantiles: nearest-rank percentile
+    * ESTIMATES from `nBins` equal-width counters per group — the sketch
+    * counterpart of `Analytics.groupQuantiles`' exact global-ordinal
+    * path. The counter table is O(groups × nBins) regardless of corpus
+    * size and merges by plain addition, so at 100 TB this is one
+    * map-side-combinable aggregation and no global sort; the price is
+    * resolution (an estimate is the upper edge of the bin holding the
+    * target rank).
+    *
+    * Determinism: `binWidth` should be a power of two (value/2.0 is exact
+    * in IEEE double), FLOOR and the clamp are integer-exact, and target
+    * ranks use ceil(p·n/100) computed as FLOOR((n·p + 99)/100.0) — exact
+    * below 2^53 — so the estimate replays bit-identically in any engine.
+    */
+  def histQuantiles(df: DataFrame, group: String, valueCol: String,
+                    lo: Double = 0.0, binWidth: Double = 2.0, nBins: Int = 256,
+                    pcts: Seq[Int] = Seq(50, 95, 99)): DataFrame = {
+    val bin = least(greatest(floor((col(valueCol) - lo) / binWidth), lit(0)),
+      lit(nBins - 1)).cast("int")
+    val counts = df.groupBy(col(group).as("grp"), bin.as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(Window.partitionBy("grp").orderBy("bin")))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("grp")))
+    def rank(p: Int) =
+      floor((col("n") * p + 99) / lit(100.0)).cast("long")
+    val edge = lit(lo) + (col("bin") + 1) * binWidth
+    val aggs = max(col("n")).as("n") +:
+      pcts.map(p => min(when(col("cum") >= rank(p), edge)).as(s"p$p"))
+    cum.groupBy("grp").agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Per-`group` distinct count of `key`, exact and KMV-estimated.
     *
     * Shape: one distinct-aggregation on (group, hash) — the same shuffle

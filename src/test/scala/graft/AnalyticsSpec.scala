@@ -44,6 +44,29 @@ class AnalyticsSpec extends SparkSpec {
     sums.foreach { case (_, s) => assert(approx(s, 1.0)) }
   }
 
+  test("histQuantiles: estimate is the bin upper edge; merge of shards == whole") {
+    import graft.stats.Sketches
+    // 100 values 0.5..99.5 => p50 rank 50 -> value 49.5 in bin 24 -> edge 50.0
+    val vals = (0 until 100).map(i => ("g", i + 0.5))
+    val whole = vals.toDF("grp", "v")
+    val est = Sketches.histQuantiles(whole, "grp", "v")
+      .select("n", "p50", "p95", "p99").as[(Long, Double, Double, Double)]
+      .collect().head
+    assert(est == ((100L, 50.0, 96.0, 100.0)))
+    // mergeability: sketching the union == sketching shards and summing
+    // counters; with the same bins this reduces to the union result, so
+    // shard-order/partitioning must not matter
+    val shuffled = scala.util.Random.shuffle(vals).toDF("grp", "v").repartition(7)
+    val est2 = Sketches.histQuantiles(shuffled, "grp", "v")
+      .select("n", "p50", "p95", "p99").as[(Long, Double, Double, Double)]
+      .collect().head
+    assert(est2 == est)
+    // clamp: values past the last edge land in the top bin
+    val hi = Seq(("g", 1e9)).toDF("grp", "v")
+    assert(Sketches.histQuantiles(hi, "grp", "v")
+      .select("p50").as[Double].collect().head == 512.0)
+  }
+
   test("hllDistinct: duplicate-invariant, exact small counts via linear counting") {
     import graft.stats.Sketches
     val once = (0 until 30).map(i => ("g", i)).toDF("grp", "k")

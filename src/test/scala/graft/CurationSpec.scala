@@ -163,6 +163,23 @@ class CurationSpec extends SparkSpec {
     assert(Dedup.overlapMatrix(docs, col("source"), 3, sliceCap = 1).isEmpty)
   }
 
+  test("incrementalDedup: exact beats near; dedup is vs OLD only; best match deterministic") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val oldD = Seq((2L, base), (4L, base), // two old copies: match min id 2
+      (6L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val newD = Seq(
+      (1L, base),                    // exact dup of old 2 (and 4): match 2
+      (3L, base + " tail marker"),   // near dup of old 2/4: equal jaccard, min oid 2
+      (5L, "totally different words nothing shared here at all ok fine"),
+      (7L, "totally different words nothing shared here at all ok fine"))
+      .toDF("doc_id", "text") // 5 & 7 duplicate EACH OTHER but not old => both kept
+    val out = Dedup.incrementalDedup(oldD, newD, 8, 2, 1, 2)
+      .select("doc_id", "verdict", "match_id")
+      .as[(Long, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, "exact_dup", Some(2L)), (3L, "near_dup", Some(2L)),
+      (5L, "kept", None), (7L, "kept", None)))
+  }
+
   test("zipfFit recovers the slope of an exact power law") {
     // counts c(r) = 1000·r^(-1) over 20 ranks: construct the corpus so
     // the rank ordering is exactly by construction count
