@@ -34,6 +34,37 @@ object Dedup {
       .distinct()
   }
 
+  /** Candidate-pair Jaccard sweep: histogram of exact Jaccard over a set
+    * of candidate pairs, binned to `bands` equal bands — the
+    * threshold-tuning curve for LSH dedup (how many pairs each candidate
+    * threshold would keep, i.e. the precision profile of the banding
+    * scheme). Every LSH candidate shares at least one shingle (equal
+    * band minima imply an identical argmin shingle), so the inner
+    * intersection join loses no pairs.
+    *
+    * Banding is exact integer arithmetic: `band = min(inter*bands DIV
+    * union, bands-1)` — no float division before the cut, so a pair at
+    * exactly 0.5 lands in the same band in every engine.
+    */
+  def jaccardSweep(sh: DataFrame, pairs: DataFrame, bands: Int = 10): DataFrame = {
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.withColumnRenamed("doc_id", "ida"), Seq("ida"))
+      .join(sh.withColumnRenamed("doc_id", "idb"), Seq("idb", "shingle"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.toDF("ida", "sa"), Seq("ida"))
+      .join(sz.toDF("idb", "sb"), Seq("idb"))
+      .withColumn("uni", col("sa") + col("sb") - col("inter"))
+      .withColumn("band",
+        least(expr(s"inter * $bands div uni"), lit(bands - 1)).cast("int"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("band"),
+        round(col("band").cast("double") / bands, 6).as("band_lo"),
+        col("n_pairs"))
+  }
+
   /** Incremental (snapshot-delta) dedup: every NEW document is labeled
     * `exact_dup` / `near_dup` / `kept` against the OLD corpus — the
     * crawl-refresh shape where each snapshot dedupes against what is

@@ -342,6 +342,29 @@ object TrainingQueries {
       Dedup.canonicalDocs(base.unionByName(dups), pairs).orderBy("doc_id")
     }),
 
+    // LSH threshold-tuning curve: exact-Jaccard histogram over candidate
+    // pairs from a universe planted with full copies (j≈0.9) AND
+    // half-document copies (j≈0.5), so the curve spans high and middle
+    // bands; banding is integer DIV so the cut has no float knife edge
+    "q120_jaccard_sweep" -> ((s, d) => {
+      val base = docs(s, d).filter(col("doc_id") % 20 === 0).select("doc_id", "text")
+      val dups = docs(s, d).filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" graft dup marker")).as("text"))
+      val halves = docs(s, d).filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), "\\s+"), lit(1),
+            // integer DIV, not /-then-cast: DuckDB's CAST(x.5 AS INT)
+            // rounds while Spark's cast truncates
+            expr("(size(split(text, '\\\\s+')) + 1) div 2").cast("int")))
+            .as("text"))
+      val sweepSh = Dedup.shingles(
+        base.unionByName(dups).unionByName(halves), 3)
+      Dedup.jaccardSweep(sweepSh,
+          Dedup.lshCandidatePairs(Dedup.minHashSignature(sweepSh, 8), 8, 2))
+        .orderBy("band")
+    }),
+
     // CCNet-style per-language perplexity terciles (head/middle/tail)
     // by exact integer rank — no interpolated-cutoff knife edge
     "q90_ccnet_buckets" -> ((s, d) =>
@@ -535,6 +558,62 @@ object TrainingQueries {
 
   val oracle: Map[String, String] = Map(
     "q83_semdedup" -> q83OracleSql,
+
+    "q120_jaccard_sweep" ->
+      s"""WITH spl AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+           UNION ALL
+           SELECT doc_id + 1000000, text || ' graft dup marker'
+           FROM documents WHERE doc_id % 40 = 0
+           UNION ALL
+           SELECT doc_id + 2000000,
+                  ARRAY_TO_STRING(w[1:(LEN(w) + 1) // 2], ' ')
+           FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\\s+') AS w
+                 FROM documents WHERE doc_id % 20 = 0) t),
+         psh AS (
+           SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+           FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\\s+') AS w
+                 FROM spl) t,
+                LATERAL (SELECT UNNEST(RANGE(1, LEN(w) - 1)) AS i)),
+         sig AS (
+           SELECT doc_id,
+                  MIN(MD5('0:' || shingle)) AS m0, MIN(MD5('1:' || shingle)) AS m1,
+                  MIN(MD5('2:' || shingle)) AS m2, MIN(MD5('3:' || shingle)) AS m3,
+                  MIN(MD5('4:' || shingle)) AS m4, MIN(MD5('5:' || shingle)) AS m5,
+                  MIN(MD5('6:' || shingle)) AS m6, MIN(MD5('7:' || shingle)) AS m7
+           FROM psh GROUP BY doc_id),
+         bl AS (
+           SELECT doc_id, 0 AS band_id, m0 || m1 AS band_key FROM sig UNION ALL
+           SELECT doc_id, 1, m2 || m3 FROM sig UNION ALL
+           SELECT doc_id, 2, m4 || m5 FROM sig UNION ALL
+           SELECT doc_id, 3, m6 || m7 FROM sig),
+         blc AS (
+           SELECT bl.* FROM bl JOIN (
+             SELECT band_id, band_key FROM bl
+             GROUP BY band_id, band_key HAVING COUNT(*) <= 10000) ok
+           USING (band_id, band_key)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+           FROM blc a JOIN blc b
+             ON a.band_id = b.band_id AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id),
+         sz AS (SELECT doc_id, COUNT(*) AS sz FROM psh GROUP BY 1),
+         i AS (
+           SELECT p.ida, p.idb, COUNT(*) AS inter
+           FROM pairs p
+           JOIN psh a ON a.doc_id = p.ida
+           JOIN psh b ON b.doc_id = p.idb AND b.shingle = a.shingle
+           GROUP BY 1, 2),
+         j AS (
+           SELECT i.inter, sa.sz + sb.sz - i.inter AS uni
+           FROM i JOIN sz sa ON sa.doc_id = i.ida
+                  JOIN sz sb ON sb.doc_id = i.idb),
+         h AS (
+           SELECT CAST(LEAST(inter * 10 // uni, 9) AS INT) AS band,
+                  COUNT(*) AS n_pairs
+           FROM j GROUP BY 1)
+         SELECT band, ROUND(CAST(band AS DOUBLE) / 10, 6) AS band_lo, n_pairs
+         FROM h ORDER BY band""",
     "q30_token_stats" ->
       """SELECT doc_id, CAST(LENGTH(text) AS INT) AS n_chars,
            CAST(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\s+')) AS INT) AS n_tokens,

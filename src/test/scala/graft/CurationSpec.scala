@@ -180,6 +180,27 @@ class CurationSpec extends SparkSpec {
       (5L, "kept", None), (7L, "kept", None)))
   }
 
+  test("jaccardSweep: exact-0.5 pair lands in band 5; j=1 clamps to band 9") {
+    // hand-built shingle sets fed through the public contract
+    val sh = Seq(
+      (1L, "s1"), (1L, "s2"), (1L, "s3"), (1L, "s4"),
+      (2L, "s3"), (2L, "s4"), (2L, "s5"), (2L, "s6"), // j(1,2)=2/6
+      (3L, "s1"), (3L, "s2"), (3L, "s3"), (3L, "s4"), // j(1,3)=1
+      (4L, "s1"), (4L, "s2"), (4L, "s5"), (4L, "s6")) // j(1,4)=2/6, j(3,4)=2/6, j(2,4)=2/6
+      .toDF("doc_id", "shingle")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("ida", "idb")
+    val out = Dedup.jaccardSweep(sh, pairs)
+      .select("band", "n_pairs").as[(Int, Long)].collect().toMap
+    // 2/6 = 0.333..: 2*10 div 6 = 3 => band 3; j=1: 40 div 4 = 10 clamps to 9
+    assert(out == Map(3 -> 2L, 9 -> 1L))
+    // exact 0.5: inter=2, uni=4 => 20 div 4 = 5 => band 5 (not 4)
+    val sh2 = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "b"), (2L, "c"), (2L, "d"))
+      .toDF("doc_id", "shingle")
+    val out2 = Dedup.jaccardSweep(sh2, Seq((1L, 2L)).toDF("ida", "idb"))
+      .select("band").as[Int].collect().toSeq
+    assert(out2 == Seq(5))
+  }
+
   test("zipfFit recovers the slope of an exact power law") {
     // counts c(r) = 1000·r^(-1) over 20 ranks: construct the corpus so
     // the rank ordering is exactly by construction count
