@@ -67,6 +67,45 @@ object CurationQueries {
       Dedup.overlapMatrix(docs(s, d), col("source"), 3)
         .orderBy("slice_a", "slice_b")),
 
+    // per-language tokenizer fertility: subword (BPE-ish regex) tokens
+    // per whitespace word + chars per subword — the tokenizer-efficiency
+    // report that decides how many real tokens a corpus buys; integral
+    // sums, two IEEE divisions at the end
+    "q121_fertility" -> ((s, d) =>
+      docs(s, d)
+        .select(col("lang"),
+          size(split(col("text"), "\\s+")).cast("long").as("ws"),
+          size(regexp_extract_all(col("text"),
+            lit("'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+"),
+            lit(0))).cast("long").as("bpe"),
+          length(col("text")).cast("long").as("ch"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("n_ws_tokens"),
+          sum(col("bpe")).as("n_bpe_tokens"), sum(col("ch")).as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_ws_tokens"), col("n_bpe_tokens"),
+          round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens").cast("double"),
+            6).as("fertility"),
+          round(col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"),
+            6).as("chars_per_token"))
+        .orderBy("lang")),
+
+    // dedup savings cascade: docs/tokens surviving raw -> exact dedup ->
+    // passage dedup over a universe planted with exact copies AND
+    // half-document partial copies (which only the passage stage catches)
+    "q122_dedup_savings" -> ((s, d) => {
+      val base = docs(s, d).select("doc_id", "text")
+      val copies = base.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 3000000).as("doc_id"), col("text"))
+      val halves = base.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 5000000).as("doc_id"),
+          concat(
+            concat_ws(" ", slice(split(col("text"), "\\s+"), lit(1),
+              expr("(size(split(text, '\\\\s+')) + 1) div 2").cast("int"))),
+            lit(" graft synthetic tail marker words")).as("text"))
+      TextOps.dedupSavings(base.unionByName(copies).unionByName(halves), 15)
+        .orderBy("stage_id")
+    }),
+
     // snapshot-delta dedup: new docs (odds + planted exact/near copies of
     // evens) labeled exact_dup/near_dup/kept against the old corpus
     // (evens); threshold tested as inter*2 >= union — exact integers
@@ -266,6 +305,68 @@ object CurationQueries {
          JOIN sizes sa ON sa.slice = slice_a
          JOIN sizes sb ON sb.slice = slice_b
          ORDER BY slice_a, slice_b""",
+
+    "q121_fertility" ->
+      """WITH t AS (
+           SELECT lang,
+                  CAST(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\s+')) AS BIGINT) AS ws,
+                  CAST(LEN(REGEXP_EXTRACT_ALL(text,
+                    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))
+                    AS BIGINT) AS bpe,
+                  CAST(LENGTH(text) AS BIGINT) AS ch
+           FROM documents),
+         g AS (
+           SELECT lang, COUNT(*) AS n_docs, SUM(ws) AS n_ws_tokens,
+                  SUM(bpe) AS n_bpe_tokens, SUM(ch) AS n_chars
+           FROM t GROUP BY 1)
+         SELECT lang, n_docs, n_ws_tokens, n_bpe_tokens,
+                ROUND(CAST(n_bpe_tokens AS DOUBLE) / CAST(n_ws_tokens AS DOUBLE), 6)
+                  AS fertility,
+                ROUND(CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE), 6)
+                  AS chars_per_token
+         FROM g ORDER BY lang""",
+
+    "q122_dedup_savings" ->
+      """WITH pl AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 50 = 0
+           UNION ALL
+           SELECT doc_id + 5000000,
+                  ARRAY_TO_STRING(w[1:(LEN(w) + 1) // 2], ' ')
+                    || ' graft synthetic tail marker words'
+           FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w
+                 FROM documents WHERE doc_id % 40 = 0) t),
+         b AS (
+           SELECT doc_id, text,
+                  CAST(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\s+')) AS BIGINT) AS nt,
+                  MD5(text) AS dg
+           FROM pl),
+         keep AS (SELECT dg, MIN(doc_id) AS doc_id FROM b GROUP BY 1),
+         surv AS (SELECT b.* FROM b JOIN keep USING (dg, doc_id)),
+         w2 AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w FROM surv),
+         wins AS (
+           SELECT doc_id, i AS pos,
+                  ARRAY_TO_STRING(w[i*15+1 : i*15+15], ' ') AS passage
+           FROM w2,
+                LATERAL (SELECT UNNEST(RANGE(0,
+                  CAST(CEIL(LEN(w) / 15.0) AS INT))) AS i)),
+         sited AS (
+           SELECT doc_id, MD5(passage) AS pdg,
+                  CAST(LEN(REGEXP_SPLIT_TO_ARRAY(passage, '\s+')) AS BIGINT) AS pt,
+                  doc_id * 1000 + pos AS site
+           FROM wins),
+         firsts AS (SELECT pdg, MIN(site) AS fs FROM sited GROUP BY 1),
+         keptp AS (
+           SELECT s.* FROM sited s
+           JOIN firsts f ON f.pdg = s.pdg AND s.site = f.fs)
+         SELECT 0 AS stage_id, 'raw' AS stage, COUNT(*) AS n_docs,
+                SUM(nt) AS n_tokens FROM b
+         UNION ALL
+         SELECT 1, 'exact_dedup', COUNT(*), SUM(nt) FROM surv
+         UNION ALL
+         SELECT 2, 'passage_dedup', COUNT(DISTINCT doc_id), SUM(pt) FROM keptp
+         ORDER BY stage_id""",
 
     "q118_incremental_dedup" ->
       """WITH oldd AS (

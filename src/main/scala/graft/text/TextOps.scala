@@ -439,6 +439,50 @@ object TextOps {
         round(col("n_kept").cast("double") / col("n_passages"), 6))
   }
 
+  /** Dedup savings report: how many documents and tokens survive each
+    * stage of the standard dedup cascade — raw → exact document dedup
+    * (md5 digest, keep min id) → cross-corpus passage dedup (`span`-token
+    * windows, corpus-wide first site kept, [[passageDedup]]'s rule) —
+    * the one-look summary that tells you what a dedup run will actually
+    * buy before you run it.
+    *
+    * Counts are exact integers end to end (token counts are sums of
+    * array sizes), so the report replays bit-identically. Shape: one
+    * digest aggregation + one passage-digest aggregation — text never
+    * shuffles except as exploded `span`-token passages, and those
+    * collapse to 16-byte digests before the first-site aggregation.
+    */
+  def dedupSavings(docs: DataFrame, span: Int): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"),
+      size(tokensCol).cast("long").as("nt"), md5(col("text")).as("dg"))
+    val raw = base.agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .select(lit(0).as("stage_id"), lit("raw").as("stage"),
+        col("n_docs"), col("n_tokens"))
+    val keep = base.groupBy("dg").agg(min(col("doc_id")).as("doc_id"))
+    val surv = base.join(keep, Seq("dg", "doc_id"))
+    val exact = surv.agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .select(lit(1).as("stage_id"), lit("exact_dedup").as("stage"),
+        col("n_docs"), col("n_tokens"))
+    val wins = surv.select(col("doc_id"), tokensCol.as("w"))
+      .withColumn("nw", size(col("w")))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), ceil(col("nw").cast("double") / span).cast("int") - 1),
+          i => concat_ws(" ", slice(col("w"), i * span + 1, lit(span)))))
+          .as(Seq("pos", "passage")))
+    val sited = wins.select(col("doc_id"),
+      md5(col("passage")).as("pdg"),
+      size(split(col("passage"), "\\s+")).cast("long").as("pt"),
+      (col("doc_id") * 1000 + col("pos")).as("site"))
+    val firsts = sited.groupBy("pdg").agg(min(col("site")).as("fs"))
+    val kept = sited.join(firsts, Seq("pdg")).filter(col("site") === col("fs"))
+    val pass = kept
+      .agg(countDistinct(col("doc_id")).as("n_docs"), sum(col("pt")).as("n_tokens"))
+      .select(lit(2).as("stage_id"), lit("passage_dedup").as("stage"),
+        col("n_docs"), col("n_tokens"))
+    raw.unionByName(exact).unionByName(pass)
+  }
+
   /** Vocabulary coverage curve: how many distinct tokens (by descending
     * corpus frequency, ties broken by token) are needed to cover each
     * target fraction of all token occurrences — the standard

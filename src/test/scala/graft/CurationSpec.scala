@@ -201,6 +201,22 @@ class CurationSpec extends SparkSpec {
     assert(out2 == Seq(5))
   }
 
+  test("dedupSavings: exact stage kills copies, passage stage kills shared spans") {
+    val a1 = (1 to 15).map(i => s"a$i").mkString(" ") // 15-token span A1
+    val a2 = (16 to 30).map(i => s"a$i").mkString(" ")
+    val b1 = (1 to 15).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, a1 + " " + a2), // original
+      (2L, a1 + " " + a2), // exact copy: dies at stage 1
+      (3L, a1 + " " + b1)) // shares span A1 only: loses 15 tokens at stage 2
+      .toDF("doc_id", "text")
+    val out = TextOps.dedupSavings(docs, 15)
+      .select("stage", "n_docs", "n_tokens").as[(String, Long, Long)]
+      .collect().toSeq.sortBy(_._1)
+    assert(out.toSet == Set(("raw", 3L, 90L), ("exact_dedup", 2L, 60L),
+      ("passage_dedup", 2L, 45L)))
+  }
+
   test("zipfFit recovers the slope of an exact power law") {
     // counts c(r) = 1000·r^(-1) over 20 ranks: construct the corpus so
     // the rank ordering is exactly by construction count
