@@ -294,6 +294,37 @@ object ScaleProbe {
     System.err.println("[probe] done " + (s"kmv_${nEv}_events"))
     evRep.unpersist()
 
+    // dedup shapes at `copies`× the document count. Plain replication
+    // would collapse under the shingle-level DISTINCTs (copies share
+    // every shingle), so each copy's tokens are prefixed with its rep id
+    // — genuinely disjoint shingle space, like a sharded crawl.
+    val docsSalt = graft.core.Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "source", "text")
+      .crossJoin(spark.range(copies).select(col("id").as("_rep")))
+      .select((col("doc_id") + col("_rep") * 100000000L).as("doc_id"),
+        col("source"),
+        concat_ws(" ", transform(split(col("text"), "\\s+"),
+          t => concat(col("_rep").cast("string"), lit("_"), t))).as("text"))
+      .cache()
+    val nDocsSalt = docsSalt.count()
+    val (_, tInc) = time {
+      graft.dedup.Dedup.incrementalDedup(
+          docsSalt.filter(col("doc_id") % 2 === 0).select("doc_id", "text"),
+          docsSalt.filter(col("doc_id") % 2 === 1).select("doc_id", "text"),
+          8, 2, 1, 2)
+        .groupBy("verdict").agg(count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    }
+    out(s"incremental_dedup_${nDocsSalt}_docs") = tInc
+    System.err.println("[probe] done " + (s"incremental_dedup_${nDocsSalt}_docs"))
+    val (_, tOv) = time {
+      graft.dedup.Dedup.overlapMatrix(docsSalt, col("source"), 3)
+        .write.format("noop").mode("overwrite").save()
+    }
+    out(s"overlap_matrix_${nDocsSalt}_docs") = tOv
+    System.err.println("[probe] done " + (s"overlap_matrix_${nDocsSalt}_docs"))
+    docsSalt.unpersist()
+
     val qs = out.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe","copies":$copies,"nnz":$nnz,"timings":$qs}""")
     spark.stop()

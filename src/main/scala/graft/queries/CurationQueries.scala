@@ -89,6 +89,14 @@ object CurationQueries {
             6).as("chars_per_token"))
         .orderBy("lang")),
 
+    // mixture feasibility plan: largest token budget honouring the
+    // target language weights without upsampling any language, plus the
+    // per-language sampling fractions that realize it
+    "q123_mixture_plan" -> ((s, d) =>
+      Mix.mixturePlan(docs(s, d), col("lang"),
+          Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.15, "zh" -> 0.05))
+        .orderBy("grp")),
+
     // dedup savings cascade: docs/tokens surviving raw -> exact dedup ->
     // passage dedup over a universe planted with exact copies AND
     // half-document partial copies (which only the passage stage catches)
@@ -325,6 +333,22 @@ object CurationQueries {
                 ROUND(CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE), 6)
                   AS chars_per_token
          FROM g ORDER BY lang""",
+
+    "q123_mixture_plan" ->
+      """WITH avail AS (
+           SELECT lang AS grp,
+                  CAST(SUM(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\s+'))) AS BIGINT)
+                    AS avail
+           FROM documents GROUP BY 1),
+         w AS (SELECT grp, CAST(w AS DOUBLE) AS w
+               FROM (VALUES ('en', 0.4), ('de', 0.2), ('es', 0.2),
+                 ('fr', 0.15), ('zh', 0.05)) v(grp, w)),
+         j AS (SELECT avail.grp, avail.avail, w.w FROM avail JOIN w USING (grp)),
+         nm AS (SELECT MIN(CAST(avail AS DOUBLE) / w) AS nmax FROM j)
+         SELECT grp, avail, w AS target_frac,
+                CAST(ROUND(w * nmax) AS BIGINT) AS tokens_target,
+                ROUND(w * nmax / CAST(avail AS DOUBLE), 6) AS sample_frac
+         FROM j CROSS JOIN nm ORDER BY grp""",
 
     "q122_dedup_savings" ->
       """WITH pl AS (

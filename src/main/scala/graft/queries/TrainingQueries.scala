@@ -72,6 +72,16 @@ object TrainingQueries {
     "q32_langid" -> ((s, d) =>
       TextOps.langId(docs(s, d), langMarkers).orderBy("doc_id")),
 
+    // language-ID evaluation: confusion matrix of the q32 predictor
+    // against the ground-truth lang column — the quality gate a pipeline
+    // runs before trusting a classifier to route its corpus
+    "q124_langid_confusion" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), col("lang").as("actual"))
+        .join(TextOps.langId(docs(s, d), langMarkers)
+          .select("doc_id", "predicted"), Seq("doc_id"))
+        .groupBy("actual", "predicted").agg(count(lit(1)).as("n"))
+        .orderBy("actual", "predicted")),
+
     "q33_exact_dedup" -> ((s, d) =>
       Dedup.exactDupGroups(docs(s, d)).orderBy("digest")),
 
@@ -664,6 +674,32 @@ object TrainingQueries {
                 b.l AS predicted
          FROM sc JOIN best b ON sc.doc_id = b.doc_id AND b.rn = 1
          ORDER BY sc.doc_id"""
+    },
+
+    "q124_langid_confusion" -> {
+      val langs = langMarkers.keys.toSeq.sorted
+      val scoreCols = langs.map(l =>
+        s"CAST(LEN(LIST_FILTER(toks, x -> ${langFilterSql(langMarkers(l))})) AS INT) AS score_$l")
+        .mkString(",\n                  ")
+      s"""WITH t AS (
+           SELECT doc_id, lang, REGEXP_SPLIT_TO_ARRAY(text, '\\s+') AS toks
+           FROM documents),
+         sc AS (
+           SELECT doc_id, lang,
+                  $scoreCols
+           FROM t),
+         ex AS (
+           SELECT doc_id, lang,
+                  UNNEST([${langs.map(l => s"'$l'").mkString(", ")}]) AS l,
+                  UNNEST([${langs.map(l => s"score_$l").mkString(", ")}]) AS s
+           FROM sc),
+         best AS (
+           SELECT doc_id, lang, l,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, l) AS rn
+           FROM ex)
+         SELECT lang AS actual, l AS predicted, COUNT(*) AS n
+         FROM best WHERE rn = 1
+         GROUP BY 1, 2 ORDER BY 1, 2"""
     },
 
     "q33_exact_dedup" ->

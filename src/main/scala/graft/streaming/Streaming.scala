@@ -167,6 +167,58 @@ object Streaming {
       }
   }
 
+  /** Streaming twin of `Dedup.incrementalDedup`: an unbounded stream of
+    * NEW documents probes a STATIC old-corpus index — the persisted
+    * digest set (exact phase) and MinHash band index (near phase) a
+    * 100 TB deployment would keep alongside the training set. Both
+    * probes are stream-static equi-joins, which need NO keyed state at
+    * all: every micro-batch joins against the index and moves on. The
+    * only state is the watermarked `dropDuplicates` that collapses a
+    * doc's multiple band hits on the same old doc.
+    *
+    * Output contract (append mode): EVIDENCE rows, not final verdicts —
+    * `exact_dup` (digest match, min old id) and `near_candidate` (band
+    * collision with a specific old doc, exact dups excluded via a
+    * stream-static anti-join, mirroring the batch operator's phase
+    * split). "Kept" is the absence of evidence for a doc_id: append mode
+    * cannot emit a row for "no match arrived", so the final
+    * keep/drop/verify decision (the batch operator's Jaccard
+    * confirmation) runs downstream on the candidate subset.
+    */
+  def incrementalDedupStream(docs: Dataset[Doc], oldDocs: DataFrame,
+                             n: Int = 3, numHashes: Int = 8,
+                             rowsPerBand: Int = 2,
+                             watermark: String = "1 hour"): DataFrame = {
+    val oldDig = oldDocs.select(md5(col("text")).as("digest"), col("doc_id"))
+      .groupBy("digest").agg(min(col("doc_id")).as("old_id"))
+    val sig = graft.dedup.Dedup.minHashSignature(
+      graft.dedup.Dedup.shingles(oldDocs, n), numHashes)
+    val nBands = numHashes / rowsPerBand
+    val oldBands = (0 until nBands).map { b =>
+      sig.select(lit(b).as("band_id"),
+        concat((b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"m$i")): _*).as("band_key"),
+        col("doc_id").as("old_id"))
+    }.reduce(_.unionByName(_))
+
+    val s = docs.toDF().withWatermark("ts", watermark)
+      .withColumn("digest", md5(col("text")))
+    val exact = s.join(oldDig, Seq("digest"))
+      .select(col("doc_id"), col("ts"),
+        lit("exact_dup").as("verdict"), col("old_id"))
+    val cands = s.join(oldDig, Seq("digest"), "left_anti")
+      .select(col("doc_id"), col("ts"),
+        explode(lshBandKeys(n, numHashes, rowsPerBand)).as("b"))
+      .select(col("doc_id"), col("ts"),
+        col("b.band_id").as("band_id"), col("b.band_key").as("band_key"))
+      .filter(col("band_key").isNotNull)
+      .join(oldBands, Seq("band_id", "band_key"))
+      .dropDuplicates("doc_id", "old_id")
+      .select(col("doc_id"), col("ts"),
+        lit("near_candidate").as("verdict"), col("old_id"))
+    exact.unionByName(cands)
+  }
+
   /** Gap-based sessionization with explicit keyed state — the streaming
     * twin of q42_sessionize (30-minute inactivity gap), emitting one
     * update per closed batch of a user's events.

@@ -157,6 +157,37 @@ object Mix {
       .filter(col("rank") <= n)
   }
 
+  /** Mixture feasibility plan: given target mixture weights per stratum
+    * and the tokens actually available, the largest total budget N with
+    * `w_s · N ≤ avail_s` for every stratum is `N = min_s(avail_s / w_s)`
+    * — the binding stratum caps the whole mix (you cannot upsample
+    * without repeating data). Reports per stratum the available tokens,
+    * the target share, the token allocation `w_s · N`, and the sampling
+    * fraction the pipeline must apply — the arithmetic between "weights
+    * chosen" (DoReMi/DSIR output, q111) and "sample drawn" (q72/q85).
+    *
+    * Determinism: avail_s are exact integer sums; N and the per-stratum
+    * products are single IEEE divisions/multiplications off those
+    * integers — no accumulation, so every engine agrees. Shape: one
+    * token-count aggregation; everything after is |strata|-sized.
+    */
+  def mixturePlan(docs: DataFrame, stratum: Column,
+                  weights: Map[String, Double]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val avail = docs.select(stratum.as("grp"),
+        size(split(col("text"), "\\s+")).cast("long").as("nt"))
+      .groupBy("grp").agg(sum(col("nt")).as("avail"))
+    val w = broadcast(weights.toSeq.toDF("grp", "w"))
+    val j = avail.join(w, Seq("grp"))
+    val nMax = j.agg(min(col("avail").cast("double") / col("w")).as("nmax"))
+    j.crossJoin(broadcast(nMax))
+      .select(col("grp"), col("avail"), col("w").as("target_frac"),
+        round(col("w") * col("nmax")).cast("long").as("tokens_target"),
+        round(col("w") * col("nmax") / col("avail").cast("double"), 6)
+          .as("sample_frac"))
+  }
+
   /** Deterministic per-stratum top-`n` selection: within each stratum
     * value, keep the `n` rows with the smallest seeded md5 rank key —
     * the exact-count companion to the fraction-gated

@@ -100,6 +100,52 @@ class CurationSpec extends SparkSpec {
     assert(got == Set((1L, 0), (1L, 1), (2L, 1)), s"got $got")
   }
 
+  test("incrementalDedupStream: stream probes the static old index, exact beats near") {
+    import graft.streaming.Streaming
+    implicit val sc = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val oldD = Seq((2L, base),
+      (6L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Streaming.Doc]
+    val q = Streaming.incrementalDedupStream(input.toDS(), oldD)
+      .writeStream.format("memory").queryName("incdedup_out")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    input.addData(
+      Streaming.Doc(11L, ts(0), base),                   // exact dup of old 2
+      Streaming.Doc(13L, ts(0), base + " tail marker"),  // near candidate of 2
+      Streaming.Doc(15L, ts(0), "totally different words nothing shared here"))
+    q.processAllAvailable()
+    // second batch: stream-static probing is stateless — same evidence rules
+    input.addData(Streaming.Doc(17L, ts(1), base))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT doc_id, verdict, old_id FROM incdedup_out")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(got.contains((11L, "exact_dup", 2L)) && got.contains((17L, "exact_dup", 2L)))
+    assert(got.contains((13L, "near_candidate", 2L)))
+    // exact dups emit NO near_candidate rows; unrelated doc emits nothing
+    assert(!got.exists(g => g._1 == 11L && g._2 == "near_candidate"))
+    assert(!got.exists(_._1 == 15L), s"got $got")
+  }
+
+  test("mixturePlan: binding stratum caps the budget; its sample_frac is 1.0") {
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, "en", ten), (2L, "en", ten), (3L, "de", ten))
+      .toDF("doc_id", "lang", "text")
+    val out = Mix.mixturePlan(docs, col("lang"), Map("en" -> 0.5, "de" -> 0.5))
+      .select("grp", "avail", "tokens_target", "sample_frac")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // N = min(20/0.5, 10/0.5) = 20: de is binding (all 10 tokens used),
+    // en samples half its 20
+    assert(out("de") == ((10L, 10L, 1.0)))
+    assert(out("en") == ((20L, 10L, 0.5)))
+  }
+
   test("JSONL round-trip preserves rows; corrupt lines survive as records") {
     import graft.sources.Readers
     import org.apache.spark.sql.types._
