@@ -352,6 +352,34 @@ object TrainingQueries {
       Dedup.canonicalDocs(base.unionByName(dups), pairs).orderBy("doc_id")
     }),
 
+    // ANN recall evaluation: recall@5 of the q57 bucketed ANN against
+    // exact ground truth on the 1-in-50 query sample — the index-quality
+    // gate, as an oracled query rather than only a spec assertion
+    "q125_ann_recall" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val latent = embs(s, d).select(col("vec_id").as("cell_id"),
+        col("embedding").cast("array<double>").as("latent"))
+      val ann = graft.pipeline.Knn.bucketedSelfKnn(latent, 5, rounds = 6)
+        .filter(col("src") % 50 === 0).select("src", "dst")
+      val q = latent.filter(col("cell_id") % 50 === 0)
+        .select(col("cell_id").as("src"), col("latent").as("va"))
+      val ex = latent.select(col("cell_id").as("dst"), col("latent").as("vb"))
+        .crossJoin(broadcast(q)).filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          round(graft.sim.Similarity.l2(col("va"), col("vb")), 6).as("dist"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("src").orderBy(col("dist"), col("dst"))))
+        .filter(col("rn") <= 5).select("src", "dst")
+      val hits = ex.groupBy("src").agg(count(lit(1)).as("k"))
+        .join(ex.join(ann, Seq("src", "dst"), "left_semi")
+          .groupBy("src").agg(count(lit(1)).as("h")), Seq("src"), "left")
+        .na.fill(0, Seq("h"))
+      hits.agg(count(lit(1)).as("n_queries"),
+        round(sum(col("h")).cast("double")
+          / (lit(5.0) * count(lit(1)).cast("double")), 6).as("recall_mean"),
+        sum(when(col("h") === 5, 1).otherwise(0)).as("n_perfect"))
+    }),
+
     // LSH threshold-tuning curve: exact-Jaccard histogram over candidate
     // pairs from a universe planted with full copies (j≈0.9) AND
     // half-document copies (j≈0.5), so the curve spans high and middle
@@ -476,6 +504,56 @@ object TrainingQueries {
                   ORDER BY ROUND(cos, 6) DESC, vec_id) AS INT) AS rn
          FROM p)"""
 
+  /** q57's full bucketed-ANN replay chain (auto-sized planes, 6 seeded
+    * rounds, Hamming-1 multi-probe, in-bucket exact distances) ending
+    * in `topk` — shared by q57 (the graph itself) and q125 (recall
+    * evaluation against exact ground truth).
+    */
+  private val annChainSql =
+    """v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         params AS (
+           SELECT GREATEST(4, CAST(CEIL(LOG2(CAST(CEIL(COUNT(*) / 128.0) AS BIGINT))) AS INT)) AS np
+           FROM v),
+         dims AS (SELECT MAX(LEN(e)) AS nd FROM v),
+         signs AS (
+           SELECT s.seed, p.h,
+                  LIST(CASE WHEN SUBSTRING(MD5(CONCAT(s.seed, ':', p.h, ':', j.j)), 1, 1)
+                            BETWEEN '8' AND 'f' THEN CAST(1.0 AS DOUBLE)
+                       ELSE CAST(-1.0 AS DOUBLE) END ORDER BY j.j) AS sv
+           FROM (SELECT UNNEST(RANGE(0, 6)) AS seed) s
+           CROSS JOIN (SELECT UNNEST(RANGE(0, (SELECT np FROM params))) AS h) p
+           CROSS JOIN (SELECT UNNEST(RANGE(0, (SELECT nd FROM dims))) AS j) j
+           GROUP BY s.seed, p.h),
+         buck AS (
+           SELECT g.seed, v.vec_id,
+                  CAST(SUM(CASE WHEN LIST_DOT_PRODUCT(v.e, g.sv) > 0
+                                THEN (1::BIGINT << g.h) ELSE 0 END) AS BIGINT) AS bucket
+           FROM v CROSS JOIN signs g
+           GROUP BY g.seed, v.vec_id),
+         probes AS (
+           SELECT seed, vec_id,
+                  UNNEST(LIST_PREPEND(bucket,
+                    LIST_TRANSFORM(RANGE(0, (SELECT np FROM params)),
+                      h -> xor(bucket, 1::BIGINT << h)))) AS probe
+           FROM buck),
+         cand AS (
+           SELECT DISTINCT p.vec_id AS src, b.vec_id AS dst
+           FROM probes p JOIN buck b ON p.seed = b.seed AND p.probe = b.bucket
+           WHERE p.vec_id != b.vec_id),
+         d AS (
+           SELECT c.src, c.dst,
+                  SQRT(GREATEST(LIST_DOT_PRODUCT(va.e, va.e)
+                    - 2 * LIST_DOT_PRODUCT(va.e, vb.e)
+                    + LIST_DOT_PRODUCT(vb.e, vb.e), 0)) AS dist
+           FROM cand c
+           JOIN v va ON c.src = va.vec_id
+           JOIN v vb ON c.dst = vb.vec_id),
+         topk AS (
+           SELECT src, dst, ROUND(dist, 6) AS dist,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY src
+                    ORDER BY ROUND(dist, 6), dst) AS INT) AS rn
+           FROM d)"""
+
   private def langFilterSql(words: Seq[String]): String =
     words.map(w => s"x = '$w'").mkString(" OR ")
 
@@ -568,6 +646,32 @@ object TrainingQueries {
 
   val oracle: Map[String, String] = Map(
     "q83_semdedup" -> q83OracleSql,
+
+    "q125_ann_recall" ->
+      s"""WITH $annChainSql,
+         annk AS (SELECT src, dst FROM topk WHERE rn <= 5 AND src % 50 = 0),
+         exd AS (
+           SELECT q.vec_id AS src, c.vec_id AS dst,
+                  ROUND(SQRT(GREATEST(LIST_DOT_PRODUCT(q.e, q.e)
+                    - 2 * LIST_DOT_PRODUCT(q.e, c.e)
+                    + LIST_DOT_PRODUCT(c.e, c.e), 0)), 6) AS dist
+           FROM v q CROSS JOIN v c
+           WHERE q.vec_id % 50 = 0 AND q.vec_id != c.vec_id),
+         exk AS (
+           SELECT src, dst FROM (
+             SELECT src, dst,
+                    ROW_NUMBER() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+             FROM exd)
+           WHERE rn <= 5),
+         hits AS (
+           SELECT e.src, COUNT(a.dst) AS h
+           FROM exk e LEFT JOIN annk a ON a.src = e.src AND a.dst = e.dst
+           GROUP BY e.src)
+         SELECT COUNT(*) AS n_queries,
+                ROUND(CAST(SUM(h) AS DOUBLE) / (5.0 * CAST(COUNT(*) AS DOUBLE)), 6)
+                  AS recall_mean,
+                CAST(SUM(CASE WHEN h = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect
+         FROM hits""",
 
     "q120_jaccard_sweep" ->
       s"""WITH spl AS (
@@ -1229,49 +1333,7 @@ object TrainingQueries {
          FROM documents ORDER BY doc_id""",
 
     "q57_bucketed_knn" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         params AS (
-           SELECT GREATEST(4, CAST(CEIL(LOG2(CAST(CEIL(COUNT(*) / 128.0) AS BIGINT))) AS INT)) AS np
-           FROM v),
-         dims AS (SELECT MAX(LEN(e)) AS nd FROM v),
-         signs AS (
-           SELECT s.seed, p.h,
-                  LIST(CASE WHEN SUBSTRING(MD5(CONCAT(s.seed, ':', p.h, ':', j.j)), 1, 1)
-                            BETWEEN '8' AND 'f' THEN CAST(1.0 AS DOUBLE)
-                       ELSE CAST(-1.0 AS DOUBLE) END ORDER BY j.j) AS sv
-           FROM (SELECT UNNEST(RANGE(0, 6)) AS seed) s
-           CROSS JOIN (SELECT UNNEST(RANGE(0, (SELECT np FROM params))) AS h) p
-           CROSS JOIN (SELECT UNNEST(RANGE(0, (SELECT nd FROM dims))) AS j) j
-           GROUP BY s.seed, p.h),
-         buck AS (
-           SELECT g.seed, v.vec_id,
-                  CAST(SUM(CASE WHEN LIST_DOT_PRODUCT(v.e, g.sv) > 0
-                                THEN (1::BIGINT << g.h) ELSE 0 END) AS BIGINT) AS bucket
-           FROM v CROSS JOIN signs g
-           GROUP BY g.seed, v.vec_id),
-         probes AS (
-           SELECT seed, vec_id,
-                  UNNEST(LIST_PREPEND(bucket,
-                    LIST_TRANSFORM(RANGE(0, (SELECT np FROM params)),
-                      h -> xor(bucket, 1::BIGINT << h)))) AS probe
-           FROM buck),
-         cand AS (
-           SELECT DISTINCT p.vec_id AS src, b.vec_id AS dst
-           FROM probes p JOIN buck b ON p.seed = b.seed AND p.probe = b.bucket
-           WHERE p.vec_id != b.vec_id),
-         d AS (
-           SELECT c.src, c.dst,
-                  SQRT(GREATEST(LIST_DOT_PRODUCT(va.e, va.e)
-                    - 2 * LIST_DOT_PRODUCT(va.e, vb.e)
-                    + LIST_DOT_PRODUCT(vb.e, vb.e), 0)) AS dist
-           FROM cand c
-           JOIN v va ON c.src = va.vec_id
-           JOIN v vb ON c.dst = vb.vec_id),
-         topk AS (
-           SELECT src, dst, ROUND(dist, 6) AS dist,
-                  CAST(ROW_NUMBER() OVER (PARTITION BY src
-                    ORDER BY ROUND(dist, 6), dst) AS INT) AS rn
-           FROM d)
+      s"""WITH $annChainSql
          SELECT src, dst, dist, rn FROM topk WHERE rn <= 5 ORDER BY src, rn""",
 
     "q42_sessionize" ->
