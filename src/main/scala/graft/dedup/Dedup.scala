@@ -99,8 +99,11 @@ object Dedup {
         lit(1.0).as("jaccard"))
     val surv = exactJ.filter(col("match_id").isNull).select("doc_id", "text")
 
-    val shNew = shingles(surv, n)
-    val shOld = shingles(oldDocs, n)
+    // each shingle frame feeds three consumers (signature, intersection
+    // join, size agg) — materialize once instead of re-exploding text
+    // three times (the q62 lesson: cache the reused frame)
+    val shNew = shingles(surv, n).localCheckpoint()
+    val shOld = shingles(oldDocs, n).localCheckpoint()
     def bandFrame(sig: DataFrame): DataFrame = {
       val nBands = numHashes / rowsPerBand
       (0 until nBands).map { b =>
@@ -171,6 +174,9 @@ object Dedup {
           (0 until n).map(o => element_at(col("w"), i + o + 1)): _*))))
         .as("digest"))
       .distinct()
+      // three consumers (sizes, cap filter, both join sides) — compact
+      // (slice, 16-byte digest) rows, materialized once
+      .localCheckpoint()
     val sizes = sd.groupBy("slice").agg(count(lit(1)).as("n_sh"))
     val ok = sd.groupBy("digest").agg(count(lit(1)).as("k"))
       .filter(col("k") <= sliceCap).select("digest")

@@ -396,8 +396,10 @@ object TrainingQueries {
             // rounds while Spark's cast truncates
             expr("(size(split(text, '\\\\s+')) + 1) div 2").cast("int")))
             .as("text"))
+      // feeds the signature chain AND the sweep's size/intersection
+      // consumers — materialize the shingle explode once
       val sweepSh = Dedup.shingles(
-        base.unionByName(dups).unionByName(halves), 3)
+        base.unionByName(dups).unionByName(halves), 3).localCheckpoint()
       Dedup.jaccardSweep(sweepSh,
           Dedup.lshCandidatePairs(Dedup.minHashSignature(sweepSh, 8), 8, 2))
         .orderBy("band")

@@ -308,8 +308,11 @@ object Similarity {
     val q = embs.select(col(labelCol).as("label"),
       posexplode(transform(toDouble(col("embedding")),
         x => round(x * lit(scale)).cast("long"))).as(Seq("dim", "qv")))
+    // |labels|·dim rows feeding both self-join sides — materialize once
+    // so the corpus-wide explode+agg runs once
     val sums = q.groupBy("label", "dim")
       .agg(sum(col("qv")).as("sv"), count(lit(1)).as("n"))
+      .localCheckpoint()
     val a = sums.select(col("label").as("label_a"), col("dim"),
       col("sv").as("sa"), col("n").as("n_a"))
     val b = sums.select(col("label").as("label_b"), col("dim"),

@@ -179,7 +179,9 @@ object Mix {
         size(split(col("text"), "\\s+")).cast("long").as("nt"))
       .groupBy("grp").agg(sum(col("nt")).as("avail"))
     val w = broadcast(weights.toSeq.toDF("grp", "w"))
-    val j = avail.join(w, Seq("grp"))
+    // |strata| rows feeding two consumers (the min and the report) —
+    // materialize once so the corpus token-count scan runs once
+    val j = avail.join(w, Seq("grp")).localCheckpoint()
     val nMax = j.agg(min(col("avail").cast("double") / col("w")).as("nmax"))
     j.crossJoin(broadcast(nMax))
       .select(col("grp"), col("avail"), col("w").as("target_frac"),

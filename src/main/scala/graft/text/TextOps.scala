@@ -685,10 +685,13 @@ object TextOps {
     */
   def klDrift(docs: DataFrame, groupCol: Column): DataFrame = {
     val toks = docs.select(groupCol.as("grp"), explode(tokensCol).as("tok"))
+    // one corpus-wide explode+agg; slice totals, corpus counts and the
+    // grand total all derive from the finest (grp, tok) aggregation
     val cs = toks.groupBy("grp", "tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val ts = cs.groupBy("grp").agg(sum(col("c")).as("t"))
-    val cr = toks.groupBy("tok").agg(count(lit(1)).as("cc"))
-    val tr = toks.agg(count(lit(1)).as("tt"))
+    val cr = cs.groupBy("tok").agg(sum(col("c")).as("cc"))
+    val tr = cs.agg(sum(col("c")).as("tt"))
     cs.join(cr, Seq("tok")).join(ts, Seq("grp")).crossJoin(broadcast(tr))
       .withColumn("_lrm", round(
         log((col("c") * col("tt")).cast("double")
