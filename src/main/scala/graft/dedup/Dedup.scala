@@ -273,6 +273,28 @@ object Dedup {
         (col("doc_id") === col("group_id")).as("keep"))
   }
 
+  /** Leakage-free train/validation split: documents are assigned to
+    * splits by hashing their near-duplicate GROUP id, not their own id —
+    * two near-identical documents must land in the same split or the
+    * held-out set is contaminated by construction (the split-level twin
+    * of q74's benchmark decontamination). ~1/`valMod` of GROUPS go to
+    * `val`; singleton groups hash on their own id (group_id = doc_id).
+    *
+    * Determinism: the 60-bit md5 prefix of `split:<group_id>` mod
+    * `valMod` — engine-replayable, stable under re-runs, and adding
+    * documents never moves an existing group between splits (the
+    * incremental-snapshot property q118 relies on).
+    */
+  def leakFreeSplit(universe: DataFrame, pairs: DataFrame,
+                    valMod: Int = 10): DataFrame =
+    nearDupGroups(universe, pairs)
+      .withColumn("split",
+        when(conv(substring(md5(concat(lit("split:"),
+            col("group_id").cast("string"))), 1, 15), 16, 10).cast("long")
+            % valMod === 0, "val")
+          .otherwise("train"))
+      .select("doc_id", "group_id", "split")
+
   /** Canonical-document selection over near-duplicate groups: the
     * quality-aware refinement of [[nearDupGroups]]'s min-id keep-one —
     * real pipelines keep the BEST copy of each duplicate cluster (longest

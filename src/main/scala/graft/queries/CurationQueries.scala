@@ -97,6 +97,14 @@ object CurationQueries {
           Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.15, "zh" -> 0.05))
         .orderBy("grp")),
 
+    // per-language TOKEN-budget sampling (allocate tokens, not doc
+    // counts): docs kept in seeded md5 order while the stratum's prior
+    // tokens are under 3000; one global two-pass running total, no
+    // per-stratum window
+    "q126_token_budget" -> ((s, d) =>
+      Mix.tokenBudgetSample(docs(s, d), col("lang"), 3000L, seed = 11)
+        .orderBy("grp", "doc_id")),
+
     // dedup savings cascade: docs/tokens surviving raw -> exact dedup ->
     // passage dedup over a universe planted with exact copies AND
     // half-document partial copies (which only the passage stage catches)
@@ -349,6 +357,22 @@ object CurationQueries {
                 CAST(ROUND(w * nmax) AS BIGINT) AS tokens_target,
                 ROUND(w * nmax / CAST(avail AS DOUBLE), 6) AS sample_frac
          FROM j CROSS JOIN nm ORDER BY grp""",
+
+    "q126_token_budget" ->
+      """WITH b AS (
+           SELECT lang AS grp, doc_id,
+                  CAST(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\s+')) AS BIGINT) AS nt,
+                  MD5('11:' || CAST(doc_id AS VARCHAR)) AS rk
+           FROM documents),
+         r AS (
+           SELECT grp, doc_id, nt,
+                  CAST(COALESCE(SUM(nt) OVER (PARTITION BY grp ORDER BY rk
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS tokens_before
+           FROM b)
+         SELECT grp, doc_id, nt, tokens_before
+         FROM r WHERE tokens_before < 3000
+         ORDER BY grp, doc_id""",
 
     "q122_dedup_savings" ->
       """WITH pl AS (

@@ -109,6 +109,17 @@ object TrainingQueries {
       Dedup.nearDupGroups(base.unionByName(dups), pairs).orderBy("doc_id")
     }),
 
+    // leakage-free train/val split: split decided by hashing the
+    // near-dup GROUP id so duplicate clusters can never straddle the
+    // held-out boundary
+    "q127_leakfree_split" -> ((s, d) => {
+      val base = docs(s, d).filter(col("doc_id") % 20 === 0).select("doc_id")
+      val dups = docs(s, d).filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"))
+      val pairs = Dedup.lshCandidatePairs(Dedup.minHashSignature(plantedSh(s, d), 8), 8, 2)
+      Dedup.leakFreeSplit(base.unionByName(dups), pairs).orderBy("doc_id")
+    }),
+
     // Gopher-style n-gram repetition signals + keep-flag
     "q71_repetition" -> ((s, d) =>
       TextOps.repetitionStats(docs(s, d)).orderBy("doc_id")),
@@ -815,6 +826,27 @@ object TrainingQueries {
     "q34_minhash_lsh" ->
       s"""WITH $lshPairsSql
          SELECT ida, idb FROM pairs ORDER BY ida, idb""",
+
+    "q127_leakfree_split" ->
+      s"""WITH RECURSIVE $lshPairsSql,
+         uni AS (
+           SELECT doc_id FROM documents WHERE doc_id % 20 = 0
+           UNION ALL
+           SELECT doc_id + 1000000 FROM documents WHERE doc_id % 40 = 0),
+         e AS (SELECT ida AS s, idb AS t FROM pairs
+               UNION ALL SELECT idb, ida FROM pairs),
+         reach AS (
+           SELECT doc_id AS node, doc_id AS lbl FROM uni
+           UNION
+           SELECT e.t, r.lbl FROM reach r JOIN e ON e.s = r.node),
+         comp AS (SELECT node AS doc_id, MIN(lbl) AS group_id
+                  FROM reach GROUP BY node)
+         SELECT doc_id, group_id,
+                CASE WHEN CAST('0x' || SUBSTR(MD5('split:'
+                       || CAST(group_id AS VARCHAR)), 1, 15) AS BIGINT)
+                     % 10 = 0
+                     THEN 'val' ELSE 'train' END AS split
+         FROM comp ORDER BY doc_id""",
 
     "q70_neardup_groups" ->
       s"""WITH RECURSIVE $lshPairsSql,

@@ -190,6 +190,35 @@ object Mix {
           .as("sample_frac"))
   }
 
+  /** Token-budget sampling: per stratum, keep documents in seeded md5
+    * order until the stratum's TOKEN budget is reached — curation
+    * recipes allocate tokens, not document counts ("20B tokens of code,
+    * 5B of forums"), and doc-count sampling (q85) over-draws strata with
+    * long documents. A doc is kept while the tokens BEFORE it are under
+    * budget, so the first doc crossing the line is included and every
+    * stratum lands within one document of its budget.
+    *
+    * Scale: ONE range-partitioned two-pass running total over
+    * (stratum, rank) order ([[graft.ops.Windows.runningTotal]] — no
+    * per-stratum window task), then per-stratum offsets from a
+    * |strata|-row broadcast. Counts are integral, the running sums are
+    * integer-valued doubles (exact to 2^53) — the cut replays
+    * bit-identically.
+    */
+  def tokenBudgetSample(docs: DataFrame, stratum: Column, budget: Long,
+                        seed: Int): DataFrame = {
+    val base = docs.select(stratum.as("grp"), col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("long").as("nt"),
+      md5(concat(lit(s"$seed:"), col("doc_id").cast("string"))).as("rk"))
+    val run = graft.ops.Windows.runningTotal(base,
+      Seq(col("grp"), col("rk")), "nt", "run")
+    val ofs = run.groupBy("grp").agg(min(col("run")).as("base"))
+    run.join(broadcast(ofs), Seq("grp"))
+      .filter(col("run") - col("base") < budget)
+      .select(col("grp"), col("doc_id"), col("nt"),
+        (col("run") - col("base")).cast("long").as("tokens_before"))
+  }
+
   /** Deterministic per-stratum top-`n` selection: within each stratum
     * value, keep the `n` rows with the smallest seeded md5 rank key —
     * the exact-count companion to the fraction-gated

@@ -263,6 +263,28 @@ class CurationSpec extends SparkSpec {
       ("passage_dedup", 2L, 45L)))
   }
 
+  test("tokenBudgetSample: each stratum stops within one doc of its budget") {
+    val docs = (1 to 6).map(i =>
+      (i.toLong, if (i <= 3) "A" else "B", "t1 t2 t3 t4 t5"))
+      .toDF("doc_id", "lang", "text")
+    // 5-token docs, budget 8: prefixes 0, 5, 10 => exactly 2 kept per
+    // stratum regardless of the md5 order (all docs equal-sized)
+    val out = Mix.tokenBudgetSample(docs, col("lang"), 8L, seed = 1)
+      .select("grp", "tokens_before").as[(String, Long)].collect()
+    assert(out.count(_._1 == "A") == 2 && out.count(_._1 == "B") == 2)
+    assert(out.forall(_._2 < 8L) && out.map(_._2).max == 5L)
+  }
+
+  test("leakFreeSplit: near-dup pair always lands in one split") {
+    val uni = Seq(1L, 2L, 3L).toDF("doc_id")
+    val pairs = Seq((1L, 2L)).toDF("ida", "idb")
+    val out = Dedup.leakFreeSplit(uni, pairs)
+      .select("doc_id", "group_id", "split")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1 == 1L && out(2L)._1 == 1L && out(3L)._1 == 3L)
+    assert(out(1L)._2 == out(2L)._2) // the leak-free property
+  }
+
   test("zipfFit recovers the slope of an exact power law") {
     // counts c(r) = 1000·r^(-1) over 20 ranks: construct the corpus so
     // the rank ordering is exactly by construction count
