@@ -59,6 +59,47 @@ object Analytics {
       .agg(countDistinct(col(userCol)).as("n_active"))
   }
 
+  /** Changelog compaction (CDC "latest state per key"): the newest row
+    * per (user, event_type), ties on the timestamp broken by the larger
+    * event id — the total order every log-structured table maintenance
+    * job needs before a snapshot read. One keyed window (millions of
+    * small partitions, never a global sort); values pass through
+    * untouched, so the result is bit-identical by construction.
+    */
+  def latestState(ev: DataFrame, tsCol: String = "ts_us",
+                  userCol: String = "user_id",
+                  typeCol: String = "event_type"): DataFrame =
+    ev.withColumn("_rn", row_number().over(
+        Window.partitionBy(userCol, typeCol)
+          .orderBy(col(tsCol).desc, col("event_id").desc)))
+      .filter(col("_rn") === 1)
+      .select(col(userCol), col(typeCol), col("value").as("last_value"),
+        col(tsCol).as("last_ts_us"), col("event_id").as("last_event_id"))
+
+  /** Key-skew report: the top-`k` heaviest keys with their event counts
+    * and corpus share — the diagnosis a shuffle-heavy job runs BEFORE
+    * picking salting factors or trusting AQE's skew split. Per-key
+    * counts are one map-side-combinable aggregation; the top-k runs as
+    * the salted two-phase pattern (local top-k per salt partition, then
+    * a ≤ k·salts-row global pass) so no single task ever sees the whole
+    * key table.
+    */
+  def keySkew(ev: DataFrame, keyCol: String, k: Int,
+              salts: Int = 16): DataFrame = {
+    val c = ev.groupBy(keyCol).agg(count(lit(1)).as("n"))
+    val tot = c.agg(sum(col("n")).as("total"), count(lit(1)).as("n_keys"))
+    val local = Window.partitionBy(pmod(col(keyCol), lit(salts)))
+      .orderBy(col("n").desc, col(keyCol))
+    val global = Window.orderBy(col("n").desc, col(keyCol))
+    c.withColumn("_r", row_number().over(local)).filter(col("_r") <= k)
+      .withColumn("rank", row_number().over(global)).filter(col("rank") <= k)
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col(keyCol), col("n"),
+        round(col("n").cast("double") / col("total").cast("double"), 6)
+          .as("share"),
+        col("n_keys"))
+  }
+
   /** Exact per-group quantiles (nearest-rank: the value at rank
     * `max(1, ceil(p·n))` — no interpolation, so the result is a real data
     * point and replays engine-exact). The p50/p95/p99 observability

@@ -32,6 +32,29 @@ object Joins {
   def overlapJoin(a: DataFrame, b: DataFrame): DataFrame =
     a.join(broadcast(b), a("lo") < b("b_hi") && a("hi") > b("b_lo"))
 
+  /** Skew-salted equi-join: the big (skewed) side gets a deterministic
+    * row-derived salt in [0, salts); the small side is replicated once
+    * per salt; the join key becomes (key, salt) — a single hot key's
+    * rows now spread across `salts` reducer partitions instead of one.
+    * Result set is IDENTICAL to `big.join(small, key)` (every big row
+    * still meets every matching small row, exactly once, because the
+    * small side carries all salts). The manual form of what AQE's
+    * skew-join split does at runtime — for when the skew is known ahead
+    * of time (a boilerplate digest, a null-ish default key) or the join
+    * feeds an operator AQE cannot split.
+    *
+    * The salt hashes the big side's WHOLE row (xxhash64), not the key —
+    * salting by key would put the hot key's rows back in one partition.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int = 16): DataFrame = {
+    val saltedBig = big.withColumn("_salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)))
+    val rep = small.crossJoin(
+      broadcast(big.sparkSession.range(salts).select(col("id").as("_salt"))))
+    saltedBig.join(rep, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** Union of two keyed sets with first-seen provenance
     * (scarf/merge.py:348-523): duplicate keys keep the lowest source tag —
     * a deterministic stand-in for the reference's first-seen order.

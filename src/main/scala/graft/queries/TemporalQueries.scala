@@ -187,6 +187,18 @@ object TemporalQueries {
           "event_type", "user_id")
         .orderBy("event_type")),
 
+    // CDC changelog compaction: latest row per (user, type) under the
+    // (ts desc, event_id desc) total order — the snapshot-read primitive
+    "q128_latest_state" -> ((s, d) =>
+      graft.analytics.Analytics.latestState(ev(s, d))
+        .orderBy("user_id", "event_type")),
+
+    // key-skew report: top-10 heaviest users + corpus share via the
+    // salted two-phase top-k — the pre-salting shuffle diagnosis
+    "q129_key_skew" -> ((s, d) =>
+      graft.analytics.Analytics.keySkew(ev(s, d), "user_id", 10)
+        .orderBy("rank")),
+
     // mergeable 256-bin histogram quantile sketch (the O(bins) scale
     // path next to q104's exact global-ordinal quantiles); power-of-two
     // bin width keeps every edge and rank integer/IEEE-exact
@@ -584,6 +596,35 @@ object TemporalQueries {
          SELECT ph.phrase_id, bg.doc_id, COUNT(*) AS n_matches
          FROM bg JOIN ph ON bg.s = ph.phrase
          GROUP BY 1, 2 ORDER BY phrase_id, doc_id""",
+
+    "q128_latest_state" ->
+      """WITH e AS (
+           SELECT event_id, user_id, event_type, value, EPOCH_US(ts) AS ts_us
+           FROM events),
+         r AS (
+           SELECT user_id, event_type, value AS last_value,
+                  ts_us AS last_ts_us, event_id AS last_event_id,
+                  ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                    ORDER BY ts_us DESC, event_id DESC) AS rn
+           FROM e)
+         SELECT user_id, event_type, last_value, last_ts_us, last_event_id
+         FROM r WHERE rn = 1 ORDER BY user_id, event_type""",
+
+    "q129_key_skew" ->
+      """WITH c AS (
+           SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+         t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                      COUNT(*) AS n_keys FROM c),
+         r AS (
+           SELECT user_id, n,
+                  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS INT)
+                    AS rank
+           FROM c)
+         SELECT r.rank, r.user_id, r.n,
+                ROUND(CAST(r.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+                  AS share,
+                t.n_keys
+         FROM r CROSS JOIN t WHERE r.rank <= 10 ORDER BY r.rank""",
 
     "q119_hist_quantiles" ->
       """WITH b AS (

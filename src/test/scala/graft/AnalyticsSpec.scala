@@ -67,6 +67,48 @@ class AnalyticsSpec extends SparkSpec {
       .select("p50").as[Double].collect().head == 512.0)
   }
 
+  test("latestState: newest wins; equal-ts tie goes to the larger event id") {
+    val ev = Seq(
+      (1L, 100L, 1L, "view", 1.0), (2L, 200L, 1L, "view", 2.0), // newer wins
+      (3L, 300L, 1L, "click", 3.0), (4L, 300L, 1L, "click", 4.0), // tie: id 4
+      (5L, 50L, 2L, "view", 5.0))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+    val out = graft.analytics.Analytics.latestState(ev)
+      .select("user_id", "event_type", "last_value", "last_event_id")
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(out == Set((1L, "view", 2.0, 2L), (1L, "click", 4.0, 4L),
+      (2L, "view", 5.0, 5L)))
+  }
+
+  test("keySkew: salted two-phase top-k equals the naive ranking; shares sum right") {
+    val ev = (1 to 100).flatMap(i =>
+      Seq.fill(if (i == 7) 50 else if (i == 13) 20 else 1)(
+        (i.toLong, "e"))).toDF("user_id", "event_type")
+    val out = graft.analytics.Analytics.keySkew(ev, "user_id", 3)
+      .select("rank", "user_id", "n", "share", "n_keys")
+      .as[(Int, Long, Long, Double, Long)].collect().sortBy(_._1)
+    val total = 100 - 2 + 50 + 20
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((1, 7L, 50L), (2, 13L, 20L), (3, 1L, 1L)))
+    assert(out.head._4 == math.rint(50.0 / total * 1e6) / 1e6 || out.head._4 == 50.0 / total)
+    assert(out.forall(_._5 == 100L))
+  }
+
+  test("saltedJoin: identical result to the plain join, every row exactly once") {
+    import graft.ops.Joins
+    // hot key 1 dominates the big side
+    val big = ((1 to 50).map(_ => (1L, "hot")) ++ Seq((2L, "a"), (3L, "b")))
+      .zipWithIndex.map { case ((k, v), i) => (k, v + i.toString) }
+      .toDF("k", "payload")
+    val small = Seq((1L, "dim1"), (2L, "dim2"), (4L, "dim4")).toDF("k", "dim")
+    val plain = big.join(small, Seq("k")).select("k", "payload", "dim")
+      .collect().map(_.toSeq).sorted(Ordering.by((s: Seq[Any]) => s.toString))
+    val salted = Joins.saltedJoin(big, small, "k", salts = 8)
+      .select("k", "payload", "dim")
+      .collect().map(_.toSeq).sorted(Ordering.by((s: Seq[Any]) => s.toString))
+    assert(salted.toSeq == plain.toSeq)
+  }
+
   test("hllDistinct: duplicate-invariant, exact small counts via linear counting") {
     import graft.stats.Sketches
     val once = (0 until 30).map(i => ("g", i)).toDF("grp", "k")
