@@ -167,6 +167,28 @@ object Streaming {
       }
   }
 
+  /** Streaming twin of `Analytics.latestState`: the continuously
+    * maintained "latest row per (user, type)" upsert view (update output
+    * mode — each micro-batch emits the keys it changed). State is ONE
+    * packed max-key per (user, type): `max_by` over the same
+    * (ts, event_id) total order as the batch operator, so replaying the
+    * log through the batch path gives exactly the final streaming state.
+    * In-order and late IN-WATERMARK arrivals converge to the batch
+    * answer by construction (max is order-insensitive); only
+    * post-watermark drops diverge, as with every watermarked operator.
+    */
+  def latestStateStream(events: Dataset[Event],
+                        watermark: String = "1 hour"): DataFrame =
+    events.toDF()
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        max_by(col("value"),
+          struct(col("ts"), col("event_id"))).as("last_value"),
+        max(struct(col("ts"), col("event_id"))).getField("ts").as("last_ts"),
+        max(struct(col("ts"), col("event_id"))).getField("event_id")
+          .as("last_event_id"))
+
   /** Streaming twin of `Dedup.incrementalDedup`: an unbounded stream of
     * NEW documents probes a STATIC old-corpus index — the persisted
     * digest set (exact phase) and MinHash band index (near phase) a

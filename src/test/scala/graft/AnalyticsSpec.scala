@@ -109,6 +109,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("latestStateStream: upsert view converges to the batch answer across batches") {
+    import graft.streaming.Streaming
+    implicit val sc = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Streaming.Event]
+    val q = Streaming.latestStateStream(input.toDS())
+      .writeStream.format("memory").queryName("latest_out")
+      .outputMode("update").start()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    input.addData(Streaming.Event(1L, ts(0), 1L, "view", 1.0),
+      Streaming.Event(2L, ts(5), 1L, "view", 2.0))
+    q.processAllAvailable()
+    // batch 2: newer row for user 1 + an older (in-watermark) row that
+    // must NOT win + a new key
+    input.addData(Streaming.Event(3L, ts(9), 1L, "view", 3.0),
+      Streaming.Event(4L, ts(1), 1L, "view", 9.9),
+      Streaming.Event(5L, ts(2), 2L, "view", 5.0))
+    q.processAllAvailable()
+    val last = spark.sql(
+      """SELECT user_id, last_value, last_event_id FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+             ORDER BY last_ts DESC, last_event_id DESC) AS rn FROM latest_out)
+         WHERE rn = 1""")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    q.stop()
+    assert(last == Set((1L, 3.0, 3L), (2L, 5.0, 5L)))
+  }
+
   test("hllDistinct: duplicate-invariant, exact small counts via linear counting") {
     import graft.stats.Sketches
     val once = (0 until 30).map(i => ("g", i)).toDF("grp", "k")
