@@ -92,8 +92,11 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val oldDig = oldDocs.select(md5(col("text")).as("digest"), col("doc_id"))
       .groupBy("digest").agg(min(col("doc_id")).as("match_id"))
+    // three consumers (exact verdicts, the shingle phase via surv, the
+    // kept anti-join) — materialize the digest join once
     val exactJ = newDocs.withColumn("digest", md5(col("text")))
       .join(oldDig, Seq("digest"), "left")
+      .localCheckpoint()
     val exact = exactJ.filter(col("match_id").isNotNull)
       .select(col("doc_id"), lit("exact_dup").as("verdict"), col("match_id"),
         lit(1.0).as("jaccard"))
