@@ -68,13 +68,14 @@ object Analytics {
     */
   def latestState(ev: DataFrame, tsCol: String = "ts_us",
                   userCol: String = "user_id",
-                  typeCol: String = "event_type"): DataFrame =
+                  typeCol: String = "event_type",
+                  idCol: String = "event_id"): DataFrame =
     ev.withColumn("_rn", row_number().over(
         Window.partitionBy(userCol, typeCol)
-          .orderBy(col(tsCol).desc, col("event_id").desc)))
+          .orderBy(col(tsCol).desc, col(idCol).desc)))
       .filter(col("_rn") === 1)
       .select(col(userCol), col(typeCol), col("value").as("last_value"),
-        col(tsCol).as("last_ts_us"), col("event_id").as("last_event_id"))
+        col(tsCol).as("last_ts_us"), col(idCol).as("last_event_id"))
 
   /** Key-skew report: the top-`k` heaviest keys with their event counts
     * and corpus share — the diagnosis a shuffle-heavy job runs BEFORE
@@ -88,7 +89,9 @@ object Analytics {
               salts: Int = 16): DataFrame = {
     val c = ev.groupBy(keyCol).agg(count(lit(1)).as("n"))
     val tot = c.agg(sum(col("n")).as("total"), count(lit(1)).as("n_keys"))
-    val local = Window.partitionBy(pmod(col(keyCol), lit(salts)))
+    // salt by key HASH so non-numeric keys work too; after the count
+    // agg each key is one row, so the hot key costs nothing here
+    val local = Window.partitionBy(pmod(xxhash64(col(keyCol)), lit(salts)))
       .orderBy(col("n").desc, col(keyCol))
     val global = Window.orderBy(col("n").desc, col(keyCol))
     c.withColumn("_r", row_number().over(local)).filter(col("_r") <= k)
