@@ -263,6 +263,26 @@ object Multimodal {
     }
   }
 
+  case class ResizedImage(doc_id: Long, src_w: Int, src_h: Int,
+                          w: Int, h: Int, pixels: Array[Float])
+
+  /** Real image resize: decode → area-mean downsample to a fixed w×h
+    * luma grid in [0, 1] — the normalization step before batching
+    * images into a model input tensor. Partition-batched like every
+    * codec op; corrupt payloads drop (flatMap on the decode Option).
+    */
+  def resizeImages(media: Dataset[Media], w: Int, h: Int): Dataset[ResizedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        ImageCodec.decode(m.payload).map { img =>
+          ResizedImage(m.doc_id, img.getWidth, img.getHeight, w, h,
+            ImageCodec.grayGrid(img, w, h).map(v => (v / 255.0).toFloat))
+        }
+      }
+    }
+  }
+
   /** Real image patch features: gw×gh area-mean gray grid per image —
     * the decode → embed fan-out with actual pixel content.
     */

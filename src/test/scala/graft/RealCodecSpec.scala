@@ -53,6 +53,22 @@ class RealCodecSpec extends SparkSpec {
     assert(m2.dhash != 0L)
   }
 
+  test("resizeImages: area-mean downsample preserves left/right structure; corrupt drops") {
+    import spark.implicits._
+    val halfHalf = pngBytes(32, 16, (x, _) => if (x < 16) 0x000000 else 0xFFFFFF)
+    val media = Seq(Media(1L, "image/png", halfHalf),
+      Media(2L, "image/png", Array[Byte](1, 2, 3))).toDS()
+    val out = Multimodal.resizeImages(media, 4, 2).collect()
+    assert(out.length == 1 && out.head.doc_id == 1L) // corrupt payload dropped
+    val r = out.head
+    assert(r.src_w == 32 && r.src_h == 16 && r.w == 4 && r.h == 2
+      && r.pixels.length == 8)
+    // left half black (0), right half white (1), row-major 4x2
+    val row = r.pixels.take(4).map(v => math.round(v * 100) / 100.0).toSeq
+    assert(row(0) == 0.0 && row(1) == 0.0 && row(2) >= 0.99 && row(3) >= 0.99,
+      s"row $row")
+  }
+
   test("imagePatches: 2x2 grid means reflect actual pixel content") {
     import spark.implicits._
     val halfHalf = pngBytes(32, 32, (x, _) => if (x < 16) 0x000000 else 0xFFFFFF)
