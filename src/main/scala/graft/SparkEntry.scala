@@ -39,7 +39,8 @@ object SparkEntry {
       graft.queries.ExtendedQueries.queries ++
       graft.queries.MlQueries.queries ++
       graft.queries.TemporalQueries.queries ++
-      graft.queries.CurationQueries.queries
+      graft.queries.CurationQueries.queries ++
+      graft.queries.MiningQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -51,5 +52,6 @@ object SparkEntry {
       graft.queries.ExtendedQueries.oracle ++
       graft.queries.MlQueries.oracle ++
       graft.queries.TemporalQueries.oracle ++
-      graft.queries.CurationQueries.oracle
+      graft.queries.CurationQueries.oracle ++
+      graft.queries.MiningQueries.oracle
 }

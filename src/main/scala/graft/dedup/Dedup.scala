@@ -456,6 +456,57 @@ object Dedup {
         countDistinct(col("eval_id")).as("n_eval_docs"))
   }
 
+  /** Eval-side CONTAINMENT contamination: for each (train doc, eval doc)
+    * pair sharing n-token shingles, `containment = |shared| / |eval
+    * shingles|` — the asymmetric overlap measure that catches a short
+    * benchmark item embedded verbatim inside a long training document,
+    * where symmetric Jaccard (q74's count form, [[decontaminate]])
+    * dilutes toward 0 as the host document grows. The standard
+    * benchmark-decontamination criterion (GPT-3 appendix C / Dolma use
+    * eval-side n-gram overlap exactly like this).
+    *
+    * The df cap applies to BOTH sides, so the ratio is a true
+    * containment over the capped shingle universe (the
+    * [[ngramJaccardPairs]] rule); the flag threshold is the exact
+    * integer comparison `n_shared · minDen ≥ n_eval_sh · minNum` — no
+    * float knife edge. Only 16-byte-bounded shingle strings and id
+    * pairs shuffle.
+    */
+  def containmentContamination(train: DataFrame, evalDocs: DataFrame, n: Int,
+                               minNum: Int = 4, minDen: Int = 5,
+                               dfCap: Int = 10000): DataFrame = {
+    val trSh0 = shingles(train, n)
+    val hot = trSh0.groupBy("shingle").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > dfCap).select("shingle")
+    val trSh = trSh0.join(hot, Seq("shingle"), "left_anti")
+    val evSh = shingles(evalDocs, n).withColumnRenamed("doc_id", "eval_id")
+      .join(hot, Seq("shingle"), "left_anti")
+    val evSizes = evSh.groupBy("eval_id").agg(count(lit(1)).as("n_eval_sh"))
+    trSh.join(evSh, Seq("shingle"))
+      .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("n_shared"))
+      .join(evSizes, Seq("eval_id"))
+      .select(col("doc_id"), col("eval_id"), col("n_shared"), col("n_eval_sh"),
+        round(col("n_shared").cast("double") / col("n_eval_sh").cast("double"),
+          6).as("containment"),
+        (col("n_shared") * minDen >= col("n_eval_sh") * minNum)
+          .as("contaminated"))
+  }
+
+  /** Duplicate-cluster size histogram — the corpus-level dedup yield
+    * report over [[nearDupGroups]] output: per cluster size, how many
+    * clusters, how many documents they hold, and how many a keep-one
+    * policy removes. One `keep`-row-per-group aggregation (group
+    * representatives are exactly the keep rows), so the report costs a
+    * |groups|-row shuffle on top of the CC labels it summarizes.
+    */
+  def clusterSizeStats(groups: DataFrame): DataFrame =
+    groups.filter(col("keep"))
+      .groupBy(col("n_docs").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs_total"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_removed"))
+
   /** Exact-substring duplication signals — the relational form of
     * suffix-array substring dedup ("remove every substring of ≥ n tokens
     * that appears twice in the corpus", Lee et al. 2022, "Deduplicating

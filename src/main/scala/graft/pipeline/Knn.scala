@@ -60,6 +60,41 @@ object Knn {
                       rounds: Int = 6): DataFrame =
     bucketedKnn(latent, latent, k, nPlanes, rounds, excludeSelf = true)
 
+  /** Hard-negative mining for contrastive training: per anchor, the k
+    * nearest vectors whose label DIFFERS from the anchor's — the pairs a
+    * metric-learning / embedding-finetune pipeline feeds as in-batch or
+    * mined negatives. Same seeded LSH chain as [[bucketedSelfKnn]]
+    * (auto-sized planes, Hamming-1 multi-probe, exact in-bucket
+    * distances), with the label-mismatch predicate applied to the
+    * CANDIDATE set before the top-k cut, so the result is exactly
+    * "k nearest different-label among all LSH candidates" — not a
+    * post-hoc filter of a same-label-polluted top-k that could come up
+    * short. Input `(cell_id, latent, label)`; output `(src, dst, dist,
+    * rn, src_label, dst_label)`. Only ids and labels shuffle beside the
+    * bucketed candidate join; the label join rides the same shuffle the
+    * top-k aggregation needs anyway.
+    */
+  def hardNegatives(vecs: DataFrame, k: Int, nPlanes: Int = 0,
+                    rounds: Int = 6): DataFrame = {
+    val latent = vecs.select(col("cell_id"), col("latent"))
+    val labels = vecs.select(col("cell_id"), col("label"))
+    val knn = bucketedKnn(latent, latent, k, nPlanes, rounds,
+      excludeSelf = true,
+      candFilter = c => c
+        .join(labels.select(col("cell_id").as("src"), col("label").as("_sl")),
+          Seq("src"))
+        .join(labels.select(col("cell_id").as("dst"), col("label").as("_dl")),
+          Seq("dst"))
+        .filter(col("_sl") =!= col("_dl"))
+        .select("src", "dst", "dist"))
+    knn
+      .join(labels.select(col("cell_id").as("src"), col("label").as("src_label")),
+        Seq("src"))
+      .join(labels.select(col("cell_id").as("dst"), col("label").as("dst_label")),
+        Seq("dst"))
+      .select("src", "dst", "dist", "rn", "src_label", "dst_label")
+  }
+
   /** Query-vs-corpus bucketed ANN — the cross-dataset form of
     * [[bucketedSelfKnn]] (run_mapping's projection at scale,
     * scarf/datastore/mapping_datastore.py:188-209 transform_ann): the
@@ -73,7 +108,8 @@ object Knn {
     */
   def bucketedKnn(queries: DataFrame, corpus: DataFrame, k: Int,
                   nPlanes: Int = 0, rounds: Int = 6,
-                  excludeSelf: Boolean = false): DataFrame = {
+                  excludeSelf: Boolean = false,
+                  candFilter: DataFrame => DataFrame = identity): DataFrame = {
     // both sides are re-bucketed every round — cache them once; released
     // after the eager checkpoint of the (k-bounded) candidate aggregate
     val self = queries eq corpus
@@ -115,7 +151,7 @@ object Knn {
     // silhouette's graph survived, LISI's follow-up build blew the heap).
     // The un-checkpointed aggregate streams through the shuffle instead;
     // only the n·k result is ever materialized.
-    val topk = cand.groupBy("src", "dst").agg(min(col("dist")).as("dist"))
+    val topk = candFilter(cand).groupBy("src", "dst").agg(min(col("dist")).as("dist"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("src").orderBy(round(col("dist"), 6), col("dst"))))
       .filter(col("rn") <= k)

@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.text.TextOps
+
+/** Round-6 mining surface: the operators between "dedup the corpus" and
+  * "train the model" — contrastive hard-negative mining over embeddings,
+  * skip-gram PMI for distributional statistics, eval-side containment
+  * decontamination, and the dedup-yield cluster report.
+  */
+object MiningQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // contrastive hard-negative mining: per anchor, the 3 nearest
+    // DIFFERENT-label vectors among the seeded-LSH candidate set — the
+    // label-mismatch predicate applies BEFORE the top-k cut (q57's
+    // bucketed chain with a candidate filter), so the result is the true
+    // filtered top-k, not a post-hoc filter that can come up short
+    "q130_hard_negatives" -> ((s, d) => {
+      val vecs = Tables.t(s, d, "embeddings").select(
+        col("vec_id").as("cell_id"),
+        col("embedding").cast("array<double>").as("latent"),
+        col("label"))
+      graft.pipeline.Knn.hardNegatives(vecs, 3, rounds = 6)
+        .orderBy("src", "rn")
+    }),
+
+    // skip-gram PMI over a 3-token forward context (the word2vec context
+    // definition) with a min-count gate — pair extraction is row-local,
+    // only (w1, w2) count rows shuffle
+    "q131_skipgram_pmi" -> ((s, d) =>
+      TextOps.skipgramPmi(docs(s, d), window = 3, minCount = 25)
+        .orderBy("w1", "w2")),
+
+    // eval-side containment decontamination: benchmark halves planted as
+    // eval items are fully contained in their source documents, so the
+    // asymmetric measure fires (containment ≈ 1) where symmetric Jaccard
+    // would dilute toward |eval|/|doc|; SPLICED half+half eval items land
+    // near containment 0.5 against each host, so the 4/5 exact-integer
+    // threshold is exercised in BOTH directions
+    "q132_containment" -> ((s, d) => {
+      val half = concat_ws(" ", slice(split(col("text"), "\\s+"), lit(1),
+        expr("(size(split(text, '\\\\s+')) + 1) div 2").cast("int")))
+      val halves = docs(s, d).filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 4000000).as("doc_id"), half.as("text"))
+      val a = docs(s, d).filter(col("doc_id") % 100 === 50)
+        .select(col("doc_id"), half.as("ta"))
+      val b = docs(s, d)
+        .select((col("doc_id") - 7).as("doc_id"), half.as("tb"))
+      val splice = a.join(b, Seq("doc_id"))
+        .select((col("doc_id") + 5000000).as("doc_id"),
+          concat_ws(" ", col("ta"), col("tb")).as("text"))
+      Dedup.containmentContamination(
+          docs(s, d).select("doc_id", "text"),
+          halves.unionByName(splice), 5, dfCap = 500)
+        .orderBy("doc_id", "eval_id")
+    }),
+
+    // dedup-yield report: near-dup cluster size histogram + docs a
+    // keep-one policy removes, over the q70 planted universe — the
+    // "what will dedup buy" summary at the cluster level
+    "q133_cluster_sizes" -> ((s, d) => {
+      val base = docs(s, d).filter(col("doc_id") % 20 === 0).select("doc_id")
+      val dups = docs(s, d).filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"))
+      val pairs = Dedup.lshCandidatePairs(
+        Dedup.minHashSignature(TrainingQueries.plantedSh(s, d), 8), 8, 2)
+      Dedup.clusterSizeStats(Dedup.nearDupGroups(base.unionByName(dups), pairs))
+        .orderBy("cluster_size")
+    }))
+
+  val oracle: Map[String, String] = Map(
+
+    "q130_hard_negatives" ->
+      s"""WITH ${TrainingQueries.annChainSql},
+         lab AS (SELECT vec_id, label FROM embeddings),
+         hn AS (
+           SELECT d.src, d.dst, d.dist,
+                  la.label AS src_label, lb.label AS dst_label
+           FROM d
+           JOIN lab la ON d.src = la.vec_id
+           JOIN lab lb ON d.dst = lb.vec_id
+           WHERE la.label != lb.label),
+         tk AS (
+           SELECT src, dst, ROUND(dist, 6) AS dist, src_label, dst_label,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY src
+                    ORDER BY ROUND(dist, 6), dst) AS INT) AS rn
+           FROM hn)
+         SELECT src, dst, dist, rn, src_label, dst_label
+         FROM tk WHERE rn <= 3 ORDER BY src, rn""",
+
+    "q131_skipgram_pmi" ->
+      """WITH t AS (
+           SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w FROM documents),
+         uc AS (
+           SELECT x AS tok, COUNT(*) AS c
+           FROM (SELECT UNNEST(w) AS x FROM t) GROUP BY x),
+         nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uc),
+         pr AS (
+           SELECT w1, w2, COUNT(*) AS c12 FROM (
+             SELECT w[i] AS w1, w[i + o] AS w2
+             FROM t,
+                  LATERAL (SELECT UNNEST(RANGE(1, LEN(w))) AS i),
+                  (SELECT UNNEST(RANGE(1, 4)) AS o)
+             WHERE i + o <= LEN(w))
+           GROUP BY w1, w2),
+         np AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_pairs FROM pr)
+         SELECT p.w1, p.w2, p.c12,
+                ROUND(LN(CAST(p.c12 AS DOUBLE) * CAST(nu.n_uni AS DOUBLE)
+                           * CAST(nu.n_uni AS DOUBLE)
+                         / (CAST(np.n_pairs AS DOUBLE) * CAST(u1.c AS DOUBLE)
+                            * CAST(u2.c AS DOUBLE))), 6) AS pmi
+         FROM pr p
+         JOIN uc u1 ON p.w1 = u1.tok
+         JOIN uc u2 ON p.w2 = u2.tok
+         CROSS JOIN nu CROSS JOIN np
+         WHERE p.c12 >= 25
+         ORDER BY p.w1, p.w2""",
+
+    "q132_containment" ->
+      """WITH ev AS (
+           SELECT doc_id + 4000000 AS eval_id,
+                  ARRAY_TO_STRING(w[1:(LEN(w) + 1) // 2], ' ') AS text
+           FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w
+                 FROM documents WHERE doc_id % 100 = 0) t
+           UNION ALL
+           SELECT a.doc_id + 5000000,
+                  ARRAY_TO_STRING(a.w[1:(LEN(a.w) + 1) // 2], ' ') || ' '
+                    || ARRAY_TO_STRING(b.w[1:(LEN(b.w) + 1) // 2], ' ')
+           FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w
+                 FROM documents WHERE doc_id % 100 = 50) a
+           JOIN (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w
+                 FROM documents) b
+             ON b.doc_id = a.doc_id + 7),
+         trsh0 AS (
+           SELECT DISTINCT doc_id,
+                  w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+                    AS shingle
+           FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w
+                 FROM documents) t,
+                LATERAL (SELECT UNNEST(RANGE(1, LEN(w) - 3)) AS i)),
+         hot AS (
+           SELECT shingle FROM trsh0 GROUP BY shingle HAVING COUNT(*) > 500),
+         trsh AS (
+           SELECT * FROM trsh0
+           WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         evsh AS (
+           SELECT DISTINCT eval_id,
+                  w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+                    AS shingle
+           FROM (SELECT eval_id, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w
+                 FROM ev) t,
+                LATERAL (SELECT UNNEST(RANGE(1, LEN(w) - 3)) AS i)
+           WHERE w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+                 NOT IN (SELECT shingle FROM hot)),
+         evsz AS (SELECT eval_id, COUNT(*) AS n_eval_sh FROM evsh GROUP BY eval_id),
+         shared AS (
+           SELECT t.doc_id, e.eval_id, COUNT(*) AS n_shared
+           FROM trsh t JOIN evsh e USING (shingle)
+           GROUP BY t.doc_id, e.eval_id)
+         SELECT s.doc_id, s.eval_id, s.n_shared, z.n_eval_sh,
+                ROUND(CAST(s.n_shared AS DOUBLE) / CAST(z.n_eval_sh AS DOUBLE), 6)
+                  AS containment,
+                s.n_shared * 5 >= z.n_eval_sh * 4 AS contaminated
+         FROM shared s JOIN evsz z USING (eval_id)
+         ORDER BY s.doc_id, s.eval_id""",
+
+    "q133_cluster_sizes" ->
+      s"""WITH RECURSIVE ${TrainingQueries.lshPairsSql},
+         uni AS (
+           SELECT doc_id FROM documents WHERE doc_id % 20 = 0
+           UNION ALL
+           SELECT doc_id + 1000000 FROM documents WHERE doc_id % 40 = 0),
+         e AS (SELECT ida AS s, idb AS t FROM pairs
+               UNION ALL SELECT idb, ida FROM pairs),
+         reach AS (
+           SELECT doc_id AS node, doc_id AS lbl FROM uni
+           UNION
+           SELECT e.t, r.lbl FROM reach r JOIN e ON e.s = r.node),
+         comp AS (SELECT node AS doc_id, MIN(lbl) AS group_id
+                  FROM reach GROUP BY node),
+         szs AS (SELECT group_id, COUNT(*) AS n_docs FROM comp GROUP BY group_id)
+         SELECT n_docs AS cluster_size, COUNT(*) AS n_clusters,
+                n_docs * COUNT(*) AS n_docs_total,
+                (n_docs - 1) * COUNT(*) AS n_removed
+         FROM szs GROUP BY n_docs ORDER BY cluster_size""")
+}

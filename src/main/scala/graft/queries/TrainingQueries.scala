@@ -36,7 +36,7 @@ object TrainingQueries {
     * Guarantees the band join has a non-empty expected result at every SF
     * (a check that passes on 0==0 rows proves nothing about band keys).
     */
-  private def plantedSh(s: SparkSession, d: String) = {
+  private[queries] def plantedSh(s: SparkSession, d: String) = {
     val base = docs(s, d).filter(col("doc_id") % 20 === 0).select("doc_id", "text")
     val dups = docs(s, d).filter(col("doc_id") % 40 === 0)
       .select((col("doc_id") + 1000000).as("doc_id"),
@@ -469,7 +469,7 @@ object TrainingQueries {
     * 3-gram shingles → 8-hash MinHash signature → 4 bands × 2 rows →
     * candidate pairs. Used by q34 (pairs) and q70 (connected groups).
     */
-  private val lshPairsSql =
+  private[queries] val lshPairsSql =
     s"""planted AS (
            SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
            UNION ALL
@@ -522,7 +522,7 @@ object TrainingQueries {
     * in `topk` — shared by q57 (the graph itself) and q125 (recall
     * evaluation against exact ground truth).
     */
-  private val annChainSql =
+  private[queries] val annChainSql =
     """v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          params AS (
            SELECT GREATEST(4, CAST(CEIL(LOG2(CAST(CEIL(COUNT(*) / 128.0) AS BIGINT))) AS INT)) AS np

@@ -870,6 +870,44 @@ object TextOps {
               * col("c2").cast("double"))), 6).as("pmi"))
   }
 
+  /** Skip-gram PMI: co-occurrence of ordered token pairs within a
+    * `window`-token forward context (distance 1..window, the word2vec
+    * context definition) — the distributional-similarity statistic
+    * behind embedding pretraining data prep, vs [[collocations]]'
+    * adjacent-only phrases. Pair extraction is a row-local nested
+    * flatten (no per-token shuffle; only (w1, w2) count rows move), and
+    * counts are exact integers so the PMI — written with the identical
+    * association order as the oracle — replays engine-exact up to one
+    * 6 dp rounding.
+    */
+  def skipgramPmi(docs: DataFrame, window: Int, minCount: Int): DataFrame = {
+    val uni = docs.select(explode(tokensCol).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val nUni = uni.agg(sum(col("c")).as("n_uni"))
+    val prs = docs.select(tokensCol.as("w"))
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, $window), o ->
+              CASE WHEN size(w) > o THEN
+                transform(sequence(0, size(w) - o - 1), i ->
+                  named_struct('w1', element_at(w, i + 1),
+                               'w2', element_at(w, i + o + 1)))
+              ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)
+              END))""")).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val nPairs = prs.agg(sum(col("c12")).as("n_pairs"))
+    prs.filter(col("c12") >= minCount)
+      .join(uni.select(col("tok").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nPairs))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log(
+          col("c12").cast("double") * col("n_uni").cast("double")
+            * col("n_uni").cast("double")
+            / (col("n_pairs").cast("double") * col("c1").cast("double")
+              * col("c2").cast("double"))), 6).as("pmi"))
+  }
+
   /** BM25 retrieval: top-k documents per query under the Robertson/
     * Lucene scoring `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
     * with `idf = ln(1 + (N−df+0.5)/(df+0.5))` — the ranking function a

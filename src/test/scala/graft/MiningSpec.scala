@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.text.TextOps
+
+/** Specs for the round-6 mining operators (q130–q133): hard-negative
+  * mining, skip-gram PMI, eval-side containment decontamination, and the
+  * dedup-yield cluster report. The driver's DuckDB oracle checks
+  * full-corpus values; these pin the semantics on hand-built inputs.
+  */
+class MiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hardNegatives: nearer same-label neighbors are excluded, not ranked past") {
+    // 1-D positive line: ids 0..5 at positions 1,2,3,10,11,12.
+    // Anchor 0 (label 0): id 1 is nearest but same-label — the top
+    // different-label negatives must be ids 2 then 3, NOT a top-k that
+    // wastes slots on id 1.
+    val vecs = Seq(
+      (0L, Seq(1.0), 0), (1L, Seq(2.0), 0), (2L, Seq(3.0), 1),
+      (3L, Seq(10.0), 1), (4L, Seq(11.0), 0), (5L, Seq(12.0), 1))
+      .toDF("cell_id", "latent", "label")
+    val out = graft.pipeline.Knn.hardNegatives(vecs, 2, rounds = 6)
+      .filter(col("src") === 0).orderBy("rn")
+      .select("dst", "src_label", "dst_label").as[(Long, Int, Int)].collect()
+    assert(out.map(_._1).toSeq == Seq(2L, 3L))
+    assert(out.forall(r => r._2 != r._3))
+  }
+
+  test("hardNegatives: every returned pair crosses labels; k honored") {
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq(i.toDouble + 1, (i % 7).toDouble + 1), (i % 3).toInt))
+      .toDF("cell_id", "latent", "label")
+    val out = graft.pipeline.Knn.hardNegatives(vecs, 3, rounds = 6)
+    val rows = out.select("src", "dst", "src_label", "dst_label", "rn")
+      .as[(Long, Long, Int, Int, Int)].collect()
+    assert(rows.nonEmpty && rows.forall(r => r._3 != r._4))
+    assert(rows.groupBy(_._1).values.forall(_.length <= 3))
+    assert(rows.forall(_._5 <= 3))
+  }
+
+  test("skipgramPmi: window-2 pair universe and PMI value are exact") {
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val out = TextOps.skipgramPmi(docs, window = 2, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    // pairs at distance 1: ab bc cd; distance 2: ac bd — 5 total
+    assert(out.keySet == Set("a" -> "b", "b" -> "c", "c" -> "d", "a" -> "c", "b" -> "d"))
+    // n_uni = 4, n_pairs = 5, all counts 1: pmi = ln(1·16 / (5·1·1))
+    val expected = math.log(16.0 / 5.0)
+    out.values.foreach(v => assert(math.abs(v - expected) < 1e-6))
+  }
+
+  test("skipgramPmi: docs shorter than the window contribute no pairs") {
+    val docs = Seq((1L, "only"), (2L, "x y")).toDF("doc_id", "text")
+    val out = TextOps.skipgramPmi(docs, window = 3, minCount = 1).collect()
+    assert(out.length == 1) // just (x, y)
+  }
+
+  test("containment: full substring fires, half-splice does not") {
+    val host = (1L, (0 until 20).map(i => s"w$i").mkString(" "))
+    val other = (2L, (0 until 20).map(i => s"v$i").mkString(" "))
+    val evFull = (100L, (0 until 10).map(i => s"w$i").mkString(" "))
+    val evHalf = (101L,
+      ((0 until 5).map(i => s"w$i") ++ (0 until 5).map(i => s"x$i")).mkString(" "))
+    val out = Dedup.containmentContamination(
+        Seq(host, other).toDF("doc_id", "text"),
+        Seq(evFull, evHalf).toDF("doc_id", "text"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(5)))).toMap
+    // evFull: 6 of 6 shingles inside host → contaminated
+    assert(out((1L, 100L)) == ((6L, 6L, true)))
+    // evHalf: only 'w0..w4' (1 of 6) appears in host → clean
+    assert(out((1L, 101L)) == ((1L, 6L, false)))
+    assert(!out.contains((2L, 100L))) // disjoint docs never pair up
+  }
+
+  test("clusterSizeStats: histogram over CC groups, keep-one yield") {
+    val uni = (1L to 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("ida", "idb")
+    val out = Dedup.clusterSizeStats(Dedup.nearDupGroups(uni, pairs))
+      .orderBy("cluster_size")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 2L, 0L), (2L, 1L, 2L, 1L), (3L, 1L, 3L, 2L)))
+  }
+}
