@@ -141,6 +141,28 @@ object Analytics {
     * anywhere. The `(ts, id)` ordering is total per user (ids unique), so
     * session numbering is deterministic including simultaneous events.
     */
+  /** Per-event sliding-window rate: for every event, how many events the
+    * same user produced in the trailing `windowUs` (value-RANGE frame,
+    * so equal-timestamp peers are all in-frame in every engine) plus
+    * their value sum. The value sum is accumulated in exact integer
+    * micro-units — a RANGE frame gives no summation-order guarantee,
+    * and integer addition is the associative escape hatch (the q105
+    * exact-binary-fraction trick, applied to arbitrary doubles by
+    * quantizing first). Per-user partitions only — a hot user bounds a
+    * task, never the whole log.
+    */
+  def slidingRate(ev: DataFrame, windowUs: Long, tsCol: String = "ts_us",
+                  userCol: String = "user_id"): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol))
+      .rangeBetween(-windowUs, 0)
+    ev.select(col("event_id"), col(userCol), col(tsCol),
+        round(col("value") * 1e6).cast("long").as("_vmicro"))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("sum_window",
+        round(sum(col("_vmicro")).over(w).cast("double") / 1e6, 6))
+      .drop("_vmicro")
+  }
+
   def sessionize(ev: DataFrame, gapUs: Long, tsCol: String = "ts_us",
                  userCol: String = "user_id", idCol: String = "event_id"): DataFrame = {
     val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))

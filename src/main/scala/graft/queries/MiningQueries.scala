@@ -73,7 +73,24 @@ object MiningQueries {
         Dedup.minHashSignature(TrainingQueries.plantedSh(s, d), 8), 8, 2)
       Dedup.clusterSizeStats(Dedup.nearDupGroups(base.unionByName(dups), pairs))
         .orderBy("cluster_size")
-    }))
+    }),
+
+    // per-event trailing-1h same-user rate: a value-RANGE window frame
+    // (equal-ts peers in-frame in every engine) with the value sum in
+    // exact integer micro-units — RANGE frames guarantee no summation
+    // order, integer addition is the associative escape hatch
+    "q134_sliding_rate" -> ((s, d) =>
+      graft.analytics.Analytics.slidingRate(
+          Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000")),
+          windowUs = 3600000000L)
+        .orderBy("event_id")),
+
+    // context-window packing efficiency across candidate sequence
+    // lengths: one running-total pass feeds every budget; all counts
+    // integral, one IEEE division for the fill fraction
+    "q135_packing_stats" -> ((s, d) =>
+      graft.text.Mix.packingStats(docs(s, d), Seq(256, 512, 1024, 2048))
+        .orderBy("budget")))
 
   val oracle: Map[String, String] = Map(
 
@@ -189,5 +206,44 @@ object MiningQueries {
          SELECT n_docs AS cluster_size, COUNT(*) AS n_clusters,
                 n_docs * COUNT(*) AS n_docs_total,
                 (n_docs - 1) * COUNT(*) AS n_removed
-         FROM szs GROUP BY n_docs ORDER BY cluster_size""")
+         FROM szs GROUP BY n_docs ORDER BY cluster_size""",
+
+    "q134_sliding_rate" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, EPOCH_US(ts) AS ts_us,
+                  CAST(ROUND(value * 1000000) AS BIGINT) AS vmicro
+           FROM events)
+         SELECT event_id, user_id, ts_us,
+                COUNT(*) OVER w AS n_window,
+                ROUND(CAST(SUM(vmicro) OVER w AS DOUBLE) / 1000000, 6)
+                  AS sum_window
+         FROM ev
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
+    "q135_packing_stats" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         r AS (
+           SELECT doc_id, n_tokens,
+                  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                    AS start_tok
+           FROM t),
+         x AS (
+           SELECT r.n_tokens, r.start_tok, CAST(b.budget AS BIGINT) AS budget
+           FROM r, (SELECT UNNEST([256, 512, 1024, 2048]) AS budget) b)
+         SELECT budget, COUNT(*) AS n_docs,
+                CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                MAX((start_tok + n_tokens - 1) // budget) + 1 AS n_windows,
+                CAST(SUM(CASE WHEN start_tok // budget
+                               != (start_tok + n_tokens - 1) // budget
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling,
+                ROUND(CAST(SUM(n_tokens) AS DOUBLE)
+                      / CAST((MAX((start_tok + n_tokens - 1) // budget) + 1)
+                             * budget AS DOUBLE), 6) AS fill_frac
+         FROM x GROUP BY budget ORDER BY budget""")
 }

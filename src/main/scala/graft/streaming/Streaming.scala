@@ -307,4 +307,51 @@ object Streaming {
           out.result().iterator
       }
   }
+
+  case class FunnelUpdate(user_id: Long, t1: Option[Long], t2: Option[Long],
+                          t3: Option[Long], steps_reached: Int)
+
+  /** q98's streaming twin: per-user view→click→purchase progression
+    * maintained continuously. State is ONE (t1, t2, t3) triple per user
+    * — O(users), never the event log — advanced monotonically under the
+    * batch query's STRICT ordering rule (a click counts only after the
+    * recorded first view, a purchase only after the recorded first
+    * click). Emits the user's funnel row in every batch where a step
+    * advances. For in-watermark, in-order arrival the emitted rows
+    * converge to the batch q98 answer; a late view that predates the
+    * already-recorded t1 is absorbed only while t2 is unset (once a
+    * click anchored on t1 has been emitted, retro-lowering t1 could
+    * un-justify it — the same no-retro-annotation stance as
+    * [[asofStream]], documented divergence from a batch recompute).
+    */
+  def funnelStream(events: Dataset[Event]): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    events.filter(e =>
+        e.event_type == "view" || e.event_type == "click" ||
+          e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), FunnelUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, it, state: GroupState[(Long, Long, Long)]) =>
+          val evs = it.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+          var (t1, t2, t3) = state.getOption.getOrElse((-1L, -1L, -1L))
+          val before = (t1, t2, t3)
+          evs.foreach { e =>
+            val ts = e.ts.getTime * 1000L
+            e.event_type match {
+              case "view" if t1 < 0 || (t2 < 0 && ts < t1) => t1 = ts
+              case "click" if t1 >= 0 && t2 < 0 && ts > t1 => t2 = ts
+              case "purchase" if t2 >= 0 && t3 < 0 && ts > t2 => t3 = ts
+              case _ =>
+            }
+          }
+          if ((t1, t2, t3) == before) Iterator.empty
+          else {
+            state.update((t1, t2, t3))
+            def opt(v: Long) = if (v >= 0) Some(v) else None
+            Iterator.single(FunnelUpdate(user, opt(t1), opt(t2), opt(t3),
+              1 + (if (t2 >= 0) 1 else 0) + (if (t3 >= 0) 1 else 0)))
+          }
+      }
+  }
 }

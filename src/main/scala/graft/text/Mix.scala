@@ -90,6 +90,37 @@ object Mix {
       .withColumn("crosses", col("chunk_start") =!= col("chunk_end"))
   }
 
+  /** Context-window packing efficiency report: for each candidate window
+    * size, how many windows the [[packChunks]] greedy layout needs, how
+    * many documents straddle a boundary, and the fill fraction — the
+    * "which sequence length wastes least compute" pre-run arithmetic.
+    * ONE global running-total pass (budget-independent) feeds every
+    * window size via a row-local explode; all counts stay integral so
+    * the single fill-fraction division is the only IEEE op.
+    */
+  def packingStats(docs: DataFrame, budgets: Seq[Int]): DataFrame = {
+    val withTok = docs.select(col("doc_id"),
+      size(TextOps.tokensCol).cast("double").as("n_tokens"))
+    val run = graft.ops.Windows.runningTotal(withTok, Seq(col("doc_id")),
+      "n_tokens", out = "start_tok")
+      .select(col("n_tokens").cast("long").as("n_tokens"),
+        col("start_tok").cast("long").as("start_tok"))
+    run.select(col("n_tokens"), col("start_tok"),
+        explode(array(budgets.map(b => lit(b.toLong)): _*)).as("budget"))
+      .groupBy("budget")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (max(expr("(start_tok + n_tokens - 1) div budget")) + 1).as("n_windows"),
+        sum(when(expr("start_tok div budget") =!=
+          expr("(start_tok + n_tokens - 1) div budget"), 1L).otherwise(0L))
+          .as("n_straddling"))
+      .select(col("budget"), col("n_docs"), col("total_tokens"),
+        col("n_windows"), col("n_straddling"),
+        round(col("total_tokens").cast("double")
+          / (col("n_windows") * col("budget")).cast("double"), 6)
+          .as("fill_frac"))
+  }
+
   /** Overlapping sliding-window chunking (the retrieval/RAG layout, vs
     * [[packChunks]]'s disjoint pretraining layout): windows of `width`
     * tokens every `stride` tokens; the last window starts at

@@ -75,6 +75,34 @@ class MiningSpec extends SparkSpec {
     assert(!out.contains((2L, 100L))) // disjoint docs never pair up
   }
 
+  test("packingStats: window count, straddlers, and fill are exact integers") {
+    // token counts 3, 4, 2 -> starts 0, 3, 7; budget 4: 3 windows (max
+    // end (7+2-1) div 4 = 2), docs 2 (spans 0|1) and 3 (spans 1|2) straddle
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e f g"), (3L, "h i")).toDF("doc_id", "text")
+    val out = graft.text.Mix.packingStats(docs, Seq(4, 16))
+      .orderBy("budget")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out(0) == ((4L, 3L, 2L, 0.75)))   // 9 tokens / (3*4)
+    assert(out(1) == ((16L, 1L, 0L, 0.5625))) // 9 / 16
+  }
+
+  test("slidingRate: trailing range frame counts equal-ts peers; exact micro sum") {
+    val ev = Seq(
+      (1L, 2L, 10L, 1.25),          // ts 2 < frame floor 5 of events 2/3
+      (2L, 3600000005L, 10L, 2.5),
+      (3L, 3600000005L, 10L, 4.0),  // equal-ts peer: both rows see both
+      (4L, 9000000000L, 10L, 8.0),  // outside every earlier window
+      (5L, 0L, 11L, 1.0))           // other user
+      .toDF("event_id", "ts_us", "user_id", "value")
+    val out = graft.analytics.Analytics.slidingRate(ev, windowUs = 3600000000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((1L, 1.25)))
+    assert(out(2L) == ((2L, 6.5)) && out(3L) == ((2L, 6.5)))
+    assert(out(4L) == ((1L, 8.0)))
+    assert(out(5L) == ((1L, 1.0)))
+  }
+
   test("clusterSizeStats: histogram over CC groups, keep-one yield") {
     val uni = (1L to 7L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("ida", "idb")

@@ -99,4 +99,33 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(rs(4L).contains(9.5))      // state carried across batches
     assert(rs(7L).contains(7.7))      // newer purchase replaced state
   }
+
+  test("streaming funnelStream advances strict steps across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streaming.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("append").start()
+    // batch 1: a purchase BEFORE any view must not count; view+click advance
+    input.addData(
+      Event(1, ts(0), 7, "purchase", 1.0),  // pre-view purchase: ignored
+      Event(2, ts(5), 7, "view", 0.0),
+      Event(3, ts(10), 7, "click", 0.0))
+    q.processAllAvailable()
+    // batch 2: purchase after the recorded click completes the funnel;
+    // a second user stuck at step 1
+    input.addData(
+      Event(4, ts(20), 7, "purchase", 2.0),
+      Event(5, ts(1), 8, "view", 0.0))
+    q.processAllAvailable()
+    // batch 3: no advance for user 7 (already complete) -> no new row
+    input.addData(Event(6, ts(30), 7, "purchase", 3.0))
+    q.processAllAvailable()
+    val rs = spark.table("funnel").collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[Int]("steps_reached")))
+    q.stop()
+    assert(rs.count(_._1 == 7L) == 2)        // one row per advancing batch
+    assert(rs.filter(_._1 == 7L).map(_._2).sorted.toSeq == Seq(2, 3))
+    assert(rs.filter(_._1 == 8L).map(_._2).toSeq == Seq(1))
+  }
 }

@@ -168,4 +168,32 @@ class RealCodecSpec extends SparkSpec {
     val v = out.head
     assert(v.width === 1920 && v.height === 1080 && v.duration_ms === 2000L)
   }
+
+  test("imageNearDup: perturbed copy pairs up, distinct image stays out; codegen'd hamming") {
+    import spark.implicits._
+    // gradient image, a 2-pixel perturbation of it, and unrelated noise
+    val grad = pngBytes(64, 64, (x, y) => { val v = (x * 4) & 0xFF; (v << 16) | (v << 8) | v })
+    val gradTweak = pngBytes(64, 64, (x, y) =>
+      if (x == 0 && y < 2) 0xFFFFFF else { val v = (x * 4) & 0xFF; (v << 16) | (v << 8) | v })
+    val other = pngBytes(64, 64, (x, y) => { val v = ((x * 31 + y * 17) % 256); (v << 16) | (v << 8) | v })
+    val media = Seq(Media(1L, "image/png", grad), Media(2L, "image/png", gradTweak),
+      Media(3L, "image/png", other)).toDS()
+    val metas = Multimodal.decodeImages(media).toDF()
+    val pairs = Multimodal.imageNearDup(metas, maxHam = 3)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), s"perturbed copy must pair up, got $got")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L), "unrelated image must not pair")
+    // the refine kernel must run inside whole-stage codegen
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("hamming64") || plan.contains("Hamming64"))
+  }
+
+  test("Hamming64: exact popcount semantics, null-safe, codegen and interpreted agree") {
+    import spark.implicits._
+    val df = Seq((0L, 0L), (-1L, 0L), (0x0FL, 0x01L), (Long.MinValue, 0L))
+      .toDF("a", "b")
+      .select(graft.functions.Hamming64.column(org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")).as("h"))
+    assert(df.as[Int].collect().toSeq == Seq(0, 64, 3, 1))
+  }
 }
