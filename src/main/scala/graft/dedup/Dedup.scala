@@ -456,6 +456,45 @@ object Dedup {
         countDistinct(col("eval_id")).as("n_eval_docs"))
   }
 
+  /** Fingerprint near-duplicate pairs over a long bit-fingerprint column
+    * `(doc_id, fp)` — SimHash (text) and dHash/pHash (images) share this
+    * one kernel. The `bits`-wide fingerprint is banded into `nBands`
+    * equal keys; by pigeonhole the band index is EXACT (zero recall
+    * loss) for `maxHam < nBands` — a pair within Hamming `nBands − 1`
+    * must collide on some untouched band. Candidates come from the band
+    * equi-join (hot buckets capped, the LSH rule), and every surviving
+    * pair is refined by the codegen'd
+    * [[graft.functions.Hamming64]] popcount — only (id, long) rows
+    * shuffle.
+    */
+  def fingerprintNearDup(fps: DataFrame, bits: Int, nBands: Int,
+                         maxHam: Int, bucketCap: Int = 10000): DataFrame = {
+    require(maxHam < nBands,
+      s"$nBands-band pigeonhole is only exact for maxHam < $nBands (got $maxHam)")
+    require(bits % nBands == 0 && bits <= 64)
+    val w = bits / nBands
+    val mask = if (w == 64) -1L else (1L << w) - 1
+    val bands = fps.select(col("doc_id"), col("fp"),
+      explode(array((0 until nBands).map(b => struct(lit(b).as("band_id"),
+        shiftright(col("fp"), b * w).bitwiseAND(lit(mask))
+          .as("band_key"))): _*)).as("b"))
+      .select(col("doc_id"), col("fp"), col("b.band_id"), col("b.band_key"))
+    val hot = bands.groupBy("band_id", "band_key")
+      .agg(count(lit(1)).as("_bn")).filter(col("_bn") > bucketCap)
+      .select("band_id", "band_key")
+    val ok = bands.join(hot, Seq("band_id", "band_key"), "left_anti")
+    val a = ok.select(col("band_id"), col("band_key"),
+      col("doc_id").as("ida"), col("fp").as("fa"))
+    val bb = ok.select(col("band_id"), col("band_key"),
+      col("doc_id").as("idb"), col("fp").as("fb"))
+    a.join(bb, Seq("band_id", "band_key"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        graft.functions.Hamming64.column(col("fa"), col("fb")).as("ham"))
+      .distinct()
+      .filter(col("ham") <= maxHam)
+  }
+
   /** Eval-side CONTAINMENT contamination: for each (train doc, eval doc)
     * pair sharing n-token shingles, `containment = |shared| / |eval
     * shingles|` — the asymmetric overlap measure that catches a short

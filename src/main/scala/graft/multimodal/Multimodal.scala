@@ -276,28 +276,10 @@ object Multimodal {
     * black frames) is capped exactly like text LSH's hot buckets.
     */
   def imageNearDup(images: DataFrame, maxHam: Int = 3,
-                   bucketCap: Int = 10000): DataFrame = {
-    require(maxHam <= 3, s"4x16-bit banding is only exact for maxHam <= 3 (got $maxHam)")
-    val bands = images.select(col("doc_id"), col("dhash"),
-      explode(array((0 until 4).map(b => struct(lit(b).as("band_id"),
-        shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xFFFFL))
-          .as("band_key"))): _*)).as("b"))
-      .select(col("doc_id"), col("dhash"), col("b.band_id"), col("b.band_key"))
-    val hot = bands.groupBy("band_id", "band_key")
-      .agg(count(lit(1)).as("_bn")).filter(col("_bn") > bucketCap)
-      .select("band_id", "band_key")
-    val ok = bands.join(hot, Seq("band_id", "band_key"), "left_anti")
-    val a = ok.select(col("band_id"), col("band_key"),
-      col("doc_id").as("ida"), col("dhash").as("ha"))
-    val bb = ok.select(col("band_id"), col("band_key"),
-      col("doc_id").as("idb"), col("dhash").as("hb"))
-    a.join(bb, Seq("band_id", "band_key"))
-      .filter(col("ida") < col("idb"))
-      .select(col("ida"), col("idb"),
-        graft.functions.Hamming64.column(col("ha"), col("hb")).as("ham"))
-      .distinct()
-      .filter(col("ham") <= maxHam)
-  }
+                   bucketCap: Int = 10000): DataFrame =
+    graft.dedup.Dedup.fingerprintNearDup(
+      images.select(col("doc_id"), col("dhash").as("fp")),
+      bits = 64, nBands = 4, maxHam = maxHam, bucketCap = bucketCap)
 
   case class ResizedImage(doc_id: Long, src_w: Int, src_h: Int,
                           w: Int, h: Int, pixels: Array[Float])

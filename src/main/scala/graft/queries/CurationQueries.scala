@@ -137,6 +137,56 @@ object CurationQueries {
       Dedup.incrementalDedup(oldD, newD, 8, 2, 1, 2).orderBy("doc_id")
     }))
 
+  /** q113's full NB chain (train counts, micro-nat quantized priors and
+    * likelihoods, held-out scoring, per-doc label ranking) ending in
+    * `am (doc_id, label_true, label, score_micro, r)` — shared by q113
+    * (confusion matrix) and q137 (margin calibration bins).
+    */
+  private[queries] val nbChainSql =
+    """t AS (
+           SELECT doc_id, lang AS label,
+                  UNNEST(REGEXP_SPLIT_TO_ARRAY(text, '\s+')) AS tok
+           FROM documents),
+         tr AS (SELECT * FROM t WHERE doc_id % 10 != 0),
+         ct AS (SELECT label, tok, COUNT(*) AS c FROM tr GROUP BY 1, 2),
+         tt AS (SELECT label, CAST(SUM(c) AS BIGINT) AS tot FROM ct GROUP BY 1),
+         vb AS (SELECT COUNT(DISTINCT tok) AS v FROM ct),
+         td AS (SELECT lang AS label, COUNT(*) AS nd FROM documents
+                WHERE doc_id % 10 != 0 GROUP BY 1),
+         pr AS (
+           SELECT label, CAST(ROUND(
+               LN(CAST(nd AS DOUBLE)
+                  / CAST(CAST((SELECT SUM(nd) FROM td) AS BIGINT) AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS prior_micro
+           FROM td),
+         lp AS (
+           SELECT ct.label, ct.tok, CAST(ROUND(
+               LN(CAST(c + 1 AS DOUBLE) / CAST(tot + v AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS lp_micro
+           FROM ct JOIN tt USING (label) CROSS JOIN vb),
+         dfl AS (
+           SELECT label, CAST(ROUND(
+               LN(1.0 / CAST(tot + v AS DOUBLE)) * 1000000.0) AS BIGINT)
+             AS dflt_micro
+           FROM tt CROSS JOIN vb),
+         te AS (SELECT doc_id, label AS label_true, tok FROM t
+                WHERE doc_id % 10 = 0),
+         sc AS (
+           SELECT te.doc_id, te.label_true, d.label,
+                  CAST(SUM(COALESCE(lp.lp_micro, d.dflt_micro)) AS BIGINT)
+                    AS like_micro
+           FROM te CROSS JOIN dfl d
+           LEFT JOIN lp ON lp.label = d.label AND lp.tok = te.tok
+           GROUP BY 1, 2, 3),
+         fin AS (
+           SELECT sc.doc_id, sc.label_true, sc.label,
+                  pr.prior_micro + sc.like_micro AS score_micro
+           FROM sc JOIN pr ON pr.label = sc.label),
+         am AS (
+           SELECT *, ROW_NUMBER() OVER
+             (PARTITION BY doc_id ORDER BY score_micro DESC, label) AS r
+           FROM fin)"""
+
   def oracle: Map[String, String] = Map(
 
     "q110_weighted_sample" ->
@@ -183,49 +233,7 @@ object CurationQueries {
          GROUP BY 1 ORDER BY tb.doc_id""",
 
     "q113_nb_classifier" ->
-      """WITH t AS (
-           SELECT doc_id, lang AS label,
-                  UNNEST(REGEXP_SPLIT_TO_ARRAY(text, '\s+')) AS tok
-           FROM documents),
-         tr AS (SELECT * FROM t WHERE doc_id % 10 != 0),
-         ct AS (SELECT label, tok, COUNT(*) AS c FROM tr GROUP BY 1, 2),
-         tt AS (SELECT label, CAST(SUM(c) AS BIGINT) AS tot FROM ct GROUP BY 1),
-         vb AS (SELECT COUNT(DISTINCT tok) AS v FROM ct),
-         td AS (SELECT lang AS label, COUNT(*) AS nd FROM documents
-                WHERE doc_id % 10 != 0 GROUP BY 1),
-         pr AS (
-           SELECT label, CAST(ROUND(
-               LN(CAST(nd AS DOUBLE)
-                  / CAST(CAST((SELECT SUM(nd) FROM td) AS BIGINT) AS DOUBLE))
-               * 1000000.0) AS BIGINT) AS prior_micro
-           FROM td),
-         lp AS (
-           SELECT ct.label, ct.tok, CAST(ROUND(
-               LN(CAST(c + 1 AS DOUBLE) / CAST(tot + v AS DOUBLE))
-               * 1000000.0) AS BIGINT) AS lp_micro
-           FROM ct JOIN tt USING (label) CROSS JOIN vb),
-         dfl AS (
-           SELECT label, CAST(ROUND(
-               LN(1.0 / CAST(tot + v AS DOUBLE)) * 1000000.0) AS BIGINT)
-             AS dflt_micro
-           FROM tt CROSS JOIN vb),
-         te AS (SELECT doc_id, label AS label_true, tok FROM t
-                WHERE doc_id % 10 = 0),
-         sc AS (
-           SELECT te.doc_id, te.label_true, d.label,
-                  CAST(SUM(COALESCE(lp.lp_micro, d.dflt_micro)) AS BIGINT)
-                    AS like_micro
-           FROM te CROSS JOIN dfl d
-           LEFT JOIN lp ON lp.label = d.label AND lp.tok = te.tok
-           GROUP BY 1, 2, 3),
-         fin AS (
-           SELECT sc.doc_id, sc.label_true, sc.label,
-                  pr.prior_micro + sc.like_micro AS score_micro
-           FROM sc JOIN pr ON pr.label = sc.label),
-         am AS (
-           SELECT *, ROW_NUMBER() OVER
-             (PARTITION BY doc_id ORDER BY score_micro DESC, label) AS r
-           FROM fin)
+      s"""WITH $nbChainSql
          SELECT label_true, label AS label_pred, COUNT(*) AS n
          FROM am WHERE r = 1 GROUP BY 1, 2 ORDER BY 1, 2""",
 

@@ -90,7 +90,30 @@ object MiningQueries {
     // integral, one IEEE division for the fill fraction
     "q135_packing_stats" -> ((s, d) =>
       graft.text.Mix.packingStats(docs(s, d), Seq(256, 512, 1024, 2048))
-        .orderBy("budget")))
+        .orderBy("budget")),
+
+    // SimHash Hamming near-dup over the q70 planted universe: 4x4-bit
+    // banding is pigeonhole-EXACT for ham <= 3, and the refine kernel is
+    // the codegen'd Hamming64 popcount expression — the native
+    // fingerprint path (shared verbatim by image pHash near-dup) under
+    // the oracle gate
+    "q136_simhash_neardup" -> ((s, d) => {
+      val base = docs(s, d).filter(col("doc_id") % 20 === 0)
+        .select("doc_id", "text")
+      val dups = docs(s, d).filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" graft dup marker")).as("text"))
+      val fps = TextOps.simHash16(base.unionByName(dups))
+        .select(col("doc_id"), col("simhash").as("fp"))
+      Dedup.fingerprintNearDup(fps, bits = 16, nBands = 4, maxHam = 3)
+        .orderBy("ida", "idb")
+    }),
+
+    // NB classifier margin-calibration bins: integer micro-nat top-1 vs
+    // top-2 margin deciles vs accuracy — the reliability curve a
+    // model-based filter gate is tuned on
+    "q137_nb_calibration" -> ((s, d) =>
+      TextOps.nbCalibration(docs(s, d)).orderBy("bin")))
 
   val oracle: Map[String, String] = Map(
 
@@ -245,5 +268,49 @@ object MiningQueries {
                 ROUND(CAST(SUM(n_tokens) AS DOUBLE)
                       / CAST((MAX((start_tok + n_tokens - 1) // budget) + 1)
                              * budget AS DOUBLE), 6) AS fill_frac
-         FROM x GROUP BY budget ORDER BY budget""")
+         FROM x GROUP BY budget ORDER BY budget""",
+
+    "q136_simhash_neardup" -> {
+      val shSql = graft.text.TextOps.simHash16Sql("planted")
+      s"""WITH planted AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text || ' graft dup marker' AS text
+           FROM documents WHERE doc_id % 40 = 0),
+         sh AS ($shSql),
+         bands AS (
+           SELECT doc_id, simhash, b.band_id,
+                  (simhash >> (b.band_id * 4)) & 15 AS band_key
+           FROM sh, (SELECT UNNEST(RANGE(0, 4)) AS band_id) b),
+         bc AS (
+           SELECT bands.* FROM bands JOIN (
+             SELECT band_id, band_key FROM bands
+             GROUP BY band_id, band_key HAVING COUNT(*) <= 10000) ok
+           USING (band_id, band_key)),
+         prs AS (
+           SELECT DISTINCT a.doc_id AS ida, bb.doc_id AS idb,
+                  CAST(BIT_COUNT(XOR(a.simhash, bb.simhash)) AS INT) AS ham
+           FROM bc a JOIN bc bb
+             ON a.band_id = bb.band_id AND a.band_key = bb.band_key
+            AND a.doc_id < bb.doc_id)
+         SELECT ida, idb, ham FROM prs WHERE ham <= 3 ORDER BY ida, idb"""
+    },
+
+    "q137_nb_calibration" ->
+      s"""WITH ${CurationQueries.nbChainSql},
+         t2 AS (
+           SELECT doc_id,
+                  MAX(CASE WHEN r = 1 THEN score_micro END) AS s1,
+                  MAX(CASE WHEN r = 2 THEN score_micro END) AS s2,
+                  MAX(CASE WHEN r = 1 THEN label END) AS label_pred,
+                  MAX(CASE WHEN r = 1 THEN label_true END) AS label_true
+           FROM am WHERE r <= 2 GROUP BY doc_id),
+         bn AS (
+           SELECT LEAST((s1 - s2) // 200000, 9) AS bin,
+                  CASE WHEN label_pred = label_true THEN 1 ELSE 0 END AS ok
+           FROM t2)
+         SELECT bin, COUNT(*) AS n, CAST(SUM(ok) AS BIGINT) AS n_correct,
+                ROUND(CAST(SUM(ok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+                  AS accuracy
+         FROM bn GROUP BY bin ORDER BY bin""")
 }

@@ -759,7 +759,19 @@ object TextOps {
     * per-(doc,label) aggregation; the confusion matrix is |labels|² rows.
     */
   def nbClassify(docs: DataFrame, labelCol: String = "lang",
-                 holdMod: Int = 10): DataFrame = {
+                 holdMod: Int = 10): DataFrame =
+    nbRanked(docs, labelCol, holdMod).filter(col("_r") === 1)
+      .groupBy(col("label_true"), col("label").as("label_pred"))
+      .agg(count(lit(1)).as("n"))
+
+  /** The shared NB chain: train on `doc_id % holdMod != 0`, score every
+    * held-out document under every label in exact integer micro-nats,
+    * and rank labels per document — `(doc_id, label_true, label,
+    * score_micro, _r)`. [[nbClassify]] cuts the argmax confusion matrix
+    * from it; [[nbCalibration]] the top-2 margin reliability bins.
+    */
+  private def nbRanked(docs: DataFrame, labelCol: String,
+                       holdMod: Int): DataFrame = {
     val toks = docs.select(col("doc_id"), col(labelCol).as("label"),
       explode(tokensCol).as("tok"))
     val isTest = col("doc_id") % holdMod === 0
@@ -802,9 +814,38 @@ object TextOps {
       .withColumn("score_micro", col("prior_micro") + col("like_micro"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score_micro").desc, col("label").asc)
-    scored.withColumn("_r", row_number().over(w)).filter(col("_r") === 1)
-      .groupBy(col("label_true"), col("label").as("label_pred"))
-      .agg(count(lit(1)).as("n"))
+    scored.withColumn("_r", row_number().over(w))
+  }
+
+  /** Classifier-confidence calibration report over the [[nbClassify]]
+    * model: held-out documents are binned by the integer micro-nat
+    * MARGIN between the top-1 and top-2 class scores (`margin div
+    * binMicro`, capped at `maxBin`), and each bin reports its size and
+    * accuracy — the reliability curve that tells a filtering pipeline
+    * which confidence threshold its quality/language gates can trust.
+    * The margin is a difference of already-quantized integer scores, so
+    * binning has no float knife edge; accuracy is the single IEEE
+    * division at the end.
+    */
+  def nbCalibration(docs: DataFrame, labelCol: String = "lang",
+                    holdMod: Int = 10, binMicro: Long = 200000L,
+                    maxBin: Int = 9): DataFrame = {
+    val top2 = nbRanked(docs, labelCol, holdMod)
+      .filter(col("_r") <= 2)
+      .groupBy("doc_id").agg(
+        max(when(col("_r") === 1, col("score_micro"))).as("s1"),
+        max(when(col("_r") === 2, col("score_micro"))).as("s2"),
+        max(when(col("_r") === 1, col("label"))).as("label_pred"),
+        max(when(col("_r") === 1, col("label_true"))).as("label_true"))
+    top2
+      .withColumn("bin", least(expr(s"(s1 - s2) div $binMicro"),
+        lit(maxBin.toLong)))
+      .withColumn("ok",
+        when(col("label_pred") === col("label_true"), 1L).otherwise(0L))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("ok")).as("n_correct"))
+      .withColumn("accuracy",
+        round(col("n_correct").cast("double") / col("n").cast("double"), 6))
   }
 
   /** SQL fragment mirroring [[simHash16]] for the DuckDB oracle. */

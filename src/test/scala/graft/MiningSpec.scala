@@ -103,6 +103,34 @@ class MiningSpec extends SparkSpec {
     assert(out(5L) == ((1L, 1.0)))
   }
 
+  test("fingerprintNearDup: pigeonhole exactness at the maxHam boundary") {
+    // fp 0 vs 3-bit flip: within ham 3 -> MUST pair (pigeonhole, no luck);
+    // fp 0 vs 4-bit flip spread across all 4 bands: no shared band -> out
+    val fps = Seq(
+      (1L, 0L), (2L, 7L),                       // ham 3, flips in band 0
+      (3L, (1L << 0) | (1L << 4) | (1L << 8) | (1L << 12))) // 1 flip/band
+      .toDF("doc_id", "fp")
+    val got = Dedup.fingerprintNearDup(fps, bits = 16, nBands = 4, maxHam = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.contains((1L, 2L, 3)))
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("nbCalibration: bins partition the held-out set; accuracy consistent") {
+    val docs = (0L until 60L).map { i =>
+      val lang = if (i % 2 == 0) "en" else "de"
+      val text = if (lang == "en") "the cat sat on the mat today"
+                 else "der hund lief durch den wald heute"
+      (i, text + s" x$i", lang)
+    }.toDF("doc_id", "text", "lang")
+    val out = graft.text.TextOps.nbCalibration(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._2).sum == 6)            // 60 docs, 1-in-10 held out
+    assert(out.forall(b => b._3 <= b._2))     // n_correct <= n
+    // fully-separable languages: every held-out doc lands in the top bin
+    assert(out.toSeq == Seq((9L, 6L, 6L)))
+  }
+
   test("clusterSizeStats: histogram over CC groups, keep-one yield") {
     val uni = (1L to 7L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("ida", "idb")
