@@ -214,6 +214,41 @@ object ScaleProbe {
     }
     out(s"lm5gram_${nDocs}_docs") = tLm5
     System.err.println("[probe] done " + (s"lm5gram_${nDocs}_docs"))
+    // round-6 mining shapes at the same 100k-doc volume. skip-gram PMI:
+    // the pair fan-out is row-local (3× bigram volume), only (w1, w2)
+    // counts shuffle; replication multiplies counts, not the type space
+    val (_, tSkip) = time {
+      graft.text.TextOps.skipgramPmi(docsRep, window = 3, minCount = 25)
+        .write.format("noop").mode("overwrite").save()
+    }
+    out(s"skipgram_pmi_${nDocs}_docs") = tSkip
+    System.err.println("[probe] done " + (s"skipgram_pmi_${nDocs}_docs"))
+    // containment decontamination under the decontaminate row's worst
+    // case: unsalted replicas make EVERY copy share every eval shingle,
+    // so the inverted-index join fans `copies`-wide per eval shingle
+    val (_, tCont) = time {
+      val ev = graft.core.Tables.t(spark, sfDir, "documents")
+        .filter(col("doc_id") % 100 === 0).select("doc_id", "text")
+      graft.dedup.Dedup.containmentContamination(docsRep, ev, 5, dfCap = 500)
+        .write.format("noop").mode("overwrite").save()
+    }
+    out(s"containment_${nDocs}_docs") = tCont
+    System.err.println("[probe] done " + (s"containment_${nDocs}_docs"))
+    // banded fingerprint near-dup at production width (60-bit md5-derived
+    // fingerprints — a 16-bit simhash has only 16 buckets per band and
+    // stops being a fingerprint at this volume): every doc carries
+    // `copies − 1` identical replicas, so each band bucket holds the
+    // full replica group — the maximum per-group fan the image-pHash
+    // path can see
+    val (_, tFp) = time {
+      val fps = docsRep.select(col("doc_id"),
+        expr("cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint)").as("fp"))
+      graft.dedup.Dedup.fingerprintNearDup(fps, 60, 4, 3)
+        .groupBy("ham").agg(count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    }
+    out(s"fingerprint_neardup_${nDocs}_docs") = tFp
+    System.err.println("[probe] done " + (s"fingerprint_neardup_${nDocs}_docs"))
     docsRep.unpersist()
     // int8-quantized ANN scoring under the same adversarial replica
     // occupancy floor as the bucketed-ANN rows (every vector has
@@ -226,6 +261,19 @@ object ScaleProbe {
     }
     out(s"quantized_knn_$nVec") = tQuant
     System.err.println("[probe] done " + (s"quantized_knn_$nVec"))
+    // hard-negative mining under the same adversarial replica occupancy:
+    // pmod labels give every replica a DIFFERENT label from most of its
+    // identical copies, so the dist-0 replica pairs survive the label
+    // filter — the candidate set is the ANN worst case plus two label
+    // joins riding the top-k shuffle
+    val (_, tHn) = time {
+      graft.pipeline.Knn.hardNegatives(
+          emb.withColumn("label", pmod(col("cell_id"), lit(10))),
+          3, rounds = 4)
+        .write.format("noop").mode("overwrite").save()
+    }
+    out(s"hard_negatives_$nVec") = tHn
+    System.err.println("[probe] done " + (s"hard_negatives_$nVec"))
     emb.unpersist()
 
     // the q58/q59 shapes at replication scale (round-4 watch items): the
