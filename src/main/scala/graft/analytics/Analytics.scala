@@ -186,6 +186,30 @@ object Analytics {
     * |types|² rows regardless of log size. The probability is ONE
     * integer-over-integer IEEE division, so it replays engine-exact.
     */
+  /** Top user journeys: sliding `n`-event event-type sequences per user
+    * under the (ts, id) total order, counted corpus-wide with their
+    * share — the order-(n−1) extension of [[transitions]] (the common
+    * paths report behind funnel design). One lead() window per user
+    * partition + one count aggregation; integral counts make the share
+    * a single IEEE division.
+    */
+  def journeys(ev: DataFrame, typeCol: String = "event_type",
+               tsCol: String = "ts_us", userCol: String = "user_id",
+               idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val seqs = ev
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol).as("t1"))
+      .withColumn("t2", lead(col("t1"), 1).over(w))
+      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
+    val tot = seqs.agg(sum(col("n")).as("tot"))
+    seqs.crossJoin(broadcast(tot))
+      .select(col("t1"), col("t2"), col("t3"), col("n"),
+        round(col("n").cast("double") / col("tot").cast("double"), 6)
+          .as("share"))
+  }
+
   def transitions(ev: DataFrame, typeCol: String = "event_type",
                   tsCol: String = "ts_us", userCol: String = "user_id",
                   idCol: String = "event_id"): DataFrame = {

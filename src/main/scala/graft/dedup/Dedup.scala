@@ -531,6 +531,24 @@ object Dedup {
           .as("contaminated"))
   }
 
+  /** Who-copies-whom: near-duplicate candidate pairs attributed to
+    * unordered source pairs — the provenance cross-tab that tells a
+    * curation pipeline which feeds mirror each other (and how much of
+    * "dedup savings" is really one mirror pair). Two id-keyed joins of
+    * the (ida, idb) pair set against the doc→source map + one count
+    * aggregation; sources are normalized `least/greatest` so mirror
+    * directions collapse into one cell.
+    */
+  def dupSourceAttribution(pairs: DataFrame, docSources: DataFrame): DataFrame = {
+    val s = docSources.select(col("doc_id"), col("source"))
+    pairs
+      .join(s.select(col("doc_id").as("ida"), col("source").as("_sa")), Seq("ida"))
+      .join(s.select(col("doc_id").as("idb"), col("source").as("_sb")), Seq("idb"))
+      .select(least(col("_sa"), col("_sb")).as("source_a"),
+        greatest(col("_sa"), col("_sb")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Duplicate-cluster size histogram — the corpus-level dedup yield
     * report over [[nearDupGroups]] output: per cluster size, how many
     * clusters, how many documents they hold, and how many a keep-one

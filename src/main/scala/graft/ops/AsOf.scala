@@ -57,6 +57,24 @@ object AsOf {
       .drop("_side", "_rv", "_rts")
   }
 
+  /** [[asofJoin]] with a staleness budget: a matched right value older
+    * than `toleranceUs` at the left row's timestamp is nulled out — the
+    * "feature freshness cap" form every point-in-time feature store
+    * applies (a week-old last-purchase is not a usable feature at
+    * serving time). Same single-shuffle carry-forward plan; the cap is
+    * one codegen'd projection on top.
+    */
+  def asofJoinWithin(left: DataFrame, right: DataFrame, key: String,
+                     ts: String, idCol: String, valCol: String,
+                     toleranceUs: Long): DataFrame = {
+    val base = asofJoin(left, right, key, ts, idCol, valCol)
+    val fresh = col("asof_ts").isNotNull &&
+      col(ts).cast("long") - col("asof_ts") <= toleranceUs
+    base
+      .withColumn(s"asof_$valCol", when(fresh, col(s"asof_$valCol")))
+      .withColumn("asof_ts", when(fresh, col("asof_ts")))
+  }
+
   /** All ordered pairs (a, b) of the same `key` with
     * `0 <= b.ts - a.ts <= window` and b strictly after a in the
     * `(ts, id)` total order. Binned: a row probes bins

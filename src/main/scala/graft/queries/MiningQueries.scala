@@ -113,7 +113,25 @@ object MiningQueries {
     // top-2 margin deciles vs accuracy — the reliability curve a
     // model-based filter gate is tuned on
     "q137_nb_calibration" -> ((s, d) =>
-      TextOps.nbCalibration(docs(s, d)).orderBy("bin")))
+      TextOps.nbCalibration(docs(s, d)).orderBy("bin")),
+
+    // who-copies-whom: near-dup candidate pairs attributed to unordered
+    // provenance pairs over the q70 planted universe. Attribution is by
+    // lang (the %20 universe is single-`source` by the generator's
+    // doc_id-mod assignment, so source would be a degenerate 1-cell
+    // report), with planted copies tagged 'mirror' — every base↔copy
+    // pair lands OFF the diagonal, in-band base↔base accidents on it
+    "q140_dup_attribution" -> ((s, d) => {
+      val pairs = Dedup.lshCandidatePairs(
+        Dedup.minHashSignature(TrainingQueries.plantedSh(s, d), 8), 8, 2)
+      val srcs = docs(s, d).filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), col("lang").as("source"))
+        .unionByName(docs(s, d).filter(col("doc_id") % 40 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            lit("mirror").as("source")))
+      Dedup.dupSourceAttribution(pairs, srcs)
+        .orderBy("source_a", "source_b")
+    }))
 
   val oracle: Map[String, String] = Map(
 
@@ -312,5 +330,19 @@ object MiningQueries {
          SELECT bin, COUNT(*) AS n, CAST(SUM(ok) AS BIGINT) AS n_correct,
                 ROUND(CAST(SUM(ok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
                   AS accuracy
-         FROM bn GROUP BY bin ORDER BY bin""")
+         FROM bn GROUP BY bin ORDER BY bin""",
+
+    "q140_dup_attribution" ->
+      s"""WITH ${TrainingQueries.lshPairsSql},
+         srcs AS (
+           SELECT doc_id, lang AS source FROM documents WHERE doc_id % 20 = 0
+           UNION ALL
+           SELECT doc_id + 1000000, 'mirror' FROM documents WHERE doc_id % 40 = 0)
+         SELECT LEAST(sa.source, sb.source) AS source_a,
+                GREATEST(sa.source, sb.source) AS source_b,
+                COUNT(*) AS n_pairs
+         FROM pairs p
+         JOIN srcs sa ON p.ida = sa.doc_id
+         JOIN srcs sb ON p.idb = sb.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2""")
 }

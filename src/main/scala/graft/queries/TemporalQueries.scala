@@ -43,6 +43,30 @@ object TemporalQueries {
         .orderBy("event_id")
     }),
 
+    // q94 with a staleness budget: a matched purchase older than 24 h at
+    // the view's timestamp is nulled — the feature-freshness cap every
+    // point-in-time feature store applies. Same single-shuffle plan
+    "q138_asof_within" -> ((s, d) => {
+      val e = ev(s, d)
+      val views = e.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts_us")
+      val buys = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us", "value")
+      AsOf.asofJoinWithin(views, buys, "user_id", "ts_us", "event_id",
+          "value", toleranceUs = 86400000000L)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          round(col("asof_value"), 6).as("asof_value"),
+          (col("ts_us") - col("asof_ts")).as("lag_us"))
+        .orderBy("event_id")
+    }),
+
+    // top user journeys: per-user event-type trigrams under the (ts, id)
+    // total order, counted corpus-wide with share — the paths report
+    // behind funnel design (order-2 extension of q108's transitions)
+    "q139_journeys" -> ((s, d) =>
+      graft.analytics.Analytics.journeys(ev(s, d))
+        .orderBy("t1", "t2", "t3")),
+
     // bounded-window range self-join: per user, every ordered event pair
     // within 6 hours — binned to window-width buckets so the per-user
     // cross product never materializes; aggregated to per-user burst
@@ -239,6 +263,55 @@ object TemporalQueries {
          SELECT event_id, user_id, ts_us, ROUND(av, 6) AS asof_value,
                 ts_us - at AS lag_us
          FROM w WHERE side = 1 ORDER BY event_id""",
+
+    "q138_asof_within" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, EPOCH_US(ts) AS ts_us, event_type, value
+           FROM events),
+         u AS (
+           SELECT event_id, user_id, ts_us, 1 AS side,
+                  NULL::DOUBLE AS rv, NULL::BIGINT AS rts
+           FROM ev WHERE event_type = 'view'
+           UNION ALL
+           SELECT event_id, user_id, ts_us, 0, value, ts_us
+           FROM ev WHERE event_type = 'purchase'),
+         w AS (
+           SELECT *,
+             LAST_VALUE(rv IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts_us, side, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS av,
+             LAST_VALUE(rts IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts_us, side, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS at
+           FROM u),
+         f AS (
+           SELECT event_id, user_id, ts_us,
+                  CASE WHEN at IS NOT NULL AND ts_us - at <= 86400000000
+                       THEN av END AS av,
+                  CASE WHEN at IS NOT NULL AND ts_us - at <= 86400000000
+                       THEN at END AS at
+           FROM w WHERE side = 1)
+         SELECT event_id, user_id, ts_us, ROUND(av, 6) AS asof_value,
+                ts_us - at AS lag_us
+         FROM f ORDER BY event_id""",
+
+    "q139_journeys" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, EPOCH_US(ts) AS ts_us, event_type
+           FROM events),
+         s AS (
+           SELECT user_id, event_type AS t1,
+                  LEAD(event_type, 1) OVER w AS t2,
+                  LEAD(event_type, 2) OVER w AS t3
+           FROM ev
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         c AS (
+           SELECT t1, t2, t3, COUNT(*) AS n FROM s
+           WHERE t3 IS NOT NULL GROUP BY 1, 2, 3),
+         t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c)
+         SELECT t1, t2, t3, n,
+                ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+         FROM c CROSS JOIN t ORDER BY t1, t2, t3""",
 
     "q95_range_pairs" ->
       """WITH ev AS (

@@ -34,6 +34,42 @@ class TemporalSpec extends SparkSpec {
     assert(out(104L) == ((None, None)))           // user with no right rows
   }
 
+  test("asofJoinWithin: stale matches null out, fresh ones survive") {
+    val left = Seq((100L, 1L, 50L), (101L, 1L, 500L))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((1L, 1L, 40L, 2.5)).toDF("event_id", "user_id", "ts", "value")
+    val out = AsOf.asofJoinWithin(left, right, "user_id", "ts", "event_id",
+        "value", toleranceUs = 100L)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        ((Option(r.getAs[Any]("asof_value")), Option(r.getAs[Any]("asof_ts"))))).toMap
+    assert(out(100L) == ((Some(2.5), Some(40L))))  // lag 10 <= 100
+    assert(out(101L) == ((None, None)))            // lag 460 > 100: capped
+  }
+
+  test("journeys: trigram counts under the (ts, id) order; shares sum to 1") {
+    val ev = Seq(
+      (1L, 1L, 10L, "view"), (2L, 1L, 20L, "click"), (3L, 1L, 30L, "purchase"),
+      (4L, 1L, 40L, "view"),
+      (5L, 2L, 10L, "view"), (6L, 2L, 20L, "click"), (7L, 2L, 30L, "purchase"))
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+    val out = graft.analytics.Analytics.journeys(ev)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(("view", "click", "purchase")) == ((2L, 0.666667)))
+    assert(out(("click", "purchase", "view")) == ((1L, 0.333333)))
+    assert(out.size == 2)
+  }
+
+  test("dupSourceAttribution: unordered cells, mirror direction collapses") {
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("ida", "idb")
+    val srcs = Seq((1L, "a"), (2L, "b"), (3L, "b"), (4L, "a"), (5L, "a"), (6L, "a"))
+      .toDF("doc_id", "source")
+    val out = graft.dedup.Dedup.dupSourceAttribution(pairs, srcs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("a", "b")) == 2L) // (a,b) and (b,a) collapse into one cell
+    assert(out(("a", "a")) == 1L)
+  }
+
   test("rangePairs == naive quadratic filter, each pair exactly once") {
     // deterministic pseudo-random event log; consecutive id pairs share
     // (user, ts) so zero-gap tie pairs are exercised
