@@ -69,6 +69,12 @@ object TrainingQueries {
     "q31_quality" -> ((s, d) =>
       TextOps.qualityScore(docs(s, d), stopwords).orderBy("doc_id")),
 
+    // multi-signal quality ensembling: q31's signals as GLOBAL percentile
+    // ranks (range-partitioned ordinals, no single-partition window) +
+    // mean-percentile blend with an exact-integer median keep threshold
+    "q141_quality_blend" -> ((s, d) =>
+      TextOps.qualityBlend(docs(s, d), stopwords).orderBy("doc_id")),
+
     "q32_langid" -> ((s, d) =>
       TextOps.langId(docs(s, d), langMarkers).orderBy("doc_id")),
 
@@ -765,6 +771,32 @@ object TrainingQueries {
                 ROUND((nc - (nt - 1)) / nt, 6) AS mean_token_len,
                 (nt >= 20 AND nt <= 2000 AND sh / nt >= 0.01 AND nd / nt >= 0.1) AS keep
          FROM m ORDER BY doc_id""",
+
+    "q141_quality_blend" ->
+      s"""WITH t AS (
+           SELECT doc_id, LENGTH(text) AS nc,
+                  REGEXP_SPLIT_TO_ARRAY(text, '\\s+') AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+                  ROUND(CAST(LEN(LIST_FILTER(toks, x -> ${langFilterSql(stopwords)})) AS DOUBLE)
+                        / CAST(LEN(toks) AS DOUBLE), 6) AS stop_ratio,
+                  ROUND(CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE)
+                        / CAST(LEN(toks) AS DOUBLE), 6) AS distinct_ratio,
+                  CAST(LEN(toks) AS BIGINT) AS n_tokens
+           FROM t),
+         r AS (
+           SELECT doc_id,
+                  ROW_NUMBER() OVER (ORDER BY stop_ratio, doc_id) AS r_stop,
+                  ROW_NUMBER() OVER (ORDER BY distinct_ratio, doc_id) AS r_distinct,
+                  ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS r_tokens
+           FROM m),
+         nn AS (SELECT COUNT(*) AS n FROM m)
+         SELECT doc_id, r_stop, r_distinct, r_tokens,
+                ROUND(CAST(r_stop + r_distinct + r_tokens AS DOUBLE)
+                      / (3.0 * CAST(nn.n AS DOUBLE)), 6) AS blend,
+                (r_stop + r_distinct + r_tokens) * 2 >= (nn.n + 1) * 3 AS keep
+         FROM r CROSS JOIN nn ORDER BY doc_id""",
 
     "q32_langid" -> {
       val langs = langMarkers.keys.toSeq.sorted

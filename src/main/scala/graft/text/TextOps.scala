@@ -73,6 +73,41 @@ object TextOps {
         distinctRatio >= 0.1).as("keep"))
   }
 
+  /** Multi-signal quality blend (the FineWeb-style ensembling step): each
+    * document's [[qualityScore]] signals (stop ratio, distinct ratio,
+    * token count — all oriented higher-is-better here) become GLOBAL
+    * percentile ranks via the range-partitioned [[graft.ops.Windows
+    * .globalOrdinal]] (no single-partition window at any corpus size),
+    * and the blend is their mean percentile with an exact-integer
+    * median-rank keep threshold `2·Σranks ≥ 3·(n+1)` — no float knife
+    * edge anywhere: ranks are integers over 6 dp-rounded signals with
+    * doc_id tie-breaks, and the blend itself is the single IEEE
+    * division at the end.
+    */
+  def qualityBlend(docs: DataFrame, stopwords: Seq[String]): DataFrame = {
+    // three ordinal consumers + the join base: materialize the signal
+    // frame once (the q62/q118 lesson)
+    val q = qualityScore(docs, stopwords)
+      .join(docs.select(col("doc_id"), size(tokensCol).cast("long").as("n_tokens")),
+        Seq("doc_id"))
+      .select("doc_id", "stop_ratio", "distinct_ratio", "n_tokens")
+      .localCheckpoint()
+    def ranked(sig: String, out: String) =
+      graft.ops.Windows.globalOrdinal(q.select(col("doc_id"), col(sig)),
+        Seq(col(sig).asc, col("doc_id").asc), out).select("doc_id", out)
+    val tot = q.agg(count(lit(1)).as("n"))
+    q.select("doc_id")
+      .join(ranked("stop_ratio", "r_stop"), Seq("doc_id"))
+      .join(ranked("distinct_ratio", "r_distinct"), Seq("doc_id"))
+      .join(ranked("n_tokens", "r_tokens"), Seq("doc_id"))
+      .withColumn("rank_sum", col("r_stop") + col("r_distinct") + col("r_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("r_stop"), col("r_distinct"), col("r_tokens"),
+        round(col("rank_sum").cast("double")
+          / (lit(3.0) * col("n").cast("double")), 6).as("blend"),
+        (col("rank_sum") * 2 >= (col("n") + 1) * 3).as("keep"))
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): for each
     * n-gram size, the fraction of n-gram occurrences claimed by the single
     * most frequent n-gram (`top_frac_n`) and the fraction that are repeats

@@ -103,6 +103,21 @@ class MiningSpec extends SparkSpec {
     assert(out(5L) == ((1L, 1.0)))
   }
 
+  test("qualityBlend: percentile ranks, mean blend, median keep threshold") {
+    val docs = Seq(
+      (1L, "a a"),          // worst on all three signals
+      (2L, "a b c"),
+      (3L, "the b c d"))    // best on all three (stopword hit, 4 tokens)
+      .toDF("doc_id", "text")
+    val out = graft.text.TextOps.qualityBlend(docs, Seq("the"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1) + r.getLong(2) + r.getLong(3), r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    assert(out(1L) == ((3L, 0.333333, false)))  // rank 1 everywhere
+    assert(out(2L) == ((6L, 0.666667, true)))   // exactly the median: kept
+    assert(out(3L) == ((9L, 1.0, true)))
+  }
+
   test("fingerprintNearDup: pigeonhole exactness at the maxHam boundary") {
     // fp 0 vs 3-bit flip: within ham 3 -> MUST pair (pigeonhole, no luck);
     // fp 0 vs 4-bit flip spread across all 4 bands: no shared band -> out

@@ -74,4 +74,43 @@ class ScaleShapeSpec extends SparkSpec {
       readSchema)
     assert(q.count() == 100L)
   }
+
+  test("partitioned layout: filters prune partitions at plan time") {
+    val dir = tmpDir("graft_part")
+    val ev = (1L to 300L).map(i =>
+      (i, Seq("view", "click", "purchase")((i % 3).toInt), i * 1.0))
+      .toDF("event_id", "event_type", "value")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("event_type") === "purchase")
+      .agg(sum(col("value")))
+    // the partition predicate must land in PartitionFilters (pruned at
+    // planning), NOT PushedFilters (evaluated per row group)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan.take(800))
+    val pf = scan.split("PartitionFilters: ")(1).split("]")(0)
+    assert(pf.contains("event_type"), s"partition filter missing: $pf")
+    // and the planned scan selects ONLY the matching partition (1 of 3),
+    // with the unfiltered scan as the control
+    def selected(df: org.apache.spark.sql.DataFrame) = {
+      // AQE wraps the physical plan in an AdaptiveSparkPlanExec leaf —
+      // unwrap to reach the actual scan node
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      plan.collectLeaves()
+        .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          (f.selectedPartitions.partitionCount,
+            f.selectedPartitions.totalNumberOfFiles) }.get
+    }
+    val (nPart, nFiles) = selected(q)
+    val (nPartAll, nFilesAll) = selected(
+      spark.read.parquet(dir).agg(sum(col("value"))))
+    assert(nPart == 1 && nPartAll == 3,
+      s"pruning must keep 1 of 3 partitions (got $nPart of $nPartAll)")
+    assert(nFiles < nFilesAll)
+    assert(q.head().getDouble(0) ==
+      (1L to 300L).filter(_ % 3 == 2).map(_ * 1.0).sum)
+  }
 }
