@@ -120,6 +120,49 @@ object Cluster {
     * reference's Leiden call (external C library). Returns
     * `(cell_id, cluster)` with clusters relabeled 1..C by size desc.
     */
+  /** DBSCAN over a precomputed ε-neighborhood pair set (from
+    * [[Knn.bucketedEpsNeighbors]] at scale, or an exact radius join):
+    * the classic density clustering a curation pipeline uses for
+    * embedding-space outlier pruning. `pairs (src, dst)` must contain
+    * both directions of every ε-pair (the LSH chain's symmetric
+    * construction guarantees it). A point is `core` iff its
+    * ε-neighborhood (self included) holds ≥ minPts points; clusters are
+    * connected components over core–core edges (distributed
+    * large/small-star, min-id labels); non-core points with a core
+    * ε-neighbor are `border` and take the MINIMUM neighboring core
+    * cluster (the deterministic tie policy — plain DBSCAN leaves border
+    * assignment order-dependent, which an engine replay cannot be);
+    * everything else is `noise` with a null cluster.
+    * Shapes: one degree aggregation, the CC rounds, two id-keyed joins.
+    */
+  def dbscan(universe: DataFrame, pairs: DataFrame, minPts: Int): DataFrame = {
+    val deg = pairs.groupBy("src").agg(count(lit(1)).as("_n"))
+    val core = deg.filter(col("_n") + 1 >= minPts)
+      .select(col("src").as("id")).localCheckpoint()
+    val coreEdges = pairs
+      .join(core.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(core.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .select(col("src"), col("dst"))
+    val lbl = graft.graph.ConnectedComponents.labels(coreEdges)
+    // isolated cores (no core neighbor) are their own singleton cluster
+    val coreLbl = core
+      .join(lbl.select(col("node").as("id"), col("component")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("cluster"))
+      .localCheckpoint()
+    val borderLbl = pairs
+      .join(core.select(col("id").as("src")), Seq("src"), "left_anti")
+      .join(coreLbl.select(col("id").as("dst"), col("cluster")), Seq("dst"))
+      .groupBy("src").agg(min(col("cluster")).as("cluster"))
+      .select(col("src").as("id"), col("cluster"))
+    val assigned = coreLbl.select(col("id"), col("cluster"), lit("core").as("role"))
+      .unionByName(borderLbl.select(col("id"), col("cluster"),
+        lit("border").as("role")))
+    universe.select(col("cell_id").as("id"))
+      .join(assigned, Seq("id"), "left")
+      .select(col("id"), coalesce(col("role"), lit("noise")).as("role"),
+        col("cluster"))
+  }
+
   def louvain(edges: DataFrame, maxPasses: Int = 10): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._

@@ -110,8 +110,36 @@ object Knn {
                   nPlanes: Int = 0, rounds: Int = 6,
                   excludeSelf: Boolean = false,
                   candFilter: DataFrame => DataFrame = identity): DataFrame = {
+    val (cand, release) = lshCandidates(queries, corpus, nPlanes, rounds, excludeSelf)
+    // checkpoint AFTER the k-bound, not before: the (src, dst) candidate
+    // aggregate is occupancy-sized (hundreds of millions of rows under
+    // adversarial replica skew), and an eager localCheckpoint would pin
+    // all of it in the block manager until RDD GC — successive ANN calls
+    // in one session then accumulate to OOM (found by the 40× ScaleProbe:
+    // silhouette's graph survived, LISI's follow-up build blew the heap).
+    // The un-checkpointed aggregate streams through the shuffle instead;
+    // only the n·k result is ever materialized.
+    val topk = candFilter(cand).groupBy("src", "dst").agg(min(col("dist")).as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("src").orderBy(round(col("dist"), 6), col("dst"))))
+      .filter(col("rn") <= k)
+      .select(col("src"), col("dst"), round(col("dist"), 6).as("dist"), col("rn"))
+      .localCheckpoint()
+    release()
+    topk
+  }
+
+  /** The shared seeded-LSH candidate chain behind [[bucketedKnn]] and
+    * [[bucketedEpsNeighbors]]: per round, precomputed-sign-matrix
+    * buckets + Hamming-1 multi-probe + exact in-bucket distances, all
+    * rounds unioned (PRE-dedup — callers aggregate). Returns the frame
+    * plus a release handle for the cached inputs.
+    */
+  private def lshCandidates(queries: DataFrame, corpus: DataFrame,
+                            nPlanes: Int, rounds: Int,
+                            excludeSelf: Boolean): (DataFrame, () => Unit) = {
     // both sides are re-bucketed every round — cache them once; released
-    // after the eager checkpoint of the (k-bounded) candidate aggregate
+    // by the caller after it materializes its bounded result
     val self = queries eq corpus
     val q0 = queries.cache()
     val c0 = if (self) q0 else corpus.cache()
@@ -143,23 +171,29 @@ object Knn {
       (if (excludeSelf) joined.filter(col("src") =!= col("dst")) else joined)
         .select(col("src"), col("dst"), l2dot(col("va"), col("vb")).as("dist"))
     }.reduce(_ unionByName _)
-    // checkpoint AFTER the k-bound, not before: the (src, dst) candidate
-    // aggregate is occupancy-sized (hundreds of millions of rows under
-    // adversarial replica skew), and an eager localCheckpoint would pin
-    // all of it in the block manager until RDD GC — successive ANN calls
-    // in one session then accumulate to OOM (found by the 40× ScaleProbe:
-    // silhouette's graph survived, LISI's follow-up build blew the heap).
-    // The un-checkpointed aggregate streams through the shuffle instead;
-    // only the n·k result is ever materialized.
-    val topk = candFilter(cand).groupBy("src", "dst").agg(min(col("dist")).as("dist"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("src").orderBy(round(col("dist"), 6), col("dst"))))
-      .filter(col("rn") <= k)
-      .select(col("src"), col("dst"), round(col("dist"), 6).as("dist"), col("rn"))
+    (cand, () => { q0.unpersist(); if (!self) c0.unpersist(); () })
+  }
+
+  /** All LSH-candidate pairs within `eps` euclidean distance — the
+    * ε-neighborhood graph (both directions present by the chain's
+    * symmetric construction), the input density-based clustering
+    * (DBSCAN) and radius queries run on. Same seeded chain as
+    * [[bucketedSelfKnn]] — recall follows the same planes/rounds rule —
+    * but the cut is a RADIUS, not a rank, so the result is
+    * occupancy-bounded rather than n·k-bounded: at 100 TB an eps that
+    * captures a constant fraction of the corpus is the caller's bug,
+    * not a plan property.
+    */
+  def bucketedEpsNeighbors(latent: DataFrame, eps: Double,
+                           nPlanes: Int = 0, rounds: Int = 6): DataFrame = {
+    val (cand, release) = lshCandidates(latent, latent, nPlanes, rounds,
+      excludeSelf = true)
+    val nb = cand.groupBy("src", "dst").agg(min(col("dist")).as("dist"))
+      .filter(round(col("dist"), 6) <= eps)
+      .select(col("src"), col("dst"), round(col("dist"), 6).as("dist"))
       .localCheckpoint()
-    q0.unpersist()
-    if (!self) c0.unpersist()
-    topk
+    release()
+    nb
   }
 
   /** UMAP smooth-knn-dist kernel: for one cell's ascending distance list,

@@ -131,6 +131,36 @@ object MiningQueries {
             lit("mirror").as("source")))
       Dedup.dupSourceAttribution(pairs, srcs)
         .orderBy("source_a", "source_b")
+    }),
+
+    // DBSCAN over the seeded-LSH ε-neighborhood graph: density-based
+    // embedding clustering with deterministic border assignment (min
+    // neighboring core cluster) — the outlier-pruning companion to
+    // SemDeDup's centroid clustering; the full chain (candidates, ε cut,
+    // degree gate, CC closure, border election) replays in DuckDB.
+    // The raw embeddings are near-uniform unit vectors (min pair dist
+    // 0.99), so density structure is PLANTED: each %25 vector gets
+    // scaled copies at 1.1/1.2/1.3/1.4 — a chain whose ±0.2-spaced
+    // links sit inside eps 0.25 and ±0.3 outside, yielding known
+    // core/border/noise roles at every SF (and scaling preserves the
+    // LSH direction, so planted chains never lose recall)
+    "q142_dbscan" -> ((s, d) => {
+      val base = Tables.t(s, d, "embeddings").select(
+        col("vec_id").as("cell_id"),
+        col("embedding").cast("array<double>").as("latent"))
+      val planted = Seq(1.1, 1.2, 1.3, 1.4).zipWithIndex
+        .map { case (m, i) =>
+          base.filter(col("cell_id") % 25 === 0)
+            .select((col("cell_id") + (i + 1) * 1000000L).as("cell_id"),
+              transform(col("latent"), x => x * m).as("latent"))
+        }
+        .foldLeft(base)(_ unionByName _)
+      val nb = graft.pipeline.Knn.bucketedEpsNeighbors(planted, eps = 0.25,
+        rounds = 6)
+      graft.pipeline.Cluster.dbscan(planted.select("cell_id"),
+          nb.select("src", "dst"), minPts = 4)
+        .select(col("id").as("vec_id"), col("role"), col("cluster"))
+        .orderBy("vec_id")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -344,5 +374,46 @@ object MiningQueries {
          FROM pairs p
          JOIN srcs sa ON p.ida = sa.doc_id
          JOIN srcs sb ON p.idb = sb.doc_id
-         GROUP BY 1, 2 ORDER BY 1, 2""")
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q142_dbscan" ->
+      s"""WITH RECURSIVE pe AS (
+           SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + m.k * 1000000,
+                  LIST_TRANSFORM(embedding::DOUBLE[], x -> x * m.mult)
+           FROM embeddings,
+                (SELECT UNNEST([1, 2, 3, 4]) AS k,
+                        UNNEST([1.1, 1.2, 1.3, 1.4]) AS mult) m
+           WHERE vec_id % 25 = 0),
+         ${TrainingQueries.annChainSqlFor("pe")},
+         nb AS (SELECT src, dst FROM d WHERE ROUND(dist, 6) <= 0.25),
+         deg AS (SELECT src, COUNT(*) AS n FROM nb GROUP BY src),
+         core AS (SELECT src AS id FROM deg WHERE n + 1 >= 4),
+         ce AS (
+           SELECT nb.src AS s, nb.dst AS t FROM nb
+           WHERE nb.src IN (SELECT id FROM core)
+             AND nb.dst IN (SELECT id FROM core)),
+         reach AS (
+           SELECT id AS node, id AS lbl FROM core
+           UNION
+           SELECT ce.t, r.lbl FROM reach r JOIN ce ON ce.s = r.node),
+         comp AS (SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node),
+         corelbl AS (
+           SELECT c.id, comp.cluster FROM core c JOIN comp ON c.id = comp.node),
+         borderlbl AS (
+           SELECT nb.src AS id, MIN(cl.cluster) AS cluster
+           FROM nb JOIN corelbl cl ON nb.dst = cl.id
+           WHERE nb.src NOT IN (SELECT id FROM core)
+           GROUP BY nb.src)
+         SELECT e.vec_id,
+                CASE WHEN c.id IS NOT NULL THEN 'core'
+                     WHEN b.id IS NOT NULL THEN 'border'
+                     ELSE 'noise' END AS role,
+                CASE WHEN c.id IS NOT NULL THEN c.cluster
+                     ELSE b.cluster END AS cluster
+         FROM pe e
+         LEFT JOIN corelbl c ON e.vec_id = c.id
+         LEFT JOIN borderlbl b ON e.vec_id = b.id
+         ORDER BY e.vec_id""")
 }

@@ -528,8 +528,8 @@ object TrainingQueries {
     * in `topk` — shared by q57 (the graph itself) and q125 (recall
     * evaluation against exact ground truth).
     */
-  private[queries] val annChainSql =
-    """v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+  private[queries] def annChainSqlFor(rel: String): String =
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM $rel),
          params AS (
            SELECT GREATEST(4, CAST(CEIL(LOG2(CAST(CEIL(COUNT(*) / 128.0) AS BIGINT))) AS INT)) AS np
            FROM v),
@@ -572,6 +572,8 @@ object TrainingQueries {
                   CAST(ROW_NUMBER() OVER (PARTITION BY src
                     ORDER BY ROUND(dist, 6), dst) AS INT) AS rn
            FROM d)"""
+
+  private[queries] val annChainSql = annChainSqlFor("embeddings")
 
   private def langFilterSql(words: Seq[String]): String =
     words.map(w => s"x = '$w'").mkString(" OR ")

@@ -146,6 +146,21 @@ class MiningSpec extends SparkSpec {
     assert(out.toSeq == Seq((9L, 6L, 6L)))
   }
 
+  test("dbscan: core/border/noise roles, min-label clusters, border election") {
+    // 1-2-3 mutually ε-close (dense triangle), 4 hangs off 3, 9 isolated
+    val uni = Seq(1L, 2L, 3L, 4L, 9L).toDF("cell_id")
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val pairs = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = graft.pipeline.Cluster.dbscan(uni, pairs, minPts = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2))))).toMap
+    assert(out(1L) == (("core", Some(1L))))
+    assert(out(2L) == (("core", Some(1L))))
+    assert(out(3L) == (("core", Some(1L)))) // deg 3 + self >= 3
+    assert(out(4L) == (("border", Some(1L)))) // 1 neighbor, but it's core
+    assert(out(9L) == (("noise", None)))
+  }
+
   test("clusterSizeStats: histogram over CC groups, keep-one yield") {
     val uni = (1L to 7L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("ida", "idb")
