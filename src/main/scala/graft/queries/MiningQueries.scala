@@ -161,9 +161,108 @@ object MiningQueries {
           nb.select("src", "dst"), minPts = 4)
         .select(col("id").as("vec_id"), col("role"), col("cluster"))
         .orderBy("vec_id")
+    }),
+
+    // product quantization: 4×16 codebooks (deterministic Lloyd per
+    // subspace), 1-byte-per-subspace codes (16× compression), ADC top-5
+    // per sampled query — the Lloyd training, the encoding, and the
+    // integer-nano ADC ranking all replay in DuckDB
+    "q143_pq_knn" -> ((s, d) => {
+      val vecs = Tables.t(s, d, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      graft.sim.Pq.pqSelfTopK(vecs).orderBy("qid", "rn")
     }))
 
+  /** q143's per-subspace deterministic-Lloyd chain (the q83 template,
+    * without sampling/normalization — [[graft.pipeline.Cluster
+    * .lloydWithCenters]] trains on every vector): subvector slice,
+    * md5-ordered distinct-vector init, `iters` assign/update rounds
+    * with 9 dp-rounded means (empty clusters keep their center), final
+    * full-corpus assignment as `codes_<s>`.
+    */
+  private def pqLloydSql(s: Int, k: Int, iters: Int, seed: Long, w: Int): String = {
+    val lo = s * w + 1; val hi = s * w + w
+    def d2(a: String, c: String) =
+      s"list_sum(list_transform(range(1, ${w + 1}), i -> ($a[i] - $c[i]) * ($a[i] - $c[i])))"
+    val its = (1 to iters).map { t =>
+      s"""
+  asg_${s}_$t AS MATERIALIZED (
+    SELECT cell_id, cid FROM (
+      SELECT sv.cell_id, kk.cid,
+             ROW_NUMBER() OVER (PARTITION BY sv.cell_id
+               ORDER BY ${d2("sv.p", "kk.c")}, kk.cid) AS rn
+      FROM sv_$s sv CROSS JOIN cent_${s}_${t - 1} kk) WHERE rn = 1),
+  cent_${s}_$t AS MATERIALIZED (
+    SELECT pp.cid, COALESCE(m.c, pp.c) AS c
+    FROM cent_${s}_${t - 1} pp LEFT JOIN (
+      SELECT cid, LIST(m ORDER BY pos) AS c FROM (
+        SELECT a.cid, u.pos, ROUND(AVG(u.x), 9) AS m
+        FROM asg_${s}_$t a JOIN svex_$s u ON a.cell_id = u.cell_id
+        GROUP BY a.cid, u.pos)
+      GROUP BY cid) m ON pp.cid = m.cid)"""
+    }.mkString(",")
+    s"""
+  sv_$s AS MATERIALIZED (SELECT cell_id, p[$lo:$hi] AS p FROM vv),
+  svex_$s AS MATERIALIZED (
+    SELECT cell_id, GENERATE_SUBSCRIPTS(p, 1) AS pos, UNNEST(p) AS x FROM sv_$s),
+  init_$s AS MATERIALIZED (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY hsh, cell_id) AS INT) AS cid, p AS c
+    FROM (SELECT * FROM (
+            SELECT sv.*, MD5('${seed + s}:' || cell_id) AS hsh,
+                   ROW_NUMBER() OVER (PARTITION BY p
+                     ORDER BY MD5('${seed + s}:' || cell_id), cell_id) AS rv
+            FROM sv_$s sv) WHERE rv = 1)
+    ORDER BY hsh, cell_id LIMIT $k),
+  cent_${s}_0 AS MATERIALIZED (SELECT cid, c FROM init_$s),$its,
+  codes_$s AS MATERIALIZED (
+    SELECT cell_id, cid FROM (
+      SELECT sv.cell_id, kk.cid,
+             ROW_NUMBER() OVER (PARTITION BY sv.cell_id
+               ORDER BY ${d2("sv.p", "kk.c")}, kk.cid) AS rn
+      FROM sv_$s sv CROSS JOIN cent_${s}_$iters kk) WHERE rn = 1),
+  tab_$s AS MATERIALIZED (
+    SELECT q.cell_id AS qid, kk.cid,
+           list_sum(list_transform(range(1, ${w + 1}), i ->
+             (CAST(ROUND(q.p[i] * 1000000.0) AS BIGINT)
+                - CAST(ROUND(kk.c[i] * 1000000.0) AS BIGINT))
+             * (CAST(ROUND(q.p[i] * 1000000.0) AS BIGINT)
+                - CAST(ROUND(kk.c[i] * 1000000.0) AS BIGINT)))) AS d2m
+    FROM (SELECT cell_id, p[$lo:$hi] AS p FROM vv WHERE cell_id % 50 = 0) q
+    CROSS JOIN cent_${s}_$iters kk)"""
+  }
+
+  private def q143OracleSql: String = {
+    // the test embeddings are 64-dim (Spark derives this; the oracle
+    // pins it — a dim change would fail loudly on row counts)
+    val m = 4; val k = 16; val iters = 5; val seed = 77L; val w = 16
+    val chains = (0 until m).map(s => pqLloydSql(s, k, iters, seed, w)).mkString(",")
+    val codesU = (0 until m).map(s => s"SELECT $s AS s, * FROM codes_$s")
+      .mkString("\n           UNION ALL ")
+    val tabU = (0 until m).map(s => s"SELECT $s AS s, * FROM tab_$s")
+      .mkString("\n           UNION ALL ")
+    s"""WITH vv AS MATERIALIZED (
+    SELECT vec_id AS cell_id, embedding::DOUBLE[] AS p FROM embeddings),$chains,
+  codes AS ($codesU),
+  tab AS ($tabU),
+  adc AS (
+    SELECT t.qid, c.cell_id AS dst, CAST(SUM(t.d2m) AS BIGINT) AS adc_micro
+    FROM codes c JOIN tab t ON t.s = c.s AND t.cid = c.cid
+    WHERE c.cell_id != t.qid
+    GROUP BY t.qid, c.cell_id),
+  tk AS (
+    SELECT qid, dst, adc_micro,
+           CAST(ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY adc_micro, dst) AS INT) AS rn
+    FROM adc)
+  SELECT qid, dst,
+         ROUND(SQRT(CAST(adc_micro AS DOUBLE) / 1000000000000.0), 6) AS adc_dist,
+         rn
+  FROM tk WHERE rn <= 5 ORDER BY qid, rn"""
+  }
+
   val oracle: Map[String, String] = Map(
+
+    "q143_pq_knn" -> q143OracleSql,
 
     "q130_hard_negatives" ->
       s"""WITH ${TrainingQueries.annChainSql},

@@ -1,0 +1,85 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search") — the codebook compression path between
+  * q80's int8 scalar quantization and a full ANN index: vectors split
+  * into `m` subvectors, each subspace trained to a `k`-centroid
+  * codebook with the deterministic Lloyd protocol
+  * ([[graft.pipeline.Cluster.lloydWithCenters]] — md5-ordered
+  * distinct-vector init, 9 dp-rounded means), every vector encoded as
+  * `m` one-byte codes (m·log₂k bits ≈ 16× compression at m=4, k=16 on
+  * 128-dim float), and queries scored by Asymmetric Distance
+  * Computation: per query, an m×k table of exact sub-distances, then a
+  * table-lookup sum per candidate.
+  *
+  * Scale shape: training touches subvectors only (m sequential Lloyd
+  * runs — each one aggregation per iteration, centers-only driver
+  * traffic); the scoring join is (codes ⋈ table) keyed by (sub, code) —
+  * the table is m·k rows per query (BROADCAST), so the corpus side is
+  * one map-side join + one (qid, dst) aggregation, never a vector-space
+  * crossing. The ADC sums run in exact integer nano-units (the q105/
+  * q134 associative-escape-hatch trick), so ranking has no
+  * reassociation knife edge and the whole chain — Lloyd training
+  * included — replays engine-exact in the DuckDB oracle.
+  */
+object Pq {
+
+  /** Top-k ADC neighbors of every `queryMod`-sampled vector.
+    * `vecs (vec_id, v: array<double>)` → `(qid, dst, adc_dist, rn)`.
+    */
+  def pqSelfTopK(vecs: DataFrame, m: Int = 4, k: Int = 16, iters: Int = 5,
+                 seed: Long = 77L, queryMod: Int = 50, topK: Int = 5): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val dim = vecs.agg(max(size(col("v"))).as("d")).head.getInt(0)
+    require(dim % m == 0, s"dim $dim must split into $m subvectors")
+    val w = dim / m
+    // feeds m Lloyd trainings + the query slice — materialize once
+    val cached = vecs.select(col("vec_id"), col("v")).localCheckpoint()
+    val parts = (0 until m).map { s =>
+      val sub = cached.select(col("vec_id").as("cell_id"),
+        expr(s"slice(v, ${s * w + 1}, $w)").as("latent"))
+      val (assigned, centers) =
+        graft.pipeline.Cluster.lloydWithCenters(sub, k, iters, seed + s)
+      val codes = assigned.select(lit(s).as("s"), col("cell_id"),
+        col("cluster").cast("int").as("cid"))
+      val centersDf = centers.zipWithIndex
+        .map { case (c, i) => (s, i + 1, c.toSeq) }.toSeq
+        .toDF("s", "cid", "c")
+      (codes, centersDf)
+    }
+    val codes = parts.map(_._1).reduce(_ unionByName _)
+    val cents = parts.map(_._2).reduce(_ unionByName _)
+    val qsub = cached.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), explode(expr(
+        s"""transform(sequence(0, ${m - 1}),
+              s -> named_struct('s', s, 'qv', slice(v, s * $w + 1, $w)))"""))
+        .as("e"))
+      .select(col("qid"), col("e.s").as("s"), col("e.qv").as("qv"))
+    // the per-query distance table in fixed-point: components quantize
+    // to integer micros FIRST (the q115 trick), so the squared
+    // sub-distances and their sums are exact integer arithmetic — a
+    // float fold would differ from another engine's at the ULP, and the
+    // ranking quantization captures every ULP
+    def fix(c: org.apache.spark.sql.Column) = round(c * lit(1e6)).cast("long")
+    val tab = qsub.join(broadcast(cents), Seq("s"))
+      .select(col("s"), col("qid"), col("cid"),
+        aggregate(zip_with(col("qv"), col("c"),
+          (x, y) => (fix(x) - fix(y)) * (fix(x) - fix(y))),
+          lit(0L), (a, x) => a + x).as("d2m"))
+    val adc = codes.join(tab, Seq("s", "cid"))
+      .filter(col("cell_id") =!= col("qid"))
+      .groupBy(col("qid"), col("cell_id").as("dst"))
+      .agg(sum(col("d2m")).as("adc_micro"))
+    adc.withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc_micro"), col("dst"))))
+      .filter(col("rn") <= topK)
+      .select(col("qid"), col("dst"),
+        round(sqrt(col("adc_micro") / lit(1e12)), 6).as("adc_dist"),
+        col("rn").cast("int").as("rn"))
+  }
+}

@@ -933,7 +933,11 @@ object TextOps {
           element_at(col("w"), i + 2).as("w2")))).as("b"))
       .select(col("b.w1"), col("b.w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val nBig = big.agg(sum(col("c12")).as("n_big"))
+    // bigram total = Σ (len − 1): closed form over doc lengths, not a
+    // second evaluation of the exploded bigram aggregation
+    val nBig = docs.select(w.as("w"))
+      .select(greatest(size(col("w")) - 1, lit(0)).as("nb"))
+      .agg(sum(col("nb")).cast("long").as("n_big"))
     big.filter(col("c12") >= minCount)
       .join(uni.select(col("tok").as("w1"), col("c").as("c1")), Seq("w1"))
       .join(uni.select(col("tok").as("w2"), col("c").as("c2")), Seq("w2"))
@@ -971,7 +975,13 @@ object TextOps {
               END))""")).as("b"))
       .select(col("b.w1"), col("b.w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val nPairs = prs.agg(sum(col("c12")).as("n_pairs"))
+    // the pair total is a closed form of the doc lengths (Σ_o len−o) —
+    // one cheap length aggregation instead of a second evaluation of
+    // the exploded pair aggregation
+    val nPairs = docs.select(tokensCol.as("w"))
+      .select(expr(s"""aggregate(transform(sequence(1, $window),
+          o -> greatest(size(w) - o, 0)), 0, (a, x) -> a + x)""").as("np"))
+      .agg(sum(col("np")).cast("long").as("n_pairs"))
     prs.filter(col("c12") >= minCount)
       .join(uni.select(col("tok").as("w1"), col("c").as("c1")), Seq("w1"))
       .join(uni.select(col("tok").as("w2"), col("c").as("c2")), Seq("w2"))

@@ -146,6 +146,26 @@ class MiningSpec extends SparkSpec {
     assert(out.toSeq == Seq((9L, 6L, 6L)))
   }
 
+  test("pqSelfTopK: ADC ranking keeps well-separated groups apart") {
+    // two orthogonal groups in 8 dims with deterministic jitter; ids
+    // 0..39, even-tens are queries. ADC over 2x4 codebooks must rank
+    // every query's own group above the other group.
+    val vecs = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0, 0, 0, 0, 1.0, 0, 0, 0)
+                 else Seq(0, 0, 0, 1.0, 0, 0, 0, 1.0)
+      (i, base.map(_ + i * 0.001))
+    }.toDF("vec_id", "v")
+    val out = graft.sim.Pq.pqSelfTopK(vecs, m = 2, k = 4, iters = 3,
+        seed = 5L, queryMod = 10, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(out.nonEmpty)
+    assert(out.map(_._1).distinct.sorted.toSeq == Seq(0L, 10L, 20L, 30L))
+    out.foreach { case (q, dst, _) =>
+      assert(q % 2 == dst % 2, s"query $q paired across groups with $dst")
+    }
+    assert(out.groupBy(_._1).values.forall(_.length == 5))
+  }
+
   test("dbscan: core/border/noise roles, min-label clusters, border election") {
     // 1-2-3 mutually ε-close (dense triangle), 4 hangs off 3, 9 isolated
     val uni = Seq(1L, 2L, 3L, 4L, 9L).toDF("cell_id")
