@@ -171,6 +171,40 @@ object MiningQueries {
       val vecs = Tables.t(s, d, "embeddings").select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
       graft.sim.Pq.pqSelfTopK(vecs).orderBy("qid", "rn")
+    }),
+
+    // PQ recall@5 vs exact ground truth on the same query sample — the
+    // compression-vs-accuracy gate next to q125's ANN recall, as an
+    // oracled single-row report (the eval harness itself under the gate).
+    // Expected LOW on this table: the synthetic embeddings are
+    // near-uniform unit vectors — the known PQ worst case (no cluster
+    // structure for the codebooks to exploit; Jégou 2011 §V) — which is
+    // exactly what this gate exists to surface before anyone ships a
+    // 16× compressed index on data it can't represent (MiningSpec's
+    // grouped-data test shows the same chain at recall 1.0)
+    "q144_pq_recall" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val vecs = Tables.t(s, d, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val pq = graft.sim.Pq.pqSelfTopK(vecs)
+        .select(col("qid").as("src"), col("dst"))
+      val q = vecs.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("src"), col("v").as("va"))
+      val ex = vecs.select(col("vec_id").as("dst"), col("v").as("vb"))
+        .crossJoin(broadcast(q)).filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          round(graft.sim.Similarity.l2(col("va"), col("vb")), 6).as("dist"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("src").orderBy(col("dist"), col("dst"))))
+        .filter(col("rn") <= 5).select("src", "dst")
+      val hits = ex.groupBy("src").agg(count(lit(1)).as("k"))
+        .join(ex.join(pq, Seq("src", "dst"), "left_semi")
+          .groupBy("src").agg(count(lit(1)).as("h")), Seq("src"), "left")
+        .na.fill(0, Seq("h"))
+      hits.agg(count(lit(1)).as("n_queries"),
+        round(sum(col("h")).cast("double")
+          / (lit(5.0) * count(lit(1)).cast("double")), 6).as("recall_mean"),
+        sum(when(col("h") === 5, 1).otherwise(0)).as("n_perfect"))
     }))
 
   /** q143's per-subspace deterministic-Lloyd chain (the q83 template,
@@ -231,16 +265,19 @@ object MiningQueries {
     CROSS JOIN cent_${s}_$iters kk)"""
   }
 
-  private def q143OracleSql: String = {
-    // the test embeddings are 64-dim (Spark derives this; the oracle
-    // pins it — a dim change would fail loudly on row counts)
+  /** The full PQ chain ending in `tk (qid, dst, adc_micro, rn)` —
+    * shared by q143 (the ADC top-k itself) and q144 (recall vs exact
+    * ground truth). The test embeddings are 64-dim (Spark derives this;
+    * the oracle pins it — a dim change would fail loudly on row counts).
+    */
+  private def pqChainSql: String = {
     val m = 4; val k = 16; val iters = 5; val seed = 77L; val w = 16
     val chains = (0 until m).map(s => pqLloydSql(s, k, iters, seed, w)).mkString(",")
     val codesU = (0 until m).map(s => s"SELECT $s AS s, * FROM codes_$s")
       .mkString("\n           UNION ALL ")
     val tabU = (0 until m).map(s => s"SELECT $s AS s, * FROM tab_$s")
       .mkString("\n           UNION ALL ")
-    s"""WITH vv AS MATERIALIZED (
+    s"""vv AS MATERIALIZED (
     SELECT vec_id AS cell_id, embedding::DOUBLE[] AS p FROM embeddings),$chains,
   codes AS ($codesU),
   tab AS ($tabU),
@@ -253,16 +290,47 @@ object MiningQueries {
     SELECT qid, dst, adc_micro,
            CAST(ROW_NUMBER() OVER (PARTITION BY qid
              ORDER BY adc_micro, dst) AS INT) AS rn
-    FROM adc)
+    FROM adc)"""
+  }
+
+  private def q143OracleSql: String =
+    s"""WITH $pqChainSql
   SELECT qid, dst,
          ROUND(SQRT(CAST(adc_micro AS DOUBLE) / 1000000000000.0), 6) AS adc_dist,
          rn
   FROM tk WHERE rn <= 5 ORDER BY qid, rn"""
-  }
+
+  private def q144OracleSql: String =
+    s"""WITH $pqChainSql,
+  pqk AS (SELECT qid, dst FROM tk WHERE rn <= 5),
+  exd AS (
+    SELECT q.cell_id AS src, c.cell_id AS dst,
+           ROUND(SQRT(GREATEST(LIST_DOT_PRODUCT(q.p, q.p)
+             - 2 * LIST_DOT_PRODUCT(q.p, c.p)
+             + LIST_DOT_PRODUCT(c.p, c.p), 0)), 6) AS dist
+    FROM vv q CROSS JOIN vv c
+    WHERE q.cell_id % 50 = 0 AND q.cell_id != c.cell_id),
+  exk AS (
+    SELECT src, dst FROM (
+      SELECT src, dst,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+      FROM exd)
+    WHERE rn <= 5),
+  hits AS (
+    SELECT e.src, COUNT(a.dst) AS h
+    FROM exk e LEFT JOIN pqk a ON a.qid = e.src AND a.dst = e.dst
+    GROUP BY e.src)
+  SELECT COUNT(*) AS n_queries,
+         ROUND(CAST(SUM(h) AS DOUBLE) / (5.0 * CAST(COUNT(*) AS DOUBLE)), 6)
+           AS recall_mean,
+         CAST(SUM(CASE WHEN h = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect
+  FROM hits"""
 
   val oracle: Map[String, String] = Map(
 
     "q143_pq_knn" -> q143OracleSql,
+
+    "q144_pq_recall" -> q144OracleSql,
 
     "q130_hard_negatives" ->
       s"""WITH ${TrainingQueries.annChainSql},
