@@ -211,6 +211,17 @@ object TemporalQueries {
           "event_type", "user_id")
         .orderBy("event_type")),
 
+    // the SAME estimate through the typed Aggregator (the custom-UDAF
+    // extension-surface leg): one 64-byte mergeable buffer per group,
+    // usable identically in streaming windowed aggregations
+    "q145_hll_aggregator" -> ((s, d) =>
+      Tables.t(s, d, "events").select("event_type", "user_id")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          graft.stats.HllAggregator.column(col("user_id").cast("string"))
+            .as("hll_est"))
+        .orderBy("event_type")),
+
     // CDC changelog compaction: latest row per (user, type) under the
     // (ts desc, event_id desc) total order — the snapshot-read primitive
     "q128_latest_state" -> ((s, d) =>
@@ -237,6 +248,50 @@ object TemporalQueries {
   private val bm25Queries = Seq(
     (1, "data table scan"), (2, "hash join order"),
     (3, "fast query filter"), (4, "stream window agg"))
+
+  /** q112's HLL chain up to the per-type register sums / exact counts —
+    * shared by q112 (relational form, with n_zero_regs) and q145 (the
+    * typed-Aggregator form, estimate only).
+    */
+  private[queries] val hllChainSql =
+    """hs AS (
+           SELECT event_type,
+                  CAST('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h
+           FROM events),
+         p AS (
+           SELECT event_type, h // 18014398509481984 AS idx,
+                  h % 18014398509481984 AS w
+           FROM hs),
+         jb AS (
+           SELECT event_type, idx, w,
+                  MAX(CASE WHEN (w >> j) > 0 THEN j END) AS hbj
+           FROM p, LATERAL (SELECT UNNEST(RANGE(0, 54)) AS j)
+           GROUP BY 1, 2, 3),
+         reg AS (
+           SELECT event_type, idx,
+                  MAX(CASE WHEN w = 0 THEN 55 ELSE 54 - hbj END) AS rho
+           FROM jb GROUP BY 1, 2),
+         ar AS (
+           SELECT g.event_type, i.idx, COALESCE(reg.rho, 0) AS rho
+           FROM (SELECT DISTINCT event_type FROM events) g
+           CROSS JOIN (SELECT UNNEST(RANGE(0, 64)) AS idx) i
+           LEFT JOIN reg ON reg.event_type = g.event_type AND reg.idx = i.idx),
+         s AS (
+           SELECT event_type,
+                  CAST(SUM(CAST(1 AS BIGINT) << CAST(55 - rho AS INT)) AS BIGINT)
+                    AS sm,
+                  CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_zero_regs
+           FROM ar GROUP BY 1),
+         e AS (
+           SELECT event_type, n_zero_regs,
+                  0.709 * 4096.0 * POW(CAST(2.0 AS DOUBLE), 55)
+                    / CAST(sm AS DOUBLE) AS er
+           FROM s),
+         ex AS (
+           SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+           FROM events GROUP BY 1)"""
 
   def oracle: Map[String, String] = Map(
 
@@ -614,45 +669,16 @@ object TemporalQueries {
          ORDER BY user_id, p""",
 
     "q112_hll_distinct" ->
-      """WITH hs AS (
-           SELECT event_type,
-                  CAST('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 15)
-                    AS BIGINT) AS h
-           FROM events),
-         p AS (
-           SELECT event_type, h // 18014398509481984 AS idx,
-                  h % 18014398509481984 AS w
-           FROM hs),
-         jb AS (
-           SELECT event_type, idx, w,
-                  MAX(CASE WHEN (w >> j) > 0 THEN j END) AS hbj
-           FROM p, LATERAL (SELECT UNNEST(RANGE(0, 54)) AS j)
-           GROUP BY 1, 2, 3),
-         reg AS (
-           SELECT event_type, idx,
-                  MAX(CASE WHEN w = 0 THEN 55 ELSE 54 - hbj END) AS rho
-           FROM jb GROUP BY 1, 2),
-         ar AS (
-           SELECT g.event_type, i.idx, COALESCE(reg.rho, 0) AS rho
-           FROM (SELECT DISTINCT event_type FROM events) g
-           CROSS JOIN (SELECT UNNEST(RANGE(0, 64)) AS idx) i
-           LEFT JOIN reg ON reg.event_type = g.event_type AND reg.idx = i.idx),
-         s AS (
-           SELECT event_type,
-                  CAST(SUM(CAST(1 AS BIGINT) << CAST(55 - rho AS INT)) AS BIGINT)
-                    AS sm,
-                  CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
-                    AS n_zero_regs
-           FROM ar GROUP BY 1),
-         e AS (
-           SELECT event_type, n_zero_regs,
-                  0.709 * 4096.0 * POW(CAST(2.0 AS DOUBLE), 55)
-                    / CAST(sm AS DOUBLE) AS er
-           FROM s),
-         ex AS (
-           SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
-           FROM events GROUP BY 1)
+      s"""WITH $hllChainSql
          SELECT ex.event_type, ex.n_exact, e.n_zero_regs,
+                ROUND(CASE WHEN er <= 160.0 AND n_zero_regs > 0
+                           THEN 64.0 * LN(64.0 / CAST(n_zero_regs AS DOUBLE))
+                           ELSE er END, 4) AS hll_est
+         FROM ex JOIN e USING (event_type) ORDER BY event_type""",
+
+    "q145_hll_aggregator" ->
+      s"""WITH $hllChainSql
+         SELECT ex.event_type, ex.n_exact,
                 ROUND(CASE WHEN er <= 160.0 AND n_zero_regs > 0
                            THEN 64.0 * LN(64.0 / CAST(n_zero_regs AS DOUBLE))
                            ELSE er END, 4) AS hll_est

@@ -128,4 +128,30 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(rs.filter(_._1 == 7L).map(_._2).sorted.toSeq == Seq(2, 3))
     assert(rs.filter(_._1 == 8L).map(_._2).toSeq == Seq(1))
   }
+
+  test("HllAggregator: streaming windowed distinct estimate == batch estimate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = input.toDF()
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(graft.stats.HllAggregator.column(col("user_id").cast("string"))
+        .as("hll_est"))
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("update").start()
+    val evs = (1L to 40L).map(i => Event(i, ts(i.toInt % 50), i % 13, "view", 1.0))
+    input.addData(evs.take(20): _*)
+    q.processAllAvailable()
+    input.addData(evs.drop(20): _*)   // same window: state must merge
+    q.processAllAvailable()
+    val streamed = spark.table("hll_stream")
+      .orderBy(col("window.start")).collect()
+      .map(r => r.getAs[Double]("hll_est")).last
+    q.stop()
+    val batch = evs.toDF()
+      .agg(graft.stats.HllAggregator.column(col("user_id").cast("string")))
+      .head().getDouble(0)
+    assert(streamed == batch) // mergeable state converges to the batch answer
+  }
 }
