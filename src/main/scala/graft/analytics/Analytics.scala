@@ -141,6 +141,29 @@ object Analytics {
     * anywhere. The `(ts, id)` ordering is total per user (ids unique), so
     * session numbering is deterministic including simultaneous events.
     */
+  /** SCD2 history build: the changelog → interval-table transform
+    * behind slowly-changing-dimension reads — every (key, type) change
+    * row becomes a validity interval `[valid_from, valid_to)` with
+    * `valid_to` = the next change's timestamp under the (ts, id) total
+    * order (NULL = current). The companion to [[latestState]] (which
+    * keeps only the last interval): one lead() per key partition, a
+    * single shuffle, zero-length intervals for equal-ts changes are
+    * preserved (they are real changelog facts, and dropping them would
+    * make the transform lossy).
+    */
+  def scd2(ev: DataFrame, tsCol: String = "ts_us",
+           idCol: String = "event_id", userCol: String = "user_id",
+           typeCol: String = "event_type", valCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy(userCol, typeCol)
+      .orderBy(col(tsCol), col(idCol))
+    ev.select(col(userCol), col(typeCol), col(idCol), col(tsCol),
+        round(col(valCol), 6).as("value"))
+      .withColumn("valid_to_us", lead(col(tsCol), 1).over(w))
+      .select(col(userCol), col(typeCol), col(idCol), col("value"),
+        col(tsCol).as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+  }
+
   /** Per-event sliding-window rate: for every event, how many events the
     * same user produced in the trailing `windowUs` (value-RANGE frame,
     * so equal-timestamp peers are all in-frame in every engine) plus

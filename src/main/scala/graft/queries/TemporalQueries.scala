@@ -211,6 +211,13 @@ object TemporalQueries {
           "event_type", "user_id")
         .orderBy("event_type")),
 
+    // SCD2 history build: every (user, type) change row becomes a
+    // validity interval under the (ts, id) total order — the
+    // interval-table companion to q128's latest-state compaction
+    "q146_scd2" -> ((s, d) =>
+      graft.analytics.Analytics.scd2(ev(s, d))
+        .orderBy("user_id", "event_type", "valid_from_us", "event_id")),
+
     // the SAME estimate through the typed Aggregator (the custom-UDAF
     // extension-surface leg): one 64-byte mergeable buffer per group,
     // usable identically in streaming windowed aggregations
@@ -683,6 +690,20 @@ object TemporalQueries {
                            THEN 64.0 * LN(64.0 / CAST(n_zero_regs AS DOUBLE))
                            ELSE er END, 4) AS hll_est
          FROM ex JOIN e USING (event_type) ORDER BY event_type""",
+
+    "q146_scd2" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, event_id, EPOCH_US(ts) AS ts_us,
+                  ROUND(value, 6) AS value
+           FROM events)
+         SELECT user_id, event_type, event_id, value,
+                ts_us AS valid_from_us,
+                LEAD(ts_us, 1) OVER (PARTITION BY user_id, event_type
+                  ORDER BY ts_us, event_id) AS valid_to_us,
+                LEAD(ts_us, 1) OVER (PARTITION BY user_id, event_type
+                  ORDER BY ts_us, event_id) IS NULL AS is_current
+         FROM ev
+         ORDER BY user_id, event_type, valid_from_us, event_id""",
 
     "q106_phrase_search" ->
       """WITH t AS (

@@ -183,4 +183,21 @@ class AnalyticsSpec extends SparkSpec {
       .select("p").as[Long].collect().toSeq
     assert(cut == Seq(0L))
   }
+
+  test("scd2: intervals chain per key; only the last row is current") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, 7L, "state", 1.0), (2L, 20L, 7L, "state", 2.0),
+      (3L, 20L, 7L, "state", 3.0),  // equal-ts change: zero-length interval
+      (4L, 5L, 8L, "state", 9.0))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+    val out = graft.analytics.Analytics.scd2(ev)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("valid_from_us"), Option(r.getAs[Any]("valid_to_us")),
+          r.getAs[Boolean]("is_current")))).toMap
+    assert(out(1L) == ((10L, Some(20L), false)))
+    assert(out(2L) == ((20L, Some(20L), false))) // zero-length, preserved
+    assert(out(3L) == ((20L, None, true)))
+    assert(out(4L) == ((5L, None, true)))        // other key independent
+  }
 }
