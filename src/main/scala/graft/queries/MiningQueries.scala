@@ -205,7 +205,22 @@ object MiningQueries {
         round(sum(col("h")).cast("double")
           / (lit(5.0) * count(lit(1)).cast("double")), 6).as("recall_mean"),
         sum(when(col("h") === 5, 1).otherwise(0)).as("n_perfect"))
-    }))
+    }),
+
+    // per-label embedding diversity via the closed-form pair identity
+    // (2n·Σ|x|² − 2|Σx|²) — NO pair join at any label size; fixed-point
+    // integer sums, decimal(38) products, one double at the end
+    "q147_label_diversity" -> ((s, d) =>
+      graft.sim.Similarity.labelDiversity(Tables.t(s, d, "embeddings"))
+        .orderBy("label")),
+
+    // vocabulary novelty curve: new TRIGRAM types per 50-doc slice +
+    // cumulative vocabulary — the data-saturation diagnostic (trigram
+    // types, because this corpus's 31-token unigram vocabulary
+    // saturates inside the first slice; the trigram curve decays
+    // 2413 -> 886 new types across sf0.01's ten slices)
+    "q148_vocab_novelty" -> ((s, d) =>
+      TextOps.vocabNovelty(docs(s, d), bucket = 50, n = 3).orderBy("bucket")))
 
   /** q143's per-subspace deterministic-Lloyd chain (the q83 template,
     * without sampling/normalization — [[graft.pipeline.Cluster
@@ -331,6 +346,51 @@ object MiningQueries {
     "q143_pq_knn" -> q143OracleSql,
 
     "q144_pq_recall" -> q144OracleSql,
+
+    "q147_label_diversity" ->
+      """WITH v AS (
+           SELECT label,
+                  LIST_TRANSFORM(embedding::DOUBLE[],
+                    x -> CAST(ROUND(x * 1000000.0) AS BIGINT)) AS q
+           FROM embeddings),
+         s2n AS (
+           SELECT label,
+                  CAST(SUM(list_sum(list_transform(q, x -> x * x))) AS BIGINT)
+                    AS s2,
+                  COUNT(*) AS n
+           FROM v GROUP BY label),
+         xd AS (
+           SELECT label, pos, CAST(SUM(x) AS BIGINT) AS xd
+           FROM (SELECT label, GENERATE_SUBSCRIPTS(q, 1) AS pos, UNNEST(q) AS x
+                 FROM v)
+           GROUP BY 1, 2),
+         xx AS (
+           SELECT label,
+                  SUM(CAST(xd AS HUGEINT) * CAST(xd AS HUGEINT)) AS xx
+           FROM xd GROUP BY label)
+         SELECT s.label, s.n,
+                ROUND(CAST(2 * CAST(s.n AS HUGEINT) * CAST(s.s2 AS HUGEINT)
+                           - 2 * x.xx AS DOUBLE)
+                      / CAST(s.n * (s.n - 1) AS DOUBLE)
+                      / 1000000000000.0, 6) AS mean_sq_dist
+         FROM s2n s JOIN xx x USING (label) ORDER BY s.label""",
+
+    "q148_vocab_novelty" ->
+      """WITH t AS (
+           SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w FROM documents),
+         f AS (
+           SELECT tok, MIN(doc_id) AS first_doc FROM (
+             SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tok
+             FROM t, LATERAL (SELECT UNNEST(RANGE(1, LEN(w) - 1)) AS i)) g
+           GROUP BY tok),
+         b AS (
+           SELECT first_doc // 50 AS bucket, COUNT(*) AS n_new_types
+           FROM f GROUP BY 1)
+         SELECT bucket, n_new_types,
+                CAST(SUM(n_new_types) OVER (ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS vocab_size
+         FROM b ORDER BY bucket""",
 
     "q130_hard_negatives" ->
       s"""WITH ${TrainingQueries.annChainSql},

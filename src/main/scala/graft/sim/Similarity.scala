@@ -329,6 +329,43 @@ object Similarity {
           6).as("cosine"))
   }
 
+  /** Per-label embedding diversity: mean pairwise SQUARED distance over
+    * ordered non-self pairs, via the closed form
+    * `Σ_{x,y}|x−y|² = 2n·Σ|x|² − 2|Σx|²` — NO pair join at any label
+    * size (the sums are one aggregation), where the naive form is |c|²
+    * per label. Components quantize to integer micros first (the q115
+    * fixed-point trick) so both Σ-terms are exact integers; the two
+    * big products run in decimal(38) (they exceed int64 at ~10⁵ vectors
+    * per label), and the single double conversion happens at the end.
+    * The data-diversity audit a curation pipeline runs per source/label
+    * before mixing.
+    */
+  def labelDiversity(embs: DataFrame, labelCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame = {
+    val v = embs.select(col(labelCol).as("label"),
+      expr(s"transform(cast($vecCol as array<double>), x -> cast(round(x * 1000000.0) as bigint))")
+        .as("q"))
+    val perVec = v.select(col("label"), col("q"),
+      expr("aggregate(q, cast(0 as bigint), (acc, x) -> acc + x * x)").as("s2v"))
+    val s2n = perVec.groupBy("label")
+      .agg(sum(col("s2v")).as("s2"), count(lit(1)).as("n"))
+    val xd = v.select(col("label"), posexplode(col("q")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(sum(col("x")).as("xd"))
+    val xx = xd.groupBy("label")
+      .agg(sum(col("xd").cast("decimal(38,0)") * col("xd").cast("decimal(38,0)"))
+        .as("xx"))
+    s2n.join(xx, Seq("label"))
+      // singleton labels have no pairs — drop rather than divide by zero
+      .filter(col("n") >= 2)
+      .select(col("label"), col("n"),
+        round(
+          (lit(2).cast("decimal(38,0)") * col("n").cast("decimal(38,0)")
+            * col("s2").cast("decimal(38,0)")
+            - lit(2).cast("decimal(38,0)") * col("xx")).cast("double")
+            / (col("n") * (col("n") - 1)).cast("double")
+            / lit(1e12), 6).as("mean_sq_dist"))
+  }
+
   private def bucketsWithKey(corpus: DataFrame, nPlanes: Int,
                              prefix: Int => String, dim: Int): DataFrame =
     corpus.select(col("vec_id"),

@@ -73,6 +73,38 @@ object TextOps {
         distinctRatio >= 0.1).as("keep"))
   }
 
+  /** Vocabulary novelty curve (the data-saturation diagnostic): bucket
+    * documents into `bucket`-doc slices in doc_id order and count how
+    * many NEW unigram types each slice introduces (type first seen =
+    * min doc_id over its occurrences — one aggregation keyed by token),
+    * plus the cumulative vocabulary after each slice. A flattening
+    * curve says more of the same data buys little new coverage. The
+    * cumulative pass runs on the |buckets|-row frame via the two-pass
+    * range-partitioned running total — no single-partition window even
+    * when the bucket count grows with the corpus.
+    */
+  def vocabNovelty(docs: DataFrame, bucket: Int, n: Int = 1): DataFrame = {
+    val grams =
+      if (n == 1) docs.select(col("doc_id"), explode(tokensCol).as("tok"))
+      else {
+        val starts = when(size(col("w")) >= n, sequence(lit(0), size(col("w")) - n))
+          .otherwise(array().cast("array<int>"))
+        docs.select(col("doc_id"), tokensCol.as("w"))
+          .select(col("doc_id"), explode(transform(starts,
+            i => concat_ws(" ",
+              (0 until n).map(o => element_at(col("w"), i + o + 1)): _*)))
+            .as("tok"))
+      }
+    val firsts = grams.groupBy("tok").agg(min(col("doc_id")).as("first_doc"))
+    val perBucket = firsts
+      .groupBy(expr(s"first_doc div $bucket").as("bucket"))
+      .agg(count(lit(1)).as("n_new_types"))
+    graft.ops.Windows.runningTotal(perBucket, Seq(col("bucket")),
+        "n_new_types", out = "_before")
+      .select(col("bucket"), col("n_new_types").cast("long").as("n_new_types"),
+        (col("_before") + col("n_new_types")).cast("long").as("vocab_size"))
+  }
+
   /** Multi-signal quality blend (the FineWeb-style ensembling step): each
     * document's [[qualityScore]] signals (stop ratio, distinct ratio,
     * token count — all oriented higher-is-better here) become GLOBAL

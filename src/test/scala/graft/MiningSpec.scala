@@ -166,6 +166,28 @@ class MiningSpec extends SparkSpec {
     assert(out.groupBy(_._1).values.forall(_.length == 5))
   }
 
+  test("labelDiversity: closed form equals hand-computed pair means; singletons drop") {
+    val embs = Seq(
+      (1L, Seq(0.0, 0.0), 1), (2L, Seq(2.0, 0.0), 1),  // one pair, d2 = 4
+      (3L, Seq(1.0, 1.0), 2), (4L, Seq(1.0, 1.0), 2), (5L, Seq(1.0, 1.0), 2),
+      (6L, Seq(9.0, 9.0), 3)) // singleton: no pairs, must drop
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.sim.Similarity.labelDiversity(embs)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(out(1) == 4.0)
+    assert(out(2) == 0.0)
+    assert(!out.contains(3))
+  }
+
+  test("vocabNovelty: per-slice new types and cumulative vocabulary") {
+    val docs = Seq((0L, "a b"), (1L, "a b"), (2L, "a c"), (3L, "c d"))
+      .toDF("doc_id", "text")
+    val out = graft.text.TextOps.vocabNovelty(docs, bucket = 2)
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 2L, 2L), (1L, 2L, 4L)))
+  }
+
   test("dbscan: core/border/noise roles, min-label clusters, border election") {
     // 1-2-3 mutually ε-close (dense triangle), 4 hangs off 3, 9 isolated
     val uni = Seq(1L, 2L, 3L, 4L, 9L).toDF("cell_id")
