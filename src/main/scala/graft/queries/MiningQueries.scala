@@ -7,9 +7,11 @@ import graft.dedup.Dedup
 import graft.text.TextOps
 
 /** Round-6 mining surface: the operators between "dedup the corpus" and
-  * "train the model" — contrastive hard-negative mining over embeddings,
-  * skip-gram PMI for distributional statistics, eval-side containment
-  * decontamination, and the dedup-yield cluster report.
+  * "train the model" — hard-negative mining, skip-gram PMI, containment
+  * decontamination, dedup-yield/provenance reports, sliding event rates,
+  * packing efficiency, fingerprint near-dup, classifier calibration,
+  * DBSCAN, product quantization (+ its recall gate), label diversity,
+  * and the vocabulary novelty curve (q130–q148).
   */
 object MiningQueries {
 
