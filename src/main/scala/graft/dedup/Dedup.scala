@@ -298,6 +298,33 @@ object Dedup {
           .otherwise("train"))
       .select("doc_id", "group_id", "split")
 
+  /** Split-leakage audit: quantifies the contamination a NAIVE per-doc
+    * hash split creates against the group-keyed [[leakFreeSplit]] rule —
+    * how many near-dup groups straddle the train/val boundary and how
+    * many documents sit in those leaked groups. The report that
+    * justifies group-keyed splitting with numbers (the leak-free column
+    * is the control, provably 0 since the whole group shares one hash
+    * input). One aggregation over the CC labels.
+    */
+  def splitLeakageAudit(groups: DataFrame, valMod: Int = 10): DataFrame = {
+    def splitOf(idCol: Column, prefix: String) =
+      when(conv(substring(md5(concat(lit(prefix), idCol.cast("string"))),
+          1, 15), 16, 10).cast("long") % valMod === 0, "val")
+        .otherwise("train")
+    val per = groups.select(col("doc_id"), col("group_id"),
+        splitOf(col("doc_id"), "naive:").as("s_naive"),
+        splitOf(col("group_id"), "split:").as("s_leakfree"))
+      .groupBy("group_id").agg(
+        count(lit(1)).as("sz"),
+        countDistinct(col("s_naive")).as("k_naive"),
+        countDistinct(col("s_leakfree")).as("k_lf"))
+    per.agg(count(lit(1)).as("n_groups"),
+      sum(when(col("k_naive") > 1, 1L).otherwise(0L)).as("n_straddling_naive"),
+      sum(when(col("k_naive") > 1, col("sz")).otherwise(0L))
+        .as("n_docs_leaked_naive"),
+      sum(when(col("k_lf") > 1, 1L).otherwise(0L)).as("n_straddling_leakfree"))
+  }
+
   /** Canonical-document selection over near-duplicate groups: the
     * quality-aware refinement of [[nearDupGroups]]'s min-id keep-one —
     * real pipelines keep the BEST copy of each duplicate cluster (longest

@@ -216,6 +216,28 @@ object MiningQueries {
       graft.sim.Similarity.labelDiversity(Tables.t(s, d, "embeddings"))
         .orderBy("label")),
 
+    // split-leakage audit: how many near-dup groups a NAIVE per-doc hash
+    // split puts on both sides of the train/val boundary (and how many
+    // docs sit in those leaked groups), vs the group-keyed leak-free
+    // rule's provable zero — the report that justifies q127 with numbers
+    "q149_split_leakage" -> ((s, d) => {
+      val base = docs(s, d).filter(col("doc_id") % 20 === 0).select("doc_id")
+      val dups = docs(s, d).filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"))
+      val pairs = Dedup.lshCandidatePairs(
+        Dedup.minHashSignature(TrainingQueries.plantedSh(s, d), 8), 8, 2)
+      Dedup.splitLeakageAudit(
+        Dedup.nearDupGroups(base.unionByName(dups), pairs))
+    }),
+
+    // per-source quality drift: exact-integer OLS slope of the stop
+    // ratio over doc_id order — the "is this feed degrading over the
+    // crawl" trend gate (normal-equation sums, not incremental-float
+    // REGR_SLOPE, so the slope replays engine-exact)
+    "q150_quality_drift" -> ((s, d) =>
+      TextOps.qualityDrift(docs(s, d), TrainingQueries.stopwords)
+        .orderBy("source")),
+
     // vocabulary novelty curve: new TRIGRAM types per 50-doc slice +
     // cumulative vocabulary — the data-saturation diagnostic (trigram
     // types, because this corpus's 31-token unigram vocabulary
@@ -376,6 +398,68 @@ object MiningQueries {
                       / CAST(s.n * (s.n - 1) AS DOUBLE)
                       / 1000000000000.0, 6) AS mean_sq_dist
          FROM s2n s JOIN xx x USING (label) ORDER BY s.label""",
+
+    "q149_split_leakage" ->
+      s"""WITH RECURSIVE ${TrainingQueries.lshPairsSql},
+         uni AS (
+           SELECT doc_id FROM documents WHERE doc_id % 20 = 0
+           UNION ALL
+           SELECT doc_id + 1000000 FROM documents WHERE doc_id % 40 = 0),
+         e AS (SELECT ida AS s, idb AS t FROM pairs
+               UNION ALL SELECT idb, ida FROM pairs),
+         reach AS (
+           SELECT doc_id AS node, doc_id AS lbl FROM uni
+           UNION
+           SELECT e.t, r.lbl FROM reach r JOIN e ON e.s = r.node),
+         comp AS (SELECT node AS doc_id, MIN(lbl) AS group_id
+                  FROM reach GROUP BY node),
+         sp AS (
+           SELECT doc_id, group_id,
+                  CASE WHEN CAST('0x' || SUBSTR(MD5('naive:'
+                         || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                       % 10 = 0 THEN 'val' ELSE 'train' END AS s_naive,
+                  CASE WHEN CAST('0x' || SUBSTR(MD5('split:'
+                         || CAST(group_id AS VARCHAR)), 1, 15) AS BIGINT)
+                       % 10 = 0 THEN 'val' ELSE 'train' END AS s_leakfree
+           FROM comp),
+         per AS (
+           SELECT group_id, COUNT(*) AS sz,
+                  COUNT(DISTINCT s_naive) AS k_naive,
+                  COUNT(DISTINCT s_leakfree) AS k_lf
+           FROM sp GROUP BY group_id)
+         SELECT COUNT(*) AS n_groups,
+                CAST(SUM(CASE WHEN k_naive > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_straddling_naive,
+                CAST(SUM(CASE WHEN k_naive > 1 THEN sz ELSE 0 END) AS BIGINT)
+                  AS n_docs_leaked_naive,
+                CAST(SUM(CASE WHEN k_lf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_straddling_leakfree
+         FROM per""",
+
+    "q150_quality_drift" ->
+      s"""WITH t AS (
+           SELECT doc_id, source,
+                  REGEXP_SPLIT_TO_ARRAY(text, '\\s+') AS toks
+           FROM documents),
+         m AS (
+           SELECT source, doc_id AS x,
+                  CAST(ROUND(ROUND(
+                    CAST(LEN(LIST_FILTER(toks, x -> ${TrainingQueries.langFilterSql(TrainingQueries.stopwords)})) AS DOUBLE)
+                      / CAST(LEN(toks) AS DOUBLE), 6) * 1000000.0) AS BIGINT)
+                    AS y
+           FROM t),
+         s AS (
+           SELECT source, COUNT(*) AS n,
+                  CAST(SUM(x) AS HUGEINT) AS sx,
+                  CAST(SUM(y) AS HUGEINT) AS sy,
+                  SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+                  SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+           FROM m GROUP BY source)
+         SELECT source, n AS n_docs,
+                ROUND(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                      / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                      / 1000000.0, 12) AS slope
+         FROM s WHERE n >= 2 ORDER BY source""",
 
     "q148_vocab_novelty" ->
       """WITH t AS (

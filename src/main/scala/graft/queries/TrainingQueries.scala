@@ -19,7 +19,7 @@ object TrainingQueries {
   private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
   private def embs(s: SparkSession, d: String) = Tables.t(s, d, "embeddings")
 
-  private val stopwords = Seq("the", "a", "data", "query")
+  private[queries] val stopwords = Seq("the", "a", "data", "query")
   private val langMarkers = Map(
     "en" -> Seq("the", "a", "data", "query"),
     "es" -> Seq("el", "los", "que", "una"),
@@ -575,7 +575,7 @@ object TrainingQueries {
 
   private[queries] val annChainSql = annChainSqlFor("embeddings")
 
-  private def langFilterSql(words: Seq[String]): String =
+  private[queries] def langFilterSql(words: Seq[String]): String =
     words.map(w => s"x = '$w'").mkString(" OR ")
 
   /** q83's DuckDB replay: the q69-style deterministic-Lloyd chain

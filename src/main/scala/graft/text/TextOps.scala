@@ -73,6 +73,35 @@ object TextOps {
         distinctRatio >= 0.1).as("keep"))
   }
 
+  /** Per-source quality drift: OLS slope of the (micro-quantized) stop
+    * ratio over doc_id order within each source — the "is this feed
+    * getting worse over the crawl" trend gate, the temporal companion
+    * to q114's KL shift. Explicit normal-equation sums
+    * `slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)` in exact integer /
+    * decimal(38) arithmetic (a built-in REGR_SLOPE accumulates floats
+    * incrementally and is not engine-replayable at the ULP), with the
+    * two double conversions and one division at the end.
+    */
+  def qualityDrift(docs: DataFrame, stopwords: Seq[String]): DataFrame = {
+    val q = qualityScore(docs, stopwords).select(col("doc_id"), col("stop_ratio"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("doc_id").cast("long").as("x"),
+        round(col("stop_ratio") * lit(1e6)).cast("long").as("y"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    q.groupBy("source").agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"),
+        sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"))
+      .filter(col("n") >= 2)
+      .select(col("source"), col("n").as("n_docs"),
+        round(
+          (dec(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (dec(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double")
+            / lit(1e6), 12).as("slope"))
+  }
+
   /** Vocabulary novelty curve (the data-saturation diagnostic): bucket
     * documents into `bucket`-doc slices in doc_id order and count how
     * many NEW unigram types each slice introduces (type first seen =

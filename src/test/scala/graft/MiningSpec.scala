@@ -188,6 +188,35 @@ class MiningSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 2L, 2L), (1L, 2L, 4L)))
   }
 
+  test("splitLeakageAudit: naive split leaks straddling groups; leak-free never") {
+    // one 40-doc group: a per-doc 1-in-10 hash split straddles it with
+    // probability ~1 - (0.9^40 + 0.1^40); the group-keyed rule cannot
+    val uni = (1L to 40L).toDF("doc_id")
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("ida", "idb")
+    val out = graft.dedup.Dedup
+      .splitLeakageAudit(Dedup.nearDupGroups(uni, pairs))
+      .head()
+    assert(out.getLong(0) == 1L)              // one group
+    assert(out.getLong(1) == 1L)              // naive split straddles it
+    assert(out.getLong(2) == 40L)             // all its docs are leaked
+    assert(out.getLong(3) == 0L)              // leak-free: provably zero
+  }
+
+  test("qualityDrift: planted monotone trend recovers the OLS slope sign") {
+    // source A: stop ratio rises with doc_id; source B: flat
+    val docs = (0L until 40L).map { i =>
+      val src = if (i < 20) "A" else "B"
+      val nStops = if (src == "A") (i % 20).toInt else 5
+      val text = (Seq.fill(nStops)("the") ++ Seq.fill(20 - nStops)(s"w$i"))
+        .mkString(" ")
+      (i, text, src)
+    }.toDF("doc_id", "text", "source")
+    val out = graft.text.TextOps.qualityDrift(docs, Seq("the"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("A") > 0.0)
+    assert(math.abs(out("B")) < 1e-12)
+  }
+
   test("dbscan: core/border/noise roles, min-label clusters, border election") {
     // 1-2-3 mutually ε-close (dense triangle), 4 hangs off 3, 9 isolated
     val uni = Seq(1L, 2L, 3L, 4L, 9L).toDF("cell_id")
