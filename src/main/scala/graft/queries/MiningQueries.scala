@@ -238,6 +238,61 @@ object MiningQueries {
       TextOps.qualityDrift(docs(s, d), TrainingQueries.stopwords)
         .orderBy("source")),
 
+    // MinHash estimator calibration: per matching-component count
+    // (0..8 of 8 hashes), how many candidate pairs and their mean EXACT
+    // Jaccard — "are 8 hashes enough" answered with the estimator's own
+    // reliability curve, over the q120 planted full+half-copy universe
+    // (halves pull the curve down to the ~0.5 band, copies hold ~0.9)
+    "q151_minhash_calibration" -> ((s, d) => {
+      val sh = TrainingQueries.sweepShingles(s, d)
+      val sig = Dedup.minHashSignature(sh, 8)
+      val pairs = Dedup.lshCandidatePairs(sig, 8, 2)
+      val matches = (0 until 8).map(i =>
+        when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0)).reduce(_ + _)
+      val withM = pairs
+        .join(sig.select(Seq(col("doc_id").as("ida")) ++
+          (0 until 8).map(i => col(s"m$i").as(s"a_m$i")): _*), Seq("ida"))
+        .join(sig.select(Seq(col("doc_id").as("idb")) ++
+          (0 until 8).map(i => col(s"m$i").as(s"b_m$i")): _*), Seq("idb"))
+        .select(col("ida"), col("idb"), matches.as("matches"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = sh.select(col("shingle"), col("doc_id").as("ida"))
+        .join(sh.select(col("shingle"), col("doc_id").as("idb")), Seq("shingle"))
+        .join(pairs, Seq("ida", "idb"), "left_semi")
+        .groupBy("ida", "idb").agg(count(lit(1)).as("inter"))
+      val j = withM.join(inter, Seq("ida", "idb"), "left")
+        .na.fill(0L, Seq("inter"))
+        .join(sizes.select(col("doc_id").as("ida"), col("sz").as("sza")), Seq("ida"))
+        .join(sizes.select(col("doc_id").as("idb"), col("sz").as("szb")), Seq("idb"))
+        .withColumn("jmicro", round(round(col("inter").cast("double")
+          / (col("sza") + col("szb") - col("inter")).cast("double"), 6)
+          * lit(1e6)).cast("long"))
+      j.groupBy("matches").agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("jmicro")).cast("double")
+            / count(lit(1)).cast("double") / lit(1e6), 6).as("mean_jaccard"))
+        .orderBy("matches")
+    }),
+
+    // language purity / code-switch gate: best vs second-best marker
+    // scores + mixed flag (runner-up at half the winner) — the routing
+    // gate before per-language processing. The corpus's lang column is a
+    // LABEL only (every doc draws from the same English-ish vocabulary),
+    // so code-switched docs are planted: every 10th en-labeled doc gets
+    // 16 German marker tokens appended — the mixed flag fires on the
+    // plants whose en score reaches 8 (both branches exercised among
+    // the plants, never vacuously on the naturals)
+    "q152_lang_purity" -> ((s, d) => {
+      val deTail = " der die und das der die und das" * 2
+      val spliced = docs(s, d)
+        .filter(col("lang") === "en" && col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 6000000).as("doc_id"),
+          concat(col("text"), lit(deTail)).as("text"))
+      TextOps.langPurity(
+          docs(s, d).select("doc_id", "text").unionByName(spliced),
+          TrainingQueries.langMarkers)
+        .orderBy("doc_id")
+    }),
+
     // vocabulary novelty curve: new TRIGRAM types per 50-doc slice +
     // cumulative vocabulary — the data-saturation diagnostic (trigram
     // types, because this corpus's 31-token unigram vocabulary
@@ -398,6 +453,76 @@ object MiningQueries {
                       / CAST(s.n * (s.n - 1) AS DOUBLE)
                       / 1000000000000.0, 6) AS mean_sq_dist
          FROM s2n s JOIN xx x USING (label) ORDER BY s.label""",
+
+    "q151_minhash_calibration" -> {
+      val matchesSql = (0 until 8).map(i =>
+        s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH ${TrainingQueries.sweepChainSql},
+         wm AS (
+           SELECT p.ida, p.idb, $matchesSql AS matches
+           FROM pairs p
+           JOIN sig a ON p.ida = a.doc_id
+           JOIN sig b ON p.idb = b.doc_id),
+         sz AS (SELECT doc_id, COUNT(*) AS sz FROM psh GROUP BY doc_id),
+         itr AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter
+           FROM psh a
+           JOIN psh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           JOIN pairs p ON p.ida = a.doc_id AND p.idb = b.doc_id
+           GROUP BY 1, 2),
+         j AS (
+           SELECT wm.matches,
+                  CAST(ROUND(ROUND(CAST(COALESCE(itr.inter, 0) AS DOUBLE)
+                    / CAST(sa.sz + sb.sz - COALESCE(itr.inter, 0) AS DOUBLE), 6)
+                    * 1000000.0) AS BIGINT) AS jmicro
+           FROM wm
+           LEFT JOIN itr ON itr.ida = wm.ida AND itr.idb = wm.idb
+           JOIN sz sa ON wm.ida = sa.doc_id
+           JOIN sz sb ON wm.idb = sb.doc_id)
+         SELECT matches, COUNT(*) AS n_pairs,
+                ROUND(CAST(SUM(jmicro) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                      / 1000000.0, 6) AS mean_jaccard
+         FROM j GROUP BY matches ORDER BY matches"""
+    },
+
+    "q152_lang_purity" -> {
+      val langs = TrainingQueries.langMarkers.keys.toSeq.sorted
+      val scoreCols = langs.map(l =>
+        s"CAST(LEN(LIST_FILTER(toks, x -> ${TrainingQueries.langFilterSql(TrainingQueries.langMarkers(l))})) AS INT) AS score_$l")
+        .mkString(",\n                  ")
+      s"""WITH u AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 6000000,
+                  text || ' der die und das der die und das'
+                       || ' der die und das der die und das'
+           FROM documents WHERE lang = 'en' AND doc_id % 10 = 0),
+         t AS (
+           SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\\s+') AS toks
+           FROM u),
+         sc AS (
+           SELECT doc_id,
+                  $scoreCols
+           FROM t),
+         ex AS (
+           SELECT doc_id,
+                  UNNEST([${langs.map(l => s"'$l'").mkString(", ")}]) AS l,
+                  UNNEST([${langs.map(l => s"score_$l").mkString(", ")}]) AS s
+           FROM sc),
+         best AS (
+           SELECT doc_id, l, s,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, l) AS rn
+           FROM ex),
+         tops AS (
+           SELECT doc_id,
+                  MAX(CASE WHEN rn = 1 THEN l END) AS lang_best,
+                  MAX(CASE WHEN rn = 1 THEN s END) AS s1,
+                  MAX(CASE WHEN rn = 2 THEN s END) AS s2
+           FROM best GROUP BY doc_id)
+         SELECT doc_id, lang_best, s1, s2,
+                (s2 * 2 >= s1 AND s2 > 0) AS mixed
+         FROM tops ORDER BY doc_id"""
+    },
 
     "q149_split_leakage" ->
       s"""WITH RECURSIVE ${TrainingQueries.lshPairsSql},

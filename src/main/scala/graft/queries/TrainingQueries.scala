@@ -20,12 +20,33 @@ object TrainingQueries {
   private def embs(s: SparkSession, d: String) = Tables.t(s, d, "embeddings")
 
   private[queries] val stopwords = Seq("the", "a", "data", "query")
-  private val langMarkers = Map(
+  private[queries] val langMarkers = Map(
     "en" -> Seq("the", "a", "data", "query"),
     "es" -> Seq("el", "los", "que", "una"),
     "de" -> Seq("der", "die", "und", "das"),
     "fr" -> Seq("le", "la", "et", "les"),
     "zh" -> Seq("的", "是", "了", "我"))
+
+  /** The q120/q151 planted sweep universe's word-3-gram shingles: base
+    * %20 docs + full copies with a marker (j ~ 0.9) + first-half copies
+    * (j ~ 0.5) — materialized once (the signature chain AND the
+    * size/intersection consumers all read it).
+    */
+  private[queries] def sweepShingles(s: SparkSession, d: String) = {
+    val base = docs(s, d).filter(col("doc_id") % 20 === 0).select("doc_id", "text")
+    val dups = docs(s, d).filter(col("doc_id") % 40 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" graft dup marker")).as("text"))
+    val halves = docs(s, d).filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), "\\s+"), lit(1),
+          // integer DIV, not /-then-cast: DuckDB's CAST(x.5 AS INT)
+          // rounds while Spark's cast truncates
+          expr("(size(split(text, '\\\\s+')) + 1) div 2").cast("int")))
+          .as("text"))
+    Dedup.shingles(base.unionByName(dups).unionByName(halves), 3)
+      .localCheckpoint()
+  }
 
   /** Near-dup pipeline input: every 20th document's word-3-gram shingles. */
   private def sh(s: SparkSession, d: String) =
@@ -402,21 +423,7 @@ object TrainingQueries {
     // half-document copies (j≈0.5), so the curve spans high and middle
     // bands; banding is integer DIV so the cut has no float knife edge
     "q120_jaccard_sweep" -> ((s, d) => {
-      val base = docs(s, d).filter(col("doc_id") % 20 === 0).select("doc_id", "text")
-      val dups = docs(s, d).filter(col("doc_id") % 40 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(col("text"), lit(" graft dup marker")).as("text"))
-      val halves = docs(s, d).filter(col("doc_id") % 20 === 0)
-        .select((col("doc_id") + 2000000).as("doc_id"),
-          concat_ws(" ", slice(split(col("text"), "\\s+"), lit(1),
-            // integer DIV, not /-then-cast: DuckDB's CAST(x.5 AS INT)
-            // rounds while Spark's cast truncates
-            expr("(size(split(text, '\\\\s+')) + 1) div 2").cast("int")))
-            .as("text"))
-      // feeds the signature chain AND the sweep's size/intersection
-      // consumers — materialize the shingle explode once
-      val sweepSh = Dedup.shingles(
-        base.unionByName(dups).unionByName(halves), 3).localCheckpoint()
+      val sweepSh = sweepShingles(s, d)
       Dedup.jaccardSweep(sweepSh,
           Dedup.lshCandidatePairs(Dedup.minHashSignature(sweepSh, 8), 8, 2))
         .orderBy("band")
@@ -475,6 +482,49 @@ object TrainingQueries {
     * 3-gram shingles → 8-hash MinHash signature → 4 bands × 2 rows →
     * candidate pairs. Used by q34 (pairs) and q70 (connected groups).
     */
+  /** The q120/q151 planted-sweep oracle chain ending in `pairs` (with
+    * `psh` and `sig` exposed) — the full+half-copy universe whose exact
+    * Jaccard spans both the ~0.9 and ~0.5 bands.
+    */
+  private[queries] val sweepChainSql =
+    """spl AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+           UNION ALL
+           SELECT doc_id + 1000000, text || ' graft dup marker'
+           FROM documents WHERE doc_id % 40 = 0
+           UNION ALL
+           SELECT doc_id + 2000000,
+                  ARRAY_TO_STRING(w[1:(LEN(w) + 1) // 2], ' ')
+           FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w
+                 FROM documents WHERE doc_id % 20 = 0) t),
+         psh AS (
+           SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+           FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w
+                 FROM spl) t,
+                LATERAL (SELECT UNNEST(RANGE(1, LEN(w) - 1)) AS i)),
+         sig AS (
+           SELECT doc_id,
+                  MIN(MD5('0:' || shingle)) AS m0, MIN(MD5('1:' || shingle)) AS m1,
+                  MIN(MD5('2:' || shingle)) AS m2, MIN(MD5('3:' || shingle)) AS m3,
+                  MIN(MD5('4:' || shingle)) AS m4, MIN(MD5('5:' || shingle)) AS m5,
+                  MIN(MD5('6:' || shingle)) AS m6, MIN(MD5('7:' || shingle)) AS m7
+           FROM psh GROUP BY doc_id),
+         bl AS (
+           SELECT doc_id, 0 AS band_id, m0 || m1 AS band_key FROM sig UNION ALL
+           SELECT doc_id, 1, m2 || m3 FROM sig UNION ALL
+           SELECT doc_id, 2, m4 || m5 FROM sig UNION ALL
+           SELECT doc_id, 3, m6 || m7 FROM sig),
+         blc AS (
+           SELECT bl.* FROM bl JOIN (
+             SELECT band_id, band_key FROM bl
+             GROUP BY band_id, band_key HAVING COUNT(*) <= 10000) ok
+           USING (band_id, band_key)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+           FROM blc a JOIN blc b
+             ON a.band_id = b.band_id AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id)"""
+
   private[queries] val lshPairsSql =
     s"""planted AS (
            SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
@@ -698,43 +748,7 @@ object TrainingQueries {
          FROM hits""",
 
     "q120_jaccard_sweep" ->
-      s"""WITH spl AS (
-           SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
-           UNION ALL
-           SELECT doc_id + 1000000, text || ' graft dup marker'
-           FROM documents WHERE doc_id % 40 = 0
-           UNION ALL
-           SELECT doc_id + 2000000,
-                  ARRAY_TO_STRING(w[1:(LEN(w) + 1) // 2], ' ')
-           FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\\s+') AS w
-                 FROM documents WHERE doc_id % 20 = 0) t),
-         psh AS (
-           SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-           FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\\s+') AS w
-                 FROM spl) t,
-                LATERAL (SELECT UNNEST(RANGE(1, LEN(w) - 1)) AS i)),
-         sig AS (
-           SELECT doc_id,
-                  MIN(MD5('0:' || shingle)) AS m0, MIN(MD5('1:' || shingle)) AS m1,
-                  MIN(MD5('2:' || shingle)) AS m2, MIN(MD5('3:' || shingle)) AS m3,
-                  MIN(MD5('4:' || shingle)) AS m4, MIN(MD5('5:' || shingle)) AS m5,
-                  MIN(MD5('6:' || shingle)) AS m6, MIN(MD5('7:' || shingle)) AS m7
-           FROM psh GROUP BY doc_id),
-         bl AS (
-           SELECT doc_id, 0 AS band_id, m0 || m1 AS band_key FROM sig UNION ALL
-           SELECT doc_id, 1, m2 || m3 FROM sig UNION ALL
-           SELECT doc_id, 2, m4 || m5 FROM sig UNION ALL
-           SELECT doc_id, 3, m6 || m7 FROM sig),
-         blc AS (
-           SELECT bl.* FROM bl JOIN (
-             SELECT band_id, band_key FROM bl
-             GROUP BY band_id, band_key HAVING COUNT(*) <= 10000) ok
-           USING (band_id, band_key)),
-         pairs AS (
-           SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-           FROM blc a JOIN blc b
-             ON a.band_id = b.band_id AND a.band_key = b.band_key
-            AND a.doc_id < b.doc_id),
+      s"""WITH $sweepChainSql,
          sz AS (SELECT doc_id, COUNT(*) AS sz FROM psh GROUP BY 1),
          i AS (
            SELECT p.ida, p.idb, COUNT(*) AS inter

@@ -73,6 +73,28 @@ object TextOps {
         distinctRatio >= 0.1).as("keep"))
   }
 
+  /** Language purity / code-switch gate: per document, the best and
+    * second-best language-ID marker scores (the q32 scorer) and a
+    * `mixed` flag when the runner-up reaches half the winner — the
+    * "this document switches languages mid-stream" filter multilingual
+    * pipelines apply before per-language routing. Exact integer score
+    * comparisons; same alphabetical tie rule as langId.
+    */
+  def langPurity(docs: DataFrame, markers: Map[String, Seq[String]]): DataFrame = {
+    val langs = markers.keys.toSeq.sorted
+    val scored = langs.foldLeft(docs.select(col("doc_id"), tokensCol.as("toks"))) {
+      case (df, l) => df.withColumn(s"score_$l",
+        size(filter(col("toks"), t => t.isInCollection(markers(l)))))
+    }
+    val best = langs.map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))
+      .reduce((a, b) => when(b("s") > a("s"), b).otherwise(a))
+    val sorted = sort_array(array(langs.map(l => col(s"score_$l")): _*),
+      asc = false)
+    scored.select(col("doc_id"), best.getField("l").as("lang_best"),
+        sorted.getItem(0).as("s1"), sorted.getItem(1).as("s2"))
+      .withColumn("mixed", col("s2") * 2 >= col("s1") && col("s2") > 0)
+  }
+
   /** Per-source quality drift: OLS slope of the (micro-quantized) stop
     * ratio over doc_id order within each source — the "is this feed
     * getting worse over the crawl" trend gate, the temporal companion

@@ -217,6 +217,21 @@ class MiningSpec extends SparkSpec {
     assert(math.abs(out("B")) < 1e-12)
   }
 
+  test("langPurity: mixed fires on a bilingual doc, not on pure ones") {
+    val markers = Map("en" -> Seq("the", "a"), "de" -> Seq("der", "das"))
+    val docs = Seq(
+      (1L, "the cat a mat w1 w2"),         // pure en: s2 = 0
+      (2L, "the a der das w3"),            // balanced: mixed
+      (3L, "der das der w4"))              // pure de
+      .toDF("doc_id", "text")
+    val out = graft.text.TextOps.langPurity(docs, markers)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == (("en", 2, 0, false)))
+    assert(out(2L) == (("de", 2, 2, true)))  // tie: alphabetical winner
+    assert(out(3L) == (("de", 3, 0, false)))
+  }
+
   test("dbscan: core/border/noise roles, min-label clusters, border election") {
     // 1-2-3 mutually ε-close (dense triangle), 4 hangs off 3, 9 isolated
     val uni = Seq(1L, 2L, 3L, 4L, 9L).toDF("cell_id")
