@@ -293,6 +293,19 @@ object MiningQueries {
         .orderBy("doc_id")
     }),
 
+    // boilerplate detection: the dominant 5-gram per source + its share
+    // of the source's 5-gram occurrences — template-heavy feeds surface
+    // before any dedup pass runs; planted footer text on src0 makes one
+    // gram own a visible share (the naturals' top shares stay tiny)
+    "q153_boilerplate" -> ((s, d) => {
+      val planted = docs(s, d)
+        .select(col("doc_id"), col("source"),
+          when(col("source") === "src0",
+            concat(col("text"), lit(" all rights reserved contact us today")))
+            .otherwise(col("text")).as("text"))
+      TextOps.boilerplateTop(planted, n = 5).orderBy("source")
+    }),
+
     // vocabulary novelty curve: new TRIGRAM types per 50-doc slice +
     // cumulative vocabulary — the data-saturation diagnostic (trigram
     // types, because this corpus's 31-token unigram vocabulary
@@ -585,6 +598,31 @@ object MiningQueries {
                       / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
                       / 1000000.0, 12) AS slope
          FROM s WHERE n >= 2 ORDER BY source""",
+
+    "q153_boilerplate" ->
+      """WITH u AS (
+           SELECT doc_id, source,
+                  CASE WHEN source = 'src0'
+                       THEN text || ' all rights reserved contact us today'
+                       ELSE text END AS text
+           FROM documents),
+         g AS (
+           SELECT source AS grp,
+                  w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                    || ' ' || w[i+4] AS gram
+           FROM (SELECT source, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w
+                 FROM u) t,
+                LATERAL (SELECT UNNEST(RANGE(1, LEN(w) - 3)) AS i)),
+         c AS (SELECT grp, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+         tt AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS total, MAX(c) AS maxc
+                FROM c GROUP BY grp)
+         SELECT c.grp AS source, MIN(c.gram) AS top_gram,
+                c.c AS n_occurrences,
+                ROUND(CAST(c.c AS DOUBLE) / CAST(tt.total AS DOUBLE), 6)
+                  AS share
+         FROM c JOIN tt ON c.grp = tt.grp AND c.c = tt.maxc
+         GROUP BY c.grp, c.c, tt.total
+         ORDER BY source""",
 
     "q148_vocab_novelty" ->
       """WITH t AS (

@@ -73,6 +73,34 @@ object TextOps {
         distinctRatio >= 0.1).as("keep"))
   }
 
+  /** Boilerplate detection: the single most frequent n-gram per source
+    * and its share of the source's n-gram occurrences — a template-heavy
+    * feed (nav bars, license footers) shows one gram owning a visible
+    * share before any dedup pass runs. No per-source window: one count
+    * aggregation, a |sources|-row max join-back, min-gram tie-break —
+    * all exact integers until the share division.
+    */
+  def boilerplateTop(docs: DataFrame, n: Int = 5,
+                     group: String = "source"): DataFrame = {
+    val starts = when(size(col("w")) >= n, sequence(lit(0), size(col("w")) - n))
+      .otherwise(array().cast("array<int>"))
+    val grams = docs.select(col(group).as("grp"), tokensCol.as("w"))
+      .select(col("grp"), explode(transform(starts,
+        i => concat_ws(" ", (0 until n).map(o => element_at(col("w"), i + o + 1)): _*)))
+        .as("gram"))
+    val counts = grams.groupBy("grp", "gram").agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy("grp")
+      .agg(sum(col("c")).as("total"), max(col("c")).as("maxc"))
+    counts.join(tot, Seq("grp"))
+      .filter(col("c") === col("maxc"))
+      .groupBy(col("grp"), col("c"), col("total"))
+      .agg(min(col("gram")).as("top_gram"))
+      .select(col("grp").as(group), col("top_gram"),
+        col("c").as("n_occurrences"),
+        round(col("c").cast("double") / col("total").cast("double"), 6)
+          .as("share"))
+  }
+
   /** Language purity / code-switch gate: per document, the best and
     * second-best language-ID marker scores (the q32 scorer) and a
     * `mixed` flag when the runner-up reaches half the winner — the

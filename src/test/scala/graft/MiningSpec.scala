@@ -232,6 +232,18 @@ class MiningSpec extends SparkSpec {
     assert(out(3L) == (("de", 3, 0, false)))
   }
 
+  test("boilerplateTop: dominant gram, share, min-gram tie-break") {
+    val docs = Seq(
+      (1L, "x", "t1 t2 t3 t4 t5 w1"), (2L, "x", "t1 t2 t3 t4 t5 w2"),
+      (3L, "y", "a b c d e"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.text.TextOps.boilerplateTop(docs, n = 5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("x") == (("t1 t2 t3 t4 t5", 2L, 0.5))) // 2 of 4 grams
+    assert(out("y") == (("a b c d e", 1L, 1.0)))
+  }
+
   test("dbscan: core/border/noise roles, min-label clusters, border election") {
     // 1-2-3 mutually ε-close (dense triangle), 4 hangs off 3, 9 isolated
     val uni = Seq(1L, 2L, 3L, 4L, 9L).toDF("cell_id")
