@@ -293,6 +293,13 @@ object MiningQueries {
         .orderBy("doc_id")
     }),
 
+    // BPE tokenizer TRAINING: 8 learned merge rules over the corpus —
+    // pair stats on the distinct-word table weighted by counts (the
+    // GPT-2 factorization), argmax pair per step is the only driver
+    // scalar; the whole training loop replays as 8 generated CTE stages
+    "q154_bpe_train" -> ((s, d) =>
+      TextOps.bpeTrain(docs(s, d), merges = 8).orderBy("step")),
+
     // boilerplate detection: the dominant 5-gram per source + its share
     // of the source's 5-gram occurrences — template-heavy feeds surface
     // before any dedup pass runs; planted footer text on src0 makes one
@@ -433,7 +440,45 @@ object MiningQueries {
          CAST(SUM(CASE WHEN h = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect
   FROM hits"""
 
+  /** q154's DuckDB replay: the full BPE training loop as generated CTE
+    * stages — per step, weighted pair counts over the current
+    * distinct-word symbol table, the (cnt desc, s1, s2) argmax, and the
+    * padded literal REPLACE merge (left-to-right non-overlapping, the
+    * same greedy rule java's appendReplacement applies Spark-side).
+    */
+  private def q154OracleSql: String = {
+    val merges = 8
+    val stages = (1 to merges).map { i =>
+      s"""
+  pc_$i AS MATERIALIZED (
+    SELECT s[j] AS s1, s[j+1] AS s2, CAST(SUM(c) AS BIGINT) AS cnt
+    FROM (SELECT c, REGEXP_SPLIT_TO_ARRAY(repr, ' ') AS s FROM r_${i - 1}) t,
+         LATERAL (SELECT UNNEST(RANGE(1, LEN(s))) AS j)
+    GROUP BY 1, 2),
+  m_$i AS MATERIALIZED (
+    SELECT s1, s2, cnt FROM pc_$i ORDER BY cnt DESC, s1, s2 LIMIT 1),
+  r_$i AS MATERIALIZED (
+    SELECT c, TRIM(REPLACE(' ' || repr || ' ',
+      ' ' || (SELECT s1 FROM m_$i) || ' ' || (SELECT s2 FROM m_$i) || ' ',
+      ' ' || (SELECT s1 FROM m_$i) || (SELECT s2 FROM m_$i) || ' ')) AS repr
+    FROM r_${i - 1})"""
+    }.mkString(",")
+    val union = (1 to merges).map(i =>
+      s"SELECT $i AS step, s1, s2, cnt FROM m_$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH r_0 AS MATERIALIZED (
+    SELECT CAST(COUNT(*) AS BIGINT) AS c,
+           TRIM(REGEXP_REPLACE(w, '(.)', '\\1 ', 'g')) AS repr
+    FROM (SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')) AS w
+          FROM documents) t
+    GROUP BY w),$stages
+  $union
+  ORDER BY step"""
+  }
+
   val oracle: Map[String, String] = Map(
+
+    "q154_bpe_train" -> q154OracleSql,
 
     "q143_pq_knn" -> q143OracleSql,
 

@@ -73,6 +73,57 @@ object TextOps {
         distinctRatio >= 0.1).as("keep"))
   }
 
+  /** BPE tokenizer TRAINING (word-level, the GPT-2 recipe): learn
+    * `merges` merge rules over the corpus. The classic scale
+    * factorization — pair statistics run over the DISTINCT-WORD table
+    * weighted by word counts (vocabulary-bounded, never the token
+    * stream), each step's argmax pair is the only driver scalar, and
+    * the merge applies as one literal string replace over the
+    * space-separated symbol representation. Deterministic: ties break
+    * (count desc, s1, s2); the replace is left-to-right non-overlapping
+    * (java appendReplacement == SQL REPLACE), which is the documented
+    * greedy variant both engines share. Returns the learned merge table
+    * `(step, s1, s2, cnt)` — the tokenizer-training artifact q63's
+    * BPE-ish segmenter and q121's fertility report consume upstream.
+    */
+  def bpeTrain(docs: DataFrame, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs.select(explode(tokensCol).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(col("c"),
+        trim(regexp_replace(col("w"), lit("(.)"), lit("$1 "))).as("repr"))
+      .localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val top = words.select(col("c"), split(col("repr"), " ").as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(col("c"), explode(expr(
+          """transform(sequence(0, size(s) - 2), i ->
+               named_struct('s1', element_at(s, i + 1),
+                            's2', element_at(s, i + 2)))""")).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("s1"), col("s2")).take(1)
+      if (top.isEmpty) { exhausted = true } // every word fully merged
+      else {
+      val (s1, s2, cnt) =
+        (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      learned += ((step, s1, s2, cnt))
+      words = words.select(col("c"),
+          trim(regexp_replace(concat(lit(" "), col("repr"), lit(" ")),
+            lit(java.util.regex.Pattern.quote(s" $s1 $s2 ")),
+            lit(java.util.regex.Matcher.quoteReplacement(s" $s1$s2 "))))
+            .as("repr"))
+        .localCheckpoint()
+      step += 1
+      }
+    }
+    learned.toSeq.toDF("step", "s1", "s2", "cnt")
+  }
+
   /** Boilerplate detection: the single most frequent n-gram per source
     * and its share of the source's n-gram occurrences — a template-heavy
     * feed (nav bars, license footers) shows one gram owning a visible

@@ -244,6 +244,22 @@ class MiningSpec extends SparkSpec {
     assert(out("y") == (("a b c d e", 1L, 1.0)))
   }
 
+  test("bpeTrain: hand-computable merges; second-order merges use products; early stop") {
+    // words: 'aaab' x2, 'ab' x1 -> pairs (a,a):4, (a,b):3 ... step 1
+    // merges (a,a); step 2 sees (aa,a):2, (aa,b)... wait reprs:
+    // 'a a a b' -> greedy L2R: 'aa a b' (one merge per occurrence pass)
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val out = graft.text.TextOps.bpeTrain(docs, merges = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // step 1: pairs over {'a a a b' c2, 'a b' c1}: (a,a)=4, (a,b)=3 -> merge (a,a)
+    assert(out(0) == ((1, "a", "a", 4L)))
+    // step 2: reprs {'aa a b' c2, 'a b' c1}: (aa,a)=2, (a,b)=3 -> merge (a,b)
+    assert(out(1) == ((2, "a", "b", 3L)))
+    // step 3: {'aa a b' c2 -> after (a,b) merge: 'aa ab'... }
+    assert(out.length <= 10) // early stop once words are fully merged
+    assert(out.map(_._1).toSeq == (1 to out.length).toSeq)
+  }
+
   test("dbscan: core/border/noise roles, min-label clusters, border election") {
     // 1-2-3 mutually ε-close (dense triangle), 4 hangs off 3, 9 isolated
     val uni = Seq(1L, 2L, 3L, 4L, 9L).toDF("cell_id")
