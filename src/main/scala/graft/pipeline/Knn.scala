@@ -196,6 +196,27 @@ object Knn {
     nb
   }
 
+  /** Asymmetric radius query: every (query, corpus) LSH-candidate pair
+    * within `eps` — the semantic-decontamination probe shape (a small
+    * eval set probing a large corpus index). Planes are sized from the
+    * CORPUS count; only the query side explodes multi-probes, so cost
+    * is |queries|·(planes+1) bucket lookups, not a corpus self-join.
+    * Schemas: both `(cell_id, latent)`; ids live in disjoint spaces by
+    * caller convention (no self-exclusion is applied).
+    */
+  def bucketedEpsNeighborsBetween(queries: DataFrame, corpus: DataFrame,
+                                  eps: Double, nPlanes: Int = 0,
+                                  rounds: Int = 6): DataFrame = {
+    val (cand, release) = lshCandidates(queries, corpus, nPlanes, rounds,
+      excludeSelf = false)
+    val nb = cand.groupBy("src", "dst").agg(min(col("dist")).as("dist"))
+      .filter(round(col("dist"), 6) <= eps)
+      .select(col("src"), col("dst"), round(col("dist"), 6).as("dist"))
+      .localCheckpoint()
+    release()
+    nb
+  }
+
   /** UMAP smooth-knn-dist kernel: for one cell's ascending distance list,
     * find (rho, sigma) with sigma binary-searched so that
     * Σ exp(−max(d−rho,0)/sigma) = log2(k)·bandwidth, then return

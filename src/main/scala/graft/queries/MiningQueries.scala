@@ -300,6 +300,63 @@ object MiningQueries {
     "q154_bpe_train" -> ((s, d) =>
       TextOps.bpeTrain(docs(s, d), merges = 8).orderBy("step")),
 
+    // apply the learned tokenizer back to the corpus: per-doc subword
+    // counts + fertility under the trained merges — train-then-apply in
+    // one plan, the segmentation state a |vocab|-row map join
+    "q155_bpe_segment" -> ((s, d) =>
+      TextOps.bpeSegment(docs(s, d), merges = 8).orderBy("doc_id")),
+
+    // the OTHER deployment rule for the same trained tokenizer:
+    // WordPiece greedy longest-match over the learned vocabulary vs the
+    // BPE-ordered segmentation (n_diff_words = words where the rules
+    // disagree). The corpus's own 8 merges never produce overlapping
+    // products (measured: zero divergence at every SF), so divergence
+    // is PLANTED at a count-derived weight: K copies of '23 23 23 12 12'
+    // (K sized so the planted pairs out-count every natural pair) force
+    // merges #1 (2,3) then #2 (1,2), and the single light doc '123'
+    // then segments '1 23' under BPE order but '12 3' under greedy —
+    // the (1,23) pair has count 1 and is never learned. Heavy plant
+    // rows are dropped from the report; the light doc stays (diff 1).
+    "q156_wordpiece" -> ((s, d) => {
+      import s.implicits._
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val m = TextOps.maxCharPairCount(base)
+      val k = m / 2 + m % 2 + 1
+      val heavy = s.range(k).select((col("id") + 9000000L).as("doc_id"),
+        lit("23 23 23 12 12").as("text"))
+      val light = Seq((9900000L, "123")).toDF("doc_id", "text")
+      TextOps.wordpieceSegment(
+          base.unionByName(heavy).unionByName(light), merges = 8)
+        .filter(col("doc_id") < 9000000L || col("doc_id") === 9900000L)
+        .orderBy("doc_id")
+    }),
+
+    // SEMANTIC decontamination — the embedding leg of the q74/q103/q132
+    // n-gram decontamination family: corpus vectors within eps of any
+    // eval-set vector are flagged for removal. Asymmetric probe (the
+    // small eval set multi-probes the corpus index; planes sized from
+    // the CORPUS count). Plants: ×1.2 scaled copies of every 25th
+    // vector are true contamination (dist 0.2·‖v‖); reversed copies of
+    // every (25k+7)th are novel eval items that must NOT fire (the
+    // corpus is near-uniform: min pair distance ≈1 ≫ eps)
+    "q157_semantic_decontam" -> ((s, d) => {
+      val base = Tables.t(s, d, "embeddings").select(
+        col("vec_id").as("cell_id"),
+        col("embedding").cast("array<double>").as("latent"))
+      val evalSet = base.filter(col("cell_id") % 25 === 0)
+        .select((col("cell_id") + 1000000L).as("cell_id"),
+          transform(col("latent"), x => x * 1.2).as("latent"))
+        .unionByName(base.filter(col("cell_id") % 25 === 7)
+          .select((col("cell_id") + 2000000L).as("cell_id"),
+            reverse(col("latent")).as("latent")))
+      graft.pipeline.Knn
+        .bucketedEpsNeighborsBetween(evalSet, base, eps = 0.3)
+        .groupBy(col("dst").as("vec_id"))
+        .agg(count(lit(1)).as("n_eval_hits"),
+          min(col("dist")).as("min_dist"))
+        .orderBy("vec_id")
+    }),
+
     // boilerplate detection: the dominant 5-gram per source + its share
     // of the source's 5-gram occurrences — template-heavy feeds surface
     // before any dedup pass runs; planted footer text on src0 makes one
@@ -446,8 +503,14 @@ object MiningQueries {
     * padded literal REPLACE merge (left-to-right non-overlapping, the
     * same greedy rule java's appendReplacement applies Spark-side).
     */
-  private def q154OracleSql: String = {
-    val merges = 8
+  /** The shared BPE-training CTE chain (r_0..r_merges + m_i argmax
+    * stages, word column carried through) — q154 reads the merge table,
+    * q155 the final symbol table.
+    */
+  private def bpeChainSql(merges: Int): String =
+    bpeChainSqlFor(merges, "documents")
+
+  private def bpeChainSqlFor(merges: Int, rel: String): String = {
     val stages = (1 to merges).map { i =>
       s"""
   pc_$i AS MATERIALIZED (
@@ -458,27 +521,184 @@ object MiningQueries {
   m_$i AS MATERIALIZED (
     SELECT s1, s2, cnt FROM pc_$i ORDER BY cnt DESC, s1, s2 LIMIT 1),
   r_$i AS MATERIALIZED (
-    SELECT c, TRIM(REPLACE(' ' || repr || ' ',
+    SELECT w, c, TRIM(REPLACE(' ' || repr || ' ',
       ' ' || (SELECT s1 FROM m_$i) || ' ' || (SELECT s2 FROM m_$i) || ' ',
       ' ' || (SELECT s1 FROM m_$i) || (SELECT s2 FROM m_$i) || ' ')) AS repr
     FROM r_${i - 1})"""
     }.mkString(",")
+    s"""r_0 AS MATERIALIZED (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS c,
+           TRIM(REGEXP_REPLACE(w, '(.)', '\\1 ', 'g')) AS repr
+    FROM (SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')) AS w
+          FROM $rel) t
+    GROUP BY w),$stages"""
+  }
+
+  private def q154OracleSql: String = {
+    val merges = 8
     val union = (1 to merges).map(i =>
       s"SELECT $i AS step, s1, s2, cnt FROM m_$i")
       .mkString("\n  UNION ALL ")
-    s"""WITH r_0 AS MATERIALIZED (
-    SELECT CAST(COUNT(*) AS BIGINT) AS c,
-           TRIM(REGEXP_REPLACE(w, '(.)', '\\1 ', 'g')) AS repr
-    FROM (SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')) AS w
-          FROM documents) t
-    GROUP BY w),$stages
+    s"""WITH ${bpeChainSql(merges)}
   $union
   ORDER BY step"""
   }
 
+  /** WordPiece greedy walk replay: the BPE chain's vocabulary (r_0
+    * single chars + every m_i merge product), a (word, pos) longest-
+    * match jump table built as a RANGE cross product (dependent chained
+    * LATERALs crash DuckDB's binder), and 8 unrolled greedy stages —
+    * 8 = the corpus's max word length (each stage consumes ≥1 char;
+    * the Spark side sizes its walk from the data instead of pinning).
+    */
+  private def q156OracleSql: String = {
+    val maxWl = 8
+    val stages = (1 to maxWl).map { i =>
+      s"""
+  g_$i AS MATERIALIZED (
+    SELECT g.w, g.wl,
+      CASE WHEN g.pos <= g.wl THEN g.pos + j.step ELSE g.pos END AS pos,
+      CASE WHEN g.pos <= g.wl THEN g.n + 1 ELSE g.n END AS n,
+      CASE WHEN g.pos <= g.wl THEN g.seg || ' ' || SUBSTRING(g.w, g.pos, j.step)
+           ELSE g.seg END AS seg
+    FROM g_${i - 1} g LEFT JOIN jump j ON g.w = j.w AND g.pos = j.pos)"""
+    }.mkString(",")
+    val mall = (1 to 8).map(i => s"SELECT s1, s2 FROM m_$i")
+      .mkString(" UNION ALL ")
+    s"""WITH natw AS MATERIALIZED (
+    SELECT CAST(COUNT(*) AS BIGINT) AS c,
+           TRIM(REGEXP_REPLACE(w, '(.)', '\\1 ', 'g')) AS repr
+    FROM (SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')) AS w
+          FROM documents) t
+    GROUP BY w),
+  natp AS (
+    SELECT MAX(cnt) AS m FROM (
+      SELECT s[j] AS s1, s[j+1] AS s2, CAST(SUM(c) AS BIGINT) AS cnt
+      FROM (SELECT c, REGEXP_SPLIT_TO_ARRAY(repr, ' ') AS s FROM natw) t,
+           LATERAL (SELECT UNNEST(RANGE(1, LEN(s))) AS j)
+      GROUP BY 1, 2)),
+  kk AS (SELECT CAST(CEIL(m / 2.0) AS BIGINT) + 1 AS k FROM natp),
+  alldocs AS MATERIALIZED (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT 9000000 + i, '23 23 23 12 12'
+    FROM (SELECT UNNEST(RANGE(0, (SELECT k FROM kk))) AS i)
+    UNION ALL SELECT 9900000, '123'),
+  ${bpeChainSqlFor(8, "alldocs")},
+  vocab AS (
+    SELECT DISTINCT UNNEST(REGEXP_SPLIT_TO_ARRAY(repr, ' ')) AS sym FROM r_0
+    UNION SELECT s1 || s2 FROM ($mall)),
+  vs AS (SELECT sym, LEN(sym) AS slen FROM vocab),
+  wt AS (SELECT w, LEN(w) AS wl FROM r_0),
+  jump AS (
+    SELECT wt.w, p.pos, MAX(vs.slen) AS step
+    FROM wt
+    CROSS JOIN (SELECT UNNEST(RANGE(1, ${maxWl + 1})) AS pos) p
+    CROSS JOIN vs
+    WHERE p.pos <= wt.wl AND SUBSTRING(wt.w, p.pos, vs.slen) = vs.sym
+    GROUP BY wt.w, p.pos),
+  g_0 AS (SELECT w, wl, 1 AS pos, CAST(0 AS BIGINT) AS n, '' AS seg FROM wt),$stages,
+  cmp AS (
+    SELECT g.w, g.n,
+           CASE WHEN TRIM(g.seg) != r.repr THEN 1 ELSE 0 END AS diff
+    FROM g_$maxWl g JOIN r_8 r ON g.w = r.w),
+  segd AS (
+    SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')) AS w
+    FROM alldocs)
+  SELECT segd.doc_id, COUNT(*) AS n_words,
+         CAST(SUM(c.n) AS BIGINT) AS n_pieces,
+         CAST(SUM(c.diff) AS BIGINT) AS n_diff_words
+  FROM segd JOIN cmp c ON segd.w = c.w
+  WHERE segd.doc_id < 9000000 OR segd.doc_id = 9900000
+  GROUP BY segd.doc_id ORDER BY segd.doc_id"""
+  }
+
+  /** q157's replay: the q57 sign-matrix chain in its ASYMMETRIC form —
+    * corpus-sized planes, eval side alone explodes the Hamming-1
+    * multi-probes, distances computed once per DISTINCT candidate pair
+    * (identical across rounds, so Spark's min-over-rounds is a dedup).
+    */
+  private def q157OracleSql: String =
+    s"""WITH corpus AS MATERIALIZED (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+  ev AS MATERIALIZED (
+    SELECT vec_id + 1000000 AS vec_id, LIST_TRANSFORM(e, x -> x * 1.2) AS e
+    FROM corpus WHERE vec_id % 25 = 0
+    UNION ALL
+    SELECT vec_id + 2000000, LIST_REVERSE(e)
+    FROM corpus WHERE vec_id % 25 = 7),
+  params AS (
+    SELECT GREATEST(4, CAST(CEIL(LOG2(CAST(CEIL(COUNT(*) / 128.0) AS BIGINT))) AS INT)) AS np
+    FROM corpus),
+  dims AS (SELECT MAX(LEN(e)) AS nd FROM corpus),
+  signs AS (
+    SELECT s.seed, p.h,
+           LIST(CASE WHEN SUBSTRING(MD5(CONCAT(s.seed, ':', p.h, ':', j.j)), 1, 1)
+                     BETWEEN '8' AND 'f' THEN CAST(1.0 AS DOUBLE)
+                ELSE CAST(-1.0 AS DOUBLE) END ORDER BY j.j) AS sv
+    FROM (SELECT UNNEST(RANGE(0, 6)) AS seed) s
+    CROSS JOIN (SELECT UNNEST(RANGE(0, (SELECT np FROM params))) AS h) p
+    CROSS JOIN (SELECT UNNEST(RANGE(0, (SELECT nd FROM dims))) AS j) j
+    GROUP BY s.seed, p.h),
+  buckc AS (
+    SELECT g.seed, c.vec_id,
+           CAST(SUM(CASE WHEN LIST_DOT_PRODUCT(c.e, g.sv) > 0
+                         THEN (1::BIGINT << g.h) ELSE 0 END) AS BIGINT) AS bucket
+    FROM corpus c CROSS JOIN signs g
+    GROUP BY g.seed, c.vec_id),
+  buckq AS (
+    SELECT g.seed, q.vec_id,
+           CAST(SUM(CASE WHEN LIST_DOT_PRODUCT(q.e, g.sv) > 0
+                         THEN (1::BIGINT << g.h) ELSE 0 END) AS BIGINT) AS bucket
+    FROM ev q CROSS JOIN signs g
+    GROUP BY g.seed, q.vec_id),
+  probes AS (
+    SELECT seed, vec_id,
+           UNNEST(LIST_PREPEND(bucket,
+             LIST_TRANSFORM(RANGE(0, (SELECT np FROM params)),
+               h -> xor(bucket, 1::BIGINT << h)))) AS probe
+    FROM buckq),
+  cand AS (
+    SELECT DISTINCT p.vec_id AS src, b.vec_id AS dst
+    FROM probes p JOIN buckc b ON p.seed = b.seed AND p.probe = b.bucket),
+  d AS (
+    SELECT c.src, c.dst,
+           SQRT(GREATEST(LIST_DOT_PRODUCT(qa.e, qa.e)
+             - 2 * LIST_DOT_PRODUCT(qa.e, cb.e)
+             + LIST_DOT_PRODUCT(cb.e, cb.e), 0)) AS dist
+    FROM cand c
+    JOIN ev qa ON c.src = qa.vec_id
+    JOIN corpus cb ON c.dst = cb.vec_id),
+  nb AS (
+    SELECT src, dst, ROUND(MIN(dist), 6) AS dist
+    FROM d GROUP BY src, dst
+    HAVING ROUND(MIN(dist), 6) <= 0.3)
+  SELECT dst AS vec_id, COUNT(*) AS n_eval_hits, MIN(dist) AS min_dist
+  FROM nb GROUP BY dst ORDER BY dst"""
+
+  private def q155OracleSql: String =
+    s"""WITH ${bpeChainSql(8)},
+  fin AS (
+    SELECT w, LEN(REGEXP_SPLIT_TO_ARRAY(repr, ' ')) AS n_sym FROM r_8),
+  seg AS (
+    SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')) AS w
+    FROM documents)
+  SELECT seg.doc_id, COUNT(*) AS n_words,
+         CAST(SUM(fin.n_sym) AS BIGINT) AS n_subwords,
+         ROUND(CAST(SUM(fin.n_sym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS fertility
+  FROM seg JOIN fin ON seg.w = fin.w
+  GROUP BY seg.doc_id ORDER BY seg.doc_id"""
+
   val oracle: Map[String, String] = Map(
 
     "q154_bpe_train" -> q154OracleSql,
+
+    "q155_bpe_segment" -> q155OracleSql,
+
+    "q156_wordpiece" -> q156OracleSql,
+
+    "q157_semantic_decontam" -> q157OracleSql,
 
     "q143_pq_knn" -> q143OracleSql,
 

@@ -89,9 +89,108 @@ object TextOps {
   def bpeTrain(docs: DataFrame, merges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var words = docs.select(explode(tokensCol).as("w"))
+    bpeLoop(docs, merges)._1.toDF("step", "s1", "s2", "cnt")
+  }
+
+  /** Apply the [[bpeTrain]]-learned merge table back to the corpus:
+    * per-document word and subword counts + fertility under the trained
+    * tokenizer — train-then-apply in one plan (the fertility q121
+    * reports for a FIXED segmenter, now for the learned one). The
+    * segmentation is a |vocabulary|-row map joined to the exploded
+    * token stream — the trained state never leaves the cluster.
+    */
+  def bpeSegment(docs: DataFrame, merges: Int): DataFrame = {
+    val words = bpeLoop(docs, merges)._2
+    val symCounts = words.select(col("w"),
+      size(split(col("repr"), " ")).as("n_sym"))
+    docs.select(col("doc_id"), explode(tokensCol).as("w"))
+      .join(symCounts, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sym")).cast("long").as("n_subwords"))
+      .withColumn("fertility",
+        round(col("n_subwords").cast("double") / col("n_words").cast("double"), 6))
+  }
+
+  /** WordPiece-style GREEDY longest-match-first segmentation under the
+    * [[bpeTrain]]-learned vocabulary (single characters + every merge
+    * product) — the other deployment rule for the same trained
+    * tokenizer: BPE replays merges in learned order, WordPiece
+    * greedy-matches the final vocabulary, and the two disagree wherever
+    * a later merge's product spans an earlier merge boundary (vocab
+    * {a,b,c,bc,ab} segments "abc" as "a bc" under BPE order (b,c),(a,b)
+    * but "ab c" under greedy). Per doc: word/piece counts plus how many
+    * words the two rules segment differently. Scale: the segmentation
+    * walk runs on the DISTINCT-WORD table — a (word, pos) jump table
+    * from one broadcast-vocab join, then maxWordLen tiny self-joins
+    * (each greedy step consumes ≥1 char, single chars always match) —
+    * and only the final |vocab|-row map joins the token stream.
+    */
+  def wordpieceSegment(docs: DataFrame, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (learned, words) = bpeLoop(docs, merges)
+    val chars = words.select(explode(split(trim(regexp_replace(col("w"),
+      lit("(.)"), lit("$1 "))), " ")).as("sym"))
+    val vocab = chars.union(learned.map(m => m._2 + m._3).toDF("sym"))
+      .distinct().select(col("sym"), length(col("sym")).as("slen"))
+      .localCheckpoint()
+    val wt = words.select(col("w"), col("repr"), length(col("w")).as("wl"))
+      .localCheckpoint()
+    // longest vocab match at every (word, position): one broadcast join
+    val jump = wt.select(col("w"), col("wl"),
+        explode(sequence(lit(1), col("wl"))).as("pos"))
+      .join(broadcast(vocab), expr("substring(w, pos, slen) = sym"))
+      .groupBy("w", "pos").agg(max(col("slen")).as("step"))
+      .localCheckpoint()
+    val maxWl = wt.agg(max(col("wl"))).head.getInt(0)
+    var g = wt.select(col("w"), col("wl"), col("repr"),
+      lit(1).as("pos"), lit(0L).as("n"), lit("").as("seg"))
+    for (i <- 1 to maxWl) {
+      val live = col("pos") <= col("wl")
+      g = g.join(jump, Seq("w", "pos"), "left")
+        .select(col("w"), col("wl"), col("repr"),
+          when(live, col("pos") + col("step")).otherwise(col("pos")).as("pos"),
+          when(live, col("n") + 1L).otherwise(col("n")).as("n"),
+          when(live, concat(col("seg"), lit(" "),
+            expr("substring(w, pos, step)"))).otherwise(col("seg")).as("seg"))
+      if (i % 4 == 0) g = g.localCheckpoint()
+    }
+    val cmp = g.select(col("w"), col("n"),
+      (trim(col("seg")) =!= col("repr")).cast("long").as("diff"))
+    docs.select(col("doc_id"), explode(tokensCol).as("w"))
+      .join(cmp, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n")).as("n_pieces"),
+        sum(col("diff")).as("n_diff_words"))
+  }
+
+  /** The corpus's maximum adjacent-character pair count (the weight of
+    * BPE's first merge) — callers that plant count-dominating synthetic
+    * words size their plant from this one vocabulary-bounded scalar.
+    */
+  def maxCharPairCount(docs: DataFrame): Long =
+    docs.select(explode(tokensCol).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
       .select(col("c"),
+        split(trim(regexp_replace(col("w"), lit("(.)"), lit("$1 "))), " ").as("s"))
+      .filter(size(col("s")) >= 2)
+      .select(col("c"), explode(expr(
+        """transform(sequence(0, size(s) - 2), i ->
+             named_struct('s1', element_at(s, i + 1),
+                          's2', element_at(s, i + 2)))""")).as("p"))
+      .groupBy(col("p.s1"), col("p.s2")).agg(sum(col("c")).as("cnt"))
+      .agg(max(col("cnt"))).head.getLong(0)
+
+  /** The shared BPE training loop: returns the learned merge list and
+    * the final (w, c, repr) symbol table.
+    */
+  private def bpeLoop(docs: DataFrame, merges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    var words = docs.select(explode(tokensCol).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(col("w"), col("c"),
         trim(regexp_replace(col("w"), lit("(.)"), lit("$1 "))).as("repr"))
       .localCheckpoint()
     val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
@@ -109,19 +208,19 @@ object TextOps {
         .orderBy(col("cnt").desc, col("s1"), col("s2")).take(1)
       if (top.isEmpty) { exhausted = true } // every word fully merged
       else {
-      val (s1, s2, cnt) =
-        (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-      learned += ((step, s1, s2, cnt))
-      words = words.select(col("c"),
-          trim(regexp_replace(concat(lit(" "), col("repr"), lit(" ")),
-            lit(java.util.regex.Pattern.quote(s" $s1 $s2 ")),
-            lit(java.util.regex.Matcher.quoteReplacement(s" $s1$s2 "))))
-            .as("repr"))
-        .localCheckpoint()
-      step += 1
+        val (s1, s2, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((step, s1, s2, cnt))
+        words = words.select(col("w"), col("c"),
+            trim(regexp_replace(concat(lit(" "), col("repr"), lit(" ")),
+              lit(java.util.regex.Pattern.quote(s" $s1 $s2 ")),
+              lit(java.util.regex.Matcher.quoteReplacement(s" $s1$s2 "))))
+              .as("repr"))
+          .localCheckpoint()
+        step += 1
       }
     }
-    learned.toSeq.toDF("step", "s1", "s2", "cnt")
+    (learned.toSeq, words)
   }
 
   /** Boilerplate detection: the single most frequent n-gram per source

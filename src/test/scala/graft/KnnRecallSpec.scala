@@ -60,6 +60,26 @@ class KnnRecallSpec extends SparkSpec {
     assert(cross == 0L, s"$cross cross-cluster edges in top-3")
   }
 
+  test("bucketedEpsNeighborsBetween: asymmetric probe finds planted copies only") {
+    import spark.implicits._
+    // corpus: 3 well-separated cluster centers; queries: a near-copy of
+    // center 0 (must match), and a far point (must not)
+    val corpus = Seq(
+      (0L, Array.tabulate(8)(j => 0.01 * j)),
+      (1L, Array.tabulate(8)(j => 10.0 + 0.01 * j)),
+      (2L, Array.tabulate(8)(j => 20.0 + 0.01 * j))).toDF("cell_id", "latent")
+    val queries = Seq(
+      (100L, Array.tabulate(8)(j => 0.01 * j + 0.01)),
+      (101L, Array.tabulate(8)(_ => -50.0))).toDF("cell_id", "latent")
+    val nb = Knn.bucketedEpsNeighborsBetween(queries, corpus, eps = 0.5,
+      nPlanes = 3, rounds = 4)
+    val rows = nb.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((100L, 0L)), s"unexpected matches: $rows")
+    val plan = nb.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q61 silhouette plan is ANN-fed: no cartesian/nested-loop stage") {
     assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
     val df = graft.queries.MlQueries.queries("q61_silhouette")(spark, sfDir)

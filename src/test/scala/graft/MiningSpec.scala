@@ -260,6 +260,38 @@ class MiningSpec extends SparkSpec {
     assert(out.map(_._1).toSeq == (1 to out.length).toSeq)
   }
 
+  test("bpeSegment: fertility under the trained merges, hand-checked") {
+    // same corpus as bpeTrain: after all merges every word is 1 symbol
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab")).toDF("doc_id", "text")
+    val full = graft.text.TextOps.bpeSegment(docs, merges = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(full(1L) == ((3L, 3L, 1.0)))
+    assert(full(2L) == ((1L, 1L, 1.0)))
+    // after ONE merge (a,a): 'aaab' -> 'aa a b' (3 syms), 'ab' -> 'a b' (2)
+    val one = graft.text.TextOps.bpeSegment(docs, merges = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(one(1L) == ((3L, 8L, 2.666667)))
+    assert(one(2L) == ((1L, 3L, 3.0)))
+  }
+
+  test("wordpieceSegment: greedy diverges from BPE order on overlapping merges") {
+    // (b,c) learned before (a,b): BPE segments 'abc' as 'a bc' (the (a,b)
+    // merge finds no adjacent site), greedy longest-match takes 'ab c'
+    val docs = Seq((1L, "bc bc bc ab ab abc")).toDF("doc_id", "text")
+    val out = graft.text.TextOps.wordpieceSegment(docs, merges = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // 6 words; wp pieces: bc=1 x3, ab=1 x2, abc=2 -> 7; only abc differs
+    assert(out(1L) == ((6L, 7L, 1L)))
+    // with enough merges everything fully merges and both rules agree
+    val full = graft.text.TextOps.wordpieceSegment(docs, merges = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(full(1L) == ((6L, 6L, 0L)))
+  }
+
   test("dbscan: core/border/noise roles, min-label clusters, border election") {
     // 1-2-3 mutually ε-close (dense triangle), 4 hangs off 3, 9 isolated
     val uni = Seq(1L, 2L, 3L, 4L, 9L).toDF("cell_id")
