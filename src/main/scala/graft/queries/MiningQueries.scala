@@ -357,6 +357,41 @@ object MiningQueries {
         .orderBy("vec_id")
     }),
 
+    // Johnson–Lindenstrauss distortion report: project to k=16 via the
+    // deterministic ±1 md5 sign matrix (Similarity.randomProject) and
+    // measure pairwise-distance distortion on the chained sample pairs
+    // (i, i+10) — the honest gate before swapping full embeddings for
+    // projections in an ANN index (k=16 over 64 dims: expect real
+    // distortion, reported not hidden — q144's PQ-recall stance)
+    "q158_jl_projection" -> ((s, d) => {
+      val base = Tables.t(s, d, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      val proj = graft.sim.Similarity.randomProject(
+        base.select(col("vec_id"), col("e").as("embedding")), k = 16)
+      val samp = base.filter(col("vec_id") % 10 === 0)
+      val pp = proj.filter(col("vec_id") % 10 === 0)
+      val l2 = (a: String, b: String) =>
+        graft.sim.Similarity.l2(col(a), col(b))
+      samp.select(col("vec_id").as("ida"), col("e").as("va"))
+        .join(samp.select(col("vec_id").as("idb"), col("e").as("vb")),
+          col("idb") === col("ida") + 10)
+        .join(pp.select(col("vec_id").as("ida"), col("proj").as("qa")), Seq("ida"))
+        .join(pp.select(col("vec_id").as("idb"), col("proj").as("qb")), Seq("idb"))
+        .select(col("ida"), col("idb"),
+          round(l2("va", "vb"), 6).as("d_orig"),
+          round(l2("qa", "qb"), 6).as("d_proj"),
+          round(l2("qa", "qb") / l2("va", "vb"), 6).as("ratio"))
+        .orderBy("ida")
+    }),
+
+    // token-balanced shard manifest: seeded-shuffle order + token
+    // prefix sum -> 16 shards carrying equal token mass to within one
+    // document — the balanced-output-writer arithmetic, no
+    // single-partition window anywhere
+    "q159_shard_assign" -> ((s, d) =>
+      graft.text.Mix.shardAssign(docs(s, d), nShards = 16, seed = 7)
+        .orderBy("shard")),
+
     // boilerplate detection: the dominant 5-gram per source + its share
     // of the source's 5-gram occurrences — template-heavy feeds surface
     // before any dedup pass runs; planted footer text on src0 makes one
@@ -613,6 +648,44 @@ object MiningQueries {
   GROUP BY segd.doc_id ORDER BY segd.doc_id"""
   }
 
+  /** q158's replay: the seed-0 sign matrix (the LSH family's md5
+    * construction), 16 projection coordinates as LIST_DOT_PRODUCT ×
+    * 1/√16, distances by the shared dot-product identity on both the
+    * original and projected lists.
+    */
+  private def q158OracleSql: String =
+    s"""WITH v AS MATERIALIZED (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    WHERE vec_id % 10 = 0),
+  dims AS (SELECT MAX(LEN(embedding)) AS nd FROM embeddings),
+  signs AS (
+    SELECT p.h,
+           LIST(CASE WHEN SUBSTRING(MD5(CONCAT('0:', p.h, ':', j.j)), 1, 1)
+                     BETWEEN '8' AND 'f' THEN CAST(1.0 AS DOUBLE)
+                ELSE CAST(-1.0 AS DOUBLE) END ORDER BY j.j) AS sv
+    FROM (SELECT UNNEST(RANGE(0, 16)) AS h) p
+    CROSS JOIN (SELECT UNNEST(RANGE(0, (SELECT nd FROM dims))) AS j) j
+    GROUP BY p.h),
+  proj AS (
+    SELECT v.vec_id, g.h,
+           LIST_DOT_PRODUCT(v.e, g.sv) * (1.0 / SQRT(16.0)) AS y
+    FROM v CROSS JOIN signs g),
+  pv AS (SELECT vec_id, LIST(y ORDER BY h) AS p FROM proj GROUP BY vec_id),
+  pr AS (
+    SELECT a.vec_id AS ida, b.vec_id AS idb,
+           SQRT(GREATEST(LIST_DOT_PRODUCT(a.e, a.e)
+             - 2 * LIST_DOT_PRODUCT(a.e, b.e)
+             + LIST_DOT_PRODUCT(b.e, b.e), 0)) AS dor,
+           SQRT(GREATEST(LIST_DOT_PRODUCT(pa.p, pa.p)
+             - 2 * LIST_DOT_PRODUCT(pa.p, pb.p)
+             + LIST_DOT_PRODUCT(pb.p, pb.p), 0)) AS dpr
+    FROM v a JOIN v b ON b.vec_id = a.vec_id + 10
+    JOIN pv pa ON pa.vec_id = a.vec_id
+    JOIN pv pb ON pb.vec_id = b.vec_id)
+  SELECT ida, idb, ROUND(dor, 6) AS d_orig, ROUND(dpr, 6) AS d_proj,
+         ROUND(dpr / dor, 6) AS ratio
+  FROM pr ORDER BY ida"""
+
   /** q157's replay: the q57 sign-matrix chain in its ASYMMETRIC form —
     * corpus-sized planes, eval side alone explodes the Hamming-1
     * multi-probes, distances computed once per DISTINCT candidate pair
@@ -699,6 +772,27 @@ object MiningQueries {
     "q156_wordpiece" -> q156OracleSql,
 
     "q157_semantic_decontam" -> q157OracleSql,
+
+    "q158_jl_projection" -> q158OracleSql,
+
+    // exclusive token prefix sum in seeded-rank order, integer-div
+    // shard cut — the window here is legitimate oracle-side SQL (DuckDB
+    // runs single-node); the Spark side uses the two-pass kernel
+    "q159_shard_assign" ->
+      s"""WITH base AS (
+           SELECT doc_id,
+                  CAST(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')) AS BIGINT) AS nt,
+                  MD5('7:' || doc_id) AS rk
+           FROM documents),
+         run AS (
+           SELECT doc_id, nt,
+                  COALESCE(SUM(nt) OVER (ORDER BY rk, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run
+           FROM base),
+         tot AS (SELECT CAST(SUM(nt) AS BIGINT) AS total FROM base)
+         SELECT CAST((run * 16) // total AS INT) AS shard,
+                COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+         FROM run, tot GROUP BY 1 ORDER BY 1""",
 
     "q143_pq_knn" -> q143OracleSql,
 

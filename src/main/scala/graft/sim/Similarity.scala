@@ -49,6 +49,27 @@ object Similarity {
   def l2(a: Column, b: Column): Column =
     sqrt(greatest(dot(a, a) - lit(2) * dot(a, b) + dot(b, b), lit(0.0)))
 
+  /** Achlioptas ±1 random projection — the database-friendly
+    * Johnson–Lindenstrauss transform: y_h = (1/√k)·Σ_j s_hj·x_j over
+    * the same deterministic md5 sign matrices the LSH family uses, so
+    * the projection replays bit-for-bit in any engine. Map-only: each
+    * output coordinate is ONE codegen'd dot product against a literal
+    * sign row — no shuffle, no stored projection matrix, no
+    * per-row hashing. The memory lever of a 100 TB embedding store:
+    * d-dim doubles shrink to k/d the bytes while pairwise distances
+    * hold within (1±ε), ε ≈ √(8·ln n / k) — measured, not assumed, by
+    * q158's distortion report. `corpus(vec_id, embedding)` →
+    * `(vec_id, proj: array<double>[k])`.
+    */
+  def randomProject(corpus: DataFrame, k: Int, seed: Int = 0): DataFrame = {
+    val dim = embeddingDim(corpus)
+    val signs = signMatrix(k, dim, seed)
+    val scale = lit(1.0 / math.sqrt(k.toDouble))
+    corpus.select(col("vec_id"),
+      array(signs.map(s => dot(toDouble(col("embedding")), lit(s)) * scale): _*)
+        .as("proj"))
+  }
+
   /** Exact top-k cosine neighbors of each query vector.
     * `queries(qid, qvec)`, `corpus(vec_id, embedding)`. `excludeSelf`
     * drops id-equal pairs — right when queries are drawn FROM the corpus

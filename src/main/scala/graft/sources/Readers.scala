@@ -92,6 +92,20 @@ object Readers {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** ORC interchange — the other columnar warehouse format Spark ships
+    * a native vectorized reader for (spark-sql's built-in orc source;
+    * no extra dependency). Same pushdown/pruning properties as parquet:
+    * predicate pushdown reaches the stripe index, column pruning the
+    * stripe footers — asserted by the round's ScaleShapeSpec pattern.
+    * The writer preserves the frame's schema verbatim, so
+    * parquet→orc→parquet round-trips are value-exact.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Export a COO matrix as MTX text (to_mtx, scarf/writers.py:1262-1304):
     * header + dims line + sorted triples, written distributively then
     * concatenated by Spark's text sink (one part per partition; a single

@@ -202,6 +202,34 @@ object Mix {
     * integers — no accumulation, so every engine agrees. Shape: one
     * token-count aggregation; everything after is |strata|-sized.
     */
+  /** Token-balanced shard assignment — the deterministic "write N
+    * balanced output shards" step at the end of a corpus build: docs
+    * are ordered by a seeded md5 rank (a replayable global shuffle) and
+    * the shard boundary follows the TOKEN prefix sum, not the doc
+    * count — `shard = (prefix_tokens · N) div total_tokens` — so every
+    * shard carries total/N tokens to within one document regardless of
+    * the document-length distribution (a doc-count split skews bytes
+    * whenever length correlates with position or source). One exclusive
+    * running total (the two-pass range-partitioned kernel — no
+    * single-partition window) + a 1-row broadcast total; integer
+    * division on both engines (the q120 CAST-rounding lesson). Returns
+    * the shard manifest `(shard, n_docs, n_tokens)`.
+    */
+  def shardAssign(docs: DataFrame, nShards: Int, seed: Int): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("long").as("nt"),
+      md5(concat(lit(s"$seed:"), col("doc_id").cast("string"))).as("rk"))
+    val run = graft.ops.Windows.runningTotal(base,
+      Seq(col("rk"), col("doc_id")), "nt", "run")
+    val tot = run.agg(sum(col("nt")).as("total"))
+    run.crossJoin(broadcast(tot))
+      .withColumn("runl", col("run").cast("long"))
+      .withColumn("shard", expr(s"cast((runl * $nShards) div total as int)"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).cast("long").as("n_tokens"))
+  }
+
   def mixturePlan(docs: DataFrame, stratum: Column,
                   weights: Map[String, Double]): DataFrame = {
     val spark = docs.sparkSession

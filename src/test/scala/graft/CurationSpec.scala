@@ -171,6 +171,28 @@ class CurationSpec extends SparkSpec {
     } finally mixed.unpersist()
   }
 
+  test("ORC round-trip is value-exact and pushes filters to the scan") {
+    import graft.sources.Readers
+    val dir = java.nio.file.Files.createTempDirectory("orc").toString
+    val docs = Seq((1L, "alpha beta", "en"), (2L, "gamma", "de"),
+      (3L, "delta", "en")).toDF("doc_id", "text", "lang")
+    Readers.writeOrc(docs, s"$dir/out")
+    val back = Readers.readOrc(spark, s"$dir/out")
+    // names + types survive; nullability widens to true on read (ORC
+    // stores no not-null constraint — same as Spark's parquet source)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      docs.schema.map(f => (f.name, f.dataType)))
+    assert(back.collect().map(_.toSeq).toSet == docs.collect().map(_.toSeq).toSet)
+    // filter + projection reach the ORC scan node (same contract the
+    // parquet leg asserts in ScaleShapeSpec)
+    val q = back.filter(col("doc_id") > 1L).select("doc_id", "lang")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan(doc_id,1)"),
+      s"no pushed filter in: $scan")
+    val readSchema = scan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"), s"text not pruned: $readSchema")
+  }
+
   test("filterCascade: first failing gate wins; boundary values pass") {
     val sw = Seq("the", "a")
     val docs = Seq(

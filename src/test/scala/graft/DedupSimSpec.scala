@@ -311,6 +311,20 @@ class DedupSimSpec extends SparkSpec {
     assert(both.filter($"native" =!= $"hof").count() === 0)
   }
 
+  test("randomProject: k coordinates, exact linearity on integer vectors") {
+    import spark.implicits._
+    // signs are ±1, so integer-valued inputs give exactly representable
+    // projections: P(2a) must equal 2·P(a) elementwise, exactly
+    val a = (1 to 8).map(_.toDouble).toArray
+    val df = Seq((1L, a), (2L, a.map(_ * 2))).toDF("vec_id", "embedding")
+    val p = Similarity.randomProject(df, k = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(p(1L).length === 16 && p(2L).length === 16)
+    assert(p(2L) === p(1L).map(_ * 2))
+    // not the zero map: some coordinate is nonzero
+    assert(p(1L).exists(_ != 0.0))
+  }
+
   test("DotProduct runs inside whole-stage codegen") {
     val df = spark.range(100)
       .select(array((0 to 4).map(i => (col("id") + i).cast("double")): _*).as("a"))

@@ -49,6 +49,27 @@ class SelectionSpec extends SparkSpec {
     assert(after <= 20) // w=1e5 vs ≤500: key ≈ 0, lands near the top
   }
 
+  test("shardAssign: shards conserve totals and balance tokens within max doc length") {
+    // doc lengths vary 1..40 tokens — a doc-count split would skew badly
+    val docs = (1 to 200).map { i =>
+      (i.toLong, Seq.fill(1 + (i * 31) % 40)("tok").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Mix.shardAssign(docs, nShards = 8, seed = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val totalTokens = (1 to 200).map(i => 1L + (i * 31) % 40).sum
+    assert(out.map(_._1).sorted.toSeq == (0 until 8))
+    assert(out.map(_._2).sum == 200L)
+    assert(out.map(_._3).sum == totalTokens)
+    // balance: every shard within one max-length doc of the ideal slice
+    val ideal = totalTokens.toDouble / 8
+    assert(out.forall(s => math.abs(s._3 - ideal) <= 40),
+      s"unbalanced: ${out.toSeq}")
+    // deterministic: same seed reproduces, different seed still balances
+    val again = Mix.shardAssign(docs, nShards = 8, seed = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet == out.toSet)
+  }
+
   test("nbClassify: separable vocabularies classify perfectly; priors break OOV ties") {
     // lang A speaks {aa bb}, lang B speaks {cc dd}; ids chosen so each
     // lang has train (id%10!=0) and test (id%10==0) docs
