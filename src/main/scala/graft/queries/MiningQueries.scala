@@ -17,6 +17,21 @@ object MiningQueries {
 
   private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
 
+  /** The q156/q160 planted universe: corpus + K count-dominating heavy
+    * docs (forcing merges #1 (2,3), #2 (1,2)) + one light doc '123'
+    * whose BPE/greedy segmentations provably diverge.
+    */
+  private def plantedDocs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val m = TextOps.maxCharPairCount(base)
+    val k = m / 2 + m % 2 + 1
+    val heavy = s.range(k).select((col("id") + 9000000L).as("doc_id"),
+      lit("23 23 23 12 12").as("text"))
+    val light = Seq((9900000L, "123")).toDF("doc_id", "text")
+    base.unionByName(heavy).unionByName(light)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // contrastive hard-negative mining: per anchor, the 3 nearest
@@ -317,19 +332,22 @@ object MiningQueries {
     // then segments '1 23' under BPE order but '12 3' under greedy —
     // the (1,23) pair has count 1 and is never learned. Heavy plant
     // rows are dropped from the report; the light doc stays (diff 1).
-    "q156_wordpiece" -> ((s, d) => {
-      import s.implicits._
-      val base = docs(s, d).select(col("doc_id"), col("text"))
-      val m = TextOps.maxCharPairCount(base)
-      val k = m / 2 + m % 2 + 1
-      val heavy = s.range(k).select((col("id") + 9000000L).as("doc_id"),
-        lit("23 23 23 12 12").as("text"))
-      val light = Seq((9900000L, "123")).toDF("doc_id", "text")
-      TextOps.wordpieceSegment(
-          base.unionByName(heavy).unionByName(light), merges = 8)
+    "q156_wordpiece" -> ((s, d) =>
+      TextOps.wordpieceSegment(plantedDocs(s, d), merges = 8)
         .filter(col("doc_id") < 9000000L || col("doc_id") === 9900000L)
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
+
+    // the THIRD inference rule for the same trained tokenizer:
+    // unigram-LM Viterbi (SentencePiece's rule) — max Σ ln p(sym) with
+    // add-one-smoothed corpus frequencies in integer micro-nats; the
+    // report counts disagreement against BOTH other rules over the
+    // same planted universe (frequency-aware DP typically recovers the
+    // BPE optimum where greedy errs — and the spec hand-constructs the
+    // case where it overrides BPE order too)
+    "q160_viterbi_segment" -> ((s, d) =>
+      TextOps.viterbiSegment(plantedDocs(s, d), merges = 8)
+        .filter(col("doc_id") < 9000000L || col("doc_id") === 9900000L)
+        .orderBy("doc_id")),
 
     // SEMANTIC decontamination — the embedding leg of the q74/q103/q132
     // n-gram decontamination family: corpus vectors within eps of any
@@ -586,21 +604,12 @@ object MiningQueries {
     * 8 = the corpus's max word length (each stage consumes ≥1 char;
     * the Spark side sizes its walk from the data instead of pinning).
     */
-  private def q156OracleSql: String = {
-    val maxWl = 8
-    val stages = (1 to maxWl).map { i =>
-      s"""
-  g_$i AS MATERIALIZED (
-    SELECT g.w, g.wl,
-      CASE WHEN g.pos <= g.wl THEN g.pos + j.step ELSE g.pos END AS pos,
-      CASE WHEN g.pos <= g.wl THEN g.n + 1 ELSE g.n END AS n,
-      CASE WHEN g.pos <= g.wl THEN g.seg || ' ' || SUBSTRING(g.w, g.pos, j.step)
-           ELSE g.seg END AS seg
-    FROM g_${i - 1} g LEFT JOIN jump j ON g.w = j.w AND g.pos = j.pos)"""
-    }.mkString(",")
-    val mall = (1 to 8).map(i => s"SELECT s1, s2 FROM m_$i")
-      .mkString(" UNION ALL ")
-    s"""WITH natw AS MATERIALIZED (
+  /** The planted-universe prefix shared by q156/q160: the natural-pair
+    * max sizes the heavy-plant weight K, `alldocs` = corpus + K heavy
+    * docs + the light divergence doc.
+    */
+  private val plantSql: String =
+    s"""natw AS MATERIALIZED (
     SELECT CAST(COUNT(*) AS BIGINT) AS c,
            TRIM(REGEXP_REPLACE(w, '(.)', '\\1 ', 'g')) AS repr
     FROM (SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')) AS w
@@ -618,21 +627,54 @@ object MiningQueries {
     UNION ALL
     SELECT 9000000 + i, '23 23 23 12 12'
     FROM (SELECT UNNEST(RANGE(0, (SELECT k FROM kk))) AS i)
-    UNION ALL SELECT 9900000, '123'),
-  ${bpeChainSqlFor(8, "alldocs")},
-  vocab AS (
+    UNION ALL SELECT 9900000, '123')"""
+
+  /** Vocabulary + all-matches + longest-match jump CTEs over the BPE
+    * chain's r_0/m_i (shared by q156/q160): `vocab` (r_0 chars + merge
+    * products), `mt` (EVERY vocab match at every word position, via a
+    * RANGE cross product — dependent chained LATERALs crash the
+    * binder), `jump` (the greedy per-position max length).
+    */
+  private def vocabMatchSql(maxWl: Int): String = {
+    val mall = (1 to 8).map(i => s"SELECT s1, s2 FROM m_$i")
+      .mkString(" UNION ALL ")
+    s"""vocab AS (
     SELECT DISTINCT UNNEST(REGEXP_SPLIT_TO_ARRAY(repr, ' ')) AS sym FROM r_0
     UNION SELECT s1 || s2 FROM ($mall)),
   vs AS (SELECT sym, LEN(sym) AS slen FROM vocab),
   wt AS (SELECT w, LEN(w) AS wl FROM r_0),
-  jump AS (
-    SELECT wt.w, p.pos, MAX(vs.slen) AS step
+  mt AS MATERIALIZED (
+    SELECT wt.w, wt.wl, p.pos, vs.sym, vs.slen
     FROM wt
     CROSS JOIN (SELECT UNNEST(RANGE(1, ${maxWl + 1})) AS pos) p
     CROSS JOIN vs
-    WHERE p.pos <= wt.wl AND SUBSTRING(wt.w, p.pos, vs.slen) = vs.sym
-    GROUP BY wt.w, p.pos),
-  g_0 AS (SELECT w, wl, 1 AS pos, CAST(0 AS BIGINT) AS n, '' AS seg FROM wt),$stages,
+    WHERE p.pos <= wt.wl AND SUBSTRING(wt.w, p.pos, vs.slen) = vs.sym),
+  jump AS (SELECT w, pos, MAX(slen) AS step FROM mt GROUP BY w, pos)"""
+  }
+
+  /** The unrolled greedy longest-match walk g_0..g_maxWl (needs wt +
+    * jump in scope).
+    */
+  private def greedyStagesSql(maxWl: Int): String = {
+    val stages = (1 to maxWl).map { i =>
+      s"""
+  g_$i AS MATERIALIZED (
+    SELECT g.w, g.wl,
+      CASE WHEN g.pos <= g.wl THEN g.pos + j.step ELSE g.pos END AS pos,
+      CASE WHEN g.pos <= g.wl THEN g.n + 1 ELSE g.n END AS n,
+      CASE WHEN g.pos <= g.wl THEN g.seg || ' ' || SUBSTRING(g.w, g.pos, j.step)
+           ELSE g.seg END AS seg
+    FROM g_${i - 1} g LEFT JOIN jump j ON g.w = j.w AND g.pos = j.pos)"""
+    }.mkString(",")
+    s"""g_0 AS (SELECT w, wl, 1 AS pos, CAST(0 AS BIGINT) AS n, '' AS seg FROM wt),$stages"""
+  }
+
+  private def q156OracleSql: String = {
+    val maxWl = 8
+    s"""WITH $plantSql,
+  ${bpeChainSqlFor(8, "alldocs")},
+  ${vocabMatchSql(maxWl)},
+  ${greedyStagesSql(maxWl)},
   cmp AS (
     SELECT g.w, g.n,
            CASE WHEN TRIM(g.seg) != r.repr THEN 1 ELSE 0 END AS diff
@@ -643,6 +685,67 @@ object MiningQueries {
   SELECT segd.doc_id, COUNT(*) AS n_words,
          CAST(SUM(c.n) AS BIGINT) AS n_pieces,
          CAST(SUM(c.diff) AS BIGINT) AS n_diff_words
+  FROM segd JOIN cmp c ON segd.w = c.w
+  WHERE segd.doc_id < 9000000 OR segd.doc_id = 9900000
+  GROUP BY segd.doc_id ORDER BY segd.doc_id"""
+  }
+
+  /** q160's replay: the q156 chain plus smoothed integer-micro-nat
+    * symbol scores and the unrolled Viterbi DP — per stage, relax every
+    * match at position p, then keep the best row per (word, pos) under
+    * the deterministic (score desc, pieces asc, seg asc) order.
+    */
+  private def q160OracleSql: String = {
+    val maxWl = 8
+    val vit = (1 to maxWl).map { p =>
+      s"""
+  e_$p AS (
+    SELECT b.w, b.wl, b.pos + m.slen AS pos, b.sc + m.score AS sc,
+           b.n + 1 AS n, b.seg || ' ' || m.sym AS seg
+    FROM b_${p - 1} b JOIN ms m ON m.w = b.w AND m.pos = b.pos
+    WHERE b.pos = $p),
+  b_$p AS MATERIALIZED (
+    SELECT w, wl, pos, sc, n, seg FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY w, pos
+        ORDER BY sc DESC, n, seg) AS rn
+      FROM (SELECT * FROM b_${p - 1} UNION ALL SELECT * FROM e_$p))
+    WHERE rn = 1)"""
+    }.mkString(",")
+    s"""WITH $plantSql,
+  ${bpeChainSqlFor(8, "alldocs")},
+  ${vocabMatchSql(maxWl)},
+  ${greedyStagesSql(maxWl)},
+  gfin AS (SELECT w, TRIM(seg) AS gseg FROM g_$maxWl),
+  symcnt AS (
+    SELECT sym, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+      SELECT c, UNNEST(REGEXP_SPLIT_TO_ARRAY(repr, ' ')) AS sym FROM r_8) t
+    GROUP BY sym),
+  vsc AS (
+    SELECT v.sym, COALESCE(s.cnt, 0) AS cnt
+    FROM vocab v LEFT JOIN symcnt s ON v.sym = s.sym),
+  ts AS (
+    SELECT CAST(SUM(cnt) AS BIGINT) + CAST(COUNT(*) AS BIGINT) AS tv
+    FROM vsc),
+  ms AS MATERIALIZED (
+    SELECT mt.w, mt.wl, mt.pos, mt.sym, mt.slen,
+           CAST(ROUND(LN((vsc.cnt + 1) / (SELECT tv FROM ts)) * 1000000.0)
+             AS BIGINT) AS score
+    FROM mt JOIN vsc ON mt.sym = vsc.sym),
+  b_0 AS (SELECT w, wl, 1 AS pos, CAST(0 AS BIGINT) AS sc,
+                 CAST(0 AS BIGINT) AS n, '' AS seg FROM wt),$vit,
+  fin AS (SELECT w, n, TRIM(seg) AS vseg FROM b_$maxWl WHERE pos = wl + 1),
+  cmp AS (
+    SELECT f.w, f.n,
+           CASE WHEN f.vseg != r.repr THEN 1 ELSE 0 END AS dbpe,
+           CASE WHEN f.vseg != g.gseg THEN 1 ELSE 0 END AS dgre
+    FROM fin f JOIN r_8 r ON f.w = r.w JOIN gfin g ON f.w = g.w),
+  segd AS (
+    SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')) AS w
+    FROM alldocs)
+  SELECT segd.doc_id, COUNT(*) AS n_words,
+         CAST(SUM(c.n) AS BIGINT) AS n_pieces,
+         CAST(SUM(c.dbpe) AS BIGINT) AS n_diff_bpe,
+         CAST(SUM(c.dgre) AS BIGINT) AS n_diff_greedy
   FROM segd JOIN cmp c ON segd.w = c.w
   WHERE segd.doc_id < 9000000 OR segd.doc_id = 9900000
   GROUP BY segd.doc_id ORDER BY segd.doc_id"""
@@ -772,6 +875,8 @@ object MiningQueries {
     "q156_wordpiece" -> q156OracleSql,
 
     "q157_semantic_decontam" -> q157OracleSql,
+
+    "q160_viterbi_segment" -> q160OracleSql,
 
     "q158_jl_projection" -> q158OracleSql,
 

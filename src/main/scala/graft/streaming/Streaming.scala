@@ -241,6 +241,54 @@ object Streaming {
     exact.unionByName(cands)
   }
 
+  case class Vec(vec_id: Long, ts: java.sql.Timestamp,
+                 embedding: Array[Double])
+
+  /** Streaming twin of q157 (`Knn.bucketedEpsNeighborsBetween`): an
+    * unbounded stream of embedding vectors probes the STATIC corpus
+    * LSH index — the online "does this eval item leak into the
+    * corpus" check a 100 TB deployment runs as eval sets evolve. The
+    * stream side computes its bucket per round as codegen'd sign-dot
+    * projections (map-only) and explodes the Hamming-1 multi-probes;
+    * the static side is the (round, bucket) index built once from the
+    * corpus. Both probes are stream-static equi-joins needing NO
+    * keyed state; the only state is the dropDuplicates collapsing a
+    * query's multi-round hits on the same corpus vector (the
+    * incrementalDedupStream stance). `corpus(cell_id, latent)`.
+    */
+  def semanticProbeStream(vecs: Dataset[Vec], corpus: DataFrame,
+                          eps: Double, rounds: Int = 6,
+                          watermark: String = "1 hour"): DataFrame = {
+    import graft.sim.Similarity
+    val stats = corpus.agg(count(lit(1)).as("n"),
+      max(size(col("latent").cast("array<double>"))).as("d")).head
+    val planes = Similarity.planesFor(stats.getLong(0))
+    val dim = stats.getInt(1)
+    val idx = (0 until rounds).map { r =>
+      val signs = Similarity.signMatrix(planes, dim, r)
+      corpus.select(lit(r).as("round"),
+        Similarity.bucketCol(col("latent").cast("array<double>"), signs)
+          .as("bucket"),
+        col("cell_id").as("corpus_id"),
+        col("latent").cast("array<double>").as("vb"))
+    }.reduce(_ unionByName _)
+    val s = vecs.toDF().withWatermark("ts", watermark)
+      .withColumn("va", col("embedding").cast("array<double>"))
+    val probed = (0 until rounds).map { r =>
+      val signs = Similarity.signMatrix(planes, dim, r)
+      val b = Similarity.bucketCol(col("va"), signs)
+      val probes = array((b +: (0 until planes).map(h =>
+        b.bitwiseXOR(lit(1L << h)))): _*)
+      s.select(col("vec_id"), col("ts"), col("va"), lit(r).as("round"),
+        explode(probes).as("bucket"))
+    }.reduce(_ unionByName _)
+    probed.join(idx, Seq("round", "bucket"))
+      .select(col("vec_id"), col("ts"), col("corpus_id"),
+        round(Similarity.l2(col("va"), col("vb")), 6).as("dist"))
+      .filter(col("dist") <= eps)
+      .dropDuplicates("vec_id", "corpus_id")
+  }
+
   /** Gap-based sessionization with explicit keyed state — the streaming
     * twin of q42_sessionize (30-minute inactivity gap), emitting one
     * update per closed batch of a user's events.

@@ -127,43 +127,123 @@ object TextOps {
     * and only the final |vocab|-row map joins the token stream.
     */
   def wordpieceSegment(docs: DataFrame, merges: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val (learned, words) = bpeLoop(docs, merges)
-    val chars = words.select(explode(split(trim(regexp_replace(col("w"),
-      lit("(.)"), lit("$1 "))), " ")).as("sym"))
-    val vocab = chars.union(learned.map(m => m._2 + m._3).toDF("sym"))
-      .distinct().select(col("sym"), length(col("sym")).as("slen"))
-      .localCheckpoint()
-    val wt = words.select(col("w"), col("repr"), length(col("w")).as("wl"))
-      .localCheckpoint()
-    // longest vocab match at every (word, position): one broadcast join
-    val jump = wt.select(col("w"), col("wl"),
-        explode(sequence(lit(1), col("wl"))).as("pos"))
-      .join(broadcast(vocab), expr("substring(w, pos, slen) = sym"))
-      .groupBy("w", "pos").agg(max(col("slen")).as("step"))
-      .localCheckpoint()
-    val maxWl = wt.agg(max(col("wl"))).head.getInt(0)
-    var g = wt.select(col("w"), col("wl"), col("repr"),
-      lit(1).as("pos"), lit(0L).as("n"), lit("").as("seg"))
-    for (i <- 1 to maxWl) {
-      val live = col("pos") <= col("wl")
-      g = g.join(jump, Seq("w", "pos"), "left")
-        .select(col("w"), col("wl"), col("repr"),
-          when(live, col("pos") + col("step")).otherwise(col("pos")).as("pos"),
-          when(live, col("n") + 1L).otherwise(col("n")).as("n"),
-          when(live, concat(col("seg"), lit(" "),
-            expr("substring(w, pos, step)"))).otherwise(col("seg")).as("seg"))
-      if (i % 4 == 0) g = g.localCheckpoint()
-    }
-    val cmp = g.select(col("w"), col("n"),
-      (trim(col("seg")) =!= col("repr")).cast("long").as("diff"))
+    val (wt, _, _, greedy) = greedyState(docs, merges)
+    val cmp = greedy.join(wt.select("w", "repr"), Seq("w"))
+      .select(col("w"), col("n"),
+        (col("seg") =!= col("repr")).cast("long").as("diff"))
     docs.select(col("doc_id"), explode(tokensCol).as("w"))
       .join(cmp, Seq("w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum(col("n")).as("n_pieces"),
         sum(col("diff")).as("n_diff_words"))
+  }
+
+  /** Shared greedy-inference state: the distinct-word table with BPE
+    * reprs, the ALL-matches table (every vocab symbol matching at every
+    * word position), the max word length, and the greedy
+    * longest-match-first segmentation `(w, n, seg)`.
+    */
+  private def greedyState(docs: DataFrame, merges: Int)
+      : (DataFrame, DataFrame, Int, DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (learned, words) = bpeLoop(docs, merges)
+    val chars = words.select(explode(split(trim(regexp_replace(col("w"),
+      lit("(.)"), lit("$1 "))), " ")).as("sym"))
+    val symCnt = words
+      .select(col("c"), explode(split(col("repr"), " ")).as("sym"))
+      .groupBy("sym").agg(sum(col("c")).as("cnt"))
+    val vocab = chars.union(learned.map(m => m._2 + m._3).toDF("sym"))
+      .distinct()
+      .join(symCnt, Seq("sym"), "left")
+      .select(col("sym"), length(col("sym")).as("slen"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .localCheckpoint()
+    val wt = words.select(col("w"), col("repr"), length(col("w")).as("wl"))
+      .localCheckpoint()
+    // EVERY vocab match at every (word, position): one broadcast join —
+    // greedy takes the per-position max length, Viterbi relaxes them all
+    val matches = wt.select(col("w"), col("wl"),
+        explode(sequence(lit(1), col("wl"))).as("pos"))
+      .join(broadcast(vocab), expr("substring(w, pos, slen) = sym"))
+      .select(col("w"), col("pos"), col("sym"), col("slen"), col("cnt"))
+      .localCheckpoint()
+    val jump = matches.groupBy("w", "pos").agg(max(col("slen")).as("step"))
+      .localCheckpoint()
+    val maxWl = wt.agg(max(col("wl"))).head.getInt(0)
+    var g = wt.select(col("w"), col("wl"),
+      lit(1).as("pos"), lit(0L).as("n"), lit("").as("seg"))
+    for (i <- 1 to maxWl) {
+      val live = col("pos") <= col("wl")
+      g = g.join(jump, Seq("w", "pos"), "left")
+        .select(col("w"), col("wl"),
+          when(live, col("pos") + col("step")).otherwise(col("pos")).as("pos"),
+          when(live, col("n") + 1L).otherwise(col("n")).as("n"),
+          when(live, concat(col("seg"), lit(" "),
+            expr("substring(w, pos, step)"))).otherwise(col("seg")).as("seg"))
+      if (i % 4 == 0) g = g.localCheckpoint()
+    }
+    val greedy = g.select(col("w"), col("n"), trim(col("seg")).as("seg"))
+    (wt, matches, maxWl, greedy)
+  }
+
+  /** Unigram-LM (SentencePiece-style) Viterbi segmentation under the
+    * [[bpeTrain]]-learned vocabulary — the THIRD inference rule next to
+    * BPE merge order and WordPiece greedy: pick the segmentation
+    * maximizing Σ ln p(sym), p from add-one-smoothed corpus symbol
+    * frequencies. Scores are integer micro-nats (round(ln·1e6), the
+    * q113 trick) so the DP sums are exact and the argmax replays
+    * engine-identically; ties break (score desc, fewer pieces, seg
+    * asc). The DP relaxes the all-matches table position by position —
+    * maxWordLen vocabulary-bounded stages, each a join + a (w, pos)-
+    * partitioned best-row cut. Per doc: word/piece counts plus
+    * disagreement counts against BOTH other rules (frequency-aware
+    * inference typically recovers the BPE optimum where greedy errs).
+    */
+  def viterbiSegment(docs: DataFrame, merges: Int): DataFrame = {
+    val (wt, matches, maxWl, greedy) = greedyState(docs, merges)
+    val tots = matches.select(col("sym"), col("cnt")).distinct()
+      .agg(sum(col("cnt")).as("t"), count(lit(1)).as("vn")).head
+    // smoothed integer micro-nat score per DISTINCT symbol, attached to
+    // every match row (t, vn are driver scalars — vocab-bounded agg)
+    val scored = matches.select(col("w"), col("pos"), col("sym"), col("slen"),
+      round(log((col("cnt") + lit(1L)) / lit(tots.getLong(0) + tots.getLong(1)))
+        * lit(1000000.0)).cast("long").as("score"))
+      .localCheckpoint()
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy("w", "pos")
+      .orderBy(col("sc").desc, col("n"), col("seg"))
+    var best = wt.select(col("w"), col("wl"),
+      lit(1).as("pos"), lit(0L).as("sc"), lit(0L).as("n"), lit("").as("seg"))
+    for (p <- 1 to maxWl) {
+      val expand = best.filter(col("pos") === p)
+        .join(scored.filter(col("pos") === p), Seq("w", "pos"))
+        .select(col("w"), col("wl"),
+          (col("pos") + col("slen")).as("pos"),
+          (col("sc") + col("score")).as("sc"),
+          (col("n") + 1L).as("n"),
+          concat(col("seg"), lit(" "), col("sym")).as("seg"))
+      best = best.unionByName(expand)
+        .withColumn("_rn", row_number().over(wBest))
+        .filter(col("_rn") === 1).drop("_rn")
+      if (p % 4 == 0) best = best.localCheckpoint()
+    }
+    val fin = best.filter(col("pos") === col("wl") + 1)
+      .select(col("w"), col("n"), trim(col("seg")).as("vseg"))
+    val cmp = fin
+      .join(wt.select("w", "repr"), Seq("w"))
+      .join(greedy.select(col("w"), col("seg").as("gseg")), Seq("w"))
+      .select(col("w"), col("n"),
+        (col("vseg") =!= col("repr")).cast("long").as("dbpe"),
+        (col("vseg") =!= col("gseg")).cast("long").as("dgreedy"))
+    docs.select(col("doc_id"), explode(tokensCol).as("w"))
+      .join(cmp, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n")).as("n_pieces"),
+        sum(col("dbpe")).as("n_diff_bpe"),
+        sum(col("dgreedy")).as("n_diff_greedy"))
   }
 
   /** The corpus's maximum adjacent-character pair count (the weight of

@@ -100,6 +100,37 @@ class CurationSpec extends SparkSpec {
     assert(got == Set((1L, 0), (1L, 1), (2L, 1)), s"got $got")
   }
 
+  test("semanticProbeStream: streamed near-copy hits the corpus, far vector stays silent") {
+    import graft.streaming.Streaming
+    implicit val sc = spark.sqlContext
+    // corpus: 3 well-separated centers in 8-d
+    val corpus = Seq(
+      (0L, Array.tabulate(8)(j => 0.01 * j)),
+      (1L, Array.tabulate(8)(j => 10.0 + 0.01 * j)),
+      (2L, Array.tabulate(8)(j => 20.0 + 0.01 * j)))
+      .toDF("cell_id", "latent")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Streaming.Vec]
+    val q = Streaming.semanticProbeStream(input.toDS(), corpus, eps = 0.5,
+      rounds = 4)
+      .writeStream.format("memory").queryName("semprobe_out")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    input.addData(
+      Streaming.Vec(100L, ts(0), Array.tabulate(8)(j => 0.01 * j + 0.01)),
+      Streaming.Vec(101L, ts(0), Array.fill(8)(-50.0)))
+    q.processAllAvailable()
+    // second batch: stateless stream-static probing, same rules
+    input.addData(
+      Streaming.Vec(102L, ts(1), Array.tabulate(8)(j => 10.0 + 0.01 * j)))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT vec_id, corpus_id FROM semprobe_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(got == Set((100L, 0L), (102L, 1L)), s"got $got")
+  }
+
   test("incrementalDedupStream: stream probes the static old index, exact beats near") {
     import graft.streaming.Streaming
     implicit val sc = spark.sqlContext

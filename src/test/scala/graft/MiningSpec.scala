@@ -292,6 +292,22 @@ class MiningSpec extends SparkSpec {
     assert(full(1L) == ((6L, 6L, 0L)))
   }
 
+  test("viterbiSegment: frequency-aware DP overrides BPE order; hand-scored") {
+    // merges learned: (b,c) cnt 6, then (a,b) cnt 4. Final symbol counts:
+    // bc=6, ab=4, c=10, a=1, b=0 (T=21, V=5). On 'abc':
+    //   BPE order  -> 'a bc'   score ln(2*7) - 2ln26
+    //   Viterbi    -> 'ab c'   score ln(5*11) - 2ln26  (wins)
+    //   greedy     -> 'ab c'   (longest prefix)
+    val docs = Seq(
+      (1L, "bc bc bc bc bc ab ab ab ab abc"),
+      (2L, "c c c c c c c c c c")).toDF("doc_id", "text")
+    val out = graft.text.TextOps.viterbiSegment(docs, merges = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((10L, 11L, 1L, 0L)))
+    assert(out(2L) == ((10L, 10L, 0L, 0L)))
+  }
+
   test("dbscan: core/border/noise roles, min-label clusters, border election") {
     // 1-2-3 mutually ε-close (dense triangle), 4 hangs off 3, 9 isolated
     val uni = Seq(1L, 2L, 3L, 4L, 9L).toDF("cell_id")
