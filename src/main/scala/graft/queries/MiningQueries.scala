@@ -410,6 +410,20 @@ object MiningQueries {
       graft.text.Mix.shardAssign(docs(s, d), nShards = 16, seed = 7)
         .orderBy("shard")),
 
+    // greedy k-center coreset: 8 diversity-maximizing picks + the
+    // non-increasing covering-radius curve — the "how many exemplars
+    // until coverage plateaus" read a sampling budget comes from
+    "q161_kcenters" -> ((s, d) =>
+      graft.sim.Similarity.kCenters(
+        Tables.t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        k = 8).orderBy("rank")),
+
+    // threshold-free classifier gate: exact tie-corrected Mann–Whitney
+    // AUC of the NB positive-class score over held-out docs — every
+    // term integer until the single final division
+    "q162_nb_auc" -> ((s, d) =>
+      TextOps.nbRocAuc(docs(s, d)).orderBy("n_pos")),
+
     // boilerplate detection: the dominant 5-gram per source + its share
     // of the source's 5-gram occurrences — template-heavy feeds surface
     // before any dedup pass runs; planted footer text on src0 makes one
@@ -751,6 +765,62 @@ object MiningQueries {
   GROUP BY segd.doc_id ORDER BY segd.doc_id"""
   }
 
+  /** q161's replay: 8 unrolled greedy stages — per stage, the min
+    * 6-dp-rounded distance of every vector to the chosen set, then the
+    * deterministic (md desc, vec_id) top-1 joins the set.
+    */
+  private def q161OracleSql: String = {
+    val k = 8
+    def dist(a: String, b: String) =
+      s"""ROUND(SQRT(GREATEST(LIST_DOT_PRODUCT($a, $a)
+             - 2 * LIST_DOT_PRODUCT($a, $b)
+             + LIST_DOT_PRODUCT($b, $b), 0)), 6)"""
+    val stages = (2 to k).map { i =>
+      s"""
+  m_$i AS (
+    SELECT v.vec_id, MIN(${dist("v.e", "c.e")}) AS md
+    FROM v
+    JOIN cc_${i - 1} cc ON TRUE
+    JOIN v c ON c.vec_id = cc.cid
+    GROUP BY v.vec_id),
+  p_$i AS (SELECT vec_id, md FROM m_$i ORDER BY md DESC, vec_id LIMIT 1),
+  cc_$i AS (
+    SELECT * FROM cc_${i - 1}
+    UNION ALL SELECT $i, vec_id, md FROM p_$i)"""
+    }.mkString(",")
+    s"""WITH v AS MATERIALIZED (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+  cc_1 AS (
+    SELECT 1 AS rank, vec_id AS cid, CAST(0.0 AS DOUBLE) AS radius
+    FROM v ORDER BY vec_id LIMIT 1),$stages
+  SELECT rank, cid AS vec_id, radius FROM cc_$k ORDER BY rank"""
+  }
+
+  /** q162's replay: the q113 NB chain's per-(doc, label) scores cut to
+    * the positive class, then the integer Mann–Whitney rank sum.
+    */
+  private def q162OracleSql: String =
+    s"""WITH ${CurationQueries.nbChainSql},
+  en AS (SELECT doc_id, label_true, score_micro FROM fin WHERE label = 'en'),
+  g AS (
+    SELECT score_micro AS s, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CASE WHEN label_true = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cp
+    FROM en GROUP BY 1),
+  r AS (
+    SELECT s, cnt, cp,
+           COALESCE(SUM(cnt) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+    FROM g),
+  agg AS (
+    SELECT CAST(SUM(cp) AS BIGINT) AS p,
+           CAST(SUM(cnt - cp) AS BIGINT) AS n,
+           CAST(SUM(cp * (2 * below + cnt + 1)) AS BIGINT) AS sum2r
+    FROM r)
+  SELECT p AS n_pos, n AS n_neg,
+         ROUND(CAST(sum2r - p * (p + 1) AS DOUBLE)
+           / CAST(2 * p * n AS DOUBLE), 6) AS auc
+  FROM agg"""
+
   /** q158's replay: the seed-0 sign matrix (the LSH family's md5
     * construction), 16 projection coordinates as LIST_DOT_PRODUCT ×
     * 1/√16, distances by the shared dot-product identity on both the
@@ -877,6 +947,10 @@ object MiningQueries {
     "q157_semantic_decontam" -> q157OracleSql,
 
     "q160_viterbi_segment" -> q160OracleSql,
+
+    "q161_kcenters" -> q161OracleSql,
+
+    "q162_nb_auc" -> q162OracleSql,
 
     "q158_jl_projection" -> q158OracleSql,
 

@@ -49,6 +49,39 @@ object Similarity {
   def l2(a: Column, b: Column): Column =
     sqrt(greatest(dot(a, a) - lit(2) * dot(a, b) + dot(b, b), lit(0.0)))
 
+  /** Greedy k-center (farthest-point) coreset selection — the
+    * diversity-sampling primitive of data curation: pick `k` vectors
+    * such that every corpus vector is near some pick (2-approximation
+    * of the optimal covering radius, Gonzalez 1985). Deterministic:
+    * start at the min vec_id, each step takes the vector maximizing
+    * the 6-dp-rounded min distance to the chosen set (vec_id
+    * tie-break). Scale: the chosen set is k driver-held vectors
+    * embedded as literals, so each step is ONE map-only scan + a
+    * global top-1 — k scans total, no pairwise materialization.
+    * Returns `(rank, vec_id, radius)` where radius is the pick's
+    * covering distance at selection time (non-increasing — the
+    * coverage curve a sampling budget is read off of).
+    */
+  def kCenters(corpus0: DataFrame, k: Int): DataFrame = {
+    val spark = corpus0.sparkSession
+    import spark.implicits._
+    val corpus = corpus0
+      .select(col("vec_id"), toDouble(col("embedding")).as("e")).cache()
+    val first = corpus.orderBy("vec_id").head
+    var centers = List[(Int, Long, Double)]((1, first.getLong(0), 0.0))
+    var centerVecs = List[Seq[Double]](first.getSeq[Double](1))
+    for (r <- 2 to k) {
+      val md = centerVecs.map(c => round(l2(col("e"), lit(c.toArray)), 6))
+        .reduce((a, b) => least(a, b))
+      val pick = corpus.select(col("vec_id"), col("e"), md.as("md"))
+        .orderBy(col("md").desc, col("vec_id")).head
+      centers = centers :+ ((r, pick.getLong(0), pick.getDouble(2)))
+      centerVecs = centerVecs :+ pick.getSeq[Double](1)
+    }
+    corpus.unpersist()
+    centers.toDF("rank", "vec_id", "radius")
+  }
+
   /** Achlioptas ±1 random projection — the database-friendly
     * Johnson–Lindenstrauss transform: y_h = (1/√k)·Σ_j s_hj·x_j over
     * the same deterministic md5 sign matrices the LSH family uses, so

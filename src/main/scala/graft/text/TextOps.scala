@@ -1224,6 +1224,43 @@ object TextOps {
         round(col("n_correct").cast("double") / col("n").cast("double"), 6))
   }
 
+  /** Exact ROC AUC of integer scores against a binary truth column via
+    * the tie-corrected Mann–Whitney rank sum: with average ranks,
+    * AUC = (Σ_pos 2·rank − P(P+1)) / (2·P·N) — every term before the
+    * single final division is an exact integer (2·avgrank = 2·below +
+    * tie + 1), so the statistic replays engine-identically. The rank
+    * table is one aggregation per DISTINCT score + the two-pass
+    * exclusive running total — no per-score window task.
+    * `scored(score: long, is_pos: boolean)` → one row
+    * `(n_pos, n_neg, auc)`.
+    */
+  def rocAuc(scored: DataFrame): DataFrame = {
+    val g = scored.groupBy(col("score").as("s"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("is_pos").cast("long")).as("cp"))
+    val r = graft.ops.Windows.runningTotal(g, Seq(col("s")), "cnt", "below")
+    val agg = r.agg(
+      sum(col("cp")).as("p"),
+      sum(col("cnt") - col("cp")).as("n"),
+      sum(col("cp") * (lit(2L) * col("below").cast("long") + col("cnt") + lit(1L)))
+        .as("sum2r"))
+    agg.select(col("p").as("n_pos"), col("n").as("n_neg"),
+      round((col("sum2r") - col("p") * (col("p") + lit(1L))).cast("double")
+        / (lit(2L) * col("p") * col("n")).cast("double"), 6).as("auc"))
+  }
+
+  /** ROC AUC of the [[nbClassify]] model's positive-class score on the
+    * held-out docs — the threshold-free quality gate next to q137's
+    * calibration bins: can the classifier's score rank positives above
+    * negatives at all, before any cut is chosen.
+    */
+  def nbRocAuc(docs: DataFrame, labelCol: String = "lang",
+               positive: String = "en", holdMod: Int = 10): DataFrame =
+    rocAuc(nbRanked(docs, labelCol, holdMod)
+      .filter(col("label") === positive)
+      .select(col("score_micro").as("score"),
+        (col("label_true") === positive).as("is_pos")))
+
   /** SQL fragment mirroring [[simHash16]] for the DuckDB oracle. */
   def simHash16Sql(docsRel: String): String = {
     val sums = (1 to 4).flatMap { i =>

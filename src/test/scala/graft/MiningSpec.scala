@@ -308,6 +308,32 @@ class MiningSpec extends SparkSpec {
     assert(out(2L) == ((10L, 10L, 0L, 0L)))
   }
 
+  test("kCenters: farthest-point picks on a line, non-increasing radii") {
+    // points at 0, 1, 10, 21 on a line (2-d to exercise the kernel)
+    val vecs = Seq((0L, Array(0.0, 0.0)), (1L, Array(1.0, 0.0)),
+      (2L, Array(10.0, 0.0)), (3L, Array(21.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val out = graft.sim.Similarity.kCenters(vecs, k = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // start 0; farthest 21 (id 3, d 21); then 10 (min(10, 11) = 10);
+    // then 1 (min(1, 9, 20) = 1)
+    assert(out.toSeq == Seq((1, 0L, 0.0), (2, 3L, 21.0), (3, 2L, 10.0),
+      (4, 1L, 1.0)))
+    assert(out.drop(1).map(_._3).toSeq == out.drop(1).map(_._3).sorted.reverse.toSeq)
+  }
+
+  test("rocAuc: perfect separation 1.0, full tie 0.5, hand-computed mix") {
+    def auc(rows: Seq[(Long, Boolean)]): Double =
+      graft.text.TextOps.rocAuc(rows.toDF("score", "is_pos"))
+        .head.getDouble(2)
+    assert(auc(Seq((3L, true), (2L, true), (1L, false))) == 1.0)
+    assert(auc(Seq((2L, true), (2L, false))) == 0.5)
+    // pos {3, 1}, neg {2}: pairs won 1 of 2 -> 0.5; with tie pos {2,3},
+    // neg {2}: (1 + 0.5)/2 = 0.75
+    assert(auc(Seq((3L, true), (1L, true), (2L, false))) == 0.5)
+    assert(auc(Seq((3L, true), (2L, true), (2L, false))) == 0.75)
+  }
+
   test("dbscan: core/border/noise roles, min-label clusters, border election") {
     // 1-2-3 mutually ε-close (dense triangle), 4 hangs off 3, 9 isolated
     val uni = Seq(1L, 2L, 3L, 4L, 9L).toDF("cell_id")
