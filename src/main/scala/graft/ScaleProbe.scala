@@ -373,6 +373,39 @@ object ScaleProbe {
     System.err.println("[probe] done " + (s"overlap_matrix_${nDocsSalt}_docs"))
     docsSalt.unpersist()
 
+    // session-5 shapes: the asymmetric eval→corpus radius probe (q157),
+    // token-balanced sharding (q159), and greedy k-centers (q161) at
+    // `copies`× — the first should scale with corpus bucketing cost,
+    // sharding with the sort, k-centers with k scans
+    val (_, tProbe) = time {
+      val evalSet = emb.filter(col("cell_id") % 25 === 0)
+        .select((col("cell_id") + 500000000L).as("cell_id"),
+          transform(col("latent"), x => x * 1.2).as("latent"))
+      graft.pipeline.Knn.bucketedEpsNeighborsBetween(evalSet, emb, eps = 0.3)
+        .write.format("noop").mode("overwrite").save()
+    }
+    out(s"semantic_probe_${nVec}_vecs") = tProbe
+    System.err.println("[probe] done " + (s"semantic_probe_${nVec}_vecs"))
+    val docsRep2 = replicate(
+      graft.core.Tables.t(spark, sfDir, "documents").select("doc_id", "text"),
+      Seq("doc_id"), 100000000L).cache()
+    val nDocsRep2 = docsRep2.count()
+    val (_, tShard) = time {
+      graft.text.Mix.shardAssign(docsRep2, nShards = 64, seed = 7)
+        .write.format("noop").mode("overwrite").save()
+    }
+    out(s"shard_assign_${nDocsRep2}_docs") = tShard
+    System.err.println("[probe] done " + (s"shard_assign_${nDocsRep2}_docs"))
+    docsRep2.unpersist()
+    val (_, tKc) = time {
+      graft.sim.Similarity.kCenters(
+          emb.select(col("cell_id").as("vec_id"), col("latent").as("embedding")),
+          k = 8)
+        .write.format("noop").mode("overwrite").save()
+    }
+    out(s"kcenters_8_${nVec}_vecs") = tKc
+    System.err.println("[probe] done " + (s"kcenters_8_${nVec}_vecs"))
+
     val qs = out.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe","copies":$copies,"nnz":$nnz,"timings":$qs}""")
     spark.stop()

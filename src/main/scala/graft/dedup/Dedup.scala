@@ -85,6 +85,23 @@ object Dedup {
     * before the join (boilerplate mass, same guard as
     * `lshCandidatePairs`).
     */
+  /** Snapshot delta report — the crawl-refresh accounting run BEFORE
+    * [[incrementalDedup]] decides what to keep: per doc_id, compare
+    * content digests across two corpus versions and count
+    * added / removed / modified / unchanged. One full-outer join on
+    * doc_id; 16-byte digests shuffle, never text.
+    */
+  def snapshotDelta(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("dig_old"))
+    val n = newDocs.select(col("doc_id"), md5(col("text")).as("dig_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(when(col("dig_old").isNull, "added")
+        .when(col("dig_new").isNull, "removed")
+        .when(col("dig_old") === col("dig_new"), "unchanged")
+        .otherwise("modified").as("change"))
+      .groupBy("change").agg(count(lit(1)).as("n_docs"))
+  }
+
   def incrementalDedup(oldDocs: DataFrame, newDocs: DataFrame,
                        numHashes: Int, rowsPerBand: Int,
                        jacNum: Int, jacDen: Int, n: Int = 3,

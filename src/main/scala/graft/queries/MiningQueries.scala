@@ -424,6 +424,29 @@ object MiningQueries {
     "q162_nb_auc" -> ((s, d) =>
       TextOps.nbRocAuc(docs(s, d)).orderBy("n_pos")),
 
+    // curriculum construction: length-decile strata interleaved
+    // round-robin — deterministic "start easy, mix in hard" training
+    // order, exact integer deciles, no per-stratum window
+    "q163_curriculum" -> ((s, d) =>
+      graft.text.Mix.curriculumOrder(docs(s, d), nStrata = 10)
+        .orderBy("curriculum_pos")),
+
+    // crawl-refresh accounting: digest-compare two corpus versions and
+    // count added/removed/modified/unchanged — v2 is built from v1 by
+    // deterministic rules so all four verdicts are exercised (every
+    // 17th doc removed, every 13th surviving doc modified, one new doc
+    // added per 19 ids)
+    "q164_snapshot_delta" -> ((s, d) => {
+      val v1 = docs(s, d).select(col("doc_id"), col("text"))
+      val v2 = v1.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(v1.filter(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.snapshotDelta(v1, v2).orderBy("change")
+    }),
+
     // boilerplate detection: the dominant 5-gram per source + its share
     // of the source's 5-gram occurrences — template-heavy feeds surface
     // before any dedup pass runs; planted footer text on src0 makes one
@@ -951,6 +974,48 @@ object MiningQueries {
     "q161_kcenters" -> q161OracleSql,
 
     "q162_nb_auc" -> q162OracleSql,
+
+    // deciles from the 1-based global rank; per-stratum position via
+    // the partitioned window (oracle-side SQL runs single-node)
+    "q163_curriculum" ->
+      s"""WITH base AS (
+           SELECT doc_id,
+                  CAST(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')) AS BIGINT) AS nt
+           FROM documents),
+         rk AS (
+           SELECT *, ROW_NUMBER() OVER (ORDER BY nt, doc_id) AS pos
+           FROM base),
+         nn AS (SELECT COUNT(*) AS n FROM base),
+         st AS (
+           SELECT doc_id, nt, pos,
+                  CAST((10 * (pos - 1)) // (SELECT n FROM nn) AS INT) AS stratum
+           FROM rk),
+         ps AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY pos) - 1
+                    AS pis
+           FROM st)
+         SELECT doc_id, nt, stratum, pis AS pos_in_stratum,
+                pis * 10 + stratum AS curriculum_pos
+         FROM ps ORDER BY curriculum_pos""",
+
+    "q164_snapshot_delta" ->
+      s"""WITH v1 AS (SELECT doc_id, text FROM documents),
+         v2 AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 13 = 0 THEN text || ' rev2'
+                       ELSE text END AS text
+           FROM v1 WHERE doc_id % 17 != 0
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM v1 WHERE doc_id % 19 = 0),
+         o AS (SELECT doc_id, MD5(text) AS dig_old FROM v1),
+         n AS (SELECT doc_id, MD5(text) AS dig_new FROM v2)
+         SELECT CASE WHEN dig_old IS NULL THEN 'added'
+                     WHEN dig_new IS NULL THEN 'removed'
+                     WHEN dig_old = dig_new THEN 'unchanged'
+                     ELSE 'modified' END AS change,
+                COUNT(*) AS n_docs
+         FROM o FULL OUTER JOIN n USING (doc_id)
+         GROUP BY 1 ORDER BY 1""",
 
     "q158_jl_projection" -> q158OracleSql,
 

@@ -230,6 +230,32 @@ object Mix {
         sum(col("nt")).cast("long").as("n_tokens"))
   }
 
+  /** Curriculum ordering: difficulty-decile stratified round-robin —
+    * the "start easy, interleave hard" training-order construction.
+    * Difficulty = token count; strata are EXACT integer rank deciles
+    * (q90's technique — no interpolated-percentile knife edge), the
+    * per-stratum position comes from one more global two-pass ordinal
+    * minus a |strata|-row offset join (never a per-stratum window), and
+    * `curriculum_pos = pos_in_stratum · nStrata + stratum` interleaves
+    * the strata round-robin. Deterministic end to end.
+    */
+  def curriculumOrder(docs: DataFrame, nStrata: Int): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("long").as("nt"))
+    val (ranked, n) = graft.ops.Windows.globalOrdinalWithCount(base,
+      Seq(col("nt"), col("doc_id")), "pos")
+    val strat = ranked.withColumn("stratum",
+      expr(s"cast(($nStrata * (pos - 1)) div $n as int)"))
+    val r2 = graft.ops.Windows.globalOrdinal(strat,
+      Seq(col("stratum"), col("pos")), "gp")
+    val ofs = r2.groupBy("stratum").agg(min(col("gp")).as("base"))
+    r2.join(broadcast(ofs), Seq("stratum"))
+      .select(col("doc_id"), col("nt"), col("stratum"),
+        (col("gp") - col("base")).as("pos_in_stratum"),
+        ((col("gp") - col("base")) * nStrata + col("stratum"))
+          .as("curriculum_pos"))
+  }
+
   def mixturePlan(docs: DataFrame, stratum: Column,
                   weights: Map[String, Double]): DataFrame = {
     val spark = docs.sparkSession

@@ -334,6 +334,27 @@ class MiningSpec extends SparkSpec {
     assert(auc(Seq((3L, true), (2L, true), (2L, false))) == 0.75)
   }
 
+  test("curriculumOrder: exact deciles, round-robin interleave") {
+    // 6 docs, lengths 1..6, 3 strata -> strata {0,0,1,1,2,2} by rank;
+    // curriculum order visits one doc per stratum round-robin
+    val docs = (1 to 6).map(i => (i.toLong, Seq.fill(i)("t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.text.Mix.curriculumOrder(docs, nStrata = 3)
+      .orderBy("curriculum_pos")
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(4)))
+    assert(out.toSeq == Seq((1L, 0, 0L), (3L, 1, 1L), (5L, 2, 2L),
+      (2L, 0, 3L), (4L, 1, 4L), (6L, 2, 5L)))
+  }
+
+  test("snapshotDelta: all four change verdicts from a planted refresh") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "a"), (2L, "B2"), (4L, "d")).toDF("doc_id", "text")
+    val out = Dedup.snapshotDelta(v1, v2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("unchanged" -> 1L, "modified" -> 1L,
+      "removed" -> 1L, "added" -> 1L))
+  }
+
   test("dbscan: core/border/noise roles, min-label clusters, border election") {
     // 1-2-3 mutually ε-close (dense triangle), 4 hangs off 3, 9 isolated
     val uni = Seq(1L, 2L, 3L, 4L, 9L).toDF("cell_id")
