@@ -447,6 +447,20 @@ object MiningQueries {
       Dedup.snapshotDelta(v1, v2).orderBy("change")
     }),
 
+    // GPT-style concat-and-cut packing manifest: seeded corpus order,
+    // cut every 512 tokens, split counts by pure integer div off one
+    // prefix sum — the boundary-crossing discipline next to q73's
+    // no-split windows
+    "q165_pack_cut" -> ((s, d) =>
+      graft.text.Mix.packCut(docs(s, d), windowLen = 512, seed = 11)
+        .orderBy("doc_id")),
+
+    // per-source token diversity: exact counts, micro-nat Shannon
+    // entropy, Herfindahl concentration — the report a mixing recipe
+    // reads source diversity off before weighting
+    "q166_source_entropy" -> ((s, d) =>
+      TextOps.sourceEntropy(docs(s, d)).orderBy("source")),
+
     // boilerplate detection: the dominant 5-gram per source + its share
     // of the source's 5-gram occurrences — template-heavy feeds surface
     // before any dedup pass runs; planted footer text on src0 makes one
@@ -997,6 +1011,45 @@ object MiningQueries {
          SELECT doc_id, nt, stratum, pis AS pos_in_stratum,
                 pis * 10 + stratum AS curriculum_pos
          FROM ps ORDER BY curriculum_pos""",
+
+    "q165_pack_cut" ->
+      s"""WITH base AS (
+           SELECT doc_id,
+                  CAST(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')) AS BIGINT) AS nt,
+                  MD5('11:' || doc_id) AS rk
+           FROM documents),
+         run AS (
+           SELECT doc_id, nt,
+                  COALESCE(SUM(nt) OVER (ORDER BY rk, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS start_tok
+           FROM base)
+         SELECT doc_id, nt, CAST(start_tok AS BIGINT) AS start_tok,
+                CAST(start_tok // 512 AS BIGINT) AS first_window,
+                CAST((start_tok + nt - 1) // 512 - start_tok // 512 AS BIGINT)
+                  AS n_splits
+         FROM run ORDER BY doc_id""",
+
+    "q166_source_entropy" ->
+      s"""WITH c AS (
+           SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+             SELECT source, UNNEST(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')) AS tok
+             FROM documents) t
+           GROUP BY 1, 2),
+         agg AS (
+           SELECT source,
+                  CAST(SUM(c) AS BIGINT) AS t,
+                  CAST(COUNT(*) AS BIGINT) AS n_types,
+                  CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))
+                    * 1000000.0) AS BIGINT)) AS BIGINT) AS s_micro,
+                  CAST(SUM(c * c) AS BIGINT) AS c2
+           FROM c GROUP BY 1)
+         SELECT source, t AS n_tokens, n_types,
+                ROUND(LN(CAST(t AS DOUBLE))
+                  - (CAST(s_micro AS DOUBLE) / 1000000.0)
+                    / CAST(t AS DOUBLE), 6) AS entropy,
+                ROUND(CAST(c2 AS DOUBLE) / CAST(t * t AS DOUBLE), 6) AS hhi
+         FROM agg ORDER BY source""",
 
     "q164_snapshot_delta" ->
       s"""WITH v1 AS (SELECT doc_id, text FROM documents),

@@ -230,6 +230,29 @@ object Mix {
         sum(col("nt")).cast("long").as("n_tokens"))
   }
 
+  /** GPT-style concat-and-cut packing manifest — the OTHER packing
+    * discipline next to [[packChunks]]'s no-split windows: the corpus
+    * is concatenated in seeded order and cut every `windowLen` tokens,
+    * documents splitting wherever a boundary lands. Pure integer
+    * arithmetic off ONE exclusive token prefix sum: a doc starting at
+    * `start` with `nt` tokens occupies windows `start div L` through
+    * `(start+nt-1) div L`, so its split count is their difference —
+    * no explode, no per-window state. Returns the per-doc manifest
+    * `(doc_id, nt, start_tok, first_window, n_splits)`.
+    */
+  def packCut(docs: DataFrame, windowLen: Int, seed: Int): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("long").as("nt"),
+      md5(concat(lit(s"$seed:"), col("doc_id").cast("string"))).as("rk"))
+    graft.ops.Windows.runningTotal(base, Seq(col("rk"), col("doc_id")),
+        "nt", "run")
+      .withColumn("start_tok", col("run").cast("long"))
+      .select(col("doc_id"), col("nt"), col("start_tok"),
+        expr(s"start_tok div $windowLen").as("first_window"),
+        expr(s"(start_tok + nt - 1) div $windowLen - start_tok div $windowLen")
+          .as("n_splits"))
+  }
+
   /** Curriculum ordering: difficulty-decile stratified round-robin —
     * the "start easy, interleave hard" training-order construction.
     * Difficulty = token count; strata are EXACT integer rank deciles

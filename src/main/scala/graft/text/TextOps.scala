@@ -1261,6 +1261,31 @@ object TextOps {
       .select(col("score_micro").as("score"),
         (col("label_true") === positive).as("is_pos")))
 
+  /** Per-source token diversity: exact token/type counts, Shannon
+    * entropy, and the Herfindahl concentration index. H = ln T −
+    * (Σ c·ln c)/T with the Σ term pre-quantized to integer micro-nats
+    * (each c·ln c rounds once, the sum is exact) and HHI = Σc²/T² in
+    * exact integers until the single division — both replay
+    * engine-identically. One (source, tok) aggregation + one source
+    * rollup; the per-source report a mixing recipe reads diversity off.
+    */
+  def sourceEntropy(docs: DataFrame): DataFrame = {
+    val c = docs.select(col("source"), explode(tokensCol).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    c.groupBy("source").agg(
+        sum(col("c")).as("t"),
+        count(lit(1)).as("n_types"),
+        sum(round(col("c").cast("double") * log(col("c").cast("double"))
+          * lit(1000000.0)).cast("long")).as("s_micro"),
+        sum(col("c") * col("c")).as("c2"))
+      .select(col("source"), col("t").as("n_tokens"), col("n_types"),
+        round(log(col("t").cast("double"))
+          - (col("s_micro").cast("double") / lit(1000000.0))
+            / col("t").cast("double"), 6).as("entropy"),
+        round(col("c2").cast("double")
+          / (col("t") * col("t")).cast("double"), 6).as("hhi"))
+  }
+
   /** SQL fragment mirroring [[simHash16]] for the DuckDB oracle. */
   def simHash16Sql(docsRel: String): String = {
     val sums = (1 to 4).flatMap { i =>

@@ -355,6 +355,57 @@ class MiningSpec extends SparkSpec {
       "removed" -> 1L, "added" -> 1L))
   }
 
+  test("packCut: split counts by integer div; totals conserve") {
+    // 3 docs of 4 tokens, window 5: concat order fixed by seed ranks.
+    // starts 0,4,8 -> doc at 0: windows 0..0 (0 splits); at 4: 0..1
+    // (1 split); at 8: 1..2 (1 split)
+    val docs = Seq((1L, "a b c d"), (2L, "e f g h"), (3L, "i j k l"))
+      .toDF("doc_id", "text")
+    val out = graft.text.Mix.packCut(docs, windowLen = 5, seed = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.map(_._2).sorted.toSeq == Seq(0L, 4L, 8L))
+    val byStart = out.sortBy(_._2)
+    assert(byStart.map(x => (x._3, x._4)).toSeq ==
+      Seq((0L, 0L), (0L, 1L), (1L, 1L)))
+    // a doc never splits more than nt div L + 1 times
+    assert(out.forall(_._4 <= 4 / 5 + 1))
+  }
+
+  test("packCut equals naive per-token window assignment on a varied corpus") {
+    val lens = (1 to 50).map(i => 1 + (i * 13) % 17)
+    val docs = lens.zipWithIndex.map { case (l, i) =>
+      ((i + 1).toLong, Seq.fill(l)("t").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = graft.text.Mix.packCut(docs, windowLen = 7, seed = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(4)))).toMap
+    // driver-side replay of the same seeded order + naive window walk
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val order = lens.zipWithIndex
+      .map { case (l, i) => ((i + 1).toLong, l.toLong) }
+      .sortBy { case (id, _) => (md5hex(s"3:$id"), id) }
+    var start = 0L
+    order.foreach { case (id, nt) =>
+      val windows = (start until start + nt).map(_ / 7).distinct
+      assert(out(id) == ((start, (windows.size - 1).toLong)), s"doc $id")
+      start += nt
+    }
+  }
+
+  test("sourceEntropy: uniform beats skewed; hhi exact on hand counts") {
+    // src u: 4 distinct tokens once each; src s: one token 4 times
+    val docs = Seq((1L, "u", "a b c d"), (2L, "s", "x x x x"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.text.TextOps.sourceEntropy(docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("u")._1 == 4L && out("u")._2 == 4L)
+    assert(out("s")._1 == 4L && out("s")._2 == 1L)
+    assert(math.abs(out("u")._3 - math.log(4.0)) < 1e-5) // uniform: ln 4
+    assert(out("s")._3 == 0.0)                           // degenerate: 0
+    assert(out("u")._4 == 0.25 && out("s")._4 == 1.0)    // HHI exact
+  }
+
   test("dbscan: core/border/noise roles, min-label clusters, border election") {
     // 1-2-3 mutually ε-close (dense triangle), 4 hangs off 3, 9 isolated
     val uni = Seq(1L, 2L, 3L, 4L, 9L).toDF("cell_id")
