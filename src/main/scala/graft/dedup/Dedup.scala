@@ -85,6 +85,27 @@ object Dedup {
     * before the join (boilerplate mass, same guard as
     * `lshCandidatePairs`).
     */
+  /** Normalization-sensitivity report: how many extra duplicate
+    * documents exact dedup would find after canonicalizing text
+    * (lowercase + whitespace collapse) vs on the raw bytes — the
+    * "is my dedup key too strict" pre-run check (case/spacing variants
+    * of the same page are the most common miss of byte-exact dedup).
+    * Both passes are digest aggregations; text never shuffles.
+    */
+  def normalizedDedupGain(docs: DataFrame): DataFrame = {
+    val d = docs.select(md5(col("text")).as("raw"),
+      md5(regexp_replace(lower(col("text")), lit("\\s+"), lit(" ")))
+        .as("canon"))
+      .localCheckpoint()
+    def dups(c: String, pfx: String) =
+      d.groupBy(c).agg(count(lit(1)).as("n")).filter(col("n") > 1)
+        .agg(coalesce(sum(col("n")), lit(0L)).as(s"${pfx}_dup_docs"),
+          count(lit(1)).as(s"${pfx}_groups"))
+    val tot = d.agg(count(lit(1)).as("n_docs"))
+    tot.crossJoin(dups("raw", "raw")).crossJoin(dups("canon", "canon"))
+      .withColumn("gain_docs", col("canon_dup_docs") - col("raw_dup_docs"))
+  }
+
   /** Snapshot delta report — the crawl-refresh accounting run BEFORE
     * [[incrementalDedup]] decides what to keep: per doc_id, compare
     * content digests across two corpus versions and count

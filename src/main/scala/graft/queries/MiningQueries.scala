@@ -461,6 +461,26 @@ object MiningQueries {
     "q166_source_entropy" -> ((s, d) =>
       TextOps.sourceEntropy(docs(s, d)).orderBy("source")),
 
+    // coreset partition manifest: q161's centers + nearest-center
+    // assignment for every vector — per-center population and coverage
+    // radius, the routing table a coreset sampler consumes
+    "q167_kcenter_assign" -> ((s, d) =>
+      graft.sim.Similarity.kCenterAssign(
+        Tables.t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        k = 8).orderBy("rank")),
+
+    // is byte-exact dedup too strict: duplicate docs found on raw vs
+    // canonicalized (lowercase + whitespace-collapse) digests; planted
+    // uppercase copies of every 31st doc are invisible to the raw
+    // digest and caught by the canonical one
+    "q168_norm_dedup_gain" -> ((s, d) => {
+      val v = docs(s, d).select(col("doc_id"), col("text"))
+      val planted = v.unionByName(v.filter(col("doc_id") % 31 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          upper(col("text")).as("text")))
+      Dedup.normalizedDedupGain(planted).orderBy("n_docs")
+    }),
+
     // boilerplate detection: the dominant 5-gram per source + its share
     // of the source's 5-gram occurrences — template-heavy feeds surface
     // before any dedup pass runs; planted footer text on src0 makes one
@@ -806,16 +826,17 @@ object MiningQueries {
     * 6-dp-rounded distance of every vector to the chosen set, then the
     * deterministic (md desc, vec_id) top-1 joins the set.
     */
-  private def q161OracleSql: String = {
-    val k = 8
-    def dist(a: String, b: String) =
-      s"""ROUND(SQRT(GREATEST(LIST_DOT_PRODUCT($a, $a)
+  private def kcDistSql(a: String, b: String) =
+    s"""ROUND(SQRT(GREATEST(LIST_DOT_PRODUCT($a, $a)
              - 2 * LIST_DOT_PRODUCT($a, $b)
              + LIST_DOT_PRODUCT($b, $b), 0)), 6)"""
+
+  /** The k-center selection chain ending in cc_k (shared by q161/q167). */
+  private def kcChainSql(k: Int): String = {
     val stages = (2 to k).map { i =>
       s"""
   m_$i AS (
-    SELECT v.vec_id, MIN(${dist("v.e", "c.e")}) AS md
+    SELECT v.vec_id, MIN(${kcDistSql("v.e", "c.e")}) AS md
     FROM v
     JOIN cc_${i - 1} cc ON TRUE
     JOIN v c ON c.vec_id = cc.cid
@@ -825,13 +846,55 @@ object MiningQueries {
     SELECT * FROM cc_${i - 1}
     UNION ALL SELECT $i, vec_id, md FROM p_$i)"""
     }.mkString(",")
-    s"""WITH v AS MATERIALIZED (
+    s"""v AS MATERIALIZED (
     SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
   cc_1 AS (
     SELECT 1 AS rank, vec_id AS cid, CAST(0.0 AS DOUBLE) AS radius
-    FROM v ORDER BY vec_id LIMIT 1),$stages
-  SELECT rank, cid AS vec_id, radius FROM cc_$k ORDER BY rank"""
+    FROM v ORDER BY vec_id LIMIT 1),$stages"""
   }
+
+  private def q161OracleSql: String =
+    s"""WITH ${kcChainSql(8)}
+  SELECT rank, cid AS vec_id, radius FROM cc_8 ORDER BY rank"""
+
+  /** q167's replay: the q161 chain, then every vector's argmin center
+    * under the (dist, rank) order, rolled up per center.
+    */
+  private def q167OracleSql: String =
+    s"""WITH ${kcChainSql(8)},
+  dists AS (
+    SELECT v.vec_id, cc.rank, cc.cid, ${kcDistSql("v.e", "c.e")} AS dist
+    FROM v CROSS JOIN cc_8 cc JOIN v c ON c.vec_id = cc.cid),
+  asg AS (
+    SELECT vec_id, rank, cid, dist FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        ORDER BY dist, rank) AS rn FROM dists)
+    WHERE rn = 1)
+  SELECT rank, cid AS vec_id, COUNT(*) AS n_assigned, MAX(dist) AS max_dist
+  FROM asg GROUP BY 1, 2 ORDER BY rank"""
+
+  private def q168OracleSql: String =
+    s"""WITH vv AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000, UPPER(text) FROM documents
+    WHERE doc_id % 31 = 0),
+  d AS (
+    SELECT MD5(text) AS raw,
+           MD5(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')) AS canon
+    FROM vv),
+  rd AS (
+    SELECT COALESCE(CAST(SUM(n) AS BIGINT), 0) AS raw_dup_docs,
+           CAST(COUNT(*) AS BIGINT) AS raw_groups
+    FROM (SELECT raw, COUNT(*) AS n FROM d GROUP BY 1 HAVING COUNT(*) > 1)),
+  cd AS (
+    SELECT COALESCE(CAST(SUM(n) AS BIGINT), 0) AS canon_dup_docs,
+           CAST(COUNT(*) AS BIGINT) AS canon_groups
+    FROM (SELECT canon, COUNT(*) AS n FROM d GROUP BY 1 HAVING COUNT(*) > 1)),
+  tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM d)
+  SELECT n_docs, raw_dup_docs, raw_groups, canon_dup_docs, canon_groups,
+         canon_dup_docs - raw_dup_docs AS gain_docs
+  FROM tot, rd, cd"""
 
   /** q162's replay: the q113 NB chain's per-(doc, label) scores cut to
     * the positive class, then the integer Mann–Whitney rank sum.
@@ -986,6 +1049,10 @@ object MiningQueries {
     "q160_viterbi_segment" -> q160OracleSql,
 
     "q161_kcenters" -> q161OracleSql,
+
+    "q167_kcenter_assign" -> q167OracleSql,
+
+    "q168_norm_dedup_gain" -> q168OracleSql,
 
     "q162_nb_auc" -> q162OracleSql,
 

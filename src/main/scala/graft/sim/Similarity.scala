@@ -65,6 +65,38 @@ object Similarity {
   def kCenters(corpus0: DataFrame, k: Int): DataFrame = {
     val spark = corpus0.sparkSession
     import spark.implicits._
+    kCenterLoop(corpus0, k)._1.toDF("rank", "vec_id", "radius")
+  }
+
+  /** [[kCenters]] plus the assignment pass: every corpus vector joins
+    * its nearest chosen center (6-dp-rounded distance, center-rank
+    * tie-break), reported per center as (rank, vec_id, n_assigned,
+    * max_dist) — the partition manifest a coreset-based sampler or
+    * router consumes. The centers ride along as a k-row broadcast;
+    * the argmin is a k-bounded per-vector window.
+    */
+  def kCenterAssign(corpus0: DataFrame, k: Int): DataFrame = {
+    val spark = corpus0.sparkSession
+    import spark.implicits._
+    val (centers, centerVecs) = kCenterLoop(corpus0, k)
+    val cdf = centers.zip(centerVecs)
+      .map { case ((r, id, _), v) => (r, id, v) }
+      .toDF("rank", "cid", "cvec")
+    val corpus = corpus0.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("dist").asc, col("rank").asc)
+    corpus.crossJoin(broadcast(cdf))
+      .select(col("vec_id"), col("rank"), col("cid"),
+        round(l2(col("e"), col("cvec")), 6).as("dist"))
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .groupBy("rank", "cid")
+      .agg(count(lit(1)).as("n_assigned"), max(col("dist")).as("max_dist"))
+      .select(col("rank"), col("cid").as("vec_id"), col("n_assigned"),
+        col("max_dist"))
+  }
+
+  private def kCenterLoop(corpus0: DataFrame, k: Int)
+      : (List[(Int, Long, Double)], List[Seq[Double]]) = {
     val corpus = corpus0
       .select(col("vec_id"), toDouble(col("embedding")).as("e")).cache()
     val first = corpus.orderBy("vec_id").head
@@ -79,7 +111,7 @@ object Similarity {
       centerVecs = centerVecs :+ pick.getSeq[Double](1)
     }
     corpus.unpersist()
-    centers.toDF("rank", "vec_id", "radius")
+    (centers, centerVecs)
   }
 
   /** Achlioptas ±1 random projection — the database-friendly

@@ -406,6 +406,28 @@ class MiningSpec extends SparkSpec {
     assert(out("u")._4 == 0.25 && out("s")._4 == 1.0)    // HHI exact
   }
 
+  test("kCenterAssign: every point routes to its nearest center") {
+    val vecs = Seq((0L, Array(0.0, 0.0)), (1L, Array(1.0, 0.0)),
+      (2L, Array(10.0, 0.0)), (3L, Array(21.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    // centers at k=2: {0, 3}; 1 -> 0 (d 1), 2 -> 3 (d 11 vs 10 ... 10 to 0)
+    val out = graft.sim.Similarity.kCenterAssign(vecs, k = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // 2 is closer to 0 (10) than to 21 (11) -> center 0 gets {0,1,2}
+    assert(out.toSeq == Seq((1, 0L, 3L, 10.0), (2, 3L, 1L, 0.0)))
+  }
+
+  test("normalizedDedupGain: canonical digest catches case/space variants") {
+    val docs = Seq((1L, "a b"), (2L, "A  B"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val r = Dedup.normalizedDedupGain(docs).head
+    assert(r.getLong(0) == 3L)                  // n_docs
+    assert(r.getLong(1) == 0L && r.getLong(2) == 0L) // raw: none
+    assert(r.getLong(3) == 2L && r.getLong(4) == 1L) // canon: 2 docs / 1 grp
+    assert(r.getLong(5) == 2L)                  // gain
+  }
+
   test("dbscan: core/border/noise roles, min-label clusters, border election") {
     // 1-2-3 mutually ε-close (dense triangle), 4 hangs off 3, 9 isolated
     val uni = Seq(1L, 2L, 3L, 4L, 9L).toDF("cell_id")
