@@ -481,6 +481,18 @@ object MiningQueries {
       Dedup.normalizedDedupGain(planted).orderBy("n_docs")
     }),
 
+    // KMV sketch set algebra: per source-pair union/intersection/Jaccard
+    // ESTIMATES from the k-minimum-value sketches alone, next to the
+    // exact truth — the cross-crawl overlap report that at 100 TB runs
+    // off |G|·k sketch rows instead of joining the corpora
+    "q169_kmv_setops" -> ((s, d) => {
+      val sh = Dedup.shingles(
+          docs(s, d).select(col("source").as("doc_id"), col("text")), 3)
+        .select(col("doc_id").as("source"), col("shingle"))
+      graft.stats.Sketches.kmvSetOps(sh, "source", "shingle", k = 128)
+        .orderBy("src_a", "src_b")
+    }),
+
     // boilerplate detection: the dominant 5-gram per source + its share
     // of the source's 5-gram occurrences — template-heavy feeds surface
     // before any dedup pass runs; planted footer text on src0 makes one
@@ -896,6 +908,67 @@ object MiningQueries {
          canon_dup_docs - raw_dup_docs AS gain_docs
   FROM tot, rd, cd"""
 
+  /** q169's replay: source-shingle KMV sketches, pairwise merge (k
+    * smallest of the sketch union), the plain KMV union estimate, ρ as
+    * sketch-membership intersection over |S|, and the exact columns —
+    * identical IEEE expression order on the two estimate divides.
+    */
+  private def q169OracleSql: String = {
+    val k = 128
+    s"""WITH sh AS (
+    SELECT DISTINCT source AS grp, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+    FROM (SELECT source, REGEXP_SPLIT_TO_ARRAY(text, '\\s+') AS w
+          FROM documents) t,
+         LATERAL (SELECT UNNEST(RANGE(1, LEN(w) - 1)) AS i)),
+  h AS (SELECT DISTINCT grp, MD5(shingle) AS hhex FROM sh),
+  sk AS (
+    SELECT grp, hhex FROM (
+      SELECT grp, hhex, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY hhex) AS r
+      FROM h) WHERE r <= $k),
+  g AS (SELECT DISTINCT grp FROM h),
+  p AS (SELECT a.grp AS ga, b.grp AS gb FROM g a JOIN g b ON a.grp < b.grp),
+  ms AS (
+    SELECT p.ga, p.gb, s.hhex,
+           MAX(CASE WHEN s.grp = p.ga THEN 1 ELSE 0 END) AS in_a,
+           MAX(CASE WHEN s.grp = p.gb THEN 1 ELSE 0 END) AS in_b
+    FROM p JOIN sk s ON s.grp = p.ga OR s.grp = p.gb GROUP BY 1, 2, 3),
+  mg AS (
+    SELECT * FROM (
+      SELECT ms.*, ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY hhex) AS r
+      FROM ms) WHERE r <= $k),
+  est AS (
+    SELECT ga, gb, COUNT(*) AS s_n,
+           MAX(CAST('0x' || SUBSTR(hhex, 1, 15) AS BIGINT)) AS mk,
+           CAST(SUM(in_a * in_b) AS BIGINT) AS inter_s
+    FROM mg GROUP BY 1, 2),
+  exs AS (
+    SELECT p.ga, p.gb, e.hhex,
+           MAX(CASE WHEN e.grp = p.ga THEN 1 ELSE 0 END) AS in_a,
+           MAX(CASE WHEN e.grp = p.gb THEN 1 ELSE 0 END) AS in_b
+    FROM p JOIN h e ON e.grp = p.ga OR e.grp = p.gb GROUP BY 1, 2, 3),
+  exa AS (
+    SELECT ga, gb,
+           CAST(SUM(in_a) AS BIGINT) AS n_exact_a,
+           CAST(SUM(in_b) AS BIGINT) AS n_exact_b,
+           CAST(SUM(in_a * in_b) AS BIGINT) AS inter_exact,
+           COUNT(*) AS union_exact
+    FROM exs GROUP BY 1, 2)
+  SELECT x.ga AS src_a, x.gb AS src_b, n_exact_a, n_exact_b, inter_exact,
+         union_exact,
+         ROUND(CAST(inter_exact AS DOUBLE) / CAST(union_exact AS DOUBLE), 6)
+           AS jaccard_exact,
+         ROUND(CASE WHEN s_n < $k THEN CAST(s_n AS DOUBLE)
+               ELSE CAST(${k - 1}.0 AS DOUBLE) * POW(CAST(2.0 AS DOUBLE), 60)
+                    / CAST(mk AS DOUBLE) END, 4) AS union_est,
+         ROUND(CAST(inter_s AS DOUBLE) / CAST(s_n AS DOUBLE), 6)
+           AS jaccard_est,
+         ROUND((CAST(inter_s AS DOUBLE) / CAST(s_n AS DOUBLE))
+               * (CASE WHEN s_n < $k THEN CAST(s_n AS DOUBLE)
+                  ELSE CAST(${k - 1}.0 AS DOUBLE) * POW(CAST(2.0 AS DOUBLE), 60)
+                       / CAST(mk AS DOUBLE) END), 4) AS inter_est
+  FROM exa x JOIN est USING (ga, gb) ORDER BY src_a, src_b"""
+  }
+
   /** q162's replay: the q113 NB chain's per-(doc, label) scores cut to
     * the positive class, then the integer Mann–Whitney rank sum.
     */
@@ -1053,6 +1126,8 @@ object MiningQueries {
     "q167_kcenter_assign" -> q167OracleSql,
 
     "q168_norm_dedup_gain" -> q168OracleSql,
+
+    "q169_kmv_setops" -> q169OracleSql,
 
     "q162_nb_auc" -> q162OracleSql,
 

@@ -141,6 +141,87 @@ object Sketches {
       .select(col(group), col("n_exact"), col("n_zero_regs"), col("hll_est"))
   }
 
+  /** KMV sketch set algebra (Beyer 2007): per group-PAIR union /
+    * intersection / Jaccard ESTIMATES from the two groups' k-minimum-
+    * value sketches alone — the "how much do two crawls / sources
+    * overlap" question answered WITHOUT joining the corpora. Merge rule:
+    * the k smallest hashes of the union of the two sketches form the
+    * union sketch S; |A∪B| follows the plain KMV estimator on S, the
+    * Jaccard estimate is the fraction of S present in BOTH input
+    * sketches (ρ = |S ∩ skA ∩ skB| / |S|), and |A∩B| = ρ · |A∪B|.
+    *
+    * Shape: ONE distinct-aggregation on (group, hash) builds all
+    * sketches (salted two-phase min-k, never a per-group window task);
+    * everything after operates on k-row sketches expanded across the
+    * |G|²/2 pair table — G is the report dimension (sources, snapshot
+    * versions), assumed small. Exact columns ride along to validate the
+    * estimators (a production run drops them — that is the point of the
+    * sketch). If the merged sketch holds fewer than k hashes, BOTH input
+    * sketches were exhaustive and every "estimate" is exact — the same
+    * lossless-below-capacity branch as [[kmvDistinct]].
+    *
+    * Determinism: md5 hashes, integer memberships, and two IEEE ops
+    * (ρ as one divide; the union estimate divide) written identically in
+    * the oracle — the ESTIMATES hash-match cross-engine, not just the
+    * exact columns.
+    */
+  def kmvSetOps(df: DataFrame, group: String, key: String, k: Int,
+                salts: Int = 16): DataFrame = {
+    val hashes = df
+      .select(col(group).as("grp"), md5(col(key).cast("string")).as("hhex"))
+      .distinct().localCheckpoint()
+    val local = Window.partitionBy("grp", "_salt").orderBy("hhex")
+    val global = Window.partitionBy("grp").orderBy("hhex")
+    val sk = hashes
+      .withColumn("_salt", pmod(conv(substring(col("hhex"), 16, 2), 16, 10)
+        .cast("int"), lit(salts)))
+      .withColumn("_r", row_number().over(local)).filter(col("_r") <= k)
+      .drop("_r", "_salt")
+      .withColumn("_r", row_number().over(global)).filter(col("_r") <= k)
+      .drop("_r").localCheckpoint()
+    val groups = hashes.select("grp").distinct()
+    val pairTab = broadcast(groups.select(col("grp").as("ga"))
+      .join(groups.select(col("grp").as("gb")), col("ga") < col("gb")))
+    // expand rows across the pairs they belong to, flag which side
+    // (two broadcast equi-joins, not one OR-join — keeps codegen and
+    // avoids a nested-loop plan)
+    def sides(rows: DataFrame) = {
+      val a = rows.join(pairTab, rows("grp") === pairTab("ga"))
+        .select(col("ga"), col("gb"), col("hhex"),
+          lit(1).as("in_a"), lit(0).as("in_b"))
+      val b = rows.join(pairTab, rows("grp") === pairTab("gb"))
+        .select(col("ga"), col("gb"), col("hhex"),
+          lit(0).as("in_a"), lit(1).as("in_b"))
+      a.unionByName(b).groupBy("ga", "gb", "hhex")
+        .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    }
+    val merged = sides(sk)   // union of the two sketches, per pair
+      .withColumn("_r", row_number()
+        .over(Window.partitionBy("ga", "gb").orderBy("hhex")))
+      .filter(col("_r") <= k)
+    val est = merged.groupBy("ga", "gb").agg(
+      count(lit(1)).as("s_n"),
+      max(conv(substring(col("hhex"), 1, 15), 16, 10).cast("long")).as("mk"),
+      sum(col("in_a") * col("in_b")).as("inter_s"))
+    val exact = sides(hashes).groupBy("ga", "gb").agg(
+      sum(col("in_a")).as("n_exact_a"), sum(col("in_b")).as("n_exact_b"),
+      sum(col("in_a") * col("in_b")).as("inter_exact"),
+      count(lit(1)).as("union_exact"))
+    val uEst = when(col("s_n") < k, col("s_n").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * pow(lit(2.0), lit(60))
+        / col("mk").cast("double"))
+    val rho = col("inter_s").cast("double") / col("s_n").cast("double")
+    exact.join(est, Seq("ga", "gb"))
+      .select(col("ga").as("src_a"), col("gb").as("src_b"),
+        col("n_exact_a"), col("n_exact_b"), col("inter_exact"),
+        col("union_exact"),
+        round(col("inter_exact").cast("double")
+          / col("union_exact").cast("double"), 6).as("jaccard_exact"),
+        round(uEst, 4).as("union_est"),
+        round(rho, 6).as("jaccard_est"),
+        round(rho * uEst, 4).as("inter_est"))
+  }
+
   /** Count-min frequency estimation (Cormode 2005), validated against
     * the exact counts: `depth` hash rows × `width` counters, estimate =
     * min over rows of the hashed-to counter. The counter table is

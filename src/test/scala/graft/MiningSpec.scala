@@ -428,6 +428,24 @@ class MiningSpec extends SparkSpec {
     assert(r.getLong(5) == 2L)                  // gain
   }
 
+  test("kmvSetOps: lossless below capacity, estimator tracks truth above it") {
+    // A = {1..30}, B = {21..50}: |A∩B| = 10, |A∪B| = 50, J = 0.2
+    val rows = ((1 to 30).map(("a", _)) ++ (21 to 50).map(("b", _)))
+      .toDF("grp", "key")
+    // k = 64 > 50: every sketch exhaustive -> estimates ARE the truth
+    val exact = graft.stats.Sketches.kmvSetOps(rows, "grp", "key", k = 64).head
+    assert(exact.getAs[Long]("inter_exact") == 10L &&
+      exact.getAs[Long]("union_exact") == 50L)
+    assert(exact.getAs[Double]("union_est") == 50.0)
+    assert(exact.getAs[Double]("jaccard_est") == 0.2)
+    assert(exact.getAs[Double]("inter_est") == 10.0)
+    // k = 16 < 50: estimator branch; estimates finite and in a sane band
+    val est = graft.stats.Sketches.kmvSetOps(rows, "grp", "key", k = 16).head
+    val u = est.getAs[Double]("union_est")
+    assert(u > 10.0 && u < 250.0)                 // order of magnitude
+    assert(est.getAs[Long]("union_exact") == 50L) // exact columns intact
+  }
+
   test("dbscan: core/border/noise roles, min-label clusters, border election") {
     // 1-2-3 mutually ε-close (dense triangle), 4 hangs off 3, 9 isolated
     val uni = Seq(1L, 2L, 3L, 4L, 9L).toDF("cell_id")
