@@ -721,6 +721,77 @@ object Dedup {
       .select("ida", "idb", "inter", "jaccard")
   }
 
+  /** MinHash-LSH detector precision/recall curve vs exact-Jaccard
+    * ground truth — the report that picks the band threshold BEFORE a
+    * dedup run commits to one (q120 histograms candidate quality;
+    * this scores the detector itself). For every threshold
+    * `t ∈ 1..nBands`, pairs matching ≥ t bands are the prediction;
+    * ground truth is exact shingle Jaccard ≥ `jacNum/jacDen` over the
+    * df-capped shingle universe (every true pair shares a shingle, so
+    * the inverted-index join finds ALL of them — recall's denominator
+    * is complete, not candidates-only). Threshold tested as the exact
+    * integer `inter·den ≥ union·num`.
+    *
+    * Scale shape: signature banding + hot-bucket cap on the detector
+    * side, df-capped inverted index on the truth side — both the same
+    * bounded joins the production operators use; the sweep itself is
+    * one explode over nBands of the (nb, gt) pair table.
+    */
+  def detectorPr(sh0: DataFrame, numHashes: Int, rowsPerBand: Int,
+                 jacNum: Int, jacDen: Int, dfCap: Int = 10000,
+                 bucketCap: Int = 10000): DataFrame = {
+    val sh = sh0.localCheckpoint()
+    val nBands = numHashes / rowsPerBand
+    val sig = minHashSignature(sh, numHashes)
+    val bands = (0 until nBands).map { b =>
+      val key = concat((0 until rowsPerBand).map(r =>
+        col(s"m${b * rowsPerBand + r}")): _*)
+      struct(lit(b).as("band_id"), key.as("band_key"))
+    }
+    val long0 = sig.select(col("doc_id"), explode(array(bands: _*)).as("b"))
+      .select(col("doc_id"), col("b.band_id"), col("b.band_key"))
+    val hot = long0.groupBy("band_id", "band_key")
+      .agg(count(lit(1)).as("_bn")).filter(col("_bn") > bucketCap)
+      .select("band_id", "band_key")
+    val long = long0.join(hot, Seq("band_id", "band_key"), "left_anti")
+    val nb = long.select(col("band_id"), col("band_key"), col("doc_id").as("ida"))
+      .join(long.select(col("band_id"), col("band_key"), col("doc_id").as("idb")),
+        Seq("band_id", "band_key"))
+      .filter(col("ida") < col("idb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("nb"))
+    val hotSh = sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > dfCap).select("shingle")
+    val shc = sh.join(hotSh, Seq("shingle"), "left_anti")
+    val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val gt = shc.select(col("shingle"), col("doc_id").as("ida"))
+      .join(shc.select(col("shingle"), col("doc_id").as("idb")), Seq("shingle"))
+      .filter(col("ida") < col("idb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("inter"))
+      .join(sizes.toDF("ida", "sza"), Seq("ida"))
+      .join(sizes.toDF("idb", "szb"), Seq("idb"))
+      .filter(col("inter") * jacDen >=
+        (col("sza") + col("szb") - col("inter")) * jacNum)
+      .select(col("ida"), col("idb"), lit(1).as("gt"))
+    val merged = nb.join(gt, Seq("ida", "idb"), "full_outer")
+      .select(coalesce(col("nb"), lit(0L)).as("nb"),
+        coalesce(col("gt"), lit(0)).as("gt"))
+    merged
+      .select(col("nb"), col("gt"),
+        explode(sequence(lit(1), lit(nBands))).as("t"))
+      .groupBy("t").agg(
+        sum(when(col("nb") >= col("t"), 1L).otherwise(0L)).as("n_pred"),
+        sum(when(col("nb") >= col("t") && col("gt") === 1, 1L).otherwise(0L))
+          .as("tp"),
+        sum(col("gt").cast("long")).as("n_true"))
+      .select(col("t"), col("n_pred"), col("n_true"), col("tp"),
+        (col("n_pred") - col("tp")).as("fp"),
+        (col("n_true") - col("tp")).as("fn"),
+        when(col("n_pred") > 0, round(col("tp").cast("double")
+          / col("n_pred").cast("double"), 6)).as("precision"),
+        when(col("n_true") > 0, round(col("tp").cast("double")
+          / col("n_true").cast("double"), 6)).as("recall"))
+  }
+
   /** Bloom-filter decontamination — the broadcast-bitmap scale path for
     * [[decontaminate]]: instead of joining the train corpus's shingles
     * against the eval set (a shuffle of every matching posting), the eval

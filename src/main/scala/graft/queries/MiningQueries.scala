@@ -493,6 +493,16 @@ object MiningQueries {
         .orderBy("src_a", "src_b")
     }),
 
+    // detector precision/recall curve: the banded MinHash detector
+    // scored against exact-Jaccard ground truth (threshold 2/5) on the
+    // full+half-copy sweep universe, per band threshold t=1..4 — the
+    // report that picks the band cut before a dedup run commits to one
+    "q170_detector_pr" -> ((s, d) => {
+      val sweepSh = TrainingQueries.sweepShingles(s, d)
+      Dedup.detectorPr(sweepSh, numHashes = 8, rowsPerBand = 2,
+        jacNum = 2, jacDen = 5).orderBy("t")
+    }),
+
     // boilerplate detection: the dominant 5-gram per source + its share
     // of the source's 5-gram occurrences — template-heavy feeds surface
     // before any dedup pass runs; planted footer text on src0 makes one
@@ -1128,6 +1138,54 @@ object MiningQueries {
     "q168_norm_dedup_gain" -> q168OracleSql,
 
     "q169_kmv_setops" -> q169OracleSql,
+
+    // the sweep chain's capped band rows (blc) re-joined for per-pair
+    // band-match COUNTS; ground truth from the df-capped inverted index
+    // with the exact-integer 2/5 threshold
+    "q170_detector_pr" ->
+      s"""WITH ${TrainingQueries.sweepChainSql},
+         nb AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS nb
+           FROM blc a JOIN blc b
+             ON a.band_id = b.band_id AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         shc AS (
+           SELECT * FROM psh WHERE shingle IN (
+             SELECT shingle FROM psh GROUP BY 1 HAVING COUNT(*) <= 10000)),
+         sz AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY 1),
+         gt AS (
+           SELECT i.ida, i.idb FROM (
+             SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter
+             FROM shc a JOIN shc b
+               ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2) i
+           JOIN sz sa ON sa.doc_id = i.ida
+           JOIN sz sb ON sb.doc_id = i.idb
+           WHERE i.inter * 5 >= (sa.sz + sb.sz - i.inter) * 2),
+         m AS (
+           SELECT COALESCE(nb.nb, 0) AS nb,
+                  CASE WHEN g.ida IS NULL THEN 0 ELSE 1 END AS gt
+           FROM nb FULL OUTER JOIN gt g
+             ON nb.ida = g.ida AND nb.idb = g.idb),
+         ts AS (SELECT CAST(UNNEST(RANGE(1, 5)) AS INT) AS t),
+         agg AS (
+           SELECT ts.t,
+                  CAST(SUM(CASE WHEN m.nb >= ts.t THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_pred,
+                  CAST(SUM(m.gt) AS BIGINT) AS n_true,
+                  CAST(SUM(CASE WHEN m.nb >= ts.t AND m.gt = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp
+           FROM ts CROSS JOIN m GROUP BY 1)
+         SELECT t, n_pred, n_true, tp,
+                n_pred - tp AS fp, n_true - tp AS fn,
+                CASE WHEN n_pred > 0
+                     THEN ROUND(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6)
+                END AS "precision",
+                CASE WHEN n_true > 0
+                     THEN ROUND(CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE), 6)
+                END AS recall
+         FROM agg ORDER BY t""",
 
     "q162_nb_auc" -> q162OracleSql,
 

@@ -446,6 +446,24 @@ class MiningSpec extends SparkSpec {
     assert(est.getAs[Long]("union_exact") == 50L) // exact columns intact
   }
 
+  test("detectorPr: truth set is complete — misses count as fn, not silence") {
+    val sh = Dedup.shingles(Seq(
+      (1L, "w1 w2 w3 w4 w5"), (2L, "w1 w2 w3 w4 w5"),   // J = 1 pair
+      (3L, "x1 x2 x3 x4 x5")).toDF("doc_id", "text"), 3)
+    val ok = Dedup.detectorPr(sh, 8, 2, jacNum = 1, jacDen = 2)
+      .orderBy("t").collect()
+    // identical docs share every band: detected at all four thresholds
+    assert(ok.forall(r => r.getAs[Long]("n_true") == 1L
+      && r.getAs[Long]("tp") == 1L && r.getAs[Double]("recall") == 1.0))
+    // bucketCap 0 kills every band bucket: the true pair is now a MISS —
+    // fn = 1 with n_pred = 0 and a NULL precision, not an empty report
+    val miss = Dedup.detectorPr(sh, 8, 2, jacNum = 1, jacDen = 2,
+      bucketCap = 0).orderBy("t").collect()
+    assert(miss.forall(r => r.getAs[Long]("fn") == 1L
+      && r.getAs[Long]("n_pred") == 0L && r.isNullAt(r.fieldIndex("precision"))
+      && r.getAs[Double]("recall") == 0.0))
+  }
+
   test("dbscan: core/border/noise roles, min-label clusters, border election") {
     // 1-2-3 mutually ε-close (dense triangle), 4 hangs off 3, 9 isolated
     val uni = Seq(1L, 2L, 3L, 4L, 9L).toDF("cell_id")
