@@ -503,6 +503,21 @@ object MiningQueries {
         jacNum = 2, jacDen = 5).orderBy("t")
     }),
 
+    // filter-gate agreement: Cohen's kappa between the stop-ratio gate
+    // (≥0.15) and the distinct-ratio gate (≥0.6) — both exact-integer
+    // comparisons; fires on ~30%/26% of the corpus so all four
+    // confusion cells are populated, and kappa corrects the raw
+    // agreement for the marginals
+    "q171_gate_kappa" -> ((s, d) => {
+      val toks = split(col("text"), "\\s+")
+      val nt = size(toks).cast("long")
+      val sh = size(filter(toks,
+        t => t.isInCollection(TrainingQueries.stopwords))).cast("long")
+      val nd = size(array_distinct(toks)).cast("long")
+      TextOps.gateAgreement(docs(s, d),
+        sh * 100 >= nt * 15, nd * 10 >= nt * 6)
+    }),
+
     // boilerplate detection: the dominant 5-gram per source + its share
     // of the source's 5-gram occurrences — template-heavy feeds surface
     // before any dedup pass runs; planted footer text on src0 makes one
@@ -1138,6 +1153,42 @@ object MiningQueries {
     "q168_norm_dedup_gain" -> q168OracleSql,
 
     "q169_kmv_setops" -> q169OracleSql,
+
+    // integer confusion cells, kappa from integer products, one final
+    // IEEE division; NULL kappa guard on degenerate marginals
+    "q171_gate_kappa" ->
+      s"""WITH t AS (
+           SELECT REGEXP_SPLIT_TO_ARRAY(text, '\\s+') AS toks FROM documents),
+         m AS (
+           SELECT CAST(LEN(toks) AS BIGINT) AS nt,
+                  CAST(LEN(LIST_FILTER(toks, x ->
+                    ${TrainingQueries.langFilterSql(TrainingQueries.stopwords)}))
+                    AS BIGINT) AS sh,
+                  CAST(LEN(LIST_DISTINCT(toks)) AS BIGINT) AS nd
+           FROM t),
+         g AS (
+           SELECT CASE WHEN sh * 100 >= nt * 15 THEN 1 ELSE 0 END AS a,
+                  CASE WHEN nd * 10 >= nt * 6 THEN 1 ELSE 0 END AS b
+           FROM m),
+         c AS (
+           SELECT COUNT(*) AS n,
+                  CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kk,
+                  CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS kd,
+                  CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dk,
+                  CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dd
+           FROM g)
+         SELECT n, kk AS both_keep, kd AS a_only, dk AS b_only, dd AS both_drop,
+                ROUND(CAST(kk + dd AS DOUBLE) / CAST(n AS DOUBLE), 6) AS agree_frac,
+                CASE WHEN n * n - ((kk + kd) * (kk + dk) + (dk + dd) * (kd + dd)) > 0
+                     THEN ROUND(
+                       CAST(n * (kk + dd)
+                            - ((kk + kd) * (kk + dk) + (dk + dd) * (kd + dd))
+                         AS DOUBLE)
+                       / CAST(n * n
+                            - ((kk + kd) * (kk + dk) + (dk + dd) * (kd + dd))
+                         AS DOUBLE), 6)
+                END AS kappa
+         FROM c""",
 
     // the sweep chain's capped band rows (blc) re-joined for per-pair
     // band-match COUNTS; ground truth from the df-capped inverted index

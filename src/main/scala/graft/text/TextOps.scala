@@ -73,6 +73,38 @@ object TextOps {
         distinctRatio >= 0.1).as("keep"))
   }
 
+  /** Cohen's kappa agreement between two boolean filter gates — the
+    * "does my new cheap gate agree with the expensive one beyond
+    * chance" report a pipeline reads before swapping filters (raw
+    * agreement is inflated whenever both gates keep or drop almost
+    * everything; kappa corrects for the marginals). One map-side
+    * projection + one global aggregation; the confusion cells stay
+    * exact integers and kappa is computed from integer products
+    * (`n·(kk+dd) − Σ marginal products`, all ≤ n², exact in longs up to
+    * ~3·10⁹ rows) with ONE final IEEE division, so the
+    * statistic replays engine-exactly. Kappa is NULL when the expected
+    * agreement is 1 (degenerate marginals — both gates constant).
+    */
+  def gateAgreement(df: DataFrame, gateA: Column, gateB: Column): DataFrame = {
+    val t = df.select(gateA.cast("int").as("a"), gateB.cast("int").as("b"))
+    val cells = t.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L)).as("kk"),
+      sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L)).as("kd"),
+      sum(when(col("a") === 0 && col("b") === 1, 1L).otherwise(0L)).as("dk"),
+      sum(when(col("a") === 0 && col("b") === 0, 1L).otherwise(0L)).as("dd"))
+    val poNum = col("kk") + col("dd")
+    val peNum = (col("kk") + col("kd")) * (col("kk") + col("dk")) +
+      (col("dk") + col("dd")) * (col("kd") + col("dd"))
+    val den = col("n") * col("n") - peNum
+    cells.select(col("n"), col("kk").as("both_keep"), col("kd").as("a_only"),
+      col("dk").as("b_only"), col("dd").as("both_drop"),
+      round(poNum.cast("double") / col("n").cast("double"), 6)
+        .as("agree_frac"),
+      when(den > 0, round((col("n") * poNum - peNum).cast("double")
+        / den.cast("double"), 6)).as("kappa"))
+  }
+
   /** BPE tokenizer TRAINING (word-level, the GPT-2 recipe): learn
     * `merges` merge rules over the corpus. The classic scale
     * factorization — pair statistics run over the DISTINCT-WORD table

@@ -464,6 +464,20 @@ class MiningSpec extends SparkSpec {
       && r.getAs[Double]("recall") == 0.0))
   }
 
+  test("gateAgreement: kappa 1 on identity, 0 on independence, NULL degenerate") {
+    def run(rows: Seq[(Boolean, Boolean)]) = {
+      val df = rows.toDF("ga", "gb")
+      TextOps.gateAgreement(df, col("ga"), col("gb")).head
+    }
+    val perfect = run(Seq((true, true), (false, false)))
+    assert(perfect.getAs[Double]("kappa") == 1.0)
+    val indep = run(Seq((true, true), (true, false), (false, true), (false, false)))
+    assert(indep.getAs[Double]("kappa") == 0.0 &&
+      indep.getAs[Double]("agree_frac") == 0.5)
+    val const = run(Seq((true, true), (true, true)))
+    assert(const.isNullAt(const.fieldIndex("kappa")))  // pe = 1: undefined
+  }
+
   test("dbscan: core/border/noise roles, min-label clusters, border election") {
     // 1-2-3 mutually ε-close (dense triangle), 4 hangs off 3, 9 isolated
     val uni = Seq(1L, 2L, 3L, 4L, 9L).toDF("cell_id")
