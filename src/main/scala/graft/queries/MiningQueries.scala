@@ -518,6 +518,18 @@ object MiningQueries {
         sh * 100 >= nt * 15, nd * 10 >= nt * 6)
     }),
 
+    // eval-sample refresh stability: the consistent doc_id-keyed draw
+    // vs a size-salted one over the q164 snapshot pair — consistent
+    // reshuffles 0 docs (only corpus adds/removes move the sample),
+    // size-salted rotates ~3/4 of the carried sample on refresh
+    "q172_sample_stability" -> ((s, d) => {
+      val v1 = docs(s, d).select(col("doc_id"))
+      val v2 = v1.filter(col("doc_id") % 17 =!= 0)
+        .unionByName(v1.filter(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id")))
+      graft.text.Mix.consistentSampleAudit(v1, v2).orderBy("scheme")
+    }),
+
     // boilerplate detection: the dominant 5-gram per source + its share
     // of the source's 5-gram occurrences — template-heavy feeds surface
     // before any dedup pass runs; planted footer text on src0 makes one
@@ -994,6 +1006,50 @@ object MiningQueries {
   FROM exa x JOIN est USING (ga, gb) ORDER BY src_a, src_b"""
   }
 
+  /** q172's replay: the snapshot id-pair full-outer join, both sampling
+    * schemes' md5 draws, and the entered/exited accounting.
+    */
+  private def q172OracleSql: String = {
+    def sel(salt: String) =
+      s"CAST('0x' || SUBSTR(MD5('smp:' || $salt" +
+        "CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 4 = 0"
+    def pass(scheme: String, sel1: String, sel2: String) =
+      s"""SELECT '$scheme' AS scheme,
+         CAST(SUM(CASE WHEN in1 = 1 AND $sel1 THEN 1 ELSE 0 END) AS BIGINT) AS s_v1,
+         CAST(SUM(CASE WHEN in2 = 1 AND $sel2 THEN 1 ELSE 0 END) AS BIGINT) AS s_v2,
+         CAST(SUM(CASE WHEN in1 = 1 AND $sel1 AND in2 = 1 AND $sel2
+                  THEN 1 ELSE 0 END) AS BIGINT) AS carried,
+         CAST(SUM(CASE WHEN in2 = 1 AND $sel2 AND NOT (in1 = 1 AND $sel1)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS entered,
+         CAST(SUM(CASE WHEN in2 = 1 AND $sel2 AND in1 = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS entered_new,
+         CAST(SUM(CASE WHEN in1 = 1 AND $sel1 AND NOT (in2 = 1 AND $sel2)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS exited,
+         CAST(SUM(CASE WHEN in1 = 1 AND $sel1 AND in2 = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS exited_removed
+       FROM j"""
+    val saltedSel1 = sel("CAST((SELECT n FROM n1) AS VARCHAR) || ':' || ")
+    val saltedSel2 = sel("CAST((SELECT n FROM n2) AS VARCHAR) || ':' || ")
+    s"""WITH v1 AS (SELECT doc_id FROM documents),
+       v2 AS (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000 FROM documents WHERE doc_id % 19 = 0),
+       n1 AS (SELECT COUNT(*) AS n FROM v1),
+       n2 AS (SELECT COUNT(*) AS n FROM v2),
+       j AS (
+         SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                CASE WHEN a.doc_id IS NULL THEN 0 ELSE 1 END AS in1,
+                CASE WHEN b.doc_id IS NULL THEN 0 ELSE 1 END AS in2
+         FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id),
+       p AS (${pass("consistent", sel(""), sel(""))}
+             UNION ALL
+             ${pass("size_salted", saltedSel1, saltedSel2)})
+       SELECT scheme, s_v1, s_v2, carried, entered, entered_new, exited,
+              exited_removed,
+              entered - entered_new + exited - exited_removed AS reshuffled
+       FROM p ORDER BY scheme"""
+  }
+
   /** q162's replay: the q113 NB chain's per-(doc, label) scores cut to
     * the positive class, then the integer Mann–Whitney rank sum.
     */
@@ -1153,6 +1209,8 @@ object MiningQueries {
     "q168_norm_dedup_gain" -> q168OracleSql,
 
     "q169_kmv_setops" -> q169OracleSql,
+
+    "q172_sample_stability" -> q172OracleSql,
 
     // integer confusion cells, kappa from integer products, one final
     // IEEE division; NULL kappa guard on degenerate marginals

@@ -358,4 +358,53 @@ object Mix {
     survivors.withColumn("rank", row_number().over(global))
       .filter(col("rank") <= n).drop("rk")
   }
+
+  /** Consistent-sampling stability audit across two corpus snapshots:
+    * the holdout/eval sample should only change where the CORPUS
+    * changed — a doc entering or leaving the sample for any other
+    * reason silently rotates the eval set between runs. Two schemes
+    * side by side: `consistent` keys the 1-in-`mod` md5 draw on the
+    * doc_id alone (membership provably refresh-stable — `reshuffled`
+    * is 0 by construction, shown with data), `size_salted` folds the
+    * corpus size into the hash (what a naive "reseed per run" draw
+    * does), and every refresh rotates ~(mod−1)/mod of the carried
+    * sample. One full-outer id join + two aggregation passes over it;
+    * only ids shuffle.
+    */
+  def consistentSampleAudit(v1: DataFrame, v2: DataFrame,
+                            mod: Int = 4): DataFrame = {
+    val n1 = v1.count()
+    val n2 = v2.count()
+    val j = v1.select(col("doc_id"), lit(1).as("in1"))
+      .join(v2.select(col("doc_id"), lit(1).as("in2")), Seq("doc_id"),
+        "full_outer")
+      .localCheckpoint()
+    def sel(salt: String) = {
+      val h = conv(substring(md5(concat(lit("smp:" + salt),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+      h % mod === 0
+    }
+    def pass(scheme: String, salt1: String, salt2: String) = {
+      // three-valued-logic guard: a missing side must read as NOT
+      // selected (false), never NULL — `NULL && true` is NULL and a
+      // when() treats it as false, which would silently drop every
+      // new/removed doc from the entered/left counts
+      val s1 = coalesce(col("in1"), lit(0)) === 1 && sel(salt1)
+      val s2 = coalesce(col("in2"), lit(0)) === 1 && sel(salt2)
+      def c(p: Column) = sum(when(p, 1L).otherwise(0L))
+      j.agg(c(s1).as("s_v1"), c(s2).as("s_v2"),
+          c(s1 && s2).as("carried"),
+          c(s2 && !s1).as("entered"),
+          c(s2 && col("in1").isNull).as("entered_new"),
+          c(s1 && !s2).as("exited"),
+          c(s1 && col("in2").isNull).as("exited_removed"))
+        .select(lit(scheme).as("scheme"), col("s_v1"), col("s_v2"),
+          col("carried"), col("entered"), col("entered_new"),
+          col("exited"), col("exited_removed"),
+          (col("entered") - col("entered_new") + col("exited")
+            - col("exited_removed")).as("reshuffled"))
+    }
+    pass("consistent", "", "")
+      .unionByName(pass("size_salted", s"$n1:", s"$n2:"))
+  }
 }

@@ -478,6 +478,21 @@ class MiningSpec extends SparkSpec {
     assert(const.isNullAt(const.fieldIndex("kappa")))  // pe = 1: undefined
   }
 
+  test("consistentSampleAudit: id-keyed draw only moves with the corpus") {
+    val v1 = (1L to 40L).toDF("doc_id")
+    val v2 = (1L to 40L).filter(_ % 5 != 0).toDF("doc_id")
+      .unionByName(Seq(100L, 101L).toDF("doc_id"))
+    val rows = graft.text.Mix.consistentSampleAudit(v1, v2, mod = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val c = rows("consistent")
+    assert(c.getAs[Long]("reshuffled") == 0L)
+    // every entry is a corpus add, every exit is a corpus remove
+    assert(c.getAs[Long]("entered") == c.getAs[Long]("entered_new"))
+    assert(c.getAs[Long]("exited") == c.getAs[Long]("exited_removed"))
+    val s = rows("size_salted")
+    assert(s.getAs[Long]("reshuffled") > 0L)  // 40 -> 34 docs reseeds the draw
+  }
+
   test("dbscan: core/border/noise roles, min-label clusters, border election") {
     // 1-2-3 mutually ε-close (dense triangle), 4 hangs off 3, 9 isolated
     val uni = Seq(1L, 2L, 3L, 4L, 9L).toDF("cell_id")
