@@ -530,6 +530,52 @@ object MiningQueries {
       graft.text.Mix.consistentSampleAudit(v1, v2).orderBy("scheme")
     }),
 
+    // IVF + PQ composed (IVFADC on raw vectors): coarse 8-list routing
+    // cuts the ADC scan to the 2 probed lists per query, PQ codes score
+    // the survivors in integer micros — the production index shape at
+    // 100 TB, every stage (both Lloyd trainings included) replayed in
+    // DuckDB
+    "q173_ivfpq_knn" -> ((s, d) => {
+      val vecs = Tables.t(s, d, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      graft.sim.Pq.ivfPqTopK(vecs).orderBy("qid", "rn")
+    }),
+
+    // IVF+PQ recall vs exact truth AND vs unrestricted PQ — the routing
+    // loss isolated from the quantization loss (the report that answers
+    // "is the 2-of-8 probe or the 16x compression costing me recall")
+    "q174_ivfpq_recall" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val vecs = Tables.t(s, d, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val ipq = graft.sim.Pq.ivfPqTopK(vecs)
+        .select(col("qid").as("src"), col("dst"))
+      val pq = graft.sim.Pq.pqSelfTopK(vecs)
+        .select(col("qid").as("src"), col("dst"))
+      val q = vecs.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("src"), col("v").as("va"))
+      val ex = vecs.select(col("vec_id").as("dst"), col("v").as("vb"))
+        .crossJoin(broadcast(q)).filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          round(graft.sim.Similarity.l2(col("va"), col("vb")), 6).as("dist"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("src").orderBy(col("dist"), col("dst"))))
+        .filter(col("rn") <= 5).select("src", "dst")
+      val hx = ex.join(ipq, Seq("src", "dst"), "left_semi")
+        .groupBy("src").agg(count(lit(1)).as("h_ex"))
+      val hp = pq.join(ipq, Seq("src", "dst"), "left_semi")
+        .groupBy("src").agg(count(lit(1)).as("h_pq"))
+      ex.select("src").distinct()
+        .join(hx, Seq("src"), "left").join(hp, Seq("src"), "left")
+        .na.fill(0, Seq("h_ex", "h_pq"))
+        .agg(count(lit(1)).as("n_queries"),
+          round(sum(col("h_ex")).cast("double")
+            / (lit(5.0) * count(lit(1)).cast("double")), 6).as("recall_exact"),
+          round(sum(col("h_pq")).cast("double")
+            / (lit(5.0) * count(lit(1)).cast("double")), 6).as("recall_vs_pq"),
+          sum(when(col("h_pq") === 5, 1L).otherwise(0L)).as("n_perfect_vs_pq"))
+    }),
+
     // boilerplate detection: the dominant 5-gram per source + its share
     // of the source's 5-gram occurrences — template-heavy feeds surface
     // before any dedup pass runs; planted footer text on src0 makes one
@@ -558,46 +604,52 @@ object MiningQueries {
     * with 9 dp-rounded means (empty clusters keep their center), final
     * full-corpus assignment as `codes_<s>`.
     */
-  private def pqLloydSql(s: Int, k: Int, iters: Int, seed: Long, w: Int): String = {
-    val lo = s * w + 1; val hi = s * w + w
+  private def lloydChainSql(tag: String, lo: Int, w: Int, k: Int,
+                            iters: Int, seedKey: String): String = {
+    val hi = lo + w - 1
     def d2(a: String, c: String) =
       s"list_sum(list_transform(range(1, ${w + 1}), i -> ($a[i] - $c[i]) * ($a[i] - $c[i])))"
     val its = (1 to iters).map { t =>
       s"""
-  asg_${s}_$t AS MATERIALIZED (
+  asg_${tag}_$t AS MATERIALIZED (
     SELECT cell_id, cid FROM (
       SELECT sv.cell_id, kk.cid,
              ROW_NUMBER() OVER (PARTITION BY sv.cell_id
                ORDER BY ${d2("sv.p", "kk.c")}, kk.cid) AS rn
-      FROM sv_$s sv CROSS JOIN cent_${s}_${t - 1} kk) WHERE rn = 1),
-  cent_${s}_$t AS MATERIALIZED (
+      FROM sv_$tag sv CROSS JOIN cent_${tag}_${t - 1} kk) WHERE rn = 1),
+  cent_${tag}_$t AS MATERIALIZED (
     SELECT pp.cid, COALESCE(m.c, pp.c) AS c
-    FROM cent_${s}_${t - 1} pp LEFT JOIN (
+    FROM cent_${tag}_${t - 1} pp LEFT JOIN (
       SELECT cid, LIST(m ORDER BY pos) AS c FROM (
         SELECT a.cid, u.pos, ROUND(AVG(u.x), 9) AS m
-        FROM asg_${s}_$t a JOIN svex_$s u ON a.cell_id = u.cell_id
+        FROM asg_${tag}_$t a JOIN svex_$tag u ON a.cell_id = u.cell_id
         GROUP BY a.cid, u.pos)
       GROUP BY cid) m ON pp.cid = m.cid)"""
     }.mkString(",")
     s"""
-  sv_$s AS MATERIALIZED (SELECT cell_id, p[$lo:$hi] AS p FROM vv),
-  svex_$s AS MATERIALIZED (
-    SELECT cell_id, GENERATE_SUBSCRIPTS(p, 1) AS pos, UNNEST(p) AS x FROM sv_$s),
-  init_$s AS MATERIALIZED (
+  sv_$tag AS MATERIALIZED (SELECT cell_id, p[$lo:$hi] AS p FROM vv),
+  svex_$tag AS MATERIALIZED (
+    SELECT cell_id, GENERATE_SUBSCRIPTS(p, 1) AS pos, UNNEST(p) AS x FROM sv_$tag),
+  init_$tag AS MATERIALIZED (
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY hsh, cell_id) AS INT) AS cid, p AS c
     FROM (SELECT * FROM (
-            SELECT sv.*, MD5('${seed + s}:' || cell_id) AS hsh,
+            SELECT sv.*, MD5('$seedKey:' || cell_id) AS hsh,
                    ROW_NUMBER() OVER (PARTITION BY p
-                     ORDER BY MD5('${seed + s}:' || cell_id), cell_id) AS rv
-            FROM sv_$s sv) WHERE rv = 1)
+                     ORDER BY MD5('$seedKey:' || cell_id), cell_id) AS rv
+            FROM sv_$tag sv) WHERE rv = 1)
     ORDER BY hsh, cell_id LIMIT $k),
-  cent_${s}_0 AS MATERIALIZED (SELECT cid, c FROM init_$s),$its,
-  codes_$s AS MATERIALIZED (
+  cent_${tag}_0 AS MATERIALIZED (SELECT cid, c FROM init_$tag),$its,
+  codes_$tag AS MATERIALIZED (
     SELECT cell_id, cid FROM (
       SELECT sv.cell_id, kk.cid,
              ROW_NUMBER() OVER (PARTITION BY sv.cell_id
                ORDER BY ${d2("sv.p", "kk.c")}, kk.cid) AS rn
-      FROM sv_$s sv CROSS JOIN cent_${s}_$iters kk) WHERE rn = 1),
+      FROM sv_$tag sv CROSS JOIN cent_${tag}_$iters kk) WHERE rn = 1)"""
+  }
+
+  private def pqLloydSql(s: Int, k: Int, iters: Int, seed: Long, w: Int): String = {
+    val lo = s * w + 1; val hi = s * w + w
+    s"""${lloydChainSql(s.toString, lo, w, k, iters, (seed + s).toString)},
   tab_$s AS MATERIALIZED (
     SELECT q.cell_id AS qid, kk.cid,
            list_sum(list_transform(range(1, ${w + 1}), i ->
@@ -636,6 +688,85 @@ object MiningQueries {
              ORDER BY adc_micro, dst) AS INT) AS rn
     FROM adc)"""
   }
+
+  /** q173's replay: the q143 PQ chain (codebooks + per-query ADC
+    * tables) plus a coarse 8-list Lloyd on the FULL 64-dim vectors
+    * (tag `c`), 2-probe routing ranked by the same float d2 the
+    * assignment uses, and ADC restricted to the probed lists' members.
+    */
+  private def ivfPqChainSql: String = {
+    val nProbe = 2; val iters = 5
+    s"""$pqChainSql,${lloydChainSql("c", 1, 64, 8, iters, "55")},
+  probes AS (
+    SELECT qid, list FROM (
+      SELECT q.cell_id AS qid, kk.cid AS list,
+             ROW_NUMBER() OVER (PARTITION BY q.cell_id
+               ORDER BY list_sum(list_transform(range(1, 65), i ->
+                 (q.p[i] - kk.c[i]) * (q.p[i] - kk.c[i]))), kk.cid) AS rn
+      FROM (SELECT * FROM vv WHERE cell_id % 50 = 0) q
+      CROSS JOIN cent_c_$iters kk)
+    WHERE rn <= $nProbe),
+  cand AS (
+    SELECT pr.qid, l.cell_id AS dst
+    FROM probes pr JOIN codes_c l ON l.cid = pr.list
+    WHERE l.cell_id != pr.qid),
+  adcr AS (
+    SELECT cd.qid, cd.dst, CAST(SUM(t.d2m) AS BIGINT) AS adc_micro
+    FROM cand cd
+    JOIN codes k2 ON k2.cell_id = cd.dst
+    JOIN tab t ON t.qid = cd.qid AND t.s = k2.s AND t.cid = k2.cid
+    GROUP BY 1, 2),
+  tkr AS (
+    SELECT qid, dst, adc_micro,
+           CAST(ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY adc_micro, dst) AS INT) AS rn
+    FROM adcr)"""
+  }
+
+  private def q173OracleSql: String =
+    s"""WITH $ivfPqChainSql
+  SELECT qid, dst,
+         ROUND(SQRT(CAST(adc_micro AS DOUBLE) / 1000000000000.0), 6) AS adc_dist,
+         rn
+  FROM tkr WHERE rn <= 5 ORDER BY qid, rn"""
+
+  /** q174's replay: IVF+PQ top-5 scored against BOTH the exact ground
+    * truth (total quality) and the unrestricted PQ top-5 (routing loss
+    * in isolation — what the 2-of-8-list probe alone discards).
+    */
+  private def q174OracleSql: String =
+    s"""WITH $ivfPqChainSql,
+  ipqk AS (SELECT qid, dst FROM tkr WHERE rn <= 5),
+  pqk AS (SELECT qid, dst FROM tk WHERE rn <= 5),
+  exd AS (
+    SELECT q.cell_id AS src, c.cell_id AS dst,
+           ROUND(SQRT(GREATEST(LIST_DOT_PRODUCT(q.p, q.p)
+             - 2 * LIST_DOT_PRODUCT(q.p, c.p)
+             + LIST_DOT_PRODUCT(c.p, c.p), 0)), 6) AS dist
+    FROM vv q CROSS JOIN vv c
+    WHERE q.cell_id % 50 = 0 AND q.cell_id != c.cell_id),
+  exk AS (
+    SELECT src, dst FROM (
+      SELECT src, dst,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+      FROM exd)
+    WHERE rn <= 5),
+  hx AS (
+    SELECT e.src, COUNT(a.dst) AS h_ex
+    FROM exk e LEFT JOIN ipqk a ON a.qid = e.src AND a.dst = e.dst
+    GROUP BY 1),
+  hp AS (
+    SELECT p.qid AS src, COUNT(a.dst) AS h_pq
+    FROM pqk p LEFT JOIN ipqk a ON a.qid = p.qid AND a.dst = p.dst
+    GROUP BY 1)
+  SELECT COUNT(*) AS n_queries,
+         ROUND(CAST(SUM(h_ex) AS DOUBLE) / (5.0 * CAST(COUNT(*) AS DOUBLE)), 6)
+           AS recall_exact,
+         ROUND(CAST(SUM(h_pq) AS DOUBLE) / (5.0 * CAST(COUNT(*) AS DOUBLE)), 6)
+           AS recall_vs_pq,
+         CAST(SUM(CASE WHEN h_pq = 5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_perfect_vs_pq
+  FROM hx JOIN hp USING (src)"""
 
   private def q143OracleSql: String =
     s"""WITH $pqChainSql
@@ -1211,6 +1342,10 @@ object MiningQueries {
     "q169_kmv_setops" -> q169OracleSql,
 
     "q172_sample_stability" -> q172OracleSql,
+
+    "q173_ivfpq_knn" -> q173OracleSql,
+
+    "q174_ivfpq_recall" -> q174OracleSql,
 
     // integer confusion cells, kappa from integer products, one final
     // IEEE division; NULL kappa guard on degenerate marginals

@@ -33,13 +33,81 @@ object Pq {
     */
   def pqSelfTopK(vecs: DataFrame, m: Int = 4, k: Int = 16, iters: Int = 5,
                  seed: Long = 77L, queryMod: Int = 50, topK: Int = 5): DataFrame = {
+    val dim = vecs.agg(max(size(col("v"))).as("d")).head.getInt(0)
+    require(dim % m == 0, s"dim $dim must split into $m subvectors")
+    // feeds m Lloyd trainings + the query slice — materialize once
+    val cached = vecs.select(col("vec_id"), col("v")).localCheckpoint()
+    val (codes, cents) = trainCodebooks(cached, dim, m, k, iters, seed)
+    val tab = adcTable(cached, dim, m, queryMod, cents)
+    val adc = codes.join(tab, Seq("s", "cid"))
+      .filter(col("cell_id") =!= col("qid"))
+      .groupBy(col("qid"), col("cell_id").as("dst"))
+      .agg(sum(col("d2m")).as("adc_micro"))
+    rankAdc(adc, topK)
+  }
+
+  /** IVF + PQ — the two stages composed into the production-shape index
+    * (Jégou 2011 §VII "IVFADC", here on raw vectors, not residuals, so
+    * both trainings stay independently oracle-able): a coarse `nLists`-
+    * centroid quantizer on the FULL vectors routes every query to its
+    * `nProbe` nearest inverted lists, and only the vectors IN those
+    * lists are ADC-scored against the PQ tables. At 100 TB this is the
+    * decisive composition: PQ compresses the scan 16×, IVF cuts it to
+    * `nProbe/nLists` of the corpus — the candidate set is built BEFORE
+    * any distance work (probes ⋈ lists, id-only), so the plan never
+    * touches the unprobed lists at all.
+    *
+    * Determinism: both trainings are the deterministic-Lloyd protocol;
+    * probe selection ranks the same float d2 the assignment uses (ties
+    * break on list id); ADC is exact integer micros. The whole chain
+    * replays in DuckDB.
+    */
+  def ivfPqTopK(vecs: DataFrame, nLists: Int = 8, nProbe: Int = 2,
+                m: Int = 4, k: Int = 16, iters: Int = 5,
+                seedIvf: Long = 55L, seedPq: Long = 77L,
+                queryMod: Int = 50, topK: Int = 5): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val dim = vecs.agg(max(size(col("v"))).as("d")).head.getInt(0)
     require(dim % m == 0, s"dim $dim must split into $m subvectors")
-    val w = dim / m
-    // feeds m Lloyd trainings + the query slice — materialize once
     val cached = vecs.select(col("vec_id"), col("v")).localCheckpoint()
+    // coarse quantizer on the full vectors
+    val (asgn, centers) = graft.pipeline.Cluster.lloydWithCenters(
+      cached.select(col("vec_id").as("cell_id"), col("v").as("latent")),
+      nLists, iters, seedIvf)
+    val lists = asgn.select(col("cell_id").as("dst"),
+      col("cluster").cast("int").as("list"))
+    val centDf = centers.zipWithIndex.map { case (c, i) => (i + 1, c.toSeq) }
+      .toSeq.toDF("list", "lc")
+    val qs = cached.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("v"))
+    val probes = qs.crossJoin(broadcast(centDf))
+      .select(col("qid"), col("list"),
+        aggregate(zip_with(col("v"), col("lc"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2"), col("list"))))
+      .filter(col("rn") <= nProbe).select("qid", "list")
+    val (codes, cents) = trainCodebooks(cached, dim, m, k, iters, seedPq)
+    val tab = adcTable(cached, dim, m, queryMod, cents)
+    // id-only candidate set: probed lists' members, before any scoring
+    val cand = probes.join(lists, Seq("list"))
+      .select(col("qid"), col("dst")).filter(col("qid") =!= col("dst"))
+    val adc = cand
+      .join(codes.select(col("cell_id").as("dst"), col("s"), col("cid")),
+        Seq("dst"))
+      .join(broadcast(tab), Seq("qid", "s", "cid"))
+      .groupBy("qid", "dst").agg(sum(col("d2m")).as("adc_micro"))
+    rankAdc(adc, topK)
+  }
+
+  /** The m per-subspace deterministic-Lloyd trainings:
+    * `(codes (s, cell_id, cid), cents (s, cid, c))`. */
+  private def trainCodebooks(cached: DataFrame, dim: Int, m: Int, k: Int,
+                             iters: Int, seed: Long): (DataFrame, DataFrame) = {
+    val spark = cached.sparkSession
+    import spark.implicits._
+    val w = dim / m
     val parts = (0 until m).map { s =>
       val sub = cached.select(col("vec_id").as("cell_id"),
         expr(s"slice(v, ${s * w + 1}, $w)").as("latent"))
@@ -52,34 +120,38 @@ object Pq {
         .toDF("s", "cid", "c")
       (codes, centersDf)
     }
-    val codes = parts.map(_._1).reduce(_ unionByName _)
-    val cents = parts.map(_._2).reduce(_ unionByName _)
+    (parts.map(_._1).reduce(_ unionByName _),
+      parts.map(_._2).reduce(_ unionByName _))
+  }
+
+  /** The per-query ADC distance tables `(s, qid, cid, d2m)` in
+    * fixed-point: components quantize to integer micros FIRST (the q115
+    * trick), so the squared sub-distances and their sums are exact
+    * integer arithmetic — a float fold would differ from another
+    * engine's at the ULP, and the ranking quantization captures every
+    * ULP. */
+  private def adcTable(cached: DataFrame, dim: Int, m: Int, queryMod: Int,
+                       cents: DataFrame): DataFrame = {
+    val w = dim / m
     val qsub = cached.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("qid"), explode(expr(
         s"""transform(sequence(0, ${m - 1}),
               s -> named_struct('s', s, 'qv', slice(v, s * $w + 1, $w)))"""))
         .as("e"))
       .select(col("qid"), col("e.s").as("s"), col("e.qv").as("qv"))
-    // the per-query distance table in fixed-point: components quantize
-    // to integer micros FIRST (the q115 trick), so the squared
-    // sub-distances and their sums are exact integer arithmetic — a
-    // float fold would differ from another engine's at the ULP, and the
-    // ranking quantization captures every ULP
     def fix(c: org.apache.spark.sql.Column) = round(c * lit(1e6)).cast("long")
-    val tab = qsub.join(broadcast(cents), Seq("s"))
+    qsub.join(broadcast(cents), Seq("s"))
       .select(col("s"), col("qid"), col("cid"),
         aggregate(zip_with(col("qv"), col("c"),
           (x, y) => (fix(x) - fix(y)) * (fix(x) - fix(y))),
           lit(0L), (a, x) => a + x).as("d2m"))
-    val adc = codes.join(tab, Seq("s", "cid"))
-      .filter(col("cell_id") =!= col("qid"))
-      .groupBy(col("qid"), col("cell_id").as("dst"))
-      .agg(sum(col("d2m")).as("adc_micro"))
+  }
+
+  private def rankAdc(adc: DataFrame, topK: Int): DataFrame =
     adc.withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("adc_micro"), col("dst"))))
       .filter(col("rn") <= topK)
       .select(col("qid"), col("dst"),
         round(sqrt(col("adc_micro") / lit(1e12)), 6).as("adc_dist"),
         col("rn").cast("int").as("rn"))
-  }
 }

@@ -166,6 +166,26 @@ class MiningSpec extends SparkSpec {
     assert(out.groupBy(_._1).values.forall(_.length == 5))
   }
 
+  test("ivfPqTopK: coarse routing keeps clustered groups intact") {
+    // same two-orthogonal-group universe as the pqSelfTopK spec: with
+    // real cluster structure the coarse quantizer separates the groups
+    // into different lists, so probing the query's nearest lists loses
+    // nothing — every query still ranks only its own group
+    val vecs = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0, 0, 0, 0, 1.0, 0, 0, 0)
+                 else Seq(0, 0, 0, 1.0, 0, 0, 0, 1.0)
+      (i, base.map(_ + i * 0.001))
+    }.toDF("vec_id", "v")
+    val out = graft.sim.Pq.ivfPqTopK(vecs, nLists = 2, nProbe = 1, m = 2,
+        k = 4, iters = 3, seedIvf = 9L, seedPq = 5L, queryMod = 10, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.map(_._1).distinct.sorted.toSeq == Seq(0L, 10L, 20L, 30L))
+    out.foreach { case (q, dst) =>
+      assert(q % 2 == dst % 2, s"query $q routed across groups to $dst")
+    }
+    assert(out.groupBy(_._1).values.forall(_.length == 5))
+  }
+
   test("labelDiversity: closed form equals hand-computed pair means; singletons drop") {
     val embs = Seq(
       (1L, Seq(0.0, 0.0), 1), (2L, Seq(2.0, 0.0), 1),  // one pair, d2 = 4
