@@ -406,6 +406,47 @@ object ScaleProbe {
     out(s"kcenters_8_${nVec}_vecs") = tKc
     System.err.println("[probe] done " + (s"kcenters_8_${nVec}_vecs"))
 
+    // session-7 shapes: IVF+PQ (two Lloyd stages + routed ADC — should
+    // scale with the linear assignment/encode passes at fixed
+    // nLists/iters), KMV set algebra (one distinct-agg + k-row pair
+    // expansion; the exact validation columns dominate growth), and the
+    // detector PR sweep (banded self-join + df-capped truth join).
+    val (_, tIvfPq) = time {
+      graft.sim.Pq.ivfPqTopK(
+          emb.select(col("cell_id").as("vec_id"), col("latent").as("v")),
+          queryMod = 500)
+        .write.format("noop").mode("overwrite").save()
+    }
+    out(s"ivfpq_${nVec}_vecs") = tIvfPq
+    System.err.println("[probe] done " + (s"ivfpq_${nVec}_vecs"))
+    val docsSalt2 = graft.core.Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "source", "text")
+      .crossJoin(spark.range(copies).select(col("id").as("_rep")))
+      .select((col("doc_id") + col("_rep") * 100000000L).as("doc_id"),
+        col("source"),
+        concat_ws(" ", transform(split(col("text"), "\\s+"),
+          t => concat(col("_rep").cast("string"), lit("_"), t))).as("text"))
+      .cache()
+    docsSalt2.count()
+    val (_, tKmvSet) = time {
+      val sh2 = graft.dedup.Dedup.shingles(
+          docsSalt2.select(col("source").as("doc_id"), col("text")), 3)
+        .select(col("doc_id").as("source"), col("shingle"))
+      graft.stats.Sketches.kmvSetOps(sh2, "source", "shingle", k = 128)
+        .write.format("noop").mode("overwrite").save()
+    }
+    out(s"kmv_setops_${copies}x_docs") = tKmvSet
+    System.err.println("[probe] done " + (s"kmv_setops_${copies}x_docs"))
+    val (_, tDetPr) = time {
+      graft.dedup.Dedup.detectorPr(
+          graft.dedup.Dedup.shingles(docsSalt2.select("doc_id", "text"), 3),
+          numHashes = 8, rowsPerBand = 2, jacNum = 2, jacDen = 5)
+        .write.format("noop").mode("overwrite").save()
+    }
+    out(s"detector_pr_${copies}x_docs") = tDetPr
+    System.err.println("[probe] done " + (s"detector_pr_${copies}x_docs"))
+    docsSalt2.unpersist()
+
     val qs = out.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe","copies":$copies,"nnz":$nnz,"timings":$qs}""")
     spark.stop()

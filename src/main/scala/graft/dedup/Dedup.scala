@@ -703,7 +703,19 @@ object Dedup {
     * standard df-cap used by large-scale near-dup pipelines.
     */
   def ngramJaccardPairs(sh0: DataFrame, minJaccard: Double,
-                        dfCap: Int = 10000): DataFrame = {
+                        dfCap: Int = 10000): DataFrame =
+    sharedShinglePairs(sh0, dfCap)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("ida", "idb", "inter", "jaccard")
+
+  /** The inverted-index pair kernel behind [[ngramJaccardPairs]] and
+    * [[detectorPr]]'s ground truth: every pair sharing ≥ 1 shingle of
+    * the df-capped universe, with its intersection and both set sizes —
+    * callers apply their own (float or exact-integer) threshold.
+    */
+  def sharedShinglePairs(sh0: DataFrame, dfCap: Int = 10000): DataFrame = {
     val hot = sh0.groupBy("shingle").agg(count(lit(1)).as("_df"))
       .filter(col("_df") > dfCap).select("shingle")
     val sh = sh0.join(hot, Seq("shingle"), "left_anti")
@@ -715,10 +727,46 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("doc_id", "ida").withColumnRenamed("sz", "sza"), Seq("ida"))
       .join(sizes.withColumnRenamed("doc_id", "idb").withColumnRenamed("sz", "szb"), Seq("idb"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select("ida", "idb", "inter", "jaccard")
+      .select("ida", "idb", "inter", "sza", "szb")
+  }
+
+  /** Transitive-chaining honesty report for near-dup GROUPS: connected-
+    * component closure merges A~B and B~C even when A and C are NOT
+    * near-duplicates — keep-one dedup then deletes documents that
+    * duplicate nothing kept. This quantifies it: of all co-grouped
+    * pairs, how many are DIRECT near-dups (exact shingle Jaccard ≥
+    * `jacNum/jacDen`) vs chained-only. The within-group pair expansion
+    * is Σ|g|² — bounded in practice by the detector's own band-bucket
+    * caps upstream (a giant group IS the boilerplate finding the caps
+    * exist for); group membership and the df-capped truth join are the
+    * same bounded shapes the production operators use.
+    */
+  def chainContamination(sh: DataFrame, pairs: DataFrame,
+                         jacNum: Int, jacDen: Int,
+                         dfCap: Int = 10000): DataFrame = {
+    val uni = sh.select("doc_id").distinct()
+    val multi = nearDupGroups(uni, pairs)
+      .filter(col("n_docs") > 1).select("doc_id", "group_id")
+      .localCheckpoint()
+    val gp = multi.toDF("ida", "group_id")
+      .join(multi.toDF("idb", "g2"),
+        col("group_id") === col("g2") && col("ida") < col("idb"))
+      .select("ida", "idb")
+    val direct = sharedShinglePairs(sh, dfCap)
+      .filter(col("inter") * jacDen >=
+        (col("sza") + col("szb") - col("inter")) * jacNum)
+      .select(col("ida"), col("idb"), lit(1).as("direct"))
+    val pr = gp.join(direct, Seq("ida", "idb"), "left")
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(col("direct")), lit(0)).cast("long").as("n_direct"))
+    val gr = multi.agg(countDistinct(col("group_id")).as("n_groups"),
+      count(lit(1)).as("n_grouped_docs"))
+    gr.crossJoin(pr)
+      .select(col("n_groups"), col("n_grouped_docs"), col("n_pairs"),
+        col("n_direct"), (col("n_pairs") - col("n_direct")).as("n_chained"),
+        when(col("n_pairs") > 0,
+          round((col("n_pairs") - col("n_direct")).cast("double")
+            / col("n_pairs").cast("double"), 6)).as("chained_frac"))
   }
 
   /** MinHash-LSH detector precision/recall curve vs exact-Jaccard
@@ -759,16 +807,7 @@ object Dedup {
         Seq("band_id", "band_key"))
       .filter(col("ida") < col("idb"))
       .groupBy("ida", "idb").agg(count(lit(1)).as("nb"))
-    val hotSh = sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
-      .filter(col("_df") > dfCap).select("shingle")
-    val shc = sh.join(hotSh, Seq("shingle"), "left_anti")
-    val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val gt = shc.select(col("shingle"), col("doc_id").as("ida"))
-      .join(shc.select(col("shingle"), col("doc_id").as("idb")), Seq("shingle"))
-      .filter(col("ida") < col("idb"))
-      .groupBy("ida", "idb").agg(count(lit(1)).as("inter"))
-      .join(sizes.toDF("ida", "sza"), Seq("ida"))
-      .join(sizes.toDF("idb", "szb"), Seq("idb"))
+    val gt = sharedShinglePairs(sh, dfCap)
       .filter(col("inter") * jacDen >=
         (col("sza") + col("szb") - col("inter")) * jacNum)
       .select(col("ida"), col("idb"), lit(1).as("gt"))

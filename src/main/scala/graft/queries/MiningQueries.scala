@@ -576,6 +576,56 @@ object MiningQueries {
           sum(when(col("h_pq") === 5, 1L).otherwise(0L)).as("n_perfect_vs_pq"))
     }),
 
+    // embedding truncation curve (the Matryoshka question): recall@5 of
+    // exact search over the first 8/16/32 dims vs the full 64-dim truth
+    // — how many dims the index actually needs, answered with data
+    "q175_dim_truncation" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val vecs = Tables.t(s, d, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val q = vecs.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("src"), col("v").as("va"))
+      val dts = Seq(8, 16, 32, 64)
+      val tk = vecs.select(col("vec_id").as("dst"), col("v").as("vb"))
+        .crossJoin(broadcast(q)).filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"), explode(array(dts.map(dt =>
+          struct(lit(dt).as("dims"),
+            round(graft.sim.Similarity.l2(
+              slice(col("va"), 1, dt), slice(col("vb"), 1, dt)), 6)
+              .as("dist"))): _*)).as("e"))
+        .select(col("src"), col("dst"), col("e.dims").as("dims"),
+          col("e.dist").as("dist"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("dims", "src").orderBy(col("dist"), col("dst"))))
+        .filter(col("rn") <= 5).select("dims", "src", "dst")
+        .localCheckpoint()
+      val truth = tk.filter(col("dims") === 64).select("src", "dst")
+      val hits = tk.filter(col("dims") =!= 64)
+        .join(truth, Seq("src", "dst"), "left_semi")
+        .groupBy("dims", "src").agg(count(lit(1)).as("h"))
+      tk.filter(col("dims") =!= 64).select("dims", "src").distinct()
+        .join(hits, Seq("dims", "src"), "left").na.fill(0, Seq("h"))
+        .groupBy("dims").agg(count(lit(1)).as("n_queries"),
+          round(sum(col("h")).cast("double")
+            / (lit(5.0) * count(lit(1)).cast("double")), 6).as("recall_mean"),
+          sum(when(col("h") === 5, 1L).otherwise(0L)).as("n_perfect"))
+        .orderBy("dims")
+    }),
+
+    // transitive-chaining honesty report: of the pairs that keep-one
+    // dedup co-groups via connected components, how many are DIRECT
+    // near-dups at the STRICT J >= 4/5 definition vs chained-only —
+    // the half-copy plants (J ~ 0.5) land in groups through the band
+    // join without meeting the strict bar, so the chained fraction is
+    // real, not vacuous (at 2/5 every co-grouped pair is also direct
+    // and the report degenerates — measured, which is itself the point)
+    "q176_chain_contamination" -> ((s, d) => {
+      val sweepSh = TrainingQueries.sweepShingles(s, d)
+      val pairs = Dedup.lshCandidatePairs(
+        Dedup.minHashSignature(sweepSh, 8), 8, 2)
+      Dedup.chainContamination(sweepSh, pairs, jacNum = 4, jacDen = 5)
+    }),
+
     // boilerplate detection: the dominant 5-gram per source + its share
     // of the source's 5-gram occurrences — template-heavy feeds surface
     // before any dedup pass runs; planted footer text on src0 makes one
@@ -767,6 +817,92 @@ object MiningQueries {
          CAST(SUM(CASE WHEN h_pq = 5 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_perfect_vs_pq
   FROM hx JOIN hp USING (src)"""
+
+  /** q175's replay: per-truncation exact top-5 via LIST slicing, scored
+    * against the full-dim truth.
+    */
+  private def q175OracleSql: String =
+    s"""WITH vv AS MATERIALIZED (
+    SELECT vec_id AS cell_id, embedding::DOUBLE[] AS p FROM embeddings),
+  q AS (SELECT * FROM vv WHERE cell_id % 50 = 0),
+  dts AS (SELECT CAST(UNNEST([8, 16, 32, 64]) AS INT) AS dims),
+  dd AS (
+    SELECT dt.dims, q.cell_id AS src, c.cell_id AS dst,
+           ROUND(SQRT(GREATEST(
+             LIST_DOT_PRODUCT(q.p[1:dt.dims], q.p[1:dt.dims])
+             - 2 * LIST_DOT_PRODUCT(q.p[1:dt.dims], c.p[1:dt.dims])
+             + LIST_DOT_PRODUCT(c.p[1:dt.dims], c.p[1:dt.dims]), 0)), 6)
+             AS dist
+    FROM q CROSS JOIN vv c CROSS JOIN dts dt
+    WHERE q.cell_id != c.cell_id),
+  tk AS (
+    SELECT dims, src, dst FROM (
+      SELECT dims, src, dst,
+             ROW_NUMBER() OVER (PARTITION BY dims, src
+               ORDER BY dist, dst) AS rn
+      FROM dd) WHERE rn <= 5),
+  tr AS (SELECT src, dst FROM tk WHERE dims = 64),
+  h AS (
+    SELECT t.dims, t.src, COUNT(r.dst) AS h
+    FROM tk t LEFT JOIN tr r ON r.src = t.src AND r.dst = t.dst
+    WHERE t.dims != 64 GROUP BY 1, 2)
+  SELECT dims, COUNT(*) AS n_queries,
+         ROUND(CAST(SUM(h) AS DOUBLE) / (5.0 * CAST(COUNT(*) AS DOUBLE)), 6)
+           AS recall_mean,
+         CAST(SUM(CASE WHEN h = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect
+  FROM h GROUP BY dims ORDER BY dims"""
+
+  /** q176's replay: the sweep chain's candidate pairs closed under the
+    * recursive min-label CC, multi-doc groups' co-grouped pairs scored
+    * against the df-capped exact-Jaccard direct set.
+    */
+  private def q176OracleSql: String =
+    s"""WITH RECURSIVE ${TrainingQueries.sweepChainSql},
+  uni AS (SELECT DISTINCT doc_id FROM psh),
+  e AS (SELECT ida AS s, idb AS t FROM pairs
+        UNION ALL SELECT idb, ida FROM pairs),
+  reach AS (
+    SELECT doc_id AS node, doc_id AS lbl FROM uni
+    UNION
+    SELECT e.t, r.lbl FROM reach r JOIN e ON e.s = r.node),
+  comp AS (SELECT node AS doc_id, MIN(lbl) AS group_id
+           FROM reach GROUP BY node),
+  szs AS (SELECT group_id, COUNT(*) AS n FROM comp GROUP BY 1),
+  multi AS (
+    SELECT c.doc_id, c.group_id FROM comp c
+    JOIN szs z USING (group_id) WHERE z.n > 1),
+  gp AS (
+    SELECT a.doc_id AS ida, b.doc_id AS idb FROM multi a
+    JOIN multi b ON a.group_id = b.group_id AND a.doc_id < b.doc_id),
+  shc AS (
+    SELECT * FROM psh WHERE shingle IN (
+      SELECT shingle FROM psh GROUP BY 1 HAVING COUNT(*) <= 10000)),
+  sz AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY 1),
+  direct AS (
+    SELECT i.ida, i.idb FROM (
+      SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter
+      FROM shc a JOIN shc b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2) i
+    JOIN sz sa ON sa.doc_id = i.ida
+    JOIN sz sb ON sb.doc_id = i.idb
+    WHERE i.inter * 5 >= (sa.sz + sb.sz - i.inter) * 4),
+  pr AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN d.ida IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_direct
+    FROM gp g LEFT JOIN direct d ON d.ida = g.ida AND d.idb = g.idb),
+  gr AS (
+    SELECT CAST(COUNT(DISTINCT group_id) AS BIGINT) AS n_groups,
+           CAST(COUNT(*) AS BIGINT) AS n_grouped_docs
+    FROM multi)
+  SELECT n_groups, n_grouped_docs, n_pairs, n_direct,
+         n_pairs - n_direct AS n_chained,
+         CASE WHEN n_pairs > 0
+              THEN ROUND(CAST(n_pairs - n_direct AS DOUBLE)
+                         / CAST(n_pairs AS DOUBLE), 6)
+         END AS chained_frac
+  FROM gr, pr"""
 
   private def q143OracleSql: String =
     s"""WITH $pqChainSql
@@ -1346,6 +1482,10 @@ object MiningQueries {
     "q173_ivfpq_knn" -> q173OracleSql,
 
     "q174_ivfpq_recall" -> q174OracleSql,
+
+    "q175_dim_truncation" -> q175OracleSql,
+
+    "q176_chain_contamination" -> q176OracleSql,
 
     // integer confusion cells, kappa from integer products, one final
     // IEEE division; NULL kappa guard on degenerate marginals

@@ -513,6 +513,22 @@ class MiningSpec extends SparkSpec {
     assert(s.getAs[Long]("reshuffled") > 0L)  // 40 -> 34 docs reseeds the draw
   }
 
+  test("chainContamination: A~B~C closure counts the A-C pair as chained") {
+    // B shares its first half with A and its second half with C; A and
+    // C share nothing. Candidates A-B and B-C co-group all three, and
+    // the strict direct test must mark exactly the A-C pair as chained.
+    val sh = Dedup.shingles(Seq(
+      (1L, "a1 a2 a3 a4"), (2L, "a1 a2 a3 a4 c1 c2 c3 c4"),
+      (3L, "c1 c2 c3 c4"), (9L, "z1 z2 z3 z4")).toDF("doc_id", "text"), 2)
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("ida", "idb")
+    val r = Dedup.chainContamination(sh, pairs, jacNum = 1, jacDen = 3).head
+    assert(r.getAs[Long]("n_groups") == 1L &&
+      r.getAs[Long]("n_grouped_docs") == 3L)
+    assert(r.getAs[Long]("n_pairs") == 3L)     // (1,2) (1,3) (2,3)
+    assert(r.getAs[Long]("n_direct") == 2L)    // J(1,2)=J(2,3)=3/7 >= 1/3
+    assert(r.getAs[Long]("n_chained") == 1L)   // (1,3): J = 0
+  }
+
   test("dbscan: core/border/noise roles, min-label clusters, border election") {
     // 1-2-3 mutually ε-close (dense triangle), 4 hangs off 3, 9 isolated
     val uni = Seq(1L, 2L, 3L, 4L, 9L).toDF("cell_id")
