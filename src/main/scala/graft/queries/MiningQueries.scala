@@ -626,6 +626,22 @@ object MiningQueries {
       Dedup.chainContamination(sweepSh, pairs, jacNum = 4, jacDen = 5)
     }),
 
+    // per-dim embedding QC: exact-micros min/max, mean, population
+    // variance per dimension — the dead-dim / clipped-range / off-center
+    // sanity pass before any ANN index build
+    "q177_embedding_qc" -> ((s, d) =>
+      graft.sim.Similarity.embeddingQc(Tables.t(s, d, "embeddings"))
+        .orderBy("dim")),
+
+    // IVF occupancy balance: per-list member share + lists-used + the
+    // max/min occupancy ratio — the tail-latency gate on the same
+    // coarse training q173 routes through
+    "q178_ivf_balance" -> ((s, d) => {
+      val vecs = Tables.t(s, d, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      graft.sim.Pq.ivfBalance(vecs).orderBy("list")
+    }),
+
     // boilerplate detection: the dominant 5-gram per source + its share
     // of the source's 5-gram occurrences — template-heavy feeds surface
     // before any dedup pass runs; planted footer text on src0 makes one
@@ -903,6 +919,26 @@ object MiningQueries {
                          / CAST(n_pairs AS DOUBLE), 6)
          END AS chained_frac
   FROM gr, pr"""
+
+  /** q178's replay: the q173 coarse chain's final assignment, one count
+    * aggregation, and the balance scalars.
+    */
+  private def q178OracleSql: String =
+    s"""WITH vv AS MATERIALIZED (
+    SELECT vec_id AS cell_id, embedding::DOUBLE[] AS p FROM embeddings),${lloydChainSql("c", 1, 64, 8, 5, "55")},
+  counts AS (
+    SELECT cid AS list, CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM codes_c GROUP BY 1),
+  tot AS (
+    SELECT CAST(SUM(n_vecs) AS BIGINT) AS t,
+           MAX(n_vecs) AS mx, MIN(n_vecs) AS mn,
+           CAST(COUNT(*) AS BIGINT) AS n_lists_used
+    FROM counts)
+  SELECT list, n_vecs,
+         ROUND(CAST(n_vecs AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share,
+         n_lists_used,
+         ROUND(CAST(mx AS DOUBLE) / CAST(mn AS DOUBLE), 6) AS imbalance
+  FROM counts, tot ORDER BY list"""
 
   private def q143OracleSql: String =
     s"""WITH $pqChainSql
@@ -1484,6 +1520,29 @@ object MiningQueries {
     "q174_ivfpq_recall" -> q174OracleSql,
 
     "q175_dim_truncation" -> q175OracleSql,
+
+    // exact-micros per-dim moments; HUGEINT products mirror decimal(38)
+    "q177_embedding_qc" ->
+      """WITH x AS (
+           SELECT CAST(GENERATE_SUBSCRIPTS(p, 1) - 1 AS INT) AS dim,
+                  CAST(ROUND(UNNEST(p) * 1000000.0) AS BIGINT) AS x
+           FROM (SELECT embedding::DOUBLE[] AS p FROM embeddings)),
+         a AS (
+           SELECT dim, COUNT(*) AS n,
+                  MIN(x) AS min_micro, MAX(x) AS max_micro,
+                  CAST(SUM(x) AS BIGINT) AS s,
+                  CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS s2
+           FROM x GROUP BY 1)
+         SELECT dim, n, min_micro, max_micro,
+                ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6)
+                  AS mean,
+                ROUND(CAST(CAST(n AS HUGEINT) * s2
+                           - CAST(s AS HUGEINT) * CAST(s AS HUGEINT) AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                      / 1000000000000.0, 6) AS variance
+         FROM a ORDER BY dim""",
+
+    "q178_ivf_balance" -> q178OracleSql,
 
     "q176_chain_contamination" -> q176OracleSql,
 

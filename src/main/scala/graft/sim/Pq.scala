@@ -101,6 +101,33 @@ object Pq {
     rankAdc(adc, topK)
   }
 
+  /** IVF list-occupancy balance report — tail latency in an IVF index
+    * follows its most-loaded list (every probe of it scans |list|
+    * candidates), so the balance of the coarse partition is an
+    * operational gate, not a nicety. Per list: member count and corpus
+    * share; plus the lists-used count (empty lists waste nProbe budget)
+    * and the max/min occupancy ratio over non-empty lists. Same coarse
+    * training as [[ivfPqTopK]], one count aggregation on top.
+    */
+  def ivfBalance(vecs: DataFrame, nLists: Int = 8, iters: Int = 5,
+                 seedIvf: Long = 55L): DataFrame = {
+    val (asgn, _) = graft.pipeline.Cluster.lloydWithCenters(
+      vecs.select(col("vec_id").as("cell_id"), col("v").as("latent")),
+      nLists, iters, seedIvf)
+    val counts = asgn.groupBy(col("cluster").cast("int").as("list"))
+      .agg(count(lit(1)).as("n_vecs")).localCheckpoint()
+    val tot = counts.agg(sum(col("n_vecs")).as("_t"),
+      max(col("n_vecs")).as("_mx"), min(col("n_vecs")).as("_mn"),
+      count(lit(1)).as("n_lists_used"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("list"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("_t").cast("double"), 6)
+          .as("share"),
+        col("n_lists_used"),
+        round(col("_mx").cast("double") / col("_mn").cast("double"), 6)
+          .as("imbalance"))
+  }
+
   /** The m per-subspace deterministic-Lloyd trainings:
     * `(codes (s, cell_id, cid), cents (s, cid, c))`. */
   private def trainCodebooks(cached: DataFrame, dim: Int, m: Int, k: Int,

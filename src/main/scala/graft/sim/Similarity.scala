@@ -388,6 +388,37 @@ object Similarity {
     * then a |labels|²·dim self-join of that TINY frame. Corpus size only
     * enters the first aggregation, which is map-side combinable.
     */
+  /** Per-dimension embedding QC report — the sanity pass an indexing
+    * pipeline runs BEFORE building ANN structures on a new embedding
+    * drop: per dim, the count, exact min/max (integer micros), mean and
+    * population variance. A dead dimension (variance ~ 0), a mean far
+    * off center, or a clipped min/max all surface here. Exact
+    * arithmetic: components quantize to integer micros first (the q115
+    * trick), sums and the n·Σx²−(Σx)² variance numerator stay
+    * integral (decimal(38) for the products), and the only IEEE ops are
+    * the two final divisions — so the report replays engine-exactly.
+    * One explode + one (dim)-keyed aggregation; map-side combinable.
+    */
+  def embeddingQc(embs: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val q = embs.select(posexplode(transform(toDouble(col(vecCol)),
+      x => round(x * lit(1e6)).cast("long"))).as(Seq("dim", "x")))
+    q.groupBy("dim").agg(
+        count(lit(1)).as("n"),
+        min(col("x")).as("min_micro"),
+        max(col("x")).as("max_micro"),
+        sum(col("x")).as("_s"),
+        sum(col("x").cast("decimal(38,0)") * col("x").cast("decimal(38,0)"))
+          .as("_s2"))
+      .select(col("dim"), col("n"), col("min_micro"), col("max_micro"),
+        round(col("_s").cast("double") / col("n").cast("double")
+          / lit(1000000.0), 6).as("mean"),
+        round((col("n").cast("decimal(38,0)") * col("_s2")
+          - col("_s").cast("decimal(38,0)") * col("_s").cast("decimal(38,0)"))
+          .cast("double")
+          / (col("n").cast("double") * col("n").cast("double"))
+          / lit(1000000000000.0), 6).as("variance"))
+  }
+
   def centroidCosine(embs: DataFrame, labelCol: String = "label",
                      scaleBits: Int = 14): DataFrame = {
     val scale = (1L << scaleBits).toDouble

@@ -186,6 +186,34 @@ class MiningSpec extends SparkSpec {
     assert(out.groupBy(_._1).values.forall(_.length == 5))
   }
 
+  test("embeddingQc: exact moments; a dead dimension reads variance 0") {
+    val embs = Seq(
+      (1L, Seq(1.0, 0.5)), (2L, Seq(3.0, 0.5)), (3L, Seq(5.0, 0.5)))
+      .toDF("vec_id", "embedding")
+    val out = graft.sim.Similarity.embeddingQc(embs)
+      .collect().map(r => r.getInt(0) ->
+        (r.getDouble(4), r.getDouble(5), r.getLong(2), r.getLong(3))).toMap
+    // dim 0: {1,3,5} -> mean 3, population var 8/3 (6 dp), micros 1e6..5e6
+    assert(out(0)._1 == 3.0 && out(0)._2 == 2.666667)
+    assert(out(0)._3 == 1000000L && out(0)._4 == 5000000L)
+    assert(out(1)._1 == 0.5 && out(1)._2 == 0.0)   // dead dim
+  }
+
+  test("ivfBalance: separated groups split lists; counts and ratio line up") {
+    val vecs = (0L until 40L).map { i =>
+      val base = if (i % 4 == 0) Seq(10.0, 0.0) else Seq(0.0, 10.0)
+      (i, base.map(_ + i * 0.001))
+    }.toDF("vec_id", "v")
+    val rows = graft.sim.Pq.ivfBalance(vecs, nLists = 2, iters = 3, seedIvf = 9L)
+      .collect()
+    assert(rows.map(_.getLong(1)).sum == 40L)
+    assert(rows.forall(_.getAs[Long]("n_lists_used") == 2L))
+    val ns = rows.map(_.getLong(1)).sorted
+    assert(rows.head.getAs[Double]("imbalance")
+      == math.round(ns(1).toDouble / ns(0) * 1e6) / 1e6)
+    assert(ns.toSeq == Seq(10L, 30L))  // the 1-in-4 group owns one list
+  }
+
   test("labelDiversity: closed form equals hand-computed pair means; singletons drop") {
     val embs = Seq(
       (1L, Seq(0.0, 0.0), 1), (2L, Seq(2.0, 0.0), 1),  // one pair, d2 = 4
