@@ -428,11 +428,16 @@ object ScaleProbe {
           t => concat(col("_rep").cast("string"), lit("_"), t))).as("text"))
       .cache()
     docsSalt2.count()
+    // sketch-only (withExact = false): the 100 TB plan — the exact
+    // validation columns are a pair fan-out of the full hash table and
+    // deliberately NOT the path this row measures (their cost is the
+    // oracle's price, not the operator's)
     val (_, tKmvSet) = time {
       val sh2 = graft.dedup.Dedup.shingles(
           docsSalt2.select(col("source").as("doc_id"), col("text")), 3)
         .select(col("doc_id").as("source"), col("shingle"))
-      graft.stats.Sketches.kmvSetOps(sh2, "source", "shingle", k = 128)
+      graft.stats.Sketches.kmvSetOps(sh2, "source", "shingle", k = 128,
+          withExact = false)
         .write.format("noop").mode("overwrite").save()
     }
     out(s"kmv_setops_${copies}x_docs") = tKmvSet

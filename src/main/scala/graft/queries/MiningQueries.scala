@@ -626,6 +626,27 @@ object MiningQueries {
       Dedup.chainContamination(sweepSh, pairs, jacNum = 4, jacDen = 5)
     }),
 
+    // IVF probe-budget sweep: recall@5 at nprobe 1..4 from ONE scoring
+    // pass (each candidate carries its list's probe rank) — the
+    // latency/recall knob curve; scan cost grows ~nprobe/nLists
+    "q179_ivf_probe_sweep" -> ((s, d) => {
+      val vecs = Tables.t(s, d, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      graft.sim.Pq.ivfPqProbeSweep(vecs).orderBy("nprobe")
+    }),
+
+    // per-source keep-rate with Wilson 95% intervals on the stop-ratio
+    // gate — rate monitoring that distinguishes "worse source" from
+    // "small slice"; bounds are a fixed IEEE chain, engine-exact
+    "q180_keep_rate_ci" -> ((s, d) => {
+      val toks = split(col("text"), "\\s+")
+      val nt = size(toks).cast("long")
+      val sh = size(filter(toks,
+        t => t.isInCollection(TrainingQueries.stopwords))).cast("long")
+      TextOps.gateRateCi(docs(s, d), col("source"), sh * 100 >= nt * 15)
+        .withColumnRenamed("grp", "source").orderBy("source")
+    }),
+
     // per-dim embedding QC: exact-micros min/max, mean, population
     // variance per dimension — the dead-dim / clipped-range / off-center
     // sanity pass before any ANN index build
@@ -939,6 +960,66 @@ object MiningQueries {
          n_lists_used,
          ROUND(CAST(mx AS DOUBLE) / CAST(mn AS DOUBLE), 6) AS imbalance
   FROM counts, tot ORDER BY list"""
+
+  /** q179's replay: coarse chain, probe ranks to 4, ONE ADC pass with
+    * the per-candidate probe rank, the per-nprobe top-5 cut, recall vs
+    * the exact truth.
+    */
+  private def q179OracleSql: String =
+    s"""WITH $pqChainSql,${lloydChainSql("c", 1, 64, 8, 5, "55")},
+  prb AS (
+    SELECT qid, list, prank FROM (
+      SELECT q.cell_id AS qid, kk.cid AS list,
+             ROW_NUMBER() OVER (PARTITION BY q.cell_id
+               ORDER BY list_sum(list_transform(range(1, 65), i ->
+                 (q.p[i] - kk.c[i]) * (q.p[i] - kk.c[i]))), kk.cid) AS prank
+      FROM (SELECT * FROM vv WHERE cell_id % 50 = 0) q
+      CROSS JOIN cent_c_5 kk)
+    WHERE prank <= 4),
+  cnd AS (
+    SELECT pr.qid, l.cell_id AS dst, pr.prank
+    FROM prb pr JOIN codes_c l ON l.cid = pr.list
+    WHERE l.cell_id != pr.qid),
+  adcs AS (
+    SELECT cd.qid, cd.dst, CAST(SUM(t.d2m) AS BIGINT) AS adc_micro,
+           MIN(cd.prank) AS prank
+    FROM cnd cd
+    JOIN codes k2 ON k2.cell_id = cd.dst
+    JOIN tab t ON t.qid = cd.qid AND t.s = k2.s AND t.cid = k2.cid
+    GROUP BY 1, 2),
+  tts AS (SELECT CAST(UNNEST(RANGE(1, 5)) AS INT) AS nprobe),
+  swp AS (
+    SELECT nprobe, qid, dst FROM (
+      SELECT tt.nprobe, a.qid, a.dst,
+             ROW_NUMBER() OVER (PARTITION BY tt.nprobe, a.qid
+               ORDER BY a.adc_micro, a.dst) AS rn
+      FROM adcs a JOIN tts tt ON a.prank <= tt.nprobe)
+    WHERE rn <= 5),
+  exd AS (
+    SELECT q.cell_id AS src, c.cell_id AS dst,
+           ROUND(SQRT(GREATEST(LIST_DOT_PRODUCT(q.p, q.p)
+             - 2 * LIST_DOT_PRODUCT(q.p, c.p)
+             + LIST_DOT_PRODUCT(c.p, c.p), 0)), 6) AS dist
+    FROM vv q CROSS JOIN vv c
+    WHERE q.cell_id % 50 = 0 AND q.cell_id != c.cell_id),
+  exk AS (
+    SELECT src, dst FROM (
+      SELECT src, dst,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+      FROM exd)
+    WHERE rn <= 5),
+  h AS (
+    SELECT tt.nprobe, e.src AS qid, COUNT(s.dst) AS h
+    FROM tts tt
+    CROSS JOIN exk e
+    LEFT JOIN swp s ON s.nprobe = tt.nprobe AND s.qid = e.src
+                   AND s.dst = e.dst
+    GROUP BY 1, 2)
+  SELECT nprobe, COUNT(*) AS n_queries,
+         ROUND(CAST(SUM(h) AS DOUBLE) / (5.0 * CAST(COUNT(*) AS DOUBLE)), 6)
+           AS recall_mean,
+         CAST(SUM(CASE WHEN h = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect
+  FROM h GROUP BY nprobe ORDER BY nprobe"""
 
   private def q143OracleSql: String =
     s"""WITH $pqChainSql
@@ -1543,6 +1624,42 @@ object MiningQueries {
          FROM a ORDER BY dim""",
 
     "q178_ivf_balance" -> q178OracleSql,
+
+    "q179_ivf_probe_sweep" -> q179OracleSql,
+
+    // Wilson bounds as the same fixed IEEE chain (z pinned 1.96,
+    // z² literal 3.8416)
+    "q180_keep_rate_ci" ->
+      s"""WITH t AS (
+           SELECT source, REGEXP_SPLIT_TO_ARRAY(text, '\\s+') AS toks
+           FROM documents),
+         c AS (
+           SELECT source, COUNT(*) AS n,
+                  CAST(SUM(CASE WHEN CAST(LEN(LIST_FILTER(toks, x ->
+                    ${TrainingQueries.langFilterSql(TrainingQueries.stopwords)}))
+                      AS BIGINT) * 100
+                    >= CAST(LEN(toks) AS BIGINT) * 15 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS kept
+           FROM t GROUP BY 1)
+         SELECT source, n, kept,
+                ROUND(CAST(kept AS DOUBLE) / CAST(n AS DOUBLE), 6) AS keep_rate,
+                ROUND(((CAST(kept AS DOUBLE) / CAST(n AS DOUBLE)
+                        + 3.8416 / (2.0 * CAST(n AS DOUBLE)))
+                       - 1.96 * SQRT(CAST(kept AS DOUBLE) / CAST(n AS DOUBLE)
+                           * (1.0 - CAST(kept AS DOUBLE) / CAST(n AS DOUBLE))
+                           / CAST(n AS DOUBLE)
+                           + 3.8416 / (4.0 * CAST(n AS DOUBLE)
+                                       * CAST(n AS DOUBLE))))
+                      / (1.0 + 3.8416 / CAST(n AS DOUBLE)), 6) AS wilson_lo,
+                ROUND(((CAST(kept AS DOUBLE) / CAST(n AS DOUBLE)
+                        + 3.8416 / (2.0 * CAST(n AS DOUBLE)))
+                       + 1.96 * SQRT(CAST(kept AS DOUBLE) / CAST(n AS DOUBLE)
+                           * (1.0 - CAST(kept AS DOUBLE) / CAST(n AS DOUBLE))
+                           / CAST(n AS DOUBLE)
+                           + 3.8416 / (4.0 * CAST(n AS DOUBLE)
+                                       * CAST(n AS DOUBLE))))
+                      / (1.0 + 3.8416 / CAST(n AS DOUBLE)), 6) AS wilson_hi
+         FROM c ORDER BY source""",
 
     "q176_chain_contamination" -> q176OracleSql,
 

@@ -101,6 +101,80 @@ object Pq {
     rankAdc(adc, topK)
   }
 
+  /** IVF probe-count sweep: recall@`topK` vs exact ground truth for
+    * every probe budget `1..maxProbe`, from ONE scoring pass — each
+    * candidate carries the probe rank of its list in its query's
+    * centroid order, so "nprobe = t" is a filter, not a re-run. This is
+    * the latency/recall knob report: at 100 TB the scan cost is
+    * ~nprobe/nLists of the corpus, and this curve says what each
+    * increment buys.
+    */
+  def ivfPqProbeSweep(vecs: DataFrame, nLists: Int = 8, maxProbe: Int = 4,
+                      m: Int = 4, k: Int = 16, iters: Int = 5,
+                      seedIvf: Long = 55L, seedPq: Long = 77L,
+                      queryMod: Int = 50, topK: Int = 5): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val dim = vecs.agg(max(size(col("v"))).as("d")).head.getInt(0)
+    require(dim % m == 0, s"dim $dim must split into $m subvectors")
+    val cached = vecs.select(col("vec_id"), col("v")).localCheckpoint()
+    val (asgn, centers) = graft.pipeline.Cluster.lloydWithCenters(
+      cached.select(col("vec_id").as("cell_id"), col("v").as("latent")),
+      nLists, iters, seedIvf)
+    val lists = asgn.select(col("cell_id").as("dst"),
+      col("cluster").cast("int").as("list"))
+    val centDf = centers.zipWithIndex.map { case (c, i) => (i + 1, c.toSeq) }
+      .toSeq.toDF("list", "lc")
+    val qs = cached.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("v"))
+    val probes = qs.crossJoin(broadcast(centDf))
+      .select(col("qid"), col("list"),
+        aggregate(zip_with(col("v"), col("lc"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x).as("d2"))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2"), col("list"))))
+      .filter(col("prank") <= maxProbe).select("qid", "list", "prank")
+    val (codes, cents) = trainCodebooks(cached, dim, m, k, iters, seedPq)
+    val tab = adcTable(cached, dim, m, queryMod, cents)
+    val cand = probes.join(lists, Seq("list"))
+      .select(col("qid"), col("dst"), col("prank"))
+      .filter(col("qid") =!= col("dst"))
+    val adc = cand
+      .join(codes.select(col("cell_id").as("dst"), col("s"), col("cid")),
+        Seq("dst"))
+      .join(broadcast(tab), Seq("qid", "s", "cid"))
+      .groupBy("qid", "dst")
+      .agg(sum(col("d2m")).as("adc_micro"), min(col("prank")).as("prank"))
+    val swept = adc.select(col("qid"), col("dst"), col("adc_micro"),
+        col("prank"), explode(sequence(lit(1), lit(maxProbe))).as("nprobe"))
+      .filter(col("prank") <= col("nprobe"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("nprobe", "qid")
+          .orderBy(col("adc_micro"), col("dst"))))
+      .filter(col("rn") <= topK).select("nprobe", "qid", "dst")
+    // exact ground truth over the same query sample
+    val q2 = cached.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("src"), col("v").as("va"))
+    val ex = cached.select(col("vec_id").as("dst"), col("v").as("vb"))
+      .crossJoin(broadcast(q2)).filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(Similarity.l2(col("va"), col("vb")), 6).as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("src").orderBy(col("dist"), col("dst"))))
+      .filter(col("rn") <= topK).select("src", "dst")
+    val hits = ex.toDF("qid", "dst")
+      .join(swept, Seq("qid", "dst"), "inner")
+      .groupBy("nprobe", "qid").agg(count(lit(1)).as("h"))
+    val base = ex.select(col("src").as("qid")).distinct()
+      .select(col("qid"), explode(sequence(lit(1), lit(maxProbe))).as("nprobe"))
+    base.join(hits, Seq("nprobe", "qid"), "left").na.fill(0, Seq("h"))
+      .groupBy("nprobe").agg(count(lit(1)).as("n_queries"),
+        round(sum(col("h")).cast("double")
+          / (lit(topK.toDouble) * count(lit(1)).cast("double")), 6)
+          .as("recall_mean"),
+        sum(when(col("h") === topK, 1L).otherwise(0L)).as("n_perfect"))
+  }
+
   /** IVF list-occupancy balance report — tail latency in an IVF index
     * follows its most-loaded list (every probe of it scans |list|
     * candidates), so the balance of the coarse partition is an

@@ -166,7 +166,7 @@ object Sketches {
     * exact columns.
     */
   def kmvSetOps(df: DataFrame, group: String, key: String, k: Int,
-                salts: Int = 16): DataFrame = {
+                salts: Int = 16, withExact: Boolean = true): DataFrame = {
     val hashes = df
       .select(col(group).as("grp"), md5(col(key).cast("string")).as("hhex"))
       .distinct().localCheckpoint()
@@ -203,23 +203,28 @@ object Sketches {
       count(lit(1)).as("s_n"),
       max(conv(substring(col("hhex"), 1, 15), 16, 10).cast("long")).as("mk"),
       sum(col("in_a") * col("in_b")).as("inter_s"))
-    val exact = sides(hashes).groupBy("ga", "gb").agg(
-      sum(col("in_a")).as("n_exact_a"), sum(col("in_b")).as("n_exact_b"),
-      sum(col("in_a") * col("in_b")).as("inter_exact"),
-      count(lit(1)).as("union_exact"))
     val uEst = when(col("s_n") < k, col("s_n").cast("double"))
       .otherwise(lit((k - 1).toDouble) * pow(lit(2.0), lit(60))
         / col("mk").cast("double"))
     val rho = col("inter_s").cast("double") / col("s_n").cast("double")
-    exact.join(est, Seq("ga", "gb"))
-      .select(col("ga").as("src_a"), col("gb").as("src_b"),
+    val estOut = est.select(col("ga").as("src_a"), col("gb").as("src_b"),
+      round(uEst, 4).as("union_est"),
+      round(rho, 6).as("jaccard_est"),
+      round(rho * uEst, 4).as("inter_est"))
+    // sketch-only: the actual 100 TB plan — everything after the
+    // distinct-agg operates on |G|·k sketch rows; the corpus-sized pair
+    // fan-out below exists ONLY to validate the estimators
+    if (!withExact) return estOut
+    val exact = sides(hashes).groupBy("ga", "gb").agg(
+      sum(col("in_a")).as("n_exact_a"), sum(col("in_b")).as("n_exact_b"),
+      sum(col("in_a") * col("in_b")).as("inter_exact"),
+      count(lit(1)).as("union_exact"))
+    exact.select(col("ga").as("src_a"), col("gb").as("src_b"),
         col("n_exact_a"), col("n_exact_b"), col("inter_exact"),
         col("union_exact"),
         round(col("inter_exact").cast("double")
-          / col("union_exact").cast("double"), 6).as("jaccard_exact"),
-        round(uEst, 4).as("union_est"),
-        round(rho, 6).as("jaccard_est"),
-        round(rho * uEst, 4).as("inter_est"))
+          / col("union_exact").cast("double"), 6).as("jaccard_exact"))
+      .join(estOut, Seq("src_a", "src_b"))
   }
 
   /** Count-min frequency estimation (Cormode 2005), validated against

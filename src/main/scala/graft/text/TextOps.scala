@@ -105,6 +105,33 @@ object TextOps {
         / den.cast("double"), 6)).as("kappa"))
   }
 
+  /** Per-group gate pass-rate with the Wilson score interval — "is
+    * source X's keep rate actually worse, or is its slice just small"
+    * answered with a confidence interval instead of a point estimate
+    * (the Wald interval collapses at extreme rates and small n; Wilson
+    * stays calibrated — the standard choice for filter monitoring).
+    * One integer-cell aggregation per group; the interval is a fixed
+    * chain of IEEE ops written in the same order on both engines, so
+    * the bounds replay exactly. z is pinned at 1.96 (95%), z² as the
+    * literal 3.8416 — never recomputed, so there is no squaring drift.
+    */
+  def gateRateCi(df: DataFrame, group: Column, gate: Column): DataFrame = {
+    val cells = df.select(group.as("grp"), gate.cast("int").as("g"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("g")).cast("long").as("kept"))
+    val nD = col("n").cast("double"); val kD = col("kept").cast("double")
+    val z = lit(1.96); val z2 = lit(3.8416)
+    val phat = kD / nD
+    val den = lit(1.0) + z2 / nD
+    val center = phat + z2 / (lit(2.0) * nD)
+    val rad = z * sqrt(phat * (lit(1.0) - phat) / nD
+      + z2 / (lit(4.0) * nD * nD))
+    cells.select(col("grp"), col("n"), col("kept"),
+      round(phat, 6).as("keep_rate"),
+      round((center - rad) / den, 6).as("wilson_lo"),
+      round((center + rad) / den, 6).as("wilson_hi"))
+  }
+
   /** BPE tokenizer TRAINING (word-level, the GPT-2 recipe): learn
     * `merges` merge rules over the corpus. The classic scale
     * factorization — pair statistics run over the DISTINCT-WORD table

@@ -214,6 +214,38 @@ class MiningSpec extends SparkSpec {
     assert(ns.toSeq == Seq(10L, 30L))  // the 1-in-4 group owns one list
   }
 
+  test("ivfPqProbeSweep: one pass yields a row per probe budget, full cover at max") {
+    val vecs = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0, 0, 0, 0, 1.0, 0, 0, 0)
+                 else Seq(0, 0, 0, 1.0, 0, 0, 0, 1.0)
+      (i, base.map(_ + i * 0.001))
+    }.toDF("vec_id", "v")
+    val rows = graft.sim.Pq.ivfPqProbeSweep(vecs, nLists = 2, maxProbe = 2,
+        m = 2, k = 4, iters = 3, seedIvf = 9L, seedPq = 5L, queryMod = 10)
+      .orderBy("nprobe").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(rows.forall(_.getAs[Long]("n_queries") == 4L))
+    val rec = rows.map(_.getAs[Double]("recall_mean"))
+    assert(rec.forall(r => r >= 0.0 && r <= 1.0))
+    // at this seed the 2-center coarse split cuts ACROSS the two
+    // groups, so widening the probe budget genuinely adds candidates —
+    // and on code-collapsed ADC ties the newcomers can EVICT true
+    // positives (0.6 -> 0.4 here): recall is NOT monotone in nprobe,
+    // which is exactly why the sweep reports the curve instead of
+    // assuming it
+    assert(rec(1) != rec(0))
+  }
+
+  test("gateRateCi: Wilson bounds match the textbook 8/10 case") {
+    val df = (1 to 10).map(i => ("s", i <= 8)).toDF("src", "keep")
+    val r = TextOps.gateRateCi(df, col("src"), col("keep")).head
+    assert(r.getAs[Long]("n") == 10L && r.getAs[Long]("kept") == 8L)
+    assert(r.getAs[Double]("keep_rate") == 0.8)
+    // Wilson 95% for 8/10: (0.490157, 0.943319) — IEEE-exact
+    assert(r.getAs[Double]("wilson_lo") == 0.490157)
+    assert(r.getAs[Double]("wilson_hi") == 0.943319)
+  }
+
   test("labelDiversity: closed form equals hand-computed pair means; singletons drop") {
     val embs = Seq(
       (1L, Seq(0.0, 0.0), 1), (2L, Seq(2.0, 0.0), 1),  // one pair, d2 = 4
