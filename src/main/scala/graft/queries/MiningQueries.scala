@@ -635,6 +635,23 @@ object MiningQueries {
       graft.sim.Pq.ivfPqProbeSweep(vecs).orderBy("nprobe")
     }),
 
+    // incremental IVF maintenance: a planted refresh snapshot (every
+    // 5th vector scaled 1.1 = near its source's list; every 50th
+    // reversed = far from everything) assigned to the EXISTING lists —
+    // growth + mean new-member distance per list, the drift signal
+    // that schedules a retrain
+    "q181_ivf_assign_delta" -> ((s, d) => {
+      val vecs = Tables.t(s, d, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val nv = vecs.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("v"), x => x * lit(1.1)).as("v"))
+        .unionByName(vecs.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 2000000L).as("vec_id"),
+            reverse(col("v")).as("v")))
+      graft.sim.Pq.ivfAssignDelta(vecs, nv).orderBy("list")
+    }),
+
     // per-source keep-rate with Wilson 95% intervals on the stop-ratio
     // gate — rate monitoring that distinguishes "worse source" from
     // "small slice"; bounds are a fixed IEEE chain, engine-exact
@@ -1020,6 +1037,46 @@ object MiningQueries {
            AS recall_mean,
          CAST(SUM(CASE WHEN h = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect
   FROM h GROUP BY nprobe ORDER BY nprobe"""
+
+  /** q181's replay: the coarse chain, the planted snapshot, broadcast
+    * argmin assignment (same float d2 + cid tiebreak the training
+    * uses), integer-micro distances.
+    */
+  private def q181OracleSql: String = {
+    def d2(a: String, c: String) =
+      s"list_sum(list_transform(range(1, 65), i -> ($a[i] - $c[i]) * ($a[i] - $c[i])))"
+    s"""WITH vv AS MATERIALIZED (
+    SELECT vec_id AS cell_id, embedding::DOUBLE[] AS p FROM embeddings),${lloydChainSql("c", 1, 64, 8, 5, "55")},
+  nv AS (
+    SELECT cell_id + 1000000 AS vec_id,
+           LIST_TRANSFORM(p, x -> x * 1.1) AS p
+    FROM vv WHERE cell_id % 5 = 0
+    UNION ALL
+    SELECT cell_id + 2000000, LIST_REVERSE(p)
+    FROM vv WHERE cell_id % 50 = 0),
+  na AS (
+    SELECT vec_id, cid AS list,
+           CAST(ROUND(SQRT(d2) * 1000000.0) AS BIGINT) AS dist_micro
+    FROM (
+      SELECT n.vec_id, kk.cid, ${d2("n.p", "kk.c")} AS d2,
+             ROW_NUMBER() OVER (PARTITION BY n.vec_id
+               ORDER BY ${d2("n.p", "kk.c")}, kk.cid) AS rn
+      FROM nv n CROSS JOIN cent_c_5 kk) WHERE rn = 1),
+  oc AS (SELECT cid AS list, CAST(COUNT(*) AS BIGINT) AS n_old
+         FROM codes_c GROUP BY 1),
+  nc AS (SELECT list, CAST(COUNT(*) AS BIGINT) AS n_new,
+                CAST(SUM(dist_micro) AS BIGINT) AS sd
+         FROM na GROUP BY 1)
+  SELECT list,
+         COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new,
+         CASE WHEN COALESCE(n_old, 0) > 0
+              THEN ROUND(CAST(COALESCE(n_new, 0) AS DOUBLE)
+                         / CAST(n_old AS DOUBLE), 6) END AS growth,
+         CASE WHEN COALESCE(n_new, 0) > 0
+              THEN ROUND(CAST(sd AS DOUBLE) / CAST(n_new AS DOUBLE)
+                         / 1000000.0, 6) END AS mean_new_dist
+  FROM oc FULL OUTER JOIN nc USING (list) ORDER BY list"""
+  }
 
   private def q143OracleSql: String =
     s"""WITH $pqChainSql
@@ -1629,6 +1686,8 @@ object MiningQueries {
 
     // Wilson bounds as the same fixed IEEE chain (z pinned 1.96,
     // z² literal 3.8416)
+    "q181_ivf_assign_delta" -> q181OracleSql,
+
     "q180_keep_rate_ci" ->
       s"""WITH t AS (
            SELECT source, REGEXP_SPLIT_TO_ARRAY(text, '\\s+') AS toks

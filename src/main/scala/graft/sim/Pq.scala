@@ -202,6 +202,50 @@ object Pq {
           .as("imbalance"))
   }
 
+  /** Incremental IVF maintenance: assign a NEW vector snapshot to the
+    * EXISTING coarse lists without retraining — the crawl-refresh path
+    * (retraining moves every list boundary and invalidates the stored
+    * codes; assignment is one broadcast argmin per new vector). The
+    * report per list: old members, new arrivals, growth ratio, and the
+    * mean distance of new members to the stored centroid in exact
+    * integer micros (per-vector distances quantize FIRST, so the mean
+    * is one IEEE division — an unquantized float sum would be
+    * order-sensitive). A list whose mean new-member distance jumps is
+    * the drift signal that schedules the retrain.
+    */
+  def ivfAssignDelta(oldVecs: DataFrame, newVecs: DataFrame,
+                     nLists: Int = 8, iters: Int = 5,
+                     seedIvf: Long = 55L): DataFrame = {
+    val spark = oldVecs.sparkSession
+    import spark.implicits._
+    val (asgn, centers) = graft.pipeline.Cluster.lloydWithCenters(
+      oldVecs.select(col("vec_id").as("cell_id"), col("v").as("latent")),
+      nLists, iters, seedIvf)
+    val centDf = centers.zipWithIndex.map { case (c, i) => (i + 1, c.toSeq) }
+      .toSeq.toDF("list", "lc")
+    val oldCounts = asgn.groupBy(col("cluster").cast("int").as("list"))
+      .agg(count(lit(1)).as("n_old"))
+    val newAsg = newVecs.crossJoin(broadcast(centDf))
+      .select(col("vec_id"), col("list"),
+        aggregate(zip_with(col("v"), col("lc"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d2"), col("list"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("list"),
+        round(sqrt(col("d2")) * lit(1000000.0)).cast("long").as("dist_micro"))
+    val newCounts = newAsg.groupBy("list")
+      .agg(count(lit(1)).as("n_new"), sum(col("dist_micro")).as("_sd"))
+    oldCounts.join(newCounts, Seq("list"), "full_outer")
+      .na.fill(0L, Seq("n_old", "n_new"))
+      .select(col("list"), col("n_old"), col("n_new"),
+        when(col("n_old") > 0, round(col("n_new").cast("double")
+          / col("n_old").cast("double"), 6)).as("growth"),
+        when(col("n_new") > 0, round(col("_sd").cast("double")
+          / col("n_new").cast("double") / lit(1000000.0), 6))
+          .as("mean_new_dist"))
+  }
+
   /** The m per-subspace deterministic-Lloyd trainings:
     * `(codes (s, cell_id, cid), cents (s, cid, c))`. */
   private def trainCodebooks(cached: DataFrame, dim: Int, m: Int, k: Int,

@@ -246,6 +246,30 @@ class MiningSpec extends SparkSpec {
     assert(r.getAs[Double]("wilson_hi") == 0.943319)
   }
 
+  test("ivfAssignDelta: new vectors route to stored lists; drift shows in the mean") {
+    val old = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) Seq(10.0, 0.0) else Seq(0.0, 10.0)
+      (i, base.map(_ + i * 0.001))
+    }.toDF("vec_id", "v")
+    val nv = Seq((100L, Seq(10.05, 0.0)),        // lands near a centroid
+      (101L, Seq(100.0, 100.0)))                 // far from everything
+      .toDF("vec_id", "v")
+    val rows = graft.sim.Pq.ivfAssignDelta(old, nv, nLists = 2, iters = 3,
+      seedIvf = 9L).collect()
+    assert(rows.map(_.getAs[Long]("n_old")).sum == 40L)
+    assert(rows.map(_.getAs[Long]("n_new")).sum == 2L)
+    // the far plant drags its list's mean new-member distance way up
+    val means = rows.filter(_.getAs[Long]("n_new") > 0)
+      .map(_.getAs[Double]("mean_new_dist"))
+    assert(means.max > 50.0)
+    // growth is n_new/n_old on every row that has old members
+    rows.filter(r => r.getAs[Long]("n_old") > 0).foreach { r =>
+      val g = math.round(r.getAs[Long]("n_new").toDouble
+        / r.getAs[Long]("n_old") * 1e6) / 1e6
+      assert(r.getAs[Double]("growth") == g)
+    }
+  }
+
   test("labelDiversity: closed form equals hand-computed pair means; singletons drop") {
     val embs = Seq(
       (1L, Seq(0.0, 0.0), 1), (2L, Seq(2.0, 0.0), 1),  // one pair, d2 = 4
