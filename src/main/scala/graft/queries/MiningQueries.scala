@@ -635,6 +635,27 @@ object MiningQueries {
       graft.sim.Pq.ivfPqProbeSweep(vecs).orderBy("nprobe")
     }),
 
+    // rank-biased overlap between the exact and PQ top-10 rankings per
+    // query — top-weighted agreement in exact rational arithmetic
+    // (p = 9/10, integer suffix coefficients, ONE final division)
+    "q182_rank_overlap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val vecs = Tables.t(s, d, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val pq = graft.sim.Pq.pqSelfTopK(vecs, topK = 10)
+        .select(col("qid"), col("dst"), col("rn"))
+      val q = vecs.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("src"), col("v").as("va"))
+      val ex = vecs.select(col("vec_id").as("dst"), col("v").as("vb"))
+        .crossJoin(broadcast(q)).filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          round(graft.sim.Similarity.l2(col("va"), col("vb")), 6).as("dist"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("src").orderBy(col("dist"), col("dst"))))
+        .filter(col("rn") <= 10).select("src", "dst", "rn")
+      graft.sim.Similarity.rankBiasedOverlap(ex, pq).orderBy("qid")
+    }),
+
     // incremental IVF maintenance: a planted refresh snapshot (every
     // 5th vector scaled 1.1 = near its source's list; every 50th
     // reversed = far from everything) assigned to the EXISTING lists —
@@ -1076,6 +1097,41 @@ object MiningQueries {
               THEN ROUND(CAST(sd AS DOUBLE) / CAST(n_new AS DOUBLE)
                          / 1000000.0, 6) END AS mean_new_dist
   FROM oc FULL OUTER JOIN nc USING (list) ORDER BY list"""
+  }
+
+  /** q182's replay: exact + PQ top-10 off the shared chains, the
+    * integer suffix coefficients as a VALUES table, one division.
+    */
+  private def q182OracleSql: String = {
+    val sm = graft.sim.Similarity.rboSuffix(10).zipWithIndex
+      .map { case (s, i) => s"(${i + 1}, ${s})" }.mkString(", ")
+    s"""WITH $pqChainSql,
+  exd AS (
+    SELECT q.cell_id AS src, c.cell_id AS dst,
+           ROUND(SQRT(GREATEST(LIST_DOT_PRODUCT(q.p, q.p)
+             - 2 * LIST_DOT_PRODUCT(q.p, c.p)
+             + LIST_DOT_PRODUCT(c.p, c.p), 0)), 6) AS dist
+    FROM vv q CROSS JOIN vv c
+    WHERE q.cell_id % 50 = 0 AND q.cell_id != c.cell_id),
+  exk AS (
+    SELECT src AS qid, dst, rn FROM (
+      SELECT src, dst,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+      FROM exd)
+    WHERE rn <= 10),
+  pqk AS (SELECT qid, dst, rn FROM tk WHERE rn <= 10),
+  sm(m, s) AS (VALUES $sm),
+  jj AS (
+    SELECT e.qid, GREATEST(e.rn, p.rn) AS m
+    FROM exk e JOIN pqk p ON p.qid = e.qid AND p.dst = e.dst),
+  agg AS (
+    SELECT j.qid, CAST(SUM(sm.s) AS BIGINT) AS num,
+           CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM jj j JOIN sm ON sm.m = j.m GROUP BY 1),
+  qs AS (SELECT DISTINCT qid FROM exk)
+  SELECT qs.qid, COALESCE(n_common, 0) AS n_common,
+         ROUND(CAST(COALESCE(num, 0) AS DOUBLE) / 25200000000000.0, 6) AS rbo
+  FROM qs LEFT JOIN agg ON agg.qid = qs.qid ORDER BY qs.qid"""
   }
 
   private def q143OracleSql: String =
@@ -1687,6 +1743,8 @@ object MiningQueries {
     // Wilson bounds as the same fixed IEEE chain (z pinned 1.96,
     // z² literal 3.8416)
     "q181_ivf_assign_delta" -> q181OracleSql,
+
+    "q182_rank_overlap" -> q182OracleSql,
 
     "q180_keep_rate_ci" ->
       s"""WITH t AS (

@@ -388,6 +388,53 @@ object Similarity {
     * then a |labels|²·dim self-join of that TINY frame. Corpus size only
     * enters the first aggregation, which is map-side combinable.
     */
+  /** Truncated rank-biased overlap (Webber 2010) between two top-`k`
+    * rankings per query — the top-weighted agreement metric for
+    * comparing an ANN/compressed ranking against the exact one (plain
+    * recall treats rank 1 and rank k alike; RBO's geometric weighting
+    * matches how results are consumed). p is FIXED at 9/10 so the
+    * whole statistic is exact rational arithmetic: RBO@k =
+    * (1−p)·Σ_d p^(d−1)·X_d/d with X_d = |A_1..d ∩ B_1..d| becomes, per
+    * common item with depth m = max(rank_a, rank_b), one integer
+    * suffix-coefficient s_m = Σ_{d≥m} 9^(d−1)·(2520·10⁹)/(10^(d−1)·d);
+    * the per-query sum stays integral (< 10¹⁵) and ONE final division
+    * by 10·2520·10⁹ produces the score — no float summation anywhere,
+    * so the metric replays engine-exactly. One (qid, dst) equi-join +
+    * one keyed aggregation.
+    */
+  /** RBO denominator 10·D and the integer suffix coefficients s_m —
+    * shared with the DuckDB oracle builder so both engines embed the
+    * SAME integers. */
+  private[graft] val rboDen = 10.0 * 2520L * 1000000000L
+  private[graft] def rboSuffix(k: Int): Seq[Long] = {
+    // c_d = 9^(d−1) · D/(10^(d−1)·d) with D = lcm(1..10)·10⁹ = 2520·10⁹;
+    // every term is integral because d | 2520 and 10^(d−1) | 10⁹
+    require(k <= 10, "exact-rational coefficients are built for k <= 10")
+    val D = 2520L * 1000000000L
+    val cs = (1 to k).map { d =>
+      var c = D / d
+      (1 until d).foreach { _ => c = c / 10 * 9 }
+      c
+    }
+    cs.indices.map(i => cs.drop(i).sum) // s_m = Σ_{d>=m} c_d
+  }
+
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, k: Int = 10): DataFrame = {
+    val suffix = rboSuffix(k)
+    val sArr = array(suffix.map(lit): _*)
+    val j = a.toDF("qid", "dst", "ra").filter(col("ra") <= k)
+      .join(b.toDF("qid", "dst", "rb").filter(col("rb") <= k),
+        Seq("qid", "dst"))
+      .select(col("qid"), greatest(col("ra"), col("rb")).as("m"))
+      .select(col("qid"), element_at(sArr, col("m").cast("int")).as("s"))
+    val qs = a.toDF("qid", "dst", "ra").select("qid").distinct()
+    qs.join(j.groupBy("qid").agg(sum(col("s")).as("_num"),
+        count(lit(1)).as("n_common")), Seq("qid"), "left")
+      .na.fill(0L, Seq("_num", "n_common"))
+      .select(col("qid"), col("n_common"),
+        round(col("_num").cast("double") / lit(rboDen), 6).as("rbo"))
+  }
+
   /** Per-dimension embedding QC report — the sanity pass an indexing
     * pipeline runs BEFORE building ANN structures on a new embedding
     * drop: per dim, the count, exact min/max (integer micros), mean and

@@ -270,6 +270,25 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("rankBiasedOverlap: identical lists hit the truncated max, disjoint get 0") {
+    val a = (1 to 10).map(r => (1L, r.toLong + 100, r)).toDF("qid", "dst", "rn")
+    val same = graft.sim.Similarity.rankBiasedOverlap(a, a).head
+    // truncated RBO@10 at p = 0.9: (1-p)·Σ p^(d-1) = 1 - 0.9^10
+    assert(same.getAs[Double]("rbo") == 0.651322)
+    assert(same.getAs[Long]("n_common") == 10L)
+    val b = (1 to 10).map(r => (1L, r.toLong + 900, r)).toDF("qid", "dst", "rn")
+    val disj = graft.sim.Similarity.rankBiasedOverlap(a, b).head
+    assert(disj.getAs[Double]("rbo") == 0.0 && disj.getAs[Long]("n_common") == 0L)
+    // top-heavy: agreeing only at rank 1 beats agreeing only at rank 10
+    val top = (1L, 101L, 1) +: (2 to 10).map(r => (1L, r.toLong + 900, r))
+    val bot = (1 to 9).map(r => (1L, r.toLong + 900, r)) :+ (1L, 110L, 10)
+    val rboTop = graft.sim.Similarity
+      .rankBiasedOverlap(a, top.toDF("qid", "dst", "rn")).head.getAs[Double]("rbo")
+    val rboBot = graft.sim.Similarity
+      .rankBiasedOverlap(a, bot.toDF("qid", "dst", "rn")).head.getAs[Double]("rbo")
+    assert(rboTop > rboBot && rboBot > 0.0)
+  }
+
   test("labelDiversity: closed form equals hand-computed pair means; singletons drop") {
     val embs = Seq(
       (1L, Seq(0.0, 0.0), 1), (2L, Seq(2.0, 0.0), 1),  // one pair, d2 = 4
