@@ -635,6 +635,14 @@ object MiningQueries {
       graft.sim.Pq.ivfPqProbeSweep(vecs).orderBy("nprobe")
     }),
 
+    // per-source token-length KS drift vs the rest of the corpus —
+    // exact integer CDF numerators, one final division; the
+    // distribution-shape gate next to q114's unigram KL
+    "q183_ks_drift" -> ((s, d) =>
+      TextOps.ksDrift(docs(s, d), col("source"),
+          size(split(col("text"), "\\s+")))
+        .withColumnRenamed("grp", "source").orderBy("source")),
+
     // rank-biased overlap between the exact and PQ top-10 rankings per
     // query — top-weighted agreement in exact rational arithmetic
     // (p = 9/10, integer suffix coefficients, ONE final division)
@@ -1745,6 +1753,43 @@ object MiningQueries {
     "q181_ivf_assign_delta" -> q181OracleSql,
 
     "q182_rank_overlap" -> q182OracleSql,
+
+    // integer CDF numerators on the distinct-length grid, max over
+    // integers, one division
+    "q183_ks_drift" ->
+      """WITH t AS (
+           SELECT source AS grp,
+                  CAST(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\s+')) AS BIGINT) AS v
+           FROM documents),
+         counts AS (
+           SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+         totals AS (
+           SELECT grp, CAST(SUM(c) AS BIGINT) AS n_g FROM counts GROUP BY 1),
+         grand AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM counts),
+         vals AS (SELECT DISTINCT v FROM counts),
+         grid AS (
+           SELECT tt.grp, tt.n_g, vv.v, COALESCE(c.c, 0) AS c
+           FROM totals tt CROSS JOIN vals vv
+           LEFT JOIN counts c ON c.grp = tt.grp AND c.v = vv.v),
+         cumg AS (
+           SELECT grp, n_g, v,
+                  CAST(SUM(c) OVER (PARTITION BY grp ORDER BY v) AS BIGINT)
+                    AS cum_g
+           FROM grid),
+         cumall AS (
+           SELECT v, CAST(SUM(c_all) OVER (ORDER BY v) AS BIGINT) AS cum_all
+           FROM (SELECT v, CAST(SUM(c) AS BIGINT) AS c_all
+                 FROM counts GROUP BY 1)),
+         d AS (
+           SELECT g.grp, g.n_g,
+                  (SELECT n_all FROM grand) - g.n_g AS n_r,
+                  ABS(g.cum_g * ((SELECT n_all FROM grand) - g.n_g)
+                      - (a.cum_all - g.cum_g) * g.n_g) AS dnum
+           FROM cumg g JOIN cumall a ON a.v = g.v)
+         SELECT grp AS source, MAX(n_g) AS n_g,
+                ROUND(CAST(MAX(dnum) AS DOUBLE)
+                      / CAST(MAX(n_g) * MAX(n_r) AS DOUBLE), 6) AS ks
+         FROM d GROUP BY grp ORDER BY source""",
 
     "q180_keep_rate_ci" ->
       s"""WITH t AS (

@@ -73,6 +73,46 @@ object TextOps {
         distinctRatio >= 0.1).as("keep"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift per group: the KS distance
+    * between each group's distribution of an integer-valued statistic
+    * and the REST of the corpus — the distribution-shape companion to
+    * [[klDrift]]'s unigram KL (KL sees token mix; KS sees e.g. a
+    * length distribution shifting). Exact rational arithmetic: at every
+    * corpus-distinct value v, D's numerator is the integer
+    * |cum_g·n_rest − cum_rest·n_g| and the max is taken over integers;
+    * ONE final division by n_g·n_rest produces the statistic — no
+    * float CDFs, so it replays engine-exactly.
+    *
+    * Shapes: one (group, value) count aggregation; the cumulative
+    * passes run over the DISTINCT VALUE domain (lengths, scores —
+    * domain-bounded, not row-bounded), so the one unpartitioned window
+    * here orders a few hundred rows, never the corpus.
+    */
+  def ksDrift(df: DataFrame, group: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(group.as("grp"), value.cast("long").as("v"))
+      .groupBy("grp", "v").agg(count(lit(1)).as("c")).localCheckpoint()
+    val totals = counts.groupBy("grp").agg(sum(col("c")).as("n_g"))
+    val grand = counts.agg(sum(col("c"))).head.getLong(0)
+    val grid = totals.crossJoin(counts.select("v").distinct())
+      .join(counts, Seq("grp", "v"), "left").na.fill(0L, Seq("c"))
+    val cumG = grid.withColumn("cum_g",
+      sum(col("c")).over(Window.partitionBy("grp").orderBy("v")))
+    val corpusCum = counts.groupBy("v").agg(sum(col("c")).as("c_all"))
+      .withColumn("cum_all", sum(col("c_all")).over(Window.orderBy("v")))
+    cumG.join(corpusCum.select("v", "cum_all"), Seq("v"))
+      .select(col("grp"), col("n_g"), col("cum_g"),
+        (col("cum_all") - col("cum_g")).as("cum_r"),
+        (lit(grand) - col("n_g")).as("n_r"))
+      .select(col("grp"), col("n_g"), col("n_r"),
+        abs(col("cum_g") * col("n_r") - col("cum_r") * col("n_g")).as("dnum"))
+      .groupBy("grp").agg(max(col("n_g")).as("n_g"),
+        max(col("n_r")).as("n_r"), max(col("dnum")).as("_d"))
+      .select(col("grp"), col("n_g"),
+        round(col("_d").cast("double")
+          / (col("n_g") * col("n_r")).cast("double"), 6).as("ks"))
+  }
+
   /** Cohen's kappa agreement between two boolean filter gates — the
     * "does my new cheap gate agree with the expensive one beyond
     * chance" report a pipeline reads before swapping filters (raw

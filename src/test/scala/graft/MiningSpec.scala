@@ -289,6 +289,25 @@ class MiningSpec extends SparkSpec {
     assert(rboTop > rboBot && rboBot > 0.0)
   }
 
+  test("ksDrift: hand-computed two-sample D; identical groups read 0") {
+    // group a: values {1,2}; group b: {3,4} — fully separated:
+    // at v=2, F_a = 1, F_b = 0 -> D = 1
+    val sep = Seq(("a", 1), ("a", 2), ("b", 3), ("b", 4)).toDF("g", "v")
+    val d1 = TextOps.ksDrift(sep, col("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(d1("a") == 1.0 && d1("b") == 1.0)
+    // identical distributions -> D = 0
+    val same = Seq(("a", 1), ("a", 2), ("b", 1), ("b", 2)).toDF("g", "v")
+    val d0 = TextOps.ksDrift(same, col("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(d0("a") == 0.0 && d0("b") == 0.0)
+    // partial: a={1,2}, b={2,3}: at v=1 |1/2-0| = .5; at v=2 |1-1/2| = .5
+    val mix = Seq(("a", 1), ("a", 2), ("b", 2), ("b", 3)).toDF("g", "v")
+    val dm = TextOps.ksDrift(mix, col("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(dm("a") == 0.5 && dm("b") == 0.5)
+  }
+
   test("labelDiversity: closed form equals hand-computed pair means; singletons drop") {
     val embs = Seq(
       (1L, Seq(0.0, 0.0), 1), (2L, Seq(2.0, 0.0), 1),  // one pair, d2 = 4
