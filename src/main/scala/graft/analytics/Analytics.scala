@@ -310,4 +310,40 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"),
         sum(pow(lit(0.5), col("_age"))).as("decayed"))
   }
+
+  /** CUPED variance-reduction report (Deng 2013): how much of the
+    * per-user metric variance a pre-exposure covariate removes —
+    * θ = cov(x,y)/var(x) and the reduction fraction ρ². Here the
+    * covariate is the user's metric over an INDEPENDENT event slice
+    * (even event ids) against the measurement slice (odd ids) — the
+    * engine-exact stand-in for a pre-period, exercising the identical
+    * arithmetic. Exact: values quantize to integer centi-units, the
+    * per-user sums and all five moment sums stay integral, θ is one
+    * IEEE division of two integers and ρ² one division of two exact
+    * decimal(38) products — engine-exact with no float accumulation.
+    * One user-keyed aggregation + one global fold.
+    */
+  def cupedReport(events: DataFrame): DataFrame = {
+    val centi = round(col("value") * 100).cast("long")
+    val perUser = events.select(col("user_id"),
+        when(col("event_id") % 2 === 0, centi).otherwise(0L).as("x"),
+        when(col("event_id") % 2 =!= 0, centi).otherwise(0L).as("y"))
+      .groupBy("user_id")
+      .agg(sum(col("x")).as("x"), sum(col("y")).as("y"))
+    val s = perUser.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val covN = col("n") * col("sxy") - col("sx") * col("sy")
+    val varX = col("n") * col("sxx") - col("sx") * col("sx")
+    val varY = col("n") * col("syy") - col("sy") * col("sy")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    s.select(col("n").as("n_users"),
+      when(varX > 0, round(covN.cast("double") / varX.cast("double"), 6))
+        .as("theta"),
+      when(varX > 0 && varY > 0,
+        round((dec(covN) * dec(covN)).cast("double")
+          / (dec(varX) * dec(varY)).cast("double"), 6)).as("rho2"))
+  }
 }

@@ -635,6 +635,23 @@ object MiningQueries {
       graft.sim.Pq.ivfPqProbeSweep(vecs).orderBy("nprobe")
     }),
 
+    // KMV mergeability CHECKED, not assumed: per-source sketches folded
+    // into a corpus estimate vs the direct corpus sketch — bit-equal by
+    // the k-minima theorem, which is what lets shards sketch
+    // independently at 100 TB
+    "q184_kmv_merge" -> ((s, d) => {
+      val sh = Dedup.shingles(
+          docs(s, d).select(col("source").as("doc_id"), col("text")), 3)
+        .select(col("doc_id").as("source"), col("shingle"))
+      graft.stats.Sketches.kmvMergeCheck(sh, "source", "shingle", k = 128)
+    }),
+
+    // CUPED variance reduction in exact fixed-point: θ and ρ² between a
+    // user's even-event-id covariate slice and odd-id metric slice —
+    // the A/B sensitivity arithmetic, engine-exact
+    "q185_cuped" -> ((s, d) =>
+      graft.analytics.Analytics.cupedReport(Tables.events(s, d))),
+
     // per-source token-length KS drift vs the rest of the corpus —
     // exact integer CDF numerators, one final division; the
     // distribution-shape gate next to q114's unigram KL
@@ -1753,6 +1770,82 @@ object MiningQueries {
     "q181_ivf_assign_delta" -> q181OracleSql,
 
     "q182_rank_overlap" -> q182OracleSql,
+
+    "q184_kmv_merge" ->
+      """WITH sh AS (
+           SELECT DISTINCT source AS grp,
+                  w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+           FROM (SELECT source, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w
+                 FROM documents) t,
+                LATERAL (SELECT UNNEST(RANGE(1, LEN(w) - 1)) AS i)),
+         h AS (SELECT DISTINCT grp, MD5(shingle) AS hhex FROM sh),
+         sk AS (
+           SELECT grp, hhex FROM (
+             SELECT grp, hhex,
+                    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY hhex) AS r
+             FROM h) WHERE r <= 128),
+         mg AS (
+           SELECT hhex FROM (
+             SELECT DISTINCT hhex FROM sk) t
+           ORDER BY hhex LIMIT 128),
+         me AS (
+           SELECT COUNT(*) AS n_in,
+                  MAX(CAST('0x' || SUBSTR(hhex, 1, 15) AS BIGINT)) AS mk
+           FROM mg),
+         dg AS (
+           SELECT hhex FROM (SELECT DISTINCT hhex FROM h) t
+           ORDER BY hhex LIMIT 128),
+         de AS (
+           SELECT COUNT(*) AS n_in,
+                  MAX(CAST('0x' || SUBSTR(hhex, 1, 15) AS BIGINT)) AS mk
+           FROM dg),
+         ng AS (SELECT CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups FROM h)
+         SELECT CAST(128 AS INT) AS k, n_groups,
+                CASE WHEN me.n_in < 128 THEN CAST(me.n_in AS DOUBLE)
+                     ELSE ROUND(CAST(127.0 AS DOUBLE) * POW(CAST(2.0 AS DOUBLE), 60)
+                                / CAST(me.mk AS DOUBLE), 4) END AS est_merged,
+                CASE WHEN de.n_in < 128 THEN CAST(de.n_in AS DOUBLE)
+                     ELSE ROUND(CAST(127.0 AS DOUBLE) * POW(CAST(2.0 AS DOUBLE), 60)
+                                / CAST(de.mk AS DOUBLE), 4) END AS est_direct,
+                (CASE WHEN me.n_in < 128 THEN CAST(me.n_in AS DOUBLE)
+                      ELSE ROUND(CAST(127.0 AS DOUBLE) * POW(CAST(2.0 AS DOUBLE), 60)
+                                 / CAST(me.mk AS DOUBLE), 4) END
+                 = CASE WHEN de.n_in < 128 THEN CAST(de.n_in AS DOUBLE)
+                        ELSE ROUND(CAST(127.0 AS DOUBLE) * POW(CAST(2.0 AS DOUBLE), 60)
+                                   / CAST(de.mk AS DOUBLE), 4) END)
+                  AS merged_equals_direct
+         FROM ng, me, de""",
+
+    "q185_cuped" ->
+      """WITH pu AS (
+           SELECT user_id,
+                  CAST(SUM(CASE WHEN event_id % 2 = 0
+                           THEN CAST(ROUND(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS x,
+                  CAST(SUM(CASE WHEN event_id % 2 <> 0
+                           THEN CAST(ROUND(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+           FROM events GROUP BY 1),
+         s AS (
+           SELECT COUNT(*) AS n,
+                  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                  CAST(SUM(x * y) AS BIGINT) AS sxy,
+                  CAST(SUM(x * x) AS BIGINT) AS sxx,
+                  CAST(SUM(y * y) AS BIGINT) AS syy
+           FROM pu)
+         SELECT n AS n_users,
+                CASE WHEN n * sxx - sx * sx > 0
+                     THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                                / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+                END AS theta,
+                CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                     THEN ROUND(
+                       CAST(CAST(n * sxy - sx * sy AS HUGEINT)
+                            * CAST(n * sxy - sx * sy AS HUGEINT) AS DOUBLE)
+                       / CAST(CAST(n * sxx - sx * sx AS HUGEINT)
+                              * CAST(n * syy - sy * sy AS HUGEINT) AS DOUBLE), 6)
+                END AS rho2
+         FROM s""",
 
     // integer CDF numerators on the distinct-length grid, max over
     // integers, one division

@@ -227,6 +227,52 @@ object Sketches {
       .join(estOut, Seq("src_a", "src_b"))
   }
 
+  /** KMV mergeability under the gate: the distributed-rollup theorem —
+    * merging per-group sketches (k smallest of the union of the groups'
+    * k-minima) yields EXACTLY the sketch of the whole corpus, because
+    * every global k-minimum is a k-minimum of its own group. This is
+    * the property that lets 1000 executors sketch shards independently
+    * and a coordinator fold them without touching data again; here it
+    * is not assumed but CHECKED: both the merged and the direct
+    * estimate are computed and compared, and the oracle replays both.
+    */
+  def kmvMergeCheck(df: DataFrame, group: String, key: String,
+                    k: Int): DataFrame = {
+    val hashes = df
+      .select(col(group).as("grp"), md5(col(key).cast("string")).as("hhex"))
+      .distinct().localCheckpoint()
+    val salt = pmod(conv(substring(col("hhex"), 16, 2), 16, 10).cast("int"),
+      lit(16))
+    val sk = hashes.withColumn("_salt", salt)
+      .withColumn("_r", row_number().over(
+        Window.partitionBy("grp", "_salt").orderBy("hhex")))
+      .filter(col("_r") <= k).drop("_r", "_salt")
+      .withColumn("_r", row_number().over(
+        Window.partitionBy("grp").orderBy("hhex")))
+      .filter(col("_r") <= k).drop("_r")
+    def estimate(rows: DataFrame) = rows
+      .select(col("hhex")).distinct()
+      .withColumn("_salt", salt)
+      .withColumn("_r", row_number().over(
+        Window.partitionBy("_salt").orderBy("hhex")))
+      .filter(col("_r") <= k).drop("_salt", "_r")
+      .withColumn("_r", row_number().over(Window.orderBy("hhex")))
+      .filter(col("_r") <= k)
+      .agg(count(lit(1)).as("n_in"),
+        max(conv(substring(col("hhex"), 1, 15), 16, 10).cast("long")).as("mk"))
+      .select(when(col("n_in") < k, col("n_in").cast("double"))
+        .otherwise(round(lit((k - 1).toDouble) * pow(lit(2.0), lit(60))
+          / col("mk").cast("double"), 4)).as("est"))
+    val merged = estimate(sk).withColumnRenamed("est", "est_merged")
+    val direct = estimate(hashes).withColumnRenamed("est", "est_direct")
+    val nG = hashes.select("grp").distinct()
+      .agg(count(lit(1)).as("n_groups"))
+    nG.crossJoin(merged).crossJoin(direct)
+      .select(lit(k).as("k"), col("n_groups"), col("est_merged"),
+        col("est_direct"),
+        (col("est_merged") === col("est_direct")).as("merged_equals_direct"))
+  }
+
   /** Count-min frequency estimation (Cormode 2005), validated against
     * the exact counts: `depth` hash rows × `width` counters, estimate =
     * min over rows of the hashed-to counter. The counter table is

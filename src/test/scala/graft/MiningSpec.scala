@@ -308,6 +308,29 @@ class MiningSpec extends SparkSpec {
     assert(dm("a") == 0.5 && dm("b") == 0.5)
   }
 
+  test("kmvMergeCheck: sketch union of group minima equals the direct sketch") {
+    val rows = (1 to 300).map(i => (s"g${i % 3}", i)).toDF("grp", "key")
+    val r = graft.stats.Sketches.kmvMergeCheck(rows, "grp", "key", k = 64).head
+    assert(r.getAs[Boolean]("merged_equals_direct"))
+    assert(r.getAs[Long]("n_groups") == 3L)
+    // below capacity the estimate is the exact count on both paths
+    val small = graft.stats.Sketches
+      .kmvMergeCheck(rows, "grp", "key", k = 512).head
+    assert(small.getAs[Double]("est_merged") == 300.0 &&
+      small.getAs[Double]("est_direct") == 300.0)
+  }
+
+  test("cupedReport: a perfectly predictive covariate reads theta 2, rho2 1") {
+    // per user: even-id event with value v, odd-id event with value 2v
+    val ev = (1L to 20L).flatMap { u =>
+      Seq((u * 2, u, u.toDouble), (u * 2 + 1, u, u.toDouble * 2))
+    }.toDF("event_id", "user_id", "value")
+    val r = graft.analytics.Analytics.cupedReport(ev).head
+    assert(r.getAs[Long]("n_users") == 20L)
+    assert(r.getAs[Double]("theta") == 2.0)
+    assert(r.getAs[Double]("rho2") == 1.0)
+  }
+
   test("labelDiversity: closed form equals hand-computed pair means; singletons drop") {
     val embs = Seq(
       (1L, Seq(0.0, 0.0), 1), (2L, Seq(2.0, 0.0), 1),  // one pair, d2 = 4
