@@ -244,6 +244,33 @@ object Streaming {
   case class Vec(vec_id: Long, ts: java.sql.Timestamp,
                  embedding: Array[Double])
 
+  /** Streaming twin of q181 (`Pq.ivfAssignDelta`'s assignment pass): an
+    * unbounded vector stream routed to the STATIC coarse centroid set —
+    * the online index-ingest path (new embeddings land in their list
+    * as they arrive; the drift report then reads the accumulated
+    * assignments). Entirely map-side: the centroids ship as LITERAL
+    * arrays inside one projection and the argmin is an `array_sort`
+    * over nLists (d2, list) structs — no window, no join, NO keyed
+    * state, so it runs at any input rate (windows and stream-side
+    * joins would be illegal or stateful here anyway).
+    * `centers` as `lloydWithCenters` returns them (0-based index →
+    * 1-based list ids, matching the batch report).
+    */
+  def ivfAssignStream(vecs: Dataset[Vec], centers: Seq[Seq[Double]],
+                      watermark: String = "1 hour"): DataFrame = {
+    val s = vecs.toDF().withWatermark("ts", watermark)
+      .withColumn("va", col("embedding").cast("array<double>"))
+    val ds = centers.zipWithIndex.map { case (c, i) =>
+      struct(aggregate(zip_with(col("va"), typedLit(c),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x).as("d2"),
+        lit(i + 1).as("list"))
+    }
+    s.withColumn("_best", element_at(array_sort(array(ds: _*)), 1))
+      .select(col("vec_id"), col("ts"), col("_best.list").as("list"),
+        round(sqrt(col("_best.d2")) * lit(1000000.0)).cast("long")
+          .as("dist_micro"))
+  }
+
   /** Streaming twin of q157 (`Knn.bucketedEpsNeighborsBetween`): an
     * unbounded stream of embedding vectors probes the STATIC corpus
     * LSH index — the online "does this eval item leak into the

@@ -131,6 +131,31 @@ class CurationSpec extends SparkSpec {
     assert(got == Set((100L, 0L), (102L, 1L)), s"got $got")
   }
 
+  test("ivfAssignStream: streamed vectors route to their stored list, map-only") {
+    import graft.streaming.Streaming
+    implicit val sc = spark.sqlContext
+    // stored centroids: list 1 at ~0, list 2 at ~10 (2-d)
+    val centers = Seq(Seq(0.0, 0.0), Seq(10.0, 10.0))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Streaming.Vec]
+    val q = Streaming.ivfAssignStream(input.toDS(), centers)
+      .writeStream.format("memory").queryName("ivfassign_out")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    input.addData(
+      Streaming.Vec(1L, ts(0), Array(0.3, 0.4)),    // -> list 1, dist 0.5
+      Streaming.Vec(2L, ts(0), Array(9.0, 10.0)))   // -> list 2, dist 1.0
+    q.processAllAvailable()
+    input.addData(Streaming.Vec(3L, ts(1), Array(5.0, 5.0))) // tie -> list 1
+    q.processAllAvailable()
+    val got = spark.sql("SELECT vec_id, list, dist_micro FROM ivfassign_out")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    q.stop()
+    assert(got == Set((1L, 1, 500000L), (2L, 2, 1000000L),
+      (3L, 1, 7071068L)), s"got $got")
+  }
+
   test("incrementalDedupStream: stream probes the static old index, exact beats near") {
     import graft.streaming.Streaming
     implicit val sc = spark.sqlContext
