@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -309,6 +309,54 @@ object Analytics {
       .groupBy(userCol)
       .agg(count(lit(1)).as("n_events"),
         sum(pow(lit(0.5), col("_age"))).as("decayed"))
+  }
+
+  /** Deterministic Poisson-bootstrap confidence interval for a corpus
+    * mean (Chamandy 2012, "Estimating uncertainty for massive data
+    * streams"): every row carries `reps` hash-derived replica weights
+    * approximating Poisson(1) (a byte of md5(b:id) against the
+    * 256-quantized Poisson CDF), so the whole bootstrap is ONE pass of
+    * integer accumulators — no resampling shuffle, no RNG state,
+    * mergeable across partitions, and identical on every replay/engine.
+    * Replica means quantize to integer micros (integer div), the
+    * across-replica variance is the exact r·Σm²−(Σm)² integer form,
+    * and the CI is a fixed IEEE chain. The per-row cost is `reps` md5s
+    * — map-side, the price of error bars at 100 TB.
+    */
+  def hashBootstrapCi(df: DataFrame, id: Column, value: Column,
+                      reps: Int = 32): DataFrame = {
+    val t = df.select(id.cast("string").as("id"), value.cast("long").as("v"))
+      .localCheckpoint()
+    val rep = t.select(col("id"), col("v"),
+        explode(sequence(lit(0), lit(reps - 1))).as("b"))
+      .withColumn("_byte", conv(substring(md5(concat(
+        col("b").cast("string"), lit(":"), col("id"))), 1, 2), 16, 10)
+        .cast("int"))
+      // 256-quantized Poisson(1) pmf: 94/94/47/16/4/1 of 256
+      .withColumn("w", when(col("_byte") <= 93, 0L)
+        .when(col("_byte") <= 187, 1L).when(col("_byte") <= 234, 2L)
+        .when(col("_byte") <= 250, 3L).when(col("_byte") <= 254, 4L)
+        .otherwise(5L))
+    val repStats = rep.groupBy("b")
+      .agg(sum(col("w") * col("v")).as("s"), sum(col("w")).as("nw"))
+      .filter(col("nw") > 0)
+      .select(expr("(s * 1000000) div nw").as("m"))
+    val boot = repStats.agg(count(lit(1)).as("r"), sum(col("m")).as("sm"),
+      sum(col("m").cast("decimal(38,0)") * col("m").cast("decimal(38,0)"))
+        .as("sm2"))
+    val point = t.agg(count(lit(1)).as("n_rows"),
+      expr("(sum(v) * 1000000) div count(1)").as("pm"))
+    val pmD = col("pm").cast("double") / lit(1000000.0)
+    val seD = sqrt((col("r").cast("decimal(38,0)") * col("sm2")
+      - col("sm").cast("decimal(38,0)") * col("sm").cast("decimal(38,0)"))
+      .cast("double")
+      / (col("r") * (col("r") - 1)).cast("double")) / lit(1000000.0)
+    point.crossJoin(boot)
+      .select(col("n_rows"), col("r").as("n_reps"),
+        round(pmD, 6).as("mean_v"),
+        round(seD, 6).as("boot_se"),
+        round(pmD - lit(1.96) * seD, 6).as("ci_lo"),
+        round(pmD + lit(1.96) * seD, 6).as("ci_hi"))
   }
 
   /** CUPED variance-reduction report (Deng 2013): how much of the

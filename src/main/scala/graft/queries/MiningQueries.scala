@@ -635,6 +635,13 @@ object MiningQueries {
       graft.sim.Pq.ivfPqProbeSweep(vecs).orderBy("nprobe")
     }),
 
+    // deterministic Poisson-bootstrap CI for mean tokens/doc: 32
+    // hash-derived replica weights in ONE pass — error bars with no
+    // resampling shuffle and no RNG, engine-exact
+    "q186_bootstrap_ci" -> ((s, d) =>
+      graft.analytics.Analytics.hashBootstrapCi(docs(s, d), col("doc_id"),
+        size(split(col("text"), "\\s+")))),
+
     // KMV mergeability CHECKED, not assumed: per-source sketches folded
     // into a corpus estimate vs the direct corpus sketch — bit-equal by
     // the k-minima theorem, which is what lets shards sketch
@@ -1770,6 +1777,57 @@ object MiningQueries {
     "q181_ivf_assign_delta" -> q181OracleSql,
 
     "q182_rank_overlap" -> q182OracleSql,
+
+    "q186_bootstrap_ci" ->
+      """WITH t AS (
+           SELECT CAST(doc_id AS VARCHAR) AS id,
+                  CAST(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\s+')) AS BIGINT) AS v
+           FROM documents),
+         rep AS (
+           SELECT b, v,
+                  CAST('0x' || SUBSTR(MD5(CAST(b AS VARCHAR) || ':' || id), 1, 2)
+                    AS INT) AS byte
+           FROM t, (SELECT UNNEST(RANGE(0, 32)) AS b)),
+         w AS (
+           SELECT b, v,
+                  CASE WHEN byte <= 93 THEN 0 WHEN byte <= 187 THEN 1
+                       WHEN byte <= 234 THEN 2 WHEN byte <= 250 THEN 3
+                       WHEN byte <= 254 THEN 4 ELSE 5 END AS w
+           FROM rep),
+         rs AS (
+           SELECT b, CAST(SUM(w * v) AS BIGINT) AS s,
+                  CAST(SUM(w) AS BIGINT) AS nw
+           FROM w GROUP BY 1 HAVING SUM(w) > 0),
+         ms AS (SELECT (s * 1000000) // nw AS m FROM rs),
+         boot AS (
+           SELECT COUNT(*) AS r, CAST(SUM(m) AS BIGINT) AS sm,
+                  CAST(SUM(CAST(m AS HUGEINT) * CAST(m AS HUGEINT)) AS HUGEINT)
+                    AS sm2
+           FROM ms),
+         pt AS (
+           SELECT COUNT(*) AS n_rows,
+                  (CAST(SUM(v) AS BIGINT) * 1000000) // COUNT(*) AS pm
+           FROM t)
+         SELECT n_rows, r AS n_reps,
+                ROUND(CAST(pm AS DOUBLE) / 1000000.0, 6) AS mean_v,
+                ROUND(SQRT(CAST(CAST(r AS HUGEINT) * sm2
+                             - CAST(sm AS HUGEINT) * CAST(sm AS HUGEINT)
+                           AS DOUBLE)
+                        / CAST(r * (r - 1) AS DOUBLE)) / 1000000.0, 6)
+                  AS boot_se,
+                ROUND(CAST(pm AS DOUBLE) / 1000000.0
+                      - 1.96 * (SQRT(CAST(CAST(r AS HUGEINT) * sm2
+                                       - CAST(sm AS HUGEINT) * CAST(sm AS HUGEINT)
+                                     AS DOUBLE)
+                                  / CAST(r * (r - 1) AS DOUBLE)) / 1000000.0), 6)
+                  AS ci_lo,
+                ROUND(CAST(pm AS DOUBLE) / 1000000.0
+                      + 1.96 * (SQRT(CAST(CAST(r AS HUGEINT) * sm2
+                                       - CAST(sm AS HUGEINT) * CAST(sm AS HUGEINT)
+                                     AS DOUBLE)
+                                  / CAST(r * (r - 1) AS DOUBLE)) / 1000000.0), 6)
+                  AS ci_hi
+         FROM pt, boot""",
 
     "q184_kmv_merge" ->
       """WITH sh AS (

@@ -331,6 +331,23 @@ class MiningSpec extends SparkSpec {
     assert(r.getAs[Double]("rho2") == 1.0)
   }
 
+  test("hashBootstrapCi: constant values collapse the interval to the point") {
+    val df = (1L to 200L).map(i => (i, 7L)).toDF("id", "v")
+    val r = graft.analytics.Analytics
+      .hashBootstrapCi(df, col("id"), col("v")).head
+    // every replica mean is exactly 7 -> zero bootstrap variance
+    assert(r.getAs[Double]("mean_v") == 7.0)
+    assert(r.getAs[Double]("boot_se") == 0.0)
+    assert(r.getAs[Double]("ci_lo") == 7.0 && r.getAs[Double]("ci_hi") == 7.0)
+    // varied values: a positive se and an interval that brackets the mean
+    val df2 = (1L to 200L).map(i => (i, i % 10)).toDF("id", "v")
+    val r2 = graft.analytics.Analytics
+      .hashBootstrapCi(df2, col("id"), col("v")).head
+    assert(r2.getAs[Double]("boot_se") > 0.0)
+    assert(r2.getAs[Double]("ci_lo") < r2.getAs[Double]("mean_v") &&
+      r2.getAs[Double]("mean_v") < r2.getAs[Double]("ci_hi"))
+  }
+
   test("labelDiversity: closed form equals hand-computed pair means; singletons drop") {
     val embs = Seq(
       (1L, Seq(0.0, 0.0), 1), (2L, Seq(2.0, 0.0), 1),  // one pair, d2 = 4
