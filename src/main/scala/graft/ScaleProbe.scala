@@ -450,6 +450,27 @@ object ScaleProbe {
     }
     out(s"detector_pr_${copies}x_docs") = tDetPr
     System.err.println("[probe] done " + (s"detector_pr_${copies}x_docs"))
+    // prefix-blocked edit-distance near-dup: the salted tokens make
+    // every replica's blocks disjoint, so candidate pairs grow linearly
+    // with copies — the property the prefix key + block cap exist to keep
+    val (_, tEdit) = time {
+      graft.dedup.Dedup.editDistanceNearDup(
+          docsSalt2.select("doc_id", "text"), maxDist = 10)
+        .write.format("noop").mode("overwrite").save()
+    }
+    out(s"edit_neardup_${copies}x_docs") = tEdit
+    System.err.println("[probe] done " + (s"edit_neardup_${copies}x_docs"))
+    // association rules: the row-local pair flatten dominates; disjoint
+    // per-replica vocabularies grow the (a, b) pair domain linearly.
+    // supNum = 0 keeps every pair through the unigram joins so the full
+    // plan is measured (a real threshold would only shrink it)
+    val (_, tAssoc) = time {
+      graft.text.TextOps.associationRules(
+          docsSalt2.select("doc_id", "text"), supNum = 0, supDen = 1)
+        .write.format("noop").mode("overwrite").save()
+    }
+    out(s"assoc_rules_${copies}x_docs") = tAssoc
+    System.err.println("[probe] done " + (s"assoc_rules_${copies}x_docs"))
     docsSalt2.unpersist()
 
     val qs = out.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")

@@ -40,7 +40,8 @@ object SparkEntry {
       graft.queries.MlQueries.queries ++
       graft.queries.TemporalQueries.queries ++
       graft.queries.CurationQueries.queries ++
-      graft.queries.MiningQueries.queries
+      graft.queries.MiningQueries.queries ++
+      graft.queries.AuditQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -53,5 +54,6 @@ object SparkEntry {
       graft.queries.MlQueries.oracle ++
       graft.queries.TemporalQueries.oracle ++
       graft.queries.CurationQueries.oracle ++
-      graft.queries.MiningQueries.oracle
+      graft.queries.MiningQueries.oracle ++
+      graft.queries.AuditQueries.oracle
 }

@@ -394,4 +394,77 @@ object Analytics {
         round((dec(covN) * dec(covN)).cast("double")
           / (dec(varX) * dec(varY)).cast("double"), 6)).as("rho2"))
   }
+
+  /** Time-bounded funnel: like [[funnel]], but each step must land
+    * within `windowUs` of the previous step's time (strictly after it,
+    * at most window later) — the conversion-window semantics product
+    * funnels actually use (a purchase three weeks after the click is
+    * not attributable). Same plan shape as [[funnel]]: one conditional
+    * aggregation per step on the user_id key, never a whole-log window;
+    * the window predicate is integer-µs arithmetic, engine-exact.
+    */
+  def funnelWithin(ev: DataFrame, steps: Seq[String], windowUs: Long,
+                   typeCol: String = "event_type", tsCol: String = "ts_us",
+                   userCol: String = "user_id"): DataFrame = {
+    require(steps.nonEmpty)
+    val s1 = ev.filter(col(typeCol) === steps.head)
+      .groupBy(userCol).agg(min(col(tsCol)).as("t1"))
+    val withTimes = steps.zipWithIndex.drop(1).foldLeft(s1) {
+      case (acc, (step, i)) =>
+        val cur = s"t${i + 1}"
+        val nxt = ev.filter(col(typeCol) === step)
+          .join(acc.select(col(userCol), col(s"t$i")), Seq(userCol))
+          .filter(col(tsCol) > col(s"t$i") &&
+            col(tsCol) <= col(s"t$i") + lit(windowUs))
+          .groupBy(userCol).agg(min(col(tsCol)).as(cur))
+        acc.join(nxt, Seq(userCol), "left")
+    }
+    val reached = (1 to steps.length)
+      .map(i => when(col(s"t$i").isNotNull, 1).otherwise(0)).reduce(_ + _)
+    withTimes.withColumn("steps_reached", reached)
+  }
+
+  /** Robust per-group outlier gate: median + MAD (median absolute
+    * deviation) by exact nearest-rank, and the count of rows whose
+    * absolute deviation exceeds `k`·MAD. The robust alternative to the
+    * z-score gate (one wild outlier inflates a stddev but not a MAD).
+    * Both medians ride [[groupQuantiles]]'s global range-partitioned
+    * ordinal — no per-group window task; with integral inputs every
+    * comparison is exact integer arithmetic (k is an integer multiplier),
+    * so the flag replays engine-exact with no rounding knife edge.
+    */
+  def madOutliers(df: DataFrame, group: String, valueCol: String,
+                  k: Int): DataFrame = {
+    val med = groupQuantiles(df.select(col(group), col(valueCol)),
+        group, valueCol, Seq(0.5))
+      .select(col(group), col("q_value").as("med"))
+    val dev = df.select(col(group), col(valueCol))
+      .join(broadcast(med), Seq(group))
+      .withColumn("adev", abs(col(valueCol) - col("med")))
+      .localCheckpoint()
+    val mad = groupQuantiles(dev.select(col(group), col("adev")),
+        group, "adev", Seq(0.5))
+      .select(col(group), col("q_value").as("mad"))
+    dev.join(broadcast(mad), Seq(group))
+      .groupBy(group).agg(count(lit(1)).as("n"),
+        min(col("med")).as("median"), min(col("mad")).as("mad"),
+        sum(when(col("adev") > lit(k.toLong) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
+  /** k-anonymity audit over a quasi-identifier tuple: for each k in
+    * `ks`, how many equivalence classes have fewer than k members and
+    * how many rows sit inside them (the re-identification exposure a
+    * metadata release carries). One groupBy on the quasi-identifier —
+    * the class table is tiny; the per-k report explodes it, never the
+    * corpus. Pure integer counts.
+    */
+  def kAnonymity(df: DataFrame, quasi: Seq[Column], ks: Seq[Int]): DataFrame = {
+    val g = df.groupBy(quasi: _*).agg(count(lit(1)).as("gn"))
+    g.select(explode(typedlit(ks.map(_.toLong))).as("k"), col("gn"))
+      .groupBy("k").agg(count(lit(1)).as("n_groups"),
+        sum(when(col("gn") < col("k"), 1L).otherwise(0L)).as("groups_below"),
+        sum(when(col("gn") < col("k"), col("gn")).otherwise(0L))
+          .as("rows_at_risk"))
+  }
 }

@@ -877,4 +877,147 @@ object Dedup {
       .withColumn("n_true_hits", coalesce(col("n_true_hits"), lit(0L)))
       .withColumn("n_false_pos", col("n_bloom_hits") - col("n_true_hits"))
   }
+
+  /** Edit-distance near-duplicate pairs under prefix blocking — the
+    * entity-resolution shape for short-text dedup (titles, snippets,
+    * OCR variants) where token-set measures miss single-character noise.
+    *
+    * Blocking key = md5 of the first `prefixTokens` tokens: only
+    * documents sharing an exact prefix ever pair, so the quadratic
+    * Levenshtein work is confined to blocks. `blockCap` drops oversize
+    * blocks before the self-join (the hot-bucket guard — a boilerplate
+    * prefix would otherwise make one block |b|²); at 100 TB the block
+    * key is what shuffles first, and only capped-block members carry
+    * their text into the pair join. Levenshtein is the classic
+    * unit-cost Wagner–Fischer distance in both Spark and DuckDB, so
+    * pairs replay engine-exact.
+    */
+  def editDistanceNearDup(docs: DataFrame, maxDist: Int,
+                          prefixTokens: Int = 3,
+                          blockCap: Int = 32): DataFrame = {
+    val keyed = docs.select(col("doc_id"), col("text"),
+      md5(concat_ws(" ",
+        slice(split(col("text"), "\\s+"), 1, prefixTokens))).as("bk"))
+    val sizes = keyed.groupBy("bk").agg(count(lit(1)).as("bn"))
+    // localCheckpoint: both sides of the pair self-join consume this
+    // frame (and `keyed` feeds both it and the size agg) — without it
+    // the md5 block build re-evaluates three times (the q62 lesson)
+    val bounded = keyed
+      .join(sizes.filter(col("bn") <= blockCap), Seq("bk"))
+      .select("bk", "doc_id", "text")
+      .localCheckpoint()
+    bounded.select(col("bk"), col("doc_id").as("a"), col("text").as("ta"))
+      .join(bounded.select(col("bk"), col("doc_id").as("b"),
+        col("text").as("tb")), Seq("bk"))
+      .filter(col("a") < col("b"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("a", "b", "dist")
+  }
+
+  /** Shape-identical power chains for [[lshPlanner]]: the Column and the
+    * SQL string build the SAME multiplication tree (binary exponentiation),
+    * so both engines execute the identical IEEE op sequence and the
+    * per-pair probability replays bit-for-bit before quantization.
+    */
+  private[graft] def powChain(c: Column, e: Int): Column = e match {
+    case 1 => c
+    case n =>
+      val h = powChain(c, n / 2)
+      if (n % 2 == 0) h * h else h * h * c
+  }
+  private[graft] def powChainSql(s: String, e: Int): String = e match {
+    case 1 => s
+    case n =>
+      val h = powChainSql(s, n / 2)
+      if (n % 2 == 0) s"($h * $h)" else s"(($h * $h) * $s)"
+  }
+
+  /** LSH banding-parameter planner: for each (bands b, rows-per-band r)
+    * split of the hash budget, the EXPECTED detection count over the
+    * corpus's TRUE pair distribution — Σ over ground-truth candidate
+    * pairs of the S-curve P(detect) = 1 − (1 − J^r)^b at each pair's
+    * exact Jaccard. Split by the dedup threshold into expected true
+    * positives and false positives, this is the design calculator run
+    * BEFORE committing a fleet to a banding scheme (q170 then measures
+    * the chosen scheme's realized PR). Ground truth is the df-capped
+    * inverted index ([[sharedShinglePairs]] — complete, so the
+    * expectation is over every pair that shares content). Engine-exact:
+    * J is one division of exact integers, the S-curve is a shape-pinned
+    * multiplication chain ([[powChain]]), and each pair's probability
+    * quantizes to integer ppm BEFORE summation so no float sum order
+    * exists. One pair scan (localCheckpointed), configs explode row-
+    * locally, one aggregation.
+    */
+  def lshPlanner(sh0: DataFrame, configs: Seq[(Int, Int)],
+                 thNum: Int = 2, thDen: Int = 5,
+                 dfCap: Int = 10000): DataFrame = {
+    val pairs = sharedShinglePairs(sh0, dfCap)
+      .withColumn("union_sz", col("sza") + col("szb") - col("inter"))
+      .withColumn("j",
+        col("inter").cast("double") / col("union_sz").cast("double"))
+      .withColumn("istrue",
+        (col("inter") * lit(thDen.toLong) >=
+          col("union_sz") * lit(thNum.toLong)).cast("long"))
+      .localCheckpoint()
+    val cfgStructs = configs.map { case (b, r) =>
+      val inner = powChain(col("j"), r)
+      val p = lit(1.0) - powChain(lit(1.0) - inner, b)
+      struct(lit(b).as("bands"), lit(r).as("rpb"),
+        round(p * lit(1000000.0)).cast("long").as("ppm"))
+    }
+    pairs.select(col("istrue"), explode(array(cfgStructs: _*)).as("c"))
+      .select(col("c.bands"), col("c.rpb"), col("c.ppm"), col("istrue"))
+      .groupBy("bands", "rpb")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("istrue")).as("n_true"),
+        round(sum(col("ppm")).cast("double") / lit(1000000.0), 6)
+          .as("exp_detected"),
+        round(sum(when(col("istrue") === 1L, col("ppm")).otherwise(0L))
+          .cast("double") / lit(1000000.0), 6).as("exp_tp"),
+        round(sum(when(col("istrue") === 0L, col("ppm")).otherwise(0L))
+          .cast("double") / lit(1000000.0), 6).as("exp_fp"))
+  }
+
+  /** Greedy maximum-coverage selection (the classic (1−1/e) submodular
+    * greedy): pick `k` documents maximizing the running union of
+    * distinct shingles — the text-side coreset/diversity sampler next to
+    * the embedding-space k-centers. Each step is ONE full-corpus
+    * aggregation (count of still-uncovered shingles per doc) + a global
+    * top-1; the covered set grows by at most one document's shingles per
+    * step, shuffles as 16-byte digests, and the k picked ids are the
+    * only driver state. Deterministic argmax: (gain desc, doc_id asc).
+    * Stops early if coverage saturates before k picks.
+    */
+  def maxCoverageSelect(sh0: DataFrame, k: Int): DataFrame = {
+    val spark = sh0.sparkSession
+    import spark.implicits._
+    val sh = sh0.select(col("doc_id"), col("shingle")).localCheckpoint()
+    var covered: DataFrame = null
+    val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+    var done = false
+    var rank = 1
+    while (rank <= k && !done) {
+      val uncovered =
+        if (covered == null) sh
+        else sh.join(covered, Seq("shingle"), "left_anti")
+      val cand = picks.foldLeft(uncovered) { (d, p) =>
+        d.filter(col("doc_id") =!= p._2)
+      }
+      val top = cand.groupBy("doc_id").agg(count(lit(1)).as("g"))
+        .orderBy(col("g").desc, col("doc_id")).take(1)
+      if (top.isEmpty) done = true
+      else {
+        val (doc, g) = (top(0).getLong(0), top(0).getLong(1))
+        picks += ((rank, doc, g))
+        val newCov = sh.filter(col("doc_id") === doc).select("shingle")
+        covered = (if (covered == null) newCov
+                   else covered.union(newCov).distinct()).localCheckpoint()
+        rank += 1
+      }
+    }
+    val cum = picks.scanLeft(0L)(_ + _._3).drop(1)
+    picks.zip(cum).map { case ((r, doc, g), c) => (r, doc, g, c) }
+      .toSeq.toDF("rank", "doc_id", "gain", "cum_covered")
+  }
 }

@@ -1,0 +1,358 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.text.TextOps
+import graft.analytics.Analytics
+
+/** Round-6 ninth tail: corpus-audit operators — edit-distance blocked
+  * near-dup, robust (median/MAD) outlier gating, association-rule
+  * co-occurrence mining, k-anonymity exposure, time-bounded funnels and
+  * HTML boilerplate extraction. Each query pairs with an
+  * independently-written DuckDB oracle below.
+  */
+object AuditQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
+  private def ev(s: SparkSession, d: String) =
+    Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+
+  /** 24 h in µs — the conversion-attribution window for q191. */
+  private val dayUs = 86400000000L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // edit-distance near-dup under prefix blocking: planted copies with
+    // ONE mid-token substituted (past the blocking prefix) must pair at
+    // dist <= 10; natural same-prefix pairs sit far above the threshold
+    // so the gate is exercised in both directions
+    "q187_edit_neardup" -> ((s, d) => {
+      val base = docs(s, d).select("doc_id", "text")
+      val copies = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          regexp_replace(col("text"), "^((?:\\S+\\s+){5})\\S+", "$1qz")
+            .as("text"))
+      Dedup.editDistanceNearDup(base.unionByName(copies), maxDist = 10)
+        .orderBy("a", "b")
+    }),
+
+    // robust per-source length gate: exact nearest-rank median + MAD of
+    // the token count, rows beyond 3·MAD flagged — integer arithmetic
+    // end to end, both medians on the global range-partitioned ordinal
+    "q188_mad_outliers" -> ((s, d) =>
+      Analytics.madOutliers(
+          docs(s, d).select(col("source"),
+            size(split(col("text"), "\\s+")).cast("long").as("v")),
+          "source", "v", k = 3)
+        .orderBy("source")),
+
+    // association rules over per-doc distinct token sets: support >= 3/5
+    // (binds at every SF: 30-38 of 465 pairs filtered), confidence and
+    // lift from integral counts — which terms travel together (the
+    // co-occurrence layer under topic-mix diagnostics)
+    "q189_assoc_rules" -> ((s, d) =>
+      TextOps.associationRules(docs(s, d), supNum = 3, supDen = 5)
+        .orderBy("a", "b")),
+
+    // k-anonymity exposure of the (lang, source, n_chars/8) quasi-
+    // identifier tuple: equivalence classes below k and the rows inside
+    // them, for k in {2, 5, 10, 25}
+    "q190_k_anonymity" -> ((s, d) =>
+      Analytics.kAnonymity(docs(s, d),
+          Seq(col("lang"), col("source"), expr("n_chars div 8").as("bucket")),
+          Seq(2, 5, 10, 25))
+        .orderBy("k")),
+
+    // time-bounded funnel: view -> click within 24 h -> purchase within
+    // 24 h of the click; the window binds (60 of 150 users convert step 2
+    // at sf0.01 vs 150 unbounded in q98)
+    "q191_funnel_within" -> ((s, d) =>
+      Analytics.funnelWithin(ev(s, d), Seq("view", "click", "purchase"),
+          windowUs = dayUs)
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+          col("steps_reached"))
+        .orderBy("user_id")),
+
+    // greedy max-coverage selection: 8 documents picked to maximize the
+    // union of distinct 3-gram shingles (the (1-1/e) submodular greedy) —
+    // the text-side coreset sampler next to q161's embedding k-centers;
+    // each pick's marginal gain is strictly the uncovered-shingle count
+    "q194_max_coverage" -> ((s, d) =>
+      Dedup.maxCoverageSelect(
+          Dedup.shingles(docs(s, d).select("doc_id", "text"), 3), k = 8)
+        .orderBy("rank")),
+
+    // per-document n-gram novelty (memorization-risk gate): fraction of
+    // a doc's distinct 5-grams that appear in no other document
+    "q195_ngram_novelty" -> ((s, d) =>
+      TextOps.ngramNovelty(docs(s, d).select("doc_id", "text"), n = 5)
+        .orderBy("doc_id")),
+
+    // LSH banding planner: expected S-curve detections per (bands, rows)
+    // split of the 8-hash budget over the sweep universe's COMPLETE
+    // exact-Jaccard pair distribution — expected TP/FP per design, the
+    // calculator run before q170 measures the chosen scheme's actual PR
+    "q196_lsh_planner" -> ((s, d) =>
+      Dedup.lshPlanner(TrainingQueries.sweepShingles(s, d),
+          configs = Seq((8, 1), (4, 2), (2, 4), (1, 8)))
+        .orderBy("rpb")),
+
+    // HTML-to-text extraction: documents wrapped in a deterministic page
+    // shell (nav/style/script/footer boilerplate, '<' inside the script
+    // body); extraction must round-trip the original text for EVERY doc
+    // and the keep ratio reports the boilerplate share
+    "q193_html_extract" -> ((s, d) => {
+      val w = docs(s, d).select(col("source"), col("text"),
+        concat(
+          lit("<html><head><title>d</title><style>p{color:red}</style>" +
+            "</head><body><nav>home | about | contact</nav><p>"),
+          col("text"),
+          lit("</p><script>var x = 1 < 2;</script>" +
+            "<footer>(c) corp 2026</footer></body></html>")).as("h"))
+      val e = w.withColumn("x", TextOps.htmlExtract(col("h")))
+        .withColumn("norm",
+          trim(regexp_replace(col("text"), "\\s+", " ")))
+      e.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("x") === col("norm"), 1L).otherwise(0L))
+            .as("n_roundtrip"),
+          sum(length(col("h"))).as("chars_raw"),
+          sum(length(col("x"))).as("chars_text"))
+        .withColumn("keep_ratio",
+          round(col("chars_text").cast("double")
+            / col("chars_raw").cast("double"), 6))
+        .orderBy("source")
+    }))
+
+  /** q194's replay: 8 unrolled greedy stages — per stage, the uncovered-
+    * shingle count per unpicked doc, the (gain desc, doc_id) argmax, and
+    * the covered-set union.
+    */
+  private def q194OracleSql: String = {
+    val k = 8
+    val stages = (2 to k).map { i =>
+      s"""
+  c_$i AS (
+    SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS g
+    FROM sh s ANTI JOIN cov_${i - 1} c USING (shingle)
+    WHERE s.doc_id NOT IN (SELECT doc_id FROM pk_${i - 1})
+    GROUP BY 1),
+  p_$i AS (SELECT $i AS rank, doc_id, g FROM c_$i
+           ORDER BY g DESC, doc_id LIMIT 1),
+  pk_$i AS (SELECT * FROM pk_${i - 1} UNION ALL SELECT * FROM p_$i),
+  cov_$i AS MATERIALIZED (
+    SELECT shingle FROM cov_${i - 1}
+    UNION SELECT s.shingle FROM sh s JOIN p_$i USING (doc_id))"""
+    }.mkString(",")
+    s"""WITH sh AS MATERIALIZED (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+    FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\\s+') AS w
+          FROM documents) t,
+         LATERAL (SELECT UNNEST(RANGE(1, LEN(w) - 1)) AS i)),
+  c_1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS g FROM sh GROUP BY 1),
+  p_1 AS (SELECT 1 AS rank, doc_id, g FROM c_1 ORDER BY g DESC, doc_id LIMIT 1),
+  pk_1 AS (SELECT * FROM p_1),
+  cov_1 AS MATERIALIZED (
+    SELECT DISTINCT s.shingle FROM sh s JOIN p_1 USING (doc_id)),$stages
+  SELECT rank, doc_id, g AS gain,
+         CAST(SUM(g) OVER (ORDER BY rank) AS BIGINT) AS cum_covered
+  FROM pk_$k ORDER BY rank"""
+  }
+
+  /** q196's replay: the sweep universe's df-capped exact-Jaccard pairs,
+    * each config's S-curve probability as the SAME shape-pinned
+    * multiplication chain the Spark side executes ([[Dedup.powChainSql]]),
+    * quantized to integer ppm before any summation.
+    */
+  private def q196OracleSql: String = {
+    val configs = Seq((8, 1), (4, 2), (2, 4), (1, 8))
+    val cfgRows = configs.map { case (b, r) =>
+      val inner = Dedup.powChainSql("j", r)
+      val p = s"(1.0 - ${Dedup.powChainSql(s"(1.0 - $inner)", b)})"
+      s"""SELECT $b AS bands, $r AS rpb, istrue,
+           CAST(ROUND($p * 1000000.0) AS BIGINT) AS ppm FROM jp"""
+    }.mkString(" UNION ALL ")
+    s"""WITH ${TrainingQueries.sweepChainSql},
+  shc AS (SELECT * FROM psh WHERE shingle IN (
+    SELECT shingle FROM psh GROUP BY 1 HAVING COUNT(*) <= 10000)),
+  sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shc GROUP BY 1),
+  ip AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+                CAST(COUNT(*) AS BIGINT) AS inter
+         FROM shc a JOIN shc b ON a.shingle = b.shingle
+                              AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+  jp AS (SELECT CAST(i.inter AS DOUBLE)
+                / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) AS j,
+                CASE WHEN i.inter * 5 >= (sa.sz + sb.sz - i.inter) * 2
+                     THEN 1 ELSE 0 END AS istrue
+         FROM ip i JOIN sz sa ON sa.doc_id = i.ida
+         JOIN sz sb ON sb.doc_id = i.idb),
+  cfg AS ($cfgRows)
+  SELECT bands, rpb, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(istrue) AS BIGINT) AS n_true,
+         ROUND(CAST(SUM(ppm) AS DOUBLE) / 1000000.0, 6) AS exp_detected,
+         ROUND(CAST(SUM(CASE WHEN istrue = 1 THEN ppm ELSE 0 END) AS DOUBLE)
+               / 1000000.0, 6) AS exp_tp,
+         ROUND(CAST(SUM(CASE WHEN istrue = 0 THEN ppm ELSE 0 END) AS DOUBLE)
+               / 1000000.0, 6) AS exp_fp
+  FROM cfg GROUP BY 1, 2 ORDER BY rpb"""
+  }
+
+  def oracle: Map[String, String] = Map(
+
+    "q194_max_coverage" -> q194OracleSql,
+
+    "q196_lsh_planner" -> q196OracleSql,
+
+    "q195_ngram_novelty" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id,
+                  w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                  || ' ' || w[i+4] AS shingle
+           FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w
+                 FROM documents) t,
+                LATERAL (SELECT UNNEST(RANGE(1, LEN(w) - 3)) AS i)),
+         dfc AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
+         SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                CAST(SUM(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_shared,
+                ROUND(1.0 - CAST(SUM(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+         FROM sh JOIN dfc USING (shingle)
+         GROUP BY 1 ORDER BY 1""",
+
+    "q187_edit_neardup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+         cop AS (
+           SELECT doc_id + 1000000 AS doc_id,
+                  REGEXP_REPLACE(text, '^((?:\S+\s+){5})\S+', '\1qz') AS text
+           FROM base WHERE doc_id % 10 = 0),
+         u AS (SELECT * FROM base UNION ALL SELECT * FROM cop),
+         k AS (SELECT doc_id, text,
+                 MD5(ARRAY_TO_STRING(
+                   REGEXP_SPLIT_TO_ARRAY(text, '\s+')[1:3], ' ')) AS bk
+               FROM u),
+         sz AS (SELECT bk, COUNT(*) AS bn FROM k GROUP BY 1),
+         bb AS (SELECT k.* FROM k JOIN sz USING (bk) WHERE bn <= 32)
+         SELECT x.doc_id AS a, y.doc_id AS b,
+                LEVENSHTEIN(x.text, y.text) AS dist
+         FROM bb x JOIN bb y ON x.bk = y.bk AND x.doc_id < y.doc_id
+         WHERE LEVENSHTEIN(x.text, y.text) <= 10
+         ORDER BY 1, 2""",
+
+    "q188_mad_outliers" ->
+      """WITH t AS (
+           SELECT source,
+                  CAST(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\s+')) AS BIGINT) AS v
+           FROM documents),
+         r AS (SELECT source, v,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY v) AS rk,
+                 COUNT(*) OVER (PARTITION BY source) AS n FROM t),
+         med AS (SELECT source, v AS med FROM r
+                 WHERE rk = GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT))),
+         d AS (SELECT t.source, t.v, m.med, ABS(t.v - m.med) AS adev
+               FROM t JOIN med m USING (source)),
+         r2 AS (SELECT source, adev,
+                  ROW_NUMBER() OVER (PARTITION BY source ORDER BY adev) AS rk,
+                  COUNT(*) OVER (PARTITION BY source) AS n FROM d),
+         mad AS (SELECT source, adev AS mad FROM r2
+                 WHERE rk = GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT)))
+         SELECT d.source, COUNT(*) AS n, MIN(d.med) AS median,
+                MIN(mad.mad) AS mad,
+                CAST(SUM(CASE WHEN d.adev > 3 * mad.mad THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_outliers
+         FROM d JOIN mad USING (source)
+         GROUP BY d.source ORDER BY d.source""",
+
+    "q189_assoc_rules" ->
+      """WITH t AS (
+           SELECT doc_id, LIST_SORT(LIST_DISTINCT(
+             REGEXP_SPLIT_TO_ARRAY(text, '\s+'))) AS ts
+           FROM documents),
+         nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM t),
+         uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+                 FROM (SELECT UNNEST(ts) AS tok FROM t) GROUP BY 1),
+         p AS (SELECT ts[i] AS a, ts[j] AS b FROM t,
+                 LATERAL (SELECT UNNEST(RANGE(1, LEN(ts) + 1)) AS i),
+                 LATERAL (SELECT UNNEST(RANGE(1, LEN(ts) + 1)) AS j)
+               WHERE j > i),
+         pc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_ab
+                FROM p GROUP BY 1, 2)
+         SELECT pc.a, pc.b, ua.df AS n_a, ub.df AS n_b, pc.n_ab,
+                ROUND(CAST(pc.n_ab AS DOUBLE)
+                      / CAST(nd.n_docs AS DOUBLE), 6) AS support,
+                ROUND(CAST(pc.n_ab AS DOUBLE)
+                      / CAST(ua.df AS DOUBLE), 6) AS confidence,
+                ROUND(CAST(pc.n_ab AS DOUBLE) * CAST(nd.n_docs AS DOUBLE)
+                      / (CAST(ua.df AS DOUBLE) * CAST(ub.df AS DOUBLE)), 6)
+                  AS lift
+         FROM pc
+         JOIN uni ua ON ua.tok = pc.a
+         JOIN uni ub ON ub.tok = pc.b
+         CROSS JOIN nd
+         WHERE pc.n_ab * 5 >= nd.n_docs * 3
+         ORDER BY 1, 2""",
+
+    "q190_k_anonymity" ->
+      """WITH g AS (
+           SELECT lang, source, n_chars // 8 AS bucket, COUNT(*) AS gn
+           FROM documents GROUP BY 1, 2, 3),
+         ks AS (SELECT CAST(UNNEST([2, 5, 10, 25]) AS BIGINT) AS k)
+         SELECT ks.k, COUNT(*) AS n_groups,
+                CAST(SUM(CASE WHEN gn < ks.k THEN 1 ELSE 0 END) AS BIGINT)
+                  AS groups_below,
+                CAST(SUM(CASE WHEN gn < ks.k THEN gn ELSE 0 END) AS BIGINT)
+                  AS rows_at_risk
+         FROM g CROSS JOIN ks GROUP BY 1 ORDER BY 1""",
+
+    "q191_funnel_within" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, EPOCH_US(ts) AS ts_us FROM events),
+         s1 AS (
+           SELECT user_id, MIN(ts_us) AS t1 FROM ev
+           WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (
+           SELECT e.user_id, MIN(ts_us) AS t2 FROM ev e JOIN s1 USING (user_id)
+           WHERE event_type = 'click' AND ts_us > t1
+             AND ts_us <= t1 + 86400000000 GROUP BY 1),
+         s3 AS (
+           SELECT e.user_id, MIN(ts_us) AS t3 FROM ev e JOIN s2 USING (user_id)
+           WHERE event_type = 'purchase' AND ts_us > t2
+             AND ts_us <= t2 + 86400000000 GROUP BY 1)
+         SELECT s1.user_id, t1, t2, t3,
+                1 + CAST(t2 IS NOT NULL AS INT) + CAST(t3 IS NOT NULL AS INT)
+                  AS steps_reached
+         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+         ORDER BY user_id""",
+
+    "q193_html_extract" ->
+      """WITH w AS (
+           SELECT source, text,
+                  '<html><head><title>d</title><style>p{color:red}</style>'
+                  || '</head><body><nav>home | about | contact</nav><p>'
+                  || text ||
+                  '</p><script>var x = 1 < 2;</script>'
+                  || '<footer>(c) corp 2026</footer></body></html>' AS h
+           FROM documents),
+         e AS (
+           SELECT source, text, h,
+                  TRIM(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+                    REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(h,
+                    '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                    '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                    '(?s)<nav[^>]*>.*?</nav>', ' ', 'g'),
+                    '(?s)<footer[^>]*>.*?</footer>', ' ', 'g'),
+                    '<[^>]+>', ' ', 'g'),
+                    '\s+', ' ', 'g')) AS x
+           FROM w)
+         SELECT source, COUNT(*) AS n_docs,
+                CAST(SUM(CASE WHEN x = TRIM(REGEXP_REPLACE(text, '\s+', ' ',
+                  'g')) THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip,
+                CAST(SUM(LEN(h)) AS BIGINT) AS chars_raw,
+                CAST(SUM(LEN(x)) AS BIGINT) AS chars_text,
+                ROUND(CAST(SUM(LEN(x)) AS DOUBLE)
+                      / CAST(SUM(LEN(h)) AS DOUBLE), 6) AS keep_ratio
+         FROM e GROUP BY 1 ORDER BY 1""")
+}

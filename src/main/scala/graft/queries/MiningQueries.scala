@@ -688,6 +688,28 @@ object MiningQueries {
       graft.sim.Similarity.rankBiasedOverlap(ex, pq).orderBy("qid")
     }),
 
+    // reciprocal-rank fusion of the exact and PQ top-10 rankings per
+    // query: integer RRF coefficients over lcm(61..70) decide the fused
+    // order exactly (q182's rational-arithmetic stance), top-5 cut per
+    // query — the standard multi-retriever ensembling primitive
+    "q192_rrf_fusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val vecs = Tables.t(s, d, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val pq = graft.sim.Pq.pqSelfTopK(vecs, topK = 10)
+        .select(col("qid"), col("dst"), col("rn"))
+      val q = vecs.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("src"), col("v").as("va"))
+      val ex = vecs.select(col("vec_id").as("dst"), col("v").as("vb"))
+        .crossJoin(broadcast(q)).filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          round(graft.sim.Similarity.l2(col("va"), col("vb")), 6).as("dist"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("src").orderBy(col("dist"), col("dst"))))
+        .filter(col("rn") <= 10).select("src", "dst", "rn")
+      graft.sim.Similarity.rrfFuse(ex, pq).orderBy("qid", "rn")
+    }),
+
     // incremental IVF maintenance: a planted refresh snapshot (every
     // 5th vector scaled 1.1 = near its source's list; every 50th
     // reversed = far from everything) assigned to the EXISTING lists —
@@ -1164,6 +1186,47 @@ object MiningQueries {
   SELECT qs.qid, COALESCE(n_common, 0) AS n_common,
          ROUND(CAST(COALESCE(num, 0) AS DOUBLE) / 25200000000000.0, 6) AS rbo
   FROM qs LEFT JOIN agg ON agg.qid = qs.qid ORDER BY qs.qid"""
+  }
+
+  /** q192's replay: the q182 exact + PQ top-10 chains, fused with the
+    * SAME integer RRF coefficients (lcm(61..70)/(60+r)) the Spark side
+    * embeds — the fused order is decided on integer sums.
+    */
+  private def q192OracleSql: String = {
+    val (den, cs) = graft.sim.Similarity.rrfCoeffs(60, 10)
+    val cVals = cs.zipWithIndex
+      .map { case (c, i) => s"(${i + 1}, ${c})" }.mkString(", ")
+    s"""WITH $pqChainSql,
+  exd AS (
+    SELECT q.cell_id AS src, c.cell_id AS dst,
+           ROUND(SQRT(GREATEST(LIST_DOT_PRODUCT(q.p, q.p)
+             - 2 * LIST_DOT_PRODUCT(q.p, c.p)
+             + LIST_DOT_PRODUCT(c.p, c.p), 0)), 6) AS dist
+    FROM vv q CROSS JOIN vv c
+    WHERE q.cell_id % 50 = 0 AND q.cell_id != c.cell_id),
+  exk AS (
+    SELECT src AS qid, dst, rn FROM (
+      SELECT src, dst,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+      FROM exd)
+    WHERE rn <= 10),
+  pqk AS (SELECT qid, dst, rn FROM tk WHERE rn <= 10),
+  cw(r, w) AS (VALUES $cVals),
+  uu AS (
+    SELECT qid, dst, rn FROM exk
+    UNION ALL SELECT qid, dst, rn FROM pqk),
+  sc AS (
+    SELECT uu.qid, uu.dst, CAST(SUM(cw.w) AS BIGINT) AS score_num,
+           CAST(COUNT(*) AS BIGINT) AS n_lists
+    FROM uu JOIN cw ON cw.r = uu.rn GROUP BY 1, 2),
+  rk AS (
+    SELECT qid, dst, score_num, n_lists,
+           CAST(ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY score_num DESC, dst) AS INT) AS rn
+    FROM sc)
+  SELECT qid, rn, dst, n_lists,
+         ROUND(CAST(score_num AS DOUBLE) / ${den}.0, 6) AS rrf_score
+  FROM rk WHERE rn <= 5 ORDER BY qid, rn"""
   }
 
   private def q143OracleSql: String =
@@ -1777,6 +1840,8 @@ object MiningQueries {
     "q181_ivf_assign_delta" -> q181OracleSql,
 
     "q182_rank_overlap" -> q182OracleSql,
+
+    "q192_rrf_fusion" -> q192OracleSql,
 
     "q186_bootstrap_ci" ->
       """WITH t AS (

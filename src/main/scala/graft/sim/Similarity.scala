@@ -435,6 +435,47 @@ object Similarity {
         round(col("_num").cast("double") / lit(rboDen), 6).as("rbo"))
   }
 
+  /** RRF denominator D = lcm(k0+1 .. k0+depth) and the integer
+    * coefficients D/(k0+r) — shared with the oracle builder so both
+    * engines embed the SAME integers (the q182 exact-rational stance:
+    * fuse scores are integer sums, ONE final division). */
+  private[graft] def rrfCoeffs(k0: Int, depth: Int): (Long, Seq[Long]) = {
+    def gcd(a: BigInt, b: BigInt): BigInt = if (b == 0) a else gcd(b, a % b)
+    val den = (1 to depth).map(r => BigInt(k0 + r))
+      .reduce((a, b) => a * b / gcd(a, b))
+    require(den * 2 * depth < BigInt(Long.MaxValue),
+      s"rrf coefficients for k0=$k0 depth=$depth overflow 64 bits")
+    (den.toLong, (1 to depth).map(r => (den / (k0 + r)).toLong))
+  }
+
+  /** Reciprocal-rank fusion of two rankings (Cormack 2009): per (query,
+    * item), score = Σ_lists 1/(k0 + rank) over the lists that ranked it
+    * in the top `depth`, fused top-`topN` per query. Exact rational: the
+    * geometric-mean-ish RRF weights become the integer coefficients
+    * D/(k0+r) over the common denominator D = lcm(k0+1..k0+depth), so
+    * the fused ORDER is decided on integer sums (score desc, dst asc) —
+    * no float knife edge — and only the reported score divides. Shape:
+    * a union + one (qid, dst) aggregation + a per-qid top-n whose groups
+    * are bounded by 2·depth rows — never a whole-corpus window.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k0: Int = 60, depth: Int = 10,
+              topN: Int = 5): DataFrame = {
+    val (den, cs) = rrfCoeffs(k0, depth)
+    val cArr = array(cs.map(lit): _*)
+    val u = a.toDF("qid", "dst", "rn").filter(col("rn") <= depth)
+      .unionByName(b.toDF("qid", "dst", "rn").filter(col("rn") <= depth))
+    val scored = u
+      .select(col("qid"), col("dst"),
+        element_at(cArr, col("rn").cast("int")).as("w"))
+      .groupBy("qid", "dst")
+      .agg(sum(col("w")).as("score_num"), count(lit(1)).as("n_lists"))
+    graft.ops.Windows.topKPerGroup(scored, "qid", topN,
+        Seq(col("score_num").desc, col("dst")))
+      .select(col("qid"), col("rn"), col("dst"), col("n_lists"),
+        round(col("score_num").cast("double") / lit(den.toDouble), 6)
+          .as("rrf_score"))
+  }
+
   /** Per-dimension embedding QC report — the sanity pass an indexing
     * pipeline runs BEFORE building ANN structures on a new embedding
     * drop: per dim, the count, exact min/max (integer micros), mean and

@@ -1575,4 +1575,80 @@ object TextOps {
     }
     perPhrase.reduce(_ unionByName _)
   }
+
+  /** Token-level association rules: support / confidence / lift over
+    * per-document DISTINCT token sets — the co-occurrence mining shape
+    * (which terms travel together across the corpus). Pair extraction is
+    * a ROW-LOCAL nested flatten over the sorted distinct-token array
+    * (a < b, each unordered pair once) — only (a, b) pair counts ever
+    * shuffle, never per-document pair rows joined through a self-join.
+    * Per-document pair work is quadratic in the DISTINCT vocabulary of
+    * that document, which natural-language zipf keeps small; the
+    * integer support gate `n_ab · denom >= N · num` is applied before
+    * the unigram joins. All counts integral; confidence and lift are
+    * the only IEEE divisions, rounded at the edge.
+    */
+  def associationRules(docs: DataFrame, supNum: Int, supDen: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      sort_array(array_distinct(tokensCol)).as("ts"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val uni = toks.select(explode(col("ts")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val pairs = toks.select(explode(expr(
+        """flatten(transform(ts, (x, i) ->
+             CASE WHEN size(ts) > i + 1 THEN
+               transform(slice(ts, i + 2, size(ts) - i - 1), y ->
+                 named_struct('a', x, 'b', y))
+             ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>)
+             END))""")).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    pairs.crossJoin(broadcast(nDocs))
+      .filter(col("n_ab") * lit(supDen.toLong) >= col("n_docs") * lit(supNum.toLong))
+      .join(uni.select(col("tok").as("a"), col("df").as("n_a")), Seq("a"))
+      .join(uni.select(col("tok").as("b"), col("df").as("n_b")), Seq("b"))
+      .select(col("a"), col("b"), col("n_a"), col("n_b"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("n_docs").cast("double"), 6)
+          .as("support"),
+        round(col("n_ab").cast("double") / col("n_a").cast("double"), 6)
+          .as("confidence"),
+        round(col("n_ab").cast("double") * col("n_docs").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("lift"))
+  }
+
+  /** HTML-to-text extraction: drop script/style/nav/footer blocks
+    * (boilerplate), strip remaining tags, collapse whitespace — the
+    * first transform every web-crawl pipeline applies before any quality
+    * gate sees the text. Map-only column expression (no UDF, stays in
+    * codegen); patterns avoid backreferences so the identical regexes
+    * run under both Java regex and RE2-based engines.
+    */
+  /** N-gram novelty / memorization-risk gate (the per-document view of
+    * Lee 2022's duplication analysis): per document, how many of its
+    * DISTINCT word n-grams appear in at least one OTHER document, and
+    * the novelty fraction 1 − shared/total. A low-novelty doc is mostly
+    * assembled from corpus-repeated spans — the memorization-risk class
+    * dedup thresholds are tuned against. Shape: distinct (doc, digest)
+    * pairs → one digest-keyed df count → join back + one doc-keyed
+    * aggregation; 16-byte digests shuffle, never text.
+    */
+  def ngramNovelty(docs: DataFrame, n: Int): DataFrame = {
+    val sh = graft.dedup.Dedup.shingles(docs, n).localCheckpoint()
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("novelty",
+        round(lit(1.0) - col("n_shared").cast("double")
+          / col("n_grams").cast("double"), 6))
+  }
+
+  def htmlExtract(c: Column): Column = {
+    val noBlocks = Seq("script", "style", "nav", "footer").foldLeft(c) {
+      (acc, tag) => regexp_replace(acc, s"(?s)<$tag[^>]*>.*?</$tag>", " ")
+    }
+    trim(regexp_replace(regexp_replace(noBlocks, "<[^>]+>", " "),
+      "\\s+", " "))
+  }
 }

@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.Analytics
+import graft.dedup.Dedup
+import graft.text.TextOps
+import graft.sim.Similarity
+
+/** Specs for the round-6 ninth-tail audit operators (q187–q193): blocked
+  * edit-distance near-dup, median/MAD outlier gating, association rules,
+  * k-anonymity exposure, time-bounded funnels, RRF fusion, and HTML
+  * boilerplate extraction. The driver's DuckDB oracles check full-corpus
+  * values; these pin the semantic properties on hand-built inputs.
+  */
+class AuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("editDistanceNearDup: same-prefix close pair found, prefix change blocks, cap drops hot block") {
+    val near1 = (1L, "alpha beta gamma delta epsilon zeta")
+    val near2 = (2L, "alpha beta gamma delta epsilon zetX") // dist 1, same block
+    val farPrefix = (3L, "alphX beta gamma delta epsilon zeta") // dist 1 vs doc 1 but different block
+    val hot = (10L to 15L).map(i => (i, "hot hot hot filler" + i)) // 6-member block
+    val out = Dedup.editDistanceNearDup(
+      (Seq(near1, near2, farPrefix) ++ hot).toDF("doc_id", "text"),
+      maxDist = 5, prefixTokens = 3, blockCap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1L))) // only the same-block pair; hot block capped away
+  }
+
+  test("editDistanceNearDup: distance gate filters a same-block far pair") {
+    val a = (1L, "k k k completely different tail of words here")
+    val b = (2L, "k k k xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx")
+    val out = Dedup.editDistanceNearDup(Seq(a, b).toDF("doc_id", "text"),
+      maxDist = 5, prefixTokens = 3, blockCap = 4).count()
+    assert(out == 0L)
+  }
+
+  test("madOutliers: hand-computed median, MAD and flag count") {
+    // group g: values 1,2,3,4,100 → median = rank ceil(2.5)=3 → 3
+    // adev = 2,1,0,1,97 → MAD = rank 3 of sorted(0,1,1,2,97) → 1
+    // k=3 → flag adev > 3 → only 97 → 1 outlier
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 4L), ("g", 100L))
+      .toDF("src", "v")
+    val r = Analytics.madOutliers(df, "src", "v", k = 3).collect().head
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Long]("median") == 3L)
+    assert(r.getAs[Long]("mad") == 1L)
+    assert(r.getAs[Long]("n_outliers") == 1L)
+  }
+
+  test("associationRules: hand-computed support, confidence and lift") {
+    // 4 docs; x in 1,2,3; y in 1,2,4; pair (x,y) in 1,2
+    val docs = Seq((1L, "x y"), (2L, "y x"), (3L, "x z"), (4L, "y z"))
+      .toDF("doc_id", "text")
+    val out = TextOps.associationRules(docs, supNum = 1, supDen = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    // support >= 1/2 keeps only (x,y): 2/4
+    assert(out.keySet == Set(("x", "y")))
+    val (na, nb, nab, sup, conf, lift) = out(("x", "y"))
+    assert(na == 3L && nb == 3L && nab == 2L)
+    assert(approx(sup, 0.5) && approx(conf, 2.0 / 3))
+    assert(approx(lift, 2.0 * 4 / (3 * 3)))
+  }
+
+  test("associationRules: within-doc duplicate tokens count once") {
+    val docs = Seq((1L, "a b a b a"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextOps.associationRules(docs, supNum = 1, supDen = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(4)))
+    assert(out.toSeq == Seq(("a", "b", 2L)))
+  }
+
+  test("kAnonymity: exposure counts per k") {
+    // classes: (a)×1, (b)×2, (c)×5
+    val df = (Seq.fill(1)("a") ++ Seq.fill(2)("b") ++ Seq.fill(5)("c"))
+      .toDF("q")
+    val out = Analytics.kAnonymity(df, Seq(col("q")), Seq(2, 3, 10))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((2L, 3L, 1L, 1L), (3L, 3L, 2L, 3L),
+      (10L, 3L, 3L, 8L)))
+  }
+
+  test("funnelWithin: late step lands outside the window and does not count") {
+    val h = 3600000000L // 1h in µs
+    val ev = Seq(
+      // user 1: click 30 min after view, purchase 30 min after click → 3
+      (1L, "view", 0L), (1L, "click", h / 2), (1L, "purchase", h),
+      // user 2: click 2h after view → window (1h) excludes it → 1
+      (2L, "view", 0L), (2L, "click", 2 * h), (2L, "purchase", 3 * h),
+      // user 3: purchase BEFORE the click → strict order → 2
+      (3L, "view", 0L), (3L, "purchase", h / 4), (3L, "click", h / 2)
+    ).toDF("user_id", "event_type", "ts_us")
+    val out = Analytics.funnelWithin(ev, Seq("view", "click", "purchase"), h)
+      .select("user_id", "steps_reached").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 3, 2L -> 1, 3L -> 2))
+  }
+
+  test("rrfFuse: both-list items outrank single-list items; exact coefficients") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("qid", "dst", "rn")
+    val b = Seq((1L, 10L, 2), (1L, 12L, 1)).toDF("qid", "dst", "rn")
+    val out = Similarity.rrfFuse(a, b, k0 = 60, depth = 10, topN = 5)
+      .orderBy("rn").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // dst 10: 1/61 + 1/62; dst 12: 1/61; dst 11: 1/62
+    assert(out.map(_._1).toSeq == Seq(10L, 12L, 11L))
+    assert(out.head._2 == 2L)
+    assert(approx(out(0)._3, 1.0 / 61 + 1.0 / 62, 1e-6))
+    assert(approx(out(1)._3, 1.0 / 61, 1e-6))
+    assert(approx(out(2)._3, 1.0 / 62, 1e-6))
+  }
+
+  test("rrfFuse: integer-score tie breaks by dst ascending") {
+    val a = Seq((1L, 20L, 1), (1L, 5L, 1)).toDF("qid", "dst", "rn")
+      .filter(col("dst") === 20L) // list a ranks only 20 at r1
+    val b = Seq((1L, 5L, 1)).toDF("qid", "dst", "rn")
+    val out = Similarity.rrfFuse(a, b).orderBy("rn").collect()
+      .map(_.getLong(2))
+    assert(out.toSeq == Seq(5L, 20L)) // equal scores → smaller dst first
+  }
+
+  test("maxCoverageSelect: greedy order, marginal gains, early stop at saturation") {
+    val sh = Seq(
+      (1L, "s1"), (1L, "s2"), (1L, "s3"),
+      (2L, "s1"), (2L, "s2"),
+      (3L, "s4"),
+      (4L, "s2"), (4L, "s3")).toDF("doc_id", "shingle")
+    val out = Dedup.maxCoverageSelect(sh, k = 4).orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc1 covers 3, then doc3 adds the only uncovered shingle; docs 2/4
+    // add nothing → selection saturates and stops before k
+    assert(out.toSeq == Seq((1, 1L, 3L, 3L), (2, 3L, 1L, 4L)))
+  }
+
+  test("lshPlanner: S-curve expectations at a hand-computed Jaccard") {
+    // one pair: inter 2, union 4 → J = 0.5; true at the 2/5 threshold
+    val sh = Seq((1L, "p"), (1L, "q"), (1L, "r"),
+      (2L, "p"), (2L, "q"), (2L, "s")).toDF("doc_id", "shingle")
+    val out = Dedup.lshPlanner(sh, Seq((4, 2), (2, 4))).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    // (4,2): 1 − (1 − 0.25)^4 = 0.68359375; (2,4): 1 − (1 − 0.0625)^2
+    assert(out((4, 2)) == ((1L, 1L, 0.683594, 0.683594, 0.0)))
+    assert(out((2, 4)) == ((1L, 1L, 0.121094, 0.121094, 0.0)))
+  }
+
+  test("ngramNovelty: shared grams counted once, short docs absent") {
+    val docs = Seq(
+      (1L, "a b c d e f"), // grams: 'a b c d e', 'b c d e f'
+      (2L, "a b c d e x"), // shares 'a b c d e' with doc 1
+      (3L, "z z z")        // < 5 tokens → no grams → absent
+    ).toDF("doc_id", "text")
+    val out = TextOps.ngramNovelty(docs, n = 5).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5)))
+  }
+
+  test("noveltyStream: map-only bloom gate — copy scores 0, disjoint doc scores 1") {
+    import graft.streaming.Streaming
+    implicit val sc = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Streaming.Doc]
+    val q = Streaming.noveltyStream(input.toDS(), corpus, n = 5)
+      .writeStream.format("memory").queryName("novelty_out")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    input.addData(
+      Streaming.Doc(11L, t0, base), // full copy: every gram in the bloom
+      Streaming.Doc(12L, t0, "one two three four five six seven"),
+      Streaming.Doc(13L, t0, "too short"))
+    q.processAllAvailable()
+    val got = spark.sql(
+        "SELECT doc_id, n_grams, n_hits, novelty_est FROM novelty_out")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    q.stop()
+    assert(got(11L) == ((6L, 6L, Some(0.0))))
+    assert(got(12L) == ((3L, 0L, Some(1.0))))
+    assert(got(13L) == ((0L, 0L, None))) // < n tokens → no grams, NULL score
+  }
+
+  test("htmlExtract: strips blocks (incl '<' inside script), tags with attributes, collapses whitespace") {
+    val html = """<html><head><style type="text/css">b{x:1}</style></head>
+      <body><nav class="top">junk | junk</nav>
+      <p>hello   <b>world</b></p>
+      <script>if (1 < 2) { alert("x"); }</script>
+      <footer>bye</footer></body></html>"""
+    val out = Seq(html).toDF("h")
+      .select(TextOps.htmlExtract(col("h")).as("x")).collect().head.getString(0)
+    assert(out == "hello world")
+  }
+}
