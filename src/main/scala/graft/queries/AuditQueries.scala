@@ -90,6 +90,42 @@ object AuditQueries {
       TextOps.ngramNovelty(docs(s, d).select("doc_id", "text"), n = 5)
         .orderBy("doc_id")),
 
+    // incremental novelty of a refresh snapshot vs the old corpus, with
+    // the corpus-independent bloom probe (the streaming twin's plan)
+    // validated against the exact join side by side; plants: modified
+    // docs gain a few tail grams, appended exact copies gain none,
+    // reversed-token docs are near-fully novel
+    "q197_incremental_novelty" -> ((s, d) => {
+      val v1 = docs(s, d).select("doc_id", "source", "text")
+      val v2 = v1.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" rev2 fresh span")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(v1.filter(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+            col("text")))
+        .unionByName(v1.filter(col("doc_id") % 29 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("source"),
+            concat_ws(" ", reverse(split(col("text"), "\\s+"))).as("text")))
+      TextOps.incrementalNovelty(v1, v2, n = 5, mBits = 1 << 20)
+        .orderBy("source")
+    }),
+
+    // Population Stability Index per source vs the corpus length
+    // distribution — global exact rank-decile bins (one two-pass
+    // ordinal), add-one smoothing, nano-quantized terms
+    "q198_psi_drift" -> ((s, d) =>
+      TextOps.psiDrift(docs(s, d).select(col("source"),
+          size(split(col("text"), "\\s+")).cast("long").as("v")),
+        "source", "v", bins = 10).orderBy("source")),
+
+    // BPE vocabulary-size sweep: fertility / chars-per-token / in-use
+    // vocab after 2, 4, 8 merges — all cuts read from ONE training run
+    "q199_bpe_sweep" -> ((s, d) =>
+      TextOps.bpeFertilitySweep(docs(s, d), Seq(2, 4, 8))
+        .orderBy("merges")),
+
     // LSH banding planner: expected S-curve detections per (bands, rows)
     // split of the 8-hash budget over the sweep universe's COMPLETE
     // exact-Jaccard pair distribution — expected TP/FP per design, the
@@ -200,11 +236,134 @@ object AuditQueries {
   FROM cfg GROUP BY 1, 2 ORDER BY rpb"""
   }
 
+  private val gram5Sql =
+    "w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]"
+
+  /** q197's replay: plant CTEs, the old corpus's distinct grams and
+    * their bloom bit positions (same md5 layout as the Spark side), the
+    * per-gram 3-probe membership test, and the per-source rollup.
+    */
+  private def q197OracleSql: String = {
+    val m = 1 << 20
+    def posSql(j: Int, g: String) =
+      s"CAST('0x' || SUBSTR(MD5('$j:' || $g), 1, 15) AS BIGINT) % $m"
+    val hitConds = (0 until 3).map(j =>
+      s"EXISTS (SELECT 1 FROM pos WHERE pos.p = ${posSql(j, "ds.shingle")})")
+      .mkString("\n     AND ")
+    s"""WITH v1 AS (SELECT doc_id, source, text FROM documents),
+  v2 AS (
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 13 = 0 THEN text || ' rev2 fresh span'
+                ELSE text END AS text
+    FROM v1 WHERE doc_id % 17 != 0
+    UNION ALL
+    SELECT doc_id + 1000000, source, text FROM v1 WHERE doc_id % 19 = 0
+    UNION ALL
+    SELECT doc_id + 2000000, source,
+           ARRAY_TO_STRING(LIST_REVERSE(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')),
+             ' ')
+    FROM v1 WHERE doc_id % 29 = 0),
+  og AS MATERIALIZED (
+    SELECT DISTINCT $gram5Sql AS shingle
+    FROM (SELECT REGEXP_SPLIT_TO_ARRAY(text, '\\s+') AS w FROM v1) t,
+         LATERAL (SELECT UNNEST(RANGE(1, LEN(w) - 3)) AS i)),
+  pos AS MATERIALIZED (
+    SELECT DISTINCT
+      CAST('0x' || SUBSTR(MD5(j || ':' || shingle), 1, 15) AS BIGINT) % $m
+        AS p
+    FROM og, LATERAL (SELECT UNNEST([0, 1, 2]) AS j)),
+  ng AS MATERIALIZED (
+    SELECT DISTINCT doc_id, source, $gram5Sql AS shingle
+    FROM (SELECT doc_id, source, REGEXP_SPLIT_TO_ARRAY(text, '\\s+') AS w
+          FROM v2) t,
+         LATERAL (SELECT UNNEST(RANGE(1, LEN(w) - 3)) AS i)),
+  ds AS (SELECT DISTINCT shingle FROM ng),
+  bh AS MATERIALIZED (
+    SELECT shingle FROM ds
+    WHERE $hitConds),
+  fl AS (
+    SELECT ng.doc_id, ng.source,
+           CASE WHEN og.shingle IS NULL THEN 1 ELSE 0 END AS unseen,
+           CASE WHEN bh.shingle IS NULL THEN 1 ELSE 0 END AS bunseen
+    FROM ng LEFT JOIN og ON og.shingle = ng.shingle
+    LEFT JOIN bh ON bh.shingle = ng.shingle)
+  SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(unseen) AS BIGINT) AS n_unseen_exact,
+         CAST(SUM(bunseen) AS BIGINT) AS n_unseen_bloom,
+         CAST(SUM(unseen) - SUM(bunseen) AS BIGINT) AS bloom_fp,
+         ROUND(CAST(SUM(unseen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS novelty,
+         ROUND(CAST(SUM(bunseen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS novelty_bloom
+  FROM fl GROUP BY 1 ORDER BY source"""
+  }
+
+  private def q199OracleSql: String = {
+    val rows = Seq(2, 4, 8).map { c =>
+      s"""SELECT $c AS merges,
+           (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT) FROM
+             (SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(repr, ' ')) AS sym
+              FROM r_$c) u) AS vocab_used,
+           CAST(SUM(c) AS BIGINT) AS total_words,
+           CAST(SUM(c * LEN(REGEXP_SPLIT_TO_ARRAY(repr, ' '))) AS BIGINT)
+             AS total_pieces,
+           ROUND(CAST(SUM(c * LEN(REGEXP_SPLIT_TO_ARRAY(repr, ' ')))
+                 AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS fertility,
+           ROUND(CAST(SUM(c * LEN(w)) AS DOUBLE)
+                 / CAST(SUM(c * LEN(REGEXP_SPLIT_TO_ARRAY(repr, ' ')))
+                   AS DOUBLE), 6) AS chars_per_token
+         FROM r_$c"""
+    }.mkString(" UNION ALL ")
+    s"""WITH ${MiningQueries.bpeChainSqlFor(8, "documents")}
+  SELECT * FROM ($rows) ORDER BY merges"""
+  }
+
   def oracle: Map[String, String] = Map(
 
     "q194_max_coverage" -> q194OracleSql,
 
     "q196_lsh_planner" -> q196OracleSql,
+
+    "q197_incremental_novelty" -> q197OracleSql,
+
+    "q199_bpe_sweep" -> q199OracleSql,
+
+    // ROW_NUMBER ties within a (v, source) cell are interchangeable for
+    // the (source, bin) histogram, so the rank-decile binning is
+    // engine-stable; integer DIV bin cut; nano-quantized terms
+    "q198_psi_drift" ->
+      """WITH t AS (
+           SELECT source,
+                  CAST(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\s+')) AS BIGINT) AS v
+           FROM documents),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+         r AS (SELECT source, v,
+                 ROW_NUMBER() OVER (ORDER BY v, source) AS pos FROM t),
+         b AS (SELECT source,
+                 ((pos - 1) * 10) // (SELECT n FROM nn) AS bin FROM r),
+         cell AS (SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS cg
+                  FROM b GROUP BY 1, 2),
+         bt AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cb FROM b GROUP BY 1),
+         gt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ng
+                FROM b GROUP BY 1),
+         grid AS (
+           SELECT g.source, g.ng, bt.bin, bt.cb, COALESCE(cell.cg, 0) AS cg
+           FROM gt g CROSS JOIN bt
+           LEFT JOIN cell ON cell.source = g.source AND cell.bin = bt.bin),
+         term AS (
+           SELECT source, ng,
+                  CAST(ROUND((CAST(cg + 1 AS DOUBLE)
+                      / CAST(ng + 10 AS DOUBLE)
+                    - CAST(cb + 1 AS DOUBLE)
+                      / CAST((SELECT n FROM nn) + 10 AS DOUBLE))
+                    * LN(CAST((cg + 1) * ((SELECT n FROM nn) + 10) AS DOUBLE)
+                         / CAST((cb + 1) * (ng + 10) AS DOUBLE))
+                    * 1000000000.0) AS BIGINT) AS tq
+           FROM grid)
+         SELECT source, MIN(ng) AS n,
+                ROUND(CAST(SUM(tq) AS DOUBLE) / 1000000000.0, 6) AS psi
+         FROM term GROUP BY 1 ORDER BY source""",
 
     "q195_ngram_novelty" ->
       """WITH sh AS (

@@ -1275,7 +1275,7 @@ object MiningQueries {
   private def bpeChainSql(merges: Int): String =
     bpeChainSqlFor(merges, "documents")
 
-  private def bpeChainSqlFor(merges: Int, rel: String): String = {
+  private[queries] def bpeChainSqlFor(merges: Int, rel: String): String = {
     val stages = (1 to merges).map { i =>
       s"""
   pc_$i AS MATERIALIZED (

@@ -143,6 +143,14 @@ object TemporalQueries {
       TextOps.bm25TopK(docs(s, d), bm25Queries, topK = 10)
         .orderBy("q_id", "rank")),
 
+    // nDCG@10 of the BM25 ranking against phrase-graded relevance —
+    // grading by adjacency measures what a bag-of-words ranker cannot
+    // see (term-presence grading saturates at 1.0: measured); integer
+    // DCG gains via shared driver-computed coefficients
+    "q200_ndcg" -> ((s, d) =>
+      TextOps.ndcgEval(docs(s, d), bm25Queries, topK = 10)
+        .orderBy("q_id")),
+
     // bloom-filter decontamination: eval = every 97th doc (planted
     // self-contamination), 2^18-bit bitmap built driver-side from the
     // eval shingles and shipped as ONE literal — the corpus side is a
@@ -255,6 +263,96 @@ object TemporalQueries {
   private val bm25Queries = Seq(
     (1, "data table scan"), (2, "hash join order"),
     (3, "fast query filter"), (4, "stream window agg"))
+
+  /** The shared BM25 scoring chain (t/tf/dl/st/dfreq/qd/sc/rk CTEs) —
+    * q102 reads the ranking, q200 grades it against phrase relevance.
+    */
+  private def bm25ChainSql: String =
+    """t AS (
+           SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w FROM documents),
+         tf AS (
+           SELECT doc_id, x AS term, COUNT(*) AS tf
+           FROM (SELECT doc_id, UNNEST(w) AS x FROM t) GROUP BY 1, 2),
+         dl AS (SELECT doc_id, LEN(w) AS dl FROM t),
+         st AS (
+           SELECT COUNT(*) AS n_docs,
+                  CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+           FROM dl),
+         dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         qv(q_id, qtext) AS (VALUES (1, 'data table scan'),
+                                    (2, 'hash join order'),
+                                    (3, 'fast query filter'),
+                                    (4, 'stream window agg')),
+         qd AS (
+           SELECT DISTINCT q_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(qtext, '\s+')) AS term
+           FROM qv),
+         sc AS (
+           SELECT qd.q_id, tf.doc_id,
+             ROUND(SUM(
+               LN(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                        / (CAST(d.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+               / (CAST(tf.tf AS DOUBLE)
+                  + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl))
+             ), 6) AS score
+           FROM tf JOIN qd USING (term) JOIN dfreq d USING (term)
+           JOIN dl USING (doc_id) CROSS JOIN st
+           GROUP BY 1, 2),
+         rk AS (
+           SELECT q_id, doc_id, score,
+                  ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY score DESC, doc_id) AS "rank"
+           FROM sc)"""
+
+  /** q200's replay: the BM25 chain + phrase-graded relevance (3 =
+    * adjacent phrase, 2 = adjacent query bigram, 1 = all terms) and the
+    * shared integer DCG coefficients — gains are integer sums, one
+    * division per query.
+    */
+  private def q200OracleSql: String = {
+    val cv = graft.text.TextOps.ndcgCoeffs(10).zipWithIndex
+      .map { case (c, i) => s"(${i + 1}, ${c})" }.mkString(", ")
+    s"""WITH $bm25ChainSql,
+  pt AS (SELECT doc_id, ' ' || text || ' ' AS pt FROM documents),
+  am AS (
+    SELECT qd.q_id, tf.doc_id, COUNT(DISTINCT tf.term) AS nmatch
+    FROM tf JOIN qd USING (term) GROUP BY 1, 2),
+  nqt AS (SELECT q_id, CAST(COUNT(DISTINCT term) AS BIGINT) AS nq
+          FROM qd GROUP BY 1),
+  qb AS (SELECT q_id, w[i] || ' ' || w[i+1] AS bg
+         FROM (SELECT q_id, REGEXP_SPLIT_TO_ARRAY(qtext, '\\s+') AS w
+               FROM qv) t2,
+              LATERAL (SELECT UNNEST(RANGE(1, LEN(w))) AS i)),
+  rel AS (
+    SELECT a.q_id, a.doc_id,
+           CASE WHEN INSTR(p.pt, ' ' || qv.qtext || ' ') > 0 THEN 3
+                WHEN EXISTS (SELECT 1 FROM qb WHERE qb.q_id = a.q_id
+                             AND INSTR(p.pt, ' ' || qb.bg || ' ') > 0) THEN 2
+                WHEN a.nmatch = n.nq THEN 1 ELSE 0 END AS rel
+    FROM am a JOIN pt p ON p.doc_id = a.doc_id
+    JOIN qv ON qv.q_id = a.q_id JOIN nqt n ON n.q_id = a.q_id),
+  relp AS MATERIALIZED (SELECT * FROM rel WHERE rel > 0),
+  cw(r, c) AS (VALUES $cv),
+  dcg AS (
+    SELECT rk.q_id,
+           CAST(SUM(COALESCE(relp.rel, 0) * cw.c) AS BIGINT) AS dcg_num
+    FROM rk JOIN cw ON cw.r = rk."rank"
+    LEFT JOIN relp ON relp.q_id = rk.q_id AND relp.doc_id = rk.doc_id
+    WHERE rk."rank" <= 10 GROUP BY 1),
+  irk AS (SELECT q_id, doc_id, rel,
+            ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY rel DESC, doc_id) AS rnk
+          FROM relp),
+  idcg AS (SELECT q_id, CAST(SUM(rel * cw.c) AS BIGINT) AS idcg_num
+           FROM irk JOIN cw ON cw.r = irk.rnk
+           WHERE rnk <= 10 GROUP BY 1),
+  ro AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_rel,
+                CAST(MAX(rel) AS BIGINT) AS max_rel FROM relp GROUP BY 1)
+  SELECT dcg.q_id, ro.n_rel, ro.max_rel, dcg.dcg_num, idcg.idcg_num,
+         ROUND(CAST(dcg.dcg_num AS DOUBLE)
+               / CAST(idcg.idcg_num AS DOUBLE), 6) AS ndcg
+  FROM dcg JOIN idcg USING (q_id) JOIN ro USING (q_id) ORDER BY dcg.q_id"""
+  }
 
   /** q112's HLL chain up to the per-type register sums / exact counts —
     * shared by q112 (relational form, with n_zero_regs) and q145 (the
@@ -510,41 +608,11 @@ object TemporalQueries {
     // literals written as the same ops Scala performs (1.2 + 1.0, not
     // 2.2) so every IEEE intermediate is bit-identical
     "q102_bm25" ->
-      """WITH t AS (
-           SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w FROM documents),
-         tf AS (
-           SELECT doc_id, x AS term, COUNT(*) AS tf
-           FROM (SELECT doc_id, UNNEST(w) AS x FROM t) GROUP BY 1, 2),
-         dl AS (SELECT doc_id, LEN(w) AS dl FROM t),
-         st AS (
-           SELECT COUNT(*) AS n_docs,
-                  CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
-           FROM dl),
-         dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-         qd AS (
-           SELECT DISTINCT q_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(qtext, '\s+')) AS term
-           FROM (VALUES (1, 'data table scan'), (2, 'hash join order'),
-                        (3, 'fast query filter'), (4, 'stream window agg'))
-                v(q_id, qtext)),
-         sc AS (
-           SELECT qd.q_id, tf.doc_id,
-             ROUND(SUM(
-               LN(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
-                        / (CAST(d.df AS DOUBLE) + 0.5))
-               * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
-               / (CAST(tf.tf AS DOUBLE)
-                  + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl))
-             ), 6) AS score
-           FROM tf JOIN qd USING (term) JOIN dfreq d USING (term)
-           JOIN dl USING (doc_id) CROSS JOIN st
-           GROUP BY 1, 2),
-         rk AS (
-           SELECT q_id, doc_id, score,
-                  ROW_NUMBER() OVER (PARTITION BY q_id
-                                     ORDER BY score DESC, doc_id) AS "rank"
-           FROM sc)
+      s"""WITH $bm25ChainSql
          SELECT q_id, doc_id, score, "rank" FROM rk
          WHERE "rank" <= 10 ORDER BY q_id, "rank" """,
+
+    "q200_ndcg" -> q200OracleSql,
 
     "q103_bloom_decontam" ->
       """WITH t AS (

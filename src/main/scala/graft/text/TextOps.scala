@@ -367,11 +367,23 @@ object TextOps {
     */
   private def bpeLoop(docs: DataFrame, merges: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
+    val (learned, words, _) = bpeLoopSnaps(docs, merges, Set.empty)
+    (learned, words)
+  }
+
+  /** [[bpeLoop]] with symbol-table snapshots captured after selected
+    * merge steps — one training run serves every vocabulary-size cut
+    * (the merge sequence of a k-cut IS the prefix of the full run).
+    */
+  private def bpeLoopSnaps(docs: DataFrame, merges: Int, snapAt: Set[Int])
+      : (Seq[(Int, String, String, Long)], DataFrame, Map[Int, DataFrame]) = {
     var words = docs.select(explode(tokensCol).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
       .select(col("w"), col("c"),
         trim(regexp_replace(col("w"), lit("(.)"), lit("$1 "))).as("repr"))
       .localCheckpoint()
+    val snaps = scala.collection.mutable.Map[Int, DataFrame]()
+    if (snapAt.contains(0)) snaps(0) = words
     val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var step = 1
     var exhausted = false
@@ -396,10 +408,131 @@ object TextOps {
               lit(java.util.regex.Matcher.quoteReplacement(s" $s1$s2 "))))
               .as("repr"))
           .localCheckpoint()
+        if (snapAt.contains(step)) snaps(step) = words
         step += 1
       }
     }
-    (learned.toSeq, words)
+    // early exhaustion: later cuts see the final (fully-merged) table
+    snapAt.filter(_ >= step).foreach(c => snaps(c) = words)
+    (learned.toSeq, words, snaps.toMap)
+  }
+
+  /** Vocabulary-size sweep for BPE training: fertility (pieces per word
+    * occurrence), chars-per-token and the in-use symbol count after
+    * each `cuts` merge budget — the "how many merges do I need" curve,
+    * read from ONE training run (a k-merge tokenizer's table is the
+    * k-step prefix of the full run's). Everything is vocabulary-bounded
+    * aggregation over the distinct-word table; corpus size only enters
+    * through the word counts.
+    */
+  def bpeFertilitySweep(docs: DataFrame, cuts: Seq[Int]): DataFrame = {
+    val (_, _, snaps) = bpeLoopSnaps(docs, cuts.max, cuts.toSet)
+    cuts.map { c =>
+      val w = snaps(c)
+      val sums = w.select(col("c"),
+          size(split(col("repr"), " ")).cast("long").as("np"),
+          length(col("w")).cast("long").as("nc"))
+        .agg(sum(col("c")).as("total_words"),
+          sum(col("c") * col("np")).as("total_pieces"),
+          sum(col("c") * col("nc")).as("total_chars"))
+      val vocabUsed = w.select(explode(split(col("repr"), " ")).as("s"))
+        .agg(countDistinct(col("s")).as("vocab_used"))
+      sums.crossJoin(broadcast(vocabUsed))
+        .select(lit(c).as("merges"), col("vocab_used"),
+          col("total_words"), col("total_pieces"),
+          round(col("total_pieces").cast("double")
+            / col("total_words").cast("double"), 6).as("fertility"),
+          round(col("total_chars").cast("double")
+            / col("total_pieces").cast("double"), 6).as("chars_per_token"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Population Stability Index per group vs the whole corpus — the
+    * industry-standard drift score next to q114's KL and q183's KS:
+    * bins are GLOBAL exact rank deciles (the q90 integer-tercile
+    * technique — one two-pass ordinal, no per-group window, no
+    * interpolated edges), counts are add-one smoothed so empty cells
+    * stay finite, each bin's term (a−e)·ln(a/e) is computed as one
+    * fixed expression over integer counts and quantized to nano units
+    * BEFORE the per-group sum — no float summation order.
+    */
+  def psiDrift(df0: DataFrame, group: String, valueCol: String,
+               bins: Int = 10): DataFrame = {
+    val (ord, nTot) = graft.ops.Windows.globalOrdinalWithCount(
+      df0.select(col(group), col(valueCol)),
+      Seq(col(valueCol), col(group)), "pos")
+    // integer DIV (the q120 CAST-rounding lesson), never float-div + cast
+    val binned = ord.select(col(group),
+        expr(s"((pos - 1) * $bins) div ${nTot}L").as("bin"))
+      .localCheckpoint()
+    val cell = binned.groupBy(group, "bin").agg(count(lit(1)).as("cg"))
+    val binTot = binned.groupBy("bin").agg(count(lit(1)).as("cb"))
+    val grpTot = binned.groupBy(group).agg(count(lit(1)).as("ng"))
+    val grid = grpTot.crossJoin(
+        broadcast(binTot.select(col("bin"), col("cb"))))
+      .join(cell, Seq(group, "bin"), "left")
+      .na.fill(0L, Seq("cg"))
+    val c1 = col("cg") + lit(1L)
+    val d1 = col("ng") + lit(bins.toLong)
+    val c2 = col("cb") + lit(1L)
+    val d2 = lit(nTot) + lit(bins.toLong)
+    val diff = c1.cast("double") / d1.cast("double") -
+      c2.cast("double") / d2.cast("double")
+    val lnr = log((c1 * d2).cast("double") / (c2 * d1).cast("double"))
+    grid.select(col(group), col("ng"),
+        round(diff * lnr * lit(1000000000.0)).cast("long").as("term"))
+      .groupBy(group).agg(min(col("ng")).as("n"),
+        round(sum(col("term")).cast("double") / lit(1000000000.0), 6)
+          .as("psi"))
+  }
+
+  /** Incremental novelty of a refresh snapshot against the OLD corpus —
+    * the batch twin of `Streaming.noveltyStream`, with the bloom
+    * ESTIMATE validated against the exact join side by side (the
+    * q96/q112 exact+estimate pattern): per source, how many of the new
+    * snapshot's distinct-per-doc n-grams were never seen in the old
+    * corpus, exactly (gram-digest left join) and as the corpus-
+    * independent bloom probe the streaming path ships. Bloom error is
+    * one-sided (fp can only UNDERSTATE novelty) and reported as a count.
+    */
+  def incrementalNovelty(oldDocs: DataFrame, newDocs: DataFrame, n: Int,
+                         mBits: Int = 1 << 16, k: Int = 3): DataFrame = {
+    require(mBits % 64 == 0 && Integer.bitCount(mBits) == 1)
+    val oldG = graft.dedup.Dedup.shingles(
+        oldDocs.select("doc_id", "text"), n)
+      .select("shingle").distinct().localCheckpoint()
+    val posCol = (j: Int) =>
+      pmod(conv(substring(md5(concat(lit(s"$j:"), col("shingle"))), 1, 15),
+        16, 10).cast("long"), lit(mBits.toLong))
+    val positions = oldG
+      .select(explode(array((0 until k).map(posCol): _*)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val bitmap = new Array[Long](mBits / 64)
+    positions.foreach(p => bitmap((p / 64).toInt) |= (1L << (p % 64)))
+    val newG = graft.dedup.Dedup.shingles(
+        newDocs.select("doc_id", "text"), n)
+      .join(newDocs.select("doc_id", "source"), Seq("doc_id"))
+    val probed = (0 until k).foldLeft(
+        newG.withColumn("_bm", typedlit(bitmap.toIndexedSeq))) { (df, j) =>
+        df.withColumn(s"_p$j", posCol(j))
+      }
+      .withColumn("_bhit", expr((0 until k).map(j =>
+        s"(shiftright(element_at(_bm, cast(_p$j div 64 as int) + 1), " +
+          s"cast(_p$j % 64 as int)) & 1)").mkString("(", " + ", s") = $k")))
+      .join(oldG.withColumn("_seen", lit(1L)), Seq("shingle"), "left")
+      .na.fill(0L, Seq("_seen"))
+    probed.groupBy("source").agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_grams"),
+        sum(lit(1L) - col("_seen")).as("n_unseen_exact"),
+        sum(when(!col("_bhit"), 1L).otherwise(0L)).as("n_unseen_bloom"))
+      .select(col("source"), col("n_docs"), col("n_grams"),
+        col("n_unseen_exact"), col("n_unseen_bloom"),
+        (col("n_unseen_exact") - col("n_unseen_bloom")).as("bloom_fp"),
+        round(col("n_unseen_exact").cast("double")
+          / col("n_grams").cast("double"), 6).as("novelty"),
+        round(col("n_unseen_bloom").cast("double")
+          / col("n_grams").cast("double"), 6).as("novelty_bloom"))
   }
 
   /** Boilerplate detection: the single most frequent n-gram per source
@@ -1545,6 +1678,69 @@ object TextOps {
       .drop("_r", "_salt")
       .withColumn("rank", row_number().over(global).cast("long"))
       .filter(col("rank") <= topK)
+  }
+
+  /** Integer DCG coefficients round(10¹²/log₂(i+1)) — computed ONCE
+    * driver-side and embedded as literals by BOTH the Spark plan and
+    * the oracle builder (the rboSuffix pattern), so gain sums are exact
+    * integers and the only IEEE op in nDCG is the final division.
+    */
+  private[graft] def ndcgCoeffs(k: Int): Seq[Long] =
+    (1 to k).map(i => math.round(1e12 / (math.log(i + 1.0) / math.log(2.0))))
+
+  /** Retrieval quality as an oracled report: nDCG@k of the BM25 ranking
+    * against PHRASE-GRADED relevance — 3 = the exact query phrase occurs
+    * adjacent, 2 = any adjacent query bigram occurs, 1 = all terms
+    * present somewhere, 0 otherwise. BM25 is a bag-of-words ranker, so
+    * grading by adjacency measures something it cannot see perfectly —
+    * the honest eval (term-presence grading saturates: >2/3 of docs
+    * carry every query term and every nDCG reads 1.0; measured, which
+    * is why the grade is the phrase). Gains are integer products with
+    * the shared [[ndcgCoeffs]]; ideal ranking is the (rel desc, doc_id)
+    * top-k over the relevance table; one division per query at the edge.
+    */
+  def ndcgEval(docs: DataFrame, queries: Seq[(Int, String)],
+               topK: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qMeta = queries.map { case (qid, qt) =>
+      val toks = qt.split("\\s+").toSeq
+      (qid, qt, toks.sliding(2).map(_.mkString(" ")).toSeq, toks.size.toLong)
+    }.toDF("q_id", "qtext", "bgs", "nq")
+    val qTerms = queries.toDF("q_id", "qtext")
+      .select(col("q_id"), explode(split(col("qtext"), "\\s+")).as("term"))
+      .distinct()
+    val matched = docs
+      .select(col("doc_id"), explode(array_distinct(tokensCol)).as("term"))
+      .join(broadcast(qTerms), Seq("term"))
+      .groupBy("q_id", "doc_id").agg(count(lit(1)).as("nmatch"))
+    val rel = matched.join(broadcast(qMeta), Seq("q_id"))
+      .join(docs.select(col("doc_id"),
+        concat(lit(" "), col("text"), lit(" ")).as("pt")), Seq("doc_id"))
+      .withColumn("rel",
+        when(expr("instr(pt, concat(' ', qtext, ' ')) > 0"), 3L)
+          .when(expr("exists(bgs, b -> instr(pt, concat(' ', b, ' ')) > 0)"),
+            2L)
+          .when(col("nmatch") === col("nq"), 1L).otherwise(0L))
+      .filter(col("rel") > 0).select("q_id", "doc_id", "rel")
+      .localCheckpoint() // three consumers: DCG join, ideal cut, rollup
+    val cArr = array(ndcgCoeffs(topK).map(lit): _*)
+    val dcg = bm25TopK(docs, queries, topK)
+      .select(col("q_id"), col("doc_id"), col("rank"))
+      .join(rel, Seq("q_id", "doc_id"), "left").na.fill(0L, Seq("rel"))
+      .withColumn("c", element_at(cArr, col("rank").cast("int")))
+      .groupBy("q_id").agg(sum(col("rel") * col("c")).as("dcg_num"))
+    val ideal = graft.ops.Windows.topKPerGroup(rel, "q_id", topK,
+        Seq(col("rel").desc, col("doc_id")))
+      .withColumn("c", element_at(cArr, col("rn").cast("int")))
+      .groupBy("q_id").agg(sum(col("rel") * col("c")).as("idcg_num"))
+    val rollup = rel.groupBy("q_id")
+      .agg(count(lit(1)).as("n_rel"), max(col("rel")).as("max_rel"))
+    dcg.join(ideal, Seq("q_id")).join(rollup, Seq("q_id"))
+      .select(col("q_id"), col("n_rel"), col("max_rel"),
+        col("dcg_num"), col("idcg_num"),
+        round(col("dcg_num").cast("double")
+          / col("idcg_num").cast("double"), 6).as("ndcg"))
   }
 
   /** Exact phrase search over a positional token index: occurrences of

@@ -158,6 +158,66 @@ class AuditSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5)))
   }
 
+  test("psiDrift: hand-computed two-bin PSI; identical distributions score 0") {
+    // g1 both rows in bin 0, g2 both in bin 1 → per group:
+    // 0.25·ln(1.5) + 0.25·ln(2) = 0.274653 (nano-quantized terms)
+    val df = Seq(("g1", 1L), ("g1", 1L), ("g2", 2L), ("g2", 2L))
+      .toDF("src", "v")
+    val out = TextOps.psiDrift(df, "src", "v", bins = 2).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out == Map("g1" -> 0.274653, "g2" -> 0.274653))
+    val unif = Seq(("g1", 1L), ("g1", 2L), ("g2", 1L), ("g2", 2L))
+      .toDF("src", "v")
+    val out2 = TextOps.psiDrift(unif, "src", "v", bins = 2).collect()
+      .map(r => r.getDouble(2))
+    assert(out2.forall(_ == 0.0))
+  }
+
+  test("incrementalNovelty: exact copy scores 0, fresh doc 1, bloom agrees on tiny corpus") {
+    val oldD = Seq((1L, "sA", "a b c d e f")).toDF("doc_id", "source", "text")
+    val newD = Seq(
+      (10L, "sA", "a b c d e f"), // both grams seen
+      (11L, "sB", "p q r s t")    // one gram, unseen
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.incrementalNovelty(oldD, newD, n = 5)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+    assert(out.toSeq == Seq(
+      ("sA", 1L, 2L, 0L, 0L, 0L, 0.0, 0.0),
+      ("sB", 1L, 1L, 1L, 1L, 0L, 1.0, 1.0)))
+  }
+
+  test("bpeFertilitySweep: hand-computed cuts; exhausted training reuses the final table") {
+    // words: 'aa'×2 ('a a'), 'ab'×1 ('a b') → merge 1 = (a,a), merge 2 = (a,b)
+    val docs = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val out = TextOps.bpeFertilitySweep(docs, Seq(1, 2, 5))
+      .orderBy("merges").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out(0) == ((1, 3L, 3L, 4L, 1.333333, 1.5)))
+    assert(out(1) == ((2, 2L, 3L, 3L, 1.0, 2.0)))
+    assert(out(2) == ((5, 2L, 3L, 3L, 1.0, 2.0))) // exhausted at 2 merges
+  }
+
+  test("ndcgEval: perfect ranking scores 1; a BM25 tie misranking scores the hand value") {
+    // query 'x y': d1 contains the phrase (rel 3), d2 all terms (rel 1).
+    val good = Seq((1L, "x y"), (2L, "x b y")).toDF("doc_id", "text")
+    val g = TextOps.ndcgEval(good, Seq((1, "x y")), topK = 10).collect().head
+    assert(g.getAs[Double]("ndcg") == 1.0 && g.getAs[Long]("max_rel") == 3L)
+    // 'y x' (rel 1) ties the phrase doc's BM25 score; the doc_id
+    // tie-break puts it FIRST → dcg = 1·c1 + 3·c2 + 1·c3 < idcg
+    val tied = Seq((1L, "y x"), (2L, "x y"), (3L, "x b y"))
+      .toDF("doc_id", "text")
+    val r = TextOps.ndcgEval(tied, Seq((1, "x y")), topK = 10).collect().head
+    val c = graft.text.TextOps.ndcgCoeffs(10)
+    val exp = BigDecimal((1L * c(0) + 3 * c(1) + 1 * c(2)).toDouble /
+        (3L * c(0) + 1 * c(1) + 1 * c(2)).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("ndcg") == exp)
+    assert(r.getAs[Long]("n_rel") == 3L)
+  }
+
   test("noveltyStream: map-only bloom gate — copy scores 0, disjoint doc scores 1") {
     import graft.streaming.Streaming
     implicit val sc = spark.sqlContext
