@@ -126,6 +126,40 @@ object AuditQueries {
       TextOps.bpeFertilitySweep(docs(s, d), Seq(2, 4, 8))
         .orderBy("merges")),
 
+    // unigram-LM EM tokenizer training (hard EM, 2 iterations):
+    // substring-seeded vocabulary, integer micro-nat Viterbi E-step,
+    // count re-estimation M-step. Natural corpus converges at iteration
+    // 1 (measured: 0 changes) so the iteration-2 branch is PLANTED at a
+    // count-derived weight: H = floor(sqrt(total substring occurrences))
+    // copies of 'qx' and 'zj' plus one 'qxzj' — iteration 1 keeps the
+    // rare whole word (2/T > H²/T²), the M-step collapses T to the
+    // piece total, and iteration 2 flips it to 'qx zj' (H² > 2T') at
+    // every SF; n_words_changed reads exactly 1, never vacuously
+    "q201_unigram_em" -> ((s, d) => {
+      import s.implicits._
+      val base = docs(s, d).select("doc_id", "text")
+      val tsub = base.select(explode(split(col("text"), "\\s+")).as("w"))
+        .select(expr("cast(least(4, length(w)) * (length(w) + 1)" +
+          " - (least(4, length(w)) * (least(4, length(w)) + 1)) div 2" +
+          " as bigint)").as("f"))
+        .agg(sum(col("f"))).head.getLong(0)
+      val h = math.floor(math.sqrt(tsub.toDouble)).toInt
+      val plant = Seq(
+        (9000001L, Seq.fill(h)("qx").mkString(" ")),
+        (9000002L, Seq.fill(h)("zj").mkString(" ")),
+        (9000003L, "qxzj")).toDF("doc_id", "text")
+      TextOps.unigramEmTrain(base.unionByName(plant), emIters = 2)
+        .orderBy("iter")
+    }),
+
+    // temperature-scaled mixture weights per language (the mBERT/XLM-R
+    // p^alpha smoothing): en holds 43% of tokens raw and the alpha
+    // sweep visibly flattens it — dyadic exponents via sqrt chains,
+    // micro-quantized before the normalizing sums
+    "q203_temperature_mix" -> ((s, d) =>
+      graft.text.Mix.temperatureMix(docs(s, d), col("lang"))
+        .withColumnRenamed("grp", "lang").orderBy("lang")),
+
     // LSH banding planner: expected S-curve detections per (bands, rows)
     // split of the 8-hash budget over the sweep universe's COMPLETE
     // exact-Jaccard pair distribution — expected TP/FP per design, the
@@ -319,11 +353,139 @@ object AuditQueries {
   SELECT * FROM ($rows) ORDER BY merges"""
   }
 
+  /** q201's replay: plant derivation (H from the corpus substring
+    * total), substring-seeded counts, and TWO unrolled Viterbi-EM
+    * iterations — each an 8-stage DP over the (w, pos) match table with
+    * ROW_NUMBER cuts (the q160 technique) plus a count re-estimation
+    * between them.
+    */
+  private def q201OracleSql: String = {
+    val maxWl = 8
+    def vit(tag: String) = (1 to maxWl).map { p =>
+      s"""
+  e_${tag}_$p AS (
+    SELECT b.w, b.wl, b.pos + m.slen AS pos, b.sc + m.score AS sc,
+           b.n + 1 AS n, b.seg || ' ' || m.sym AS seg
+    FROM b_${tag}_${p - 1} b JOIN ms_$tag m ON m.w = b.w AND m.pos = b.pos
+    WHERE b.pos = $p),
+  b_${tag}_$p AS MATERIALIZED (
+    SELECT w, wl, pos, sc, n, seg FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY w, pos
+        ORDER BY sc DESC, n, seg) AS rn
+      FROM (SELECT * FROM b_${tag}_${p - 1}
+            UNION ALL SELECT * FROM e_${tag}_$p))
+    WHERE rn = 1)"""
+    }.mkString(",")
+    s"""WITH base AS (SELECT text FROM documents),
+  tsub AS (
+    SELECT CAST(SUM(LEAST(4, L) * (L + 1)
+                    - (LEAST(4, L) * (LEAST(4, L) + 1)) // 2) AS BIGINT) AS t
+    FROM (SELECT CAST(LEN(x) AS BIGINT) AS L
+          FROM (SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')) AS x
+                FROM base))),
+  hh AS (SELECT CAST(FLOOR(SQRT(CAST(t AS DOUBLE))) AS BIGINT) AS h
+         FROM tsub),
+  uni AS (SELECT text FROM base
+          UNION ALL SELECT TRIM(REPEAT('qx ', (SELECT h FROM hh)))
+          UNION ALL SELECT TRIM(REPEAT('zj ', (SELECT h FROM hh)))
+          UNION ALL SELECT 'qxzj'),
+  wt AS MATERIALIZED (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS c, CAST(LEN(w) AS INT) AS wl
+    FROM (SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')) AS w FROM uni)
+    GROUP BY 1),
+  occ AS MATERIALIZED (
+    SELECT w, c, wl, i AS pos, SUBSTR(w, i, l) AS sym, l AS slen
+    FROM wt, LATERAL (SELECT UNNEST(RANGE(1, wl + 1)) AS i),
+         LATERAL (SELECT UNNEST(RANGE(1, 5)) AS l)
+    WHERE i + l <= wl + 1),
+  cnt_0 AS (SELECT sym, CAST(SUM(c) AS BIGINT) AS cnt FROM occ GROUP BY 1),
+  vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM cnt_0),
+  t_0 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM cnt_0),
+  mt AS MATERIALIZED (SELECT DISTINCT w, wl, pos, sym, slen FROM occ),
+  ms_1 AS MATERIALIZED (
+    SELECT mt.*, CAST(ROUND(LN((c0.cnt + 1)
+        / ((SELECT t FROM t_0) + (SELECT v FROM vv))) * 1000000.0)
+      AS BIGINT) AS score
+    FROM mt JOIN cnt_0 c0 ON c0.sym = mt.sym),
+  b_1_0 AS (SELECT w, wl, 1 AS pos, CAST(0 AS BIGINT) AS sc,
+                   CAST(0 AS BIGINT) AS n, '' AS seg FROM wt),${vit("1")},
+  fin_1 AS MATERIALIZED (
+    SELECT w, sc, n, TRIM(seg) AS seg FROM b_1_$maxWl WHERE pos = wl + 1),
+  prev_0 AS (SELECT w, TRIM(REGEXP_REPLACE(w, '(.)', '\\1 ', 'g')) AS pseg
+             FROM wt),
+  used_1 AS (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS vu
+             FROM (SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(seg, ' ')) AS s
+                   FROM fin_1)),
+  row_1 AS (
+    SELECT 1 AS iter, CAST(SUM(wt.c * f.sc) AS BIGINT) AS total_score_micro,
+           CAST(SUM(CASE WHEN f.seg != p.pseg THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_words_changed,
+           (SELECT vu FROM used_1) AS vocab_used,
+           CAST(SUM(wt.c * f.n) AS BIGINT) AS total_pieces
+    FROM fin_1 f JOIN wt ON wt.w = f.w JOIN prev_0 p ON p.w = f.w),
+  cnt_1 AS MATERIALIZED (
+    SELECT sym, CAST(SUM(c) AS BIGINT) AS cnt
+    FROM (SELECT w, UNNEST(REGEXP_SPLIT_TO_ARRAY(seg, ' ')) AS sym
+          FROM fin_1) s JOIN wt USING (w) GROUP BY 1),
+  t_1 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM cnt_1),
+  ms_2 AS MATERIALIZED (
+    SELECT mt.*, CAST(ROUND(LN((COALESCE(c1.cnt, 0) + 1)
+        / ((SELECT t FROM t_1) + (SELECT v FROM vv))) * 1000000.0)
+      AS BIGINT) AS score
+    FROM mt LEFT JOIN cnt_1 c1 ON c1.sym = mt.sym),
+  b_2_0 AS (SELECT w, wl, 1 AS pos, CAST(0 AS BIGINT) AS sc,
+                   CAST(0 AS BIGINT) AS n, '' AS seg FROM wt),${vit("2")},
+  fin_2 AS MATERIALIZED (
+    SELECT w, sc, n, TRIM(seg) AS seg FROM b_2_$maxWl WHERE pos = wl + 1),
+  used_2 AS (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS vu
+             FROM (SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(seg, ' ')) AS s
+                   FROM fin_2)),
+  row_2 AS (
+    SELECT 2 AS iter, CAST(SUM(wt.c * f.sc) AS BIGINT) AS total_score_micro,
+           CAST(SUM(CASE WHEN f.seg != p1.seg THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_words_changed,
+           (SELECT vu FROM used_2) AS vocab_used,
+           CAST(SUM(wt.c * f.n) AS BIGINT) AS total_pieces
+    FROM fin_2 f JOIN wt ON wt.w = f.w JOIN fin_1 p1 ON p1.w = f.w)
+  SELECT * FROM row_1 UNION ALL SELECT * FROM row_2 ORDER BY iter"""
+  }
+
   def oracle: Map[String, String] = Map(
+
+    "q201_unigram_em" -> q201OracleSql,
 
     "q194_max_coverage" -> q194OracleSql,
 
     "q196_lsh_planner" -> q196OracleSql,
+
+    "q203_temperature_mix" ->
+      """WITH toks AS (
+           SELECT lang AS grp,
+                  CAST(SUM(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\s+')))
+                    AS BIGINT) AS nt
+           FROM documents GROUP BY 1),
+         q AS (
+           SELECT grp, nt,
+                  CAST(ROUND(SQRT(SQRT(CAST(nt AS DOUBLE))) * 1000000.0)
+                    AS BIGINT) AS m25,
+                  CAST(ROUND(SQRT(CAST(nt AS DOUBLE)) * 1000000.0)
+                    AS BIGINT) AS m50,
+                  CAST(ROUND(SQRT(CAST(nt AS DOUBLE))
+                             * SQRT(SQRT(CAST(nt AS DOUBLE)))
+                             * 1000000.0) AS BIGINT) AS m75
+           FROM toks),
+         tot AS (
+           SELECT CAST(SUM(nt) AS BIGINT) AS t1,
+                  CAST(SUM(m25) AS BIGINT) AS t25,
+                  CAST(SUM(m50) AS BIGINT) AS t50,
+                  CAST(SUM(m75) AS BIGINT) AS t75
+           FROM q)
+         SELECT grp AS lang, nt,
+                ROUND(CAST(nt AS DOUBLE) / CAST(t1 AS DOUBLE), 6) AS w_raw,
+                ROUND(CAST(m25 AS DOUBLE) / CAST(t25 AS DOUBLE), 6) AS w_a25,
+                ROUND(CAST(m50 AS DOUBLE) / CAST(t50 AS DOUBLE), 6) AS w_a50,
+                ROUND(CAST(m75 AS DOUBLE) / CAST(t75 AS DOUBLE), 6) AS w_a75
+         FROM q CROSS JOIN tot ORDER BY lang""",
 
     "q197_incremental_novelty" -> q197OracleSql,
 

@@ -48,6 +48,43 @@ object MiningQueries {
         .orderBy("src", "rn")
     }),
 
+    // contrastive TRIPLET mining: per anchor, the nearest same-label
+    // vector (positive) and nearest different-label vector (negative)
+    // from the SAME filtered bucketed-ANN candidate chain q130 uses —
+    // margin = neg − pos and the m=0 semi-hard violation flag (a
+    // different-label point strictly closer than the nearest positive)
+    "q202_triplet_mining" -> ((s, d) => {
+      val vecs = Tables.t(s, d, "embeddings").select(
+        col("vec_id").as("cell_id"),
+        col("embedding").cast("array<double>").as("latent"),
+        col("label"))
+      val latent = vecs.select("cell_id", "latent")
+      val labels = vecs.select("cell_id", "label")
+      def side(same: Boolean) = graft.pipeline.Knn.bucketedKnn(
+        latent, latent, 1, 0, 6, excludeSelf = true,
+        candFilter = c => c
+          .join(labels.select(col("cell_id").as("src"),
+            col("label").as("_sl")), Seq("src"))
+          .join(labels.select(col("cell_id").as("dst"),
+            col("label").as("_dl")), Seq("dst"))
+          .filter(if (same) col("_sl") === col("_dl")
+                  else col("_sl") =!= col("_dl"))
+          .select("src", "dst", "dist"))
+      val pos = side(same = true).select(col("src"),
+        col("dst").as("pos_dst"), col("dist").as("pos_dist"))
+      val neg = side(same = false).select(col("src"),
+        col("dst").as("neg_dst"), col("dist").as("neg_dist"))
+      pos.join(neg, Seq("src"))
+        .join(labels.select(col("cell_id").as("src"),
+          col("label").as("src_label")), Seq("src"))
+        .select(col("src"), col("src_label"),
+          col("pos_dst"), round(col("pos_dist"), 6).as("pos_dist"),
+          col("neg_dst"), round(col("neg_dist"), 6).as("neg_dist"),
+          round(col("neg_dist") - col("pos_dist"), 6).as("margin"),
+          (col("neg_dist") < col("pos_dist")).cast("long").as("violated"))
+        .orderBy("src")
+    }),
+
     // skip-gram PMI over a 3-token forward context (the word2vec context
     // definition) with a min-count gate — pair extraction is row-local,
     // only (w1, w2) count rows shuffle
@@ -2434,6 +2471,35 @@ object MiningQueries {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                   AS vocab_size
          FROM b ORDER BY bucket""",
+
+    "q202_triplet_mining" ->
+      s"""WITH ${TrainingQueries.annChainSql},
+         lab AS (SELECT vec_id, label FROM embeddings),
+         dd AS (
+           SELECT d.src, d.dst, ROUND(d.dist, 6) AS dist,
+                  la.label AS sl, lb.label AS dl
+           FROM d JOIN lab la ON la.vec_id = d.src
+           JOIN lab lb ON lb.vec_id = d.dst),
+         pos AS (
+           SELECT src, dst AS pos_dst, dist AS pos_dist FROM (
+             SELECT src, dst, dist,
+                    ROW_NUMBER() OVER (PARTITION BY src
+                      ORDER BY dist, dst) AS rn
+             FROM dd WHERE sl = dl) WHERE rn = 1),
+         neg AS (
+           SELECT src, dst AS neg_dst, dist AS neg_dist FROM (
+             SELECT src, dst, dist,
+                    ROW_NUMBER() OVER (PARTITION BY src
+                      ORDER BY dist, dst) AS rn
+             FROM dd WHERE sl != dl) WHERE rn = 1)
+         SELECT p.src, la.label AS src_label, p.pos_dst, p.pos_dist,
+                n.neg_dst, n.neg_dist,
+                ROUND(n.neg_dist - p.pos_dist, 6) AS margin,
+                CAST(CASE WHEN n.neg_dist < p.pos_dist THEN 1 ELSE 0 END
+                  AS BIGINT) AS violated
+         FROM pos p JOIN neg n USING (src)
+         JOIN lab la ON la.vec_id = p.src
+         ORDER BY p.src""",
 
     "q130_hard_negatives" ->
       s"""WITH ${TrainingQueries.annChainSql},

@@ -430,6 +430,28 @@ object Streaming {
       }
   }
 
+  /** q109's streaming twin — rate-anomaly ALERTING: per closing event-
+    * time window, the per-type event count z-scored against a BATCH-
+    * computed baseline (mean/std per type, e.g. from
+    * `Analytics.rateAnomaly`'s historical stats) joined stream-static.
+    * State is the watermarked windowed aggregation only; the baseline
+    * is a |types|-row broadcast, so the alert path deploys with zero
+    * coordination. Emits only windows beyond `threshold` sigmas.
+    */
+  def rateAnomalyStream(events: DataFrame, baseline: DataFrame,
+                        threshold: Double, windowLen: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .join(org.apache.spark.sql.functions.broadcast(baseline),
+        Seq("event_type"))
+      .withColumn("z",
+        round((col("n").cast("double") - col("mean")) / col("std"), 6))
+      .filter(abs(col("z")) >= threshold)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("z"))
+
   /** q195's streaming twin — the memorization/novelty gate applied at
     * ingest as a MAP-ONLY projection: the static corpus's distinct
     * n-gram bit positions fold (distributed aggregation, never the gram

@@ -407,4 +407,40 @@ object Mix {
     pass("consistent", "", "")
       .unionByName(pass("size_salted", s"$n1:", s"$n2:"))
   }
+
+  /** Temperature-scaled mixture weights — the multilingual / multi-source
+    * sampling-exponent table (the mBERT/XLM-R p^α smoothing): per
+    * stratum, the raw token share and the renormalized share under
+    * α ∈ {1/4, 1/2, 3/4}. DYADIC exponents only, computed as sqrt
+    * chains (sqrt is IEEE-correctly-rounded, so c^α is the identical
+    * double in every engine — no exp/ln whose libm may differ at the
+    * ulp); each power quantizes to integer micros BEFORE the
+    * normalizing sum, so the weights are exact integer ratios. One
+    * stratum aggregation; the weight table is |strata| rows.
+    */
+  def temperatureMix(docs: DataFrame, stratum: Column): DataFrame = {
+    val toks = docs.groupBy(stratum.as("grp"))
+      .agg(sum(size(split(col("text"), "\\s+")).cast("long")).as("nt"))
+      .localCheckpoint()
+    val c = col("nt").cast("double")
+    val p25 = sqrt(sqrt(c))
+    val p50 = sqrt(c)
+    val p75 = sqrt(c) * sqrt(sqrt(c))
+    val q = toks.select(col("grp"), col("nt"),
+      round(p25 * lit(1000000.0)).cast("long").as("m25"),
+      round(p50 * lit(1000000.0)).cast("long").as("m50"),
+      round(p75 * lit(1000000.0)).cast("long").as("m75"))
+    val tot = q.agg(sum(col("nt")).as("t1"), sum(col("m25")).as("t25"),
+      sum(col("m50")).as("t50"), sum(col("m75")).as("t75"))
+    q.crossJoin(broadcast(tot))
+      .select(col("grp"), col("nt"),
+        round(col("nt").cast("double") / col("t1").cast("double"), 6)
+          .as("w_raw"),
+        round(col("m25").cast("double") / col("t25").cast("double"), 6)
+          .as("w_a25"),
+        round(col("m50").cast("double") / col("t50").cast("double"), 6)
+          .as("w_a50"),
+        round(col("m75").cast("double") / col("t75").cast("double"), 6)
+          .as("w_a75"))
+  }
 }

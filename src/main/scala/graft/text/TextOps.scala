@@ -1680,6 +1680,90 @@ object TextOps {
       .filter(col("rank") <= topK)
   }
 
+  /** Unigram-LM tokenizer TRAINING via hard (Viterbi) EM — the
+    * SentencePiece trainer's structure, completing the tokenizer
+    * training surface next to q154's BPE merge learning (q160 only
+    * INFERS under fixed counts): the vocabulary seeds with ALL
+    * substrings up to `maxSubLen` of the distinct-word table
+    * (occurrence-weighted counts), then each iteration Viterbi-segments
+    * every distinct word under the current add-one-smoothed unigram
+    * scores (integer micro-nats — the exact-DP discipline of q160) and
+    * re-estimates symbol counts from the chosen segmentations weighted
+    * by corpus word counts. Emits one row per iteration: exact-integer
+    * corpus score Σ c·sc, distinct words whose segmentation changed
+    * (iteration 1 compares against the all-singles split), in-use
+    * vocabulary, total pieces. Everything is vocabulary-bounded — the
+    * DP relaxes the distinct-word match table, never the token stream;
+    * corpus size enters only through the counts.
+    */
+  def unigramEmTrain(docs: DataFrame, emIters: Int = 2,
+                     maxSubLen: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wt = docs.select(explode(tokensCol).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .withColumn("wl", length(col("w")))
+      .localCheckpoint()
+    val occ = wt.select(col("w"), col("c"), col("wl"),
+        explode(expr(s"""flatten(transform(sequence(1, wl), p ->
+          transform(sequence(1, least($maxSubLen, wl - p + 1)), l ->
+            named_struct('pos', p, 'sym', substring(w, p, l),
+                         'slen', l))))""")).as("m"))
+      .select(col("w"), col("c"), col("wl"),
+        col("m.pos"), col("m.sym"), col("m.slen"))
+      .localCheckpoint()
+    val matches = occ.select("w", "pos", "sym", "slen")
+    var cnt = occ.groupBy("sym").agg(sum(col("c")).as("cnt"))
+      .localCheckpoint()
+    val vocabV = cnt.count()
+    val maxWl = wt.agg(max(col("wl"))).head.getInt(0)
+    var prevSeg = wt.select(col("w"),
+      trim(regexp_replace(col("w"), lit("(.)"), lit("$1 "))).as("pseg"))
+    val wBest = Window.partitionBy("w", "pos")
+      .orderBy(col("sc").desc, col("n"), col("seg"))
+    (1 to emIters).map { e =>
+      val tTot = cnt.agg(sum(col("cnt"))).head.getLong(0)
+      val scored = matches
+        .join(cnt, Seq("sym"), "left").na.fill(0L, Seq("cnt"))
+        .select(col("w"), col("pos"), col("sym"), col("slen"),
+          round(log((col("cnt") + lit(1L)) / lit(tTot + vocabV))
+            * lit(1000000.0)).cast("long").as("score"))
+        .localCheckpoint()
+      var best = wt.select(col("w"), col("wl"),
+        lit(1).as("pos"), lit(0L).as("sc"), lit(0L).as("n"),
+        lit("").as("seg"))
+      for (p <- 1 to maxWl) {
+        val expand = best.filter(col("pos") === p)
+          .join(scored.filter(col("pos") === p), Seq("w", "pos"))
+          .select(col("w"), col("wl"), (col("pos") + col("slen")).as("pos"),
+            (col("sc") + col("score")).as("sc"), (col("n") + 1L).as("n"),
+            concat(col("seg"), lit(" "), col("sym")).as("seg"))
+        best = best.unionByName(expand)
+          .withColumn("_rn", row_number().over(wBest))
+          .filter(col("_rn") === 1).drop("_rn")
+        if (p % 4 == 0) best = best.localCheckpoint()
+      }
+      val fin = best.filter(col("pos") === col("wl") + 1)
+        .select(col("w"), col("sc"), col("n"), trim(col("seg")).as("seg"))
+        .localCheckpoint()
+      val used = fin.select(explode(split(col("seg"), " ")).as("s"))
+        .agg(countDistinct(col("s")).as("vocab_used"))
+      val row = fin.join(wt.select("w", "c"), Seq("w"))
+        .join(prevSeg, Seq("w"))
+        .agg(sum(col("c") * col("sc")).as("total_score_micro"),
+          sum(when(col("seg") =!= col("pseg"), 1L).otherwise(0L))
+            .as("n_words_changed"),
+          sum(col("c") * col("n")).as("total_pieces"))
+        .crossJoin(broadcast(used))
+        .select(lit(e).as("iter"), col("total_score_micro"),
+          col("n_words_changed"), col("vocab_used"), col("total_pieces"))
+      cnt = fin.select(col("w"), explode(split(col("seg"), " ")).as("sym"))
+        .join(wt.select("w", "c"), Seq("w"))
+        .groupBy("sym").agg(sum(col("c")).as("cnt")).localCheckpoint()
+      prevSeg = fin.select(col("w"), col("seg").as("pseg"))
+      row
+    }.reduce(_ unionByName _)
+  }
+
   /** Integer DCG coefficients round(10¹²/log₂(i+1)) — computed ONCE
     * driver-side and embedded as literals by BOTH the Spark plan and
     * the oracle builder (the rboSuffix pattern), so gain sums are exact

@@ -218,6 +218,22 @@ class AuditSpec extends SparkSpec {
     assert(r.getAs[Long]("n_rel") == 3L)
   }
 
+  test("unigramEmTrain: hand-built EM flip — whole word at iter 1, parts at iter 2") {
+    // 'qx'×8, 'zj'×8, 'qxzj'×1: iteration 1 keeps the rare whole word
+    // (2/(T+V) = 2/68 > (10/68)²), the M-step collapses T to the piece
+    // total, and iteration 2 flips it ((9/27)² > 2/27)
+    val docs = Seq((1L,
+      (Seq.fill(8)("qx") ++ Seq.fill(8)("zj") ++ Seq("qxzj")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextOps.unigramEmTrain(docs, emIters = 2).orderBy("iter")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val (r1, r2) = (out(0), out(1))
+    assert(r1._3 == 3L && r1._4 == 3L && r1._5 == 17L) // all whole words
+    assert(r2._3 == 1L && r2._4 == 2L && r2._5 == 18L) // only qxzj flips
+    assert(r2._2 > r1._2) // hard-EM total score improves
+  }
+
   test("noveltyStream: map-only bloom gate — copy scores 0, disjoint doc scores 1") {
     import graft.streaming.Streaming
     implicit val sc = spark.sqlContext
@@ -242,6 +258,44 @@ class AuditSpec extends SparkSpec {
     assert(got(11L) == ((6L, 6L, Some(0.0))))
     assert(got(12L) == ((3L, 0L, Some(1.0))))
     assert(got(13L) == ((0L, 0L, None))) // < n tokens → no grams, NULL score
+  }
+
+  test("temperatureMix: hand-computed dyadic smoothing of a 16:1 split") {
+    // strata a:16 tokens, b:1 → raw 16/17; a50: 4:1; a25: 2:1; a75: 8:1
+    val docs = Seq(("a", ("w " * 16).trim), ("b", "w")).toDF("g", "text")
+    val out = graft.text.Mix.temperatureMix(docs, col("g"))
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out(0) == (("a", 16L, 0.941176, 0.666667, 0.8, 0.888889)))
+    assert(out(1) == (("b", 1L, 0.058824, 0.333333, 0.2, 0.111111)))
+  }
+
+  test("rateAnomalyStream: spike window alerts against the static baseline, normal window silent") {
+    import graft.streaming.Streaming
+    implicit val sc = spark.sqlContext
+    val baseline = Seq(("view", 2.0, 1.0)).toDF("event_type", "mean", "std")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Streaming.Event]
+    val q = Streaming.rateAnomalyStream(input.toDF(), baseline,
+        threshold = 3.0)
+      .writeStream.format("memory").queryName("rate_out")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    // hour 10: 8 views (z = 6, alert); hour 11: 2 views (z = 0, silent)
+    val spike = (1 to 8).map(i => Streaming.Event(i, ts(i), 1L, "view", 0.0))
+    val calm = (1 to 2).map(i =>
+      Streaming.Event(100 + i, ts(60 + i), 1L, "view", 0.0))
+    input.addData(spike ++ calm: _*)
+    q.processAllAvailable()
+    // advance the watermark past both windows so they close and emit
+    input.addData(Streaming.Event(999, ts(300), 1L, "view", 0.0))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT event_type, n, z FROM rate_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(got == Set(("view", 8L, 6.0)))
   }
 
   test("htmlExtract: strips blocks (incl '<' inside script), tags with attributes, collapses whitespace") {
