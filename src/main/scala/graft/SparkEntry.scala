@@ -41,7 +41,8 @@ object SparkEntry {
       graft.queries.TemporalQueries.queries ++
       graft.queries.CurationQueries.queries ++
       graft.queries.MiningQueries.queries ++
-      graft.queries.AuditQueries.queries
+      graft.queries.AuditQueries.queries ++
+      graft.queries.StatQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -55,5 +56,6 @@ object SparkEntry {
       graft.queries.TemporalQueries.oracle ++
       graft.queries.CurationQueries.oracle ++
       graft.queries.MiningQueries.oracle ++
-      graft.queries.AuditQueries.oracle
+      graft.queries.AuditQueries.oracle ++
+      graft.queries.StatQueries.oracle
 }

@@ -1,0 +1,159 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Whole-graph structural statistics over undirected edge lists —
+  * the diagnostics a pipeline runs on its near-duplicate candidate
+  * graph before trusting connected-component closure (a high global
+  * clustering coefficient says candidate pairs corroborate each other;
+  * disassortative hubs say one boilerplate node is stitching unrelated
+  * docs together; PageRank ranks the most-connected duplicates).
+  *
+  * Edge schema: `(ida, idb)` with `ida < idb`, one row per undirected
+  * edge. Every kernel here is join+aggregate only — no windows, no
+  * driver-side loops over data. The edge lists come from the banded /
+  * df-capped detectors upstream, whose hot-bucket and df caps already
+  * bound per-node degree (the same boundedness argument as
+  * [[graft.dedup.Dedup.chainContamination]]).
+  */
+object GraphStats {
+
+  private def dirColsOf(e: DataFrame): DataFrame =
+    e.select(col("ida").as("node"), col("idb").as("nbr"))
+      .unionByName(e.select(col("idb").as("node"), col("ida").as("nbr")))
+
+  /** Triangle count and global clustering coefficient.
+    *
+    * Triangles are enumerated once each via the ordered-edge join
+    * (a < b < c): e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) — the standard
+    * distributed triangle-counting plan (three shuffles on edge
+    * endpoints, no node ever sees more than its own neighborhood
+    * squared, which the upstream detector caps bound). Wedges
+    * (open+closed paths of length 2) come from the degree table alone:
+    * Σ deg·(deg−1)/2. Global CC = 3·triangles / wedges — integer until
+    * the single final division.
+    *
+    * Output (one row): n_nodes, n_edges, max_deg, n_wedges,
+    * n_triangles, global_cc.
+    */
+  def triangleStats(edges0: DataFrame): DataFrame = {
+    val e = edges0.select(col("ida").cast("long").as("ida"),
+      col("idb").cast("long").as("idb")).localCheckpoint()
+    val deg = dirColsOf(e).groupBy("node").agg(count(lit(1)).as("deg"))
+    val degAgg = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      max(col("deg")).as("max_deg"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    val tri = e.select(col("ida").as("a"), col("idb").as("b"))
+      .join(e.select(col("ida").as("b"), col("idb").as("c")), Seq("b"))
+      .join(e.select(col("ida").as("a"), col("idb").as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    degAgg.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("max_deg"),
+        col("n_wedges"), col("n_triangles"),
+        round((lit(3) * col("n_triangles")).cast("double")
+          / col("n_wedges").cast("double"), 6).as("global_cc"))
+  }
+
+  /** Degree assortativity: the Pearson correlation of endpoint degrees
+    * over all DIRECTED edge instances (both orientations, so the moment
+    * sums are symmetric and the correlation needs only Σd, Σd², Σd·d').
+    * Every moment is summed in decimal(38,0) (the q150 exact-OLS
+    * discipline), so the statistic is two exact integer polynomials and
+    * ONE final IEEE division — engine-replayable at any scale.
+    *
+    * Output (one row): n_nodes, n_edges, max_deg, assortativity
+    * (NULL when the degree distribution is constant).
+    */
+  def degreeAssortativity(edges0: DataFrame): DataFrame = {
+    val e = edges0.select(col("ida").cast("long").as("ida"),
+      col("idb").cast("long").as("idb")).localCheckpoint()
+    val deg = dirColsOf(e).groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val dp = dirColsOf(e)
+      .join(deg, Seq("node"))
+      .join(deg.select(col("node").as("nbr"), col("deg").as("deg_n")),
+        Seq("nbr"))
+      .agg(count(lit(1)).as("m2"),
+        sum(dec(col("deg"))).as("sx"),
+        sum(dec(col("deg")) * dec(col("deg_n"))).as("sxy"),
+        sum(dec(col("deg")) * dec(col("deg"))).as("sxx"))
+    val degAgg = deg.agg(count(lit(1)).as("n_nodes"),
+      max(col("deg")).as("max_deg"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    dp.crossJoin(broadcast(degAgg)).crossJoin(broadcast(ne))
+      .select(col("n_nodes"), col("n_edges"), col("max_deg"),
+        round(when(dec(col("m2")) * col("sxx") - col("sx") * col("sx") =!= lit(0),
+          (dec(col("m2")) * col("sxy") - col("sx") * col("sx")).cast("double")
+            / (dec(col("m2")) * col("sxx") - col("sx") * col("sx")).cast("double")),
+          6).as("assortativity"))
+  }
+
+  /** Global PageRank, integer-quantized so every engine computes the
+    * identical ranks: each node starts at 10¹² scaled units; one
+    * iteration sends each node's `rank div deg` share to every
+    * neighbor and re-seats `v' = (15·10¹²) div 100 + (85·Σshares) div
+    * 100` (damping 0.85 in exact integer arithmetic; all values
+    * positive, so Spark's `div` and DuckDB's `//` agree). The graph is
+    * undirected (edges used in both orientations), so there are no
+    * dangling nodes and every node receives mass each round.
+    *
+    * Iteration-bound, not volume-bound: `iters` join+agg rounds on the
+    * neighbor key, lineage reset per round ([[graft.core.Lineage]]).
+    * Output: (node, deg, rank_scaled) per node.
+    */
+  /** k-core: the unique maximal subgraph where every node keeps degree
+    * ≥ k — the dense-core detector (a boilerplate hub's neighborhood
+    * survives peeling long after honest pairwise duplicates drop out).
+    * Iterative peel: drop nodes under degree k, re-induce, repeat. The
+    * fixed point is order-independent (the k-core is unique), so a fixed
+    * `rounds` unroll replays engine-exact once converged — and
+    * non-convergence THROWS (the [[ConnectedComponents]] discipline)
+    * rather than returning a not-yet-core subgraph.
+    *
+    * Iteration-bound join+agg rounds; each round's survivor set is a
+    * node-id column only (text/payloads never enter the loop). Output:
+    * (node, core_deg) over the k-core members.
+    */
+  def kCore(edges0: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
+    val e = edges0.select(col("ida").cast("long").as("ida"),
+      col("idb").cast("long").as("idb")).localCheckpoint()
+    def degOf(sub: DataFrame): DataFrame =
+      dirColsOf(sub).groupBy("node").agg(count(lit(1)).as("deg"))
+    def induce(nodes: DataFrame): DataFrame =
+      e.join(nodes.select(col("node").as("ida")), Seq("ida"), "left_semi")
+        .join(nodes.select(col("node").as("idb")), Seq("idb"), "left_semi")
+    var nodes = degOf(e).filter(col("deg") >= k).select("node")
+    for (_ <- 1 to rounds) {
+      nodes = graft.core.Lineage.reset(
+        degOf(induce(nodes)).filter(col("deg") >= k).select("node"))
+    }
+    val converged = degOf(induce(nodes)).filter(col("deg") >= k).count()
+    require(converged == nodes.count(),
+      s"kCore(k=$k) not converged after $rounds rounds")
+    degOf(induce(nodes)).select(col("node"), col("deg").as("core_deg"))
+  }
+
+  def pageRank(edges0: DataFrame, iters: Int = 8): DataFrame = {
+    val e = edges0.select(col("ida").cast("long").as("ida"),
+      col("idb").cast("long").as("idb"))
+    val dir = dirColsOf(e)
+    val deg = dir.groupBy("node").agg(count(lit(1)).as("deg"))
+    val adj = dir.join(deg, Seq("node")).localCheckpoint()
+    var r = adj.select("node").distinct()
+      .select(col("node"), lit(1000000000000L).as("r"))
+    for (_ <- 1 to iters) {
+      r = adj.join(r, Seq("node"))
+        .groupBy(col("nbr"))
+        .agg(sum(expr("r div deg")).as("s"))
+        .select(col("nbr").as("node"),
+          (lit(150000000000L) + expr("(85 * s) div 100")).as("r"))
+      r = graft.core.Lineage.reset(r)
+    }
+    r.join(deg, Seq("node"))
+      .select(col("node"), col("deg"), col("r").as("rank_scaled"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.graph.GraphStats
+
+/** Specs for the near-dup-graph structural statistics (q204–q206):
+  * triangle census, integer-quantized PageRank, and degree
+  * assortativity. The driver oracles check the full planted-universe
+  * values; these pin the formulas on hand-computed graphs.
+  */
+class GraphStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("triangleStats: triangle + pendant gives hand-computed census") {
+    // Edges: triangle (1,2),(1,3),(2,3) plus pendant (3,4).
+    // Degrees 1:2, 2:2, 3:3, 4:1 → wedges = 1+1+3+0 = 5; triangles = 1;
+    // global CC = 3·1/5 = 0.6.
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("ida", "idb")
+    val r = GraphStats.triangleStats(e).collect().head
+    assert(r.getAs[Long]("n_nodes") == 4L)
+    assert(r.getAs[Long]("n_edges") == 4L)
+    assert(r.getAs[Long]("max_deg") == 3L)
+    assert(r.getAs[Long]("n_wedges") == 5L)
+    assert(r.getAs[Long]("n_triangles") == 1L)
+    assert(r.getAs[Double]("global_cc") == 0.6)
+  }
+
+  test("triangleStats: triangle-free star counts zero triangles") {
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("ida", "idb")
+    val r = GraphStats.triangleStats(e).collect().head
+    assert(r.getAs[Long]("n_triangles") == 0L)
+    assert(r.getAs[Long]("n_wedges") == 3L) // center deg 3 → C(3,2)
+  }
+
+  test("degreeAssortativity: star is exactly −1, constant-degree graph is NULL") {
+    // Star 1–{2,3,4}: every edge joins deg 3 to deg 1 → r = −1 exactly.
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("ida", "idb")
+    val r1 = GraphStats.degreeAssortativity(star).collect().head
+    assert(r1.getAs[Double]("assortativity") == -1.0)
+    // Single edge: both endpoints deg 1 → zero variance → NULL.
+    val edge = Seq((1L, 2L)).toDF("ida", "idb")
+    val r2 = GraphStats.degreeAssortativity(edge).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("assortativity")))
+  }
+
+  test("pageRank: regular graph is the exact fixed point; star ranks center first") {
+    // Two-node regular graph: each node sends its whole rank each round,
+    // v' = 0.15e12 + 0.85e12 = 1e12 — the initial vector IS the fixed
+    // point, bit-exactly, at any iteration count.
+    val edge = Seq((1L, 2L)).toDF("ida", "idb")
+    val fixed = GraphStats.pageRank(edge, iters = 3).collect()
+    assert(fixed.forall(_.getAs[Long]("rank_scaled") == 1000000000000L))
+    // Star: the center aggregates three leaf shares each round.
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("ida", "idb")
+    val ranks = GraphStats.pageRank(star, iters = 8).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank_scaled")).toMap
+    assert(ranks(1L) > ranks(2L))
+    assert(ranks(2L) == ranks(3L) && ranks(3L) == ranks(4L))
+  }
+}
