@@ -467,4 +467,91 @@ object Analytics {
         sum(when(col("gn") < col("k"), col("gn")).otherwise(0L))
           .as("rows_at_risk"))
   }
+
+  /** Hour-of-day seasonality profile per event type: count and share of
+    * each type's events by UTC hour, plus the peak-hour flag — the
+    * calendar baseline behind rate-anomaly thresholds (q109's weekly
+    * z-scores alarm on volume; this is the intra-day shape they must
+    * not alarm on). One (type, hour) aggregation, a |types|-row max
+    * join-back for the peak (never a window over the log), integer
+    * counts with one final division.
+    */
+  /** Benford first-digit probabilities log10(1 + 1/d), pinned to 12 dp
+    * as shared literals so both engines evaluate the identical doubles
+    * (never a per-engine log10 call).
+    */
+  val benfordPpt: Seq[(Int, Double)] = Seq(
+    1 -> 0.301029995664, 2 -> 0.176091259056, 3 -> 0.124938736608,
+    4 -> 0.096910013008, 5 -> 0.079181246048, 6 -> 0.066946789631,
+    7 -> 0.057991946978, 8 -> 0.051152522447, 9 -> 0.045757490561)
+
+  /** Leading-digit profile of a metric per event type with a Benford
+    * chi-square score — the numeric data-quality gate (fabricated or
+    * unit-mixed value columns betray themselves in the first digit
+    * long before distribution tests fire). The digit is extracted from
+    * the INTEGER cent representation's decimal string (q185's exact
+    * centi-unit quantization), so no log10/pow is ever applied to the
+    * value; each chi-square term is micro-quantized before the 9-term
+    * integer sum (no float accumulation order). Zero-count digits are
+    * materialized from the type × 1..9 domain so the statistic is over
+    * all nine cells. Output per (event_type, digit): n, share,
+    * p_benford, chi2 (per-type, repeated).
+    */
+  def leadingDigitProfile(events: DataFrame): DataFrame = {
+    val cents = events
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+      .filter(col("c") > 0)
+    val counts = cents
+      .select(col("event_type"),
+        substring(col("c").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("event_type", "digit").agg(count(lit(1)).as("n0"))
+    val domain = counts.select("event_type").distinct()
+      .crossJoin(broadcast(
+        counts.sparkSession.range(1, 10).select(col("id").cast("int")
+          .as("digit"))))
+    val p = benfordPpt.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, pd)) => when(col("digit") === d, lit(pd)).otherwise(acc)
+    }
+    val full = domain.join(counts, Seq("event_type", "digit"), "left")
+      .select(col("event_type"), col("digit"),
+        coalesce(col("n0"), lit(0L)).as("n"), p.as("p_benford"))
+    val tot = full.groupBy("event_type").agg(sum(col("n")).as("n_tot"))
+    val terms = full.join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("digit"), col("n"), col("p_benford"),
+        col("n_tot"),
+        // (obs − exp)²/exp micro-quantized per digit, THEN integer-summed
+        round((col("n").cast("double")
+          - col("n_tot").cast("double") * col("p_benford"))
+          * (col("n").cast("double")
+            - col("n_tot").cast("double") * col("p_benford"))
+          / (col("n_tot").cast("double") * col("p_benford"))
+          * 1000000.0).cast("long").as("term_micro"))
+      .localCheckpoint() // two consumers: chi2 rollup + per-digit rows
+    val chi2 = terms.groupBy(col("event_type").as("et2"))
+      .agg(sum(col("term_micro")).as("chi2_micro"))
+    terms.join(broadcast(chi2), col("event_type") === col("et2"))
+      .select(col("event_type"), col("digit"), col("n"),
+        round(col("n").cast("double") / col("n_tot").cast("double"), 6)
+          .as("share"),
+        col("p_benford"),
+        round(col("chi2_micro").cast("double") / 1000000.0, 6).as("chi2"))
+  }
+
+  def hourProfile(events: DataFrame): DataFrame = {
+    val byHour = events
+      .groupBy(col("event_type"),
+        // epoch-ns → UTC hour in pure integer arithmetic (ts_ns > 0,
+        // so div/% agree with DuckDB's // on EPOCH_US)
+        expr("(ts_ns div 3600000000000) % 24").as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // three consumers: totals, peak, result
+    val totals = byHour.groupBy("event_type")
+      .agg(sum(col("n")).as("total"), max(col("n")).as("max_n"))
+    byHour.join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("hr"), col("n"),
+        round(col("n").cast("double") / col("total").cast("double"), 6)
+          .as("share"),
+        (col("n") === col("max_n")).as("is_peak"))
+  }
 }

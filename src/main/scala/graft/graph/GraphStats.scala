@@ -137,6 +137,66 @@ object GraphStats {
     degOf(induce(nodes)).select(col("node"), col("deg").as("core_deg"))
   }
 
+  /** Per-node clustering coefficient: how much of each node's
+    * neighborhood is itself connected — the node-level view of
+    * [[triangleStats]] (a doc whose duplicate-candidates corroborate
+    * each other vs a hub stitching strangers). Triangles are counted
+    * once via the ordered join and credited to all three corners;
+    * wedges come from the degree alone. Output per node: node, deg,
+    * n_tri, n_wedges, local_cc (NULL for degree-1 nodes).
+    */
+  def localClustering(edges0: DataFrame): DataFrame = {
+    val e = edges0.select(col("ida").cast("long").as("ida"),
+      col("idb").cast("long").as("idb")).localCheckpoint()
+    val deg = dirColsOf(e).groupBy("node").agg(count(lit(1)).as("deg"))
+    val corners = e.select(col("ida").as("a"), col("idb").as("b"))
+      .join(e.select(col("ida").as("b"), col("idb").as("c")), Seq("b"))
+      .join(e.select(col("ida").as("a"), col("idb").as("c")), Seq("a", "c"))
+    val triPerNode = corners.select(col("a").as("node"))
+      .unionByName(corners.select(col("b").as("node")))
+      .unionByName(corners.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(triPerNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        expr("deg * (deg - 1) div 2").as("n_wedges"),
+        round(when(col("deg") >= 2,
+          coalesce(col("n_tri"), lit(0L)).cast("double")
+            / expr("deg * (deg - 1) div 2").cast("double")), 6)
+          .as("local_cc"))
+  }
+
+  /** Deterministic label propagation: community detection on the
+    * candidate graph WITHOUT the transitive sweep of connected
+    * components — a bridge edge between two dense duplicate cliques
+    * loses the vote that CC closure would have won by fiat. Synchronous
+    * rounds; each node votes its own current label once plus one vote
+    * per neighbor, and adopts the (count desc, label asc) winner — the
+    * self-vote breaks the 2-cycle oscillation of textbook LPA and makes
+    * a fixed `rounds` unroll engine-replayable (no RNG tie-breaks).
+    * Iteration-bound join+agg rounds, labels are node ids (never
+    * payloads). Output per node: node, community.
+    */
+  def labelPropagation(edges0: DataFrame, rounds: Int = 4): DataFrame = {
+    val e = edges0.select(col("ida").cast("long").as("ida"),
+      col("idb").cast("long").as("idb"))
+    val dir = dirColsOf(e).localCheckpoint()
+    var lbl = dir.select("node").distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to rounds) {
+      val votes = dir
+        .join(lbl.select(col("node").as("nbr"), col("lbl")), Seq("nbr"))
+        .select("node", "lbl")
+        .unionByName(lbl)
+      lbl = graft.core.Lineage.reset(
+        votes.groupBy("node", "lbl").agg(count(lit(1)).as("cnt"))
+          .groupBy("node")
+          .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("w"))
+          .select(col("node"), (-col("w.nl")).as("lbl")))
+    }
+    lbl.select(col("node"), col("lbl").as("community"))
+  }
+
   def pageRank(edges0: DataFrame, iters: Int = 8): DataFrame = {
     val e = edges0.select(col("ida").cast("long").as("ida"),
       col("idb").cast("long").as("idb"))

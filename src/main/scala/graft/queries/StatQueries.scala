@@ -5,16 +5,19 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.dedup.Dedup
 import graft.graph.GraphStats
+import graft.text.TextOps
 
 /** Round-6 tenth tail: structural statistics of the near-duplicate
   * candidate graph (triangle closure, degree assortativity, global
-  * PageRank) and distribution-shape gates. The graph queries all run on
-  * one shared edge list: the q120 sweep universe's exact-Jaccard pairs
-  * at J ≥ 2/5 — full copies (~0.9), half copies (~0.5) and the
-  * half-vs-full closure edges all clear the bar, so each %40 doc plants
-  * a guaranteed triangle (base, +1e6 full copy, +2e6 half copy) and the
-  * reports are never vacuous. Each query pairs with an independently
-  * written DuckDB oracle below.
+  * PageRank, k-core peeling, threshold sweep of component closure) and
+  * corpus distribution-shape gates (label-noise audit, hour-of-day
+  * seasonality, Heaps' law vocabulary growth, readability). The graph
+  * queries all run on one shared edge list: the q120 sweep universe's
+  * exact-Jaccard pairs at J ≥ 2/5 — full copies (~0.9), half copies
+  * (~0.5) and the half-vs-full closure edges all clear the bar, so each
+  * %40 doc plants a guaranteed triangle (base, +1e6 full copy, +2e6
+  * half copy) and the reports are never vacuous. Each query pairs with
+  * an independently written DuckDB oracle below.
   */
 object StatQueries {
 
@@ -27,6 +30,18 @@ object StatQueries {
     Dedup.sharedShinglePairs(TrainingQueries.sweepShingles(s, d), dfCap = 500)
       .filter(col("inter") * 5 >= (col("sza") + col("szb") - col("inter")) * 2)
       .select("ida", "idb")
+
+  /** The sweep universe's document ids (base %20, full copies +1e6,
+    * half copies +2e6) — the CC closure's singleton-aware node set.
+    */
+  private def sweepUniverse(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).filter(col("doc_id") % 20 === 0).select("doc_id")
+    val dups = docs(s, d).filter(col("doc_id") % 40 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"))
+    val halves = docs(s, d).filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"))
+    base.unionByName(dups).unionByName(halves)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -48,16 +63,163 @@ object StatQueries {
     // spoke (boilerplate stitching), positive = clique-like duplicate
     // clusters; exact decimal(38) moment sums, one IEEE division
     "q206_assortativity" -> ((s, d) =>
-      GraphStats.degreeAssortativity(sweepEdges(s, d))))
+      GraphStats.degreeAssortativity(sweepEdges(s, d))),
+
+    // 2-core of the near-dup graph: iterative peel to the unique
+    // maximal subgraph of min-degree 2 — pendant candidate pairs drop,
+    // the mutually-corroborating dense cores (planted triangles)
+    // survive; non-convergence throws rather than under-peeling
+    "q207_kcore" -> ((s, d) =>
+      GraphStats.kCore(sweepEdges(s, d), k = 2, rounds = 8)
+        .orderBy("node")),
+
+    // dedup-aggressiveness curve: connected-component closure of the
+    // exact-Jaccard graph at thresholds 2/5, 3/5, 4/5 — groups, docs
+    // swept in, max group size and keep-one removals per threshold (the
+    // "what does raising the bar buy" report behind q120's pair-level
+    // histogram); one pair table feeds all three closures
+    "q208_cc_threshold_sweep" -> ((s, d) => {
+      val pairs = Dedup.sharedShinglePairs(
+        TrainingQueries.sweepShingles(s, d), dfCap = 500).localCheckpoint()
+      val uni = sweepUniverse(s, d).localCheckpoint()
+      val summaries = Seq((2, 5), (3, 5), (4, 5)).map { case (num, den) =>
+        val edges = pairs.filter(
+          col("inter") * den >= (col("sza") + col("szb") - col("inter")) * num)
+          .select("ida", "idb")
+        Dedup.nearDupGroups(uni, edges).agg(
+            countDistinct(when(col("n_docs") >= 2, col("group_id")))
+              .as("n_dup_groups"),
+            sum(when(col("n_docs") >= 2, 1L).otherwise(0L))
+              .as("n_docs_in_dups"),
+            max(col("n_docs")).as("max_group"),
+            sum(when(col("doc_id") =!= col("group_id"), 1L).otherwise(0L))
+              .as("n_removed"))
+          .select(lit(num.toLong).as("thr_num"), lit(den.toLong).as("thr_den"),
+            col("n_dup_groups"), col("n_docs_in_dups"), col("max_group"),
+            col("n_removed"))
+      }
+      summaries.reduce(_.unionByName(_)).orderBy("thr_num")
+    }),
+
+    // label-noise audit (confident-learning shape): per vector, how many
+    // of its 5 nearest neighbors (bucketed ANN, q57's chain) carry a
+    // DIFFERENT label — majority disagreement flags a suspect label.
+    // Honest result on this corpus: labels carry no geometry (q124/q162
+    // said the same), so most vectors are suspects — exactly what the
+    // audit exists to surface before anyone trains on these labels
+    "q209_label_noise" -> ((s, d) => {
+      val vecs = Tables.t(s, d, "embeddings").select(
+        col("vec_id").as("cell_id"),
+        col("embedding").cast("array<double>").as("latent"),
+        col("label"))
+      val latent = vecs.select("cell_id", "latent")
+      val labels = vecs.select("cell_id", "label")
+      graft.pipeline.Knn.bucketedKnn(latent, latent, 5, 0, 6,
+          excludeSelf = true)
+        .join(labels.select(col("cell_id").as("src"),
+          col("label").as("src_label")), Seq("src"))
+        .join(labels.select(col("cell_id").as("dst"),
+          col("label").as("dst_label")), Seq("dst"))
+        .groupBy("src", "src_label")
+        .agg(count(lit(1)).as("k_found"),
+          sum(when(col("dst_label") =!= col("src_label"), 1L).otherwise(0L))
+            .as("n_diff"))
+        .select(col("src"), col("src_label"), col("k_found"), col("n_diff"),
+          (col("n_diff") * 2 > col("k_found")).as("suspect"))
+        .orderBy("src")
+    }),
+
+    // hour-of-day seasonality per event type: count/share by UTC hour +
+    // the peak-hour flag — the intra-day baseline behind q109's weekly
+    // rate-anomaly thresholds; pure integer hour arithmetic on epoch-ns
+    "q210_hour_profile" -> ((s, d) =>
+      graft.analytics.Analytics.hourProfile(Tables.events(s, d))
+        .orderBy("event_type", "hr")),
+
+    // Heaps' law fit: type count at 8 corpus-order prefixes, OLS of
+    // ln V on ln n — the vocabulary-saturation exponent (how much new
+    // vocabulary another 10x of crawl buys). Measured for words AND
+    // word-3-grams: the synthetic word vocabulary saturates in the
+    // first eighth (β = 0 — honest), while the phrase space still grows
+    // (β > 0) — the two-row contrast is the crawl-more signal.
+    // Nano-quantized lns, exact decimal(38) moment sums.
+    "q211_heaps_fit" -> ((s, d) =>
+      TextOps.heapsFit(docs(s, d), nPrefixes = 8, gramN = 1)
+        .unionByName(TextOps.heapsFit(docs(s, d), nPrefixes = 8, gramN = 3))
+        .orderBy("gram_n")),
+
+    // per-source Flesch readability: words/sentences/syllables as exact
+    // regexp-run counts (sentence terminators PLANTED on every 7th doc —
+    // the synthetic corpus has no punctuation, and a gate that always
+    // reads greatest(1,0) proves nothing about the sentence branch)
+    "q212_readability" -> ((s, d) =>
+      TextOps.readability(docs(s, d).select(col("source"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(". "), col("text"), lit("!")))
+            .otherwise(col("text")).as("text")))
+        .orderBy("source")),
+
+    // per-node clustering coefficient: which documents sit in mutually-
+    // corroborating duplicate cliques (cc → 1) vs which hubs stitch
+    // strangers (cc → 0) — q204's census resolved to the node level
+    "q213_local_cc" -> ((s, d) =>
+      GraphStats.localClustering(sweepEdges(s, d)).orderBy("node")),
+
+    // deterministic label propagation (4 synchronous rounds, self-vote
+    // tie-broken count-desc/label-asc): community structure WITHOUT the
+    // transitive sweep of CC closure — a bridge edge between two dense
+    // cliques loses the vote it would have won by fiat in q70
+    "q214_label_prop" -> ((s, d) =>
+      GraphStats.labelPropagation(sweepEdges(s, d), rounds = 4)
+        .orderBy("node")),
+
+    // IPF raking of (lang, source) sampling weights to uniform marginals
+    // on BOTH axes at once — the survey-statistics move behind a mixture
+    // recipe with two simultaneous stratifications; all-integer ppm
+    // arithmetic, 4 full rounds on the |langs|x|sources| cell table
+    "q215_ipf_rake" -> ((s, d) =>
+      graft.text.Mix.ipfRake(docs(s, d), col("lang"), col("source"),
+          rounds = 4)
+        .orderBy("grp_r", "grp_c")),
+
+    // Benford leading-digit profile of the value column per event type +
+    // micro-quantized chi-square — the numeric data-quality gate; digits
+    // come from the exact integer cent string, never log10(value).
+    // Honest result: the synthetic uniform-ish values are NOT Benford
+    // (huge chi2) — which is exactly what the gate reports on data whose
+    // magnitudes don't span decades
+    "q216_benford" -> ((s, d) =>
+      graft.analytics.Analytics.leadingDigitProfile(Tables.events(s, d))
+        .orderBy("event_type", "digit")),
+
+    // cross-source quantile normalization of doc length: each doc's
+    // within-source nearest-rank quantile mapped to the pooled
+    // distribution's order statistic — score calibration before any
+    // cross-source threshold; window-free exact-integer rank arithmetic
+    "q217_quantile_norm" -> ((s, d) =>
+      TextOps.quantileNormalize(docs(s, d), col("doc_id"), col("source"),
+          col("n_chars"))
+        .orderBy("id")),
+
+    // per-doc char-level Shannon entropy + exact-integer low flag: the
+    // cheapest repetitive-garbage detector. Low-entropy docs are PLANTED
+    // (every 11th doc becomes 'ha ' x 40, H = ln 3 ≈ 1.10 nats) — the
+    // natural corpus sits near 3 nats, so the 2.0-nat gate is exercised
+    // in both directions at every SF
+    "q218_char_entropy" -> ((s, d) =>
+      TextOps.charEntropy(docs(s, d).select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, expr("repeat('ha ', 40)"))
+            .otherwise(col("text")).as("text")))
+        .orderBy("doc_id")))
 
   /** Shared oracle chain: sweep universe shingles → df-capped
-    * inverted-index pairs → exact-integer Jaccard ≥ 2/5 edge list.
-    * `sweepChainSql`'s sig/band CTEs are unreferenced here and pruned
-    * by DuckDB.
+    * inverted-index pair table with sizes — the threshold-independent
+    * prefix (`sweepChainSql`'s sig/band CTEs are unreferenced here and
+    * pruned by DuckDB).
     */
-  private val edgeChainSql =
+  private val pairBaseSql =
     s"""${TrainingQueries.sweepChainSql},
-       shc AS (
+       shc AS MATERIALIZED (
          SELECT * FROM psh WHERE shingle IN (
            SELECT shingle FROM psh GROUP BY shingle HAVING COUNT(*) <= 500)),
        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id),
@@ -65,15 +227,22 @@ object StatQueries {
          SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter
          FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          GROUP BY 1, 2),
-       edges AS (
-         SELECT i.ida, i.idb FROM inter i
+       ej AS MATERIALIZED (
+         SELECT i.ida, i.idb, i.inter, sa.sz AS sza, sb.sz AS szb
+         FROM inter i
          JOIN sizes sa ON i.ida = sa.doc_id
-         JOIN sizes sb ON i.idb = sb.doc_id
-         WHERE i.inter * 5 >= (sa.sz + sb.sz - i.inter) * 2),
-       dirn AS (SELECT ida AS node, idb AS nbr FROM edges
+         JOIN sizes sb ON i.idb = sb.doc_id)"""
+
+  /** The J ≥ 2/5 edge list + degree table the graph queries share. */
+  private val edgeChainSql =
+    s"""$pairBaseSql,
+       edges AS MATERIALIZED (
+         SELECT ida, idb FROM ej
+         WHERE inter * 5 >= (sza + szb - inter) * 2),
+       dirn AS MATERIALIZED (SELECT ida AS node, idb AS nbr FROM edges
                 UNION ALL
                 SELECT idb, ida FROM edges),
-       deg AS (SELECT node, COUNT(*) AS deg FROM dirn GROUP BY node)"""
+       deg AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM dirn GROUP BY node)"""
 
   /** q205's replay: `iters` unrolled share-and-reseat stages, all
     * integer (`//` and Spark's `div` agree on positive operands).
@@ -88,13 +257,143 @@ object StatQueries {
            GROUP BY a.nbr)"""
     }.mkString(",\n         ")
     s"""WITH $edgeChainSql,
-       adj AS (SELECT d.node, d.nbr, g.deg FROM dirn d
+       adj AS MATERIALIZED (SELECT d.node, d.nbr, g.deg FROM dirn d
                JOIN deg g ON d.node = g.node),
        r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM deg),
        $stages
        SELECT r.node AS node, g.deg AS deg, r.r AS rank_scaled
        FROM r$iters r JOIN deg g ON r.node = g.node
        ORDER BY r.node"""
+  }
+
+  /** q207's replay: `rounds` unrolled peel stages (survivors = nodes
+    * with induced degree ≥ k); converged by the Spark side's require.
+    */
+  private def kCoreSql(k: Int, rounds: Int): String = {
+    val stages = (1 to rounds).map { i =>
+      s"""e$i AS MATERIALIZED (
+           SELECT ida, idb FROM edges
+           WHERE ida IN (SELECT node FROM n${i - 1})
+             AND idb IN (SELECT node FROM n${i - 1})),
+         n$i AS MATERIALIZED (
+           SELECT node FROM (SELECT ida AS node FROM e$i
+                             UNION ALL SELECT idb FROM e$i)
+           GROUP BY node HAVING COUNT(*) >= $k)"""
+    }.mkString(",\n         ")
+    s"""WITH $edgeChainSql,
+       n0 AS (SELECT node FROM deg WHERE deg >= $k),
+       $stages,
+       ef AS (
+         SELECT ida, idb FROM edges
+         WHERE ida IN (SELECT node FROM n$rounds)
+           AND idb IN (SELECT node FROM n$rounds))
+       SELECT node, COUNT(*) AS core_deg
+       FROM (SELECT ida AS node FROM ef
+             UNION ALL SELECT idb FROM ef)
+       GROUP BY node ORDER BY node"""
+  }
+
+  /** q208's replay: one pair table, three recursive min-label closures
+    * (the q70 technique), three summary rows.
+    */
+  private val ccSweepSql = {
+    val per = Seq((2, 5), (3, 5), (4, 5)).map { case (num, den) =>
+      s"""eg$num AS MATERIALIZED (
+           SELECT ida, idb FROM ej
+           WHERE inter * $den >= (sza + szb - inter) * $num),
+         dg$num AS (SELECT ida AS s, idb AS t FROM eg$num
+                    UNION ALL SELECT idb, ida FROM eg$num),
+         reach$num AS (
+           SELECT doc_id AS node, doc_id AS lbl FROM uni
+           UNION
+           SELECT e.t, r.lbl FROM reach$num r JOIN dg$num e ON e.s = r.node),
+         comp$num AS (SELECT node AS doc_id, MIN(lbl) AS group_id
+                      FROM reach$num GROUP BY node),
+         sz$num AS (SELECT group_id, COUNT(*) AS n_docs
+                    FROM comp$num GROUP BY group_id),
+         sum$num AS (
+           SELECT CAST($num AS BIGINT) AS thr_num,
+                  CAST($den AS BIGINT) AS thr_den,
+                  (SELECT COUNT(*) FROM sz$num WHERE n_docs >= 2)
+                    AS n_dup_groups,
+                  (SELECT CAST(COALESCE(SUM(n_docs), 0) AS BIGINT)
+                   FROM sz$num WHERE n_docs >= 2) AS n_docs_in_dups,
+                  (SELECT CAST(MAX(n_docs) AS BIGINT) FROM sz$num)
+                    AS max_group,
+                  (SELECT COUNT(*) FROM comp$num WHERE doc_id != group_id)
+                    AS n_removed)"""
+    }.mkString(",\n       ")
+    s"""WITH RECURSIVE $pairBaseSql,
+       uni AS (SELECT doc_id FROM spl),
+       $per
+       SELECT * FROM sum2 UNION ALL SELECT * FROM sum3
+       UNION ALL SELECT * FROM sum4 ORDER BY thr_num"""
+  }
+
+  /** q214's replay: `rounds` unrolled vote-count-pick stages; the
+    * self-vote is one UNION ALL of the previous labels, the pick is the
+    * (cnt desc, lbl asc) ROW_NUMBER cut.
+    */
+  private def labelPropSql(rounds: Int): String = {
+    val stages = (1 to rounds).map { i =>
+      s"""v$i AS (
+           SELECT d.node, l.lbl FROM dirn d
+           JOIN l${i - 1} l ON d.nbr = l.node
+           UNION ALL SELECT node, lbl FROM l${i - 1}),
+         c$i AS (SELECT node, lbl, COUNT(*) AS cnt FROM v$i GROUP BY 1, 2),
+         l$i AS (
+           SELECT node, lbl FROM (
+             SELECT node, lbl, ROW_NUMBER() OVER (
+               PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rn
+             FROM c$i) WHERE rn = 1)"""
+    }.mkString(",\n       ")
+    s"""WITH $edgeChainSql,
+       l0 AS (SELECT node, node AS lbl FROM deg),
+       $stages
+       SELECT node, lbl AS community FROM l$rounds ORDER BY node"""
+  }
+
+  /** q215's replay: `rounds` unrolled row/col scaling half-steps, all
+    * HUGEINT (mass sums, factor, reseat — truncating `//` is part of
+    * the raking definition, identical to Spark's decimal `div`).
+    */
+  private def ipfRakeSql(rounds: Int): String = {
+    val steps = (1 to 2 * rounds).map { k =>
+      val key = if (k % 2 == 1) "grp_r" else "grp_c"
+      s"""m$k AS MATERIALIZED (
+                  SELECT $key, SUM(CAST(n AS HUGEINT) * w) AS m
+                  FROM c${k - 1} GROUP BY 1),
+         g$k AS MATERIALIZED (SELECT SUM(m) AS grand, COUNT(*) AS ns
+                              FROM m$k),
+         f$k AS MATERIALIZED (
+                 SELECT m.$key,
+                        ((1000000 // g.ns) * g.grand) // m.m AS factor
+                 FROM m$k m, g$k g),
+         c$k AS MATERIALIZED (
+                 SELECT c.grp_r, c.grp_c, c.n,
+                        (CAST(c.w AS HUGEINT) * f.factor) // 1000000 AS w
+                 FROM c${k - 1} c JOIN f$k f USING ($key))"""
+    }.mkString(",\n       ")
+    val last = 2 * rounds
+    s"""WITH c0 AS MATERIALIZED (
+         SELECT lang AS grp_r, source AS grp_c, COUNT(*) AS n,
+                CAST(1000000 AS HUGEINT) AS w
+         FROM documents GROUP BY 1, 2),
+       $steps,
+       mrf AS MATERIALIZED (
+               SELECT grp_r, SUM(CAST(n AS HUGEINT) * w) AS mr
+               FROM c$last GROUP BY 1),
+       mcf AS MATERIALIZED (
+               SELECT grp_c, SUM(CAST(n AS HUGEINT) * w) AS mc
+               FROM c$last GROUP BY 1),
+       gf AS MATERIALIZED (SELECT SUM(CAST(n AS HUGEINT) * w) AS g
+                           FROM c$last)
+       SELECT c.grp_r, c.grp_c, c.n, CAST(c.w AS BIGINT) AS w_ppm,
+              CAST((mrf.mr * 1000000) // gf.g AS BIGINT) AS row_share_ppm,
+              CAST((mcf.mc * 1000000) // gf.g AS BIGINT) AS col_share_ppm
+       FROM c$last c
+       JOIN mrf USING (grp_r) JOIN mcf USING (grp_c), gf
+       ORDER BY c.grp_r, c.grp_c"""
   }
 
   def oracle: Map[String, String] = Map(
@@ -139,5 +438,232 @@ object StatQueries {
                               / CAST(CAST(dp.m2 AS HUGEINT) * dp.sxx
                                      - dp.sx * dp.sx AS DOUBLE)
                       END, 6) AS assortativity
-         FROM dp, da2, ne""")
+         FROM dp, da2, ne""",
+
+    "q207_kcore" -> kCoreSql(2, 8),
+
+    "q208_cc_threshold_sweep" -> ccSweepSql,
+
+    "q209_label_noise" ->
+      s"""WITH ${TrainingQueries.annChainSql},
+         lab AS (SELECT vec_id, label FROM embeddings),
+         t5 AS (SELECT src, dst FROM topk WHERE rn <= 5)
+         SELECT t.src AS src, la.label AS src_label,
+                COUNT(*) AS k_found,
+                CAST(SUM(CASE WHEN lb.label != la.label THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_diff,
+                CAST(SUM(CASE WHEN lb.label != la.label THEN 1 ELSE 0 END)
+                     AS BIGINT) * 2 > COUNT(*) AS suspect
+         FROM t5 t
+         JOIN lab la ON t.src = la.vec_id
+         JOIN lab lb ON t.dst = lb.vec_id
+         GROUP BY t.src, la.label
+         ORDER BY src""",
+
+    "q210_hour_profile" ->
+      """WITH bh AS (
+           SELECT event_type, (EPOCH_US(ts) // 3600000000) % 24 AS hr,
+                  COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+         tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS total,
+                        CAST(MAX(n) AS BIGINT) AS max_n
+                 FROM bh GROUP BY 1)
+         SELECT b.event_type, b.hr, b.n,
+                ROUND(CAST(b.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+                  AS share,
+                b.n = t.max_n AS is_peak
+         FROM bh b JOIN tot t USING (event_type)
+         ORDER BY event_type, hr""",
+
+    "q211_heaps_fit" -> {
+      def chain(n: Int): String = {
+        val gram = (0 until n).map(j => s"w[i + $j]").mkString(" || ' ' || ")
+        s"""WITH ord AS (
+           SELECT doc_id, text,
+                  ROW_NUMBER() OVER (ORDER BY doc_id) AS pos
+           FROM documents),
+         tok AS (
+           SELECT pos, $gram AS tok
+           FROM (SELECT pos, REGEXP_SPLIT_TO_ARRAY(text, '\\s+') AS w
+                 FROM ord) t,
+                LATERAL (SELECT UNNEST(RANGE(1, LEN(w) + 2 - $n)) AS i)),
+         fp AS (SELECT tok, MIN(pos) AS first_pos FROM tok GROUP BY tok),
+         dt AS (SELECT pos, COUNT(*) AS n_tok FROM tok GROUP BY pos),
+         nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+         cuts AS (
+           SELECT i, (nd.n_docs * i) // 8 AS cut
+           FROM (SELECT UNNEST(RANGE(1, 9)) AS i), nd),
+         ni AS (SELECT c.i, CAST(SUM(dt.n_tok) AS BIGINT) AS n_i
+                FROM cuts c JOIN dt ON dt.pos <= c.cut GROUP BY c.i),
+         vi AS (SELECT c.i, COUNT(*) AS v_i
+                FROM cuts c JOIN fp ON fp.first_pos <= c.cut GROUP BY c.i),
+         pts AS (
+           SELECT ni.i, ni.n_i, vi.v_i,
+                  CAST(ROUND(LN(CAST(ni.n_i AS DOUBLE)) * 1e9, 0)
+                       AS HUGEINT) AS x,
+                  CAST(ROUND(LN(CAST(vi.v_i AS DOUBLE)) * 1e9, 0)
+                       AS HUGEINT) AS y
+           FROM ni JOIN vi USING (i)),
+         ag AS (
+           SELECT COUNT(*) AS n_points,
+                  MAX(n_i) AS n_tokens, MAX(v_i) AS vocab,
+                  SUM(x) AS sx, SUM(y) AS sy,
+                  SUM(x * y) AS sxy, SUM(x * x) AS sxx
+           FROM pts)
+         SELECT CAST($n AS BIGINT) AS gram_n, n_points, n_tokens, vocab,
+                ROUND(CAST(n_points * sxy - sx * sy AS DOUBLE)
+                      / CAST(n_points * sxx - sx * sx AS DOUBLE), 6) AS beta,
+                ROUND((CAST(sy AS DOUBLE) / 1e9
+                       - (CAST(n_points * sxy - sx * sy AS DOUBLE)
+                          / CAST(n_points * sxx - sx * sx AS DOUBLE))
+                         * (CAST(sx AS DOUBLE) / 1e9))
+                      / CAST(n_points AS DOUBLE), 6) AS ln_k
+         FROM ag"""
+      }
+      s"""SELECT * FROM (${chain(1)})
+          UNION ALL SELECT * FROM (${chain(3)})
+          ORDER BY gram_n"""
+    },
+
+    "q212_readability" ->
+      """WITH pl AS (
+           SELECT source,
+                  CASE WHEN doc_id % 7 = 0
+                       THEN text || '. ' || text || '!'
+                       ELSE text END AS text
+           FROM documents),
+         per AS (
+           SELECT source,
+                  LEN(REGEXP_EXTRACT_ALL(text, '\S+')) AS w,
+                  GREATEST(1, LEN(REGEXP_EXTRACT_ALL(text, '[.!?]+'))) AS s,
+                  LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[aeiou]+')) AS y
+           FROM pl),
+         ag AS (
+           SELECT source, COUNT(*) AS n_docs,
+                  CAST(SUM(w) AS BIGINT) AS n_words,
+                  CAST(SUM(s) AS BIGINT) AS n_sents,
+                  CAST(SUM(y) AS BIGINT) AS n_syllables
+           FROM per GROUP BY source)
+         SELECT source, n_docs, n_words, n_sents, n_syllables,
+                ROUND(CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE), 6)
+                  AS words_per_sent,
+                ROUND(CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+                  AS syl_per_word,
+                ROUND(206.835
+                      - 1.015 * (CAST(n_words AS DOUBLE)
+                                 / CAST(n_sents AS DOUBLE))
+                      - 84.6 * (CAST(n_syllables AS DOUBLE)
+                                / CAST(n_words AS DOUBLE)), 6) AS flesch
+         FROM ag ORDER BY source""",
+
+    "q213_local_cc" ->
+      s"""WITH $edgeChainSql,
+         corners AS (
+           SELECT e1.a, e1.b, e2.c
+           FROM (SELECT ida AS a, idb AS b FROM edges) e1
+           JOIN (SELECT ida AS b, idb AS c FROM edges) e2 USING (b)
+           JOIN (SELECT ida AS a, idb AS c FROM edges) e3 USING (a, c)),
+         tpn AS (
+           SELECT node, COUNT(*) AS n_tri FROM (
+             SELECT a AS node FROM corners
+             UNION ALL SELECT b FROM corners
+             UNION ALL SELECT c FROM corners)
+           GROUP BY node)
+         SELECT d.node, d.deg,
+                CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+                CAST(d.deg * (d.deg - 1) // 2 AS BIGINT) AS n_wedges,
+                ROUND(CASE WHEN d.deg >= 2 THEN
+                  CAST(COALESCE(t.n_tri, 0) AS DOUBLE)
+                    / CAST(d.deg * (d.deg - 1) // 2 AS DOUBLE) END, 6)
+                  AS local_cc
+         FROM deg d LEFT JOIN tpn t ON d.node = t.node
+         ORDER BY d.node""",
+
+    "q214_label_prop" -> labelPropSql(4),
+
+    "q215_ipf_rake" -> ipfRakeSql(4),
+
+    "q216_benford" -> {
+      val pb = graft.analytics.Analytics.benfordPpt
+        .map { case (d, p) => s"($d, $p)" }.mkString(", ")
+      s"""WITH cents AS (
+           SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
+           FROM events),
+         cnt AS (
+           SELECT event_type,
+                  CAST(SUBSTRING(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
+                  COUNT(*) AS n0
+           FROM cents WHERE c > 0 GROUP BY 1, 2),
+         pb AS (SELECT digit, CAST(p AS DOUBLE) AS p
+                FROM (VALUES $pb) AS t(digit, p)),
+         dom AS (SELECT DISTINCT event_type, pb.digit, pb.p
+                 FROM cnt, pb),
+         f AS (
+           SELECT dom.event_type, dom.digit,
+                  CAST(COALESCE(cnt.n0, 0) AS BIGINT) AS n, dom.p
+           FROM dom LEFT JOIN cnt
+             ON dom.event_type = cnt.event_type AND dom.digit = cnt.digit),
+         tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_tot
+                 FROM f GROUP BY 1),
+         terms AS (
+           SELECT f.event_type, f.digit, f.n, f.p, t.n_tot,
+                  CAST(ROUND(
+                    (CAST(f.n AS DOUBLE) - CAST(t.n_tot AS DOUBLE) * f.p)
+                    * (CAST(f.n AS DOUBLE) - CAST(t.n_tot AS DOUBLE) * f.p)
+                    / (CAST(t.n_tot AS DOUBLE) * f.p)
+                    * 1000000.0) AS BIGINT) AS tm
+           FROM f JOIN tot t USING (event_type)),
+         chi AS (SELECT event_type, CAST(SUM(tm) AS BIGINT) AS cm
+                 FROM terms GROUP BY 1)
+         SELECT t.event_type, t.digit, t.n,
+                ROUND(CAST(t.n AS DOUBLE) / CAST(t.n_tot AS DOUBLE), 6)
+                  AS share,
+                t.p AS p_benford,
+                ROUND(CAST(c.cm AS DOUBLE) / 1000000.0, 6) AS chi2
+         FROM terms t JOIN chi c USING (event_type)
+         ORDER BY t.event_type, t.digit"""
+    },
+
+    "q217_quantile_norm" ->
+      """WITH b AS (
+           SELECT doc_id AS id, source AS grp, CAST(n_chars AS BIGINT) AS raw
+           FROM documents),
+         r AS (
+           SELECT id, grp, raw,
+                  RANK() OVER (PARTITION BY grp ORDER BY raw) AS r_min,
+                  COUNT(*) OVER (PARTITION BY grp) AS n_g,
+                  COUNT(*) OVER () AS n_all
+           FROM b),
+         t AS (SELECT id, grp, raw,
+                      (r_min * n_all + n_g - 1) // n_g AS tgt FROM r),
+         g AS (SELECT raw AS gv, ROW_NUMBER() OVER (ORDER BY raw) AS rn
+               FROM b)
+         SELECT t.id AS id, t.grp AS grp, t.raw AS raw, g.gv AS norm
+         FROM t JOIN g ON g.rn = t.tgt
+         ORDER BY id""",
+
+    "q218_char_entropy" ->
+      """WITH pl AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 11 = 0 THEN REPEAT('ha ', 40)
+                       ELSE text END AS text
+           FROM documents),
+         ch AS (SELECT doc_id, UNNEST(string_split(text, '')) AS ch FROM pl),
+         c AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch
+               WHERE LEN(ch) > 0 GROUP BY 1, 2),
+         a AS (
+           SELECT doc_id, CAST(SUM(c) AS BIGINT) AS t,
+                  COUNT(*) AS n_distinct,
+                  CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE)
+                    * LN(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT))
+                    AS BIGINT) AS s_micro
+           FROM c GROUP BY 1)
+         SELECT doc_id, t AS n_chars_counted, n_distinct,
+                ROUND((CAST(CAST(ROUND(LN(CAST(t AS DOUBLE)) * 1000000.0)
+                            AS BIGINT) AS DOUBLE) * CAST(t AS DOUBLE)
+                       - CAST(s_micro AS DOUBLE))
+                      / (CAST(t AS DOUBLE) * 1000000.0), 6) AS entropy,
+                CAST(ROUND(LN(CAST(t AS DOUBLE)) * 1000000.0) AS BIGINT) * t
+                  - s_micro < 2000000 * t AS is_low_entropy
+         FROM a ORDER BY doc_id""")
 }

@@ -443,4 +443,64 @@ object Mix {
         round(col("m75").cast("double") / col("t75").cast("double"), 6)
           .as("w_a75"))
   }
+
+  /** Iterative proportional fitting (raking) of per-cell sampling
+    * weights: scale the (row, col) contingency table — e.g. (lang,
+    * source) document counts — until BOTH marginals match uniform
+    * targets, the survey-statistics move a mixture recipe uses when two
+    * stratifications must hold at once and per-cell targets are
+    * underdetermined.
+    *
+    * Everything is exact integer arithmetic so any engine replays it:
+    * weights live in ppm, each half-round computes the marginal masses
+    * m = Σ n·w in decimal(38), a per-stratum factor (target_ppm ·
+    * grand) div m, and reseats w ← (w · factor) div 10⁶ — truncation is
+    * part of the definition, identically on both sides. The cell table
+    * is |rows|·|cols|, so after ONE corpus-sized count aggregation the
+    * whole fit runs on a broadcast-scale frame. Output per cell: grp_r,
+    * grp_c, n, w_ppm, plus the achieved marginal shares (ppm) the fit
+    * reached after `rounds` full rounds.
+    */
+  def ipfRake(df: DataFrame, rowKey: Column, colKey: Column,
+              rounds: Int = 4): DataFrame = {
+    val d38 = "decimal(38,0)"
+    var cells = graft.core.Lineage.reset(
+      df.groupBy(rowKey.as("grp_r"), colKey.as("grp_c"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("grp_r"), col("grp_c"), col("n"),
+          lit(1000000L).as("w")))
+    def step(key: String): DataFrame = {
+      val m = cells.groupBy(key)
+        .agg(sum(col("n").cast(d38) * col("w").cast(d38)).cast(d38).as("m"))
+      val grand = m.agg(sum(col("m")).cast(d38).as("grand"),
+        count(lit(1)).cast(d38).as("n_strata"))
+      val f = m.crossJoin(broadcast(grand))
+        // uniform target: (10⁶ div n_strata) ppm of the grand mass
+        .select(col(key),
+          expr(s"CAST((CAST(1000000 AS $d38) div n_strata) * grand AS $d38)" +
+            " div m").as("factor"))
+      cells.join(broadcast(f), Seq(key))
+        .select(col("grp_r"), col("grp_c"), col("n"),
+          expr(s"(CAST(w AS $d38) * factor) div 1000000").as("w"))
+    }
+    for (_ <- 1 to rounds) {
+      cells = graft.core.Lineage.reset(step("grp_r"))
+      cells = graft.core.Lineage.reset(step("grp_c"))
+    }
+    // achieved marginal shares after the final round
+    val mr = cells.groupBy("grp_r")
+      .agg(sum(col("n").cast(d38) * col("w").cast(d38)).cast(d38).as("mr"))
+    val mc = cells.groupBy("grp_c")
+      .agg(sum(col("n").cast(d38) * col("w").cast(d38)).cast(d38).as("mc"))
+    val g = cells.agg(sum(col("n").cast(d38) * col("w").cast(d38))
+      .cast(d38).as("g"))
+    cells.join(broadcast(mr), Seq("grp_r"))
+      .join(broadcast(mc), Seq("grp_c"))
+      .crossJoin(broadcast(g))
+      .select(col("grp_r"), col("grp_c"), col("n"), col("w").as("w_ppm"),
+        expr(s"CAST(mr * 1000000 AS $d38) div g").cast("long")
+          .as("row_share_ppm"),
+        expr(s"CAST(mc * 1000000 AS $d38) div g").cast("long")
+          .as("col_share_ppm"))
+  }
 }

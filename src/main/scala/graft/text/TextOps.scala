@@ -1931,4 +1931,196 @@ object TextOps {
     trim(regexp_replace(regexp_replace(noBlocks, "<[^>]+>", " "),
       "\\s+", " "))
   }
+
+  /** Heaps' law fit V(n) ≈ K·n^β: vocabulary growth measured at
+    * `nPrefixes` document-order prefixes, then OLS of ln V on ln n —
+    * the sub-linearity exponent that predicts how much NEW vocabulary
+    * another 10× of corpus buys (β ≈ 0.5 for natural text; β → 0 says
+    * the corpus has saturated and further crawl adds tokens, not types).
+    *
+    * Exact shape: one (token → first doc) aggregation + one per-doc
+    * count aggregation, then an `nPrefixes`-row cut join — the
+    * cumulative-distinct problem never runs per-row. The OLS runs on
+    * nano-quantized lns with decimal(38) moment sums (the q150
+    * exact-OLS discipline), so both engines fit the identical line.
+    * `gramN` generalizes "type" to word n-grams — a saturated word
+    * vocabulary (β ≈ 0) can coexist with a still-growing phrase space,
+    * and the contrast is the crawl-more signal. Output (one row):
+    * gram_n, n_points, n_tokens, vocab, beta, ln_k.
+    */
+  def heapsFit(docs: DataFrame, nPrefixes: Int = 8,
+               gramN: Int = 1): DataFrame = {
+    // Corpus order = the two-pass range-partitioned ordinal of doc_id
+    // (1-based) — never a single-partition window, and gap-robust.
+    val ord = graft.ops.Windows.globalOrdinal(
+      docs.select("doc_id"), Seq(col("doc_id")), "pos")
+    val tok = docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+      .filter(size(col("w")) >= gramN)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${gramN - 1}), " +
+          s"i -> concat_ws(' ', slice(w, i, $gramN)))")).as("tok"))
+      .join(ord, Seq("doc_id"))
+      .localCheckpoint()
+    val firstPos = tok.groupBy("tok").agg(min(col("pos")).as("first_pos"))
+    val docTok = tok.groupBy("pos").agg(count(lit(1)).as("n_tok"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val cutsDf = n.select(explode(sequence(lit(1), lit(nPrefixes))).as("i"),
+      col("n_docs"))
+      .select(col("i"), expr("(n_docs * i) div " + nPrefixes).as("cut"))
+    val cuts = broadcast(cutsDf)
+    val nTok = docTok.join(cuts, docTok("pos") <= cuts("cut"))
+      .groupBy("i", "cut").agg(sum(col("n_tok")).as("n_i"))
+    val vTok = firstPos.join(cuts, firstPos("first_pos") <= cuts("cut"))
+      .groupBy(col("i").as("i2")).agg(count(lit(1)).as("v_i"))
+    val pts = nTok.join(vTok, col("i") === col("i2"))
+      .select(col("i"), col("n_i"), col("v_i"),
+        // nano-quantized logs: the only libm calls, pinned before any sum
+        round(log(col("n_i").cast("double")) * 1e9, 0)
+          .cast("decimal(38,0)").as("x"),
+        round(log(col("v_i").cast("double")) * 1e9, 0)
+          .cast("decimal(38,0)").as("y"))
+    val d38 = "decimal(38,0)"
+    pts.agg(count(lit(1)).as("n_points"),
+        max(col("n_i")).as("n_tokens"), max(col("v_i")).as("vocab"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).cast(d38).as("sxy"),
+        sum(col("x") * col("x")).cast(d38).as("sxx"))
+      .select(lit(gramN.toLong).as("gram_n"),
+        col("n_points"), col("n_tokens"), col("vocab"),
+        round((col("n_points").cast(d38) * col("sxy") - col("sx") * col("sy"))
+          .cast("double")
+          / (col("n_points").cast(d38) * col("sxx") - col("sx") * col("sx"))
+          .cast("double"), 6).as("beta"),
+        round((col("sy").cast("double") / 1e9
+          - ((col("n_points").cast(d38) * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+            / (col("n_points").cast(d38) * col("sxx") - col("sx") * col("sx"))
+            .cast("double"))
+          * (col("sx").cast("double") / 1e9))
+          / col("n_points").cast("double"), 6).as("ln_k"))
+  }
+
+  /** Per-source readability report (Flesch reading ease on the standard
+    * vowel-group syllable heuristic): words = `\S+` runs, sentences =
+    * terminator runs `[.!?]+` (floor 1 per document), syllables =
+    * `[aeiou]+` runs of the lowercased text (a vowel group never spans
+    * whitespace, so the text-level count equals the per-word sum without
+    * ever exploding words). All three are exact integer counts summed
+    * per source; the Flesch chain is a fixed pinned-literal IEEE
+    * expression on the two ratios, rounded once. Map-only + one
+    * source-keyed aggregation.
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val per = docs.select(col("source"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("w"),
+      greatest(lit(1),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))).as("s"),
+      size(regexp_extract_all(lower(col("text")), lit("[aeiou]+"), lit(0)))
+        .as("y"))
+    per.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("w").cast("long")).as("n_words"),
+        sum(col("s").cast("long")).as("n_sents"),
+        sum(col("y").cast("long")).as("n_syllables"))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_sents"),
+        col("n_syllables"),
+        round(col("n_words").cast("double") / col("n_sents").cast("double"), 6)
+          .as("words_per_sent"),
+        round(col("n_syllables").cast("double") / col("n_words").cast("double"),
+          6).as("syl_per_word"),
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double")
+            / col("n_sents").cast("double"))
+          - lit(84.6) * (col("n_syllables").cast("double")
+            / col("n_words").cast("double")), 6).as("flesch"))
+  }
+
+  /** Cross-source quantile normalization of an integer score: each
+    * row's within-group nearest-rank quantile is mapped to the POOLED
+    * distribution's value at the same quantile — the calibration that
+    * makes a length/quality threshold mean the same thing on every
+    * source before gates compare across sources.
+    *
+    * Window-free: within-group min-ranks come from the (group, value)
+    * DISTINCT-cell table (cumulative over the bounded value domain,
+    * never the corpus — the q183 cumulative-pass shape), the target
+    * global rank is exact integer ceil(r·N/n_g), and the pooled order
+    * statistic at that rank is a range probe into the global
+    * distinct-value cumulative table. Every step is integer
+    * arithmetic — bit-identical in any engine. Output: (id, grp, raw,
+    * norm) per input row.
+    */
+  def quantileNormalize(df: DataFrame, id: Column, group: Column,
+                        value: Column): DataFrame = {
+    val base = df.select(id.as("id"), group.as("grp"),
+      value.cast("long").as("raw"))
+    val cells = base.groupBy("grp", "raw").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // consumers: below join (both sides), sizes, map-back
+    // within-group strictly-below cumulative over distinct values only
+    val below = cells.select(col("grp"), col("raw").as("v2"),
+        col("cnt").as("c2"))
+      .join(cells.select("grp", "raw"), Seq("grp"))
+      .filter(col("v2") < col("raw"))
+      .groupBy("grp", "raw").agg(sum(col("c2")).as("below"))
+    val sizes = cells.groupBy("grp").agg(sum(col("cnt")).as("n_g"))
+    val nAll = base.agg(count(lit(1)).as("n_all"))
+    // global distinct-value cumulative (value domain, not corpus)
+    val gcells = base.groupBy("raw").agg(count(lit(1)).as("cnt"))
+      .select(col("raw").as("gv"), col("cnt").as("gcnt"))
+      .localCheckpoint()
+    val gbelow = gcells.select(col("gv").as("v2"), col("gcnt").as("c2"))
+      .crossJoin(broadcast(gcells.select("gv")))
+      .filter(col("v2") < col("gv"))
+      .groupBy("gv").agg(sum(col("c2")).as("gbelow"))
+    val gcum = gcells.join(gbelow, Seq("gv"), "left")
+      .select(col("gv"), coalesce(col("gbelow"), lit(0L)).as("lo"),
+        (coalesce(col("gbelow"), lit(0L)) + col("gcnt")).as("hi"))
+    val ranked = cells.join(below, Seq("grp", "raw"), "left")
+      .join(sizes, Seq("grp"))
+      .crossJoin(broadcast(nAll))
+      .select(col("grp"), col("raw"),
+        (coalesce(col("below"), lit(0L)) + 1L).as("r_min"),
+        col("n_g"), col("n_all"))
+      .select(col("grp"), col("raw"),
+        // ceil(r·N / n_g) in exact integers
+        expr("(r_min * n_all + n_g - 1) div n_g").as("t"))
+    val mapped = ranked.join(broadcast(gcum),
+        col("t") > col("lo") && col("t") <= col("hi"))
+      .select(col("grp"), col("raw"), col("gv").as("norm"))
+    base.join(mapped, Seq("grp", "raw"))
+      .select(col("id"), col("grp"), col("raw"), col("norm"))
+  }
+
+  /** Per-document character-level Shannon entropy — the cheapest
+    * repetitive-garbage detector (a doc stuck repeating a few
+    * characters scores ≪ the ~3 nats of natural text). The low flag is
+    * decided on EXACT integers: H < θ ⟺ μ(ln T)·T − Σ c·μ(ln c) <
+    * θ_micro·T where μ = round(·10⁶) pins the only libm calls before
+    * any arithmetic — no float accumulation, no knife edge. One char
+    * explode + one doc-keyed aggregation; chars shuffle as counts.
+    * Output: doc_id, n_chars_counted, n_distinct, entropy,
+    * is_low_entropy.
+    */
+  def charEntropy(docs: DataFrame, thresholdMicro: Long = 2000000L)
+      : DataFrame = {
+    val c = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    c.groupBy("doc_id").agg(
+        sum(col("c")).as("t"),
+        count(lit(1)).as("n_distinct"),
+        sum(round(col("c").cast("double") * log(col("c").cast("double"))
+          * lit(1000000.0)).cast("long")).as("s_micro"))
+      .select(col("doc_id"), col("t").as("n_chars_counted"),
+        col("n_distinct"),
+        round((round(log(col("t").cast("double")) * lit(1000000.0))
+          .cast("long").cast("double") * col("t").cast("double")
+          - col("s_micro").cast("double"))
+          / (col("t").cast("double") * lit(1000000.0)), 6).as("entropy"),
+        (round(log(col("t").cast("double")) * lit(1000000.0)).cast("long")
+          * col("t") - col("s_micro") < lit(thresholdMicro) * col("t"))
+          .as("is_low_entropy"))
+  }
 }

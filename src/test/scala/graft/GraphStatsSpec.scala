@@ -42,6 +42,30 @@ class GraphStatsSpec extends SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("assortativity")))
   }
 
+  test("kCore: tail peels over multiple rounds, dense core survives, star empties") {
+    // Triangle (1,2,3) with a 2-hop tail 3–4–5: node 5 drops in the
+    // initial degree filter, node 4 only becomes sub-core AFTER 5 is
+    // gone — the peel must iterate, not filter once.
+    val tailed = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("ida", "idb")
+    val core = GraphStats.kCore(tailed, k = 2, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // Star: every node is pendant or hub-of-pendants → 2-core is empty.
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("ida", "idb")
+    assert(GraphStats.kCore(star, k = 2, rounds = 2).count() == 0L)
+  }
+
+  test("kCore: non-convergence throws instead of under-peeling") {
+    // Path 1–2–3–4–5–6 at k=2 needs two peel rounds after the initial
+    // filter; rounds = 1 leaves {3,4} un-peeled and must throw.
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("ida", "idb")
+    intercept[IllegalArgumentException] {
+      GraphStats.kCore(path, k = 2, rounds = 1).collect()
+    }
+  }
+
   test("pageRank: regular graph is the exact fixed point; star ranks center first") {
     // Two-node regular graph: each node sends its whole rank each round,
     // v' = 0.15e12 + 0.85e12 = 1e12 — the initial vector IS the fixed
