@@ -39,6 +39,31 @@ object ScaleProbe {
       }.drop("_rep")
     }
 
+    // SPARK_GRAFT_PROBE_ONLY=suffix: just the suffix-doubling row
+    // (token-salted replicas keep vocabularies disjoint, so repeat
+    // classes replicate within copies and every round's distinct-pair
+    // domain grows linearly — the property the dense re-rank rides on)
+    if (sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("suffix")) {
+      val docsS = graft.core.Tables.t(spark, sfDir, "documents")
+        .select("doc_id", "text")
+        .crossJoin(spark.range(copies).select(col("id").as("_rep")))
+        .select((col("doc_id") + col("_rep") * 100000000L).as("doc_id"),
+          concat_ws(" ", transform(split(col("text"), "\\s+"),
+            t => concat(col("_rep").cast("string"), lit("_"), t))).as("text"))
+        .cache()
+      val nDocs = docsS.count()
+      val (_, tSpec) = time {
+        graft.text.SuffixOps.repeatSpectrum(docsS, rounds = 7)
+          .write.format("noop").mode("overwrite").save()
+      }
+      System.err.println("[probe] done suffix_spectrum")
+      docsS.unpersist()
+      println(s"""{"metric":"scale_probe","copies":$copies,"nnz":0,""" +
+        s""""timings":{"suffix_spectrum_${nDocs}_docs":$tSpec}}""")
+      spark.stop()
+      return
+    }
+
     // ~12M-row COO (20 × 600k), cell keys disjoint per copy
     val coo0 = graft.core.Tables.coo(spark, sfDir)
     val coo = replicate(coo0, Seq("cell_id"), 100000000L).cache()

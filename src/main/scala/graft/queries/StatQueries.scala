@@ -210,7 +210,35 @@ object StatQueries {
       TextOps.charEntropy(docs(s, d).select(col("doc_id"),
           when(col("doc_id") % 11 === 0, expr("repeat('ha ', 40)"))
             .otherwise(col("text")).as("text")))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // exact repeat spectrum by suffix-array prefix doubling: per
+    // power-of-two length 1..128, distinct prefix classes, positions
+    // starting a REPEATED substring of that length, and the largest
+    // class — the collision-free ground truth under q79's digest
+    // signals, measured at every scale in one doubling pass over the
+    // full corpus (natural repeats decay with length; no plants)
+    "q219_repeat_spectrum" -> ((s, d) =>
+      graft.text.SuffixOps.repeatSpectrum(docs(s, d), rounds = 7)
+        .orderBy("len")),
+
+    // per-document exact repeat coverage at 32 tokens over the planted
+    // sweep universe (full + half copies guarantee long repeats): the
+    // suffix-array-exact memorization-risk gate next to q195's hashed
+    // 5-gram approximation
+    "q220_repeat_coverage" -> ((s, d) =>
+      graft.text.SuffixOps.repeatCoverage(
+          TrainingQueries.sweepDocs(s, d), rounds = 5)
+        .orderBy("doc_id")),
+
+    // Neyman optimal allocation of a 500-draw sampling budget across
+    // languages by N_h·sigma_h of doc length — the minimum-variance
+    // stratified design; exact decimal moments, one correctly-rounded
+    // sqrt micro-quantized before the integer allocation ratio
+    "q221_neyman_alloc" -> ((s, d) =>
+      graft.text.Mix.neymanAllocation(docs(s, d), col("lang"),
+          col("n_chars"), total = 500L)
+        .orderBy("stratum")))
 
   /** Shared oracle chain: sweep universe shingles → df-capped
     * inverted-index pair table with sizes — the threshold-independent
@@ -394,6 +422,55 @@ object StatQueries {
        FROM c$last c
        JOIN mrf USING (grp_r) JOIN mcf USING (grp_c), gf
        ORDER BY c.grp_r, c.grp_c"""
+  }
+
+  /** q219/q220's replay: the suffix prefix-doubling chain over the
+    * docs relation `docsRel` — tokenized stream with per-doc CHR(1)
+    * separators, DENSE_RANK base, then `rounds` unrolled doubling
+    * stages (each a shifted self-join + dense re-rank; out-of-range
+    * rank coalesces to the 0 sentinel exactly as the Spark side).
+    */
+  private def suffixChainSql(docsRel: String, rounds: Int): String = {
+    val stages = (1 to rounds).map { i =>
+      val off = 1L << (i - 1)
+      s"""r$i AS MATERIALIZED (
+           SELECT a.gp,
+                  DENSE_RANK() OVER (ORDER BY a.r, COALESCE(b.r, 0)) AS r
+           FROM r${i - 1} a LEFT JOIN r${i - 1} b ON b.gp = a.gp + $off)"""
+    }.mkString(",\n       ")
+    s"""tok0 AS (
+         SELECT doc_id, i - 1 AS p, w[i] AS tok
+         FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\\s+') AS w
+               FROM $docsRel) t,
+              LATERAL (SELECT UNNEST(RANGE(1, LEN(w) + 1)) AS i)),
+       seps AS (
+         SELECT doc_id, LEN(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')) AS p,
+                CHR(1) || CAST(doc_id AS VARCHAR) AS tok
+         FROM $docsRel),
+       st AS MATERIALIZED (
+         SELECT doc_id, tok, tok LIKE CHR(1) || '%' AS is_sep,
+                ROW_NUMBER() OVER (ORDER BY doc_id, p) AS gp
+         FROM (SELECT * FROM tok0 UNION ALL SELECT * FROM seps)),
+       r0 AS MATERIALIZED (
+         SELECT gp, DENSE_RANK() OVER (ORDER BY tok) AS r FROM st),
+       $stages"""
+  }
+
+  private def spectrumSql(rounds: Int): String = {
+    val stats = (0 to rounds).map { i =>
+      s"""s$i AS (
+           SELECT CAST(${1L << i} AS BIGINT) AS len,
+                  COUNT(*) AS n_classes,
+                  CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+                    AS n_pos_repeated,
+                  CAST(MAX(c) AS BIGINT) AS max_class
+           FROM (SELECT r, COUNT(*) AS c FROM r$i GROUP BY r))"""
+    }.mkString(",\n       ")
+    val sel = (0 to rounds).map(i => s"SELECT * FROM s$i")
+      .mkString("\n       UNION ALL ")
+    s"""WITH ${suffixChainSql("documents", rounds)},
+       $stats
+       $sel ORDER BY len"""
   }
 
   def oracle: Map[String, String] = Map(
@@ -665,5 +742,42 @@ object StatQueries {
                       / (CAST(t AS DOUBLE) * 1000000.0), 6) AS entropy,
                 CAST(ROUND(LN(CAST(t AS DOUBLE)) * 1000000.0) AS BIGINT) * t
                   - s_micro < 2000000 * t AS is_low_entropy
-         FROM a ORDER BY doc_id""")
+         FROM a ORDER BY doc_id""",
+
+    "q219_repeat_spectrum" -> spectrumSql(7),
+
+    "q220_repeat_coverage" ->
+      s"""WITH ${TrainingQueries.sweepChainSql},
+         ${suffixChainSql("spl", 5)},
+         cz AS (SELECT r, COUNT(*) AS csz FROM r5 GROUP BY r)
+         SELECT s.doc_id, COUNT(*) AS n_tokens,
+                CAST(SUM(CASE WHEN cz.csz >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_repeat_pos,
+                ROUND(CAST(SUM(CASE WHEN cz.csz >= 2 THEN 1 ELSE 0 END)
+                           AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+                  AS coverage
+         FROM st s JOIN r5 USING (gp) JOIN cz USING (r)
+         WHERE NOT s.is_sep
+         GROUP BY s.doc_id ORDER BY s.doc_id""",
+
+    "q221_neyman_alloc" ->
+      """WITH a AS (
+           SELECT lang AS stratum, COUNT(*) AS n_pop,
+                  CAST(SUM(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sx,
+                  CAST(SUM(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT))
+                       AS HUGEINT) AS sxx
+           FROM documents GROUP BY 1),
+         s AS (
+           SELECT stratum, n_pop, sx,
+                  CAST(ROUND(SQRT(CAST(n_pop * sxx - sx * sx AS DOUBLE)
+                                  / CAST(n_pop * n_pop AS DOUBLE))
+                             * 1000000.0) AS BIGINT) AS s_micro
+           FROM a),
+         w AS (SELECT *, CAST(n_pop AS HUGEINT) * s_micro AS wgt FROM s),
+         t AS (SELECT SUM(wgt) AS tw FROM w)
+         SELECT stratum, n_pop,
+                ROUND(CAST(sx AS DOUBLE) / CAST(n_pop AS DOUBLE), 6) AS mean,
+                ROUND(CAST(s_micro AS DOUBLE) / 1000000.0, 6) AS sd,
+                CAST((500 * wgt) // t.tw AS BIGINT) AS alloc_n
+         FROM w, t ORDER BY stratum""")
 }

@@ -32,7 +32,7 @@ object TrainingQueries {
     * (j ~ 0.5) — materialized once (the signature chain AND the
     * size/intersection consumers all read it).
     */
-  private[queries] def sweepShingles(s: SparkSession, d: String) = {
+  private[queries] def sweepDocs(s: SparkSession, d: String) = {
     val base = docs(s, d).filter(col("doc_id") % 20 === 0).select("doc_id", "text")
     val dups = docs(s, d).filter(col("doc_id") % 40 === 0)
       .select((col("doc_id") + 1000000).as("doc_id"),
@@ -44,9 +44,11 @@ object TrainingQueries {
           // rounds while Spark's cast truncates
           expr("(size(split(text, '\\\\s+')) + 1) div 2").cast("int")))
           .as("text"))
-    Dedup.shingles(base.unionByName(dups).unionByName(halves), 3)
-      .localCheckpoint()
+    base.unionByName(dups).unionByName(halves)
   }
+
+  private[queries] def sweepShingles(s: SparkSession, d: String) =
+    Dedup.shingles(sweepDocs(s, d), 3).localCheckpoint()
 
   /** Near-dup pipeline input: every 20th document's word-3-gram shingles. */
   private def sh(s: SparkSession, d: String) =

@@ -444,6 +444,41 @@ object Mix {
           .as("w_a75"))
   }
 
+  /** Neyman optimal allocation: split a sampling budget of `total`
+    * draws across strata proportionally to N_h·σ_h — the minimum-
+    * variance design for estimating a corpus mean under stratified
+    * sampling (big AND internally-diverse strata get the draws; a huge
+    * but homogeneous stratum needs few). Moments are exact decimal(38)
+    * integers; σ_h is ONE correctly-rounded sqrt micro-quantized before
+    * any further arithmetic, so the allocation is an exact integer
+    * ratio in every engine. One stratum-keyed aggregation + a 1-row
+    * broadcast. Output per stratum: n_pop, mean, sd, alloc_n.
+    */
+  def neymanAllocation(df: DataFrame, stratum: Column, value: Column,
+                       total: Long): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val a = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_pop"),
+        sum(value.cast(d38)).cast(d38).as("sx"),
+        sum(value.cast(d38) * value.cast(d38)).cast(d38).as("sxx"))
+    val s = a.select(col("stratum"), col("n_pop"), col("sx"),
+        round(sqrt((col("n_pop").cast(d38) * col("sxx")
+          - col("sx") * col("sx")).cast("double")
+          / (col("n_pop") * col("n_pop")).cast("double")) * 1000000.0)
+          .cast("long").as("s_micro"))
+      .select(col("stratum"), col("n_pop"), col("sx"), col("s_micro"),
+        (col("n_pop") * col("s_micro")).as("wgt"))
+      .localCheckpoint() // two consumers: total weight + the report
+    val t = s.agg(sum(col("wgt").cast(d38)).cast(d38).as("tw"))
+    s.crossJoin(broadcast(t))
+      .select(col("stratum"), col("n_pop"),
+        round(col("sx").cast("double") / col("n_pop").cast("double"), 6)
+          .as("mean"),
+        round(col("s_micro").cast("double") / 1000000.0, 6).as("sd"),
+        expr(s"CAST((CAST($total AS $d38) * wgt) div tw AS BIGINT)")
+          .as("alloc_n"))
+  }
+
   /** Iterative proportional fitting (raking) of per-cell sampling
     * weights: scale the (row, col) contingency table — e.g. (lang,
     * source) document counts — until BOTH marginals match uniform

@@ -1,0 +1,128 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Lineage
+import graft.ops.Windows
+
+/** Distributed suffix-array machinery by prefix doubling (the
+  * Manber–Myers / Flick–Aluru construction, re-expressed as DataFrame
+  * rounds): after round i every position's rank equals the dense rank
+  * of its 2^i-token prefix, so positions sharing a rank are EXACTLY the
+  * start sites of repeated 2^i-grams — no hash, no collision, the
+  * ground-truth version of the digest-based substring-dedup signals
+  * (Lee 2022; cf. q79, which trades exactness for one aggregation).
+  *
+  * Each round is one self-join on the shifted position plus one dense
+  * re-rank of the DISTINCT rank pairs on the two-pass range-partitioned
+  * ordinal — no per-position window, no driver-side data. Rounds are
+  * logarithmic in the longest repeat, not in corpus size, and a unique
+  * per-document separator token caps repeats at document length (a
+  * window crossing a document boundary contains the separator and is
+  * unique by construction).
+  */
+object SuffixOps {
+
+  /** Token stream with global 1-based positions; one unique separator
+    * token (\u0001 + doc_id) closes each document.
+    */
+  private def stream(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\\s+"))
+        .as(Seq("p", "tok")))
+    val sep = docs.select(col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("int").as("p"),
+      concat(lit("\u0001"), col("doc_id").cast("string")).as("tok"))
+    Windows.globalOrdinal(toks.unionByName(sep),
+      Seq(col("doc_id"), col("p")), "gp")
+  }
+
+  /** Suffix rank table after `rounds` doublings: (doc_id, gp, is_sep,
+    * r) where equal r ⟺ equal 2^rounds-token prefixes.
+    */
+  private def ranks(docs: DataFrame, rounds: Int): DataFrame = {
+    val st = Lineage.reset(stream(docs))
+    val toks = st.select("tok").distinct()
+    val rankTok = Windows.globalOrdinal(toks, Seq(col("tok")), "r")
+    var r = Lineage.reset(st.join(rankTok, Seq("tok"))
+      .select(col("doc_id"), col("gp"),
+        col("tok").startsWith("\u0001").as("is_sep"), col("r")))
+    for (i <- 1 to rounds) {
+      val off = 1L << (i - 1)
+      val pair = r.join(
+          r.select((col("gp") - off).as("gp"), col("r").as("r2")),
+          Seq("gp"), "left")
+        .select(col("doc_id"), col("gp"), col("is_sep"), col("r"),
+          coalesce(col("r2"), lit(0L)).as("r2"))
+      val ranked = Windows.globalOrdinal(
+        pair.select("r", "r2").distinct(),
+        Seq(col("r"), col("r2")), "nr")
+      r = Lineage.reset(pair.join(ranked, Seq("r", "r2"))
+        .select(col("doc_id"), col("gp"), col("is_sep"),
+          col("nr").as("r")))
+    }
+    r
+  }
+
+  private def spectrumRow(r: DataFrame, len: Long): DataFrame =
+    r.groupBy("r").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L))
+          .as("n_pos_repeated"),
+        max(col("c")).as("max_class"))
+      .select(lit(len).as("len"), col("n_classes"),
+        col("n_pos_repeated"), col("max_class"))
+
+  /** Exact repeat spectrum: for each power-of-two length 1, 2, …,
+    * 2^rounds, how many distinct prefix classes exist, how many
+    * positions start a repeated substring of that length, and the
+    * largest repeat class — the corpus's repetition structure measured
+    * exactly at every scale in ONE doubling pass (each round's rank
+    * table IS the report for its length). Output: one row per length.
+    */
+  def repeatSpectrum(docs: DataFrame, rounds: Int): DataFrame = {
+    val st = Lineage.reset(stream(docs))
+    val toks = st.select("tok").distinct()
+    val rankTok = Windows.globalOrdinal(toks, Seq(col("tok")), "r")
+    var r = Lineage.reset(st.join(rankTok, Seq("tok"))
+      .select(col("gp"), col("r")))
+    var rows = Vector(spectrumRow(r, 1L))
+    for (i <- 1 to rounds) {
+      val off = 1L << (i - 1)
+      val pair = r.join(
+          r.select((col("gp") - off).as("gp"), col("r").as("r2")),
+          Seq("gp"), "left")
+        .select(col("gp"), col("r"), coalesce(col("r2"), lit(0L)).as("r2"))
+      val ranked = Windows.globalOrdinal(
+        pair.select("r", "r2").distinct(),
+        Seq(col("r"), col("r2")), "nr")
+      r = Lineage.reset(pair.join(ranked, Seq("r", "r2"))
+        .select(col("gp"), col("nr").as("r")))
+      rows = rows :+ spectrumRow(r, 1L << i)
+    }
+    rows.reduce(_.unionByName(_))
+  }
+
+  /** Per-document exact repeat coverage at window `2^rounds`: the
+    * fraction of a document's token positions that start a substring
+    * also occurring elsewhere in the corpus — the memorization-risk
+    * gate with suffix-array exactness (q195 approximates the same
+    * quantity with hashed 5-grams). Separator positions are excluded
+    * from both numerator and denominator; a position within 2^rounds
+    * of its document's end cannot repeat (its window holds the unique
+    * separator), which is the honest boundary of the definition.
+    * Output per doc: doc_id, n_tokens, n_repeat_pos, coverage.
+    */
+  def repeatCoverage(docs: DataFrame, rounds: Int): DataFrame = {
+    val r = ranks(docs, rounds)
+    val sizes = r.groupBy("r").agg(count(lit(1)).as("csz"))
+    r.filter(!col("is_sep"))
+      .join(sizes, Seq("r"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("csz") >= 2, 1L).otherwise(0L)).as("n_repeat_pos"))
+      .select(col("doc_id"), col("n_tokens"), col("n_repeat_pos"),
+        round(col("n_repeat_pos").cast("double")
+          / col("n_tokens").cast("double"), 6).as("coverage"))
+  }
+}
