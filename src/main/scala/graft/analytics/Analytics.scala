@@ -476,6 +476,26 @@ object Analytics {
     * join-back for the peak (never a window over the log), integer
     * counts with one final division.
     */
+  /** l-diversity audit, the companion gate to [[kAnonymity]]: a
+    * quasi-identifier class that is large (k-anonymous) but carries
+    * only one sensitive value still discloses it — this counts, per
+    * required diversity l, the classes whose SENSITIVE attribute takes
+    * fewer than l distinct values and the rows inside them. One
+    * grouped aggregation + an |ls|-way explode of the class table.
+    */
+  def lDiversity(df: DataFrame, quasi: Seq[Column], sensitive: Column,
+                 ls: Seq[Int]): DataFrame = {
+    val g = df.groupBy(quasi: _*)
+      .agg(count(lit(1)).as("gn"), countDistinct(sensitive).as("dv"))
+    g.select(explode(typedlit(ls.map(_.toLong))).as("l"), col("gn"),
+        col("dv"))
+      .groupBy("l").agg(count(lit(1)).as("n_classes"),
+        sum(when(col("dv") < col("l"), 1L).otherwise(0L))
+          .as("classes_below"),
+        sum(when(col("dv") < col("l"), col("gn")).otherwise(0L))
+          .as("rows_at_risk"))
+  }
+
   /** Benford first-digit probabilities log10(1 + 1/d), pinned to 12 dp
     * as shared literals so both engines evaluate the identical doubles
     * (never a per-engine log10 call).

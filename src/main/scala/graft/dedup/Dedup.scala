@@ -715,6 +715,73 @@ object Dedup {
     * the df-capped universe, with its intersection and both set sizes —
     * callers apply their own (float or exact-integer) threshold.
     */
+  /** IDF-weighted exact Jaccard over candidate pairs, next to the
+    * unweighted [[sharedShinglePairs]]: shingles weighted 10⁶ div df,
+    * so J_w discounts boilerplate shared by many documents and
+    * concentrates on rare content — the signal that separates
+    * "shares a footer" from "shares the article". Set semantics make
+    * min/max reduce to membership: J_w = Σ_{A∩B} w / (W_A + W_B −
+    * Σ_{A∩B} w), all integer until the single ppm division. Same
+    * df-capped inverted-index shape as the unweighted kernel; the
+    * weighted shingle table is localCheckpointed once (three
+    * consumers). Output per pair: ida, idb, inter, j_ppm, jw_ppm.
+    */
+  def weightedJaccardPairs(sh0: DataFrame, dfCap: Int = 10000): DataFrame = {
+    val dfc = sh0.groupBy("shingle").agg(count(lit(1)).as("_df"))
+    val sh = sh0
+      .join(dfc.filter(col("_df") > dfCap).select("shingle"),
+        Seq("shingle"), "left_anti")
+      .join(dfc, Seq("shingle"))
+      .select(col("doc_id"), col("shingle"), expr("1000000 div _df").as("w"))
+      .localCheckpoint()
+    val wsum = sh.groupBy("doc_id")
+      .agg(sum(col("w")).as("wt"), count(lit(1)).as("sz"))
+    val inter = sh.select(col("shingle"), col("w"), col("doc_id").as("ida"))
+      .join(sh.select(col("shingle"), col("doc_id").as("idb")), Seq("shingle"))
+      .filter(col("ida") < col("idb"))
+      .groupBy("ida", "idb")
+      .agg(count(lit(1)).as("inter"), sum(col("w")).as("inter_w"))
+    inter
+      .join(wsum.select(col("doc_id").as("ida"), col("wt").as("wta"),
+        col("sz").as("sza")), Seq("ida"))
+      .join(wsum.select(col("doc_id").as("idb"), col("wt").as("wtb"),
+        col("sz").as("szb")), Seq("idb"))
+      .select(col("ida"), col("idb"), col("inter"),
+        expr("(inter * 1000000) div (sza + szb - inter)").as("j_ppm"),
+        expr("(inter_w * 1000000) div (wta + wtb - inter_w)").as("jw_ppm"))
+  }
+
+  /** Dedup-bias correction report: keep-one dedup changes per-stratum
+    * statistics whenever duplication correlates with the metric (long
+    * boilerplate-heavy docs duplicate more). Per stratum this reports
+    * the raw mean, the naive kept-only mean, and the multiplicity-
+    * WEIGHTED kept mean (each keeper re-weighted by its group size) —
+    * the inverse-propensity correction. Weighting is exact for EXACT
+    * duplicate groups (members share x); near-dup groups whose members
+    * differ in the metric leave a residual, and the weighted-vs-raw gap
+    * measures that within-group dispersion. `meta` is (doc_id, grp, x);
+    * `groups` is [[nearDupGroups]] output. One join + one stratum
+    * aggregation.
+    */
+  def dedupBiasReport(meta: DataFrame, groups: DataFrame): DataFrame =
+    meta.join(groups.select("doc_id", "n_docs", "keep"), Seq("doc_id"))
+      .groupBy("grp").agg(
+        count(lit(1)).as("n_raw"),
+        sum(col("x")).as("sx_raw"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("x")).otherwise(0L)).as("sx_kept"),
+        sum(when(col("keep"), col("n_docs")).otherwise(0L)).as("w_n"),
+        sum(when(col("keep"), col("n_docs") * col("x")).otherwise(0L))
+          .as("w_sx"))
+      .select(col("grp"), col("n_raw"),
+        round(col("sx_raw").cast("double") / col("n_raw").cast("double"), 6)
+          .as("mean_raw"),
+        col("n_kept"),
+        round(col("sx_kept").cast("double") / col("n_kept").cast("double"), 6)
+          .as("mean_kept"),
+        round(col("w_sx").cast("double") / col("w_n").cast("double"), 6)
+          .as("mean_weighted"))
+
   def sharedShinglePairs(sh0: DataFrame, dfCap: Int = 10000): DataFrame = {
     val hot = sh0.groupBy("shingle").agg(count(lit(1)).as("_df"))
       .filter(col("_df") > dfCap).select("shingle")

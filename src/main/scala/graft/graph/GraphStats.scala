@@ -197,6 +197,44 @@ object GraphStats {
     lbl.select(col("node"), col("lbl").as("community"))
   }
 
+  /** Newman modularity of a partition: Q = Σ_c [L_c/m − (D_c/2m)²] —
+    * how much denser the communities are than a degree-preserving
+    * random rewiring. Computed as the exact integer polynomial
+    * Q·4m² = Σ_c (4·m·L_c − D_c²) in decimal(38) with ONE final IEEE
+    * division, so the score replays engine-identically. `membership`
+    * is (node, community); two membership joins + two community-keyed
+    * aggregations. Output (one row): n_communities, m_edges,
+    * modularity.
+    */
+  def modularity(edges0: DataFrame, membership: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val e = edges0.select(col("ida").cast("long").as("ida"),
+      col("idb").cast("long").as("idb")).localCheckpoint()
+    val mAgg = e.agg(count(lit(1)).as("m"))
+    val deg = dirColsOf(e).groupBy("node").agg(count(lit(1)).as("deg"))
+    val lc = e
+      .join(membership.select(col("node").as("ida"), col("community").as("ca")),
+        Seq("ida"))
+      .join(membership.select(col("node").as("idb"), col("community").as("cb")),
+        Seq("idb"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c")).agg(count(lit(1)).as("l_c"))
+    val dc = deg.join(membership, Seq("node"))
+      .groupBy(col("community").as("c")).agg(sum(col("deg")).as("d_c"))
+    dc.join(lc, Seq("c"), "left")
+      .select(col("c"), coalesce(col("l_c"), lit(0L)).as("l_c"), col("d_c"))
+      .crossJoin(broadcast(mAgg))
+      .agg(count(lit(1)).as("n_communities"),
+        max(col("m")).as("m_edges"),
+        sum(lit(4).cast(d38) * col("m").cast(d38) * col("l_c").cast(d38)
+          - col("d_c").cast(d38) * col("d_c").cast(d38)).cast(d38)
+          .as("q_num"))
+      .select(col("n_communities"), col("m_edges"),
+        round(col("q_num").cast("double")
+          / (lit(4).cast(d38) * col("m_edges").cast(d38)
+            * col("m_edges").cast(d38)).cast("double"), 6).as("modularity"))
+  }
+
   def pageRank(edges0: DataFrame, iters: Int = 8): DataFrame = {
     val e = edges0.select(col("ida").cast("long").as("ida"),
       col("idb").cast("long").as("idb"))

@@ -238,7 +238,74 @@ object StatQueries {
     "q221_neyman_alloc" -> ((s, d) =>
       graft.text.Mix.neymanAllocation(docs(s, d), col("lang"),
           col("n_chars"), total = 500L)
-        .orderBy("stratum")))
+        .orderBy("stratum")),
+
+    // modularity of the LPA communities vs the CC components on the
+    // near-dup graph WITH planted bridge edges between TRIANGLE pairs
+    // (base b -> b+40, both %40 so both own a full copy): CC sweeps
+    // bridged cliques into one component by fiat, LPA lets the bridge
+    // lose the vote — measured as the community-count and modularity
+    // difference. Two earlier drafts were vacuous and caught by
+    // inspecting the driver output: the unbridged graph has LPA == CC
+    // exactly, and a b -> b+20 bridge targets a PENDANT pair (no full
+    // copy at odd bases) that LPA absorbs just like CC. Exact integer
+    // polynomial Q·4m², one IEEE division
+    "q222_modularity" -> ((s, d) => {
+      val bridges = docs(s, d).filter(col("doc_id") % 200 === 0)
+        .select(col("doc_id").as("ida"))
+        .join(docs(s, d).select(col("doc_id").as("idb")),
+          col("idb") === col("ida") + 40)
+      val edges = sweepEdges(s, d).unionByName(bridges).distinct()
+        .localCheckpoint()
+      val lpa = GraphStats.labelPropagation(edges, rounds = 4)
+      val cc = graft.graph.ConnectedComponents.labels(
+          edges.select(col("ida").as("src"), col("idb").as("dst")))
+        .select(col("node"), col("component").as("community"))
+      GraphStats.modularity(edges, cc)
+        .select(lit("cc").as("method"), col("n_communities"),
+          col("m_edges"), col("modularity"))
+        .unionByName(GraphStats.modularity(edges, lpa)
+          .select(lit("lpa").as("method"), col("n_communities"),
+            col("m_edges"), col("modularity")))
+        .orderBy("method")
+    }),
+
+    // dedup-bias correction over the sweep universe: raw vs kept-only
+    // vs multiplicity-weighted mean token count per language. Weighting
+    // keepers by group size recovers raw statistics exactly for EXACT
+    // duplicates; the planted HALF copies leave an honest residual
+    // (driver data: kept-only overshoots raw by ~27%, weighted closes
+    // most but not all of it — the gap measures within-group metric
+    // dispersion, which is what the report is for)
+    "q223_dedup_bias" -> ((s, d) => {
+      val uni = TrainingQueries.sweepDocs(s, d).localCheckpoint()
+      val groups = Dedup.nearDupGroups(uni.select("doc_id"),
+        sweepEdges(s, d))
+      val meta = uni
+        .join(docs(s, d).select(col("doc_id").as("base_id"), col("lang")),
+          uni("doc_id") % 1000000 === col("base_id"))
+        .select(uni("doc_id"), col("lang").as("grp"),
+          size(split(col("text"), "\\s+")).cast("long").as("x"))
+      Dedup.dedupBiasReport(meta, groups).orderBy("grp")
+    }),
+
+    // l-diversity of language within (source, length-octile) classes —
+    // the disclosure gate k-anonymity alone misses (a large class with
+    // ONE language still tells you the language); per l = 2, 3, 4
+    "q224_l_diversity" -> ((s, d) =>
+      graft.analytics.Analytics.lDiversity(docs(s, d),
+          Seq(col("source"), expr("n_chars div 8").as("len8")),
+          col("lang"), Seq(2, 3, 4))
+        .orderBy("l")),
+
+    // IDF-weighted exact Jaccard next to the unweighted score on the
+    // sweep universe's candidate pairs: boilerplate-discounted
+    // similarity — the footer-vs-content separation a flat Jaccard
+    // can't make; all-integer ppm arithmetic
+    "q225_weighted_jaccard" -> ((s, d) =>
+      Dedup.weightedJaccardPairs(TrainingQueries.sweepShingles(s, d),
+          dfCap = 500)
+        .orderBy("ida", "idb")))
 
   /** Shared oracle chain: sweep universe shingles → df-capped
     * inverted-index pair table with sizes — the threshold-independent
@@ -362,10 +429,11 @@ object StatQueries {
     * self-vote is one UNION ALL of the previous labels, the pick is the
     * (cnt desc, lbl asc) ROW_NUMBER cut.
     */
-  private def labelPropSql(rounds: Int): String = {
+  private def lpaStagesSql(rounds: Int, dirnRel: String = "dirn",
+                           degRel: String = "deg"): String = {
     val stages = (1 to rounds).map { i =>
       s"""v$i AS (
-           SELECT d.node, l.lbl FROM dirn d
+           SELECT d.node, l.lbl FROM $dirnRel d
            JOIN l${i - 1} l ON d.nbr = l.node
            UNION ALL SELECT node, lbl FROM l${i - 1}),
          c$i AS (SELECT node, lbl, COUNT(*) AS cnt FROM v$i GROUP BY 1, 2),
@@ -375,10 +443,66 @@ object StatQueries {
                PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rn
              FROM c$i) WHERE rn = 1)"""
     }.mkString(",\n       ")
+    s"""l0 AS (SELECT node, node AS lbl FROM $degRel),
+       $stages"""
+  }
+
+  private def labelPropSql(rounds: Int): String =
     s"""WITH $edgeChainSql,
-       l0 AS (SELECT node, node AS lbl FROM deg),
-       $stages
+       ${lpaStagesSql(rounds)}
        SELECT node, lbl AS community FROM l$rounds ORDER BY node"""
+
+  /** q222's replay: CC membership by recursive min-label reach, LPA
+    * membership from the shared stages, then Q·4m² per method in
+    * HUGEINT with one final division each.
+    */
+  private val modularitySql = {
+    def qFor(tag: String, mem: String): String =
+      s"""lc_$tag AS (
+           SELECT m1.community AS c, COUNT(*) AS l_c
+           FROM edges2 e
+           JOIN $mem m1 ON e.ida = m1.node
+           JOIN $mem m2 ON e.idb = m2.node
+           WHERE m1.community = m2.community GROUP BY 1),
+         dc_$tag AS (
+           SELECT m.community AS c, CAST(SUM(d.deg) AS BIGINT) AS d_c
+           FROM deg2 d JOIN $mem m ON d.node = m.node GROUP BY 1),
+         q_$tag AS (
+           SELECT '$tag' AS method, COUNT(*) AS n_communities,
+                  MAX(me.m) AS m_edges,
+                  SUM(CAST(4 AS HUGEINT) * me.m * COALESCE(l.l_c, 0)
+                      - CAST(d.d_c AS HUGEINT) * d.d_c) AS q_num
+           FROM dc_$tag d LEFT JOIN lc_$tag l ON d.c = l.c, me)"""
+    s"""WITH RECURSIVE $edgeChainSql,
+       bridges AS (
+         SELECT a.doc_id AS ida, b.doc_id AS idb
+         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 40
+         WHERE a.doc_id % 200 = 0),
+       edges2 AS MATERIALIZED (
+         SELECT ida, idb FROM edges UNION SELECT ida, idb FROM bridges),
+       dirn2 AS MATERIALIZED (
+         SELECT ida AS node, idb AS nbr FROM edges2
+         UNION ALL SELECT idb, ida FROM edges2),
+       deg2 AS MATERIALIZED (
+         SELECT node, COUNT(*) AS deg FROM dirn2 GROUP BY node),
+       me AS (SELECT COUNT(*) AS m FROM edges2),
+       dgm AS (SELECT ida AS s2, idb AS t2 FROM edges2
+               UNION ALL SELECT idb, ida FROM edges2),
+       reachm AS (
+         SELECT node, node AS lbl FROM deg2
+         UNION
+         SELECT e.t2, r.lbl FROM reachm r JOIN dgm e ON e.s2 = r.node),
+       ccm AS (SELECT node, MIN(lbl) AS community FROM reachm GROUP BY node),
+       ${lpaStagesSql(4, "dirn2", "deg2")},
+       lpam AS (SELECT node, lbl AS community FROM l4),
+       ${qFor("cc", "ccm")},
+       ${qFor("lpa", "lpam")}
+       SELECT method, n_communities, m_edges,
+              ROUND(CAST(q_num AS DOUBLE)
+                    / CAST(CAST(4 AS HUGEINT) * m_edges * m_edges AS DOUBLE),
+                6) AS modularity
+       FROM (SELECT * FROM q_cc UNION ALL SELECT * FROM q_lpa)
+       ORDER BY method"""
   }
 
   /** q215's replay: `rounds` unrolled row/col scaling half-steps, all
@@ -779,5 +903,78 @@ object StatQueries {
                 ROUND(CAST(sx AS DOUBLE) / CAST(n_pop AS DOUBLE), 6) AS mean,
                 ROUND(CAST(s_micro AS DOUBLE) / 1000000.0, 6) AS sd,
                 CAST((500 * wgt) // t.tw AS BIGINT) AS alloc_n
-         FROM w, t ORDER BY stratum""")
+         FROM w, t ORDER BY stratum""",
+
+    "q222_modularity" -> modularitySql,
+
+    "q223_dedup_bias" ->
+      s"""WITH RECURSIVE $edgeChainSql,
+         uni AS (SELECT doc_id FROM spl),
+         dgb AS (SELECT ida AS s2, idb AS t2 FROM edges
+                 UNION ALL SELECT idb, ida FROM edges),
+         reachb AS (
+           SELECT doc_id AS node, doc_id AS lbl FROM uni
+           UNION
+           SELECT e.t2, r.lbl FROM reachb r JOIN dgb e ON e.s2 = r.node),
+         compb AS (SELECT node AS doc_id, MIN(lbl) AS group_id
+                   FROM reachb GROUP BY node),
+         gszb AS (SELECT group_id, COUNT(*) AS n_docs
+                  FROM compb GROUP BY 1),
+         meta AS (
+           SELECT s.doc_id, d.lang AS grp,
+                  LEN(REGEXP_SPLIT_TO_ARRAY(s.text, '\\s+')) AS x
+           FROM spl s JOIN documents d ON s.doc_id % 1000000 = d.doc_id),
+         j AS (
+           SELECT m.grp, m.x, g.n_docs, m.doc_id = c.group_id AS keep
+           FROM meta m JOIN compb c USING (doc_id)
+                       JOIN gszb g USING (group_id))
+         SELECT grp, COUNT(*) AS n_raw,
+                ROUND(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+                  AS mean_raw,
+                CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_kept,
+                ROUND(CAST(SUM(CASE WHEN keep THEN x ELSE 0 END) AS DOUBLE)
+                      / CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END)
+                             AS DOUBLE), 6) AS mean_kept,
+                ROUND(CAST(SUM(CASE WHEN keep THEN n_docs * x ELSE 0 END)
+                           AS DOUBLE)
+                      / CAST(SUM(CASE WHEN keep THEN n_docs ELSE 0 END)
+                             AS DOUBLE), 6) AS mean_weighted
+         FROM j GROUP BY grp ORDER BY grp""",
+
+    "q224_l_diversity" ->
+      """WITH g AS (
+           SELECT source, n_chars // 8 AS len8, COUNT(*) AS gn,
+                  COUNT(DISTINCT lang) AS dv
+           FROM documents GROUP BY 1, 2),
+         ls AS (SELECT UNNEST([2, 3, 4]) AS l)
+         SELECT CAST(ls.l AS BIGINT) AS l, COUNT(*) AS n_classes,
+                CAST(SUM(CASE WHEN g.dv < ls.l THEN 1 ELSE 0 END) AS BIGINT)
+                  AS classes_below,
+                CAST(SUM(CASE WHEN g.dv < ls.l THEN g.gn ELSE 0 END)
+                     AS BIGINT) AS rows_at_risk
+         FROM g, ls GROUP BY 1 ORDER BY l""",
+
+    "q225_weighted_jaccard" ->
+      s"""WITH ${TrainingQueries.sweepChainSql},
+         dfc AS (SELECT shingle, COUNT(*) AS df FROM psh GROUP BY 1),
+         shw AS MATERIALIZED (
+           SELECT p.doc_id, p.shingle, 1000000 // d.df AS w
+           FROM psh p JOIN dfc d USING (shingle) WHERE d.df <= 500),
+         ws AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS wt,
+                       COUNT(*) AS sz
+                FROM shw GROUP BY 1),
+         itr AS (
+           SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter,
+                  CAST(SUM(a.w) AS BIGINT) AS inter_w
+           FROM shw a JOIN shw b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT i.ida, i.idb, i.inter,
+                (i.inter * 1000000) // (sa.sz + sb.sz - i.inter) AS j_ppm,
+                (i.inter_w * 1000000) // (sa.wt + sb.wt - i.inter_w)
+                  AS jw_ppm
+         FROM itr i JOIN ws sa ON i.ida = sa.doc_id
+                    JOIN ws sb ON i.idb = sb.doc_id
+         ORDER BY i.ida, i.idb""")
 }

@@ -112,6 +112,58 @@ class RakeNormSpec extends SparkSpec {
     assert(out == Map(1L -> 5L, 2L -> 5L, 3L -> 9L))
   }
 
+  test("modularity: two disjoint triangles score 1/2 as their own communities, 0 as one") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("ida", "idb")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L)
+    val split = nodes.map(n => (n, if (n < 10) 1L else 10L))
+      .toDF("node", "community")
+    val r1 = GraphStats.modularity(e, split).collect().head
+    assert(r1.getLong(0) == 2L && r1.getDouble(2) == 0.5)
+    val merged = nodes.map(n => (n, 1L)).toDF("node", "community")
+    val r2 = GraphStats.modularity(e, merged).collect().head
+    assert(r2.getLong(0) == 1L && r2.getDouble(2) == 0.0)
+  }
+
+  test("lDiversity: single-language class flags below l=2 even when k-large") {
+    // class (s1, 0): 3 rows all lang 'en' → diverse below 2;
+    // class (s2, 0): 2 rows, 2 langs → fine at 2, below 3.
+    val df = Seq(("s1", 0L, "en"), ("s1", 0L, "en"), ("s1", 0L, "en"),
+      ("s2", 0L, "en"), ("s2", 0L, "de")).toDF("src", "b", "lang")
+    val out = Analytics.lDiversity(df, Seq(col("src"), col("b")),
+        col("lang"), Seq(2, 3)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out == Map(2L -> ((2L, 1L, 3L)), 3L -> ((2L, 2L, 5L))))
+  }
+
+  test("weightedJaccardPairs: shared boilerplate discounts below flat Jaccard") {
+    // A/B/C share {x,y,z} (df 3 → weight 333333); tails w/q/r unique
+    // (weight 10⁶). Flat J(A,B) = 3/5 = 0.6; weighted = 999999 /
+    // (1999999·2 − 999999) = 0.333… — rare-content similarity.
+    val sh = graft.dedup.Dedup.shingles(Seq(
+      (1L, "x y z w"), (2L, "x y z q"), (3L, "x y z r"))
+      .toDF("doc_id", "text"), n = 1)
+    val out = graft.dedup.Dedup.weightedJaccardPairs(sh).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out.size == 3)
+    assert(out((1L, 2L)) == ((600000L, 333333L)))
+  }
+
+  test("dedupBiasReport: exact-dup group weighted mean recovers the raw mean") {
+    val meta = Seq((1L, "g", 10L), (2L, "g", 10L), (3L, "g", 4L))
+      .toDF("doc_id", "grp", "x")
+    val groups = graft.dedup.Dedup.nearDupGroups(
+      Seq(1L, 2L, 3L).toDF("doc_id"), Seq((1L, 2L)).toDF("ida", "idb"))
+    val r = graft.dedup.Dedup.dedupBiasReport(meta, groups).collect().head
+    assert(r.getLong(1) == 3L)                 // n_raw
+    assert(r.getDouble(2) == 8.0)              // mean_raw
+    assert(r.getLong(3) == 2L)                 // n_kept (1 and 3)
+    assert(r.getDouble(4) == 7.0)              // mean_kept (10+4)/2
+    assert(r.getDouble(5) == 8.0)              // weighted == raw (exact dup)
+  }
+
   test("charEntropy: hand-computed uniform entropy; repeat-char doc flags low") {
     val docs = Seq(
       (1L, "ab"),         // two chars once each → H = ln 2
