@@ -197,6 +197,23 @@ object GraphStats {
     lbl.select(col("node"), col("lbl").as("community"))
   }
 
+  /** Edges whose endpoints land in DIFFERENT communities of the given
+    * partition — with an LPA membership this is the actionable
+    * bridge-suspect list (candidate pairs CC closure would sweep
+    * through but the vote rejected): review these before trusting
+    * transitive dedup groups. Two membership joins, no aggregation.
+    * Output: ida, idb, com_a, com_b.
+    */
+  def cutEdges(edges0: DataFrame, membership: DataFrame): DataFrame =
+    edges0.select(col("ida").cast("long").as("ida"),
+        col("idb").cast("long").as("idb"))
+      .join(membership.select(col("node").as("ida"),
+        col("community").as("com_a")), Seq("ida"))
+      .join(membership.select(col("node").as("idb"),
+        col("community").as("com_b")), Seq("idb"))
+      .filter(col("com_a") =!= col("com_b"))
+      .select("ida", "idb", "com_a", "com_b")
+
   /** Newman modularity of a partition: Q = Σ_c [L_c/m − (D_c/2m)²] —
     * how much denser the communities are than a degree-preserving
     * random rewiring. Computed as the exact integer polynomial

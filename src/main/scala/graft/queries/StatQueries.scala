@@ -305,7 +305,46 @@ object StatQueries {
     "q225_weighted_jaccard" -> ((s, d) =>
       Dedup.weightedJaccardPairs(TrainingQueries.sweepShingles(s, d),
           dfCap = 500)
-        .orderBy("ida", "idb")))
+        .orderBy("ida", "idb")),
+
+    // LPA cut edges on q222's bridge-planted graph: the candidate pairs
+    // whose endpoints the vote put in DIFFERENT communities — the
+    // review-first list of suspected bridges before trusting transitive
+    // dedup groups (every planted bridge contributes its clique-boundary
+    // edges; the q222 modularity gap is made actionable here)
+    "q226_cut_edges" -> ((s, d) => {
+      val bridges = docs(s, d).filter(col("doc_id") % 200 === 0)
+        .select(col("doc_id").as("ida"))
+        .join(docs(s, d).select(col("doc_id").as("idb")),
+          col("idb") === col("ida") + 40)
+      val edges = sweepEdges(s, d).unionByName(bridges).distinct()
+        .localCheckpoint()
+      GraphStats.cutEdges(edges,
+          GraphStats.labelPropagation(edges, rounds = 4))
+        .orderBy("ida", "idb")
+    }),
+
+    // token-frequency Gini per source: vocabulary-concentration
+    // inequality (the boilerplate smell) next to q166's Shannon view —
+    // exact-integer rank·count sums on one global ordinal, one division
+    "q227_token_gini" -> ((s, d) =>
+      TextOps.tokenGini(docs(s, d)).orderBy("source")),
+
+    // PII co-occurrence profile with three planted leak shapes (%7
+    // email+phone, %13 email, %17 ip — composites yield the mixed
+    // combinations incl. all-three at %119): release-risk
+    // stratification by TYPE COMBINATION, not marginal counts
+    "q228_pii_profile" -> ((s, d) =>
+      TextOps.piiProfile(docs(s, d).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 7 === 0,
+              lit(" contact bob@example.com or 555-123-4567 now"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 13 === 0, lit(" mail alice@test.org"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 17 === 0, lit(" from 192.168.0.1"))
+              .otherwise(lit(""))).as("text")))
+        .orderBy("has_email", "has_phone", "has_ip")))
 
   /** Shared oracle chain: sweep universe shingles → df-capped
     * inverted-index pair table with sizes — the threshold-independent
@@ -452,6 +491,26 @@ object StatQueries {
        ${lpaStagesSql(rounds)}
        SELECT node, lbl AS community FROM l$rounds ORDER BY node"""
 
+  /** The bridge-planted graph q222/q226 share: sweep edges + b→b+40
+    * triangle bridges, its direction/degree tables, and the 4-round
+    * LPA membership (`lpam`).
+    */
+  private val bridgedChainSql =
+    s"""$edgeChainSql,
+       bridges AS (
+         SELECT a.doc_id AS ida, b.doc_id AS idb
+         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 40
+         WHERE a.doc_id % 200 = 0),
+       edges2 AS MATERIALIZED (
+         SELECT ida, idb FROM edges UNION SELECT ida, idb FROM bridges),
+       dirn2 AS MATERIALIZED (
+         SELECT ida AS node, idb AS nbr FROM edges2
+         UNION ALL SELECT idb, ida FROM edges2),
+       deg2 AS MATERIALIZED (
+         SELECT node, COUNT(*) AS deg FROM dirn2 GROUP BY node),
+       ${lpaStagesSql(4, "dirn2", "deg2")},
+       lpam AS (SELECT node, lbl AS community FROM l4)"""
+
   /** q222's replay: CC membership by recursive min-label reach, LPA
     * membership from the shared stages, then Q·4m² per method in
     * HUGEINT with one final division each.
@@ -473,18 +532,7 @@ object StatQueries {
                   SUM(CAST(4 AS HUGEINT) * me.m * COALESCE(l.l_c, 0)
                       - CAST(d.d_c AS HUGEINT) * d.d_c) AS q_num
            FROM dc_$tag d LEFT JOIN lc_$tag l ON d.c = l.c, me)"""
-    s"""WITH RECURSIVE $edgeChainSql,
-       bridges AS (
-         SELECT a.doc_id AS ida, b.doc_id AS idb
-         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 40
-         WHERE a.doc_id % 200 = 0),
-       edges2 AS MATERIALIZED (
-         SELECT ida, idb FROM edges UNION SELECT ida, idb FROM bridges),
-       dirn2 AS MATERIALIZED (
-         SELECT ida AS node, idb AS nbr FROM edges2
-         UNION ALL SELECT idb, ida FROM edges2),
-       deg2 AS MATERIALIZED (
-         SELECT node, COUNT(*) AS deg FROM dirn2 GROUP BY node),
+    s"""WITH RECURSIVE $bridgedChainSql,
        me AS (SELECT COUNT(*) AS m FROM edges2),
        dgm AS (SELECT ida AS s2, idb AS t2 FROM edges2
                UNION ALL SELECT idb, ida FROM edges2),
@@ -493,8 +541,6 @@ object StatQueries {
          UNION
          SELECT e.t2, r.lbl FROM reachm r JOIN dgm e ON e.s2 = r.node),
        ccm AS (SELECT node, MIN(lbl) AS community FROM reachm GROUP BY node),
-       ${lpaStagesSql(4, "dirn2", "deg2")},
-       lpam AS (SELECT node, lbl AS community FROM l4),
        ${qFor("cc", "ccm")},
        ${qFor("lpa", "lpam")}
        SELECT method, n_communities, m_edges,
@@ -976,5 +1022,68 @@ object StatQueries {
                   AS jw_ppm
          FROM itr i JOIN ws sa ON i.ida = sa.doc_id
                     JOIN ws sb ON i.idb = sb.doc_id
-         ORDER BY i.ida, i.idb""")
+         ORDER BY i.ida, i.idb""",
+
+    "q226_cut_edges" ->
+      s"""WITH $bridgedChainSql
+         SELECT e.ida, e.idb, ma.community AS com_a, mb.community AS com_b
+         FROM edges2 e
+         JOIN lpam ma ON e.ida = ma.node
+         JOIN lpam mb ON e.idb = mb.node
+         WHERE ma.community != mb.community
+         ORDER BY e.ida, e.idb""",
+
+    "q227_token_gini" ->
+      """WITH c AS (
+           SELECT source, tok, COUNT(*) AS c
+           FROM (SELECT source,
+                        UNNEST(REGEXP_SPLIT_TO_ARRAY(text, '\s+')) AS tok
+                 FROM documents)
+           GROUP BY 1, 2),
+         r AS (SELECT source, c,
+                      ROW_NUMBER() OVER (
+                        PARTITION BY source ORDER BY c, tok) AS i
+               FROM c),
+         a AS (SELECT source, COUNT(*) AS n_types,
+                      CAST(SUM(c) AS BIGINT) AS n_tokens,
+                      SUM(CAST(i AS HUGEINT) * c) AS sic
+               FROM r GROUP BY 1)
+         SELECT source, n_types, n_tokens,
+                ROUND(CAST(2 * sic - (n_types + 1)
+                           * CAST(n_tokens AS HUGEINT) AS DOUBLE)
+                      / CAST(CAST(n_types AS HUGEINT) * n_tokens AS DOUBLE),
+                  6) AS gini
+         FROM a ORDER BY source""",
+
+    "q228_pii_profile" -> {
+      import graft.text.TextOps.{emailPat, phonePat, ipPat}
+      s"""WITH pl AS (
+           SELECT doc_id,
+                  text
+                  || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact bob@example.com or 555-123-4567 now'
+                     ELSE '' END
+                  || CASE WHEN doc_id % 13 = 0
+                     THEN ' mail alice@test.org' ELSE '' END
+                  || CASE WHEN doc_id % 17 = 0
+                     THEN ' from 192.168.0.1' ELSE '' END AS text
+           FROM documents),
+         f AS (
+           SELECT LEN(REGEXP_EXTRACT_ALL(text, '$emailPat')) > 0
+                    AS has_email,
+                  LEN(REGEXP_EXTRACT_ALL(text, '$phonePat')) > 0
+                    AS has_phone,
+                  LEN(REGEXP_EXTRACT_ALL(text, '$ipPat')) > 0 AS has_ip
+           FROM pl),
+         g AS (SELECT has_email, has_phone, has_ip, COUNT(*) AS n_docs
+               FROM f GROUP BY 1, 2, 3),
+         t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_tot FROM g)
+         SELECT g.has_email, g.has_phone, g.has_ip,
+                CAST(g.has_email AS BIGINT) + CAST(g.has_phone AS BIGINT)
+                  + CAST(g.has_ip AS BIGINT) AS n_types,
+                g.n_docs,
+                ROUND(CAST(g.n_docs AS DOUBLE) / CAST(t.n_tot AS DOUBLE), 6)
+                  AS share
+         FROM g, t ORDER BY 1, 2, 3"""
+    })
 }

@@ -2092,6 +2092,71 @@ object TextOps {
       .select(col("id"), col("grp"), col("raw"), col("norm"))
   }
 
+  /** Token-frequency Gini coefficient per source — the inequality view
+    * of vocabulary concentration next to [[sourceEntropy]]'s Shannon
+    * view (Gini → 1: a few tokens dominate, the boilerplate smell;
+    * → 0: uniform use). On counts c_1 ≤ … ≤ c_k (ties broken by token
+    * for a total order): G = (2·Σ i·c_i − (k+1)·Σc) / (k·Σc) — exact
+    * integers until ONE division. The ascending rank i rides ONE
+    * global two-pass ordinal over (source, count, token) plus a
+    * |sources|-row offset join — never a per-source window task.
+    * Output per source: n_types, n_tokens, gini.
+    */
+  def tokenGini(docs: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val c = docs.select(col("source"), explode(tokensCol).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val ord = graft.ops.Windows.globalOrdinal(c,
+      Seq(col("source"), col("c"), col("tok")), "gpos")
+      .localCheckpoint() // two consumers: offsets + the ranked agg
+    val offs = ord.groupBy(col("source").as("src2"))
+      .agg(min(col("gpos")).as("off"))
+    ord.join(broadcast(offs), col("source") === col("src2"))
+      .select(col("source"), col("c"),
+        (col("gpos") - col("off") + 1L).as("i"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_tokens"),
+        sum(col("i").cast(d38) * col("c").cast(d38)).cast(d38).as("sic"))
+      .select(col("source"), col("n_types"), col("n_tokens"),
+        round((lit(2).cast(d38) * col("sic")
+          - (col("n_types") + 1).cast(d38) * col("n_tokens").cast(d38))
+          .cast("double")
+          / (col("n_types").cast(d38) * col("n_tokens").cast(d38))
+          .cast("double"), 6).as("gini"))
+  }
+
+  /** IPv4-shaped span pattern (RE2 + Java shared subset, like
+    * [[emailPat]]/[[phonePat]]).
+    */
+  val ipPat = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** PII co-occurrence profile: document counts per combination of
+    * detected PII types — the risk stratification behind a scrub pass
+    * (a doc carrying email AND phone AND ip is a different release
+    * decision than one stray address; redaction priority follows the
+    * combination, not the marginal counts [[piiRedact]] reports).
+    * Map-only flags + one 8-cell aggregation. Output per combination:
+    * has_email, has_phone, has_ip, n_types, n_docs, share.
+    */
+  def piiProfile(docs: DataFrame): DataFrame = {
+    def has(p: String) =
+      size(regexp_extract_all(col("text"), lit(p), lit(0))) > 0
+    val g = docs.select(has(emailPat).as("has_email"),
+        has(phonePat).as("has_phone"), has(ipPat).as("has_ip"))
+      .groupBy("has_email", "has_phone", "has_ip")
+      .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint() // two consumers: total + the report
+    val tot = g.agg(sum(col("n_docs")).as("n_tot"))
+    g.crossJoin(broadcast(tot))
+      .select(col("has_email"), col("has_phone"), col("has_ip"),
+        (col("has_email").cast("long") + col("has_phone").cast("long")
+          + col("has_ip").cast("long")).as("n_types"),
+        col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_tot").cast("double"), 6)
+          .as("share"))
+  }
+
   /** Per-document character-level Shannon entropy — the cheapest
     * repetitive-garbage detector (a doc stuck repeating a few
     * characters scores ≪ the ~3 nats of natural text). The low flag is

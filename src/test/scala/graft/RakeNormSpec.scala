@@ -164,6 +164,46 @@ class RakeNormSpec extends SparkSpec {
     assert(r.getDouble(5) == 8.0)              // weighted == raw (exact dup)
   }
 
+  test("cutEdges: exactly the bridge between the two LPA communities survives") {
+    // Bridged cliques from the labelPropagation spec ({1,2,3} and
+    // {10,11,12}): the vote keeps two communities, so the planted
+    // bridge (3,10) is the one boundary edge.
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("ida", "idb")
+    val mem = GraphStats.labelPropagation(e, rounds = 4)
+    val cut = GraphStats.cutEdges(e, mem).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cut == Set((3L, 10L)))
+  }
+
+  test("tokenGini: uniform counts score 0, dominated vocabulary approaches 1") {
+    // s1: four tokens once each → G = 0 exactly.
+    // s2: counts (1, 99), k=2: G = (2·(1·1+2·99) − 3·100)/(2·100) = 0.49
+    val docs = Seq(("s1", "a b c d"),
+      ("s2", ("x " * 99 + "y").trim)).toDF("source", "text")
+    val out = TextOps.tokenGini(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("s1") == 0.0)
+    assert(out("s2") == 0.49)
+  }
+
+  test("piiProfile: combinations counted with exact shares") {
+    val docs = Seq(
+      (1L, "clean text here"),
+      (2L, "mail a@b.io now"),
+      (3L, "mail a@b.io call 555-123-4567"),
+      (4L, "host 10.0.0.1 mail a@b.io call 555-123-4567"))
+      .toDF("doc_id", "text")
+    val out = TextOps.piiProfile(docs).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)) ->
+        (r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out == Map(
+      (false, false, false) -> ((0L, 1L, 0.25)),
+      (true, false, false)  -> ((1L, 1L, 0.25)),
+      (true, true, false)   -> ((2L, 1L, 0.25)),
+      (true, true, true)    -> ((3L, 1L, 0.25))))
+  }
+
   test("charEntropy: hand-computed uniform entropy; repeat-char doc flags low") {
     val docs = Seq(
       (1L, "ab"),         // two chars once each → H = ln 2
