@@ -476,6 +476,42 @@ object Analytics {
     * join-back for the peak (never a window over the log), integer
     * counts with one final division.
     */
+  /** Minimum detectable effect per event type for a two-sample test at
+    * α = 0.05 / power 0.8 on the per-USER value total (the experiment
+    * unit): MDE = (z_{0.975} + z_{0.8})·σ·√(2/n) with the z-sum pinned
+    * as the single literal 2.801585 so both engines evaluate the
+    * identical chain — the "is this experiment even worth running"
+    * pre-check next to q185's CUPED variance reduction. Moments are
+    * exact decimal(38) over integer cents; σ is ONE correctly-rounded
+    * sqrt micro-quantized before the MDE chain. Output per type: n
+    * (users), mean_cents, sd_cents, mde_cents, mde_rel.
+    */
+  def mdeReport(events: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val pu = events
+      .select(col("event_type"), col("user_id"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("event_type", "user_id").agg(sum(col("c")).as("x"))
+    val a = pu.groupBy("event_type").agg(count(lit(1)).as("n"),
+      sum(col("x").cast(d38)).cast(d38).as("sx"),
+      sum(col("x").cast(d38) * col("x").cast(d38)).cast(d38).as("sxx"))
+    val sdMicro = round(sqrt(
+      (col("n").cast(d38) * col("sxx") - col("sx") * col("sx"))
+        .cast("double")
+        / (col("n") * col("n")).cast("double")) * 1000000.0).cast("long")
+    a.select(col("event_type"), col("n"),
+        round(col("sx").cast("double") / col("n").cast("double"), 6)
+          .as("mean_cents"),
+        sdMicro.as("sd_micro"))
+      .select(col("event_type"), col("n"), col("mean_cents"),
+        round(col("sd_micro").cast("double") / 1000000.0, 6).as("sd_cents"),
+        round(lit(2.801585) * (col("sd_micro").cast("double") / 1000000.0)
+          * sqrt(lit(2.0) / col("n").cast("double")), 6).as("mde_cents"),
+        round(lit(2.801585) * (col("sd_micro").cast("double") / 1000000.0)
+          * sqrt(lit(2.0) / col("n").cast("double")) / col("mean_cents"), 6)
+          .as("mde_rel"))
+  }
+
   /** l-diversity audit, the companion gate to [[kAnonymity]]: a
     * quasi-identifier class that is large (k-anonymous) but carries
     * only one sensitive value still discloses it — this counts, per

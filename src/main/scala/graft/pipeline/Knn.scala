@@ -106,6 +106,45 @@ object Knn {
     * `(src, dst, dist, rn)`. `nPlanes = 0` auto-sizes from the corpus
     * count (see [[bucketedSelfKnn]]).
     */
+  /** Mutual-nearest-neighbor pairs with a margin score — the
+    * bitext-mining selection rule (Artetxe & Schwenk 2019): a pair is
+    * kept only when each side is the OTHER's rank-1 neighbor, and the
+    * margin relates the pair distance to both sides' average k-NN
+    * distance (a pair that is merely "closest in a crowded region"
+    * scores near 10⁶ ppm; a genuinely isolated match scores high).
+    * Runs on the shared bucketed-ANN chain; distances are 6-dp-rounded
+    * then micro-quantized, so the margin is an exact integer ratio —
+    * engine-replayable. Zero-distance pairs (exact duplicates) emit a
+    * NULL margin rather than a division. Output per mutual pair
+    * (src < dst): src, dst, d_micro, sum_src_micro, sum_dst_micro,
+    * margin_ppm.
+    */
+  def mutualTopPairs(latent: DataFrame, k: Int, nPlanes: Int = 0,
+                     rounds: Int = 6): DataFrame = {
+    val knn = bucketedKnn(latent, latent, k, nPlanes, rounds,
+      excludeSelf = true) // already localCheckpointed by bucketedKnn
+    val dMicro = round(col("dist") * 1000000.0).cast("long")
+    val top1 = knn.filter(col("rn") === 1)
+      .select(col("src"), col("dst"), dMicro.as("d_micro"))
+    val mutual = top1
+      .join(top1.select(col("src").as("dst"), col("dst").as("src")),
+        Seq("src", "dst"), "left_semi")
+      .filter(col("src") < col("dst"))
+    val sums = knn.groupBy("src")
+      .agg(sum(dMicro).as("sum_micro"), count(lit(1)).as("k_found"))
+    mutual
+      .join(sums.select(col("src"), col("sum_micro").as("sum_src_micro"),
+        col("k_found").as("k_src")), Seq("src"))
+      .join(sums.select(col("src").as("dst"),
+        col("sum_micro").as("sum_dst_micro"), col("k_found").as("k_dst")),
+        Seq("dst"))
+      .select(col("src"), col("dst"), col("d_micro"),
+        col("sum_src_micro"), col("sum_dst_micro"),
+        when(col("d_micro") > 0,
+          expr("((sum_src_micro + sum_dst_micro) * 1000000)" +
+            " div ((k_src + k_dst) * d_micro)")).as("margin_ppm"))
+  }
+
   def bucketedKnn(queries: DataFrame, corpus: DataFrame, k: Int,
                   nPlanes: Int = 0, rounds: Int = 6,
                   excludeSelf: Boolean = false,

@@ -344,7 +344,34 @@ object StatQueries {
               .otherwise(lit("")),
             when(col("doc_id") % 17 === 0, lit(" from 192.168.0.1"))
               .otherwise(lit(""))).as("text")))
-        .orderBy("has_email", "has_phone", "has_ip")))
+        .orderBy("has_email", "has_phone", "has_ip")),
+
+    // mutual-nearest-neighbor pairs with the Artetxe–Schwenk margin —
+    // the bitext-mining selection rule on the shared bucketed-ANN
+    // chain: kept only when each side is the other's rank-1, margin =
+    // both sides' mean k-NN distance over the pair distance in exact
+    // integer ppm (NULL for zero-distance exact duplicates)
+    "q229_mutual_nn" -> ((s, d) => {
+      val latent = Tables.t(s, d, "embeddings").select(
+        col("vec_id").as("cell_id"),
+        col("embedding").cast("array<double>").as("latent"))
+      graft.pipeline.Knn.mutualTopPairs(latent, k = 5)
+        .orderBy("src", "dst")
+    }),
+
+    // minimum detectable effect per event type (two-sample, alpha .05 /
+    // power .8, pinned z-sum literal) on per-user value totals — the
+    // experiment-sizing pre-check next to q185's CUPED
+    "q230_mde" -> ((s, d) =>
+      graft.analytics.Analytics.mdeReport(Tables.events(s, d))
+        .orderBy("event_type")),
+
+    // exact repeat census at NON-power lengths 24/48/96 via the
+    // two-overlapping-powers decomposition over the q219 rank levels —
+    // each extra length is one shifted join + class count, no re-rank
+    "q231_repeat_lengths" -> ((s, d) =>
+      graft.text.SuffixOps.repeatAtLengths(docs(s, d), Seq(24, 48, 96))
+        .orderBy("len")))
 
   /** Shared oracle chain: sweep universe shingles → df-capped
     * inverted-index pair table with sizes — the threshold-independent
@@ -1085,5 +1112,79 @@ object StatQueries {
                 ROUND(CAST(g.n_docs AS DOUBLE) / CAST(t.n_tot AS DOUBLE), 6)
                   AS share
          FROM g, t ORDER BY 1, 2, 3"""
+    },
+
+    "q229_mutual_nn" ->
+      s"""WITH ${TrainingQueries.annChainSql},
+         t5 AS MATERIALIZED (
+           SELECT src, dst, CAST(ROUND(dist * 1000000.0) AS BIGINT)
+                    AS d_micro, rn
+           FROM topk WHERE rn <= 5),
+         t1 AS (SELECT src, dst, d_micro FROM t5 WHERE rn = 1),
+         mu AS (
+           SELECT a.src, a.dst, a.d_micro
+           FROM t1 a JOIN t1 b ON a.src = b.dst AND a.dst = b.src
+           WHERE a.src < a.dst),
+         sums AS (
+           SELECT src, CAST(SUM(d_micro) AS BIGINT) AS sum_micro,
+                  COUNT(*) AS k_found
+           FROM t5 GROUP BY src)
+         SELECT m.src, m.dst, m.d_micro,
+                sa.sum_micro AS sum_src_micro,
+                sb.sum_micro AS sum_dst_micro,
+                CASE WHEN m.d_micro > 0
+                     THEN ((sa.sum_micro + sb.sum_micro) * 1000000)
+                          // ((sa.k_found + sb.k_found) * m.d_micro)
+                END AS margin_ppm
+         FROM mu m JOIN sums sa ON m.src = sa.src
+                   JOIN sums sb ON m.dst = sb.src
+         ORDER BY m.src, m.dst""",
+
+    "q230_mde" ->
+      """WITH pu AS (
+           SELECT event_type, user_id,
+                  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                    AS x
+           FROM events GROUP BY 1, 2),
+         a AS (
+           SELECT event_type, COUNT(*) AS n,
+                  CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                  CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                       AS HUGEINT) AS sxx
+           FROM pu GROUP BY 1),
+         s AS (
+           SELECT event_type, n,
+                  ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                    AS mean_cents,
+                  CAST(ROUND(SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                                  / CAST(n * n AS DOUBLE)) * 1000000.0)
+                       AS BIGINT) AS sd_micro
+           FROM a)
+         SELECT event_type, n, mean_cents,
+                ROUND(CAST(sd_micro AS DOUBLE) / 1000000.0, 6) AS sd_cents,
+                ROUND(2.801585 * (CAST(sd_micro AS DOUBLE) / 1000000.0)
+                      * SQRT(2.0 / CAST(n AS DOUBLE)), 6) AS mde_cents,
+                ROUND(2.801585 * (CAST(sd_micro AS DOUBLE) / 1000000.0)
+                      * SQRT(2.0 / CAST(n AS DOUBLE)) / mean_cents, 6)
+                  AS mde_rel
+         FROM s ORDER BY event_type""",
+
+    "q231_repeat_lengths" -> {
+      val stats = Seq(24, 48, 96).map { l =>
+        val i = 31 - Integer.numberOfLeadingZeros(l)
+        val off = l - (1 << i)
+        s"""sl$l AS (
+             SELECT CAST($l AS BIGINT) AS len, COUNT(*) AS n_classes,
+                    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+                      AS n_pos_repeated,
+                    CAST(MAX(c) AS BIGINT) AS max_class
+             FROM (SELECT a.r AS r1, COALESCE(b.r, 0) AS r2, COUNT(*) AS c
+                   FROM r$i a LEFT JOIN r$i b ON b.gp = a.gp + $off
+                   GROUP BY 1, 2))"""
+      }.mkString(",\n       ")
+      s"""WITH ${suffixChainSql("documents", 6)},
+       $stats
+       SELECT * FROM sl24 UNION ALL SELECT * FROM sl48
+       UNION ALL SELECT * FROM sl96 ORDER BY len"""
     })
 }

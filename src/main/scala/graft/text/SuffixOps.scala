@@ -103,6 +103,62 @@ object SuffixOps {
     rows.reduce(_.unionByName(_))
   }
 
+  /** Rank tables for every doubling level 0..maxRound. */
+  private def rankLevels(docs: DataFrame, maxRound: Int)
+      : Map[Int, DataFrame] = {
+    val st = Lineage.reset(stream(docs))
+    val toks = st.select("tok").distinct()
+    val rankTok = Windows.globalOrdinal(toks, Seq(col("tok")), "r")
+    var r = Lineage.reset(st.join(rankTok, Seq("tok"))
+      .select(col("gp"), col("r")))
+    var levels = Map(0 -> r)
+    for (i <- 1 to maxRound) {
+      val off = 1L << (i - 1)
+      val pair = r.join(
+          r.select((col("gp") - off).as("gp"), col("r").as("r2")),
+          Seq("gp"), "left")
+        .select(col("gp"), col("r"), coalesce(col("r2"), lit(0L)).as("r2"))
+      val ranked = Windows.globalOrdinal(
+        pair.select("r", "r2").distinct(),
+        Seq(col("r"), col("r2")), "nr")
+      r = Lineage.reset(pair.join(ranked, Seq("r", "r2"))
+        .select(col("gp"), col("nr").as("r")))
+      levels += (i -> r)
+    }
+    levels
+  }
+
+  /** Exact repeat census at ARBITRARY lengths (not just powers of
+    * two): a length-L window equals another iff their leading and
+    * trailing 2^i-windows both do, for i = ⌊log₂ L⌋ — the classic
+    * two-overlapping-powers decomposition, so each requested length
+    * costs ONE extra shifted join + class count over the already-built
+    * level-i ranks (no re-rank needed: class statistics only). Output:
+    * one row per length (len, n_classes, n_pos_repeated, max_class) —
+    * the same report shape as [[repeatSpectrum]].
+    */
+  def repeatAtLengths(docs: DataFrame, lengths: Seq[Int]): DataFrame = {
+    require(lengths.nonEmpty && lengths.forall(_ >= 1))
+    def lvl(l: Int) = 31 - Integer.numberOfLeadingZeros(l)
+    val levels = rankLevels(docs, lengths.map(lvl).max)
+    val rows = lengths.sorted.map { l =>
+      val i = lvl(l)
+      val off = (l - (1 << i)).toLong
+      val r = levels(i)
+      r.join(r.select((col("gp") - off).as("gp"), col("r").as("r2")),
+          Seq("gp"), "left")
+        .select(col("r"), coalesce(col("r2"), lit(0L)).as("r2"))
+        .groupBy("r", "r2").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when(col("c") >= 2, col("c")).otherwise(0L))
+            .as("n_pos_repeated"),
+          max(col("c")).as("max_class"))
+        .select(lit(l.toLong).as("len"), col("n_classes"),
+          col("n_pos_repeated"), col("max_class"))
+    }
+    rows.reduce(_.unionByName(_))
+  }
+
   /** Per-document exact repeat coverage at window `2^rounds`: the
     * fraction of a document's token positions that start a substring
     * also occurring elsewhere in the corpus — the memorization-risk

@@ -204,6 +204,18 @@ class RakeNormSpec extends SparkSpec {
       (true, true, true)    -> ((3L, 1L, 0.25))))
   }
 
+  test("mdeReport: hand-computed two-user MDE") {
+    // User totals 0 and 10 cents: mean 5, population sd 5 →
+    // mde = 2.801585·5·sqrt(2/2) = 14.007925; rel = 2.801585.
+    val ev = Seq(("buy", 1L, 0.0), ("buy", 2L, 0.10))
+      .toDF("event_type", "user_id", "value")
+    val r = Analytics.mdeReport(ev).collect().head
+    assert(r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 5.0 && r.getDouble(3) == 5.0)
+    assert(r.getDouble(4) == 14.007925)
+    assert(r.getDouble(5) == 2.801585)
+  }
+
   test("charEntropy: hand-computed uniform entropy; repeat-char doc flags low") {
     val docs = Seq(
       (1L, "ab"),         // two chars once each → H = ln 2

@@ -41,6 +41,33 @@ class SuffixSpec extends SparkSpec {
       3L -> ((4L, 0L, 0.0))))
   }
 
+  test("repeatAtLengths: non-power length 3 via the two-window decomposition") {
+    // Two identical 4-token docs: length-3 windows 'a b c' and 'b c d'
+    // each repeat across the pair; every window touching a separator
+    // (unique per doc) is a singleton. 10 positions → 8 classes,
+    // 4 repeated positions, max class 2.
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val out = SuffixOps.repeatAtLengths(docs, Seq(3)).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getLong(3)) == ((3L, 8L, 4L, 2L)))
+  }
+
+  test("mutualTopPairs: isolated matches found, crowd asymmetry rejected, dup pair NULL margin") {
+    // (1,2) isolated mutual pair at distance 1; (3,4) mutual at 1.5;
+    // (5,6) exact duplicates → mutual with NULL margin.
+    val vecs = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(30.0, 0.0)), (4L, Seq(30.0, 1.5)),
+      (5L, Seq(60.0, 60.0)), (6L, Seq(60.0, 60.0)))
+      .toDF("cell_id", "latent")
+    val out = graft.pipeline.Knn.mutualTopPairs(vecs, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+    assert(out.keySet == Set((1L, 2L), (3L, 4L), (5L, 6L)))
+    assert(out((5L, 6L)).isEmpty)           // zero-distance → NULL margin
+    assert(out((1L, 2L)).exists(_ > 1000000L)) // isolated → margin > 1
+  }
+
   test("neymanAllocation: zero-variance stratum gets zero draws") {
     val df = Seq(("g1", 0L), ("g1", 0L), ("g1", 10L), ("g1", 10L),
       ("g2", 5L), ("g2", 5L), ("g2", 5L), ("g2", 5L))
