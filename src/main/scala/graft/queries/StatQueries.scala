@@ -371,7 +371,38 @@ object StatQueries {
     // each extra length is one shifted join + class count, no re-rank
     "q231_repeat_lengths" -> ((s, d) =>
       graft.text.SuffixOps.repeatAtLengths(docs(s, d), Seq(24, 48, 96))
-        .orderBy("len")))
+        .orderBy("len")),
+
+    // 1-Wasserstein drift of each source's length distribution vs the
+    // rest — the MAGNITUDE companion to q183's KS max-gap (how far the
+    // mass moved, in characters); exact integer Σ|ΔCDF|·Δv over the
+    // bounded distinct-value grid, one division
+    "q232_w1_drift" -> ((s, d) =>
+      TextOps.w1Drift(docs(s, d), col("source"), col("n_chars"))
+        .orderBy("grp")),
+
+    // sketch-accuracy audit: the q119 histogram quantiles measured
+    // against the q104 exact order statistics per (type, percentile) —
+    // the one-sided error is bounded by the bin width, REPORTED per
+    // cell rather than assumed
+    "q233_sketch_error" -> ((s, d) => {
+      val ev = Tables.t(s, d, "events").select(col("event_type"),
+        col("value"))
+      val exact = graft.analytics.Analytics.groupQuantiles(
+        ev, "event_type", "value", Seq(0.5, 0.95, 0.99))
+      val skl = graft.stats.Sketches.histQuantiles(ev, "event_type", "value")
+        .select(col("grp").as("event_type"),
+          expr("stack(3, 0.5D, p50, 0.95D, p95, 0.99D, p99)")
+            .as(Seq("p", "sketch_q")))
+      exact.join(skl, Seq("event_type", "p"))
+        .select(col("event_type"), col("p"),
+          round(col("q_value"), 6).as("exact_q"),
+          round(col("sketch_q"), 6).as("sketch_q"),
+          round(col("sketch_q") - col("q_value"), 6).as("err"),
+          (col("sketch_q") - col("q_value") >= 0
+            && col("sketch_q") - col("q_value") <= 2.0).as("within_bin"))
+        .orderBy("event_type", "p")
+    }))
 
   /** Shared oracle chain: sweep universe shingles → df-capped
     * inverted-index pair table with sizes — the threshold-independent
@@ -1186,5 +1217,83 @@ object StatQueries {
        $stats
        SELECT * FROM sl24 UNION ALL SELECT * FROM sl48
        UNION ALL SELECT * FROM sl96 ORDER BY len"""
-    })
+    },
+
+    "q232_w1_drift" ->
+      """WITH c AS (
+           SELECT source AS grp, CAST(n_chars AS BIGINT) AS v,
+                  COUNT(*) AS c
+           FROM documents GROUP BY 1, 2),
+         t AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n_g FROM c GROUP BY 1),
+         g AS (SELECT CAST(SUM(c) AS BIGINT) AS grand FROM c),
+         vals AS (SELECT DISTINCT v FROM c),
+         grid AS (
+           SELECT t.grp, t.n_g, vals.v, COALESCE(c.c, 0) AS c
+           FROM t CROSS JOIN vals
+           LEFT JOIN c ON c.grp = t.grp AND c.v = vals.v),
+         cg AS (SELECT grp, n_g, v,
+                       SUM(c) OVER (PARTITION BY grp ORDER BY v) AS cum_g
+                FROM grid),
+         ca AS (SELECT v, SUM(c_all) OVER (ORDER BY v) AS cum_all,
+                       COALESCE(LEAD(v) OVER (ORDER BY v) - v, 0) AS dv
+                FROM (SELECT v, SUM(c) AS c_all FROM c GROUP BY v)),
+         terms AS (
+           SELECT cg.grp, cg.n_g,
+                  CAST(ABS(cg.cum_g * (g.grand - cg.n_g)
+                           - (ca.cum_all - cg.cum_g) * cg.n_g) AS HUGEINT)
+                    * ca.dv AS term,
+                  g.grand
+           FROM cg JOIN ca USING (v), g)
+         SELECT grp, MAX(n_g) AS n_g,
+                ROUND(CAST(SUM(term) AS DOUBLE)
+                      / CAST(MAX(n_g) * (MAX(grand) - MAX(n_g)) AS DOUBLE),
+                  6) AS w1
+         FROM terms GROUP BY grp ORDER BY grp""",
+
+    "q233_sketch_error" ->
+      """WITH ev AS (SELECT event_type, value AS v FROM events),
+         r AS (
+           SELECT event_type, v,
+                  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v)
+                    AS rk,
+                  COUNT(*) OVER (PARTITION BY event_type) AS n
+           FROM ev),
+         ps AS (SELECT CAST(UNNEST([0.5, 0.95, 0.99]) AS DOUBLE) AS p),
+         ex AS (
+           SELECT r.event_type, ps.p, r.v AS q_value
+           FROM r JOIN ps
+             ON r.rk = GREATEST(1, CAST(CEIL(ps.p * r.n) AS BIGINT))),
+         bins AS (
+           SELECT event_type,
+                  CAST(LEAST(GREATEST(FLOOR((v - 0.0) / 2.0), 0), 255)
+                       AS INT) AS bin,
+                  COUNT(*) AS c
+           FROM ev GROUP BY 1, 2),
+         cum AS (
+           SELECT event_type, bin,
+                  SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+                  SUM(c) OVER (PARTITION BY event_type) AS n
+           FROM bins),
+         sk AS (
+           SELECT event_type,
+                  MIN(CASE WHEN cum >= FLOOR((n * 50 + 99) / 100.0)
+                      THEN 0.0 + (bin + 1) * 2.0 END) AS p50,
+                  MIN(CASE WHEN cum >= FLOOR((n * 95 + 99) / 100.0)
+                      THEN 0.0 + (bin + 1) * 2.0 END) AS p95,
+                  MIN(CASE WHEN cum >= FLOOR((n * 99 + 99) / 100.0)
+                      THEN 0.0 + (bin + 1) * 2.0 END) AS p99
+           FROM cum GROUP BY event_type),
+         skl AS (
+           SELECT event_type, CAST(0.5 AS DOUBLE) AS p, p50 AS sketch_q
+           FROM sk
+           UNION ALL SELECT event_type, 0.95, p95 FROM sk
+           UNION ALL SELECT event_type, 0.99, p99 FROM sk)
+         SELECT e.event_type, e.p,
+                ROUND(e.q_value, 6) AS exact_q,
+                ROUND(s.sketch_q, 6) AS sketch_q,
+                ROUND(s.sketch_q - e.q_value, 6) AS err,
+                s.sketch_q - e.q_value >= 0
+                  AND s.sketch_q - e.q_value <= 2.0 AS within_bin
+         FROM ex e JOIN skl s ON e.event_type = s.event_type AND e.p = s.p
+         ORDER BY e.event_type, e.p""")
 }

@@ -500,4 +500,29 @@ object Streaming {
           round(lit(1.0) - col("n_hits").cast("double")
             / col("n_grams").cast("double"), 6)))
   }
+
+  /** q76/q228's streaming twin — the PII scrub gate at ingest: a
+    * MAP-ONLY projection (zero state, zero stream-side joins) that
+    * counts email/phone/ip spans, emits the redacted text, and flags
+    * documents needing review (2+ distinct PII types, q228's risk
+    * rule). Identical patterns to the batch pass, so the stream and
+    * the batch scrub agree byte-for-byte on the same input.
+    */
+  def piiStream(docs: Dataset[Doc], watermark: String = "1 hour")
+      : DataFrame = {
+    import graft.text.TextOps.{emailPat, phonePat, ipPat}
+    val redacted = regexp_replace(regexp_replace(regexp_replace(
+      col("text"), lit(emailPat), lit("<EMAIL>")),
+      lit(phonePat), lit("<PHONE>")), lit(ipPat), lit("<IP>"))
+    def n(p: String) =
+      size(regexp_extract_all(col("text"), lit(p), lit(0))).cast("long")
+    docs.toDF().withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        n(emailPat).as("n_emails"), n(phonePat).as("n_phones"),
+        n(ipPat).as("n_ips"), redacted.as("redacted"))
+      .withColumn("n_types",
+        (col("n_emails") > 0).cast("long") + (col("n_phones") > 0)
+          .cast("long") + (col("n_ips") > 0).cast("long"))
+      .withColumn("needs_review", col("n_types") >= 2)
+  }
 }

@@ -113,6 +113,46 @@ object TextOps {
           / (col("n_g") * col("n_r")).cast("double"), 6).as("ks"))
   }
 
+  /** 1-Wasserstein (earth-mover) distance of each group's value
+    * distribution vs the rest of the corpus — the MAGNITUDE companion
+    * to [[ksDrift]]'s max-gap: W1 = ∫|CDF_g − CDF_r| integrates how far
+    * mass must move, in value units, so a small-but-everywhere shift
+    * and a large-but-local one separate. On an integer domain the
+    * integral is the exact sum Σ |cum_g·n_r − cum_r·n_g|·Δv over the
+    * DISTINCT value grid (bounded, never the corpus), one division by
+    * n_g·n_r at the end. Output per group: n_g, w1.
+    */
+  def w1Drift(df: DataFrame, group: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(group.as("grp"), value.cast("long").as("v"))
+      .groupBy("grp", "v").agg(count(lit(1)).as("c")).localCheckpoint()
+    val totals = counts.groupBy("grp").agg(sum(col("c")).as("n_g"))
+    val grand = counts.agg(sum(col("c"))).head.getLong(0)
+    val grid = totals.crossJoin(counts.select("v").distinct())
+      .join(counts, Seq("grp", "v"), "left").na.fill(0L, Seq("c"))
+    val cumG = grid.withColumn("cum_g",
+      sum(col("c")).over(Window.partitionBy("grp").orderBy("v")))
+    val corpusCum = counts.groupBy("v").agg(sum(col("c")).as("c_all"))
+      .withColumn("cum_all", sum(col("c_all")).over(Window.orderBy("v")))
+      // gap to the next distinct value; the last value's CDF gap is 0
+      // (both CDFs have reached 1), so its missing Δv contributes 0
+      .withColumn("dv",
+        coalesce(lead(col("v"), 1).over(Window.orderBy("v")) - col("v"),
+          lit(0L)))
+    cumG.join(corpusCum.select("v", "cum_all", "dv"), Seq("v"))
+      .select(col("grp"), col("n_g"),
+        (abs(col("cum_g") * (lit(grand) - col("n_g"))
+          - (col("cum_all") - col("cum_g")) * col("n_g"))
+          .cast("decimal(38,0)") * col("dv").cast("decimal(38,0)"))
+          .as("term"))
+      .groupBy("grp").agg(max(col("n_g")).as("n_g"),
+        sum(col("term")).cast("decimal(38,0)").as("s"))
+      .select(col("grp"), col("n_g"),
+        round(col("s").cast("double")
+          / (col("n_g") * (lit(grand) - col("n_g"))).cast("double"), 6)
+          .as("w1"))
+  }
+
   /** Cohen's kappa agreement between two boolean filter gates — the
     * "does my new cheap gate agree with the expensive one beyond
     * chance" report a pipeline reads before swapping filters (raw

@@ -260,6 +260,30 @@ class AuditSpec extends SparkSpec {
     assert(got(13L) == ((0L, 0L, None))) // < n tokens → no grams, NULL score
   }
 
+  test("piiStream: map-only scrub gate counts, redacts, and flags 2+ types") {
+    import graft.streaming.Streaming
+    implicit val sc = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Streaming.Doc]
+    val q = Streaming.piiStream(input.toDS())
+      .writeStream.format("memory").queryName("pii_out")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    input.addData(
+      Streaming.Doc(1L, t0, "clean text"),
+      Streaming.Doc(2L, t0, "mail a@b.io now"),
+      Streaming.Doc(3L, t0, "a@b.io or 555-123-4567 at 10.0.0.1"))
+    q.processAllAvailable()
+    val got = spark.sql(
+        "SELECT doc_id, n_types, needs_review, redacted FROM pii_out")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getString(3)))).toMap
+    q.stop()
+    assert(got(1L) == ((0L, false, "clean text")))
+    assert(got(2L) == ((1L, false, "mail <EMAIL> now")))
+    assert(got(3L) == ((3L, true, "<EMAIL> or <PHONE> at <IP>")))
+  }
+
   test("temperatureMix: hand-computed dyadic smoothing of a 16:1 split") {
     // strata a:16 tokens, b:1 → raw 16/17; a50: 4:1; a25: 2:1; a75: 8:1
     val docs = Seq(("a", ("w " * 16).trim), ("b", "w")).toDF("g", "text")

@@ -204,6 +204,19 @@ class RakeNormSpec extends SparkSpec {
       (true, true, true)    -> ((3L, 1L, 0.25))))
   }
 
+  test("w1Drift: point masses 10 apart read exactly 10; identical groups read 0") {
+    val sep = Seq(("g1", 0L), ("g1", 0L), ("g2", 10L), ("g2", 10L))
+      .toDF("g", "v")
+    val d1 = TextOps.w1Drift(sep, col("g"), col("v")).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(d1 == Map("g1" -> 10.0, "g2" -> 10.0))
+    val same = Seq(("g1", 1L), ("g1", 9L), ("g2", 1L), ("g2", 9L))
+      .toDF("g", "v")
+    val d0 = TextOps.w1Drift(same, col("g"), col("v")).collect()
+      .map(r => r.getDouble(2))
+    assert(d0.forall(_ == 0.0))
+  }
+
   test("mdeReport: hand-computed two-user MDE") {
     // User totals 0 and 10 cents: mean 5, population sd 5 →
     // mde = 2.801585·5·sqrt(2/2) = 14.007925; rel = 2.801585.
