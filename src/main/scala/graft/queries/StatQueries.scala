@@ -402,7 +402,23 @@ object StatQueries {
           (col("sketch_q") - col("q_value") >= 0
             && col("sketch_q") - col("q_value") <= 2.0).as("within_bin"))
         .orderBy("event_type", "p")
-    }))
+    }),
+
+    // the dataset card: one (metric, value) datasheet — sizes, type
+    // counts, duplication, language concentration, hapax share, PII
+    // rate — every row an exact count or single rounded division
+    "q234_dataset_card" -> ((s, d) =>
+      TextOps.datasetCard(docs(s, d)).orderBy("metric")),
+
+    // Good–Turing unseen mass + Chao1 richness per source, at word AND
+    // word-3-gram level (q211's contrast): the synthetic word vocab is
+    // saturated (n1 near 0 — honest), the phrase space carries real
+    // singleton mass — the expectation-terms keep-crawling signal;
+    // exact integer singleton/doubleton profile, two divisions
+    "q235_good_turing" -> ((s, d) =>
+      TextOps.goodTuring(docs(s, d), gramN = 1)
+        .unionByName(TextOps.goodTuring(docs(s, d), gramN = 3))
+        .orderBy("gram_n", "source")))
 
   /** Shared oracle chain: sweep universe shingles → df-capped
     * inverted-index pair table with sizes — the threshold-independent
@@ -1295,5 +1311,89 @@ object StatQueries {
                 s.sketch_q - e.q_value >= 0
                   AND s.sketch_q - e.q_value <= 2.0 AS within_bin
          FROM ex e JOIN skl s ON e.event_type = s.event_type AND e.p = s.p
-         ORDER BY e.event_type, e.p""")
+         ORDER BY e.event_type, e.p""",
+
+    "q234_dataset_card" -> {
+      import graft.text.TextOps.{emailPat, phonePat, ipPat}
+      s"""WITH tok AS MATERIALIZED (
+           SELECT tok, COUNT(*) AS c
+           FROM (SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')) AS tok
+                 FROM documents)
+           GROUP BY tok),
+         base AS (
+           SELECT COUNT(*) AS n_docs,
+                  CAST(SUM(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')))
+                       AS BIGINT) AS n_tokens,
+                  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+                  COUNT(DISTINCT MD5(text)) AS n_distinct_texts,
+                  COUNT(DISTINCT lang) AS n_langs,
+                  COUNT(DISTINCT source) AS n_sources,
+                  CAST(SUM(CASE WHEN
+                      LEN(REGEXP_EXTRACT_ALL(text, '$emailPat')) > 0
+                      OR LEN(REGEXP_EXTRACT_ALL(text, '$phonePat')) > 0
+                      OR LEN(REGEXP_EXTRACT_ALL(text, '$ipPat')) > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs
+           FROM documents),
+         voc AS (SELECT COUNT(*) AS vocab,
+                        CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                             AS BIGINT) AS hapax
+                 FROM tok),
+         tl AS (SELECT MAX(ln) AS top_lang_n FROM (
+                  SELECT COUNT(*) AS ln FROM documents GROUP BY lang)),
+         a AS (SELECT * FROM base, voc, tl)
+         SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM a
+         UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM a
+         UNION ALL SELECT 'n_chars', CAST(n_chars AS DOUBLE) FROM a
+         UNION ALL SELECT 'vocab', CAST(vocab AS DOUBLE) FROM a
+         UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM a
+         UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM a
+         UNION ALL SELECT 'mean_doc_tokens',
+           ROUND(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+           FROM a
+         UNION ALL SELECT 'exact_dup_rate',
+           ROUND(1.0 - CAST(n_distinct_texts AS DOUBLE)
+                 / CAST(n_docs AS DOUBLE), 6) FROM a
+         UNION ALL SELECT 'hapax_rate',
+           ROUND(CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE), 6) FROM a
+         UNION ALL SELECT 'top_lang_share',
+           ROUND(CAST(top_lang_n AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+           FROM a
+         UNION ALL SELECT 'pii_doc_rate',
+           ROUND(CAST(n_pii_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+           FROM a
+         ORDER BY metric"""
+    },
+
+    "q235_good_turing" -> {
+      def chain(n: Int): String = {
+        val gram = (0 until n).map(j => s"w[i + $j]").mkString(" || ' ' || ")
+        s"""SELECT CAST($n AS BIGINT) AS gram_n, source, n_tokens, n_types,
+                n1, n2,
+                ROUND(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+                  AS unseen_mass,
+                ROUND(CASE WHEN n2 > 0 THEN CAST(n_types AS DOUBLE)
+                        + CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                          / (2.0 * CAST(n2 AS DOUBLE)) END, 6) AS chao1
+         FROM (
+           SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                  COUNT(*) AS n_types,
+                  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n1,
+                  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n2
+           FROM (
+             SELECT source, tok, COUNT(*) AS c
+             FROM (SELECT source, $gram AS tok
+                   FROM (SELECT source,
+                                REGEXP_SPLIT_TO_ARRAY(text, '\\s+') AS w
+                         FROM documents) t,
+                        LATERAL (SELECT UNNEST(RANGE(1, LEN(w) + 2 - $n))
+                                 AS i))
+             GROUP BY 1, 2)
+           GROUP BY source)"""
+      }
+      s"""SELECT * FROM (${chain(1)})
+          UNION ALL SELECT * FROM (${chain(3)})
+          ORDER BY gram_n, source"""
+    })
 }

@@ -113,6 +113,86 @@ object TextOps {
           / (col("n_g") * col("n_r")).cast("double"), 6).as("ks"))
   }
 
+  /** One-pass dataset card: the datasheet a corpus release ships with —
+    * scalar facts a consumer reads before anything else (sizes, type
+    * counts, duplication, concentration, hygiene). Every metric is an
+    * exact count or a single rounded division; the whole card is a
+    * handful of independent aggregations unioned into (metric, value)
+    * rows, so it composes into any report sink. PII rate uses the
+    * shared scrub patterns; duplication is the text-digest rate.
+    */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val tok = docs.select(explode(tokensCol).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c")).localCheckpoint()
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), "\\s+")).cast("long")).as("n_tokens"),
+      sum(col("n_chars")).as("n_chars"),
+      countDistinct(md5(col("text"))).as("n_distinct_texts"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum((size(regexp_extract_all(col("text"), lit(emailPat), lit(0))) > 0
+        || size(regexp_extract_all(col("text"), lit(phonePat), lit(0))) > 0
+        || size(regexp_extract_all(col("text"), lit(ipPat), lit(0))) > 0)
+        .cast("long")).as("n_pii_docs"))
+    val vocab = tok.agg(count(lit(1)).as("vocab"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+    val topLang = docs.groupBy("lang").agg(count(lit(1)).as("ln"))
+      .agg(max(col("ln")).as("top_lang_n"))
+    def m(name: String, v: org.apache.spark.sql.Column) =
+      Seq((name, v)) // ordering helper
+    val all = base.crossJoin(broadcast(vocab)).crossJoin(broadcast(topLang))
+    val rows: Seq[(String, org.apache.spark.sql.Column)] =
+      m("n_docs", col("n_docs").cast("double")) ++
+      m("n_tokens", col("n_tokens").cast("double")) ++
+      m("n_chars", col("n_chars").cast("double")) ++
+      m("vocab", col("vocab").cast("double")) ++
+      m("n_langs", col("n_langs").cast("double")) ++
+      m("n_sources", col("n_sources").cast("double")) ++
+      m("mean_doc_tokens", round(col("n_tokens").cast("double")
+        / col("n_docs").cast("double"), 6)) ++
+      m("exact_dup_rate", round(lit(1.0)
+        - col("n_distinct_texts").cast("double")
+          / col("n_docs").cast("double"), 6)) ++
+      m("hapax_rate", round(col("hapax").cast("double")
+        / col("vocab").cast("double"), 6)) ++
+      m("top_lang_share", round(col("top_lang_n").cast("double")
+        / col("n_docs").cast("double"), 6)) ++
+      m("pii_doc_rate", round(col("n_pii_docs").cast("double")
+        / col("n_docs").cast("double"), 6))
+    rows.map { case (name, v) =>
+      all.select(lit(name).as("metric"), v.as("value"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Good–Turing unseen-mass and Chao1 richness per source: n₁/N is
+    * the probability the NEXT token drawn is a new type (the
+    * keep-crawling signal in expectation terms, next to [[heapsFit]]'s
+    * growth exponent), and Chao1 = V + n₁²/(2n₂) lower-bounds the true
+    * type count from the singleton/doubleton profile. Exact integer
+    * counts, two rounded divisions (Chao1 NULL when no doubletons).
+    * Output per source: n_tokens, n_types, n1, n2, unseen_mass, chao1.
+    */
+  def goodTuring(docs: DataFrame, gramN: Int = 1): DataFrame =
+    docs.select(col("source"), split(col("text"), "\\s+").as("w"))
+      .filter(size(col("w")) >= gramN)
+      .select(col("source"), explode(expr(
+        s"transform(sequence(1, size(w) - ${gramN - 1}), " +
+          s"i -> concat_ws(' ', slice(w, i, $gramN)))")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("source").agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(lit(gramN.toLong).as("gram_n"), col("source"),
+        col("n_tokens"), col("n_types"), col("n1"), col("n2"),
+        round(col("n1").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("unseen_mass"),
+        round(when(col("n2") > 0, col("n_types").cast("double")
+          + col("n1").cast("double") * col("n1").cast("double")
+            / (lit(2.0) * col("n2").cast("double"))), 6).as("chao1"))
+
   /** 1-Wasserstein (earth-mover) distance of each group's value
     * distribution vs the rest of the corpus — the MAGNITUDE companion
     * to [[ksDrift]]'s max-gap: W1 = ∫|CDF_g − CDF_r| integrates how far

@@ -204,6 +204,36 @@ class RakeNormSpec extends SparkSpec {
       (true, true, true)    -> ((3L, 1L, 0.25))))
   }
 
+  test("goodTuring: hand-computed singleton/doubleton profile and Chao1") {
+    // tokens: a a a b b c → N=6, V=3, n1=1 (c), n2=1 (b)
+    // unseen = 1/6; chao1 = 3 + 1/(2·1) = 3.5
+    val docs = Seq(("s", "a a a b b c")).toDF("source", "text")
+    val r = TextOps.goodTuring(docs, gramN = 1).collect().head
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      == ((6L, 3L, 1L, 1L)))
+    assert(r.getDouble(6) == 0.166667 && r.getDouble(7) == 3.5)
+    // no doubletons → Chao1 NULL
+    val r2 = TextOps.goodTuring(Seq(("s", "a b")).toDF("source", "text"))
+      .collect().head
+    assert(r2.isNullAt(7))
+  }
+
+  test("datasetCard: counts and rates on a hand-built corpus") {
+    val docs = Seq(
+      (1L, "a b c", "en", "s1", 5L),
+      (2L, "a b c", "en", "s1", 5L), // exact dup of doc 1
+      (3L, "d e mail@x.io", "de", "s2", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val card = TextOps.datasetCard(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(card("n_docs") == 3.0 && card("n_tokens") == 9.0)
+    assert(card("vocab") == 6.0) // a b c d e mail@x.io
+    assert(card("exact_dup_rate") == 0.333333)
+    assert(card("hapax_rate") == 0.5) // d, e, mail@x.io once; a b c twice
+    assert(card("top_lang_share") == 0.666667)
+    assert(card("pii_doc_rate") == 0.333333)
+  }
+
   test("w1Drift: point masses 10 apart read exactly 10; identical groups read 0") {
     val sep = Seq(("g1", 0L), ("g1", 0L), ("g2", 10L), ("g2", 10L))
       .toDF("g", "v")
