@@ -418,7 +418,20 @@ object StatQueries {
     "q235_good_turing" -> ((s, d) =>
       TextOps.goodTuring(docs(s, d), gramN = 1)
         .unionByName(TextOps.goodTuring(docs(s, d), gramN = 3))
-        .orderBy("gram_n", "source")))
+        .orderBy("gram_n", "source")),
+
+    // chunk-level duplication of the RAG layout over the sweep universe
+    // (planted full/half copies guarantee cross-doc identical chunks):
+    // what a doc-level dedup still leaks into a retrieval index
+    "q236_chunk_dedup" -> ((s, d) =>
+      graft.text.Mix.chunkDupStats(TrainingQueries.sweepDocs(s, d),
+        width = 20, stride = 10)),
+
+    // bigram conditional entropy per source: the predictability gate —
+    // templated text has low H(next|current) even at healthy unigram
+    // entropy; micro-quantized lns before exact integer term sums
+    "q237_cond_entropy" -> ((s, d) =>
+      TextOps.bigramCondEntropy(docs(s, d)).orderBy("source")))
 
   /** Shared oracle chain: sweep universe shingles → df-capped
     * inverted-index pair table with sizes — the threshold-independent
@@ -1395,5 +1408,58 @@ object StatQueries {
       s"""SELECT * FROM (${chain(1)})
           UNION ALL SELECT * FROM (${chain(3)})
           ORDER BY gram_n, source"""
-    })
+    },
+
+    "q236_chunk_dedup" ->
+      s"""WITH ${TrainingQueries.sweepChainSql},
+         t AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\\s+') AS w
+               FROM spl),
+         d AS (SELECT doc_id, w,
+                      1 + (GREATEST(LEN(w) - 20, 0) + 9) // 10 AS n_chunks
+               FROM t),
+         ch AS (
+           SELECT doc_id,
+                  MD5(ARRAY_TO_STRING(w[(i*10+1):(i*10+20)], ' ')) AS digest
+           FROM d, LATERAL (SELECT UNNEST(RANGE(0, n_chunks)) AS i)),
+         g AS (SELECT digest, COUNT(*) AS n,
+                      COUNT(DISTINCT doc_id) AS nd
+               FROM ch GROUP BY digest),
+         a AS (
+           SELECT CAST(SUM(n) AS BIGINT) AS n_chunks,
+                  COUNT(*) AS n_distinct,
+                  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_cross_digests,
+                  CAST(SUM(CASE WHEN nd >= 2 THEN n ELSE 0 END) AS BIGINT)
+                    AS n_chunks_cross
+           FROM g)
+         SELECT n_chunks, n_distinct,
+                ROUND(1.0 - CAST(n_distinct AS DOUBLE)
+                      / CAST(n_chunks AS DOUBLE), 6) AS dup_rate,
+                n_cross_digests, n_chunks_cross,
+                ROUND(CAST(n_chunks_cross AS DOUBLE)
+                      / CAST(n_chunks AS DOUBLE), 6) AS cross_rate
+         FROM a""",
+
+    "q237_cond_entropy" ->
+      """WITH bg AS (
+           SELECT source, w[i] AS w1, w[i + 1] AS w2, COUNT(*) AS c12
+           FROM (SELECT source, REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS w
+                 FROM documents) t,
+                LATERAL (SELECT UNNEST(RANGE(1, LEN(w))) AS i)
+           GROUP BY 1, 2, 3),
+         u AS (SELECT source, w1, CAST(SUM(c12) AS BIGINT) AS c1
+               FROM bg GROUP BY 1, 2),
+         terms AS (
+           SELECT bg.source, bg.c12,
+                  bg.c12 * (CAST(ROUND(LN(CAST(u.c1 AS DOUBLE)) * 1000000.0)
+                                 AS BIGINT)
+                            - CAST(ROUND(LN(CAST(bg.c12 AS DOUBLE))
+                                         * 1000000.0) AS BIGINT)) AS term
+           FROM bg JOIN u USING (source, w1))
+         SELECT source, CAST(SUM(c12) AS BIGINT) AS n_bigrams,
+                COUNT(*) AS n_distinct_bigrams,
+                ROUND(CAST(SUM(term) AS DOUBLE)
+                      / (CAST(SUM(c12) AS DOUBLE) * 1000000.0), 6)
+                  AS cond_entropy
+         FROM terms GROUP BY source ORDER BY source""")
 }

@@ -444,6 +444,31 @@ object Mix {
           .as("w_a75"))
   }
 
+  /** Chunk-level duplication report over the [[chunkOverlap]] RAG
+    * layout: a near-duplicate corpus deduped at DOCUMENT level still
+    * floods a retrieval index with identical chunks — this measures it
+    * before the index build (total/distinct chunks, dup rate, and the
+    * cross-document share: digests appearing in ≥2 distinct docs). One
+    * digest-keyed aggregation over the row-local chunk explode; text
+    * never shuffles (16-byte digests do). Output (one row): n_chunks,
+    * n_distinct, dup_rate, n_cross_digests, n_chunks_cross, cross_rate.
+    */
+  def chunkDupStats(docs: DataFrame, width: Int, stride: Int): DataFrame =
+    chunkOverlap(docs, width, stride)
+      .groupBy("digest")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd"))
+      .agg(sum(col("n")).as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_cross_digests"),
+        sum(when(col("nd") >= 2, col("n")).otherwise(0L))
+          .as("n_chunks_cross"))
+      .select(col("n_chunks"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double")
+          / col("n_chunks").cast("double"), 6).as("dup_rate"),
+        col("n_cross_digests"), col("n_chunks_cross"),
+        round(col("n_chunks_cross").cast("double")
+          / col("n_chunks").cast("double"), 6).as("cross_rate"))
+
   /** Neyman optimal allocation: split a sampling budget of `total`
     * draws across strata proportionally to N_h·σ_h — the minimum-
     * variance design for estimating a corpus mean under stratified

@@ -113,6 +113,43 @@ object TextOps {
           / (col("n_g") * col("n_r")).cast("double"), 6).as("ks"))
   }
 
+  /** Bigram conditional entropy H(next | current) per source — the
+    * PREDICTABILITY gate next to [[sourceEntropy]]'s marginal view:
+    * templated/boilerplate text has low conditional entropy (the next
+    * token is determined) even when its unigram entropy looks healthy.
+    * H = (1/T)·Σ c₁₂·(ln c₁ − ln c₁₂) with both lns micro-quantized
+    * BEFORE the integer term product, so the sum is exact and the one
+    * division replays engine-identically. One (source, w1, w2)
+    * aggregation + a (source, w1) rollup joined back — counts shuffle,
+    * never text. Output per source: n_bigrams, n_distinct_bigrams,
+    * cond_entropy.
+    */
+  def bigramCondEntropy(docs: DataFrame): DataFrame = {
+    def uln(c: org.apache.spark.sql.Column) =
+      round(log(c.cast("double")) * 1000000.0).cast("long")
+    val c12 = docs.select(col("source"), split(col("text"), "\\s+").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
+        .as("p"))
+      .groupBy(col("source"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // two consumers: the w1 rollup and the join
+    val c1 = c12.groupBy("source", "w1").agg(sum(col("c12")).as("c1"))
+    c12.join(c1, Seq("source", "w1"))
+      .select(col("source"), col("c12"),
+        (col("c12") * (uln(col("c1")) - uln(col("c12")))).as("term"))
+      .groupBy("source")
+      .agg(sum(col("c12")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        sum(col("term")).as("s_micro"))
+      .select(col("source"), col("n_bigrams"), col("n_distinct_bigrams"),
+        round(col("s_micro").cast("double")
+          / (col("n_bigrams").cast("double") * 1000000.0), 6)
+          .as("cond_entropy"))
+  }
+
   /** One-pass dataset card: the datasheet a corpus release ships with —
     * scalar facts a consumer reads before anything else (sizes, type
     * counts, duplication, concentration, hygiene). Every metric is an

@@ -204,6 +204,31 @@ class RakeNormSpec extends SparkSpec {
       (true, true, true)    -> ((3L, 1L, 0.25))))
   }
 
+  test("chunkDupStats: duplicate doc's chunks all collide cross-doc") {
+    // Two identical 4-token docs, width 2 / stride 2 → 2 chunks each,
+    // both digests shared cross-doc; one distinct doc adds 2 unique.
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "p q r s"))
+      .toDF("doc_id", "text")
+    val r = Mix.chunkDupStats(docs, width = 2, stride = 2).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))
+      == ((6L, 4L, 2L, 4L)))
+    assert(r.getDouble(2) == 0.333333 && r.getDouble(5) == 0.666667)
+  }
+
+  test("bigramCondEntropy: deterministic text reads 0, fair coin reads ln 2") {
+    val docs = Seq(
+      ("det", "a b a b a b a b a"),       // after a→b, after b→a: H = 0
+      ("coin", "a a a b a a a b"))        // after a: {a×4, b×2}? compute below
+      .toDF("source", "text")
+    val out = TextOps.bigramCondEntropy(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("det") == 0.0)
+    // 'a a a b a a a b': bigrams aa,aa,ab,ba,aa,aa,ab → c1(a)=6: aa×4,
+    // ab×2 → H_a = (4·ln(6/4) + 2·ln(6/2))/7 ; ba×1 → 0
+    val h = (4 * math.log(6.0 / 4) + 2 * math.log(3.0)) / 7
+    assert(approx(out("coin"), h, 1e-5), s"got ${out("coin")} want $h")
+  }
+
   test("goodTuring: hand-computed singleton/doubleton profile and Chao1") {
     // tokens: a a a b b c → N=6, V=3, n1=1 (c), n2=1 (b)
     // unseen = 1/6; chao1 = 3 + 1/(2·1) = 3.5
