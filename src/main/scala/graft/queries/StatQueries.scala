@@ -431,7 +431,20 @@ object StatQueries {
     // templated text has low H(next|current) even at healthy unigram
     // entropy; micro-quantized lns before exact integer term sums
     "q237_cond_entropy" -> ((s, d) =>
-      TextOps.bigramCondEntropy(docs(s, d)).orderBy("source")))
+      TextOps.bigramCondEntropy(docs(s, d)).orderBy("source")),
+
+    // order-independent shard content fingerprints + corpus root: the
+    // replica/migration integrity check — exact integer sums of 60-bit
+    // per-doc digests, mergeable up to the root, no data movement
+    "q238_fingerprints" -> ((s, d) =>
+      graft.text.Mix.shardFingerprints(docs(s, d), nShards = 8)
+        .orderBy("shard")),
+
+    // consistent-hash rebalance plan at 8 -> 9 shards: documents moved
+    // under modulo placement (~8/9) vs the md5 ring (~1/9) — the
+    // migration-cost arithmetic, md5-deterministic end to end
+    "q239_rebalance" -> ((s, d) =>
+      graft.text.Mix.rebalancePlan(docs(s, d), nShards = 8)))
 
   /** Shared oracle chain: sweep universe shingles → df-capped
     * inverted-index pair table with sizes — the threshold-independent
@@ -1461,5 +1474,53 @@ object StatQueries {
                 ROUND(CAST(SUM(term) AS DOUBLE)
                       / (CAST(SUM(c12) AS DOUBLE) * 1000000.0), 6)
                   AS cond_entropy
-         FROM terms GROUP BY source ORDER BY source""")
+         FROM terms GROUP BY source ORDER BY source""",
+
+    "q238_fingerprints" ->
+      """WITH per AS (
+           SELECT CAST('0x' || SUBSTR(MD5('shard:' || CAST(doc_id AS VARCHAR)),
+                       1, 15) AS BIGINT) % 8 AS shard,
+                  CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || ':'
+                       || MD5(text)), 1, 15) AS BIGINT) AS h
+           FROM documents),
+         sh AS (SELECT shard, COUNT(*) AS n_docs,
+                       CAST(SUM(CAST(h AS HUGEINT))
+                            % 1152921504606846976 AS BIGINT) AS fingerprint
+                FROM per GROUP BY shard)
+         SELECT shard, n_docs, fingerprint FROM sh
+         UNION ALL
+         SELECT -1, CAST(SUM(n_docs) AS BIGINT),
+                CAST(SUM(CAST(fingerprint AS HUGEINT))
+                     % 1152921504606846976 AS BIGINT) FROM sh
+         ORDER BY shard""",
+
+    "q239_rebalance" -> {
+      def ringCase(n: Int): String = {
+        val as = graft.text.Mix.ringAnchors(n).sortBy(_._1)
+        val chain = as.map { case (ah, sid) =>
+          s"WHEN h <= $ah THEN $sid"
+        }.mkString(" ")
+        s"CASE $chain ELSE ${as.head._2} END"
+      }
+      s"""WITH d AS (
+           SELECT CAST('0x' || SUBSTR(MD5('ring:' || CAST(doc_id AS VARCHAR)),
+                       1, 15) AS BIGINT) AS h
+           FROM documents),
+         a AS (
+           SELECT h % 8 AS m0, h % 9 AS m1,
+                  ${ringCase(8)} AS r0, ${ringCase(9)} AS r1
+           FROM d)
+         SELECT COUNT(*) AS n_docs,
+                CAST(SUM(CASE WHEN m0 != m1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS moved_mod,
+                CAST(SUM(CASE WHEN r0 != r1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS moved_ring,
+                ROUND(CAST(SUM(CASE WHEN m0 != m1 THEN 1 ELSE 0 END)
+                           AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+                  AS mod_share,
+                ROUND(CAST(SUM(CASE WHEN r0 != r1 THEN 1 ELSE 0 END)
+                           AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+                  AS ring_share
+         FROM a"""
+    })
 }

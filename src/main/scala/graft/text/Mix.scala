@@ -444,6 +444,85 @@ object Mix {
           .as("w_a75"))
   }
 
+  /** Order-independent per-shard content fingerprints + corpus root —
+    * the integrity check two corpus replicas (or a pre/post-migration
+    * pair) compare WITHOUT moving data: each doc contributes one 60-bit
+    * md5 of (id, content-digest); a shard's fingerprint is the exact
+    * integer SUM (commutative ⇒ partition- and order-independent,
+    * mergeable up to the root). Any single-doc difference changes its
+    * shard line and the root. One map-side projection + one nShards
+    * aggregation. Output: shard rows (shard 0..n−1) plus the root row
+    * (shard = −1).
+    */
+  def shardFingerprints(docs: DataFrame, nShards: Int): DataFrame = {
+    val h = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":"), md5(col("text")))), 1, 15), 16, 10).cast("long")
+    val shard = pmod(conv(substring(md5(concat(lit("shard:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long"),
+      lit(nShards.toLong))
+    // fingerprints live mod 2^60: fixed-width, exact in int64 on any
+    // engine, and the root still folds from shard lines (sum mod)
+    val m60 = "1152921504606846976"
+    val per = docs.select(shard.as("shard"), h.as("h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        expr(s"CAST(sum(CAST(h AS decimal(38,0))) % $m60 AS BIGINT)")
+          .as("fingerprint"))
+      .localCheckpoint() // two consumers: shard rows + the root fold
+    per.unionByName(per.agg(lit(-1L).as("shard"),
+      sum(col("n_docs")).as("n_docs"),
+      expr(s"CAST(sum(CAST(fingerprint AS decimal(38,0))) % $m60 AS BIGINT)")
+        .as("fingerprint")))
+  }
+
+  /** Consistent-hash rebalancing plan: when a shard is added, how many
+    * documents move under naive modulo placement (almost all) vs a
+    * hash ring (≈ 1/(n+1)) — the migration-cost arithmetic behind the
+    * ring. Everything is md5-deterministic: doc position = 60-bit md5,
+    * ring anchors = md5 of the shard id, assignment = first anchor at
+    * or clockwise-after the doc (wrapping to the minimum anchor). One
+    * broadcast of ≤ 2(n+1) anchor rows; map-side assignment; one
+    * aggregation. Output (one row): n_docs, moved_mod, moved_ring,
+    * mod_share, ring_share.
+    */
+  /** Ring anchors for [[rebalancePlan]]: (60-bit md5 position, shard
+    * id) per shard — driver-side literals shared with the SQL oracle.
+    */
+  def ringAnchors(n: Int): Seq[(Long, Long)] = (0 until n).map { s =>
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"anchor:$s".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    (java.lang.Long.parseLong(hex, 16), s.toLong)
+  }
+
+  def rebalancePlan(docs: DataFrame, nShards: Int): DataFrame = {
+    def ringCol(n: Int): Column = {
+      val as = ringAnchors(n).sortBy(_._1)
+      val minAnchor = as.head._2
+      // first anchor with hash >= h, else wrap to the smallest anchor
+      as.foldRight(lit(minAnchor)) { case ((ah, sid), acc) =>
+        when(col("h") <= ah, lit(sid)).otherwise(acc)
+      }
+    }
+    val h = conv(substring(md5(concat(lit("ring:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    docs.select(h.as("h"))
+      .select(
+        pmod(col("h"), lit(nShards.toLong)).as("m0"),
+        pmod(col("h"), lit(nShards.toLong + 1)).as("m1"),
+        ringCol(nShards).as("r0"), ringCol(nShards + 1).as("r1"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("m0") =!= col("m1"), 1L).otherwise(0L))
+          .as("moved_mod"),
+        sum(when(col("r0") =!= col("r1"), 1L).otherwise(0L))
+          .as("moved_ring"))
+      .select(col("n_docs"), col("moved_mod"), col("moved_ring"),
+        round(col("moved_mod").cast("double") / col("n_docs").cast("double"),
+          6).as("mod_share"),
+        round(col("moved_ring").cast("double")
+          / col("n_docs").cast("double"), 6).as("ring_share"))
+  }
+
   /** Chunk-level duplication report over the [[chunkOverlap]] RAG
     * layout: a near-duplicate corpus deduped at DOCUMENT level still
     * floods a retrieval index with identical chunks — this measures it

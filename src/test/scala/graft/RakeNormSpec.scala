@@ -229,6 +229,42 @@ class RakeNormSpec extends SparkSpec {
     assert(approx(out("coin"), h, 1e-5), s"got ${out("coin")} want $h")
   }
 
+  test("shardFingerprints: replica-equal, single-doc change flips its shard and the root") {
+    val a = (1L to 40L).map(i => (i, s"text number $i")).toDF("doc_id", "text")
+    val b = (1L to 40L).map(i =>
+      (i, if (i == 7L) "tampered" else s"text number $i")).toDF("doc_id", "text")
+    val fa = Mix.shardFingerprints(a, 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val fb = Mix.shardFingerprints(b, 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val fa2 = Mix.shardFingerprints(a, 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fa == fa2) // replica equality
+    val diff = fa.keySet.filter(k => fa(k) != fb(k))
+    assert(diff.contains(-1L) && diff.size == 2) // root + exactly one shard
+    // counts unchanged — only fingerprints move
+    assert(fa.view.mapValues(_._1).toMap == fb.view.mapValues(_._1).toMap)
+  }
+
+  test("rebalancePlan: ring moves match a driver-side reference; mod moves dominate") {
+    val docs = (1L to 200L).map(i => (i, "x")).toDF("doc_id", "text")
+    val r = Mix.rebalancePlan(docs, nShards = 4).collect().head
+    // reference ring assignment computed independently in plain Scala
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15),
+      16)
+    def ring(n: Int, h: Long): Long = {
+      val as = Mix.ringAnchors(n).sortBy(_._1)
+      as.find(_._1 >= h).map(_._2).getOrElse(as.head._2)
+    }
+    val moved = (1L to 200L).count { i =>
+      val h = h60(s"ring:$i"); ring(4, h) != ring(5, h)
+    }
+    assert(r.getLong(2) == moved.toLong)
+    assert(r.getLong(1) > r.getLong(2)) // mod placement moves more
+  }
+
   test("goodTuring: hand-computed singleton/doubleton profile and Chao1") {
     // tokens: a a a b b c → N=6, V=3, n1=1 (c), n2=1 (b)
     // unseen = 1/6; chao1 = 3 + 1/(2·1) = 3.5
