@@ -64,6 +64,48 @@ object ScaleProbe {
       return
     }
 
+    // SPARK_GRAFT_PROBE_ONLY=shape19: the round-6 tail text shapes
+    // (token-salted replicas, disjoint vocab per copy — Gini ranks,
+    // bigram pair domain and the W1 value grid all grow linearly)
+    if (sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("shape19")) {
+      val docsS = graft.core.Tables.t(spark, sfDir, "documents")
+        .select("doc_id", "source", "n_chars", "text")
+        .crossJoin(spark.range(copies).select(col("id").as("_rep")))
+        .select((col("doc_id") + col("_rep") * 100000000L).as("doc_id"),
+          concat(col("source"), col("_rep")).as("source"),
+          (col("n_chars") + col("_rep")).as("n_chars"),
+          concat_ws(" ", transform(split(col("text"), "\\s+"),
+            t => concat(col("_rep").cast("string"), lit("_"), t))).as("text"))
+        .cache()
+      val nDocs = docsS.count()
+      val outS = scala.collection.mutable.LinkedHashMap[String, Double]()
+      val (_, tGini) = time {
+        graft.text.TextOps.tokenGini(docsS)
+          .write.format("noop").mode("overwrite").save()
+      }
+      outS(s"token_gini_${nDocs}_docs") = tGini
+      System.err.println("[probe] done token_gini")
+      val (_, tCond) = time {
+        graft.text.TextOps.bigramCondEntropy(docsS)
+          .write.format("noop").mode("overwrite").save()
+      }
+      outS(s"cond_entropy_${nDocs}_docs") = tCond
+      System.err.println("[probe] done cond_entropy")
+      val (_, tW1) = time {
+        graft.text.TextOps.w1Drift(docsS, col("source"), col("n_chars"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      outS(s"w1_drift_${nDocs}_docs") = tW1
+      System.err.println("[probe] done w1_drift")
+      docsS.unpersist()
+      val qsS = outS.map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"scale_probe","copies":$copies,"nnz":0,""" +
+        s""""timings":$qsS}""")
+      spark.stop()
+      return
+    }
+
     // ~12M-row COO (20 × 600k), cell keys disjoint per copy
     val coo0 = graft.core.Tables.coo(spark, sfDir)
     val coo = replicate(coo0, Seq("cell_id"), 100000000L).cache()

@@ -113,4 +113,22 @@ class ScaleShapeSpec extends SparkSpec {
     assert(q.head().getDouble(0) ==
       (1L to 300L).filter(_ % 3 == 2).map(_ * 1.0).sum)
   }
+
+  test("quantileNormalize plans window-free: broadcast range probe, no Window, no SMJ blowup") {
+    // the docstring's scale claim, asserted on the physical plan: the
+    // within-group ranks and the pooled order statistic come from
+    // bounded distinct-value tables (broadcast), never a Window over
+    // the data and never an un-broadcast nested-loop join
+    val df = (1L to 500L).map(i => (i, s"s${i % 5}", i % 37))
+      .toDF("id", "g", "v")
+    val out = graft.text.TextOps.quantileNormalize(df, col("id"),
+      col("g"), col("v"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window leaked:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    // the range probe into the global cumulative IS a broadcast NLJ —
+    // bounded side broadcast, the allowed shape for inequality joins
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    assert(out.count() == 500L)
+  }
 }
