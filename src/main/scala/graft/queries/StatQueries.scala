@@ -444,7 +444,22 @@ object StatQueries {
     // under modulo placement (~8/9) vs the md5 ring (~1/9) — the
     // migration-cost arithmetic, md5-deterministic end to end
     "q239_rebalance" -> ((s, d) =>
-      graft.text.Mix.rebalancePlan(docs(s, d), nShards = 8)))
+      graft.text.Mix.rebalancePlan(docs(s, d), nShards = 8)),
+
+    // cross-snapshot shard diff on the q238 fingerprints against a
+    // SPARSE planted v2 (removals %89, edits %97 — q164's dense deltas
+    // touched every one of 8 shards, making the equal branch vacuous;
+    // caught in the driver output): at 64 shards both verdicts fire at
+    // every SF — the localizer that scopes the row-level diff to the
+    // flagged shards without moving documents
+    "q240_fingerprint_diff" -> ((s, d) => {
+      val v1 = docs(s, d).select(col("doc_id"), col("text"))
+      val v2 = v1.filter(col("doc_id") % 89 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 97 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+      graft.text.Mix.fingerprintDiff(v1, v2, nShards = 64).orderBy("shard")
+    }))
 
   /** Shared oracle chain: sweep universe shingles → df-capped
     * inverted-index pair table with sizes — the threshold-independent
@@ -1522,5 +1537,52 @@ object StatQueries {
                            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
                   AS ring_share
          FROM a"""
-    })
+    },
+
+    "q240_fingerprint_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+         v2 AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 97 = 0 THEN text || ' rev2'
+                       ELSE text END AS text
+           FROM v1 WHERE doc_id % 89 != 0),
+         f1 AS (
+           SELECT CAST('0x' || SUBSTR(MD5('shard:'
+                    || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 64
+                    AS shard,
+                  CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || ':'
+                    || MD5(text)), 1, 15) AS BIGINT) AS h
+           FROM v1),
+         f2 AS (
+           SELECT CAST('0x' || SUBSTR(MD5('shard:'
+                    || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 64
+                    AS shard,
+                  CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || ':'
+                    || MD5(text)), 1, 15) AS BIGINT) AS h
+           FROM v2),
+         s1 AS (SELECT shard, COUNT(*) AS n_docs,
+                       CAST(SUM(CAST(h AS HUGEINT))
+                            % 1152921504606846976 AS BIGINT) AS fp
+                FROM f1 GROUP BY shard),
+         s2 AS (SELECT shard, COUNT(*) AS n_docs,
+                       CAST(SUM(CAST(h AS HUGEINT))
+                            % 1152921504606846976 AS BIGINT) AS fp
+                FROM f2 GROUP BY shard),
+         a1 AS (SELECT shard, n_docs, fp FROM s1
+                UNION ALL
+                SELECT -1, CAST(SUM(n_docs) AS BIGINT),
+                       CAST(SUM(CAST(fp AS HUGEINT))
+                            % 1152921504606846976 AS BIGINT) FROM s1),
+         a2 AS (SELECT shard, n_docs, fp FROM s2
+                UNION ALL
+                SELECT -1, CAST(SUM(n_docs) AS BIGINT),
+                       CAST(SUM(CAST(fp AS HUGEINT))
+                            % 1152921504606846976 AS BIGINT) FROM s2)
+         SELECT COALESCE(a1.shard, a2.shard) AS shard,
+                COALESCE(a1.n_docs, 0) AS n_docs_v1,
+                COALESCE(a2.n_docs, 0) AS n_docs_v2,
+                a1.fp AS fp_v1, a2.fp AS fp_v2,
+                COALESCE(a1.fp, -1) = COALESCE(a2.fp, -2) AS equal
+         FROM a1 FULL OUTER JOIN a2 ON a1.shard = a2.shard
+         ORDER BY shard""")
 }

@@ -475,6 +475,30 @@ object Mix {
         .as("fingerprint")))
   }
 
+  /** Cross-snapshot integrity diff on [[shardFingerprints]]: compare
+    * two corpus versions shard-by-shard WITHOUT moving documents — the
+    * replica-divergence localizer (a changed/added/removed doc flips
+    * exactly its shard's line, so only flagged shards need the
+    * expensive row-level q164 diff). Output per shard (incl. the −1
+    * root): doc counts, both fingerprints, and the equal verdict.
+    */
+  def fingerprintDiff(v1: DataFrame, v2: DataFrame, nShards: Int)
+      : DataFrame = {
+    val a = shardFingerprints(v1, nShards)
+      .select(col("shard"), col("n_docs").as("n_docs_v1"),
+        col("fingerprint").as("fp_v1"))
+    val b = shardFingerprints(v2, nShards)
+      .select(col("shard"), col("n_docs").as("n_docs_v2"),
+        col("fingerprint").as("fp_v2"))
+    a.join(b, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        coalesce(col("n_docs_v1"), lit(0L)).as("n_docs_v1"),
+        coalesce(col("n_docs_v2"), lit(0L)).as("n_docs_v2"),
+        col("fp_v1"), col("fp_v2"),
+        (coalesce(col("fp_v1"), lit(-1L)) === coalesce(col("fp_v2"),
+          lit(-2L))).as("equal"))
+  }
+
   /** Consistent-hash rebalancing plan: when a shard is added, how many
     * documents move under naive modulo placement (almost all) vs a
     * hash ring (≈ 1/(n+1)) — the migration-cost arithmetic behind the

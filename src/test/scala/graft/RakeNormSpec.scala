@@ -246,6 +246,17 @@ class RakeNormSpec extends SparkSpec {
     assert(fa.view.mapValues(_._1).toMap == fb.view.mapValues(_._1).toMap)
   }
 
+  test("fingerprintDiff: identical snapshots all-equal; one edit flags its shard and the root") {
+    val a = (1L to 40L).map(i => (i, s"text number $i")).toDF("doc_id", "text")
+    val same = Mix.fingerprintDiff(a, a, nShards = 4).collect()
+    assert(same.forall(_.getBoolean(5)))
+    val b = (1L to 40L).map(i =>
+      (i, if (i == 7L) "tampered" else s"text number $i")).toDF("doc_id", "text")
+    val diff = Mix.fingerprintDiff(a, b, nShards = 4).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(diff.count(!_._2) == 2 && !diff(-1L)) // one shard + the root
+  }
+
   test("rebalancePlan: ring moves match a driver-side reference; mod moves dominate") {
     val docs = (1L to 200L).map(i => (i, "x")).toDF("doc_id", "text")
     val r = Mix.rebalancePlan(docs, nShards = 4).collect().head
