@@ -340,8 +340,10 @@ object CurationQueries {
                   CAST(LENGTH(text) AS BIGINT) AS ch
            FROM documents),
          g AS (
-           SELECT lang, COUNT(*) AS n_docs, SUM(ws) AS n_ws_tokens,
-                  SUM(bpe) AS n_bpe_tokens, SUM(ch) AS n_chars
+           SELECT lang, COUNT(*) AS n_docs,
+                  CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
+                  CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+                  CAST(SUM(ch) AS BIGINT) AS n_chars
            FROM t GROUP BY 1)
          SELECT lang, n_docs, n_ws_tokens, n_bpe_tokens,
                 ROUND(CAST(n_bpe_tokens AS DOUBLE) / CAST(n_ws_tokens AS DOUBLE), 6)
@@ -417,11 +419,12 @@ object CurationQueries {
            SELECT s.* FROM sited s
            JOIN firsts f ON f.pdg = s.pdg AND s.site = f.fs)
          SELECT 0 AS stage_id, 'raw' AS stage, COUNT(*) AS n_docs,
-                SUM(nt) AS n_tokens FROM b
+                CAST(SUM(nt) AS BIGINT) AS n_tokens FROM b
          UNION ALL
-         SELECT 1, 'exact_dedup', COUNT(*), SUM(nt) FROM surv
+         SELECT 1, 'exact_dedup', COUNT(*), CAST(SUM(nt) AS BIGINT) FROM surv
          UNION ALL
-         SELECT 2, 'passage_dedup', COUNT(DISTINCT doc_id), SUM(pt) FROM keptp
+         SELECT 2, 'passage_dedup', COUNT(DISTINCT doc_id),
+                CAST(SUM(pt) AS BIGINT) FROM keptp
          ORDER BY stage_id""",
 
     "q118_incremental_dedup" ->

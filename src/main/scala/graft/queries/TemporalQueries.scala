@@ -477,7 +477,7 @@ object TemporalQueries {
       """WITH ev AS (
            SELECT event_id, user_id, EPOCH_US(ts) AS ts_us FROM events)
          SELECT a.user_id, COUNT(*) AS n_pairs,
-                SUM(b.ts_us - a.ts_us) AS sum_gap_us,
+                CAST(SUM(b.ts_us - a.ts_us) AS BIGINT) AS sum_gap_us,
                 MAX(b.ts_us - a.ts_us) AS max_gap_us
          FROM ev a JOIN ev b ON a.user_id = b.user_id
            AND b.ts_us - a.ts_us <= 21600000000
@@ -823,8 +823,9 @@ object TemporalQueries {
          c AS (SELECT event_type, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
          cum AS (
            SELECT event_type, bin, c,
-                  SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
-                  SUM(c) OVER (PARTITION BY event_type) AS n
+                  CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bin)
+                    AS BIGINT) AS cum,
+                  CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
            FROM c)
          SELECT event_type, MAX(n) AS n,
                 MIN(CASE WHEN cum >= CAST(FLOOR((n * 50 + 99) / 100.0) AS BIGINT)

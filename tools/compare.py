@@ -46,6 +46,13 @@ for name in sorted(oracles):
     ok = True
     for c in oracle.columns:
         a, b = oracle[c].values, spark[c].values
+        # Hard gate: the driver hashes raw values, so an int64-vs-float64
+        # representation difference fails there even when every value is
+        # equal (DuckDB SUM(BIGINT) -> HUGEINT -> float64). Catch it here.
+        if oracle[c].dtype != spark[c].dtype:
+            print(f"FAIL {name}.{c}: dtype oracle={oracle[c].dtype} spark={spark[c].dtype}")
+            ok = False
+            continue
         if np.issubdtype(oracle[c].dtype, np.floating) or np.issubdtype(spark[c].dtype, np.floating):
             bad = ~(np.isclose(a.astype(float), b.astype(float), rtol=0, atol=1e-12)
                     | (pd.isna(a) & pd.isna(b)))
@@ -58,8 +65,6 @@ for name in sorted(oracles):
                 i = np.argmax(~exact)
                 print(f"WARN {name}.{c}: {np.sum(~exact)} non-bitwise-equal floats, e.g. row {i}: {a[i]} vs {b[i]}")
         else:
-            if oracle[c].dtype != spark[c].dtype:
-                print(f"WARN {name}.{c}: dtype oracle={oracle[c].dtype} spark={spark[c].dtype}")
             eq = (pd.Series(a).astype(object) == pd.Series(b).astype(object)) | (pd.isna(a) & pd.isna(b))
             if not eq.all():
                 i = int(np.argmax(~eq.values))
