@@ -16,14 +16,23 @@ import org.apache.spark.sql.SparkSession
   *    and a single GC pause or compaction stall can no longer distort
   *    the record (±40 % single-run noise on short queries was measured
   *    in round 3);
-  *  - the JSON line uses the short `qNN` key prefix and 3 dp values:
-  *    the driver keeps only the final 2000 bytes of output, and round
-  *    3's full-name line (~2.8 kB for 77 queries) overflowed that
-  *    window, so the driver recorded `parsed: null`. The compact line
-  *    is ~1 kB and survives the tail window.
+  *  - slow queries (first rep > SLOW_CUTOFF seconds) get 2 extra reps
+  *    (5 total): box contention has inflated a slow query's 3-rep
+  *    median in three separate rounds, and the median of 5 is robust
+  *    to two contended reps instead of one;
+  *  - the driver keeps only the final 2000 bytes of output, and the
+  *    per-query map stopped fitting that window at ~130 queries (the
+  *    gate recorded `parsed: null` from round 3 on). The printed line
+  *    is therefore a SUMMARY guaranteed < 1.5 kB — total, query count,
+  *    errors, the 10 slowest with medians and per-rep arrays — and the
+  *    FULL per-query map (median + every rep, every query) is written
+  *    to `BENCH_full.json` in the repo root, committed with the
+  *    snapshot.
   */
 object Bench {
   private val REPS = 3
+  private val SLOW_REPS = 5
+  private val SLOW_CUTOFF = 5.0
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -62,7 +71,13 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val reps = (1 to REPS).map(_ => once(fn))
+      val base = (1 to REPS).map(_ => once(fn))
+      // contention hardening: a slow query gets SLOW_REPS total reps so
+      // one or two contended reps can no longer set the median
+      val reps =
+        if (base.head._1 > SLOW_CUTOFF)
+          base ++ (1 to (SLOW_REPS - REPS)).map(_ => once(fn))
+        else base
       val good = reps.filter(_._2).map(_._1).sorted
       val median = if (good.nonEmpty) Some(good(good.length / 2)) else None
       (name, median, reps.map(_._1), reps.count(!_._2))
@@ -70,23 +85,31 @@ object Bench {
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     // short key = the qNN prefix (unique across the query set)
     def short(k: String) = k.takeWhile(_ != '_')
-    val qs = results.map { case (k, v, _, _) =>
-      "\"" + short(k) + "\":" + v.map(fmt(_).toString).getOrElse("null")
-    }.mkString("{", ",", "}")
-    // per-rep times for the 10 slowest queries only (the divergence-
-    // debugging ask: a driver-vs-builder 2.6 s-vs-13 s discrepancy is
-    // attributable to GC/contention vs plan from the spread alone);
-    // fast queries are dropped to keep the line inside the driver's
-    // 2000-byte output tail window
-    val slow = results.filter(_._2.isDefined).sortBy(-_._2.get).take(10)
-      .map { case (k, _, reps, _) =>
-        "\"" + short(k) + "\":[" + reps.map(fmt(_)).mkString(",") + "]"
-      }.mkString("{", ",", "}")
     val errs = results.filter(_._4 > 0)
       .map { case (k, _, _, n) => "\"" + short(k) + "\":" + n }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$REPS,"queries":$qs,"reps_slow":$slow,"errors":$errs,"sf":"$sfDir"}""")
+    // FULL record → repo file (committed with the snapshot): median +
+    // every rep for every query — the per-query gate data the printed
+    // tail window cannot hold
+    val fullQs = results.map { case (k, v, reps, _) =>
+      "\"" + short(k) + "\":{\"median\":" + v.map(fmt(_).toString).getOrElse("null") +
+        ",\"reps\":[" + reps.map(fmt(_)).mkString(",") + "]}"
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_full.json"),
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"base_reps":$REPS,"slow_reps":$SLOW_REPS,"slow_cutoff":$SLOW_CUTOFF,"queries":$fullQs,"errors":$errs,"sf":"$sfDir"}""")
+    // printed line: summary only, guaranteed < 1.5 kB so the driver's
+    // 2000-byte tail window parses it — slowest 10 with medians AND
+    // per-rep arrays (contention vs plan is attributable from spread)
+    val slowest = results.filter(_._2.isDefined).sortBy(-_._2.get).take(10)
+    val qs = slowest.map { case (k, v, _, _) =>
+      "\"" + short(k) + "\":" + fmt(v.get)
+    }.mkString("{", ",", "}")
+    val slow = slowest.map { case (k, _, reps, _) =>
+      "\"" + short(k) + "\":[" + reps.map(fmt(_)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"reps":$REPS,"queries":$qs,"reps_slow":$slow,"errors":$errs,"full":"BENCH_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

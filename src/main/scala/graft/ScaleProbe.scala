@@ -106,6 +106,64 @@ object ScaleProbe {
       return
     }
 
+    // SPARK_GRAFT_PROBE_ONLY=r8: slope rows for the round-7 bench-record
+    // suspects (q60 lloyd, q64 winnowing, q176 chain contamination, q179
+    // IVF+PQ probe sweep). Docs are token-salted (disjoint vocab per
+    // copy, like a sharded crawl); embeddings key-shifted.
+    if (sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("r8")) {
+      val outR = scala.collection.mutable.LinkedHashMap[String, Double]()
+      val docsS = graft.core.Tables.t(spark, sfDir, "documents")
+        .select("doc_id", "text")
+        .crossJoin(spark.range(copies).select(col("id").as("_rep")))
+        .select((col("doc_id") + col("_rep") * 100000000L).as("doc_id"),
+          concat_ws(" ", transform(split(col("text"), "\\s+"),
+            t => concat(col("_rep").cast("string"), lit("_"), t))).as("text"))
+        .cache()
+      val nDocs = docsS.count()
+      val (_, tWin) = time {
+        graft.text.TextOps.winnowFingerprints(docsS, k = 5, w = 4)
+          .write.format("noop").mode("overwrite").save()
+      }
+      outR(s"winnow_fp_${nDocs}_docs") = tWin
+      System.err.println("[probe] done winnow_fp")
+      val (_, tChain) = time {
+        val sh = graft.dedup.Dedup.shingles(docsS, 3).localCheckpoint()
+        val prs = graft.dedup.Dedup.lshCandidatePairs(
+          graft.dedup.Dedup.minHashSignature(sh, 8), 8, 2)
+        graft.dedup.Dedup.chainContamination(sh, prs, jacNum = 4, jacDen = 5)
+          .write.format("noop").mode("overwrite").save()
+      }
+      outR(s"chain_contamination_${nDocs}_docs") = tChain
+      System.err.println("[probe] done chain_contamination")
+      docsS.unpersist()
+      val embR = replicate(
+          graft.core.Tables.t(spark, sfDir, "embeddings")
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+          Seq("vec_id"), 100000000L).cache()
+      val nVecR = embR.count()
+      val (_, tSweep) = time {
+        graft.sim.Pq.ivfPqProbeSweep(embR)
+          .write.format("noop").mode("overwrite").save()
+      }
+      outR(s"ivfpq_probe_sweep_${nVecR}_vecs") = tSweep
+      System.err.println("[probe] done ivfpq_probe_sweep")
+      val (_, tLl) = time {
+        graft.pipeline.Cluster.lloyd(
+            embR.withColumnRenamed("vec_id", "cell_id")
+              .withColumnRenamed("v", "latent"), k = 3, iters = 25)
+          .write.format("noop").mode("overwrite").save()
+      }
+      outR(s"lloyd_25it_${nVecR}_vecs") = tLl
+      System.err.println("[probe] done lloyd")
+      embR.unpersist()
+      val qsR = outR.map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"scale_probe","copies":$copies,"nnz":0,""" +
+        s""""timings":$qsR}""")
+      spark.stop()
+      return
+    }
+
     // ~12M-row COO (20 × 600k), cell keys disjoint per copy
     val coo0 = graft.core.Tables.coo(spark, sfDir)
     val coo = replicate(coo0, Seq("cell_id"), 100000000L).cache()

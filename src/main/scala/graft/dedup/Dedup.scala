@@ -803,20 +803,24 @@ object Dedup {
     * duplicate nothing kept. This quantifies it: of all co-grouped
     * pairs, how many are DIRECT near-dups (exact shingle Jaccard ≥
     * `jacNum/jacDen`) vs chained-only. The within-group pair expansion
-    * is Σ|g|² — bounded in practice by the detector's own band-bucket
-    * caps upstream (a giant group IS the boilerplate finding the caps
-    * exist for); group membership and the df-capped truth join are the
-    * same bounded shapes the production operators use.
+    * is capped at `groupCap` members per group (deterministic md5 draw,
+    * the engine's seeded-sampling pattern) so one giant boilerplate
+    * near-dup group — the pathology this report exists to expose —
+    * cannot go |g|²; group/doc counts stay exact over all members, only
+    * the pair sample is capped (a per-group C(groupCap, 2) ceiling).
     */
   def chainContamination(sh: DataFrame, pairs: DataFrame,
                          jacNum: Int, jacDen: Int,
-                         dfCap: Int = 10000): DataFrame = {
+                         dfCap: Int = 10000, groupCap: Int = 64): DataFrame = {
     val uni = sh.select("doc_id").distinct()
     val multi = nearDupGroups(uni, pairs)
       .filter(col("n_docs") > 1).select("doc_id", "group_id")
       .localCheckpoint()
-    val gp = multi.toDF("ida", "group_id")
-      .join(multi.toDF("idb", "g2"),
+    val capped = graft.ops.Windows.topKPerGroup(multi, "group_id", groupCap,
+        Seq(md5(concat(lit("chain:"), col("doc_id"))), col("doc_id")))
+      .select("doc_id", "group_id")
+    val gp = capped.toDF("ida", "group_id")
+      .join(capped.toDF("idb", "g2"),
         col("group_id") === col("g2") && col("ida") < col("idb"))
       .select("ida", "idb")
     val direct = sharedShinglePairs(sh, dfCap)

@@ -35,6 +35,24 @@ object GraphOps {
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
       .groupBy("src", "dst").agg(max(col("weight")).as("weight"))
 
+  /** Probabilistic-OR symmetrization — the exact `g + gᵀ − g∘gᵀ` fuzzy
+    * union the reference's load_graph(symmetric=True) computes before
+    * building the MAGIC operator (scarf/datastore/graph_datastore.py:
+    * 1780-1804): a pair present in both directions combines as
+    * w₁ + w₂ − w₁·w₂, a one-directional pair keeps its weight. Each
+    * (src, dst) appears at most once per direction in a KNN edge list,
+    * so max/min within the union recover the two weights exactly.
+    */
+  def symmetrizeProb(edges: DataFrame): DataFrame =
+    edges.select("src", "dst", "weight")
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+      .groupBy("src", "dst")
+      .agg(max(col("weight")).as("wa"), min(col("weight")).as("wb"),
+        count(lit(1)).as("c"))
+      .select(col("src"), col("dst"),
+        when(col("c") === 2, col("wa") + col("wb") - col("wa") * col("wb"))
+          .otherwise(col("wa")).as("weight"))
+
   /** load_graph's full option set (scarf/datastore/graph_datastore.py:
     * 1021-1076): per-node truncation to the top `useK` outgoing edges by
     * weight, optional symmetrization, optional upper-triangle-only output.

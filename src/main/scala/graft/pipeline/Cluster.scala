@@ -163,25 +163,22 @@ object Cluster {
         col("cluster"))
   }
 
-  def louvain(edges: DataFrame, maxPasses: Int = 10): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-    val es = edges.select("src", "dst", "weight")
-      .as[(Long, Long, Double)].collect()
-
-    // undirected adjacency with combined weights
-    val adj = scala.collection.mutable.Map[Long, scala.collection.mutable.Map[Long, Double]]()
-    def add(a: Long, b: Long, w: Double): Unit = {
-      val m = adj.getOrElseUpdate(a, scala.collection.mutable.Map())
-      m(b) = m.getOrElse(b, 0.0) + w
-    }
-    es.foreach { case (s, d, w) => if (s != d) { add(s, d, w); add(d, s, w) } }
-
+  /** One sweep-until-stable greedy local-move phase over an adjacency
+    * with optional self-loop weights (self-loops arise from contraction;
+    * they stay with the node under any move, so they never enter the
+    * per-candidate gain, only the degrees). Returns node → community.
+    */
+  private def localMoves(adj: Map[Long, Map[Long, Double]],
+                         selfW: Map[Long, Double],
+                         maxPasses: Int,
+                         initial: Map[Long, Long] = Map.empty): Map[Long, Long] = {
     val nodes = adj.keys.toArray.sorted
-    val deg = nodes.map(n => n -> adj(n).values.sum).toMap
+    val deg = nodes.map(n => n -> (adj(n).values.sum + 2 * selfW.getOrElse(n, 0.0))).toMap
     val m2 = deg.values.sum // 2m
-    val comm = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
-    val commDeg = scala.collection.mutable.Map(nodes.map(n => n -> deg(n)): _*)
+    val comm = scala.collection.mutable.Map(
+      nodes.map(n => n -> initial.getOrElse(n, n)): _*)
+    val commDeg = scala.collection.mutable.Map[Long, Double]()
+    nodes.foreach(n => commDeg(comm(n)) = commDeg.getOrElse(comm(n), 0.0) + deg(n))
 
     var moved = true
     var pass = 0
@@ -206,12 +203,91 @@ object Cluster {
         commDeg(best) += deg(n)
       }
     }
-    // relabel by community size desc (stable)
-    val bySize = comm.groupBy(_._2).toSeq
+    comm.toMap
+  }
+
+  /** Contract a partition to super-nodes: inter-part sums become edges,
+    * intra-part totals (plus member self-loops) become each super-node's
+    * self-loop. Part ids become the new node ids.
+    */
+  private def contract(adj: Map[Long, Map[Long, Double]],
+                       selfW: Map[Long, Double],
+                       part: Map[Long, Long])
+      : (Map[Long, Map[Long, Double]], Map[Long, Double]) = {
+    val newSelf = scala.collection.mutable.Map[Long, Double]()
+    selfW.foreach { case (n, w) =>
+      val c = part(n)
+      newSelf(c) = newSelf.getOrElse(c, 0.0) + w
+    }
+    val newAdj = scala.collection.mutable.Map[Long, scala.collection.mutable.Map[Long, Double]]()
+    part.values.toSet.foreach { c: Long =>
+      newAdj(c) = scala.collection.mutable.Map()
+    }
+    adj.foreach { case (n, nbrs) =>
+      val cn = part(n)
+      nbrs.foreach { case (nb, w) =>
+        val cb = part(nb)
+        if (cn == cb) {
+          // each undirected intra edge appears twice in adj — halve
+          newSelf(cn) = newSelf.getOrElse(cn, 0.0) + w / 2
+        } else {
+          val m = newAdj(cn)
+          m(cb) = m.getOrElse(cb, 0.0) + w
+        }
+      }
+    }
+    (newAdj.map { case (n, m) => n -> m.toMap }.toMap, newSelf.toMap)
+  }
+
+  /** Multi-LEVEL Louvain (Blondel 2008, both phases): greedy local moves,
+    * then CONTRACT communities to super-nodes (inter-community weights
+    * summed, intra-community weight becoming the super-node's self-loop)
+    * and repeat on the contracted graph until a level yields no merge.
+    * The aggregation phase is what lets distant same-community nodes
+    * find each other: local moves alone fragment a 50k-node KNN graph
+    * into hundreds of k-hop-sized communities (measured NMI 0.31 vs a
+    * 5-block plant in E2eScaleSpec; multi-level recovers the blocks).
+    * Driver-side over the n·k edge list like the reference's igraph
+    * call; deterministic (sorted sweeps, smallest-id tie-breaks).
+    */
+  def louvain(edges: DataFrame, maxPasses: Int = 10): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select("src", "dst", "weight")
+      .as[(Long, Long, Double)].collect()
+
+    // undirected adjacency with combined weights
+    val adj0 = scala.collection.mutable.Map[Long, scala.collection.mutable.Map[Long, Double]]()
+    def add(a: Long, b: Long, w: Double): Unit = {
+      val m = adj0.getOrElseUpdate(a, scala.collection.mutable.Map())
+      m(b) = m.getOrElse(b, 0.0) + w
+    }
+    es.foreach { case (s, d, w) => if (s != d) { add(s, d, w); add(d, s, w) } }
+
+    var curAdj: Map[Long, Map[Long, Double]] =
+      adj0.map { case (n, m) => n -> m.toMap }.toMap
+    var curSelf: Map[Long, Double] = Map.empty
+    // original node -> current super-node
+    var mapping: Map[Long, Long] = curAdj.keys.map(n => n -> n).toMap
+
+    var improved = true
+    while (improved) {
+      val comm = localMoves(curAdj, curSelf, maxPasses)
+      val nComms = comm.values.toSet.size
+      improved = nComms < curAdj.size
+      if (improved) {
+        mapping = mapping.map { case (orig, sup) => orig -> comm(sup) }
+        val (a, s) = contract(curAdj, curSelf, comm)
+        curAdj = a
+        curSelf = s
+      }
+    }
+    // relabel by community size desc (size in ORIGINAL nodes, stable)
+    val bySize = mapping.groupBy(_._2).toSeq
       .map { case (c, ms) => (c, ms.size) }
       .sortBy { case (c, sz) => (-sz, c) }
       .zipWithIndex.map { case ((c, _), i) => c -> (i + 1L) }.toMap
-    comm.toSeq.map { case (n, c) => (n, bySize(c)) }
+    mapping.toSeq.map { case (n, c) => (n, bySize(c)) }
       .toDF("cell_id", "cluster")
   }
 
@@ -237,11 +313,30 @@ object Cluster {
       m(b) = m.getOrElse(b, 0.0) + w
     }
     es.foreach { case (s, d, w) => if (s != d) { add(s, d, w); add(d, s, w) } }
-    val deg = adj.map { case (n, m) => n -> m.values.sum }
-    val m2 = deg.values.sum
+    val sub = refineParts(
+      adj.map { case (n, m) => n -> m.toMap }.toMap, Map.empty, lab)
+    // dense relabel of the sub-partition by size desc (a sub never spans
+    // two communities, so sub ids alone carry the (comm, sub) identity)
+    val bySize = sub.groupBy(_._2).toSeq
+      .map { case (s, ms) => (s, ms.size) }
+      .sortBy { case (s, sz) => (-sz, s) }
+      .zipWithIndex.map { case ((s, _), i) => s -> (i + 1L) }.toMap
+    sub.toSeq.map { case (n, s) => (n, bySize(s)) }.toDF("cell_id", "cluster")
+  }
 
-    val out = scala.collection.mutable.Map[Long, (Long, Long)]() // node -> (comm, sub)
-    lab.keys.groupBy(lab).toSeq.sortBy(_._1).foreach { case (commId, members0) =>
+  /** The refinement core over an adjacency (self-loops allowed — they
+    * arise on contracted graphs): within each community of `lab`,
+    * rebuild sub-communities from singletons under the well-connectedness
+    * gate. Returns node → sub root id (node ids, globally unique).
+    */
+  private def refineParts(adj: Map[Long, Map[Long, Double]],
+                          selfW: Map[Long, Double],
+                          lab: Map[Long, Long]): Map[Long, Long] = {
+    val deg = adj.map { case (n, m) =>
+      n -> (m.values.sum + 2 * selfW.getOrElse(n, 0.0)) }
+    val m2 = deg.values.sum
+    val out = scala.collection.mutable.Map[Long, Long]() // node -> sub root
+    lab.keys.groupBy(lab).toSeq.sortBy(_._1).foreach { case (_, members0) =>
       val members = members0.toSeq.sorted
       val inP = members.toSet
       val volP = members.map(deg.getOrElse(_, 0.0)).sum
@@ -277,17 +372,67 @@ object Cluster {
           }
         }
       }
-      members.foreach(n => out(n) = (commId, sub(n)))
+      members.foreach(n => out(n) = sub(n))
     }
-    // dense relabel of (comm, sub) pairs by size desc
-    val bySize = out.groupBy(_._2).toSeq
-      .map { case (cs, ms) => (cs, ms.size) }
-      .sortBy { case ((c, s), sz) => (-sz, c, s) }
-      .zipWithIndex.map { case ((cs, _), i) => cs -> (i + 1L) }.toMap
-    out.toSeq.map { case (n, cs) => (n, bySize(cs)) }.toDF("cell_id", "cluster")
+    out.toMap
   }
 
-  /** Leiden = greedy local moves + refinement pass. */
-  def leiden(edges: DataFrame, maxPasses: Int = 10): DataFrame =
-    refine(edges, louvain(edges, maxPasses))
+  /** Faithful Leiden loop (Traag 2019, Alg. 1): per level, greedy local
+    * MOVES from the carried-in partition, REFINE each community into
+    * well-connected sub-communities, then AGGREGATE on the REFINED
+    * partition while the next level's initial communities come from the
+    * MOVE partition. The output communities are the move phase's — the
+    * refined partition only shapes the aggregation — which is the
+    * detail that separates Leiden from "Louvain, then split": returning
+    * the refined sub-partition directly fragments every large community
+    * back into k-hop pieces (measured NMI 0.31 vs a 5-block plant at
+    * 50k cells in E2eScaleSpec; this loop recovers the blocks) while
+    * still guaranteeing internally connected communities.
+    * Driver-side over the n·k edge list like the reference's sknetwork
+    * call (scarf/datastore/graph_datastore.py:1379-1459); deterministic.
+    */
+  def leiden(edges: DataFrame, maxPasses: Int = 10): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select("src", "dst", "weight")
+      .as[(Long, Long, Double)].collect()
+    val adj0 = scala.collection.mutable.Map[Long, scala.collection.mutable.Map[Long, Double]]()
+    def add(a: Long, b: Long, w: Double): Unit = {
+      val m = adj0.getOrElseUpdate(a, scala.collection.mutable.Map())
+      m(b) = m.getOrElse(b, 0.0) + w
+    }
+    es.foreach { case (s, d, w) => if (s != d) { add(s, d, w); add(d, s, w) } }
+
+    var adj: Map[Long, Map[Long, Double]] =
+      adj0.map { case (n, m) => n -> m.toMap }.toMap
+    var selfW: Map[Long, Double] = Map.empty
+    var mapping: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    var labels: Map[Long, Long] = mapping // current nodes -> community
+    var done = false
+    var level = 0
+    while (!done && level < 20) {
+      level += 1
+      val comm = localMoves(adj, selfW, maxPasses, initial = labels)
+      val refined = refineParts(adj, selfW, comm)
+      if (refined.values.toSet.size == adj.size) {
+        // every sub a singleton — nothing left to aggregate
+        labels = comm
+        done = true
+      } else {
+        val superComm = refined.toSeq.map { case (n, s) => s -> comm(n) }.toMap
+        mapping = mapping.map { case (o, cur) => o -> refined(cur) }
+        val (a, s) = contract(adj, selfW, refined)
+        adj = a
+        selfW = s
+        labels = superComm
+      }
+    }
+    val finalLab = mapping.map { case (o, cur) => o -> labels(cur) }
+    val bySize = finalLab.groupBy(_._2).toSeq
+      .map { case (c, ms) => (c, ms.size) }
+      .sortBy { case (c, sz) => (-sz, c) }
+      .zipWithIndex.map { case ((c, _), i) => c -> (i + 1L) }.toMap
+    finalLab.toSeq.map { case (n, c) => (n, bySize(c)) }
+      .toDF("cell_id", "cluster")
+  }
 }

@@ -28,6 +28,22 @@ case class DataStore(
   private def nActiveCells: DataFrame =
     cells.filter(col("I")).agg(count(lit(1)).as("n_total_cells"))
 
+  /** Cache lookup with an actionable error: a missing key otherwise
+    * surfaces as a bare NoSuchElementException deep inside a facade.
+    * `latent`/`knn` are additionally dropped by [[integrateAssays]]
+    * (they are single-assay artifacts with no merged meaning), so their
+    * consumers fail fast after integration instead of silently scoring
+    * un-integrated data.
+    */
+  private def cache(name: String): DataFrame =
+    caches.getOrElse(name, throw new IllegalStateException(
+      s"cache '$name' not present — run makeGraph first" +
+        (if (name == "latent" || name == "knn")
+          s" (note: integrateAssays drops '$name' because it is a " +
+            "single-assay artifact; run latent/knn consumers before " +
+            "integration, or re-run makeGraph)"
+        else "")))
+
   /** Eager QC stats on open (scarf BaseDataStore init): per-cell
     * nCounts/nFeatures, per-feature nCells.
     */
@@ -121,8 +137,8 @@ case class DataStore(
     */
   def runClustering(n: Int, louvain: Boolean = false, seed: Long = 4466L): DataStore = {
     val labels =
-      if (louvain) Cluster.louvain(caches("edges"))
-      else Cluster.kmeans(caches("latent"), n, seed)
+      if (louvain) Cluster.louvain(cache("edges"))
+      else Cluster.kmeans(cache("latent"), n, seed)
     copy(cells = cells.drop("cluster").join(labels, Seq("cell_id"), "left"))
   }
 
@@ -133,10 +149,18 @@ case class DataStore(
   def runUmap(nEpochs: Int = 50, seed: Long = 4444L,
               densLambda: Double = 0.0): DataStore = {
     val dists =
-      if (densLambda > 0) Some(caches("knn").select("src", "dst", "dist"))
+      if (densLambda > 0) Some(cache("knn").select("src", "dst", "dist"))
       else None
-    val um = UmapLayout.layout(caches("edges"),
-      UmapLayout.initFromLatent(caches("latent")), nEpochs = nEpochs,
+    val edges = cache("edges")
+    // after integrateAssays the single-assay latent is gone — init from
+    // deterministic hash-random coords and let the SGD over the MERGED
+    // edges do the layout (UMAP's standard random-init mode)
+    val init = caches.get("latent").map(UmapLayout.initFromLatent)
+      .getOrElse(UmapLayout.randomInit(
+        edges.select(col("src").as("cell_id"))
+          .unionByName(edges.select(col("dst").as("cell_id"))).distinct(),
+        seed))
+    val um = UmapLayout.layout(edges, init, nEpochs = nEpochs,
       seed = seed, densLambda = densLambda, dists = dists)
     copy(cells = cells.drop("umap1", "umap2").join(um, Seq("cell_id"), "left"))
   }
@@ -171,7 +195,7 @@ case class DataStore(
     * the smoothed graph.
     */
   def runPseudotime(sources: DataFrame): DataStore = {
-    val pt = Pseudotime.score(caches("edges"), sources)
+    val pt = Pseudotime.score(cache("edges"), sources)
     copy(cells = cells.drop("pseudotime").join(pt, Seq("cell_id"), "left"))
   }
 
@@ -193,8 +217,8 @@ case class DataStore(
           if (cells.columns.contains("cluster"))
             cells.select(col("cell_id"), col("cluster"))
           else cells.select(col("cell_id"), lit(1L).as("cluster"))
-        Paris.sketchedCut(caches("edges"), prelim, n)
-      } else Paris.cut(caches("edges"), n)
+        Paris.sketchedCut(cache("edges"), prelim, n)
+      } else Paris.cut(cache("edges"), n)
     copy(cells = cells.drop("cluster").join(labels, Seq("cell_id"), "left"))
   }
 
@@ -338,9 +362,9 @@ case class DataStore(
   def getUnifiedUmap(targetName: String, useK: Int = 3,
                      targetWeight: Double = 0.1, nEpochs: Int = 50,
                      seed: Long = 4444L): DataFrame =
-    Unified.unifiedUmap(caches("edges"),
+    Unified.unifiedUmap(cache("edges"),
       caches(s"projection:$targetName").select("target_id", "ref_id", "rank"),
-      UmapLayout.initFromLatent(caches("latent")),
+      UmapLayout.initFromLatent(cache("latent")),
       useK, targetWeight, nEpochs, seed)
 
   /** run_unified_tsne over a saved projection (mapping_datastore.py:
@@ -348,9 +372,9 @@ case class DataStore(
   def getUnifiedTsne(targetName: String, useK: Int = 3,
                      targetWeight: Double = 0.5, nIter: Int = 300,
                      learningRate: Double = 200.0): DataFrame =
-    Unified.unifiedTsne(caches("edges"),
+    Unified.unifiedTsne(cache("edges"),
       caches(s"projection:$targetName").select("target_id", "ref_id", "rank"),
-      UmapLayout.initFromLatent(caches("latent")),
+      UmapLayout.initFromLatent(cache("latent")),
       useK, targetWeight, nIter, learningRate)
 
   /** SubsetZarr equivalent (scarf/writers.py:938-1110): extract the
@@ -393,42 +417,59 @@ case class DataStore(
     */
   def runTsne(perplexity: Double = 30.0, nIter: Int = 300,
               learningRate: Double = 200.0, seed: Long = 4444L): DataStore = {
-    val ts = TsneLayout.layout(caches("latent"), perplexity, nIter,
+    val ts = TsneLayout.layout(cache("latent"), perplexity, nIter,
       learningRate, seed)
     copy(cells = cells.drop("tsne1", "tsne2").join(ts, Seq("cell_id"), "left"))
   }
 
   /** get_imputed (scarf/datastore/graph_datastore.py:1729-1816): MAGIC
     * t-step diffusion of the selected features' normalized per-cell
-    * signal over the smoothed graph. Returns `(cell_id, x)`.
+    * signal over the SYMMETRIZED smoothed graph — the reference builds
+    * the MAGIC operator from `load_graph(symmetric=True)`'s fuzzy union
+    * `g + gᵀ − g∘gᵀ` (graph_datastore.py:1780-1804) before
+    * row-normalizing, and feeds it the non-log lib-size-normed signal
+    * (`get_cell_vals`). Returns `(cell_id, x)`.
     */
   def getImputed(featureSet: DataFrame, t: Int = 2): DataFrame = {
-    val sig0 = Normalize.libSizeLog(activeCoo)
+    val sig0 = Normalize.libSize(activeCoo)
       .join(broadcast(featureSet.select("feat_id")), Seq("feat_id"))
       .groupBy("cell_id").agg(sum("normed").as("x"))
     val sig = cells.filter(col("I")).select("cell_id")
       .join(sig0, Seq("cell_id"), "left").na.fill(0.0, Seq("x"))
-    (1 to t).foldLeft(sig)((s, _) =>
-      graft.graph.GraphOps.diffuse(caches("edges"), s))
+    // one eager materialization: the symmetrized transition graph is
+    // consumed by every one of the t diffusion steps
+    val sym = graft.graph.GraphOps.symmetrizeProb(cache("edges"))
+      .localCheckpoint()
+    (1 to t).foldLeft(sig)((s, _) => graft.graph.GraphOps.diffuse(sym, s))
   }
 
-  /** score_features (scarf/assay.py:272-328; q45's oracled kernel):
-    * per-cell Ep − Ec against a seeded binned control sample.
+  /** score_features (scarf/assay.py:698-745; binned control sampling as
+    * q45's oracled kernel): per-cell Ep − Ec against a seeded binned
+    * control sample, computed on library-size-NORMALIZED values (non-log,
+    * the reference RNAassay's default normMethod) on BOTH sides — the
+    * reference bins by the normalized per-feature `{identifier}_avg`
+    * (scarf/assay.py:874-897) and takes per-cell means of
+    * `self.normed(...)` (scarf/assay.py:726-745); raw-count scoring
+    * diverges on any library-size-skewed dataset.
     */
   private def scoreFeatures(featureSet: DataFrame, ctrlSize: Int,
                             nBins: Int, seed: Long): DataFrame = {
-    val acoo = activeCoo
-    val values = acoo.groupBy("feat_id").agg(sum(col("value")).as("tot"))
+    // one eager materialization: the normalized COO feeds three branches
+    // (binning stats + the two per-cell sums) — the multi-consumer
+    // checkpoint rule
+    val normed = Normalize.libSize(activeCoo)
+      .select("cell_id", "feat_id", "normed").localCheckpoint()
+    val values = normed.groupBy("feat_id").agg(sum(col("normed")).as("tot"))
       .crossJoin(broadcast(nActiveCells))
       .select(col("feat_id"), (col("tot") / col("n_total_cells")).as("value"))
     val ctrl = graft.stats.Pseudobulk.binnedSampling(
       values, featureSet, ctrlSize, nBins, seed)
     val nSet = featureSet.agg(count(lit(1)).as("n_set"))
     val nCtrl = ctrl.agg(count(lit(1)).as("n_ctrl"))
-    val setSum = acoo.join(broadcast(featureSet.select("feat_id")), Seq("feat_id"))
-      .groupBy("cell_id").agg(sum("value").as("s_set"))
-    val ctrlSum = acoo.join(broadcast(ctrl), Seq("feat_id"))
-      .groupBy("cell_id").agg(sum("value").as("s_ctrl"))
+    val setSum = normed.join(broadcast(featureSet.select("feat_id")), Seq("feat_id"))
+      .groupBy("cell_id").agg(sum("normed").as("s_set"))
+    val ctrlSum = normed.join(broadcast(ctrl), Seq("feat_id"))
+      .groupBy("cell_id").agg(sum("normed").as("s_ctrl"))
     cells.filter(col("I")).select("cell_id")
       .join(setSum, Seq("cell_id"), "left")
       .join(ctrlSum, Seq("cell_id"), "left")
@@ -492,10 +533,17 @@ case class DataStore(
     * graphs (same cells, same k); the merged edges replace the `edges`
     * cache so downstream runClustering(louvain)/runUmap consume them,
     * the analogue of the reference's saved integrated graph.
+    *
+    * The single-assay `latent` and `knn` caches are DROPPED: they have
+    * no merged meaning, and keeping them would let latent/knn consumers
+    * (kmeans clustering, runTsne, metricLisi, metricSilhouette, densMAP
+    * dists) silently score un-integrated data. Those consumers now fail
+    * fast via [[cache]]; runUmap falls back to a deterministic random
+    * init and optimizes over the merged edges.
     */
   def integrateAssays(others: Seq[DataStore], k: Int = 11,
                       method: String = "snn"): DataStore = {
-    val graphs = (this +: others).map(_.caches("edges"))
+    val graphs = (this +: others).map(_.cache("edges"))
     val merged = method match {
       case "snn" => Integrate.snnIntegrate(graphs, k)
       case "wnn" =>
@@ -503,7 +551,7 @@ case class DataStore(
         Integrate.wnnIntegrate(graphs.head, graphs(1), k)
       case m => throw new IllegalArgumentException(s"unknown integration method: $m")
     }
-    copy(caches = caches +
+    copy(caches = caches - "latent" - "knn" +
       ("edges" -> merged.select("src", "dst", "weight").cache()))
   }
 
@@ -516,7 +564,7 @@ case class DataStore(
                          seed: Long = 4466L): DataStore = {
     val clusters = cells.filter(col("I") && col("cluster").isNotNull)
       .select(col("cell_id"), col("cluster"))
-    val sk = graft.graph.Sketch.topacedo(caches("edges"), clusters,
+    val sk = graft.graph.Sketch.topacedo(cache("edges"), clusters,
       maxRate = maxRate, minRate = minRate, seed = seed)
     copy(cells = cells.drop("is_seed", "sketched")
       .join(sk, Seq("cell_id"), "left")
@@ -524,13 +572,17 @@ case class DataStore(
   }
 
   /** metric_lisi (scarf/datastore/datastore.py:2063-2141): per-cell LISI
-    * over the cached KNN for each label column. Returns
+    * over the cached KNN for each label column. Inactive cells and null
+    * labels are filtered BEFORE the kernel (mirroring metricSilhouette's
+    * cluster-null filtering) — a null label would otherwise enter as a
+    * distinct category and skew its neighbors' diversity scores. Returns
     * `(cell_id, label_col, lisi)`.
     */
   def metricLisi(labelCols: Seq[String], perplexity: Double = 30.0): DataFrame =
     labelCols.map { c =>
-      Metrics.lisi(caches("knn").select("src", "dst", "dist"),
-          cells.select(col("cell_id"), col(c).cast("string").as("label")),
+      Metrics.lisi(cache("knn").select("src", "dst", "dist"),
+          cells.filter(col("I") && col(c).isNotNull)
+            .select(col("cell_id"), col(c).cast("string").as("label")),
           perplexity)
         .select(col("cell_id"), lit(c).as("label_col"), col("lisi"))
     }.reduce(_ unionByName _)
@@ -540,10 +592,10 @@ case class DataStore(
     * latent. Returns per-cluster scores.
     */
   def metricSilhouette(k: Int = 11, seed: Long = 4466L): DataFrame =
-    Metrics.silhouetteScores(caches("edges"),
+    Metrics.silhouetteScores(cache("edges"),
       cells.filter(col("I") && col("cluster").isNotNull)
         .select(col("cell_id"), col("cluster")),
-      caches("latent"), k, seed)
+      cache("latent"), k, seed)
 
   /** metric_integration (scarf/datastore/datastore.py:2227-2280): ARI +
     * NMI agreement between two batch-label columns. Single row.

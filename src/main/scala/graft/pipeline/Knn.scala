@@ -173,10 +173,30 @@ object Knn {
     * buckets + Hamming-1 multi-probe + exact in-bucket distances, all
     * rounds unioned (PRE-dedup — callers aggregate). Returns the frame
     * plus a release handle for the cached inputs.
+    *
+    * Hot-bucket refinement (self-KNN only): sign-LSH planes pass through
+    * the ORIGIN, so a tight cluster sitting away from the origin lands
+    * on the same side of almost every plane — more planes cannot split
+    * it, and a 10k-member cluster-core bucket makes the in-bucket join
+    * |b|² (found by the 50k-cell E2eScaleSpec: 5 planted blocks ⇒ one
+    * ~8k bucket per block, measured max occupancy 8371 at 9 planes).
+    * Buckets above `hotCap` members are therefore split by a
+    * projection-ranked sliding chunk: members are ordered by their dot
+    * product with a round-seeded ±1 direction (a window PER BUCKET, not
+    * global), cut into `chunkW`-sized chunks, and each member probes its
+    * own chunk plus the next — any pair within `chunkW` positions in
+    * projection order is covered, farther intra-bucket pairs and
+    * cross-bucket Hamming-1 probes into hot buckets are left to the
+    * other `rounds` directions. Work per hot bucket drops from |b|² to
+    * 2·|b|·chunkW while cold buckets keep the exact full-bucket +
+    * multi-probe semantics (KnnRecallSpec's ≥0.95 recall corpus has no
+    * hot buckets, so its guarantee is untouched).
     */
   private def lshCandidates(queries: DataFrame, corpus: DataFrame,
                             nPlanes: Int, rounds: Int,
-                            excludeSelf: Boolean): (DataFrame, () => Unit) = {
+                            excludeSelf: Boolean,
+                            hotCap: Int = 1024,
+                            chunkW: Int = 128): (DataFrame, () => Unit) = {
     // both sides are re-bucketed every round — cache them once; released
     // by the caller after it materializes its bounded result
     val self = queries eq corpus
@@ -204,11 +224,44 @@ object Knn {
         col("bucket").bitwiseXOR(lit(1L << h)))): _*)
       val qside = bucketed(q0).select(col("id").as("src"),
         col("latent").as("va"), explode(probes).as("bucket"))
-      val cside = bucketed(c0).select(col("bucket"), col("id").as("dst"),
+      val cb = bucketed(c0)
+      val cside = cb.select(col("bucket"), col("id").as("dst"),
         col("latent").as("vb"))
-      val joined = qside.join(cside, Seq("bucket"))
-      (if (excludeSelf) joined.filter(col("src") =!= col("dst")) else joined)
-        .select(col("src"), col("dst"), l2dot(col("va"), col("vb")).as("dist"))
+      if (!self) {
+        // query-vs-corpus: no refinement (an external query has no rank
+        // position inside a corpus bucket); mapping corpora are the
+        // bounded reference datasets
+        val joined = qside.join(cside, Seq("bucket"))
+        (if (excludeSelf) joined.filter(col("src") =!= col("dst")) else joined)
+          .select(col("src"), col("dst"),
+            l2dot(col("va"), col("vb")).as("dist"))
+      } else {
+        val hotB = cb.groupBy("bucket").agg(count(lit(1)).as("_bn"))
+          .filter(col("_bn") > hotCap).select("bucket")
+        val coldJoined = qside
+          .join(cside.join(broadcast(hotB), Seq("bucket"), "left_anti"),
+            Seq("bucket"))
+        // hot buckets: projection-ranked sliding chunks (see Scaladoc)
+        val dir = graft.sim.Similarity.signMatrix(1, dim, r + 7919).head
+        val ranked = cb.join(broadcast(hotB), Seq("bucket"))
+          .withColumn("_chunk",
+            ((row_number().over(Window.partitionBy("bucket")
+              .orderBy(graft.sim.Similarity.dot(
+                col("latent").cast("array<double>"), lit(dir)),
+                col("id"))) - 1) / lit(chunkW)).cast("long"))
+        val hq = ranked.select(col("id").as("src"), col("latent").as("va"),
+          col("bucket"),
+          explode(array(col("_chunk"), col("_chunk") + 1)).as("_chunk"))
+        val hotJoined = hq.join(
+          ranked.select(col("bucket"), col("_chunk"), col("id").as("dst"),
+            col("latent").as("vb")),
+          Seq("bucket", "_chunk"))
+        val joined = coldJoined.select("src", "dst", "va", "vb")
+          .unionByName(hotJoined.select("src", "dst", "va", "vb"))
+        (if (excludeSelf) joined.filter(col("src") =!= col("dst")) else joined)
+          .select(col("src"), col("dst"),
+            l2dot(col("va"), col("vb")).as("dist"))
+      }
     }.reduce(_ unionByName _)
     (cand, () => { q0.unpersist(); if (!self) c0.unpersist(); () })
   }

@@ -320,6 +320,19 @@ object UmapLayout {
     * _get_ini_embed, scarf/datastore/graph_datastore.py:427-457): first
     * two latent components, rescaled to ~[-10, 10].
     */
+  /** Deterministic hash-random init in [-10, 10]²: md5-derived uniforms
+    * per cell (the engine's seeded-RNG-free sampling pattern), for
+    * layouts with no usable latent — e.g. after integrateAssays drops
+    * the single-assay latent and the SGD runs on merged edges alone.
+    */
+  def randomInit(nodes: DataFrame, seed: Long = 4444L): DataFrame = {
+    def u(tag: String) =
+      conv(substring(md5(concat(lit(s"$tag$seed:"),
+        col("cell_id").cast("string"))), 1, 6), 16, 10).cast("double") /
+        lit(0xFFFFFF.toDouble) * 20 - 10
+    nodes.select(col("cell_id"), u("ux").as("x"), u("uy").as("y"))
+  }
+
   def initFromLatent(latent: DataFrame): DataFrame = {
     val xy = latent.select(col("cell_id"),
       element_at(col("latent"), 1).as("x0"),

@@ -1037,9 +1037,16 @@ object MiningQueries {
   multi AS (
     SELECT c.doc_id, c.group_id FROM comp c
     JOIN szs z USING (group_id) WHERE z.n > 1),
+  capped AS (
+    SELECT doc_id, group_id FROM (
+      SELECT doc_id, group_id,
+             ROW_NUMBER() OVER (PARTITION BY group_id
+               ORDER BY md5('chain:' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM multi) WHERE rn <= 64),
   gp AS (
-    SELECT a.doc_id AS ida, b.doc_id AS idb FROM multi a
-    JOIN multi b ON a.group_id = b.group_id AND a.doc_id < b.doc_id),
+    SELECT a.doc_id AS ida, b.doc_id AS idb FROM capped a
+    JOIN capped b ON a.group_id = b.group_id AND a.doc_id < b.doc_id),
   shc AS (
     SELECT * FROM psh WHERE shingle IN (
       SELECT shingle FROM psh GROUP BY 1 HAVING COUNT(*) <= 10000)),

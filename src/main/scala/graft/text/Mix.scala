@@ -184,7 +184,9 @@ object Mix {
       .filter(col("_r") <= n).drop("_r", "_salt")
     val global = org.apache.spark.sql.expressions.Window
       .orderBy(col("key").desc, col("doc_id"))
-    survivors.withColumn("rank", row_number().over(global))
+    // long, not int: DuckDB's ROW_NUMBER is BIGINT and the dtype-strict
+    // local gate (tools/compare.py) treats an int32/int64 split as FAIL
+    survivors.withColumn("rank", row_number().over(global).cast("long"))
       .filter(col("rank") <= n)
   }
 

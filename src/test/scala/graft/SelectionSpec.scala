@@ -24,23 +24,23 @@ class SelectionSpec extends SparkSpec {
         / col("w").cast("double"), 9)
       docs.select(col("doc_id"), key.as("key"))
         .withColumn("rank", row_number().over(
-          Window.orderBy(col("key").desc, col("doc_id"))))
+          Window.orderBy(col("key").desc, col("doc_id"))).cast("long"))
         .filter(col("rank") <= 40)
-        .select("doc_id", "rank").as[(Long, Int)].collect().toSet
+        .select("doc_id", "rank").as[(Long, Long)].collect().toSet
     }
     for (salts <- Seq(1, 4, 16)) {
       val got = Mix.weightedSample(docs, col("w"), n = 40, seed = 7, salts = salts)
-        .select("doc_id", "rank").as[(Long, Int)].collect().toSet
+        .select("doc_id", "rank").as[(Long, Long)].collect().toSet
       assert(got == naive, s"salts=$salts")
     }
   }
 
   test("weightedSample: raising a doc's weight never worsens its rank") {
     val base = corpus(200)
-    def rankOf(df: org.apache.spark.sql.DataFrame, id: Long): Option[Int] =
+    def rankOf(df: org.apache.spark.sql.DataFrame, id: Long): Option[Long] =
       Mix.weightedSample(df, col("w"), n = 200, seed = 3)
         .filter(col("doc_id") === id).select("rank")
-        .as[Int].collect().headOption
+        .as[Long].collect().headOption
     val before = rankOf(base, 42L).get
     val boosted = base.withColumn("w",
       when(col("doc_id") === 42L, lit(100000L)).otherwise(col("w")))
