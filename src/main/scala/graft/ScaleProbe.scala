@@ -155,6 +155,34 @@ object ScaleProbe {
       }
       outR(s"lloyd_25it_${nVecR}_vecs") = tLl
       System.err.println("[probe] done lloyd")
+      // adversarial CLUSTERED latent for the round-8 hot-bucket
+      // refinement: collapse every vector toward one of 5 centroids
+      // (v' = c_block + 0.05·v) so sign-LSH's origin-plane weakness —
+      // a tight off-origin cluster that no plane count can split — is
+      // reproduced at probe scale; without the projection-chunk
+      // refinement this shape is the measured |b|² non-termination of
+      // E2eScaleSpec (PERF.md round-8 notes)
+      val dims = embR.select(size(col("v")).as("d")).head.getInt(0)
+      val withBlock = embR.withColumn("_b", pmod(col("vec_id"), lit(5)))
+      val cent = withBlock
+        .select(col("_b"), posexplode(col("v")).as(Seq("_p", "_x")))
+        .groupBy("_b", "_p").agg(avg("_x").as("_c"))
+        .groupBy("_b").agg(array_sort(collect_list(struct(col("_p"),
+          col("_c")))).as("_cs"))
+        .select(col("_b"), transform(col("_cs"), s => s.getField("_c")).as("_cv"))
+      val clustered = withBlock.join(broadcast(cent), Seq("_b"))
+        .select(col("vec_id").as("cell_id"),
+          zip_with(col("_cv"), col("v"), (c, x) => c + lit(0.05) * x)
+            .as("latent"))
+        .cache()
+      val nClust = clustered.count()
+      val (_, tHot) = time {
+        graft.pipeline.Knn.bucketedSelfKnn(clustered, k = 8)
+          .write.format("noop").mode("overwrite").save()
+      }
+      outR(s"clustered_ann_knn_${nClust}_vecs") = tHot
+      System.err.println("[probe] done clustered_ann")
+      clustered.unpersist()
       embR.unpersist()
       val qsR = outR.map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}")

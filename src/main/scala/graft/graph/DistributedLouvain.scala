@@ -11,9 +11,10 @@ import graft.core.Lineage
   * joins/aggregations — no driver-side graph.
   *
   * Synchronous updates can oscillate (two nodes swapping into each
-  * other's communities forever), so moves alternate by node parity —
-  * even-hash nodes move on even rounds, odd on odd — the standard
-  * damping for synchronous label optimization. Labels converge to a
+  * other's communities forever), so moves alternate by DIRECTION — even
+  * rounds only admit moves toward a smaller community id, odd rounds
+  * larger — which makes a simultaneous swap structurally impossible
+  * (it would need both directions in one round). Labels converge to a
   * local modularity optimum; exact agreement with sequential Louvain is
   * not guaranteed (same caveat as distributed Leiden implementations).
   *
@@ -29,7 +30,16 @@ object DistributedLouvain {
       .groupBy("src", "dst").agg(max(col("weight")).as("weight"))
     val symCk = Lineage.reset(sym)
 
-    val deg = symCk.groupBy("src").agg(sum(col("weight")).as("deg"))
+    // self-loops (contracted intra-community mass from clusterMultiLevel)
+    // count TWICE in the degree — the standard convention — but never
+    // enter the per-candidate gain (they stay with the node under any
+    // move); plain edge lists have none and are unaffected
+    val selfDeg = edges.filter(col("src") === col("dst"))
+      .groupBy("src").agg((sum(col("weight")) * 2).as("sdeg"))
+    val deg = symCk.groupBy("src").agg(sum(col("weight")).as("deg0"))
+      .join(selfDeg, Seq("src"), "left")
+      .select(col("src"),
+        (col("deg0") + coalesce(col("sdeg"), lit(0.0))).as("deg"))
     val m2Row = deg.agg(sum(col("deg")).as("m2"))
     val degCk = Lineage.reset(deg.crossJoin(broadcast(m2Row)))
 
@@ -64,12 +74,20 @@ object DistributedLouvain {
           .orderBy(col("gain").desc, col("cand"))))
         .filter(col("rn") === 1)
         .select(col("node"), col("cand"))
-      // parity damping: only half the nodes move each round
+      // DIRECTION damping: even rounds only allow moves toward a SMALLER
+      // community id, odd rounds larger. Simultaneous A↔B swaps (which
+      // the earlier node-hash-parity damping could not rule out when two
+      // nodes shared a parity — they exchanged communities forever and
+      // the merge never happened, found by the multi-level planted-block
+      // spec) are impossible: a swap needs both directions in one round.
+      val allowed =
+        if (round % 2 == 0) col("cand") < col("comm")
+        else col("cand") > col("comm")
       comm = Lineage.reset(
         comm.join(best, Seq("node"), "left")
           .select(col("node"),
-            when(pmod(hash(col("node")), lit(2)) === round % 2,
-              coalesce(col("cand"), col("comm"))).otherwise(col("comm")).as("comm")))
+            when(col("cand").isNotNull && allowed, col("cand"))
+              .otherwise(col("comm")).as("comm")))
     }
     // relabel to dense 1..C by size desc
     val sizes = comm.groupBy("comm").agg(count(lit(1)).as("sz"))
@@ -78,6 +96,64 @@ object DistributedLouvain {
       .select("comm", "cluster")
     comm.join(broadcast(relabel), Seq("comm"))
       .select(col("node").as("cell_id"), col("cluster"))
+  }
+
+  /** Multi-LEVEL distributed Louvain (Blondel 2008 phase 2 for the
+    * all-DataFrame path, mirroring the round-8 driver-side
+    * `Cluster.louvain` fix): run [[cluster]]'s synchronous local moves,
+    * CONTRACT communities to super-nodes (inter-community weights summed,
+    * intra-community mass becoming self-loops that [[cluster]] now counts
+    * in the degrees), and repeat until a level yields no merge. Local
+    * moves alone cannot merge communities farther than one hop per round,
+    * so one-level fragments large sparse communities; aggregation is what
+    * lets them coalesce. Everything is joins/aggregations — the per-level
+    * label table and contracted edge list, never a driver graph; levels
+    * are bounded (each strictly shrinks the node count, ≤ maxLevels).
+    * Returns `(cell_id, cluster)` dense 1..C by size desc.
+    */
+  def clusterMultiLevel(edges: DataFrame, rounds: Int = 8,
+                        maxLevels: Int = 5): DataFrame = {
+    // undirected dedup once, then levels contract it
+    var cur = Lineage.reset(
+      edges.select(col("src"), col("dst"), col("weight"))
+        .unionByName(edges.select(col("dst").as("src"),
+          col("src").as("dst"), col("weight")))
+        .filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(max(col("weight")).as("weight"))
+        .filter(col("src") < col("dst")))
+    var mapping = Lineage.reset(
+      cur.select(col("src").as("cell_id"))
+        .unionByName(cur.select(col("dst").as("cell_id"))).distinct()
+        .select(col("cell_id"), col("cell_id").as("node")))
+    var level = 0
+    var done = false
+    while (!done && level < maxLevels) {
+      level += 1
+      val lab = Lineage.reset(cluster(cur, rounds)
+        .select(col("cell_id").as("node"), col("cluster")))
+      val counts = lab.agg(count(lit(1)).as("n"),
+        countDistinct(col("cluster")).as("c")).head
+      if (counts.getLong(1) == counts.getLong(0)) done = true
+      else {
+        mapping = Lineage.reset(mapping.join(lab, Seq("node"))
+          .select(col("cell_id"), col("cluster").as("node")))
+        cur = Lineage.reset(cur
+          .join(lab.select(col("node").as("src"), col("cluster").as("_cs")), Seq("src"))
+          .join(lab.select(col("node").as("dst"), col("cluster").as("_cd")), Seq("dst"))
+          .groupBy(col("_cs").as("src"), col("_cd").as("dst"))
+          .agg(sum(col("weight")).as("weight"))
+          // normalize pair order; contracted self-loops keep src == dst
+          .select(least(col("src"), col("dst")).as("src"),
+            greatest(col("src"), col("dst")).as("dst"), col("weight"))
+          .groupBy("src", "dst").agg(sum(col("weight")).as("weight")))
+      }
+    }
+    val sizes = mapping.groupBy("node").agg(count(lit(1)).as("sz"))
+    val relabel = graft.ops.Windows.globalOrdinal(
+        sizes, Seq(col("sz").desc, col("node")), "cluster")
+      .select("node", "cluster")
+    mapping.join(broadcast(relabel), Seq("node"))
+      .select(col("cell_id"), col("cluster"))
   }
 
   /** Distributed Leiden-style refinement: split every community into its

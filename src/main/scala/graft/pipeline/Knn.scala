@@ -145,11 +145,50 @@ object Knn {
             " div ((k_src + k_dst) * d_micro)")).as("margin_ppm"))
   }
 
+  /** Contrastive triplet mining: per anchor, the nearest SAME-label
+    * vector (positive) and nearest DIFFERENT-label vector (negative),
+    * from ONE shared bucketed-ANN candidate chain — running the chain
+    * once and splitting by the label predicate inside the aggregation
+    * halves the dominant cost vs composing two label-filtered
+    * [[bucketedKnn]] calls (the candidate generation is identical on
+    * both sides; only the filter differs). Input `(cell_id, latent,
+    * label)`; output per anchor with both sides found:
+    * `(src, src_label, pos_dst, pos_dist, neg_dst, neg_dist)`.
+    */
+  def tripletCandidates(vecs: DataFrame, nPlanes: Int = 0,
+                        rounds: Int = 6): DataFrame = {
+    val latent = vecs.select(col("cell_id"), col("latent"))
+    val labels = vecs.select(col("cell_id"), col("label"))
+    val (cand, release) = lshCandidates(latent, latent, nPlanes, rounds,
+      excludeSelf = true)
+    val agg = cand.groupBy("src", "dst").agg(min(col("dist")).as("dist"))
+      .join(labels.select(col("cell_id").as("src"), col("label").as("_sl")),
+        Seq("src"))
+      .join(labels.select(col("cell_id").as("dst"), col("label").as("_dl")),
+        Seq("dst"))
+    val same = col("_sl") === col("_dl")
+    def top1(pred: org.apache.spark.sql.Column, tag: String) = agg
+      .filter(pred)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("src").orderBy(round(col("dist"), 6), col("dst"))))
+      .filter(col("_rn") === 1)
+      .select(col("src"), col("_sl").as("src_label"),
+        col("dst").as(s"${tag}_dst"),
+        round(col("dist"), 6).as(s"${tag}_dist"))
+    val out = top1(same, "pos")
+      .join(top1(!same, "neg").drop("src_label"), Seq("src"))
+      .localCheckpoint()
+    release()
+    out
+  }
+
   def bucketedKnn(queries: DataFrame, corpus: DataFrame, k: Int,
                   nPlanes: Int = 0, rounds: Int = 6,
                   excludeSelf: Boolean = false,
-                  candFilter: DataFrame => DataFrame = identity): DataFrame = {
-    val (cand, release) = lshCandidates(queries, corpus, nPlanes, rounds, excludeSelf)
+                  candFilter: DataFrame => DataFrame = identity,
+                  hotCap: Int = 512, chunkW: Int = 128): DataFrame = {
+    val (cand, release) = lshCandidates(queries, corpus, nPlanes, rounds,
+      excludeSelf, hotCap, chunkW)
     // checkpoint AFTER the k-bound, not before: the (src, dst) candidate
     // aggregate is occupancy-sized (hundreds of millions of rows under
     // adversarial replica skew), and an eager localCheckpoint would pin
@@ -174,7 +213,7 @@ object Knn {
     * rounds unioned (PRE-dedup — callers aggregate). Returns the frame
     * plus a release handle for the cached inputs.
     *
-    * Hot-bucket refinement (self-KNN only): sign-LSH planes pass through
+    * Hot-bucket refinement: sign-LSH planes pass through
     * the ORIGIN, so a tight cluster sitting away from the origin lands
     * on the same side of almost every plane — more planes cannot split
     * it, and a 10k-member cluster-core bucket makes the in-bucket join
@@ -187,15 +226,21 @@ object Knn {
     * own chunk plus the next — any pair within `chunkW` positions in
     * projection order is covered, farther intra-bucket pairs and
     * cross-bucket Hamming-1 probes into hot buckets are left to the
-    * other `rounds` directions. Work per hot bucket drops from |b|² to
+    * other `rounds` directions. In the query-vs-corpus (mapping) case an
+    * external query locates its chunk via the corpus chunks' lower proj
+    * boundaries (one boundary row per chunkW corpus members) and probes
+    * chunk ± 1, since no corpus member probes back at it. Work per hot
+    * bucket drops from |b|² to
     * 2·|b|·chunkW while cold buckets keep the exact full-bucket +
     * multi-probe semantics (KnnRecallSpec's ≥0.95 recall corpus has no
-    * hot buckets, so its guarantee is untouched).
+    * hot buckets, so its guarantee is untouched; the oracled ANN
+    * corpora's measured max occupancy is 195 ≪ hotCap, so no oracled
+    * plan crosses the threshold at any SF).
     */
   private def lshCandidates(queries: DataFrame, corpus: DataFrame,
                             nPlanes: Int, rounds: Int,
                             excludeSelf: Boolean,
-                            hotCap: Int = 1024,
+                            hotCap: Int = 512,
                             chunkW: Int = 128): (DataFrame, () => Unit) = {
     // both sides are re-bucketed every round — cache them once; released
     // by the caller after it materializes its bounded result
@@ -227,41 +272,57 @@ object Knn {
       val cb = bucketed(c0)
       val cside = cb.select(col("bucket"), col("id").as("dst"),
         col("latent").as("vb"))
-      if (!self) {
-        // query-vs-corpus: no refinement (an external query has no rank
-        // position inside a corpus bucket); mapping corpora are the
-        // bounded reference datasets
-        val joined = qside.join(cside, Seq("bucket"))
-        (if (excludeSelf) joined.filter(col("src") =!= col("dst")) else joined)
-          .select(col("src"), col("dst"),
-            l2dot(col("va"), col("vb")).as("dist"))
-      } else {
-        val hotB = cb.groupBy("bucket").agg(count(lit(1)).as("_bn"))
-          .filter(col("_bn") > hotCap).select("bucket")
-        val coldJoined = qside
-          .join(cside.join(broadcast(hotB), Seq("bucket"), "left_anti"),
-            Seq("bucket"))
-        // hot buckets: projection-ranked sliding chunks (see Scaladoc)
-        val dir = graft.sim.Similarity.signMatrix(1, dim, r + 7919).head
-        val ranked = cb.join(broadcast(hotB), Seq("bucket"))
-          .withColumn("_chunk",
-            ((row_number().over(Window.partitionBy("bucket")
-              .orderBy(graft.sim.Similarity.dot(
-                col("latent").cast("array<double>"), lit(dir)),
-                col("id"))) - 1) / lit(chunkW)).cast("long"))
-        val hq = ranked.select(col("id").as("src"), col("latent").as("va"),
-          col("bucket"),
-          explode(array(col("_chunk"), col("_chunk") + 1)).as("_chunk"))
-        val hotJoined = hq.join(
-          ranked.select(col("bucket"), col("_chunk"), col("id").as("dst"),
-            col("latent").as("vb")),
-          Seq("bucket", "_chunk"))
-        val joined = coldJoined.select("src", "dst", "va", "vb")
-          .unionByName(hotJoined.select("src", "dst", "va", "vb"))
-        (if (excludeSelf) joined.filter(col("src") =!= col("dst")) else joined)
-          .select(col("src"), col("dst"),
-            l2dot(col("va"), col("vb")).as("dist"))
-      }
+      val hotB = cb.groupBy("bucket").agg(count(lit(1)).as("_bn"))
+        .filter(col("_bn") > hotCap).select("bucket")
+      val coldJoined = qside
+        .join(cside.join(broadcast(hotB), Seq("bucket"), "left_anti"),
+          Seq("bucket"))
+      // hot buckets: projection-ranked sliding chunks (see Scaladoc)
+      val dir = graft.sim.Similarity.signMatrix(1, dim, r + 7919).head
+      val projOf = graft.sim.Similarity.dot(
+        col("latent").cast("array<double>"), lit(dir))
+      val ranked = cb.join(broadcast(hotB), Seq("bucket"))
+        .withColumn("_proj", projOf)
+        .withColumn("_chunk",
+          ((row_number().over(Window.partitionBy("bucket")
+            .orderBy(col("_proj"), col("id"))) - 1) / lit(chunkW))
+            .cast("long"))
+      val hotC = ranked.select(col("bucket"), col("_chunk"),
+        col("id").as("dst"), col("latent").as("vb"))
+      val hq =
+        if (self)
+          // a member's own rank position IS its chunk; probing own+next
+          // covers any pair within chunkW positions (the lower side is
+          // covered by the other member's probe)
+          ranked.select(col("id").as("src"), col("latent").as("va"),
+            col("bucket"),
+            explode(array(col("_chunk"), col("_chunk") + 1)).as("_chunk"))
+        else {
+          // an external query has no rank position — locate its chunk by
+          // the corpus chunks' lower proj boundaries (bounded: one row
+          // per chunkW corpus members), then probe chunk ± 1 (no member
+          // probes back at it, so both sides need covering)
+          val bounds = ranked.groupBy("bucket", "_chunk")
+            .agg(min(col("_proj")).as("_lo"))
+          val qHot = bucketed(q0).join(broadcast(hotB), Seq("bucket"))
+            .withColumn("_proj", projOf)
+          val qChunk = qHot.select(col("id"), col("bucket"), col("_proj"))
+            .join(broadcast(bounds), Seq("bucket"))
+            .filter(col("_lo") <= col("_proj"))
+            .groupBy("id", "bucket").agg(max(col("_chunk")).as("_c0"))
+          qHot.join(qChunk, Seq("id", "bucket"), "left")
+            .select(col("id").as("src"), col("latent").as("va"),
+              col("bucket"),
+              explode(array(coalesce(col("_c0") - 1, lit(0L)),
+                coalesce(col("_c0"), lit(0L)),
+                coalesce(col("_c0") + 1, lit(1L)))).as("_chunk"))
+        }
+      val hotJoined = hq.join(hotC, Seq("bucket", "_chunk"))
+      val joined = coldJoined.select("src", "dst", "va", "vb")
+        .unionByName(hotJoined.select("src", "dst", "va", "vb"))
+      (if (excludeSelf) joined.filter(col("src") =!= col("dst")) else joined)
+        .select(col("src"), col("dst"),
+          l2dot(col("va"), col("vb")).as("dist"))
     }.reduce(_ unionByName _)
     (cand, () => { q0.unpersist(); if (!self) c0.unpersist(); () })
   }

@@ -58,28 +58,10 @@ object MiningQueries {
         col("vec_id").as("cell_id"),
         col("embedding").cast("array<double>").as("latent"),
         col("label"))
-      val latent = vecs.select("cell_id", "latent")
-      val labels = vecs.select("cell_id", "label")
-      def side(same: Boolean) = graft.pipeline.Knn.bucketedKnn(
-        latent, latent, 1, 0, 6, excludeSelf = true,
-        candFilter = c => c
-          .join(labels.select(col("cell_id").as("src"),
-            col("label").as("_sl")), Seq("src"))
-          .join(labels.select(col("cell_id").as("dst"),
-            col("label").as("_dl")), Seq("dst"))
-          .filter(if (same) col("_sl") === col("_dl")
-                  else col("_sl") =!= col("_dl"))
-          .select("src", "dst", "dist"))
-      val pos = side(same = true).select(col("src"),
-        col("dst").as("pos_dst"), col("dist").as("pos_dist"))
-      val neg = side(same = false).select(col("src"),
-        col("dst").as("neg_dst"), col("dist").as("neg_dist"))
-      pos.join(neg, Seq("src"))
-        .join(labels.select(col("cell_id").as("src"),
-          col("label").as("src_label")), Seq("src"))
+      graft.pipeline.Knn.tripletCandidates(vecs, 0, 6)
         .select(col("src"), col("src_label"),
-          col("pos_dst"), round(col("pos_dist"), 6).as("pos_dist"),
-          col("neg_dst"), round(col("neg_dist"), 6).as("neg_dist"),
+          col("pos_dst"), col("pos_dist"),
+          col("neg_dst"), col("neg_dist"),
           round(col("neg_dist") - col("pos_dist"), 6).as("margin"),
           (col("neg_dist") < col("pos_dist")).cast("long").as("violated"))
         .orderBy("src")

@@ -98,6 +98,7 @@ class E2eScaleSpec extends SparkSpec {
     assert(withBlock.count() === nCells)
     val nmi = graft.stats.Pseudobulk
       .ariNmi(withBlock, "cluster", "block").head()
+    System.err.println(f"[e2e-50k] leiden NMI vs plant = ${nmi.getDouble(1)}%.4f")
     assert(nmi.getDouble(1) > 0.7,
       s"Leiden NMI vs planted blocks = ${nmi.getDouble(1)}")
 

@@ -44,6 +44,57 @@ class KnnRecallSpec extends SparkSpec {
     assert(graft.sim.Similarity.planesFor(1000000) === 13)
   }
 
+  test("hot-bucket refinement: clustered corpus keeps recall >= 0.9, self and asymmetric") {
+    import spark.implicits._
+    // 4 TIGHT off-origin clusters of 100 points each: sign-LSH origin
+    // planes cannot split them, so with hotCap = 32 every cluster-core
+    // bucket is refined by projection-ranked chunks (chunkW = 16). The
+    // geometry is adversarial for the refinement too: true neighbors are
+    // chunk-adjacent only per round, so recall rides the 6 directions.
+    val pts = (0 until 400).map { i =>
+      val c = i / 100
+      (i.toLong, Array.tabulate(6)(j =>
+        c * 50.0 + math.sin(i * 0.7 + j * 1.3) * 0.5))
+    }
+    val latent = pts.toDF("cell_id", "latent").cache()
+    val exact = Knn.exactSelfKnn(latent, 5).cache()
+    val self = Knn.bucketedKnn(latent, latent, 5, excludeSelf = true,
+      hotCap = 32, chunkW = 16)
+    val rSelf = Knn.recall(self, exact)
+    assert(rSelf >= 0.9, s"self recall $rSelf below 0.9 under refinement")
+    // asymmetric: external queries (cluster centers + jitter, distinct
+    // ids) probe the same clustered corpus via chunk boundaries
+    val queries = (0 until 40).map { i =>
+      val c = i / 10
+      (1000L + i, Array.tabulate(6)(j =>
+        c * 50.0 + math.cos(i * 0.9 + j) * 0.5))
+    }.toDF("cell_id", "latent")
+    val asym = Knn.bucketedKnn(queries, latent, 5,
+      hotCap = 32, chunkW = 16).cache()
+    // every query finds k corpus neighbors, all from its own cluster
+    // (clusters are 50 apart; anything cross-cluster would be a gross
+    // recall failure)
+    val counts = asym.groupBy("src").count().collect()
+    assert(counts.length == 40 && counts.forall(_.getLong(1) == 5L))
+    val cross = asym.filter(expr("(src - 1000) div 10 != dst div 100")).count()
+    assert(cross == 0L, s"$cross cross-cluster hits in asymmetric top-5")
+    // and the asymmetric result is genuinely near-exact: compare against
+    // the brute-force truth for the query set
+    val exactQ = {
+      val a = queries.select(col("cell_id").as("src"), col("latent").as("va"))
+      val b = latent.select(col("cell_id").as("dst"), col("latent").as("vb"))
+      a.join(b)
+        .select(col("src"), col("dst"),
+          graft.sim.Similarity.l2(col("va"), col("vb")).as("dist"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("src")
+            .orderBy(col("dist"), col("dst"))))
+        .filter(col("rn") <= 5)
+    }
+    val rAsym = Knn.recall(asym, exactQ)
+    assert(rAsym >= 0.9, s"asymmetric recall $rAsym below 0.9 under refinement")
+  }
+
   test("bucketedSelfKnn emits exactly k neighbors per source on a grid") {
     import spark.implicits._
     // 3 tight clusters of 4 points each in 8-d

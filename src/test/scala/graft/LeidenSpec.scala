@@ -90,4 +90,32 @@ class LeidenSpec extends SparkSpec {
     val ids = rows.map(_._2).toSet
     assert(ids == (1L to ids.size).toSet)
   }
+
+  test("distributed multi-level louvain coalesces two planted 100-node communities") {
+    import spark.implicits._
+    // two sparse 100-node communities (~10% internal density via a
+    // UNIFORM md5 draw — String.hashCode on similar strings is striped
+    // and plants spurious sub-structure) joined by 3 bridges:
+    // one-hop-per-round local moves fragment communities this sparse;
+    // the aggregation phase must coalesce each side into ONE community
+    def block(offset: Long): Seq[(Long, Long, Double)] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (for {
+        i <- 0 until 100; j <- (i + 1) until 100
+        if (md.digest(s"e$offset:$i:$j".getBytes("UTF-8"))(0) & 0xff) < 26
+      } yield (offset + i, offset + j, 1.0))
+    }
+    val bridges = Seq((5L, 1005L, 1.0), (50L, 1050L, 1.0), (99L, 1099L, 1.0))
+    val edges = (block(0L) ++ block(1000L) ++ bridges)
+      .toDF("src", "dst", "weight")
+    val lab = DistributedLouvain.clusterMultiLevel(edges, rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab.keys.size == 200)
+    // each planted side is ONE community, and the two differ
+    val left = (0L until 100L).map(lab).toSet
+    val right = (1000L until 1100L).map(lab).toSet
+    assert(left.size == 1, s"left side fragmented into ${left.size}")
+    assert(right.size == 1, s"right side fragmented into ${right.size}")
+    assert(left != right)
+  }
 }
