@@ -35,6 +35,28 @@ object SuffixOps {
     */
   private val levelMemo =
     scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
+  // FIFO of corpus fingerprints backing levelMemo; a long-lived session
+  // touching many distinct corpora would otherwise accumulate
+  // localCheckpoint blocks without bound — keep the most recent few
+  // (each corpus holds ≤ ~8 levels of O(total tokens) rows)
+  private val memoCorpora =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val MaxCorpora = 4
+
+  private def admitCorpus(fp: String): Unit = synchronized {
+    if (!memoCorpora.contains(fp)) {
+      memoCorpora.add(fp)
+      while (memoCorpora.size > MaxCorpora) {
+        val evict = memoCorpora.poll()
+        val dead = levelMemo.keys.filter(_._1 == evict).toSeq
+        dead.foreach { k =>
+          levelMemo.remove(k).foreach { df =>
+            try df.unpersist() catch { case _: Throwable => () }
+          }
+        }
+      }
+    }
+  }
 
   private def corpusFingerprint(docs: DataFrame): String = {
     val h = docs.select(col("doc_id"), col("text"))
@@ -49,6 +71,7 @@ object SuffixOps {
     */
   private def sharedLevels(docs: DataFrame, maxRound: Int): Map[Int, DataFrame] = {
     val fp = corpusFingerprint(docs)
+    admitCorpus(fp)
     lazy val st = Lineage.reset(stream(docs))
     def lvl(i: Int): DataFrame = levelMemo.getOrElseUpdate((fp, i), {
       val r =
