@@ -10,6 +10,12 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Two-tier test runs: the @Slow-tagged scale suites (E2eScaleSpec — the
+// 50k-cell e2e dominates wall-clock) are excluded from the default
+// inner-loop `sbt test`; the round-end FULL run executes everything via
+//   sbt -batch "set Test/testOptions := Seq(); test"
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest,
+  "-l", "org.scalatest.tags.Slow")
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

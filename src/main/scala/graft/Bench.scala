@@ -70,7 +70,14 @@ object Bench {
         catch { case _: Throwable => false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q69,q60 restricts to the named qNN prefixes
+    // (local iteration on one query's reps; the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        only.forall(_.contains(name.takeWhile(_ != '_'))) }
+    val results = selected.map { case (name, fn) =>
       val base = (1 to REPS).map(_ => once(fn))
       // contention hardening: a slow query gets SLOW_REPS total reps so
       // one or two contended reps can no longer set the median
@@ -96,8 +103,11 @@ object Bench {
       "\"" + short(k) + "\":{\"median\":" + v.map(fmt(_).toString).getOrElse("null") +
         ",\"reps\":[" + reps.map(fmt(_)).mkString(",") + "]}"
     }.mkString("{", ",", "}")
+    // resolved against the working directory (or an explicit override),
+    // not a hardcoded checkout path
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_full.json"),
+      java.nio.file.Paths.get(fullPath).toAbsolutePath,
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"base_reps":$REPS,"slow_reps":$SLOW_REPS,"slow_cutoff":$SLOW_CUTOFF,"queries":$fullQs,"errors":$errs,"sf":"$sfDir"}""")
     // printed line: summary only, guaranteed < 1.5 kB so the driver's
     // 2000-byte tail window parses it — slowest 10 with medians AND
@@ -109,7 +119,9 @@ object Bench {
     val slow = slowest.map { case (k, _, reps, _) =>
       "\"" + short(k) + "\":[" + reps.map(fmt(_)).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"reps":$REPS,"queries":$qs,"reps_slow":$slow,"errors":$errs,"full":"BENCH_full.json","sf":"$sfDir"}""")
+    // base vs slow rep counts reported explicitly — a bare "reps":3 was
+    // wrong for the queries that ran 5 under the slow-query rule
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"base_reps":$REPS,"slow_reps":$SLOW_REPS,"slow_cutoff":$SLOW_CUTOFF,"queries":$qs,"reps_slow":$slow,"errors":$errs,"full":"BENCH_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -470,11 +470,18 @@ object Dedup {
     // (boilerplate mass) contributes Σ cap² pairs instead of |c|².
     // Near-dups straddling a slice boundary are the recall trade, same
     // as lshCandidatePairs' dropped hot buckets.
-    val assigned = latent.withColumn("cl", nearest(col("latent")))
-      .withColumn("_rn", row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy("cl")
-        .orderBy(md5(concat(lit("split:"), col("cell_id"))), col("cell_id"))))
-      .withColumn("sub", expr(s"(_rn - 1) div $clusterCap"))
+    // per-cluster rank WITHOUT Window.partitionBy("cl") — a degenerate
+    // corpus (boilerplate mass collapsing into one cluster) would put
+    // that cluster's whole sort in ONE task; the range-partitioned
+    // two-pass ordinal over (cl, md5, id) minus the cluster's first
+    // ordinal yields the identical rank (same Knn hot-bucket fix)
+    val keyed = latent.withColumn("cl", nearest(col("latent")))
+      .withColumn("_h", md5(concat(lit("split:"), col("cell_id"))))
+    val withG = graft.ops.Windows.globalOrdinal(
+      keyed, Seq(col("cl"), col("_h"), col("cell_id")), "_g")
+    val clBase = withG.groupBy("cl").agg(min(col("_g")).as("_g0"))
+    val assigned = withG.join(broadcast(clBase), Seq("cl"))
+      .withColumn("sub", expr(s"(_g - _g0) div $clusterCap"))
       .cache()
     val a = assigned.select(col("cl"), col("sub"), col("cell_id").as("ida"),
       col("latent").as("va"))

@@ -36,10 +36,18 @@ object DistributedLouvain {
     // move); plain edge lists have none and are unaffected
     val selfDeg = edges.filter(col("src") === col("dst"))
       .groupBy("src").agg((sum(col("weight")) * 2).as("sdeg"))
-    val deg = symCk.groupBy("src").agg(sum(col("weight")).as("deg0"))
+    // Node universe = symmetrized endpoints ∪ self-loop-only nodes. After
+    // clusterMultiLevel's contraction a fully-merged component is a
+    // super-node whose ONLY edge is its self-loop; deriving nodes from
+    // the self-loop-filtered symCk alone would drop it from the label
+    // table (and its cells from the multi-level mapping join).
+    val nodes = symCk.select(col("src"))
+      .unionByName(selfDeg.select(col("src"))).distinct()
+    val deg = nodes
+      .join(symCk.groupBy("src").agg(sum(col("weight")).as("deg0")), Seq("src"), "left")
       .join(selfDeg, Seq("src"), "left")
       .select(col("src"),
-        (col("deg0") + coalesce(col("sdeg"), lit(0.0))).as("deg"))
+        (coalesce(col("deg0"), lit(0.0)) + coalesce(col("sdeg"), lit(0.0))).as("deg"))
     val m2Row = deg.agg(sum(col("deg")).as("m2"))
     val degCk = Lineage.reset(deg.crossJoin(broadcast(m2Row)))
 
@@ -69,25 +77,29 @@ object DistributedLouvain {
         .withColumn("vol_adj",
           when(col("cand") === col("comm"), col("vol") - col("deg")).otherwise(col("vol")))
         .withColumn("gain", col("w_in") - col("deg") * col("vol_adj") / col("m2"))
-      val best = scored
-        .withColumn("rn", row_number().over(Window.partitionBy("node")
-          .orderBy(col("gain").desc, col("cand"))))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("cand"))
       // DIRECTION damping: even rounds only allow moves toward a SMALLER
       // community id, odd rounds larger. Simultaneous A↔B swaps (which
       // the earlier node-hash-parity damping could not rule out when two
       // nodes shared a parity — they exchanged communities forever and
       // the merge never happened, found by the multi-level planted-block
       // spec) are impossible: a swap needs both directions in one round.
+      // "Stay" (cand == comm) always passes, so every node keeps a row.
+      // The filter runs BEFORE the rank so a node whose best overall move
+      // is direction-disallowed this round still takes its best ALLOWED
+      // positive-gain move instead of stalling a round.
       val allowed =
-        if (round % 2 == 0) col("cand") < col("comm")
-        else col("cand") > col("comm")
+        if (round % 2 == 0) col("cand") <= col("comm")
+        else col("cand") >= col("comm")
+      val best = scored
+        .filter(allowed)
+        .withColumn("rn", row_number().over(Window.partitionBy("node")
+          .orderBy(col("gain").desc, col("cand"))))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("cand"))
       comm = Lineage.reset(
         comm.join(best, Seq("node"), "left")
           .select(col("node"),
-            when(col("cand").isNotNull && allowed, col("cand"))
-              .otherwise(col("comm")).as("comm")))
+            coalesce(col("cand"), col("comm")).as("comm")))
     }
     // relabel to dense 1..C by size desc
     val sizes = comm.groupBy("comm").agg(count(lit(1)).as("sz"))
@@ -135,8 +147,16 @@ object DistributedLouvain {
         countDistinct(col("cluster")).as("c")).head
       if (counts.getLong(1) == counts.getLong(0)) done = true
       else {
-        mapping = Lineage.reset(mapping.join(lab, Seq("node"))
-          .select(col("cell_id"), col("cluster").as("node")))
+        // LEFT join: a node absent from lab keeps a label instead of
+        // silently dropping its cells. Unreachable since cluster() keeps
+        // self-loop-only super-nodes in its node universe (every
+        // mapping.node is an endpoint of cur, contraction gives every
+        // cluster a self-loop or an inter-cluster edge), but kept as a
+        // structural guard. The fallback is the NEGATED id so it cannot
+        // collide with cluster()'s dense positive 1..C label space.
+        mapping = Lineage.reset(mapping.join(lab, Seq("node"), "left")
+          .select(col("cell_id"),
+            coalesce(col("cluster"), -col("node") - 1).as("node")))
         cur = Lineage.reset(cur
           .join(lab.select(col("node").as("src"), col("cluster").as("_cs")), Seq("src"))
           .join(lab.select(col("node").as("dst"), col("cluster").as("_cd")), Seq("dst"))

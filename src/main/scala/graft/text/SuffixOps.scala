@@ -43,16 +43,25 @@ object SuffixOps {
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private val MaxCorpora = 4
 
+  // Eviction unpersists localCheckpointed frames, which truncates
+  // lineage — an evicted level still referenced by an IN-FLIGHT action
+  // would be unrecomputable. Two mitigations: (a) admission is LRU, not
+  // FIFO — re-touching a corpus moves it to the tail, so the evicted
+  // corpus is always the least-recently-STARTED one, ≥ MaxCorpora-1
+  // whole corpus workloads old; (b) the remaining window (a caller
+  // holding level frames across MaxCorpora other corpora, or truly
+  // concurrent suffix queries on > MaxCorpora distinct corpora in one
+  // session) is accepted and documented: the driver's Verify/Bench run
+  // queries sequentially, and a failure here fails loudly, not wrong.
   private def admitCorpus(fp: String): Unit = synchronized {
-    if (!memoCorpora.contains(fp)) {
-      memoCorpora.add(fp)
-      while (memoCorpora.size > MaxCorpora) {
-        val evict = memoCorpora.poll()
-        val dead = levelMemo.keys.filter(_._1 == evict).toSeq
-        dead.foreach { k =>
-          levelMemo.remove(k).foreach { df =>
-            try df.unpersist() catch { case _: Throwable => () }
-          }
+    memoCorpora.remove(fp)
+    memoCorpora.add(fp)
+    while (memoCorpora.size > MaxCorpora) {
+      val evict = memoCorpora.poll()
+      val dead = levelMemo.keys.filter(_._1 == evict).toSeq
+      dead.foreach { k =>
+        levelMemo.remove(k).foreach { df =>
+          try df.unpersist() catch { case _: Throwable => () }
         }
       }
     }
@@ -73,7 +82,10 @@ object SuffixOps {
     val fp = corpusFingerprint(docs)
     admitCorpus(fp)
     lazy val st = Lineage.reset(stream(docs))
-    def lvl(i: Int): DataFrame = levelMemo.getOrElseUpdate((fp, i), {
+    // explicit get/putIfAbsent instead of getOrElseUpdate: TrieMap may
+    // evaluate the thunk twice under a race, and the loser's
+    // localCheckpoint would leak a block-manager copy — unpersist it
+    def lvl(i: Int): DataFrame = levelMemo.get((fp, i)).getOrElse {
       val r =
         if (i == 0) {
           val toks = st.select("tok").distinct()
@@ -96,8 +108,14 @@ object SuffixOps {
             .select(col("doc_id"), col("gp"), col("is_sep"),
               col("nr").as("r"))
         }
-      r.localCheckpoint()
-    })
+      val built = r.localCheckpoint()
+      levelMemo.putIfAbsent((fp, i), built) match {
+        case Some(winner) =>
+          try built.unpersist() catch { case _: Throwable => () }
+          winner
+        case None => built
+      }
+    }
     (0 to maxRound).map(i => i -> lvl(i)).toMap
   }
 

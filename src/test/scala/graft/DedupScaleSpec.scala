@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The dedup-stack twin of E2eScaleSpec's 50k-cell gate: a 100k-doc
+  * embedding corpus with PLANTED structure adversarial to both ANN
+  * paths, driven through the real q57 (bucketed LSH self-KNN) and q83
+  * (SemDeDup) operators at a scale where a quadratic or serialized
+  * stage is a wall-clock failure, not a rounding error.
+  *
+  * Two corpora from one deterministic generator (64-dim, xxhash64
+  * draws), differing only in topic noise:
+  *  - ANN corpus: 10 TIGHT off-origin topic clusters × 9,000 docs
+  *    (noise 2.0 → members share the sign pattern of nearly every
+  *    origin hyperplane, so each topic collapses into ~one 9k-member
+  *    bucket ≫ hotCap and the projection-ranked chunk refinement is
+  *    the path under test — the pre-r8 code DNF'd on this shape; the
+  *    spec asserts the hot geometry holds rather than trusting it).
+  *  - SemDeDup corpus: same topics at noise 13.0 (intra-topic cos
+  *    ≈ 0.70, far below the dedup threshold) so dedup must NOT touch
+  *    the background.
+  *  - both plant 2,000 near-dup FAMILIES × 5 members at cos ≈ 0.9994 —
+  *    SemDeDup merges them (keep one) at minCos = 0.99; a family
+  *    member's true 4-NN are exactly its 4 siblings, the no-O(n²)
+  *    recall proxy for the ANN gate.
+  *
+  * Wall-clock per stage prints to stderr for PERF.md.
+  */
+@org.scalatest.tags.Slow
+class DedupScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val nTopics = 10
+  private val topicSize = 9000L
+  private val nFamilies = 2000L
+  private val famSize = 5L
+  private val dims = 64
+  private val nBackground = nTopics * topicSize // 90,000
+  private val nDocs = nBackground + nFamilies * famSize // 100,000
+
+  /** uniform [-1, 1) from a keyed hash — the E2eScaleSpec draw */
+  private def u(parts: org.apache.spark.sql.Column*) =
+    pmod(xxhash64(parts: _*), lit(20000L)).cast("double") / 10000.0 - 1.0
+
+  /** corpus (vec_id, embedding) with per-dim topic noise `topicNoise`:
+    * background doc vec = 20·u(topic,dim) + topicNoise·u(doc,dim),
+    * family doc vec = 20·u(family,dim) + 0.5·u(doc,dim).
+    */
+  private def corpus(topicNoise: Double) = {
+    val d = spark.range(dims).select(col("id").cast("int").as("dim"))
+    val bg = spark.range(nBackground).select(col("id").as("vec_id"))
+      .withColumn("grp", col("vec_id") % nTopics)
+      .crossJoin(d)
+      .select(col("vec_id"), col("dim"),
+        (u(lit("topic"), col("grp"), col("dim")) * 20.0 +
+          u(lit("tnoise"), col("vec_id"), col("dim")) * topicNoise).as("x"))
+    val fam = spark.range(nFamilies * famSize)
+      .select((col("id") + nBackground).as("vec_id"),
+        // `div`, NOT `/`: Column./ is SQL double division even on longs,
+        // which would hand every member its own "family" center
+        expr(s"id div $famSize").as("grp"))
+      .crossJoin(d)
+      .select(col("vec_id"), col("dim"),
+        (u(lit("family"), col("grp"), col("dim")) * 20.0 +
+          u(lit("fnoise"), col("vec_id"), col("dim")) * 0.5).as("x"))
+    bg.unionByName(fam)
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("dim"), col("x")))).as("s"))
+      .select(col("vec_id"),
+        transform(col("s"), e => e.getField("x")).as("embedding"))
+      .localCheckpoint()
+  }
+
+  private def timed[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    System.err.println(f"DEDUPSCALE $label%-22s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+    r
+  }
+
+  test("100k-doc ANN: hot-bucket topics terminate and family members find their siblings") {
+    val latent = corpus(topicNoise = 2.0)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("latent"))
+      .localCheckpoint()
+    assert(latent.count() === nDocs)
+    // the plant must actually BE hot: max round-0 bucket occupancy at the
+    // auto plane count (planesFor(100k) = 10) exceeds the default hotCap,
+    // so bucketedSelfKnn below exercises the chunk refinement, not the
+    // cold full-bucket join
+    val planes = graft.sim.Similarity.planesFor(nDocs)
+    val signs = graft.sim.Similarity.signMatrix(planes, dims, 0)
+    val maxOcc = latent
+      .select(graft.sim.Similarity.bucketCol(col("latent"), signs).as("b"))
+      .groupBy("b").count().agg(max("count")).head.getLong(0)
+    assert(maxOcc > 512, s"plant not hot: max occupancy $maxOcc <= hotCap 512")
+    val knn = timed("bucketedSelfKnn") {
+      graft.pipeline.Knn.bucketedSelfKnn(latent, 4).cache()
+    }
+    // recall proxy that needs no O(n²) truth: a family member's true
+    // 4-NN are exactly its 4 siblings (intra-family distance ≈ 0.9·σ,
+    // everything else ≥ the inter-direction gap at radius ~92)
+    val famEdges = knn.filter(col("src") >= nBackground)
+    val sibHits = famEdges.filter(
+      (col("dst") >= nBackground) &&
+      (expr(s"(src - $nBackground) div $famSize") ===
+        expr(s"(dst - $nBackground) div $famSize"))).count()
+    val sibRecall = sibHits.toDouble / (nFamilies * famSize * 4)
+    assert(sibRecall >= 0.9, s"family sibling recall $sibRecall below 0.9")
+    // every source found its full k
+    val short = knn.groupBy("src").count().filter(col("count") < 4).count()
+    assert(short === 0L, s"$short sources returned fewer than k neighbors")
+    knn.unpersist()
+  }
+
+  test("100k-doc SemDeDup: planted families merge, topic docs stay distinct") {
+    val docs = corpus(topicNoise = 13.0)
+    val res = timed("semDeDup") {
+      graft.dedup.Dedup.semDeDup(docs, k = 0, iters = 5, seed = 4466L,
+        minCos = 0.99).cache()
+    }
+    assert(res.count() === nDocs)
+    // background docs never pair (cos ≈ 0.70) → every one keeps
+    val bgDropped = res.filter(col("vec_id") < nBackground && !col("keep")).count()
+    assert(bgDropped === 0L, s"$bgDropped background docs falsely deduped")
+    // ≥ 90% of families fully merge into one group with one keep —
+    // k-means Voronoi boundaries split the rest across clusters, the
+    // published method's documented recall trade (measured: 94.2% at
+    // k = clustersFor(100k) = 98, 2000 random family directions)
+    val fams = res.filter(col("vec_id") >= nBackground)
+      .withColumn("fam", expr(s"(vec_id - $nBackground) div $famSize"))
+      .groupBy("fam").agg(countDistinct(col("group_id")).as("g"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("k"))
+    val merged = fams.filter(col("g") === 1 && col("k") === 1).count()
+    assert(merged >= (nFamilies * 0.90).toLong,
+      s"only $merged of $nFamilies families fully merged")
+    // the family block deduplicates ~5×: one keep per merged family,
+    // bounded slack for the split ones
+    val famKeeps = res.filter(col("vec_id") >= nBackground && col("keep")).count()
+    assert(famKeeps >= nFamilies, s"famKeeps $famKeeps below one-per-family")
+    assert(famKeeps <= (nFamilies * 1.1).toLong,
+      s"famKeeps $famKeeps — families not merging (expected ≈ $nFamilies)")
+    res.unpersist()
+  }
+}

@@ -27,6 +27,7 @@ import graft.pipeline._
   *    graph node finitely;
   *  - wall-clock per stage is printed to stderr for PERF.md.
   */
+@org.scalatest.tags.Slow
 class E2eScaleSpec extends SparkSpec {
   import spark.implicits._
 

@@ -62,6 +62,18 @@ class KnnRecallSpec extends SparkSpec {
       hotCap = 32, chunkW = 16)
     val rSelf = Knn.recall(self, exact)
     assert(rSelf >= 0.9, s"self recall $rSelf below 0.9 under refinement")
+    // the hot path must contain NO single-task sort: the per-bucket chunk
+    // rank comes from the range-partitioned two-pass ordinal, not a
+    // Window partitioned by bucket (one task per bucket — a mega-bucket
+    // would serialize its whole sort through one thread)
+    val (cand, release) = Knn.lshCandidates(latent, latent, nPlanes = 0,
+      rounds = 6, excludeSelf = true, hotCap = 32, chunkW = 16)
+    val candPlan = cand.queryExecution.executedPlan.toString
+    assert(!candPlan.contains("windowspecdefinition(bucket"),
+      "hot-path candidates still rank chunks via a per-bucket window")
+    assert(!candPlan.contains("windowspecdefinition()"),
+      "hot-path candidates contain an unpartitioned window")
+    release()
     // asymmetric: external queries (cluster centers + jitter, distinct
     // ids) probe the same clustered corpus via chunk boundaries
     val queries = (0 until 40).map { i =>

@@ -118,4 +118,32 @@ class LeidenSpec extends SparkSpec {
     assert(right.size == 1, s"right side fragmented into ${right.size}")
     assert(left != right)
   }
+
+  test("multi-level louvain keeps cells of a fully-merged disconnected component") {
+    import spark.implicits._
+    // Component A: a triangle that merges into ONE community at level 1 —
+    // after contraction it is a super-node whose only edge is a SELF-LOOP.
+    // Component B: a sparse 100-node block that still needs aggregation
+    // levels, forcing another contraction to run. The r8 bug: cluster()
+    // derived its node universe from the self-loop-filtered edge list, so
+    // the triangle super-node vanished from the level-2 label table and
+    // the inner mapping join dropped its three cells.
+    def block(offset: Long): Seq[(Long, Long, Double)] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (for {
+        i <- 0 until 100; j <- (i + 1) until 100
+        if (md.digest(s"e$offset:$i:$j".getBytes("UTF-8"))(0) & 0xff) < 26
+      } yield (offset + i, offset + j, 1.0))
+    }
+    val tri = Seq((5000L, 5001L, 1.0), (5000L, 5002L, 1.0), (5001L, 5002L, 1.0))
+    val edges = (block(0L) ++ tri).toDF("src", "dst", "weight")
+    val lab = DistributedLouvain.clusterMultiLevel(edges, rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab.keys.size == 103, s"expected 103 labeled cells, got ${lab.keys.size}")
+    val triLabels = Set(lab(5000L), lab(5001L), lab(5002L))
+    assert(triLabels.size == 1, s"triangle fragmented into ${triLabels.size}")
+    val blockLabels = (0L until 100L).map(lab).toSet
+    assert(blockLabels.size == 1, s"block fragmented into ${blockLabels.size}")
+    assert(!blockLabels.contains(triLabels.head))
+  }
 }

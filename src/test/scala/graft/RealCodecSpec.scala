@@ -146,6 +146,96 @@ class RealCodecSpec extends SparkSpec {
     ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
   }
 
+  /** JPEG bytes of a solid-gray w×h frame (ImageIO, in-JVM). */
+  private def jpegGray(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** Minimal valid MJPEG AVI: RIFF('AVI ' LIST(hdrl avih LIST(strl strh))
+    * LIST(movi 00dc…)), little-endian sizes, even-byte chunk padding —
+    * the public RIFF grammar, built by hand so the test owns every byte.
+    */
+  private def mjpegAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
+                       usPerFrame: Long = 40000L): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def le32(v: Long): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt((v & 0xFFFFFFFFL).toInt); b.array()
+    }
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+      id.getBytes("ISO-8859-1") ++ le32(body.length) ++ body ++ pad
+    }
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("ISO-8859-1") ++ body)
+    val avih = {
+      val b = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(usPerFrame.toInt) // dwMicroSecPerFrame
+      b.putInt(0); b.putInt(0); b.putInt(0) // maxBytesPerSec, padding, flags
+      b.putInt(frames.length) // dwTotalFrames
+      b.putInt(0); b.putInt(1); b.putInt(0) // initialFrames, streams, bufSize
+      b.putInt(w); b.putInt(h)
+      b.array()
+    }
+    val strh = "vids".getBytes("ISO-8859-1") ++
+      "MJPG".getBytes("ISO-8859-1") ++ new Array[Byte](48)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh)))
+    val movi = list("movi",
+      frames.map(f => chunk("00dc", f)).reduce(_ ++ _))
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+    out.write("RIFF".getBytes("ISO-8859-1"))
+    out.write(le32(body.length))
+    out.write(body)
+    out.toByteArray
+  }
+
+  test("AviCodec: RIFF walk reads real header meta and extracts MJPEG frames") {
+    val frames = Seq(jpegGray(16, 12, 30), jpegGray(16, 12, 128),
+      jpegGray(16, 12, 220))
+    val avi = mjpegAvi(frames, 16, 12, usPerFrame = 33333L)
+    val m = Multimodal.AviCodec.aviMeta(avi).get
+    assert(m.width === 16 && m.height === 12)
+    assert(m.nFrames === 3L && m.usPerFrame === 33333L)
+    assert(m.handler === "MJPG")
+    val got = Multimodal.AviCodec.jpegFrames(avi)
+    assert(got.map(_._1) === Seq(0, 1, 2))
+    // each extracted chunk is byte-identical to the encoded JPEG
+    assert(got.map(_._2.toSeq) === frames.map(_.toSeq))
+    // junk and truncation drop, never throw
+    assert(Multimodal.AviCodec.aviMeta("not an avi".getBytes).isEmpty)
+    assert(Multimodal.AviCodec.jpegFrames(avi.take(40)).isEmpty)
+  }
+
+  test("sampleVideoFrames: every-nth MJPEG frame decodes to real luma; non-AVI drops") {
+    import spark.implicits._
+    val frames = Seq(jpegGray(16, 12, 30), jpegGray(16, 12, 128),
+      jpegGray(16, 12, 220))
+    val media = Seq(
+      Media(1L, "video/x-msvideo", mjpegAvi(frames, 16, 12)),
+      Media(2L, "video/mp4", mp4Bytes(640, 360, 1000, 2500)), // no JDK codec → drops
+      Media(3L, "video/x-msvideo", Array[Byte](9, 9, 9))).toDS()
+    val out = Multimodal.sampleVideoFrames(media, everyNth = 2, grid = 4)
+      .collect().sortBy(_.frame_idx)
+    assert(out.map(_.doc_id).toSet === Set(1L))
+    assert(out.map(_.frame_idx).toSeq === Seq(0, 2)) // every 2nd of 3
+    assert(out.forall(f => f.width == 16 && f.height == 12 &&
+      f.features.length == 16))
+    // the decoded luma tracks the encoded gray level (JPEG is lossy —
+    // solid frames stay within a few levels)
+    val lumas = out.map(f => f.frame_idx ->
+      f.features.map(_.toDouble).sum / f.features.length * 255.0).toMap
+    assert(approx(lumas(0), 30.0, 6.0), s"frame 0 luma ${lumas(0)}")
+    assert(approx(lumas(2), 220.0, 6.0), s"frame 2 luma ${lumas(2)}")
+  }
+
   test("VideoCodec: MP4 box walk reads real dims, duration, brand") {
     val m = Multimodal.VideoCodec.mp4Meta(mp4Bytes(640, 360, 1000, 2500)).get
     assert(m.width === 640 && m.height === 360)
