@@ -106,6 +106,39 @@ object ScaleProbe {
       return
     }
 
+    // SPARK_GRAFT_PROBE_ONLY=hotann: ONLY the clustered-latent
+    // hot-bucket refinement row — re-measured whenever the hot path
+    // changes (round 9: range-partitioned chunk ranks replaced the
+    // per-bucket window sort)
+    if (sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("hotann")) {
+      val embR = replicate(
+          graft.core.Tables.t(spark, sfDir, "embeddings")
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+          Seq("vec_id"), 100000000L).cache()
+      val withBlock = embR.withColumn("_b", pmod(col("vec_id"), lit(5)))
+      val cent = withBlock
+        .select(col("_b"), posexplode(col("v")).as(Seq("_p", "_x")))
+        .groupBy("_b", "_p").agg(avg("_x").as("_c"))
+        .groupBy("_b").agg(array_sort(collect_list(struct(col("_p"),
+          col("_c")))).as("_cs"))
+        .select(col("_b"), transform(col("_cs"), s => s.getField("_c")).as("_cv"))
+      val clustered = withBlock.join(broadcast(cent), Seq("_b"))
+        .select(col("vec_id").as("cell_id"),
+          zip_with(col("_cv"), col("v"), (c, x) => c + lit(0.05) * x)
+            .as("latent"))
+        .cache()
+      val nClust = clustered.count()
+      val (_, tHot) = time {
+        graft.pipeline.Knn.bucketedSelfKnn(clustered, k = 8)
+          .write.format("noop").mode("overwrite").save()
+      }
+      clustered.unpersist(); embR.unpersist()
+      println(s"""{"metric":"scale_probe","copies":$copies,"nnz":0,""" +
+        s""""timings":{"clustered_ann_knn_${nClust}_vecs":$tHot}}""")
+      spark.stop()
+      return
+    }
+
     // SPARK_GRAFT_PROBE_ONLY=r8: slope rows for the round-7 bench-record
     // suspects (q60 lloyd, q64 winnowing, q176 chain contamination, q179
     // IVF+PQ probe sweep). Docs are token-salted (disjoint vocab per

@@ -421,7 +421,8 @@ object Dedup {
 
   def semDeDup(corpus: DataFrame, k: Int, iters: Int, seed: Long,
                minCos: Double, trainN: Int = 10000,
-               clusterCap: Int = 10000): DataFrame = {
+               clusterCap: Int = 10000,
+               stragglerCap: Long = 1L << 20): DataFrame = {
     // cluster NORMALIZED embeddings, as the published method does:
     // euclidean k-means on the unit sphere ≈ cosine clustering, and a
     // scaled duplicate becomes bit-identical to its original after
@@ -470,19 +471,30 @@ object Dedup {
     // (boilerplate mass) contributes Σ cap² pairs instead of |c|².
     // Near-dups straddling a slice boundary are the recall trade, same
     // as lshCandidatePairs' dropped hot buckets.
-    // per-cluster rank WITHOUT Window.partitionBy("cl") — a degenerate
-    // corpus (boilerplate mass collapsing into one cluster) would put
-    // that cluster's whole sort in ONE task; the range-partitioned
-    // two-pass ordinal over (cl, md5, id) minus the cluster's first
-    // ordinal yields the identical rank (same Knn hot-bucket fix)
+    // per-cluster rank in two regimes on the measured max cluster size
+    // (identical ranks, hence identical sub-splits, either way):
+    // a per-cluster window while every cluster fits one task (lazy, no
+    // extra jobs), switching to the range-partitioned two-pass ordinal
+    // over (cl, md5, id) minus the cluster's first ordinal above
+    // `stragglerCap` — a degenerate corpus (boilerplate mass collapsing
+    // into one cluster) then spreads its sort across tasks instead of
+    // serializing it (the Knn hot-bucket pattern)
     val keyed = latent.withColumn("cl", nearest(col("latent")))
       .withColumn("_h", md5(concat(lit("split:"), col("cell_id"))))
-    val withG = graft.ops.Windows.globalOrdinal(
-      keyed, Seq(col("cl"), col("_h"), col("cell_id")), "_g")
-    val clBase = withG.groupBy("cl").agg(min(col("_g")).as("_g0"))
-    val assigned = withG.join(broadcast(clBase), Seq("cl"))
-      .withColumn("sub", expr(s"(_g - _g0) div $clusterCap"))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxCl = keyed.groupBy("cl").count().agg(max("count")).head.getLong(0)
+    val assigned = (if (maxCl <= stragglerCap) {
+      keyed.withColumn("_rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("cl").orderBy(col("_h"), col("cell_id"))))
+        .withColumn("sub", expr(s"(_rn - 1) div $clusterCap"))
+    } else {
+      val withG = graft.ops.Windows.globalOrdinal(
+        keyed, Seq(col("cl"), col("_h"), col("cell_id")), "_g")
+      val clBase = withG.groupBy("cl").agg(min(col("_g")).as("_g0"))
+      withG.join(broadcast(clBase), Seq("cl"))
+        .withColumn("sub", expr(s"(_g - _g0) div $clusterCap"))
+    }).cache()
     val a = assigned.select(col("cl"), col("sub"), col("cell_id").as("ida"),
       col("latent").as("va"))
     val b = assigned.select(col("cl"), col("sub"), col("cell_id").as("idb"),
@@ -499,6 +511,7 @@ object Dedup {
       .select("ida", "idb")
       .localCheckpoint()
     assigned.unpersist()
+    keyed.unpersist()
     nearDupGroups(corpus.select(col("vec_id").cast("long").as("doc_id")), pairs)
       .select(col("doc_id").as("vec_id"), col("group_id"), col("n_docs"),
         col("keep"))

@@ -237,6 +237,16 @@ class DedupSimSpec extends SparkSpec {
       minCos = 0.999).collect()
     assert(uncapped.count(_.getBoolean(3)) === 1)
     assert(uncapped.forall(_.getLong(2) === 50L))
+    // straggler-safe regime: forcing the range-partitioned ordinal rank
+    // (stragglerCap = 1) must reproduce the per-cluster window result
+    // EXACTLY — same md5 order, same sub-splits, same groups
+    val ordinal = Dedup.semDeDup(same, k = 2, iters = 3, seed = 1L,
+      minCos = 0.999, clusterCap = 10, stragglerCap = 1L)
+      .orderBy("vec_id").collect()
+    assert(ordinal === Dedup.semDeDup(same, k = 2, iters = 3, seed = 1L,
+        minCos = 0.999, clusterCap = 10)
+      .orderBy("vec_id").collect(),
+      "ordinal-ranked sub-split diverged from the window-ranked one")
   }
 
   test("semDeDup: k = 0 auto-sizes clusters from the corpus count") {

@@ -62,18 +62,34 @@ class KnnRecallSpec extends SparkSpec {
       hotCap = 32, chunkW = 16)
     val rSelf = Knn.recall(self, exact)
     assert(rSelf >= 0.9, s"self recall $rSelf below 0.9 under refinement")
-    // the hot path must contain NO single-task sort: the per-bucket chunk
-    // rank comes from the range-partitioned two-pass ordinal, not a
-    // Window partitioned by bucket (one task per bucket — a mega-bucket
-    // would serialize its whole sort through one thread)
+    // above stragglerCap the hot path must contain NO single-task sort:
+    // the per-bucket chunk rank switches from the (lazy, task-sized)
+    // per-bucket window to the range-partitioned two-pass ordinal, so a
+    // mega-bucket cannot serialize its whole sort through one thread —
+    // forced here by stragglerCap = 1, and the refined recall must hold
     val (cand, release) = Knn.lshCandidates(latent, latent, nPlanes = 0,
-      rounds = 6, excludeSelf = true, hotCap = 32, chunkW = 16)
+      rounds = 6, excludeSelf = true, hotCap = 32, chunkW = 16,
+      stragglerCap = 1L)
     val candPlan = cand.queryExecution.executedPlan.toString
     assert(!candPlan.contains("windowspecdefinition(bucket"),
-      "hot-path candidates still rank chunks via a per-bucket window")
+      "mega-bucket chunk ranks still use a per-bucket window")
     assert(!candPlan.contains("windowspecdefinition()"),
       "hot-path candidates contain an unpartitioned window")
-    release()
+    // and the ordinal-ranked candidates reproduce the window-ranked
+    // top-k EXACTLY (identical ranks → identical chunks → same pairs)
+    val selfOrd = {
+      val topk = cand.groupBy("src", "dst").agg(min(col("dist")).as("dist"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("src")
+            .orderBy(round(col("dist"), 6), col("dst"))))
+        .filter(col("rn") <= 5)
+        .select(col("src"), col("dst"), round(col("dist"), 6).as("dist"),
+          col("rn")).localCheckpoint()
+      release(); topk
+    }
+    assert(selfOrd.orderBy("src", "rn").collect() ===
+      self.orderBy("src", "rn").collect(),
+      "straggler-safe ordinal path diverged from the window path")
     // asymmetric: external queries (cluster centers + jitter, distinct
     // ids) probe the same clustered corpus via chunk boundaries
     val queries = (0 until 40).map { i =>
