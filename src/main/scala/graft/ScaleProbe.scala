@@ -57,7 +57,7 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
       }
       System.err.println("[probe] done suffix_spectrum")
-      docsS.unpersist()
+      docsS.unpersist(); graft.core.FrameMemo.clear()
       println(s"""{"metric":"scale_probe","copies":$copies,"nnz":0,""" +
         s""""timings":{"suffix_spectrum_${nDocs}_docs":$tSpec}}""")
       spark.stop()
@@ -97,7 +97,7 @@ object ScaleProbe {
       }
       outS(s"w1_drift_${nDocs}_docs") = tW1
       System.err.println("[probe] done w1_drift")
-      docsS.unpersist()
+      docsS.unpersist(); graft.core.FrameMemo.clear()
       val qsS = outS.map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}")
       println(s"""{"metric":"scale_probe","copies":$copies,"nnz":0,""" +
@@ -132,7 +132,7 @@ object ScaleProbe {
         graft.pipeline.Knn.bucketedSelfKnn(clustered, k = 8)
           .write.format("noop").mode("overwrite").save()
       }
-      clustered.unpersist(); embR.unpersist()
+      clustered.unpersist(); embR.unpersist(); graft.core.FrameMemo.clear()
       println(s"""{"metric":"scale_probe","copies":$copies,"nnz":0,""" +
         s""""timings":{"clustered_ann_knn_${nClust}_vecs":$tHot}}""")
       spark.stop()
@@ -168,7 +168,7 @@ object ScaleProbe {
       }
       outR(s"chain_contamination_${nDocs}_docs") = tChain
       System.err.println("[probe] done chain_contamination")
-      docsS.unpersist()
+      docsS.unpersist(); graft.core.FrameMemo.clear()
       val embR = replicate(
           graft.core.Tables.t(spark, sfDir, "embeddings")
             .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
@@ -217,6 +217,7 @@ object ScaleProbe {
       System.err.println("[probe] done clustered_ann")
       clustered.unpersist()
       embR.unpersist()
+      graft.core.FrameMemo.clear()
       val qsR = outR.map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}")
       println(s"""{"metric":"scale_probe","copies":$copies,"nnz":0,""" +
@@ -328,7 +329,7 @@ object ScaleProbe {
     }
     out(s"lisi_$nVec") = tLisi
     System.err.println("[probe] done " + (s"lisi_$nVec"))
-    knnE.unpersist()
+    knnE.unpersist(); graft.core.FrameMemo.clear()
 
     // distributed connected components on a 2M-node chain forest: 1000-long
     // chains are the diameter worst case where plain label propagation
@@ -435,7 +436,7 @@ object ScaleProbe {
     }
     out(s"fingerprint_neardup_${nDocs}_docs") = tFp
     System.err.println("[probe] done " + (s"fingerprint_neardup_${nDocs}_docs"))
-    docsRep.unpersist()
+    docsRep.unpersist(); graft.core.FrameMemo.clear()
     // int8-quantized ANN scoring under the same adversarial replica
     // occupancy floor as the bucketed-ANN rows (every vector has
     // copies−1 exact replicas sharing every bucket)

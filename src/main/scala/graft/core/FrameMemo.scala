@@ -1,0 +1,68 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Session-lifetime memo for SMALL, BOUNDED, already-materialized
+  * frames rebuilt identically by repeated callers (bench reps, query
+  * families sharing a derived graph): the SuffixOps level-memo
+  * discipline made reusable — content-fingerprint keys, LRU admission,
+  * race-safe publication with loser unpersist, eviction unpersists the
+  * dropped frame's blocks.
+  *
+  * Only memoize frames that are (a) deterministic functions of the
+  * fingerprinted input and (b) bounded (an n·k KNN result, a filtered
+  * near-dup pair set) — entries hold block-manager copies until
+  * eviction. `build` must return a frame whose blocks already exist
+  * (localCheckpointed) so a hit can never observe a half-built value.
+  *
+  * Eviction window (same documented trade as SuffixOps): an evicted
+  * localCheckpointed frame still referenced by an in-flight action is
+  * unrecomputable and fails loudly — never wrong; Verify/Bench run
+  * queries sequentially, and LRU admission makes the victim the
+  * least-recently-touched of `MaxEntries` keys. Callers that MEASURE
+  * build cost (ScaleProbe) call [[clear]] between measured sections so
+  * a hit cannot fake a probe row.
+  */
+object FrameMemo {
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val MaxEntries = 16
+
+  def cached(key: String)(build: => DataFrame): DataFrame =
+    memo.get(key) match {
+      case Some(df) => touch(key); df
+      case None =>
+        val built = build
+        memo.putIfAbsent(key, built) match {
+          case Some(winner) =>
+            try built.unpersist() catch { case _: Throwable => () }
+            touch(key); winner
+          case None =>
+            touch(key); evictOverflow(); built
+        }
+    }
+
+  /** Drop every entry and unpersist its blocks — probe/test isolation. */
+  def clear(): Unit = synchronized {
+    order.clear()
+    memo.keys.foreach { k =>
+      memo.remove(k).foreach { df =>
+        try df.unpersist() catch { case _: Throwable => () }
+      }
+    }
+  }
+
+  private def touch(key: String): Unit = synchronized {
+    order.remove(key); order.add(key)
+  }
+
+  private def evictOverflow(): Unit = synchronized {
+    while (order.size > MaxEntries) {
+      val evict = order.poll()
+      if (evict != null) memo.remove(evict).foreach { df =>
+        try df.unpersist() catch { case _: Throwable => () }
+      }
+    }
+  }
+}
