@@ -121,7 +121,7 @@ object Bench {
     }.mkString("{", ",", "}")
     // base vs slow rep counts reported explicitly — a bare "reps":3 was
     // wrong for the queries that ran 5 under the slow-query rule
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"base_reps":$REPS,"slow_reps":$SLOW_REPS,"slow_cutoff":$SLOW_CUTOFF,"queries":$qs,"reps_slow":$slow,"errors":$errs,"full":"BENCH_full.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"base_reps":$REPS,"slow_reps":$SLOW_REPS,"slow_cutoff":$SLOW_CUTOFF,"queries":$qs,"reps_slow":$slow,"errors":$errs,"full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

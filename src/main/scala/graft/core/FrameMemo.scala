@@ -36,7 +36,7 @@ object FrameMemo {
         val built = build
         memo.putIfAbsent(key, built) match {
           case Some(winner) =>
-            try built.unpersist() catch { case _: Throwable => () }
+            hardUnpersist(built)
             touch(key); winner
           case None =>
             touch(key); evictOverflow(); built
@@ -46,12 +46,25 @@ object FrameMemo {
   /** Drop every entry and unpersist its blocks — probe/test isolation. */
   def clear(): Unit = synchronized {
     order.clear()
-    memo.keys.foreach { k =>
-      memo.remove(k).foreach { df =>
-        try df.unpersist() catch { case _: Throwable => () }
-      }
-    }
+    memo.keys.foreach { k => memo.remove(k).foreach(hardUnpersist) }
   }
+
+  /** Free a localCheckpointed frame's blocks NOW. `Dataset.unpersist()`
+    * routes through the CacheManager and is a NO-OP for checkpointed
+    * frames (their persistence is RDD-level, verified empirically:
+    * getPersistentRDDs keeps the entry) — blocks would otherwise linger
+    * until the ContextCleaner GCs the unreachable RDD. Unpersisting the
+    * LogicalRDD leaves directly removes them; the CacheManager call
+    * stays as the fallback for plain cached frames.
+    */
+  def hardUnpersist(df: DataFrame): Unit =
+    try {
+      val leaves = df.queryExecution.analyzed.collectLeaves().collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+      if (leaves.nonEmpty) leaves.foreach(_.unpersist(false))
+      else df.unpersist()
+    } catch { case _: Throwable => () }
 
   private def touch(key: String): Unit = synchronized {
     order.remove(key); order.add(key)
@@ -60,9 +73,7 @@ object FrameMemo {
   private def evictOverflow(): Unit = synchronized {
     while (order.size > MaxEntries) {
       val evict = order.poll()
-      if (evict != null) memo.remove(evict).foreach { df =>
-        try df.unpersist() catch { case _: Throwable => () }
-      }
+      if (evict != null) memo.remove(evict).foreach(hardUnpersist)
     }
   }
 }

@@ -482,7 +482,10 @@ object Dedup {
     val keyed = latent.withColumn("cl", nearest(col("latent")))
       .withColumn("_h", md5(concat(lit("split:"), col("cell_id"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val maxCl = keyed.groupBy("cl").count().agg(max("count")).head.getLong(0)
+    // max over ZERO groups is NULL — an empty corpus takes the window
+    // regime and returns empty, as the pre-probe code did
+    val maxClRow = keyed.groupBy("cl").count().agg(max("count")).head
+    val maxCl = if (maxClRow.isNullAt(0)) 0L else maxClRow.getLong(0)
     val assigned = (if (maxCl <= stragglerCap) {
       keyed.withColumn("_rn",
           row_number().over(org.apache.spark.sql.expressions.Window
@@ -495,6 +498,13 @@ object Dedup {
       withG.join(broadcast(clBase), Seq("cl"))
         .withColumn("sub", expr(s"(_g - _g0) div $clusterCap"))
     }).cache()
+    // materialize the assignment NOW (one map-side pass over the cached
+    // keyed frame) so the full-corpus keyed copy releases BEFORE the
+    // |sub-slice|² pair join — otherwise two full-corpus persisted
+    // copies (keyed AND assigned, both carrying latent) coexist through
+    // the join, doubling peak block-manager footprint
+    assigned.count()
+    keyed.unpersist()
     val a = assigned.select(col("cl"), col("sub"), col("cell_id").as("ida"),
       col("latent").as("va"))
     val b = assigned.select(col("cl"), col("sub"), col("cell_id").as("idb"),
@@ -511,7 +521,6 @@ object Dedup {
       .select("ida", "idb")
       .localCheckpoint()
     assigned.unpersist()
-    keyed.unpersist()
     nearDupGroups(corpus.select(col("vec_id").cast("long").as("doc_id")), pairs)
       .select(col("doc_id").as("vec_id"), col("group_id"), col("n_docs"),
         col("keep"))

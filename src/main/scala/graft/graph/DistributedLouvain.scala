@@ -152,11 +152,16 @@ object DistributedLouvain {
         // self-loop-only super-nodes in its node universe (every
         // mapping.node is an endpoint of cur, contraction gives every
         // cluster a self-loop or an inter-cluster edge), but kept as a
-        // structural guard. The fallback is the NEGATED id so it cannot
-        // collide with cluster()'s dense positive 1..C label space.
+        // structural guard. First miss negates the id (cannot collide
+        // with cluster()'s dense positive 1..C labels); an ALREADY
+        // negative node keeps its label as-is — re-negating would flip
+        // it back into the positive label space on a second consecutive
+        // miss and silently merge the orphan into an unrelated cluster.
         mapping = Lineage.reset(mapping.join(lab, Seq("node"), "left")
           .select(col("cell_id"),
-            coalesce(col("cluster"), -col("node") - 1).as("node")))
+            coalesce(col("cluster"),
+              when(col("node") < 0, col("node"))
+                .otherwise(-col("node") - 1)).as("node")))
         cur = Lineage.reset(cur
           .join(lab.select(col("node").as("src"), col("cluster").as("_cs")), Seq("src"))
           .join(lab.select(col("node").as("dst"), col("cluster").as("_cd")), Seq("dst"))

@@ -254,18 +254,19 @@ object Multimodal {
       meta
     } catch { case scala.util.control.NonFatal(_) => None }
 
-    /** Raw JPEG bytes of every video frame chunk (`##dc`/`##db` inside
-      * the `movi` list), with the container-order frame index. Bounded:
-      * an iterator over slices of the one payload array, no copy until a
-      * frame is consumed.
+    /** (frame index, byte offset, length) of every video frame chunk
+      * (`##dc`/`##db` inside the `movi` list) in container order —
+      * offsets only, NO frame bytes are copied here, so a caller that
+      * samples every Nth frame copies only the frames it keeps (peak
+      * task memory = payload + one frame, not 2× payload).
       */
-    def jpegFrames(payload: Array[Byte]): Seq[(Int, Array[Byte])] = try {
+    def frameOffsets(payload: Array[Byte]): Seq[(Int, Int, Int)] = try {
       val buf = java.nio.ByteBuffer.wrap(payload)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       if (payload.length < 12 || fourcc(buf) != "RIFF") return Nil
       u32(buf)
       if (fourcc(buf) != "AVI ") return Nil
-      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
       def walk(start: Long, end: Long, inMovi: Boolean, depth: Int): Unit = {
         var p = start
         var ok = true
@@ -282,9 +283,7 @@ object Multimodal {
                        id(0).isDigit && id(1).isDigit &&
                        (id.substring(2) == "dc" || id.substring(2) == "db") &&
                        sz > 0) {
-              frames += ((frames.length,
-                java.util.Arrays.copyOfRange(payload, (p + 8).toInt,
-                  (p + 8 + sz).toInt)))
+              frames += ((frames.length, (p + 8).toInt, sz.toInt))
             }
             p += 8 + sz + (sz % 2)
           }
@@ -293,6 +292,15 @@ object Multimodal {
       walk(12, payload.length.toLong, inMovi = false, 0)
       frames.toSeq
     } catch { case scala.util.control.NonFatal(_) => Nil }
+
+    /** Raw JPEG bytes of every frame — [[frameOffsets]] with the copy
+      * materialized per frame (fixture/test convenience; the sampling
+      * path filters offsets BEFORE copying).
+      */
+    def jpegFrames(payload: Array[Byte]): Seq[(Int, Array[Byte])] =
+      frameOffsets(payload).map { case (i, off, len) =>
+        (i, java.util.Arrays.copyOfRange(payload, off, off + len))
+      }
   }
 
   case class VideoMeta(doc_id: Long, width: Int, height: Int,
@@ -315,9 +323,12 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { m =>
-        AviCodec.jpegFrames(m.payload).iterator
-          .filter { case (i, _) => i % everyNth == 0 }
-          .flatMap { case (i, jpeg) =>
+        // offsets first, copy only the sampled frames — a payload with
+        // everyNth = 10 never materializes the other 90% of its bytes
+        AviCodec.frameOffsets(m.payload).iterator
+          .filter { case (i, _, _) => i % everyNth == 0 }
+          .flatMap { case (i, off, len) =>
+            val jpeg = java.util.Arrays.copyOfRange(m.payload, off, off + len)
             ImageCodec.decode(jpeg).map { img =>
               VideoFrame(m.doc_id, i, img.getWidth, img.getHeight,
                 ImageCodec.grayGrid(img, grid, grid)

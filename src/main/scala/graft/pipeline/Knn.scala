@@ -75,17 +75,24 @@ object Knn {
     // The n·k result is bounded and already localCheckpointed by
     // bucketedKnn, and three oracled queries (q57/q61/q125) plus every
     // bench rep and repeated facade call rebuild the identical frame —
-    // memoize it in FrameMemo keyed by the corpus CONTENT fingerprint
-    // (one narrow scan; a hit skips the whole candidate-chain execution,
-    // a miss adds only this scan to the build it was doing anyway).
-    // ScaleProbe clears the memo between measured sections.
-    val r = latent.agg(count(lit(1)).as("n"),
+    // memoize it in FrameMemo keyed by the corpus CONTENT fingerprint.
+    // The fingerprint rides the SAME (count, dim, xxhash) stats row
+    // lshCandidates needs anyway, computed here over the cached corpus
+    // and threaded through on a miss — a hit costs one narrow scan, a
+    // miss computes the stats once, not twice. ScaleProbe clears the
+    // memo between measured sections.
+    val c0 = latent.cache()
+    val stats = c0.agg(count(lit(1)).as("n"),
+      max(size(col("latent").cast("array<double>"))).as("d"),
       expr("bit_xor(xxhash64(cell_id, latent))").as("x")).head
     val fp = s"${System.identityHashCode(latent.sparkSession)}:" +
-      (if (r.isNullAt(1)) "empty" else s"${r.getLong(1)}_${r.getLong(0)}")
-    graft.core.FrameMemo.cached(s"selfknn:$fp:$k:$nPlanes:$rounds") {
-      bucketedKnn(latent, latent, k, nPlanes, rounds, excludeSelf = true)
+      (if (stats.isNullAt(2)) "empty" else s"${stats.getLong(2)}_${stats.getLong(0)}")
+    val res = graft.core.FrameMemo.cached(s"selfknn:$fp:$k:$nPlanes:$rounds") {
+      bucketedKnn(latent, latent, k, nPlanes, rounds, excludeSelf = true,
+        preStats = Some(stats))
     }
+    c0.unpersist()
+    res
   }
 
   /** Hard-negative mining for contrastive training: per anchor, the k
@@ -214,9 +221,10 @@ object Knn {
                   nPlanes: Int = 0, rounds: Int = 6,
                   excludeSelf: Boolean = false,
                   candFilter: DataFrame => DataFrame = identity,
-                  hotCap: Int = 512, chunkW: Int = 128): DataFrame = {
+                  hotCap: Int = 512, chunkW: Int = 128,
+                  preStats: Option[org.apache.spark.sql.Row] = None): DataFrame = {
     val (cand, release) = lshCandidates(queries, corpus, nPlanes, rounds,
-      excludeSelf, hotCap, chunkW)
+      excludeSelf, hotCap, chunkW, preStats = preStats)
     // checkpoint AFTER the k-bound, not before: the (src, dst) candidate
     // aggregate is occupancy-sized (hundreds of millions of rows under
     // adversarial replica skew), and an eager localCheckpoint would pin
@@ -273,7 +281,9 @@ object Knn {
                             excludeSelf: Boolean,
                             hotCap: Int = 512,
                             chunkW: Int = 128,
-                            stragglerCap: Long = 1L << 20): (DataFrame, () => Unit) = {
+                            stragglerCap: Long = 1L << 20,
+                            preStats: Option[org.apache.spark.sql.Row] = None)
+      : (DataFrame, () => Unit) = {
     // both sides are re-bucketed every round — cache them once; released
     // by the caller after it materializes its bounded result
     val self = queries eq corpus
@@ -283,10 +293,12 @@ object Knn {
     // the corpus content fingerprint keying the hot-bucket memo — a
     // plan-identity key (semanticHash) would go stale if the data under
     // the same path changed within a session and silently keep the
-    // unsplit in-bucket join
-    val stats = c0.agg(count(lit(1)).as("n"),
+    // unsplit in-bucket join. Callers that already computed the same
+    // (n, d, x) row for their own memo key (bucketedSelfKnn) thread it
+    // through instead of paying the scan twice.
+    val stats = preStats.getOrElse(c0.agg(count(lit(1)).as("n"),
       max(size(col("latent").cast("array<double>"))).as("d"),
-      expr("bit_xor(xxhash64(cell_id, latent))").as("x")).head
+      expr("bit_xor(xxhash64(cell_id, latent))").as("x")).head)
     val planes =
       if (nPlanes > 0) nPlanes
       else graft.sim.Similarity.planesFor(stats.getLong(0))
@@ -592,7 +604,8 @@ object Knn {
       .agg(expr("bit_xor(xxhash64(cell_id, latent))").as("x"),
         count(lit(1)).as("n")).head()
     val fp = s"${System.identityHashCode(spark)}:" +
-      s"${fpRow.getLong(0)}_${fpRow.getLong(1)}"
+      (if (fpRow.isNullAt(0)) "empty"
+       else s"${fpRow.getLong(0)}_${fpRow.getLong(1)}")
     // The rounds are fully independent (separate seeds, separate centroid
     // sets) and each spends its wall-clock in DRIVER-blocking Lloyd's
     // collect-loops over a tiny sample — run them as concurrent Spark

@@ -60,9 +60,9 @@ object SuffixOps {
       val evict = memoCorpora.poll()
       val dead = levelMemo.keys.filter(_._1 == evict).toSeq
       dead.foreach { k =>
-        levelMemo.remove(k).foreach { df =>
-          try df.unpersist() catch { case _: Throwable => () }
-        }
+        // RDD-level free (Dataset.unpersist is a CacheManager no-op for
+        // localCheckpointed frames — see FrameMemo.hardUnpersist)
+        levelMemo.remove(k).foreach(graft.core.FrameMemo.hardUnpersist)
       }
     }
   }
@@ -111,7 +111,7 @@ object SuffixOps {
       val built = r.localCheckpoint()
       levelMemo.putIfAbsent((fp, i), built) match {
         case Some(winner) =>
-          try built.unpersist() catch { case _: Throwable => () }
+          graft.core.FrameMemo.hardUnpersist(built)
           winner
         case None => built
       }

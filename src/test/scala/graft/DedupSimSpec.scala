@@ -198,6 +198,15 @@ class DedupSimSpec extends SparkSpec {
     assert(got.forall { case (a, b) => a < b })
   }
 
+  test("semDeDup: empty corpus returns empty (max-occupancy probe is null-safe)") {
+    // regression: the straggler-regime probe (max over ZERO groups =
+    // NULL) crashed on an empty corpus where the pre-probe code
+    // returned empty
+    val e = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.semDeDup(e, k = 2, iters = 2, seed = 1L, minCos = 0.999)
+      .count() === 0L)
+  }
+
   test("semDeDup: scaled copies group under keep-one; distinct vectors stay singletons") {
     // three well-separated directions; ids 10/11 are scaled copies of 1
     // (identical after normalization → same cluster, cosine exactly 1)
