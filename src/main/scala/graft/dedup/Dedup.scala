@@ -130,6 +130,12 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val oldDig = oldDocs.select(md5(col("text")).as("digest"), col("doc_id"))
       .groupBy("digest").agg(min(col("doc_id")).as("match_id"))
+    // the OLD corpus's shingle materialization is independent of the
+    // exact-dup phase — overlap it with the exactJ -> shNew chain
+    // (the ivfSelfKnn concurrent-action pattern)
+    val shOldF = scala.concurrent.Future {
+      shingles(oldDocs, n).localCheckpoint()
+    }(scala.concurrent.ExecutionContext.global)
     // three consumers (exact verdicts, the shingle phase via surv, the
     // kept anti-join) — materialize the digest join once
     val exactJ = newDocs.withColumn("digest", md5(col("text")))
@@ -144,7 +150,8 @@ object Dedup {
     // join, size agg) — materialize once instead of re-exploding text
     // three times (the q62 lesson: cache the reused frame)
     val shNew = shingles(surv, n).localCheckpoint()
-    val shOld = shingles(oldDocs, n).localCheckpoint()
+    val shOld = scala.concurrent.Await.result(
+      shOldF, scala.concurrent.duration.Duration.Inf)
     def bandFrame(sig: DataFrame): DataFrame = {
       val nBands = numHashes / rowsPerBand
       (0 until nBands).map { b =>

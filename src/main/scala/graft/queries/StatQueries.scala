@@ -98,7 +98,13 @@ object StatQueries {
       val pairs = Dedup.sharedShinglePairs(
         TrainingQueries.sweepShingles(s, d), dfCap = 500).localCheckpoint()
       val uni = sweepUniverse(s, d).localCheckpoint()
+      // the three threshold closures are independent chains of EAGER
+      // CC iterations over the shared materialized pair table — built
+      // as concurrent futures (the ivfSelfKnn/LSH-round pattern) so
+      // their ~log n per-round driver actions overlap instead of
+      // stacking; union order is fixed by the sequence order
       val summaries = Seq((2, 5), (3, 5), (4, 5)).map { case (num, den) =>
+        scala.concurrent.Future {
         val edges = pairs.filter(
           col("inter") * den >= (col("sza") + col("szb") - col("inter")) * num)
           .select("ida", "idb")
@@ -113,7 +119,9 @@ object StatQueries {
           .select(lit(num.toLong).as("thr_num"), lit(den.toLong).as("thr_den"),
             col("n_dup_groups"), col("n_docs_in_dups"), col("max_group"),
             col("n_removed"))
-      }
+        }(scala.concurrent.ExecutionContext.global)
+      }.map(f => scala.concurrent.Await.result(
+        f, scala.concurrent.duration.Duration.Inf))
       summaries.reduce(_.unionByName(_)).orderBy("thr_num")
     }),
 
@@ -273,10 +281,19 @@ object StatQueries {
           col("idb") === col("ida") + 40)
       val edges = sweepEdges(s, d).unionByName(bridges).distinct()
         .localCheckpoint()
-      val lpa = GraphStats.labelPropagation(edges, rounds = 4)
-      val cc = graft.graph.ConnectedComponents.labels(
-          edges.select(col("ida").as("src"), col("idb").as("dst")))
-        .select(col("node"), col("component").as("community"))
+      // LPA's 4 voting rounds and CC's star iterations are independent
+      // eager chains over the materialized edge table — overlap them
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val lpaF = Future { GraphStats.labelPropagation(edges, rounds = 4) }
+      val ccF = Future {
+        graft.graph.ConnectedComponents.labels(
+            edges.select(col("ida").as("src"), col("idb").as("dst")))
+          .select(col("node"), col("component").as("community"))
+      }
+      val lpa = Await.result(lpaF, Duration.Inf)
+      val cc = Await.result(ccF, Duration.Inf)
       GraphStats.modularity(edges, cc)
         .select(lit("cc").as("method"), col("n_communities"),
           col("m_edges"), col("modularity"))
