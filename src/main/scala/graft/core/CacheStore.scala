@@ -22,15 +22,20 @@ class CacheStore(root: String) {
     s"$root/${op}__$enc"
   }
 
-  /** Order-independent fingerprint of a DataFrame: bit-xor over per-row
-    * 64-bit hashes of all columns, paired with the row count (xor alone
-    * would let duplicate rows cancel). One aggregation, no sort, no
-    * collect of data, no overflow under ANSI mode.
+  /** Order-independent fingerprint of a DataFrame: [[Fingerprint]]'s
+    * bit_xor ∥ decimal-sum over per-row 64-bit hashes of all columns,
+    * paired with the row count (either aggregate alone has a
+    * structured collision mode — see Fingerprint's Scaladoc). One
+    * aggregation, no sort, no collect of data, no overflow under ANSI
+    * mode. Changing this form invalidates pre-existing on-disk
+    * manifests once (a stale-manifest miss recomputes, never reuses).
     */
   def fingerprint(df: DataFrame): String = {
     val h = df.select(xxhash64(df.columns.map(col): _*).as("h"))
-    val r = h.agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("n")).head()
-    s"${r.getLong(0)}_${r.getLong(1)}"
+    val r = h.agg(
+      expr("concat_ws('_', bit_xor(h), sum(cast(h as decimal(38,0))))").as("x"),
+      count(lit(1)).as("n")).head()
+    s"${r.getString(0)}_${r.getLong(1)}"
   }
 
   /** latest_* pointers (the reference records the most recent graph's

@@ -9,8 +9,9 @@ package graft.core
   * the identical value.
   *
   * Callers key by a string embedding the session identity, the input's
-  * content fingerprint (CacheStore.fingerprint form — order-independent
-  * xxhash64 xor + count), and every parameter that shapes the value.
+  * content fingerprint ([[Fingerprint]] form — order-independent
+  * xxhash64 xor ∥ sum + count), and every parameter that shapes the
+  * value.
   */
 object DriverMemo {
   private val memo =
@@ -18,11 +19,17 @@ object DriverMemo {
   private val keys =
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private val MaxEntries = 256
+  private val hitN = new java.util.concurrent.atomic.AtomicLong
+  private val missN = new java.util.concurrent.atomic.AtomicLong
+
+  /** (hits, misses) since JVM start — Bench's warm-rep tagging. */
+  def stats: (Long, Long) = (hitN.get, missN.get)
 
   def cached[T](key: String)(build: => T): T =
     memo.get(key) match {
-      case Some(v) => v.asInstanceOf[T]
+      case Some(v) => hitN.incrementAndGet(); v.asInstanceOf[T]
       case None =>
+        missN.incrementAndGet()
         val v = build
         if (memo.putIfAbsent(key, v).isEmpty) {
           keys.add(key)

@@ -28,11 +28,20 @@ object FrameMemo {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private val MaxEntries = 16
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  // Monotone counters — Bench snapshots them around each rep to tag
+  // warm (memo-served) reps in BENCH_full; evictions is the first
+  // thing to read when a query dies on unrecomputable checkpoint
+  // blocks (the documented eviction window below).
+  private val hitN = new java.util.concurrent.atomic.AtomicLong
+  private val missN = new java.util.concurrent.atomic.AtomicLong
+  private val evictN = new java.util.concurrent.atomic.AtomicLong
 
   def cached(key: String)(build: => DataFrame): DataFrame =
     memo.get(key) match {
-      case Some(df) => touch(key); df
+      case Some(df) => hitN.incrementAndGet(); touch(key); df
       case None =>
+        missN.incrementAndGet()
         val built = build
         memo.putIfAbsent(key, built) match {
           case Some(winner) =>
@@ -42,6 +51,9 @@ object FrameMemo {
             touch(key); evictOverflow(); built
         }
     }
+
+  /** (hits, misses, evictions) since JVM start. */
+  def stats: (Long, Long, Long) = (hitN.get, missN.get, evictN.get)
 
   /** Drop every entry and unpersist its blocks — probe/test isolation. */
   def clear(): Unit = synchronized {
@@ -73,7 +85,16 @@ object FrameMemo {
   private def evictOverflow(): Unit = synchronized {
     while (order.size > MaxEntries) {
       val evict = order.poll()
-      if (evict != null) memo.remove(evict).foreach(hardUnpersist)
+      if (evict != null) memo.remove(evict).foreach { df =>
+        evictN.incrementAndGet()
+        // Loud by design: if a later query fails on "checkpoint block
+        // not found", this line names the victim and the pressure
+        // source (capacity, not correctness — see header trade note).
+        log.warn(s"FrameMemo capacity eviction ($MaxEntries entries): " +
+          s"dropping '$evict'; an in-flight consumer of this frame " +
+          "would fail loudly on unrecomputable checkpoint blocks")
+        hardUnpersist(df)
+      }
     }
   }
 }

@@ -136,11 +136,25 @@ object Dedup {
     val shOldF = scala.concurrent.Future {
       shingles(oldDocs, n).localCheckpoint()
     }(scala.concurrent.ExecutionContext.global)
+    // The eager chain below runs while shOldF's detached job is in
+    // flight: if it throws first, reap the orphan — await its result
+    // and free its checkpointed blocks — so a failed incremental run
+    // leaks neither a running background job nor block-manager copies
+    // (Await alone has no failure coupling back to the detached job).
+    def reapingOrphanOnFailure[T](body: => T): T =
+      try body catch { case t: Throwable =>
+        try graft.core.FrameMemo.hardUnpersist(scala.concurrent.Await.result(
+          shOldF, scala.concurrent.duration.Duration.Inf))
+        catch { case _: Throwable => () }
+        throw t
+      }
     // three consumers (exact verdicts, the shingle phase via surv, the
     // kept anti-join) — materialize the digest join once
-    val exactJ = newDocs.withColumn("digest", md5(col("text")))
-      .join(oldDig, Seq("digest"), "left")
-      .localCheckpoint()
+    val exactJ = reapingOrphanOnFailure {
+      newDocs.withColumn("digest", md5(col("text")))
+        .join(oldDig, Seq("digest"), "left")
+        .localCheckpoint()
+    }
     val exact = exactJ.filter(col("match_id").isNotNull)
       .select(col("doc_id"), lit("exact_dup").as("verdict"), col("match_id"),
         lit(1.0).as("jaccard"))
@@ -149,7 +163,7 @@ object Dedup {
     // each shingle frame feeds three consumers (signature, intersection
     // join, size agg) — materialize once instead of re-exploding text
     // three times (the q62 lesson: cache the reused frame)
-    val shNew = shingles(surv, n).localCheckpoint()
+    val shNew = reapingOrphanOnFailure { shingles(surv, n).localCheckpoint() }
     val shOld = scala.concurrent.Await.result(
       shOldF, scala.concurrent.duration.Duration.Inf)
     def bandFrame(sig: DataFrame): DataFrame = {

@@ -104,10 +104,10 @@ object Cluster {
   private def cacheCompact(latent0: DataFrame): (DataFrame, DataFrame, String) = {
     val cached = latent0.cache()
     val r = cached.agg(count(lit(1)).as("n"),
-      expr("bit_xor(xxhash64(cell_id, latent))").as("x")).head()
+      expr(graft.core.Fingerprint.sqlExpr("cell_id, latent")).as("x")).head()
     val n = r.getLong(0)
     val fp = s"${System.identityHashCode(latent0.sparkSession)}:" +
-      (if (r.isNullAt(1)) "empty" else s"${r.getLong(1)}_$n")
+      (if (r.getString(1).isEmpty) "empty" else s"${r.getString(1)}_$n")
     val parts = math.max(1, math.min(((n - 1) / 200000L).toInt + 1, 1024))
     (cached, cached.coalesce(parts), fp)
   }

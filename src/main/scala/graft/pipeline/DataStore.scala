@@ -267,11 +267,11 @@ case class DataStore(
     // Both fingerprints are tiny aggregations (≤|HVG| rows; id column
     // of the cell table).
     val fp = shared.agg(count(lit(1)),
-      coalesce(expr("bit_xor(xxhash64(feat_id))"), lit(0L))).head
+      expr(graft.core.Fingerprint.sqlExpr("feat_id"))).head
     val cfp = cells.filter(col("I")).agg(count(lit(1)),
-      coalesce(expr("bit_xor(xxhash64(cell_id))"), lit(0L))).head
-    val refKey = s"${fp.getLong(0)}:${fp.getLong(1)}:" +
-      s"${cfp.getLong(0)}:${cfp.getLong(1)}:$dims:${!runCoral}"
+      expr(graft.core.Fingerprint.sqlExpr("cell_id"))).head
+    val refKey = s"${fp.getLong(0)}:${fp.getString(1)}:" +
+      s"${cfp.getLong(0)}:${cfp.getString(1)}:$dims:${!runCoral}"
     val fi = Reduce.featureIndex(shared)
     def vecsOf(ds: DataStore) = Reduce.assembleVectors(
       Normalize.libSizeLog(ds.activeCoo).select("cell_id", "feat_id", "normed"),

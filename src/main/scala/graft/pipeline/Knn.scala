@@ -84,9 +84,10 @@ object Knn {
     val c0 = latent.cache()
     val stats = c0.agg(count(lit(1)).as("n"),
       max(size(col("latent").cast("array<double>"))).as("d"),
-      expr("bit_xor(xxhash64(cell_id, latent))").as("x")).head
+      expr(graft.core.Fingerprint.sqlExpr("cell_id, latent")).as("x")).head
     val fp = s"${System.identityHashCode(latent.sparkSession)}:" +
-      (if (stats.isNullAt(2)) "empty" else s"${stats.getLong(2)}_${stats.getLong(0)}")
+      (if (stats.getString(2).isEmpty) "empty"
+       else s"${stats.getString(2)}_${stats.getLong(0)}")
     val res = graft.core.FrameMemo.cached(s"selfknn:$fp:$k:$nPlanes:$rounds") {
       bucketedKnn(latent, latent, k, nPlanes, rounds, excludeSelf = true,
         preStats = Some(stats))
@@ -298,7 +299,7 @@ object Knn {
     // through instead of paying the scan twice.
     val stats = preStats.getOrElse(c0.agg(count(lit(1)).as("n"),
       max(size(col("latent").cast("array<double>"))).as("d"),
-      expr("bit_xor(xxhash64(cell_id, latent))").as("x")).head)
+      expr(graft.core.Fingerprint.sqlExpr("cell_id, latent")).as("x")).head)
     val planes =
       if (nPlanes > 0) nPlanes
       else graft.sim.Similarity.planesFor(stats.getLong(0))
@@ -313,8 +314,8 @@ object Knn {
     // reps, repeated facade calls) skip even the single job; it both
     // gates the refinement (> hotCap) and picks the chunk-rank regime
     // (> stragglerCap, below).
-    val fp = if (stats.isNullAt(2)) "empty"
-      else s"${stats.getLong(2)}_${stats.getLong(0)}"
+    val fp = if (stats.getString(2).isEmpty) "empty"
+      else s"${stats.getString(2)}_${stats.getLong(0)}"
     val memoKey = (System.identityHashCode(c0.sparkSession),
       fp, planes, rounds)
     val maxOcc = hotMemo.getOrElseUpdate(memoKey, {
@@ -601,11 +602,11 @@ object Knn {
     // fingerprint that keys the trained-centroid memo (order-independent
     // xxhash64 xor + count, CacheStore.fingerprint's form)
     val fpRow = latent
-      .agg(expr("bit_xor(xxhash64(cell_id, latent))").as("x"),
+      .agg(expr(graft.core.Fingerprint.sqlExpr("cell_id, latent")).as("x"),
         count(lit(1)).as("n")).head()
     val fp = s"${System.identityHashCode(spark)}:" +
-      (if (fpRow.isNullAt(0)) "empty"
-       else s"${fpRow.getLong(0)}_${fpRow.getLong(1)}")
+      (if (fpRow.getString(0).isEmpty) "empty"
+       else s"${fpRow.getString(0)}_${fpRow.getLong(1)}")
     // The rounds are fully independent (separate seeds, separate centroid
     // sets) and each spends its wall-clock in DRIVER-blocking Lloyd's
     // collect-loops over a tiny sample — run them as concurrent Spark

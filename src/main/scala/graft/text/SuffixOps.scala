@@ -29,9 +29,9 @@ object SuffixOps {
     * re-deriving ~7 rounds of self-join + re-rank (the CacheStore
     * pattern, held in the block manager via localCheckpoint rather than
     * parquet because the tables are intermediate, not user artifacts).
-    * The fingerprint (order-independent xxhash64 xor + count, exactly
-    * CacheStore.fingerprint's form) guards against false sharing between
-    * different corpora or SF dirs within one session.
+    * The fingerprint (order-independent xxhash64 xor ∥ sum + count,
+    * exactly graft.core.Fingerprint's form) guards against false
+    * sharing between different corpora or SF dirs within one session.
     */
   private val levelMemo =
     scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
@@ -42,6 +42,13 @@ object SuffixOps {
   private val memoCorpora =
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private val MaxCorpora = 4
+  private val hitN = new java.util.concurrent.atomic.AtomicLong
+  private val missN = new java.util.concurrent.atomic.AtomicLong
+
+  /** (level hits, level builds) since JVM start — Bench's warm-rep
+    * tagging, same contract as FrameMemo.stats/DriverMemo.stats.
+    */
+  def memoStats: (Long, Long) = (hitN.get, missN.get)
 
   // Eviction unpersists localCheckpointed frames, which truncates
   // lineage — an evicted level still referenced by an IN-FLIGHT action
@@ -68,10 +75,10 @@ object SuffixOps {
   }
 
   private def corpusFingerprint(docs: DataFrame): String = {
-    val h = docs.select(col("doc_id"), col("text"))
-      .select(xxhash64(col("doc_id"), col("text")).as("h"))
-    val r = h.agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("n")).head()
-    s"${System.identityHashCode(docs.sparkSession)}:${r.getLong(0)}_${r.getLong(1)}"
+    val r = docs.agg(
+      expr(graft.core.Fingerprint.sqlExpr("doc_id, text")).as("x"),
+      count(lit(1)).as("n")).head()
+    s"${System.identityHashCode(docs.sparkSession)}:${r.getString(0)}_${r.getLong(1)}"
   }
 
   /** Rank tables `(doc_id, gp, is_sep, r)` for doubling levels
@@ -85,7 +92,10 @@ object SuffixOps {
     // explicit get/putIfAbsent instead of getOrElseUpdate: TrieMap may
     // evaluate the thunk twice under a race, and the loser's
     // localCheckpoint would leak a block-manager copy — unpersist it
-    def lvl(i: Int): DataFrame = levelMemo.get((fp, i)).getOrElse {
+    def lvl(i: Int): DataFrame = levelMemo.get((fp, i)) match {
+      case Some(hit) => hitN.incrementAndGet(); hit
+      case None =>
+      missN.incrementAndGet()
       val r =
         if (i == 0) {
           val toks = st.select("tok").distinct()
