@@ -62,13 +62,35 @@ object Bench {
     // the median (a planning-time crash would otherwise record near-zero
     // seconds and silently improve the gate number) and surfaces in the
     // JSON "errors" map instead; a query with no successful rep reports
-    // null
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+    // null. Each rep also snapshots the session memo counters
+    // (FrameMemo + DriverMemo + SuffixOps levels) before/after: the
+    // per-rep HIT DELTA tags which reps were served warm — the memos
+    // legitimately span reps and queries (the reference's zarr-cache
+    // analogy), but a median must be readable as warm or cold, and
+    // cross-round totals must not silently mix the two regimes.
+    def memoHits(): Long =
+      graft.core.FrameMemo.stats._1 + graft.core.DriverMemo.stats._1 +
+        graft.text.SuffixOps.memoStats._1
+    // cumulative stop-the-world GC milliseconds — the per-rep delta
+    // separates "the plan got slower" from "the JVM was starved": a rep
+    // whose gc_ms ≈ its elapsed time was heap-bound, not plan-bound
+    // (the round-9 driver-vs-builder spike reconciliation is exactly
+    // this ambiguity, unresolvable without the telemetry)
+    def gcMs(): Long = {
+      val it = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.iterator()
+      var t = 0L
+      while (it.hasNext) { val v = it.next().getCollectionTime; if (v > 0) t += v }
+      t
+    }
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean, Long, Long) = {
+      val h0 = memoHits()
+      val g0 = gcMs()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case _: Throwable => false }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      ((System.nanoTime() - t0) / 1e9, ok, memoHits() - h0, gcMs() - g0)
     }
     // SPARK_GRAFT_BENCH_ONLY=q69,q60 restricts to the named qNN prefixes
     // (local iteration on one query's reps; the driver never sets it)
@@ -87,41 +109,69 @@ object Bench {
         else base
       val good = reps.filter(_._2).map(_._1).sorted
       val median = if (good.nonEmpty) Some(good(good.length / 2)) else None
-      (name, median, reps.map(_._1), reps.count(!_._2))
+      // cold = rep 1 (the rep that pays any memo/cache build this query
+      // triggers first) when it succeeded — reported alongside the
+      // median so build-cost regressions stay visible under the memos
+      val cold = if (reps.head._2) Some(reps.head._1) else None
+      (name, median, reps.map(_._1), reps.count(!_._2), cold,
+        reps.map(_._3), reps.map(_._4))
     }
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     // short key = the qNN prefix (unique across the query set)
     def short(k: String) = k.takeWhile(_ != '_')
     val errs = results.filter(_._4 > 0)
-      .map { case (k, _, _, n) => "\"" + short(k) + "\":" + n }
+      .map { case (k, _, _, n, _, _, _) => "\"" + short(k) + "\":" + n }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     // FULL record → repo file (committed with the snapshot): median +
-    // every rep for every query — the per-query gate data the printed
-    // tail window cannot hold
-    val fullQs = results.map { case (k, v, reps, _) =>
+    // every rep + per-rep memo-hit deltas + the cold (rep-1) time for
+    // every query — the per-query gate data the printed tail window
+    // cannot hold. A rep with memo_hits > 0 was served (partly) warm;
+    // the cold field is what to compare when asking what a query costs
+    // the first time a session touches its inputs.
+    val fullQs = results.map { case (k, v, reps, _, cold, hits, gcs) =>
       "\"" + short(k) + "\":{\"median\":" + v.map(fmt(_).toString).getOrElse("null") +
-        ",\"reps\":[" + reps.map(fmt(_)).mkString(",") + "]}"
+        ",\"cold\":" + cold.map(fmt(_).toString).getOrElse("null") +
+        ",\"reps\":[" + reps.map(fmt(_)).mkString(",") + "]" +
+        ",\"memo_hits\":[" + hits.mkString(",") + "]" +
+        ",\"gc_ms\":[" + gcs.mkString(",") + "]}"
     }.mkString("{", ",", "}")
+    // Environment fingerprint for cross-run reconciliation: when this
+    // record disagrees with another run of the SAME code (the round-9
+    // driver-vs-builder spike mystery), these fields say whether the
+    // JVM ran starved (heap, cumulative GC) or the memos behaved
+    // differently (hits/misses/evictions are DETERMINISTIC given
+    // identical code + query order — a mismatch here means the runs
+    // were not actually identical).
+    val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+    val fmStats = graft.core.FrameMemo.stats
+    val dmStats = graft.core.DriverMemo.stats
+    val soStats = graft.text.SuffixOps.memoStats
+    val envJson = s""""heap_mb":$heapMb,"gc_total_ms":${gcMs()},""" +
+      s""""frame_memo":[${fmStats._1},${fmStats._2},${fmStats._3}],""" +
+      s""""driver_memo":[${dmStats._1},${dmStats._2}],""" +
+      s""""suffix_memo":[${soStats._1},${soStats._2}]"""
     // resolved against the working directory (or an explicit override),
     // not a hardcoded checkout path
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(fullPath).toAbsolutePath,
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"base_reps":$REPS,"slow_reps":$SLOW_REPS,"slow_cutoff":$SLOW_CUTOFF,"queries":$fullQs,"errors":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"base_reps":$REPS,"slow_reps":$SLOW_REPS,"slow_cutoff":$SLOW_CUTOFF,$envJson,"queries":$fullQs,"errors":$errs,"sf":"$sfDir"}""")
     // printed line: summary only, guaranteed < 1.5 kB so the driver's
     // 2000-byte tail window parses it — slowest 10 with medians AND
     // per-rep arrays (contention vs plan is attributable from spread)
     val slowest = results.filter(_._2.isDefined).sortBy(-_._2.get).take(10)
-    val qs = slowest.map { case (k, v, _, _) =>
+    val qs = slowest.map { case (k, v, _, _, _, _, _) =>
       "\"" + short(k) + "\":" + fmt(v.get)
     }.mkString("{", ",", "}")
-    val slow = slowest.map { case (k, _, reps, _) =>
+    val slow = slowest.map { case (k, _, reps, _, _, _, _) =>
       "\"" + short(k) + "\":[" + reps.map(fmt(_)).mkString(",") + "]"
     }.mkString("{", ",", "}")
     // base vs slow rep counts reported explicitly — a bare "reps":3 was
-    // wrong for the queries that ran 5 under the slow-query rule
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"base_reps":$REPS,"slow_reps":$SLOW_REPS,"slow_cutoff":$SLOW_CUTOFF,"queries":$qs,"reps_slow":$slow,"errors":$errs,"full":"$fullPath","sf":"$sfDir"}""")
+    // wrong for the queries that ran 5 under the slow-query rule; the
+    // env fingerprint rides the printed line too (compact) so even a
+    // tail-window-only record carries the starved-JVM diagnostics
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"base_reps":$REPS,"slow_reps":$SLOW_REPS,"slow_cutoff":$SLOW_CUTOFF,"heap_mb":$heapMb,"gc_total_ms":${gcMs()},"queries":$qs,"reps_slow":$slow,"errors":$errs,"full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }
