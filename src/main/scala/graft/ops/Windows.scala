@@ -141,6 +141,50 @@ object Windows {
           org.apache.spark.sql.types.DoubleType, nullable = false)))
   }
 
+  /** [[runningTotal]]'s LONG-exact sibling, additionally emitting the
+    * global 1-based ordinal — both fall out of the same two
+    * range-partitioned passes (sort + per-partition sums/counts), so a
+    * caller needing a CDF grid (exclusive cum + position for a lead
+    * self-join) pays one sort, not two. Value sums stay exact longs:
+    * integer-exact statistics (KS/W1 numerators) must replay
+    * engine-identically, which [[runningTotal]]'s double accumulator
+    * cannot promise past 2⁵³. The scalable replacement for
+    * `sum(...).over(Window.orderBy(...))` + `lead(...)` on an
+    * unbounded (distinct-value-domain) frame.
+    */
+  def runningTotalLongWithPos(df: DataFrame, order: Seq[Column],
+                              valueCol: String, out: String = "running",
+                              posOut: String = "pos"): DataFrame = {
+    val sorted = df.orderBy(order: _*)
+    val spark = df.sparkSession
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    // Same two-pass persist as globalOrdinal: avoid re-running the sort.
+    val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val parts = rdd.mapPartitionsWithIndex { (i, it) =>
+      var n = 0L; var s = 0L
+      it.foreach { row => n += 1; s += row.getAs[Number](vIdx).longValue() }
+      Iterator((i, n, s))
+    }.collect().sortBy(_._1)
+    val posOffsets = parts.map(_._2).scanLeft(0L)(_ + _)
+    val sumOffsets = parts.map(_._3).scanLeft(0L)(_ + _)
+    val withBoth = rdd.mapPartitionsWithIndex { (i, it) =>
+      var p = posOffsets(i)
+      var acc = sumOffsets(i)
+      it.map { row =>
+        p += 1
+        val r = org.apache.spark.sql.Row.fromSeq(row.toSeq :+ acc :+ p)
+        acc += row.getAs[Number](vIdx).longValue()
+        r
+      }
+    }
+    spark.createDataFrame(withBoth,
+      org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(out,
+          org.apache.spark.sql.types.LongType, nullable = false) :+
+        org.apache.spark.sql.types.StructField(posOut,
+          org.apache.spark.sql.types.LongType, nullable = false)))
+  }
+
   /** Winsorize at exact lower/upper percentiles (rescale_array,
     * scarf/utils.py:120-140; percentile clip in get_cell_vals,
     * scarf/datastore/base_datastore.py:501-511). Exact `percentile` (not

@@ -85,8 +85,13 @@ object TextOps {
     *
     * Shapes: one (group, value) count aggregation; the cumulative
     * passes run over the DISTINCT VALUE domain (lengths, scores —
-    * domain-bounded, not row-bounded), so the one unpartitioned window
-    * here orders a few hundred rows, never the corpus.
+    * domain-bounded, not row-bounded). The per-group CDF is a
+    * partitioned window; the corpus-wide CDF uses the two-pass
+    * range-partitioned running total (Windows.runningTotalLongWithPos)
+    * instead of an unpartitioned `Window.orderBy` — the domain is
+    * bounded today, but distinct-value count grows with corpus
+    * diversity, and a single-partition sort is the one shape that
+    * cannot absorb that growth.
     */
   def ksDrift(df: DataFrame, group: Column, value: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -98,8 +103,10 @@ object TextOps {
       .join(counts, Seq("grp", "v"), "left").na.fill(0L, Seq("c"))
     val cumG = grid.withColumn("cum_g",
       sum(col("c")).over(Window.partitionBy("grp").orderBy("v")))
-    val corpusCum = counts.groupBy("v").agg(sum(col("c")).as("c_all"))
-      .withColumn("cum_all", sum(col("c_all")).over(Window.orderBy("v")))
+    val corpusCum = graft.ops.Windows.runningTotalLongWithPos(
+        counts.groupBy("v").agg(sum(col("c")).as("c_all")),
+        Seq(col("v")), "c_all", "_cum0", "_pos")
+      .withColumn("cum_all", col("_cum0") + col("c_all"))
     cumG.join(corpusCum.select("v", "cum_all"), Seq("v"))
       .select(col("grp"), col("n_g"), col("cum_g"),
         (col("cum_all") - col("cum_g")).as("cum_r"),
@@ -249,13 +256,20 @@ object TextOps {
       .join(counts, Seq("grp", "v"), "left").na.fill(0L, Seq("c"))
     val cumG = grid.withColumn("cum_g",
       sum(col("c")).over(Window.partitionBy("grp").orderBy("v")))
-    val corpusCum = counts.groupBy("v").agg(sum(col("c")).as("c_all"))
-      .withColumn("cum_all", sum(col("c_all")).over(Window.orderBy("v")))
+    // corpus-wide CDF + value gaps WITHOUT an unpartitioned window:
+    // the two-pass running total also emits each value's global
+    // ordinal, so `lead(v)` becomes an equi-join of pos ↔ pos+1 over
+    // the bounded distinct-value grid (ksDrift's scale note applies)
+    val cc = graft.ops.Windows.runningTotalLongWithPos(
+        counts.groupBy("v").agg(sum(col("c")).as("c_all")),
+        Seq(col("v")), "c_all", "_cum0", "_pos")
+      .withColumn("cum_all", col("_cum0") + col("c_all"))
+    val corpusCum = cc
+      .join(cc.select((col("_pos") - 1).as("_pos"), col("v").as("_vnext")),
+        Seq("_pos"), "left")
       // gap to the next distinct value; the last value's CDF gap is 0
       // (both CDFs have reached 1), so its missing Δv contributes 0
-      .withColumn("dv",
-        coalesce(lead(col("v"), 1).over(Window.orderBy("v")) - col("v"),
-          lit(0L)))
+      .withColumn("dv", coalesce(col("_vnext") - col("v"), lit(0L)))
     cumG.join(corpusCum.select("v", "cum_all", "dv"), Seq("v"))
       .select(col("grp"), col("n_g"),
         (abs(col("cum_g") * (lit(grand) - col("n_g"))
@@ -512,9 +526,9 @@ object TextOps {
     */
   def maxCharPairCount(docs: DataFrame): Long = {
     val fr = docs.agg(count(lit(1)).as("n"),
-      expr("bit_xor(xxhash64(struct(*)))").as("x")).head
+      expr(graft.core.Fingerprint.sqlExpr("struct(*)")).as("x")).head
     val fp = s"${System.identityHashCode(docs.sparkSession)}:" +
-      (if (fr.isNullAt(1)) "empty" else s"${fr.getLong(1)}_${fr.getLong(0)}")
+      (if (fr.getString(1).isEmpty) "empty" else s"${fr.getString(1)}_${fr.getLong(0)}")
     graft.core.DriverMemo.cached(s"maxpair:$fp") {
       docs.select(explode(tokensCol).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
@@ -566,9 +580,9 @@ object TextOps {
         trim(regexp_replace(col("w"), lit("(.)"), lit("$1 "))).as("repr"))
       .localCheckpoint(false)
     val fr = words0.agg(count(lit(1)).as("n"),
-      expr("bit_xor(xxhash64(w, c))").as("x")).head
+      expr(graft.core.Fingerprint.sqlExpr("w, c")).as("x")).head
     val fp = s"${System.identityHashCode(docs.sparkSession)}:" +
-      (if (fr.isNullAt(1)) "empty" else s"${fr.getLong(1)}_${fr.getLong(0)}")
+      (if (fr.getString(1).isEmpty) "empty" else s"${fr.getString(1)}_${fr.getLong(0)}")
     val learned = graft.core.DriverMemo.cached(s"bpe:$fp:$merges") {
       var words = words0
       val acc = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
