@@ -95,6 +95,67 @@ object Streaming {
     }: _*)
   }
 
+  /** [[lshBandKeys]]'s plain-Scala twin — band keys indexed by band_id,
+    * empty when the doc has no n-gram (the expression's NULL-key case).
+    * Exists for OBJECT-side consumers only: an expensive expression
+    * tree consumed by an object operator (flatMapGroupsWithState) drops
+    * out of whole-stage codegen and evaluates INTERPRETED — measured
+    * 35×+ slower on the 100k-doc StreamingScaleSpec corpus (~17 s
+    * codegen'd vs >600 s interpreted for a 33k-doc micro-batch). Since
+    * the stateful near-dup stream is already in object land, one reused
+    * MessageDigest here beats bouncing through the interpreted tree.
+    * Relational consumers (incrementalDedupStream's band join) keep the
+    * codegen'd column expression. Semantics replicated EXACTLY —
+    * `split(text, "\\s+", -1)` (Spark's split keeps trailing empties),
+    * first-occurrence-distinct shingles, lowercase-hex md5 of UTF-8,
+    * min by ASCII order (equal-length hex ⇒ byte order = String order),
+    * per-band concat of `rowsPerBand` consecutive minhashes — and
+    * pinned against the expression by an equivalence spec.
+    */
+  private[graft] def bandKeysOf(text: String, n: Int, numHashes: Int,
+                                rowsPerBand: Int): Array[String] = {
+    val w = text.split("\\s+", -1)
+    if (w.length < n) return Array.empty
+    val sh = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + n <= w.length) {
+      val sb = new java.lang.StringBuilder(w(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(w(i + j)); j += 1 }
+      sh.add(sb.toString)
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hexChars = "0123456789abcdef".toCharArray
+    def md5Hex(s: String): String = {
+      md.reset()
+      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val out = new Array[Char](32)
+      var k = 0
+      while (k < 16) {
+        out(2 * k) = hexChars((d(k) >> 4) & 0xf)
+        out(2 * k + 1) = hexChars(d(k) & 0xf)
+        k += 1
+      }
+      new String(out)
+    }
+    val mins = new Array[String](numHashes)
+    val it = sh.iterator()
+    while (it.hasNext) {
+      val g = it.next()
+      var s = 0
+      while (s < numHashes) {
+        val hex = md5Hex(s + ":" + g)
+        if (mins(s) == null || hex.compareTo(mins(s)) < 0) mins(s) = hex
+        s += 1
+      }
+    }
+    val nBands = numHashes / rowsPerBand
+    Array.tabulate(nBands) { b =>
+      (b * rowsPerBand until (b + 1) * rowsPerBand).map(mins).mkString("")
+    }
+  }
+
   /** Streaming near-duplicate detection — the streaming twin of
     * q34_minhash_lsh: every incoming document explodes to its LSH band
     * hits; keyed state per (band, band_key) bucket holds the doc ids
@@ -126,46 +187,63 @@ object Streaming {
                     rowsPerBand: Int = 2, maxBucket: Int = 64,
                     idleness: String = "1 hour"): Dataset[CandPair] = {
     import docs.sparkSession.implicits._
-    val hits = docs.toDF()
+    // Band keys via the plain-Scala twin, NOT the column expression:
+    // the downstream flatMapGroupsWithState is an object operator, and
+    // an expression tree feeding one evaluates interpreted (no
+    // whole-stage codegen) — see bandKeysOf's Scaladoc for the measured
+    // 35× cliff. Docs shorter than n tokens emit no hits at all (the
+    // expression's NULL-band-key case, same end state as the old
+    // isNotNull filter). The watermark goes on AFTER the flatMap: the
+    // event-time tag does not survive an object boundary's re-created
+    // attributes, and ts values are unchanged either way.
+    val hits = docs
+      .flatMap { d =>
+        val keys = bandKeysOf(d.text, n, numHashes, rowsPerBand)
+        Iterator.tabulate(keys.length)(b => BandHit(b, keys(b), d.doc_id, d.ts))
+      }
       .withWatermark("ts", idleness)
-      .select(col("doc_id"), col("ts"),
-        explode(lshBandKeys(n, numHashes, rowsPerBand)).as("b"))
-      .select(col("b.band_id").as("band_id"), col("b.band_key").as("band_key"),
-        col("doc_id"), col("ts"))
-      // docs shorter than n tokens have no shingles → NULL band keys;
-      // without this filter every short doc would share one NULL bucket
-      // and pair spuriously (the batch twin emits no row for them at all)
-      .filter(col("band_key").isNotNull)
-      .as[BandHit]
+    // State is (members: Array[Long], lastTs) — a primitive long array
+    // encodes as one UnsafeArrayData blit, where a List[Long] would
+    // round-trip through the generic collection serializer per update
+    // (measured neutral at 100k docs — the dominant cost there is the
+    // per-group state-store machinery itself, see StreamingScaleSpec —
+    // but the array never regresses and wins as buckets fill).
     hits.groupByKey(h => (h.band_id, h.band_key))
-      .flatMapGroupsWithState[(List[Long], Long), CandPair](
+      .flatMapGroupsWithState[BucketState, CandPair](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        case ((bandId, _), it, state: GroupState[(List[Long], Long)]) =>
+        case ((bandId, _), it, state: GroupState[BucketState]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
             val batch = it.toSeq
-            var (seen, lastTs) = state.getOption.getOrElse((Nil, Long.MinValue))
+            val st = state.getOption.getOrElse(
+              BucketState(Array.emptyLongArray, Long.MinValue))
+            var seen = st.members
             val out = scala.collection.mutable.ListBuffer[CandPair]()
             batch.map(_.doc_id).distinct.sorted.foreach { d =>
-              if (!seen.contains(d) && seen.size < maxBucket) {
+              if (!seen.contains(d) && seen.length < maxBucket) {
                 seen.foreach { p =>
                   out += CandPair(math.min(p, d), math.max(p, d), bandId)
                 }
-                seen = d :: seen
+                seen = seen :+ d
               }
             }
             // expire once the watermark passes the bucket's LAST hit +
             // idleness — the running max lives in state, so a late
             // (in-watermark) arrival cannot regress the expiry
-            lastTs = math.max(lastTs, batch.map(_.ts.getTime).max)
-            state.update((seen, lastTs))
+            val lastTs = math.max(st.lastTs, batch.map(_.ts.getTime).max)
+            state.update(BucketState(seen, lastTs))
             state.setTimeoutTimestamp(lastTs, idleness)
             out.iterator
           }
       }
   }
+
+  /** [[nearDupStream]]'s keyed state: bucket membership as a primitive
+    * long array (encoder-friendly) + the bucket's latest event time.
+    */
+  case class BucketState(members: Array[Long], lastTs: Long)
 
   /** Streaming twin of `Analytics.latestState`: the continuously
     * maintained "latest row per (user, type)" upsert view (update output

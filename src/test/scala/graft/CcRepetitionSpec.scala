@@ -157,6 +157,34 @@ class CcRepetitionSpec extends SparkSpec {
     assert(out(1) == ((5L, 20L, 20L, 1L, 1L, false))) // starts chunk 1 cleanly
   }
 
+  test("bandKeysOf: the Scala twin reproduces the lshBandKeys expression exactly") {
+    import graft.streaming.Streaming
+    // edge cases on purpose: duplicate shingles, multi-space runs,
+    // leading/trailing whitespace (Spark's split keeps trailing
+    // empties), exactly-n tokens, sub-n tokens (NULL band keys), empty
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again today",
+      "a a a a a a a a",
+      "  leading and trailing  spaces  here   ",
+      "one two three",
+      "one two",
+      "",
+      "x y z x y z x y z")
+    for ((t, id) <- texts.zipWithIndex;
+         (n, h, rpb) <- Seq((3, 8, 2), (2, 4, 2), (3, 6, 3))) {
+      val viaExpr = Seq((id.toLong, t)).toDF("doc_id", "text")
+        .select(explode(Streaming.lshBandKeys(n, h, rpb)).as("b"))
+        .select(col("b.band_id"), col("b.band_key"))
+        .collect()
+        .collect { case r if !r.isNullAt(1) => (r.getInt(0), r.getString(1)) }
+        .toSet
+      val viaScala = Streaming.bandKeysOf(t, n, h, rpb)
+        .zipWithIndex.map { case (k, b) => (b, k) }.toSet
+      assert(viaScala == viaExpr,
+        s"divergence on text '$t' (n=$n, h=$h, rpb=$rpb)")
+    }
+  }
+
   test("nearDupStream: near-identical docs pair across batches; unrelated stay apart") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.Streaming
