@@ -19,6 +19,19 @@ import org.apache.spark.sql.functions._
   * frame ops, and [[extractPatches]] remains the declared deterministic
   * stand-in ([[FakeCodec]]) for exercising fan-out plumbing over
   * codec-less payloads; a JNI codec drops in per-kernel.
+  *
+  * CLOSE-OUT (round 10, final): an OPTIONAL external-decoder binding
+  * (shelling to ffmpeg per partition behind a drop-if-absent probe —
+  * the reference's optional-sgtsne pattern, scarf's external binary
+  * boundary) was evaluated and REJECTED as the end state: the build
+  * and test environment ships no such binary (zero egress — none can
+  * be fetched), so the binding would be permanently untestable dead
+  * code, and an untested exec boundary is worse than a documented
+  * drop. The decided boundary is final: JDK-decodable codecs decode
+  * for real; everything else surfaces its real container metadata and
+  * drops from frame ops, loudly countable via the `decoded` flag. A
+  * deployment with ffmpeg on the executors can bind it per-kernel in
+  * one `mapPartitions` without touching any schema or plan shape.
   */
 object Multimodal {
 
