@@ -57,6 +57,26 @@ class WindowEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("runningTotalLongWithPos == exclusive long running sum + row_number") {
+    for (seed <- Seq(8, 9)) {
+      val df = randomDf(seed, 400)
+        .withColumn("c", (col("v") * 3 + 1).cast("long"))
+      val order = Seq(col("v"), col("id"))
+      val expected = df
+        .withColumn("run", coalesce(sum(col("c"))
+          .over(Window.orderBy(order: _*)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("pos",
+          row_number().over(Window.orderBy(order: _*)).cast("long"))
+        .select("id", "run", "pos").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      val got = Windows.runningTotalLongWithPos(df, order, "c", "run", "pos")
+        .select("id", "run", "pos").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("min-rank construction (1 + strictly-below count) == RANK()") {
     import spark.implicits._
     for (seed <- Seq(8, 9)) {
