@@ -420,6 +420,53 @@ object TrainingQueries {
         sum(when(col("h") === 5, 1).otherwise(0)).as("n_perfect"))
     }),
 
+    // Retrieval-quality metrics over the same oracled ANN chain as
+    // q125: MRR@5, NDCG@5 and hit@1 of the bucketed ANN against exact
+    // ground truth on the 1-in-50 query sample — the ranking-quality
+    // companion to q125's set-overlap recall (recall can't see WHERE
+    // in the top-k the true neighbors landed; a retrieval pipeline
+    // gates on rank-weighted metrics). Integer-exact cross-engine: the
+    // reciprocal ranks are 60/rn (rn ≤ 5 ⇒ exact integers over the
+    // rank LCM), the DCG weights are micro-quantized ⌊1e6/log2(i+1)⌉
+    // LITERALS identical in both engines (no cross-engine log2), and
+    // each metric does ONE final IEEE division before the 6dp round
+    "q241_retrieval_metrics" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val latent = embs(s, d).select(col("vec_id").as("cell_id"),
+        col("embedding").cast("array<double>").as("latent"))
+      val ann = graft.pipeline.Knn.bucketedSelfKnn(latent, 5, rounds = 6)
+        .filter(col("src") % 50 === 0).select("src", "dst", "rn")
+      val q = latent.filter(col("cell_id") % 50 === 0)
+        .select(col("cell_id").as("src"), col("latent").as("va"))
+      val ex = latent.select(col("cell_id").as("dst"), col("latent").as("vb"))
+        .crossJoin(broadcast(q)).filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          round(graft.sim.Similarity.l2(col("va"), col("vb")), 6).as("dist"))
+        .withColumn("ern", row_number().over(
+          Window.partitionBy("src").orderBy(col("dist"), col("dst"))))
+        .filter(col("ern") <= 5).select("src", "dst")
+      // ANN hits that are true top-5 neighbors, keeping the ANN rank
+      val rel = ann.join(ex, Seq("src", "dst"), "left_semi")
+      val rrOf = array(Seq(60L, 30L, 20L, 15L, 12L).map(lit): _*)
+      val wOf = array(Seq(1000000L, 630930L, 500000L, 430677L, 386853L).map(lit): _*)
+      val per = q.select("src").distinct()
+        .join(rel.groupBy("src").agg(
+          min(col("rn")).as("_fh"),
+          sum(element_at(wOf, col("rn").cast("int"))).as("_dcg"),
+          max(when(col("rn") === 1, 1L).otherwise(0L)).as("_h1")),
+          Seq("src"), "left")
+        .select(
+          coalesce(element_at(rrOf, col("_fh").cast("int")), lit(0L)).as("rr"),
+          coalesce(col("_dcg"), lit(0L)).as("dcg"),
+          coalesce(col("_h1"), lit(0L)).as("h1"))
+      per.agg(count(lit(1)).as("n_queries"),
+        round(sum(col("rr")).cast("double")
+          / (lit(60.0) * count(lit(1)).cast("double")), 6).as("mrr"),
+        round(sum(col("dcg")).cast("double")
+          / (lit(2948460.0) * count(lit(1)).cast("double")), 6).as("ndcg"),
+        sum(col("h1")).as("n_hit_at_1"))
+    }),
+
     // LSH threshold-tuning curve: exact-Jaccard histogram over candidate
     // pairs from a universe planted with full copies (j≈0.9) AND
     // half-document copies (j≈0.5), so the curve spans high and middle
@@ -748,6 +795,42 @@ object TrainingQueries {
                   AS recall_mean,
                 CAST(SUM(CASE WHEN h = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect
          FROM hits""",
+
+    "q241_retrieval_metrics" ->
+      s"""WITH $annChainSql,
+         annk AS (SELECT src, dst, rn FROM topk WHERE rn <= 5 AND src % 50 = 0),
+         exd AS (
+           SELECT q.vec_id AS src, c.vec_id AS dst,
+                  ROUND(SQRT(GREATEST(LIST_DOT_PRODUCT(q.e, q.e)
+                    - 2 * LIST_DOT_PRODUCT(q.e, c.e)
+                    + LIST_DOT_PRODUCT(c.e, c.e), 0)), 6) AS dist
+           FROM v q CROSS JOIN v c
+           WHERE q.vec_id % 50 = 0 AND q.vec_id != c.vec_id),
+         exk AS (
+           SELECT src, dst FROM (
+             SELECT src, dst,
+                    ROW_NUMBER() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+             FROM exd)
+           WHERE rn <= 5),
+         rel AS (
+           SELECT a.src, a.rn FROM annk a
+           JOIN exk e ON e.src = a.src AND e.dst = a.dst),
+         per AS (
+           SELECT q.src,
+                  COALESCE(MIN(r.rn), 0) AS fh,
+                  COALESCE(SUM(CASE r.rn WHEN 1 THEN 1000000 WHEN 2 THEN 630930
+                    WHEN 3 THEN 500000 WHEN 4 THEN 430677 WHEN 5 THEN 386853 END), 0) AS dcg,
+                  COALESCE(MAX(CASE WHEN r.rn = 1 THEN 1 ELSE 0 END), 0) AS h1
+           FROM (SELECT DISTINCT src FROM exk) q
+           LEFT JOIN rel r ON r.src = q.src
+           GROUP BY q.src)
+         SELECT COUNT(*) AS n_queries,
+                ROUND(CAST(SUM(CASE WHEN fh > 0 THEN 60 // fh ELSE 0 END) AS DOUBLE)
+                  / (60.0 * CAST(COUNT(*) AS DOUBLE)), 6) AS mrr,
+                ROUND(CAST(SUM(dcg) AS DOUBLE)
+                  / (2948460.0 * CAST(COUNT(*) AS DOUBLE)), 6) AS ndcg,
+                CAST(SUM(h1) AS BIGINT) AS n_hit_at_1
+         FROM per""",
 
     "q120_jaccard_sweep" ->
       s"""WITH $sweepChainSql,
