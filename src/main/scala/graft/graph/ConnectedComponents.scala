@@ -43,29 +43,42 @@ object ConnectedComponents {
     * quadratic bound.
     */
   def labels(edges: DataFrame, maxIter: Int = 64): DataFrame = {
-    // Reset (localCheckpoint) the canonicalized input: the first round
-    // references it three times (checksum + both unionAll branches of
-    // the neighborhood), and without materialization the input's
-    // distinct shuffle — the heaviest step on a large edge list —
-    // would re-execute for each.
-    var e = graft.core.Lineage.reset(edges
+    // Reset (localCheckpoint) + checksum in ONE pass via
+    // Dataset.observe: the convergence checksum used to be its own
+    // aggregate job over the just-checkpointed edges — a full re-read
+    // of the edge set per round at scale, and one extra sequential
+    // driver action per round at the small end (the q142/q208 job-
+    // latency profile: CC rounds are inherently sequential, so every
+    // saved job is saved wall-clock). CollectMetrics computes the
+    // (count, xor) pair DURING the materializing checkpoint job;
+    // `obs.get` then just reads the finished metric.
+    //
+    // bit_xor, not sum: ANSI mode makes a Long sum of 2⁶³-range hashes
+    // an overflow error; xor is closed over Long and order-independent
+    // (edges are distinct, so parity cancellation needs a full set
+    // collision — the same 2⁻⁶⁴ regime as a sum collision). This gates
+    // a fixpoint with a safety-net min() below, not result reuse, so
+    // the Fingerprint xor∥sum form is not required.
+    def resetWithChecksum(d: DataFrame): (DataFrame, (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = graft.core.Lineage.reset(d.observe(obs,
+        count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("x")))
+      val m = obs.get
+      (out, (m("n").asInstanceOf[Long], m("x").asInstanceOf[Long]))
+    }
+    // The canonicalized input is referenced three times by round 1
+    // (both unionAll branches of the neighborhood + the converged
+    // min-label pass when the input is already a star forest); without
+    // materialization its distinct shuffle — the heaviest step on a
+    // large edge list — would re-execute for each.
+    var (e, cur) = resetWithChecksum(edges
       .select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct())
 
-    def checksum(d: DataFrame): (Long, Long) = {
-      // bit_xor, not sum: ANSI mode makes a Long sum of 2⁶³-range hashes
-      // an overflow error; xor is closed over Long and order-independent
-      // (edges are distinct, so parity cancellation needs a full set
-      // collision — the same 2⁻⁶⁴ regime as a sum collision).
-      val r = d.agg(count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
-
     var prev = (-1L, 0L)
-    var cur = checksum(e)
     var it = 0
     while (cur != prev && it < maxIter) {
       // large-star: m = min(N(u) ∪ {u}) over the FULL neighborhood;
@@ -87,9 +100,10 @@ object ConnectedComponents {
         .unionAll(withMin.filter(col("v") =!= col("m"))
           .select(col("v").as("u"), col("m").as("v")))
         .distinct()
-      e = graft.core.Lineage.reset(afterSmall)
+      val (e2, cur2) = resetWithChecksum(afterSmall)
+      e = e2
       prev = cur
-      cur = checksum(e)
+      cur = cur2
       it += 1
     }
     if (cur != prev)

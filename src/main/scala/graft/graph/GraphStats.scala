@@ -126,13 +126,28 @@ object GraphStats {
     def induce(nodes: DataFrame): DataFrame =
       e.join(nodes.select(col("node").as("ida")), Seq("ida"), "left_semi")
         .join(nodes.select(col("node").as("idb")), Seq("idb"), "left_semi")
-    var nodes = degOf(e).filter(col("deg") >= k).select("node")
-    for (_ <- 1 to rounds) {
-      nodes = graft.core.Lineage.reset(
-        degOf(induce(nodes)).filter(col("deg") >= k).select("node"))
+    // Peel until the survivor count stops moving, observing the count
+    // on the materializing pass itself (the ConnectedComponents fused-
+    // checksum discipline — no separate count job, no fixed unroll past
+    // the fixpoint). Each peel's survivors are a SUBSET of the previous
+    // set (every survivor is an endpoint of the induced subgraph), so
+    // an equal count proves an identical set — exactly the guarantee
+    // the old post-unroll verification pass re-derived with two extra
+    // full passes.
+    def peelCount(d: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = graft.core.Lineage.reset(d.observe(obs, count(lit(1)).as("n")))
+      (out, obs.get("n").asInstanceOf[Long])
     }
-    val converged = degOf(induce(nodes)).filter(col("deg") >= k).count()
-    require(converged == nodes.count(),
+    var (nodes, cur) = peelCount(degOf(e).filter(col("deg") >= k).select("node"))
+    var prev = -1L
+    var it = 0
+    while (cur != prev && it < rounds) {
+      val (n2, c2) = peelCount(
+        degOf(induce(nodes)).filter(col("deg") >= k).select("node"))
+      nodes = n2; prev = cur; cur = c2; it += 1
+    }
+    require(cur == prev,
       s"kCore(k=$k) not converged after $rounds rounds")
     degOf(induce(nodes)).select(col("node"), col("deg").as("core_deg"))
   }
