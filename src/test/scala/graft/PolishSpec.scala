@@ -9,6 +9,30 @@ import graft.pipeline.{Harmony, Metrics}
   */
 class PolishSpec extends SparkSpec {
 
+  test("Fingerprint: even-multiplicity xor cancellation no longer collides") {
+    import spark.implicits._
+    // Two DIFFERENT same-count inputs whose rows each occur twice: the
+    // per-row xxhash64 xor cancels pairwise (h ⊕ h = 0) on BOTH, so the
+    // old xor+count fingerprint collided ("0_2" == "0_2") — the ADVICE-
+    // flagged silent-wrong-memo-reuse mode. The xor ∥ sum form must
+    // separate them, and stay stable under row reordering.
+    val a = Seq((1L, "alpha"), (1L, "alpha")).toDF("id", "t")
+    val b = Seq((2L, "beta"), (2L, "beta")).toDF("id", "t")
+    def fp(df: org.apache.spark.sql.DataFrame): String = df.agg(
+      expr(graft.core.Fingerprint.sqlExpr("id, t"))).head.getString(0)
+    def xorOnly(df: org.apache.spark.sql.DataFrame): Long = df.agg(
+      coalesce(expr("bit_xor(xxhash64(id, t))"), lit(0L))).head.getLong(0)
+    assert(xorOnly(a) == 0L && xorOnly(b) == 0L,
+      "precondition: both inputs xor-cancel")
+    assert(fp(a) != fp(b), "xor ∥ sum fingerprints must differ")
+    // order-independent: a reversed/shuffled frame fingerprints equal
+    val aShuf = Seq((1L, "alpha"), (1L, "alpha")).reverse.toDF("id", "t")
+      .repartition(3)
+    assert(fp(a) == fp(aShuf))
+    // empty input → empty string (callers map to their "empty" sentinel)
+    assert(fp(a.filter(col("id") < 0)) == "")
+  }
+
   test("loadGraph: useK truncation, symmetrize, upper_only") {
     import spark.implicits._
     val e = Seq((1L, 2L, 5.0), (1L, 3L, 3.0), (1L, 4L, 1.0), (2L, 1L, 2.0))
