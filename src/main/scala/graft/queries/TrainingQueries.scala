@@ -467,6 +467,47 @@ object TrainingQueries {
         sum(col("h1")).as("n_hit_at_1"))
     }),
 
+    // Dimension-ablation report: exact top-5 recall of TRUNCATED
+    // embedding prefixes (first 8/16/32 dims) against the full-dim
+    // exact top-5 on the 1-in-50 query sample — the index-sizing gate
+    // run before shipping a reduced-dim or matryoshka-truncated index
+    // (expected MODERATE on this table: the synthetic embeddings are
+    // near-uniform, so no prefix carries concentrated variance — which
+    // is exactly what the report exists to surface, the q144 PQ-recall
+    // discipline). All exact arithmetic, both sides of the comparison
+    // replay engine-identically (no ANN randomness in this one)
+    "q242_dim_ablation" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val vecs = embs(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      def topk(dims: Int): DataFrame = {
+        val proj = if (dims == 0) col("v") else slice(col("v"), 1, dims)
+        val side = vecs.select(col("vec_id"), proj.as("p"))
+        val q = side.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("src"), col("p").as("pa"))
+        side.select(col("vec_id").as("dst"), col("p").as("pb"))
+          .crossJoin(broadcast(q)).filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst"),
+            round(graft.sim.Similarity.l2(col("pa"), col("pb")), 6).as("dist"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("src").orderBy(col("dist"), col("dst"))))
+          .filter(col("rn") <= 5).select("src", "dst")
+      }
+      val full = topk(0).localCheckpoint()
+      Seq(8, 16, 32).map { dims =>
+        val hits = full.groupBy("src").agg(count(lit(1)).as("k"))
+          .join(full.join(topk(dims), Seq("src", "dst"), "left_semi")
+            .groupBy("src").agg(count(lit(1)).as("h")), Seq("src"), "left")
+          .na.fill(0, Seq("h"))
+        hits.agg(count(lit(1)).as("n_queries"),
+          round(sum(col("h")).cast("double")
+            / (lit(5.0) * count(lit(1)).cast("double")), 6).as("recall_mean"),
+          sum(when(col("h") === 5, 1L).otherwise(0L)).as("n_perfect"))
+          .select(lit(dims).as("dims"), col("n_queries"),
+            col("recall_mean"), col("n_perfect"))
+      }.reduce(_.unionByName(_)).orderBy("dims")
+    }),
+
     // LSH threshold-tuning curve: exact-Jaccard histogram over candidate
     // pairs from a universe planted with full copies (j≈0.9) AND
     // half-document copies (j≈0.5), so the curve spans high and middle
@@ -795,6 +836,46 @@ object TrainingQueries {
                   AS recall_mean,
                 CAST(SUM(CASE WHEN h = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect
          FROM hits""",
+
+    "q242_dim_ablation" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         dd AS (SELECT UNNEST([8, 16, 32]) AS dims),
+         pr AS (
+           SELECT d.dims, v.vec_id, v.e[1:d.dims] AS p
+           FROM v CROSS JOIN dd d),
+         exd AS (
+           SELECT 0 AS dims, q.vec_id AS src, c.vec_id AS dst,
+                  ROUND(SQRT(GREATEST(LIST_DOT_PRODUCT(q.e, q.e)
+                    - 2 * LIST_DOT_PRODUCT(q.e, c.e)
+                    + LIST_DOT_PRODUCT(c.e, c.e), 0)), 6) AS dist
+           FROM v q CROSS JOIN v c
+           WHERE q.vec_id % 50 = 0 AND q.vec_id != c.vec_id
+           UNION ALL
+           SELECT q.dims, q.vec_id AS src, c.vec_id AS dst,
+                  ROUND(SQRT(GREATEST(LIST_DOT_PRODUCT(q.p, q.p)
+                    - 2 * LIST_DOT_PRODUCT(q.p, c.p)
+                    + LIST_DOT_PRODUCT(c.p, c.p), 0)), 6) AS dist
+           FROM pr q JOIN pr c ON q.dims = c.dims AND q.vec_id != c.vec_id
+           WHERE q.vec_id % 50 = 0),
+         tk AS (
+           SELECT dims, src, dst FROM (
+             SELECT dims, src, dst,
+                    ROW_NUMBER() OVER (PARTITION BY dims, src
+                      ORDER BY dist, dst) AS rn
+             FROM exd)
+           WHERE rn <= 5),
+         hits AS (
+           SELECT d.dims, f.src,
+                  COUNT(t.dst) AS h
+           FROM (SELECT DISTINCT dims FROM tk WHERE dims > 0) d
+           CROSS JOIN (SELECT src, dst FROM tk WHERE dims = 0) f
+           LEFT JOIN tk t ON t.dims = d.dims AND t.src = f.src AND t.dst = f.dst
+           GROUP BY d.dims, f.src)
+         SELECT dims, COUNT(*) AS n_queries,
+                ROUND(CAST(SUM(h) AS DOUBLE)
+                  / (5.0 * CAST(COUNT(*) AS DOUBLE)), 6) AS recall_mean,
+                CAST(SUM(CASE WHEN h = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect
+         FROM hits GROUP BY dims ORDER BY dims""",
 
     "q241_retrieval_metrics" ->
       s"""WITH $annChainSql,
