@@ -467,6 +467,17 @@ object TrainingQueries {
         sum(col("h1")).as("n_hit_at_1"))
     }),
 
+    // DSIR data selection (Xie 2023): hashed-bigram importance weights
+    // of every document against the English-target multinomial, with
+    // the deterministic top-1/5 cut — the published
+    // importance-resampling shape (hashed n-gram features, Laplace-
+    // smoothed target/raw ratio) as an oracled per-doc report;
+    // micro-nat integer weights, md5 string buckets, two-pass ordinal
+    // rank (see Mix.dsirWeights)
+    "q243_dsir_select" -> ((s, d) =>
+      graft.text.Mix.dsirWeights(docs(s, d), col("lang") === "en", 1, 5)
+        .orderBy("doc_id")),
+
     // Dimension-ablation report: exact top-5 recall of TRUNCATED
     // embedding prefixes (first 8/16/32 dims) against the full-dim
     // exact top-5 on the 1-in-50 query sample — the index-sizing gate
@@ -836,6 +847,48 @@ object TrainingQueries {
                   AS recall_mean,
                 CAST(SUM(CASE WHEN h = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect
          FROM hits""",
+
+    "q243_dsir_select" ->
+      s"""WITH base AS (
+           SELECT doc_id, lang = 'en' AS is_t,
+                  REGEXP_SPLIT_TO_ARRAY(text, '\\s+') AS w
+           FROM documents),
+         bg AS (
+           SELECT doc_id, is_t,
+                  SUBSTRING(MD5(UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)),
+                    i -> w[i] || ' ' || w[i + 1]))), 1, 3) AS b
+           FROM base WHERE LEN(w) >= 2),
+         raw AS (SELECT b, COUNT(*) AS cr FROM bg GROUP BY b),
+         tgt AS (SELECT b, COUNT(*) AS ct FROM bg WHERE is_t GROUP BY b),
+         sc AS (
+           SELECT r.b,
+                  CAST(ROUND(LN(COALESCE(t.ct, 0) + 1) * 1000000) AS BIGINT)
+                  - CAST(ROUND(LN(r.cr + 1) * 1000000) AS BIGINT) AS s
+           FROM raw r LEFT JOIN tgt t ON t.b = r.b),
+         tot AS (
+           SELECT COUNT(*) + 4096 AS nr,
+                  SUM(CASE WHEN is_t THEN 1 ELSE 0 END) + 4096 AS nt
+           FROM bg),
+         pd AS (
+           SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+                  CAST(SUM(sc.s) AS BIGINT) AS sb
+           FROM bg JOIN sc ON sc.b = bg.b GROUP BY bg.doc_id),
+         wt AS (
+           SELECT d.doc_id, COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+                  CAST(COALESCE(pd.sb, 0) + COALESCE(pd.n_bigrams, 0) *
+                    (CAST(ROUND(LN(tot.nr) * 1000000) AS BIGINT)
+                     - CAST(ROUND(LN(tot.nt) * 1000000) AS BIGINT))
+                    AS BIGINT) AS w_micro
+           FROM documents d
+           LEFT JOIN pd ON pd.doc_id = d.doc_id
+           CROSS JOIN tot),
+         rk AS (
+           SELECT doc_id, n_bigrams, w_micro,
+                  ROW_NUMBER() OVER (ORDER BY w_micro DESC, doc_id) AS pos,
+                  COUNT(*) OVER () AS n
+           FROM wt)
+         SELECT doc_id, n_bigrams, w_micro, pos <= n * 1 // 5 AS selected
+         FROM rk ORDER BY doc_id""",
 
     "q242_dim_ablation" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -668,4 +668,68 @@ object Mix {
         expr(s"CAST(mc * 1000000 AS $d38) div g").cast("long")
           .as("col_share_ppm"))
   }
+
+  /** DSIR-style importance weights + deterministic top-share selection
+    * (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): score every raw document by how
+    * target-like its HASHED-bigram distribution is —
+    * `log w(x) = Σ_bigrams [ln p_target(b) − ln p_raw(b)]` under
+    * Laplace-smoothed hashed-bigram multinomials — then keep the top
+    * `topNum/topDen` share. The published method's shape exactly:
+    * hashing collapses the open vocabulary to a fixed bucket space, so
+    * both multinomials are bounded state regardless of corpus size,
+    * and the per-doc score is one pass over the doc's bigrams.
+    *
+    * Engine-exact cross-replay: buckets are the first 3 hex chars of
+    * the bigram's md5 (4096 STRING buckets — no numeric hash
+    * conversion, same md5 discipline as every sampler here); the lns
+    * are micro-quantized to integer micro-nats BEFORE the per-doc sum
+    * (the bigramCondEntropy discipline), the global totals fold in as
+    * `n_bigrams · (uln(Nr) − uln(Nt))` with the two scalars riding a
+    * 1-row broadcast; the selection rank is the two-pass
+    * range-partitioned global ordinal over (w_micro desc, doc_id) —
+    * no unpartitioned window, no RNG, retries and engine replays keep
+    * identical rows. Output per doc: (doc_id, n_bigrams, w_micro,
+    * selected).
+    */
+  def dsirWeights(docs: DataFrame, targetPred: Column,
+                  topNum: Int, topDen: Int): DataFrame = {
+    def uln(c: Column) = round(log(c.cast("double")) * 1000000.0).cast("long")
+    val bg = docs
+      .select(col("doc_id"), targetPred.as("is_t"),
+        split(col("text"), "\\s+").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("is_t"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"))
+        .as("g"))
+      .select(col("doc_id"), col("is_t"),
+        substring(md5(col("g")), 1, 3).as("b"))
+      .localCheckpoint() // three consumers: raw counts, target counts, doc sum
+    val raw = bg.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgt = bg.filter(col("is_t")).groupBy("b").agg(count(lit(1)).as("ct"))
+    val bucketScore = raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("ct"))
+      .select(col("b"), (uln(col("ct") + 1) - uln(col("cr") + 1)).as("s"))
+    // Laplace totals over the 4096-bucket space — two scalars, 1 row
+    val totals = bg.agg(
+      (count(lit(1)) + 4096L).as("nr"),
+      (sum(when(col("is_t"), 1L).otherwise(0L)) + 4096L).as("nt"))
+    val perDoc = bg.join(bucketScore, Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("_sb"))
+    val weighted = docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_bigrams", "_sb"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("_sb") + col("n_bigrams") * (uln(col("nr")) - uln(col("nt"))))
+          .as("w_micro"))
+    // deterministic top-share cut: keep the m = n·topNum div topDen
+    // highest weights, doc_id tie-break, two-pass ordinal rank
+    val (ranked, n) = graft.ops.Windows.globalOrdinalWithCount(
+      weighted, Seq(col("w_micro").desc, col("doc_id")), "_pos")
+    val m = n * topNum / topDen
+    ranked.select(col("doc_id"), col("n_bigrams"), col("w_micro"),
+      (col("_pos") <= m).as("selected"))
+  }
 }

@@ -157,6 +157,28 @@ class CcRepetitionSpec extends SparkSpec {
     assert(out(1) == ((5L, 20L, 20L, 1L, 1L, false))) // starts chunk 1 cleanly
   }
 
+  test("dsirWeights: target-like docs outrank off-target; top-share cut is exact") {
+    import graft.text.Mix
+    // target = docs 1-4 (share the "alpha beta" bigram family); raw
+    // background = docs 5-10 (disjoint bigrams). An unlabeled doc made
+    // of TARGET bigrams (doc 11) must outweigh one made of background
+    // bigrams (doc 12): its buckets carry high target counts.
+    val docs = (
+      (1 to 4).map(i => (i.toLong, "en", "alpha beta alpha beta gamma")) ++
+      (5 to 10).map(i => (i.toLong, "xx", s"noise$i filler$i junk$i more$i")) ++
+      Seq((11L, "xx", "alpha beta gamma"), (12L, "xx", "noise5 filler5 junk5"))
+    ).toDF("doc_id", "lang", "text")
+    val out = Mix.dsirWeights(docs, col("lang") === "en", 1, 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(11L)._1 > out(12L)._1,
+      s"target-like doc 11 (${out(11L)._1}) must outweigh background doc 12 (${out(12L)._1})")
+    // top-1/4 of 12 docs = exactly 3 selected
+    assert(out.values.count(_._2) === 3)
+    // the selected set is the 3 highest weights (doc_id tie-break)
+    val byW = out.toSeq.sortBy { case (id, (w, _)) => (-w, id) }.map(_._1)
+    assert(byW.take(3).forall(id => out(id)._2))
+  }
+
   test("bandKeysOf: the Scala twin reproduces the lshBandKeys expression exactly") {
     import graft.streaming.Streaming
     // edge cases on purpose: duplicate shingles, multi-space runs,
