@@ -16,10 +16,17 @@ import org.apache.spark.sql.SparkSession
   *    and a single GC pause or compaction stall can no longer distort
   *    the record (±40 % single-run noise on short queries was measured
   *    in round 3);
-  *  - slow queries (first rep > SLOW_CUTOFF seconds) get 2 extra reps
-  *    (5 total): box contention has inflated a slow query's 3-rep
-  *    median in three separate rounds, and the median of 5 is robust
-  *    to two contended reps instead of one;
+  *  - slow queries (ANY base rep, or the base median, > SLOW_CUTOFF
+  *    seconds) get 2 extra reps (5 total): box contention has inflated
+  *    a slow query's 3-rep median in three separate rounds, and the
+  *    median of 5 is robust to two contended reps instead of one. The
+  *    any-rep trigger closed the round-10 gap where a 38 s rep 3 got
+  *    no extension because only rep 1 used to arm it;
+  *  - each query carries a `contended` flag (>3× rep spread, or a rep
+  *    with gc_ms ≥ half its wall time) and the record carries both the
+  *    median total and `value_min` = sum of fastest reps (the
+  *    contention floor) — an anchor breach without a contended flag is
+  *    a real regression, one with it is a starved box;
   *  - the driver keeps only the final 2000 bytes of output, and the
   *    per-query map stopped fitting that window at ~130 queries (the
   *    gate recorded `parsed: null` from round 3 on). The printed line
@@ -102,9 +109,14 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val base = (1 to REPS).map(_ => once(fn))
       // contention hardening: a slow query gets SLOW_REPS total reps so
-      // one or two contended reps can no longer set the median
+      // one or two contended reps can no longer set the median. The
+      // trigger is ANY base rep (or the base median) over the cutoff —
+      // the round-10 record had a 38 s rep 3 (q202) that got no extra
+      // reps because only rep 1 used to arm the extension.
+      val baseGood = base.filter(_._2).map(_._1).sorted
+      val baseMedian = if (baseGood.nonEmpty) baseGood(baseGood.length / 2) else 0.0
       val reps =
-        if (base.head._1 > SLOW_CUTOFF)
+        if (base.exists(_._1 > SLOW_CUTOFF) || baseMedian > SLOW_CUTOFF)
           base ++ (1 to (SLOW_REPS - REPS)).map(_ => once(fn))
         else base
       val good = reps.filter(_._2).map(_._1).sorted
@@ -113,25 +125,49 @@ object Bench {
       // triggers first) when it succeeded — reported alongside the
       // median so build-cost regressions stay visible under the memos
       val cold = if (reps.head._2) Some(reps.head._1) else None
+      // contended = the reps DISAGREE in a way a stable plan cannot:
+      // >3× spread across successful WARM reps (rep 1 is excluded — it
+      // legitimately pays codegen/JIT/memo-build and is already
+      // reported as `cold`), or a warm rep that spent ≥half its wall
+      // time in stop-the-world GC. The flag turns "this query breached
+      // its anchor" into "this RUN was starved while measuring it" —
+      // attributable from the record alone, no rerun needed.
+      val warm = reps.drop(1).filter(_._2)
+      val warmTimes = warm.map(_._1).sorted
+      val contended = warmTimes.nonEmpty && (
+        warmTimes.last / math.max(warmTimes.head, 1e-9) > 3.0 ||
+          warm.exists { case (el, _, _, gc) => gc >= 0.5 * el * 1000 })
       (name, median, reps.map(_._1), reps.count(!_._2), cold,
-        reps.map(_._3), reps.map(_._4))
+        reps.map(_._3), reps.map(_._4), contended, good.headOption)
     }
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     // short key = the qNN prefix (unique across the query set)
     def short(k: String) = k.takeWhile(_ != '_')
     val errs = results.filter(_._4 > 0)
-      .map { case (k, _, _, n, _, _, _) => "\"" + short(k) + "\":" + n }
+      .map { case (k, _, _, n, _, _, _, _, _) => "\"" + short(k) + "\":" + n }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
+    // contention-floor total: sum of each query's FASTEST successful rep.
+    // On an idle box total ≈ totalMin; a gap between them is the amount
+    // of box contention baked into the median-of-reps record.
+    val totalMin = results.flatMap(_._9).sum
+    val contendedAll = results.filter(_._8).map(r => short(r._1))
+    val contendedKeys = contendedAll.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // printed-line variant capped at 12 names (the full list is in the
+    // file record) so a badly starved run cannot blow the 1.5 kB budget
+    val contendedShort = contendedAll.take(12).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     // FULL record → repo file (committed with the snapshot): median +
     // every rep + per-rep memo-hit deltas + the cold (rep-1) time for
     // every query — the per-query gate data the printed tail window
     // cannot hold. A rep with memo_hits > 0 was served (partly) warm;
     // the cold field is what to compare when asking what a query costs
     // the first time a session touches its inputs.
-    val fullQs = results.map { case (k, v, reps, _, cold, hits, gcs) =>
+    val fullQs = results.map { case (k, v, reps, _, cold, hits, gcs, cont, mn) =>
       "\"" + short(k) + "\":{\"median\":" + v.map(fmt(_).toString).getOrElse("null") +
         ",\"cold\":" + cold.map(fmt(_).toString).getOrElse("null") +
+        ",\"min\":" + mn.map(fmt(_).toString).getOrElse("null") +
+        ",\"contended\":" + cont +
         ",\"reps\":[" + reps.map(fmt(_)).mkString(",") + "]" +
         ",\"memo_hits\":[" + hits.mkString(",") + "]" +
         ",\"gc_ms\":[" + gcs.mkString(",") + "]}"
@@ -156,22 +192,24 @@ object Bench {
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(fullPath).toAbsolutePath,
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"base_reps":$REPS,"slow_reps":$SLOW_REPS,"slow_cutoff":$SLOW_CUTOFF,$envJson,"queries":$fullQs,"errors":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","n":${results.size},"base_reps":$REPS,"slow_reps":$SLOW_REPS,"slow_cutoff":$SLOW_CUTOFF,"contended":$contendedKeys,$envJson,"queries":$fullQs,"errors":$errs,"sf":"$sfDir"}""")
     // printed line: summary only, guaranteed < 1.5 kB so the driver's
     // 2000-byte tail window parses it — slowest 10 with medians AND
     // per-rep arrays (contention vs plan is attributable from spread)
     val slowest = results.filter(_._2.isDefined).sortBy(-_._2.get).take(10)
-    val qs = slowest.map { case (k, v, _, _, _, _, _) =>
+    val qs = slowest.map { case (k, v, _, _, _, _, _, _, _) =>
       "\"" + short(k) + "\":" + fmt(v.get)
     }.mkString("{", ",", "}")
-    val slow = slowest.map { case (k, _, reps, _, _, _, _) =>
+    val slow = slowest.map { case (k, _, reps, _, _, _, _, _, _) =>
       "\"" + short(k) + "\":[" + reps.map(fmt(_)).mkString(",") + "]"
     }.mkString("{", ",", "}")
     // base vs slow rep counts reported explicitly — a bare "reps":3 was
     // wrong for the queries that ran 5 under the slow-query rule; the
     // env fingerprint rides the printed line too (compact) so even a
-    // tail-window-only record carries the starved-JVM diagnostics
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"base_reps":$REPS,"slow_reps":$SLOW_REPS,"slow_cutoff":$SLOW_CUTOFF,"heap_mb":$heapMb,"gc_total_ms":${gcMs()},"queries":$qs,"reps_slow":$slow,"errors":$errs,"full":"$fullPath","sf":"$sfDir"}""")
+    // tail-window-only record carries the starved-JVM diagnostics.
+    // value_min (sum of fastest reps) is the contention floor; the
+    // contended list names every query whose reps betray a starved run.
+    println(s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","n":${results.size},"base_reps":$REPS,"slow_reps":$SLOW_REPS,"slow_cutoff":$SLOW_CUTOFF,"heap_mb":$heapMb,"gc_total_ms":${gcMs()},"contended_n":${contendedAll.size},"contended":$contendedShort,"queries":$qs,"reps_slow":$slow,"errors":$errs,"full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

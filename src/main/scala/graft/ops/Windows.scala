@@ -158,11 +158,28 @@ object Windows {
     val sorted = df.orderBy(order: _*)
     val spark = df.sparkSession
     val vIdx = sorted.schema.fieldIndex(valueCol)
+    // long-only contract, enforced loudly: a fractional value column
+    // would silently truncate under a Number coercion, so anything but
+    // LongType is rejected up front (schema nullability can't be
+    // required — aggregate outputs are nullable-typed even when never
+    // null — so actual nulls fail per-row below instead of NPE-ing)
+    val vField = sorted.schema(vIdx)
+    require(vField.dataType == org.apache.spark.sql.types.LongType,
+      s"runningTotalLongWithPos needs a LongType '$valueCol' " +
+        s"(got ${vField.dataType}); cast upstream, " +
+        "or use runningTotal for doubles")
+    def long(row: org.apache.spark.sql.Row): Long = {
+      if (row.isNullAt(vIdx))
+        throw new IllegalArgumentException(
+          s"runningTotalLongWithPos: null in '$valueCol' — the running " +
+            "sum is defined over non-null longs; filter or fill upstream")
+      row.getLong(vIdx)
+    }
     // Same two-pass persist as globalOrdinal: avoid re-running the sort.
     val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val parts = rdd.mapPartitionsWithIndex { (i, it) =>
       var n = 0L; var s = 0L
-      it.foreach { row => n += 1; s += row.getAs[Number](vIdx).longValue() }
+      it.foreach { row => n += 1; s += long(row) }
       Iterator((i, n, s))
     }.collect().sortBy(_._1)
     val posOffsets = parts.map(_._2).scanLeft(0L)(_ + _)
@@ -173,7 +190,7 @@ object Windows {
       it.map { row =>
         p += 1
         val r = org.apache.spark.sql.Row.fromSeq(row.toSeq :+ acc :+ p)
-        acc += row.getAs[Number](vIdx).longValue()
+        acc += long(row)
         r
       }
     }

@@ -103,8 +103,10 @@ object Cluster {
     */
   private def cacheCompact(latent0: DataFrame): (DataFrame, DataFrame, String) = {
     val cached = latent0.cache()
-    val r = cached.agg(count(lit(1)).as("n"),
-      expr(graft.core.Fingerprint.sqlExpr("cell_id, latent")).as("x")).head()
+    val r = cached
+      .select(expr(graft.core.Fingerprint.hashExpr("cell_id, latent")).as("_fph"))
+      .agg(count(lit(1)).as("n"),
+        expr(graft.core.Fingerprint.aggOfHash("_fph")).as("x")).head()
     val n = r.getLong(0)
     val fp = s"${System.identityHashCode(latent0.sparkSession)}:" +
       (if (r.getString(1).isEmpty) "empty" else s"${r.getString(1)}_$n")

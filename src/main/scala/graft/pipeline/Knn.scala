@@ -82,9 +82,12 @@ object Knn {
     // miss computes the stats once, not twice. ScaleProbe clears the
     // memo between measured sections.
     val c0 = latent.cache()
-    val stats = c0.agg(count(lit(1)).as("n"),
-      max(size(col("latent").cast("array<double>"))).as("d"),
-      expr(graft.core.Fingerprint.sqlExpr("cell_id, latent")).as("x")).head
+    val stats = c0
+      .select(col("latent"),
+        expr(graft.core.Fingerprint.hashExpr("cell_id, latent")).as("_fph"))
+      .agg(count(lit(1)).as("n"),
+        max(size(col("latent").cast("array<double>"))).as("d"),
+        expr(graft.core.Fingerprint.aggOfHash("_fph")).as("x")).head
     val fp = s"${System.identityHashCode(latent.sparkSession)}:" +
       (if (stats.getString(2).isEmpty) "empty"
        else s"${stats.getString(2)}_${stats.getLong(0)}")
@@ -297,9 +300,12 @@ object Knn {
     // unsplit in-bucket join. Callers that already computed the same
     // (n, d, x) row for their own memo key (bucketedSelfKnn) thread it
     // through instead of paying the scan twice.
-    val stats = preStats.getOrElse(c0.agg(count(lit(1)).as("n"),
-      max(size(col("latent").cast("array<double>"))).as("d"),
-      expr(graft.core.Fingerprint.sqlExpr("cell_id, latent")).as("x")).head)
+    val stats = preStats.getOrElse(c0
+      .select(col("latent"),
+        expr(graft.core.Fingerprint.hashExpr("cell_id, latent")).as("_fph"))
+      .agg(count(lit(1)).as("n"),
+        max(size(col("latent").cast("array<double>"))).as("d"),
+        expr(graft.core.Fingerprint.aggOfHash("_fph")).as("x")).head)
     val planes =
       if (nPlanes > 0) nPlanes
       else graft.sim.Similarity.planesFor(stats.getLong(0))
@@ -600,9 +606,11 @@ object Knn {
     val latent = latent0.cache()
     // one action materializes the cache AND computes the content
     // fingerprint that keys the trained-centroid memo (order-independent
-    // xxhash64 xor + count, CacheStore.fingerprint's form)
+    // xxhash64 combined as xor ∥ sum — Fingerprint.sqlExpr's hardened
+    // form — plus the row count appended below)
     val fpRow = latent
-      .agg(expr(graft.core.Fingerprint.sqlExpr("cell_id, latent")).as("x"),
+      .select(expr(graft.core.Fingerprint.hashExpr("cell_id, latent")).as("_fph"))
+      .agg(expr(graft.core.Fingerprint.aggOfHash("_fph")).as("x"),
         count(lit(1)).as("n")).head()
     val fp = s"${System.identityHashCode(spark)}:" +
       (if (fpRow.getString(0).isEmpty) "empty"

@@ -39,7 +39,7 @@ object ExtendedQueries {
     "q44_mapping_score" -> ((s, d) => {
       val e = tb(s, d, "embeddings")
       // hits via the run_mapping facade kernel (see TrainingQueries.topKHits)
-      val q = e.filter(col("vec_id") % 50 === 0)
+      val q = Sample.capped(e, "vec_id")
         .select(col("vec_id").as("cell_id"), col("embedding").as("latent"))
       val ref = e.select(col("vec_id").as("cell_id"), col("embedding").as("latent"))
       val hits = graft.pipeline.Mapping.project(q, ref, 5, ann = Some(false),
@@ -281,8 +281,8 @@ object ExtendedQueries {
          GROUP BY n.src ORDER BY cell_id""",
 
     "q44_mapping_score" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
-             WHERE vec_id % 50 = 0),
+      ("""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+             WHERE """ + Sample.inSql("embeddings", "vec_id", "vec_id") + """),
        c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
        p AS (SELECT q.qid, c.vec_id,
                LIST_DOT_PRODUCT(qv, cv)
@@ -300,7 +300,7 @@ object ExtendedQueries {
               ROUND(SUM(1.0 / (LN(1 + h.dist) + 1)), 6) AS score
        FROM hits h JOIN embeddings e ON h.target_id = e.vec_id
        GROUP BY h.ref_id, CAST(e.label AS VARCHAR)
-       ORDER BY ref_id, grp""",
+       ORDER BY ref_id, grp"""),
 
     "q45_score_features" ->
       """WITH nt AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n FROM lineitem),

@@ -224,7 +224,7 @@ object MiningQueries {
         col("embedding").cast("array<double>").as("v"))
       val pq = graft.sim.Pq.pqSelfTopK(vecs)
         .select(col("qid").as("src"), col("dst"))
-      val q = vecs.filter(col("vec_id") % 50 === 0)
+      val q = Sample.capped(vecs, "vec_id")
         .select(col("vec_id").as("src"), col("v").as("va"))
       val ex = vecs.select(col("vec_id").as("dst"), col("v").as("vb"))
         .crossJoin(broadcast(q)).filter(col("src") =!= col("dst"))
@@ -571,7 +571,7 @@ object MiningQueries {
         .select(col("qid").as("src"), col("dst"))
       val pq = graft.sim.Pq.pqSelfTopK(vecs)
         .select(col("qid").as("src"), col("dst"))
-      val q = vecs.filter(col("vec_id") % 50 === 0)
+      val q = Sample.capped(vecs, "vec_id")
         .select(col("vec_id").as("src"), col("v").as("va"))
       val ex = vecs.select(col("vec_id").as("dst"), col("v").as("vb"))
         .crossJoin(broadcast(q)).filter(col("src") =!= col("dst"))
@@ -602,7 +602,7 @@ object MiningQueries {
       import org.apache.spark.sql.expressions.Window
       val vecs = Tables.t(s, d, "embeddings").select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
-      val q = vecs.filter(col("vec_id") % 50 === 0)
+      val q = Sample.capped(vecs, "vec_id")
         .select(col("vec_id").as("src"), col("v").as("va"))
       val dts = Seq(8, 16, 32, 64)
       val tk = vecs.select(col("vec_id").as("dst"), col("v").as("vb"))
@@ -695,7 +695,7 @@ object MiningQueries {
         col("embedding").cast("array<double>").as("v"))
       val pq = graft.sim.Pq.pqSelfTopK(vecs, topK = 10)
         .select(col("qid"), col("dst"), col("rn"))
-      val q = vecs.filter(col("vec_id") % 50 === 0)
+      val q = Sample.capped(vecs, "vec_id")
         .select(col("vec_id").as("src"), col("v").as("va"))
       val ex = vecs.select(col("vec_id").as("dst"), col("v").as("vb"))
         .crossJoin(broadcast(q)).filter(col("src") =!= col("dst"))
@@ -717,7 +717,7 @@ object MiningQueries {
         col("embedding").cast("array<double>").as("v"))
       val pq = graft.sim.Pq.pqSelfTopK(vecs, topK = 10)
         .select(col("qid"), col("dst"), col("rn"))
-      val q = vecs.filter(col("vec_id") % 50 === 0)
+      val q = Sample.capped(vecs, "vec_id")
         .select(col("vec_id").as("src"), col("v").as("va"))
       val ex = vecs.select(col("vec_id").as("dst"), col("v").as("vb"))
         .crossJoin(broadcast(q)).filter(col("src") =!= col("dst"))
@@ -726,7 +726,12 @@ object MiningQueries {
         .withColumn("rn", row_number().over(
           Window.partitionBy("src").orderBy(col("dist"), col("dst"))))
         .filter(col("rn") <= 10).select("src", "dst", "rn")
-      graft.sim.Similarity.rrfFuse(ex, pq).orderBy("qid", "rn")
+      // rrfFuse unions BOTH lists' qids into the output — restrict the
+      // PQ side to the capped query sample so the fused qid set matches
+      // the exact side (and the oracle) at any scale
+      val pqc = pq.join(broadcast(q.select(col("src").as("qid"))),
+        Seq("qid"), "left_semi")
+      graft.sim.Similarity.rrfFuse(ex, pqc).orderBy("qid", "rn")
     }),
 
     // incremental IVF maintenance: a planted refresh snapshot (every
@@ -855,7 +860,8 @@ object MiningQueries {
                 - CAST(ROUND(kk.c[i] * 1000000.0) AS BIGINT))
              * (CAST(ROUND(q.p[i] * 1000000.0) AS BIGINT)
                 - CAST(ROUND(kk.c[i] * 1000000.0) AS BIGINT)))) AS d2m
-    FROM (SELECT cell_id, p[$lo:$hi] AS p FROM vv WHERE cell_id % 50 = 0) q
+    FROM (SELECT cell_id, p[$lo:$hi] AS p FROM vv
+            WHERE ${Sample.inSql("vv", "cell_id", "cell_id")}) q
     CROSS JOIN cent_${s}_$iters kk)"""
   }
 
@@ -901,7 +907,8 @@ object MiningQueries {
              ROW_NUMBER() OVER (PARTITION BY q.cell_id
                ORDER BY list_sum(list_transform(range(1, 65), i ->
                  (q.p[i] - kk.c[i]) * (q.p[i] - kk.c[i]))), kk.cid) AS rn
-      FROM (SELECT * FROM vv WHERE cell_id % 50 = 0) q
+      FROM (SELECT * FROM vv
+            WHERE ${Sample.inSql("vv", "cell_id", "cell_id")}) q
       CROSS JOIN cent_c_$iters kk)
     WHERE rn <= $nProbe),
   cand AS (
@@ -942,7 +949,8 @@ object MiningQueries {
              - 2 * LIST_DOT_PRODUCT(q.p, c.p)
              + LIST_DOT_PRODUCT(c.p, c.p), 0)), 6) AS dist
     FROM vv q CROSS JOIN vv c
-    WHERE q.cell_id % 50 = 0 AND q.cell_id != c.cell_id),
+    WHERE ${Sample.inSql("vv", "cell_id", "q.cell_id")}
+      AND q.cell_id != c.cell_id),
   exk AS (
     SELECT src, dst FROM (
       SELECT src, dst,
@@ -972,7 +980,8 @@ object MiningQueries {
   private def q175OracleSql: String =
     s"""WITH vv AS MATERIALIZED (
     SELECT vec_id AS cell_id, embedding::DOUBLE[] AS p FROM embeddings),
-  q AS (SELECT * FROM vv WHERE cell_id % 50 = 0),
+  q AS (SELECT * FROM vv
+    WHERE ${Sample.inSql("vv", "cell_id", "cell_id")}),
   dts AS (SELECT CAST(UNNEST([8, 16, 32, 64]) AS INT) AS dims),
   dd AS (
     SELECT dt.dims, q.cell_id AS src, c.cell_id AS dst,
@@ -1091,7 +1100,8 @@ object MiningQueries {
              ROW_NUMBER() OVER (PARTITION BY q.cell_id
                ORDER BY list_sum(list_transform(range(1, 65), i ->
                  (q.p[i] - kk.c[i]) * (q.p[i] - kk.c[i]))), kk.cid) AS prank
-      FROM (SELECT * FROM vv WHERE cell_id % 50 = 0) q
+      FROM (SELECT * FROM vv
+            WHERE ${Sample.inSql("vv", "cell_id", "cell_id")}) q
       CROSS JOIN cent_c_5 kk)
     WHERE prank <= 4),
   cnd AS (
@@ -1119,7 +1129,8 @@ object MiningQueries {
              - 2 * LIST_DOT_PRODUCT(q.p, c.p)
              + LIST_DOT_PRODUCT(c.p, c.p), 0)), 6) AS dist
     FROM vv q CROSS JOIN vv c
-    WHERE q.cell_id % 50 = 0 AND q.cell_id != c.cell_id),
+    WHERE ${Sample.inSql("vv", "cell_id", "q.cell_id")}
+      AND q.cell_id != c.cell_id),
   exk AS (
     SELECT src, dst FROM (
       SELECT src, dst,
@@ -1192,7 +1203,8 @@ object MiningQueries {
              - 2 * LIST_DOT_PRODUCT(q.p, c.p)
              + LIST_DOT_PRODUCT(c.p, c.p), 0)), 6) AS dist
     FROM vv q CROSS JOIN vv c
-    WHERE q.cell_id % 50 = 0 AND q.cell_id != c.cell_id),
+    WHERE ${Sample.inSql("vv", "cell_id", "q.cell_id")}
+      AND q.cell_id != c.cell_id),
   exk AS (
     SELECT src AS qid, dst, rn FROM (
       SELECT src, dst,
@@ -1229,14 +1241,16 @@ object MiningQueries {
              - 2 * LIST_DOT_PRODUCT(q.p, c.p)
              + LIST_DOT_PRODUCT(c.p, c.p), 0)), 6) AS dist
     FROM vv q CROSS JOIN vv c
-    WHERE q.cell_id % 50 = 0 AND q.cell_id != c.cell_id),
+    WHERE ${Sample.inSql("vv", "cell_id", "q.cell_id")}
+      AND q.cell_id != c.cell_id),
   exk AS (
     SELECT src AS qid, dst, rn FROM (
       SELECT src, dst,
              ROW_NUMBER() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
       FROM exd)
     WHERE rn <= 10),
-  pqk AS (SELECT qid, dst, rn FROM tk WHERE rn <= 10),
+  pqk AS (SELECT qid, dst, rn FROM tk
+    WHERE rn <= 10 AND ${Sample.inSql("vv", "cell_id", "qid")}),
   cw(r, w) AS (VALUES $cVals),
   uu AS (
     SELECT qid, dst, rn FROM exk
@@ -1271,7 +1285,8 @@ object MiningQueries {
              - 2 * LIST_DOT_PRODUCT(q.p, c.p)
              + LIST_DOT_PRODUCT(c.p, c.p), 0)), 6) AS dist
     FROM vv q CROSS JOIN vv c
-    WHERE q.cell_id % 50 = 0 AND q.cell_id != c.cell_id),
+    WHERE ${Sample.inSql("vv", "cell_id", "q.cell_id")}
+      AND q.cell_id != c.cell_id),
   exk AS (
     SELECT src, dst FROM (
       SELECT src, dst,

@@ -42,7 +42,7 @@ object MlQueries {
     // LISI of the embedding KNN graph against the stored labels
     "q54_lisi" -> ((s, d) => {
       val e = Tables.t(s, d, "embeddings")
-      val q = e.filter(col("vec_id") % 50 === 0)
+      val q = Sample.capped(e, "vec_id")
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val knn = graft.sim.Similarity.cosineTopK(q, e, 10)
         .select(col("qid").as("src"), col("vec_id").as("dst"),
@@ -904,9 +904,9 @@ object MlQueries {
          FROM selfd s JOIN otherd o ON s.cluster = o.cluster ORDER BY s.cluster""",
 
     "q54_lisi" ->
-      """WITH RECURSIVE
+      ("""WITH RECURSIVE
          q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
-               WHERE vec_id % 50 = 0),
+               WHERE """ + Sample.inSql("embeddings", "vec_id", "vec_id") + """),
          c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
          p0 AS (SELECT q.qid, c.vec_id,
                   LIST_DOT_PRODUCT(qv, cv)
@@ -950,5 +950,5 @@ object MlQueries {
                 FROM fin),
          pl AS (SELECT src, label, SUM(EXP(-beta * d2) / sumw) AS p FROM ex GROUP BY src, label)
          SELECT src AS cell_id, ROUND(1.0 / SUM(p * p), 4) AS lisi
-         FROM pl GROUP BY src ORDER BY cell_id""")
+         FROM pl GROUP BY src ORDER BY cell_id"""))
 }

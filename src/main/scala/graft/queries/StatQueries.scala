@@ -38,8 +38,10 @@ object StatQueries {
     */
   private def sweepPairs(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d)
-    val r = base.agg(count(lit(1)).as("n"),
-      expr(graft.core.Fingerprint.sqlExpr("doc_id, text")).as("x")).head
+    val r = base
+      .select(expr(graft.core.Fingerprint.hashExpr("doc_id, text")).as("_fph"))
+      .agg(count(lit(1)).as("n"),
+        expr(graft.core.Fingerprint.aggOfHash("_fph")).as("x")).head
     val fp = s"${System.identityHashCode(s)}:" +
       (if (r.getString(1).isEmpty) "empty" else s"${r.getString(1)}_${r.getLong(0)}")
     graft.core.FrameMemo.cached(s"sweepPairs:$fp") {

@@ -75,7 +75,7 @@ object TrainingQueries {
     * small at any SF).
     */
   private def topKHits(s: SparkSession, d: String) = {
-    val q = embs(s, d).filter(col("vec_id") % 50 === 0)
+    val q = Sample.capped(embs(s, d), "vec_id")
       .select(col("vec_id").as("cell_id"), col("embedding").as("latent"))
     val ref = embs(s, d)
       .select(col("vec_id").as("cell_id"), col("embedding").as("latent"))
@@ -84,6 +84,12 @@ object TrainingQueries {
       .select(col("target_id").as("qid"), col("ref_id").as("vec_id"),
         col("cos"), col("rank").as("rn"))
   }
+
+  // exact-truth query-sample cap — see Sample's scaladoc for the
+  // min(n/50, QCAP) contract and the cross-engine md5 pick
+  private def cappedQuerySample(df: DataFrame, idCol: String): DataFrame =
+    Sample.capped(df, idCol)
+  private def qsIn(idExpr: String): String = Sample.inSql("v", "vec_id", idExpr)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_token_stats" -> ((s, d) =>
@@ -401,7 +407,7 @@ object TrainingQueries {
         col("embedding").cast("array<double>").as("latent"))
       val ann = graft.pipeline.Knn.bucketedSelfKnn(latent, 5, rounds = 6)
         .filter(col("src") % 50 === 0).select("src", "dst")
-      val q = latent.filter(col("cell_id") % 50 === 0)
+      val q = cappedQuerySample(latent, "cell_id")
         .select(col("cell_id").as("src"), col("latent").as("va"))
       val ex = latent.select(col("cell_id").as("dst"), col("latent").as("vb"))
         .crossJoin(broadcast(q)).filter(col("src") =!= col("dst"))
@@ -436,7 +442,7 @@ object TrainingQueries {
         col("embedding").cast("array<double>").as("latent"))
       val ann = graft.pipeline.Knn.bucketedSelfKnn(latent, 5, rounds = 6)
         .filter(col("src") % 50 === 0).select("src", "dst", "rn")
-      val q = latent.filter(col("cell_id") % 50 === 0)
+      val q = cappedQuerySample(latent, "cell_id")
         .select(col("cell_id").as("src"), col("latent").as("va"))
       val ex = latent.select(col("cell_id").as("dst"), col("latent").as("vb"))
         .crossJoin(broadcast(q)).filter(col("src") =!= col("dst"))
@@ -494,7 +500,7 @@ object TrainingQueries {
       def topk(dims: Int): DataFrame = {
         val proj = if (dims == 0) col("v") else slice(col("v"), 1, dims)
         val side = vecs.select(col("vec_id"), proj.as("p"))
-        val q = side.filter(col("vec_id") % 50 === 0)
+        val q = cappedQuerySample(side, "vec_id")
           .select(col("vec_id").as("src"), col("p").as("pa"))
         side.select(col("vec_id").as("dst"), col("p").as("pb"))
           .crossJoin(broadcast(q)).filter(col("src") =!= col("dst"))
@@ -662,7 +668,7 @@ object TrainingQueries {
 
   private val topkSql =
     """q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
-             WHERE vec_id % 50 = 0),
+             WHERE """ + Sample.inSql("embeddings", "vec_id", "vec_id") + """),
        c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
        p AS (SELECT q.qid, c.vec_id,
                LIST_DOT_PRODUCT(qv, cv)
@@ -831,7 +837,7 @@ object TrainingQueries {
                     - 2 * LIST_DOT_PRODUCT(q.e, c.e)
                     + LIST_DOT_PRODUCT(c.e, c.e), 0)), 6) AS dist
            FROM v q CROSS JOIN v c
-           WHERE q.vec_id % 50 = 0 AND q.vec_id != c.vec_id),
+           WHERE ${qsIn("q.vec_id")} AND q.vec_id != c.vec_id),
          exk AS (
            SELECT src, dst FROM (
              SELECT src, dst,
@@ -902,14 +908,14 @@ object TrainingQueries {
                     - 2 * LIST_DOT_PRODUCT(q.e, c.e)
                     + LIST_DOT_PRODUCT(c.e, c.e), 0)), 6) AS dist
            FROM v q CROSS JOIN v c
-           WHERE q.vec_id % 50 = 0 AND q.vec_id != c.vec_id
+           WHERE ${qsIn("q.vec_id")} AND q.vec_id != c.vec_id
            UNION ALL
            SELECT q.dims, q.vec_id AS src, c.vec_id AS dst,
                   ROUND(SQRT(GREATEST(LIST_DOT_PRODUCT(q.p, q.p)
                     - 2 * LIST_DOT_PRODUCT(q.p, c.p)
                     + LIST_DOT_PRODUCT(c.p, c.p), 0)), 6) AS dist
            FROM pr q JOIN pr c ON q.dims = c.dims AND q.vec_id != c.vec_id
-           WHERE q.vec_id % 50 = 0),
+           WHERE ${qsIn("q.vec_id")}),
          tk AS (
            SELECT dims, src, dst FROM (
              SELECT dims, src, dst,
@@ -939,7 +945,7 @@ object TrainingQueries {
                     - 2 * LIST_DOT_PRODUCT(q.e, c.e)
                     + LIST_DOT_PRODUCT(c.e, c.e), 0)), 6) AS dist
            FROM v q CROSS JOIN v c
-           WHERE q.vec_id % 50 = 0 AND q.vec_id != c.vec_id),
+           WHERE ${qsIn("q.vec_id")} AND q.vec_id != c.vec_id),
          exk AS (
            SELECT src, dst FROM (
              SELECT src, dst,

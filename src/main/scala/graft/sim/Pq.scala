@@ -28,6 +28,15 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
+  /** The query-sample pick shared with the oracle gates: 1-in-queryMod
+    * ids, capped at [[graft.queries.Sample.QCAP]] by the md5-ordered
+    * LIMIT — min(n/mod, cap) queries, so the per-query broadcast ADC
+    * tables and the exact ground-truth crossJoins are O(n·cap) at ANY
+    * scale (the cap is vacuous at every test SF; Spark plans this as
+    * TakeOrderedAndProject, a distributed partial top-K). */
+  private def sampleQueries(df: DataFrame, queryMod: Int): DataFrame =
+    graft.queries.Sample.capped(df, "vec_id", queryMod)
+
   /** Top-k ADC neighbors of every `queryMod`-sampled vector.
     * `vecs (vec_id, v: array<double>)` → `(qid, dst, adc_dist, rn)`.
     */
@@ -79,7 +88,7 @@ object Pq {
       col("cluster").cast("int").as("list"))
     val centDf = centers.zipWithIndex.map { case (c, i) => (i + 1, c.toSeq) }
       .toSeq.toDF("list", "lc")
-    val qs = cached.filter(col("vec_id") % queryMod === 0)
+    val qs = sampleQueries(cached, queryMod)
       .select(col("vec_id").as("qid"), col("v"))
     val probes = qs.crossJoin(broadcast(centDf))
       .select(col("qid"), col("list"),
@@ -125,7 +134,7 @@ object Pq {
       col("cluster").cast("int").as("list"))
     val centDf = centers.zipWithIndex.map { case (c, i) => (i + 1, c.toSeq) }
       .toSeq.toDF("list", "lc")
-    val qs = cached.filter(col("vec_id") % queryMod === 0)
+    val qs = sampleQueries(cached, queryMod)
       .select(col("vec_id").as("qid"), col("v"))
     val probes = qs.crossJoin(broadcast(centDf))
       .select(col("qid"), col("list"),
@@ -153,7 +162,7 @@ object Pq {
           .orderBy(col("adc_micro"), col("dst"))))
       .filter(col("rn") <= topK).select("nprobe", "qid", "dst")
     // exact ground truth over the same query sample
-    val q2 = cached.filter(col("vec_id") % queryMod === 0)
+    val q2 = sampleQueries(cached, queryMod)
       .select(col("vec_id").as("src"), col("v").as("va"))
     val ex = cached.select(col("vec_id").as("dst"), col("v").as("vb"))
       .crossJoin(broadcast(q2)).filter(col("src") =!= col("dst"))
@@ -278,7 +287,7 @@ object Pq {
   private def adcTable(cached: DataFrame, dim: Int, m: Int, queryMod: Int,
                        cents: DataFrame): DataFrame = {
     val w = dim / m
-    val qsub = cached.filter(col("vec_id") % queryMod === 0)
+    val qsub = sampleQueries(cached, queryMod)
       .select(col("vec_id").as("qid"), explode(expr(
         s"""transform(sequence(0, ${m - 1}),
               s -> named_struct('s', s, 'qv', slice(v, s * $w + 1, $w)))"""))

@@ -42,38 +42,56 @@ object Markers {
     val sizes = cellGroups.groupBy("group").agg(count(lit(1)).as("n_g"))
     val nTot = cellGroups.agg(count(lit(1)).cast("double").as("n_total"))
 
-    // per-cell nonzero values joined to their group
-    val vg = coo.join(cellGroups, Seq("cell_id"))
-
-    // ranks among the nonzero values of each feature (one shuffle on feat)
-    val wOrd = Window.partitionBy("feat_id").orderBy("value")
-    val wTie = Window.partitionBy("feat_id", "value")
-    val ranked = vg
-      .withColumn("dr_nz", dense_rank().over(wOrd))
+    // Ranks are CONSTANT within a (feature, value) tie class, so every
+    // window runs over the distinct-value domain (one coo shuffle on
+    // (feat, value)) and per-row ranks are recovered as count-weighted
+    // products in the group sums — replacing two per-row windows over
+    // all nnz rows (one of them on a second (feat, value) shuffle) and
+    // two extra coo scans. Exactness: dense ranks are integral, average
+    // ranks multiples of 0.5, counts-matrix values integral — every
+    // weighted sum below stays < 2⁵³ and is IEEE-exact, bit-identical
+    // to the per-row form this replaces (MarkersSpec's NumPy golden and
+    // the q27 oracle pin the semantics; fractional input values would
+    // be last-ulp-sensitive to the summation order here, but the kernel
+    // is defined over counts matrices — the reference ranks raw counts).
+    val tv = coo.groupBy("feat_id", "value")
+      .agg(count(lit(1)).cast("double").as("t"), sum(col("value")).as("sv"))
+    val wf = Window.partitionBy("feat_id").orderBy("value")
+    val rk = tv
+      .withColumn("dr_nz", row_number().over(wf).cast("double"))
+      .withColumn("_cum", sum(col("t")).over(wf))
+      // rank() of the tie class = cum-before + 1; average rank adds
+      // (t − 1)/2, i.e. cum-before + (t + 1)/2
       .withColumn("ar_nz",
-        rank().over(wOrd) + (count(lit(1)).over(wTie) - lit(1)) / lit(2.0))
+        col("_cum") - col("t") + (col("t") + lit(1.0)) / lit(2.0))
+      .select("feat_id", "value", "t", "sv", "dr_nz", "ar_nz")
 
-    // per-feature totals incl. the zero block's tie contribution
-    val featTot = coo.groupBy("feat_id").agg(
-        count(lit(1)).cast("double").as("nnz_tot"),
-        sum(col("value")).as("sum_tot"))
+    // per-feature totals + tie correction, ONE fused aggregation
+    val featTot = rk.groupBy("feat_id").agg(
+        sum(col("t")).as("nnz_tot"),
+        sum(col("sv")).as("sum_tot"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tie_nz"))
       .crossJoin(broadcast(nTot))
       .withColumn("n_zero", col("n_total") - col("nnz_tot"))
-    val tieNz = coo.groupBy("feat_id", "value").agg(count(lit(1)).cast("double").as("t"))
-      .groupBy("feat_id").agg(sum(col("t") * col("t") * col("t") - col("t")).as("tie_nz"))
 
-    // per (feature, group) partial sums over nonzero members
-    val grpAgg = ranked.groupBy("feat_id", "group").agg(
-      count(lit(1)).cast("double").as("nnz_g"),
-      sum(col("value")).as("sum_g"),
-      sum(col("dr_nz")).as("sum_dr_nz"),
-      sum(col("ar_nz")).as("sum_ar_nz"))
+    // per (feature, group, value) member counts, then count-weighted
+    // rank/value sums per (feature, group)
+    val gv = coo.join(cellGroups, Seq("cell_id"))
+      .groupBy("feat_id", "group", "value")
+      .agg(count(lit(1)).cast("double").as("c"))
+    val grpAgg = gv
+      .join(rk.select("feat_id", "value", "dr_nz", "ar_nz"),
+        Seq("feat_id", "value"))
+      .groupBy("feat_id", "group").agg(
+        sum(col("c")).as("nnz_g"),
+        sum(col("c") * col("value")).as("sum_g"),
+        sum(col("c") * col("dr_nz")).as("sum_dr_nz"),
+        sum(col("c") * col("ar_nz")).as("sum_ar_nz"))
 
     // dense base: every feature × every group (reference reindexes to the
     // full group set); |features|×|groups| rows, built from two small frames
     val base = featTot.select("feat_id").crossJoin(broadcast(sizes))
       .join(featTot, Seq("feat_id"))
-      .join(broadcast(tieNz), Seq("feat_id"))
       .join(grpAgg, Seq("feat_id", "group"), "left")
       .na.fill(0.0, Seq("nnz_g", "sum_g", "sum_dr_nz", "sum_ar_nz"))
 

@@ -75,9 +75,10 @@ object SuffixOps {
   }
 
   private def corpusFingerprint(docs: DataFrame): String = {
-    val r = docs.agg(
-      expr(graft.core.Fingerprint.sqlExpr("doc_id, text")).as("x"),
-      count(lit(1)).as("n")).head()
+    val r = docs
+      .select(expr(graft.core.Fingerprint.hashExpr("doc_id, text")).as("_fph"))
+      .agg(expr(graft.core.Fingerprint.aggOfHash("_fph")).as("x"),
+        count(lit(1)).as("n")).head()
     s"${System.identityHashCode(docs.sparkSession)}:${r.getString(0)}_${r.getLong(1)}"
   }
 

@@ -525,8 +525,10 @@ object TextOps {
     * plant from the same corpus; every bench rep) pay only the former.
     */
   def maxCharPairCount(docs: DataFrame): Long = {
-    val fr = docs.agg(count(lit(1)).as("n"),
-      expr(graft.core.Fingerprint.sqlExpr("struct(*)")).as("x")).head
+    val fr = docs
+      .select(expr(graft.core.Fingerprint.hashExpr("struct(*)")).as("_fph"))
+      .agg(count(lit(1)).as("n"),
+        expr(graft.core.Fingerprint.aggOfHash("_fph")).as("x")).head
     val fp = s"${System.identityHashCode(docs.sparkSession)}:" +
       (if (fr.getString(1).isEmpty) "empty" else s"${fr.getString(1)}_${fr.getLong(0)}")
     graft.core.DriverMemo.cached(s"maxpair:$fp") {
@@ -579,8 +581,10 @@ object TextOps {
       .select(col("w"), col("c"),
         trim(regexp_replace(col("w"), lit("(.)"), lit("$1 "))).as("repr"))
       .localCheckpoint(false)
-    val fr = words0.agg(count(lit(1)).as("n"),
-      expr(graft.core.Fingerprint.sqlExpr("w, c")).as("x")).head
+    val fr = words0
+      .select(expr(graft.core.Fingerprint.hashExpr("w, c")).as("_fph"))
+      .agg(count(lit(1)).as("n"),
+        expr(graft.core.Fingerprint.aggOfHash("_fph")).as("x")).head
     val fp = s"${System.identityHashCode(docs.sparkSession)}:" +
       (if (fr.getString(1).isEmpty) "empty" else s"${fr.getString(1)}_${fr.getLong(0)}")
     val learned = graft.core.DriverMemo.cached(s"bpe:$fp:$merges") {

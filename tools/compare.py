@@ -2,7 +2,10 @@
 """Local pre-check of SparkEntry oracles: replays oracle_sql.json in DuckDB
 against the same parquet tables and diffs against the Spark parquet dumps.
 Mirrors the driver's compare (sort columns by name, compare values).
-Usage: compare.py <sfDir> <verifyOutDir>
+Usage: compare.py <sfDir> <verifyOutDir> [q1,q2,...]
+The optional third arg restricts the replay to the named queries (exact
+names or qNN prefixes) — pairs with Verify's subset arg for targeted
+iteration without replaying all 242 oracles in DuckDB.
 """
 import sys, json, glob, os
 import duckdb
@@ -11,12 +14,16 @@ import pandas as pd
 import numpy as np
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for f in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(f)[:-8]
     con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
 
 oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+if only is not None:
+    oracles = {k: v for k, v in oracles.items()
+               if k in only or k.split("_")[0] in only}
 fails = 0
 for name in sorted(oracles):
     sql = oracles[name]
