@@ -6,9 +6,25 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // optional 3rd arg: comma-separated query-name filter for local iteration
+    // optional 3rd arg: either a comma-separated query-name filter for
+    // local iteration, or `shard:i/k` — the i-th (0-based) of k
+    // name-sorted slices, for splitting the dump across parallel
+    // invocations if the suite outgrows the driver's gate window. Each
+    // shard writes the FULL oracle_sql.json (idempotent — the shards
+    // share one outDir, and compare.py's subset arg mirrors the split).
+    val shard: Option[(Int, Int)] = args.lift(2)
+      .filter(_.startsWith("shard:")).map { s =>
+        val Array(i, k) = s.stripPrefix("shard:").split("/").map(_.toInt)
+        require(k > 0 && i >= 0 && i < k, s"bad shard spec $s")
+        (i, k)
+      }
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2 && shard.isEmpty) Some(args(2).split(",").toSet)
+      else None
+    val shardNames: Option[Set[String]] = shard.map { case (i, k) =>
+      SparkEntry.queries.keys.toSeq.sorted.zipWithIndex
+        .collect { case (n, j) if j % k == i => n }.toSet
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,7 +35,8 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) =>
+        only.forall(_.contains(name)) && shardNames.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -59,6 +59,53 @@ object Analytics {
       .agg(countDistinct(col(userCol)).as("n_active"))
   }
 
+  /** Kaplan–Meier product-limit survival of user activity lifetimes
+    * (right-censored at the observation cutoff) — the principled
+    * retention curve next to [[retention]]'s cohort grid: a user's
+    * lifetime is last-active-day − first-active-day, users whose last
+    * activity falls ON the corpus's final day are CENSORED (alive at
+    * the data edge), everyone else churned. Per distinct lifetime t:
+    * deaths d_t, censored c_t, at-risk n_t = Σ_{s≥t}(d_s + c_s), and
+    * S(t) = Π_{s≤t}(1 − d_s/n_s). Each factor's log is micro-nat
+    * quantized BEFORE the integer running sum (the q243 LN discipline),
+    * so the curve's state is the exact integer `cum_ln_micro`;
+    * `survival` does one final exp + 6 dp round. An all-deaths tail
+    * (d = n_risk) takes a −10⁶-nat sentinel → survival exactly 0.
+    * Scale: one (user)-keyed aggregation over the events, then
+    * everything runs on the distinct-lifetime domain — bounded by the
+    * corpus's day span, so the unpartitioned running-sum windows are
+    * the documented bounded-domain kind, never user-scale.
+    */
+  def kaplanMeier(ev: DataFrame, tsCol: String = "ts_us",
+                  userCol: String = "user_id"): DataFrame = {
+    val day = expr(s"$tsCol div 86400000000L")
+    val u = ev.groupBy(userCol).agg(min(day).as("d0"), max(day).as("d1"))
+    val cut = u.agg(max(col("d1")).as("cutoff"))
+    val dur = u.crossJoin(broadcast(cut))
+      .select((col("d1") - col("d0")).as("t"),
+        when(col("d1") < col("cutoff"), 1L).otherwise(0L).as("death"))
+    val per = dur.groupBy("t").agg(
+      sum(col("death")).as("d"),
+      sum(lit(1L) - col("death")).as("c"))
+    val w = Window.orderBy("t")
+    val tot = per.agg(sum(col("d") + col("c")).as("n_tot"))
+    val risked = per.crossJoin(broadcast(tot))
+      .withColumn("_cum", coalesce(sum(col("d") + col("c"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_risk", col("n_tot") - col("_cum"))
+    val lnTerm = when(col("d") === 0, lit(0L))
+      .when(col("d") >= col("n_risk"), lit(-1000000000000L))
+      .otherwise(round(log((col("n_risk") - col("d")).cast("double")
+        / col("n_risk").cast("double")) * 1e6, 0).cast("long"))
+    risked.withColumn("_ln", lnTerm)
+      .withColumn("cum_ln_micro", sum(col("_ln")).over(w))
+      .select(col("t").as("t_days"), col("n_risk"),
+        col("d").as("n_deaths"), col("c").as("n_censored"),
+        col("cum_ln_micro"),
+        round(exp(col("cum_ln_micro").cast("double") / 1e6), 6)
+          .as("survival"))
+  }
+
   /** Changelog compaction (CDC "latest state per key"): the newest row
     * per (user, event_type), ties on the timestamp broken by the larger
     * event id — the total order every log-structured table maintenance
@@ -530,6 +577,58 @@ object Analytics {
           .as("classes_below"),
         sum(when(col("dv") < col("l"), col("gn")).otherwise(0L))
           .as("rows_at_risk"))
+  }
+
+  /** t-closeness (Li et al. 2007) of a categorical sensitive attribute
+    * within quasi-identifier classes — the third privacy gate after
+    * [[kAnonymity]] (class size) and [[lDiversity]] (distinct values):
+    * a class can be large AND diverse yet still leak through its
+    * sensitive-value DISTRIBUTION diverging from the corpus's. For a
+    * categorical attribute the EMD under unit ground distance is the
+    * total variation distance ½·Σ_v |p_class(v) − p_corpus(v)|,
+    * computed here as the exact integer numerator
+    * Σ_v |n_cv·N − n_v·gn| over denominator 2·gn·N (decimal(38)
+    * products — no 64-bit overflow at any corpus size; ONE final IEEE
+    * division before the 6 dp round), with absent values materialized
+    * from the class × value grid so the sum runs over the full domain.
+    * Each threshold t = a/b decides violation by pure integer
+    * cross-multiplication (num·b > 2·gn·N·a) — no float knife edge.
+    * Scale shape: two keyed aggregations over the corpus + a
+    * |classes|×|values| grid join (both sides small after
+    * aggregation); nothing row-scale crosses.
+    * Output per threshold: `(t_num, t_den, n_classes, classes_above,
+    * rows_at_risk, max_tvd)`.
+    */
+  def tCloseness(df: DataFrame, quasi: Seq[Column], sensitive: Column,
+                 ts: Seq[(Int, Int)]): DataFrame = {
+    val base = df.select(quasi :+ sensitive.as("_sv"): _*)
+    val qNames = base.columns.dropRight(1).toSeq
+    val dec = "decimal(38,0)"
+    val cls = base.groupBy(qNames.map(col): _*).agg(count(lit(1)).as("gn"))
+    val cv = base.groupBy(qNames.map(col) :+ col("_sv"): _*)
+      .agg(count(lit(1)).as("ncv"))
+    val vTot = base.groupBy("_sv").agg(count(lit(1)).as("nv"))
+    val nTot = base.agg(count(lit(1)).as("nn"))
+    val grid = cls.crossJoin(broadcast(vTot))
+      .join(cv, qNames :+ "_sv", "left").na.fill(0L, Seq("ncv"))
+      .crossJoin(broadcast(nTot))
+    val per = grid.groupBy(qNames.map(col) :+ col("gn") :+ col("nn"): _*)
+      .agg(sum(abs(col("ncv").cast(dec) * col("nn").cast(dec)
+        - col("nv").cast(dec) * col("gn").cast(dec))).as("tnum"))
+    per
+      .select(col("gn"), col("nn"), col("tnum"),
+        explode(array(ts.map { case (a, b) =>
+          struct(lit(a.toLong).as("a"), lit(b.toLong).as("b")) }: _*)).as("t"))
+      .withColumn("_viol",
+        col("tnum") * col("t.b").cast(dec) >
+          col("gn").cast(dec) * col("nn").cast(dec) * lit(2).cast(dec)
+            * col("t.a").cast(dec))
+      .groupBy(col("t.a").as("t_num"), col("t.b").as("t_den"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("_viol"), 1L).otherwise(0L)).as("classes_above"),
+        sum(when(col("_viol"), col("gn")).otherwise(0L)).as("rows_at_risk"),
+        max(round(col("tnum").cast("double")
+          / (lit(2.0) * col("gn") * col("nn")), 6)).as("max_tvd"))
   }
 
   /** Benford first-digit probabilities log10(1 + 1/d), pinned to 12 dp

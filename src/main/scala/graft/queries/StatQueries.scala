@@ -344,6 +344,18 @@ object StatQueries {
           col("lang"), Seq(2, 3, 4))
         .orderBy("l")),
 
+    // t-closeness of the language distribution within the SAME
+    // (source, length-octile) classes — the distribution-level leak
+    // neither q190's class size nor q224's distinct count can see
+    // (a class can be large and 3-diverse yet 95% one language);
+    // exact-integer TVD numerators, integer cross-multiplied
+    // thresholds t ∈ {1/5, 3/10, 1/2}
+    "q244_t_closeness" -> ((s, d) =>
+      graft.analytics.Analytics.tCloseness(docs(s, d),
+          Seq(col("source"), expr("n_chars div 8").as("len8")),
+          col("lang"), Seq((1, 5), (3, 10), (1, 2)))
+        .orderBy(col("t_num").cast("double") / col("t_den"))),
+
     // IDF-weighted exact Jaccard next to the unweighted score on the
     // sweep universe's candidate pairs: boilerplate-discounted
     // similarity — the footer-vs-content separation a flat Jaccard
@@ -1148,6 +1160,43 @@ object StatQueries {
                       / CAST(SUM(CASE WHEN keep THEN n_docs ELSE 0 END)
                              AS DOUBLE), 6) AS mean_weighted
          FROM j GROUP BY grp ORDER BY grp""",
+
+    "q244_t_closeness" ->
+      """WITH b AS (
+           SELECT source, n_chars // 8 AS len8, lang FROM documents),
+         cls AS (SELECT source, len8, COUNT(*) AS gn FROM b GROUP BY 1, 2),
+         cv AS (SELECT source, len8, lang, COUNT(*) AS ncv
+                FROM b GROUP BY 1, 2, 3),
+         vt AS (SELECT lang, COUNT(*) AS nv FROM b GROUP BY 1),
+         nt AS (SELECT COUNT(*) AS nn FROM b),
+         grid AS (
+           SELECT c.source, c.len8, c.gn, v.lang, v.nv,
+                  COALESCE(cv.ncv, 0) AS ncv, nt.nn
+           FROM cls c CROSS JOIN vt v
+           LEFT JOIN cv ON cv.source = c.source AND cv.len8 = c.len8
+                       AND cv.lang = v.lang
+           CROSS JOIN nt),
+         per AS (
+           SELECT source, len8, gn, nn,
+                  SUM(ABS(CAST(ncv AS HUGEINT) * nn
+                          - CAST(nv AS HUGEINT) * gn)) AS tnum
+           FROM grid GROUP BY 1, 2, 3, 4),
+         thr(a, b) AS (VALUES (1, 5), (3, 10), (1, 2)),
+         j AS (
+           SELECT thr.a, thr.b, per.gn, per.nn, per.tnum,
+                  CAST(per.tnum AS HUGEINT) * thr.b
+                    > CAST(2 AS HUGEINT) * per.gn * per.nn * thr.a AS viol
+           FROM per CROSS JOIN thr)
+         SELECT CAST(a AS BIGINT) AS t_num, CAST(b AS BIGINT) AS t_den,
+                COUNT(*) AS n_classes,
+                CAST(SUM(CASE WHEN viol THEN 1 ELSE 0 END) AS BIGINT)
+                  AS classes_above,
+                CAST(SUM(CASE WHEN viol THEN gn ELSE 0 END) AS BIGINT)
+                  AS rows_at_risk,
+                MAX(ROUND(CAST(tnum AS DOUBLE) / (2.0 * gn * nn), 6))
+                  AS max_tvd
+         FROM j GROUP BY a, b
+         ORDER BY CAST(a AS DOUBLE) / b""",
 
     "q224_l_diversity" ->
       """WITH g AS (

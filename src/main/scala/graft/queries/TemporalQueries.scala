@@ -111,6 +111,14 @@ object TemporalQueries {
       graft.analytics.Analytics.retention(ev(s, d), 604800000000L)
         .orderBy("cohort", "offset")),
 
+    // Kaplan–Meier survival of user activity lifetimes, right-censored
+    // at the corpus's final day — the churn curve q99's cohort grid
+    // approximates; exact integer death/at-risk counts, micro-nat
+    // product-limit state, one final exp
+    "q246_kaplan_meier" -> ((s, d) =>
+      graft.analytics.Analytics.kaplanMeier(ev(s, d))
+        .orderBy("t_days")),
+
     // count-min frequency sketch over word bigrams: 4×256 counters —
     // deliberately under-sized vs the 916-bigram domain so one-sided
     // collision inflation is exercised, and the md5-derived estimate
@@ -560,6 +568,43 @@ object TemporalQueries {
                 COUNT(DISTINCT user_id) AS n_active
          FROM a JOIN f USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q246_kaplan_meier" ->
+      """WITH e AS (
+           SELECT user_id, EPOCH_US(ts) // 86400000000 AS day FROM events),
+         u AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+               FROM e GROUP BY 1),
+         cut AS (SELECT MAX(d1) AS cutoff FROM u),
+         dur AS (
+           SELECT d1 - d0 AS t,
+                  CASE WHEN d1 < cut.cutoff THEN 1 ELSE 0 END AS death
+           FROM u CROSS JOIN cut),
+         per AS (
+           SELECT t, CAST(SUM(death) AS BIGINT) AS d,
+                  CAST(SUM(1 - death) AS BIGINT) AS c
+           FROM dur GROUP BY 1),
+         tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n_tot FROM per),
+         rk AS (
+           SELECT per.t, per.d, per.c,
+                  CAST(tot.n_tot - COALESCE(SUM(d + c) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_risk
+           FROM per CROSS JOIN tot),
+         ln AS (
+           SELECT *, CASE WHEN d = 0 THEN 0
+                          WHEN d >= n_risk THEN -1000000000000
+                          ELSE CAST(ROUND(LN(CAST(n_risk - d AS DOUBLE)
+                            / n_risk) * 1000000) AS BIGINT) END AS lnt
+           FROM rk),
+         km AS (
+           SELECT t, n_risk, d, c,
+                  CAST(SUM(lnt) OVER (ORDER BY t) AS BIGINT) AS cum_ln_micro
+           FROM ln)
+         SELECT t AS t_days, n_risk, d AS n_deaths, c AS n_censored,
+                cum_ln_micro,
+                ROUND(EXP(CAST(cum_ln_micro AS DOUBLE) / 1000000.0), 6)
+                  AS survival
+         FROM km ORDER BY t_days""",
 
     "q100_count_min" ->
       """WITH t AS (

@@ -473,6 +473,47 @@ object TrainingQueries {
         sum(col("h1")).as("n_hit_at_1"))
     }),
 
+    // Maximal Marginal Relevance re-ranking (Carbonell 1998) of each
+    // capped-sample query's exact cosine top-10, λ = 7/10, select 5 —
+    // the diversity-vs-relevance pass between retrieval and the
+    // context window. Integer micro relevances/similarities, integer
+    // step scores (7·rel − 3·maxsim), one final division — the greedy
+    // pick order replays engine-exactly through 5 unrolled oracle
+    // stages (the q154 BPE discipline)
+    "q245_mmr_rerank" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val vecs = embs(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val q = Sample.capped(vecs, "vec_id")
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val cand = vecs.select(col("vec_id").as("dst"), col("v").as("cv"))
+        .crossJoin(broadcast(q)).filter(col("qid") =!= col("dst"))
+        .select(col("qid"), col("dst"), col("cv"),
+          round(graft.sim.Similarity.cosine(col("qv"), col("cv")), 6)
+            .as("cos"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("dst"))))
+        .filter(col("rn") <= 10)
+        .select(col("qid"), col("dst"),
+          round(col("cos") * 1e6, 0).cast("long").as("rel"), col("cv"))
+        .localCheckpoint()
+      val sims = cand.select(col("qid"), col("dst").as("a"), col("cv").as("va"))
+        .join(cand.select(col("qid"), col("dst").as("b"), col("cv").as("vb")),
+          Seq("qid"))
+        .filter(col("a") =!= col("b"))
+        .select(col("qid"), col("a"), col("b"),
+          round(round(graft.sim.Similarity.cosine(col("va"), col("vb")), 6)
+            * 1e6, 0).cast("long").as("sim"))
+      // the report stays on the INTEGER λ-scaled micros (unit 1e-7):
+      // step scores can end in ...5 at the 6 dp boundary, where the
+      // engines' double-rounding conventions differ — so no division
+      graft.sim.Similarity.mmrRerank(cand.select("qid", "dst", "rel"),
+          sims, 7, 10, 5)
+        .select(col("qid"), col("rn"), col("dst"),
+          col("score").as("mmr_micro"))
+        .orderBy("qid", "rn")
+    }),
+
     // DSIR data selection (Xie 2023): hashed-bigram importance weights
     // of every document against the English-target multinomial, with
     // the deterministic top-1/5 cut — the published
@@ -825,8 +866,78 @@ object TrainingQueries {
   FROM comp c JOIN szs z USING (group_id) ORDER BY c.vec_id"""
   }
 
+  /** q245's replay: exact cosine top-10 per capped-sample query, then
+    * the 5 greedy MMR selection steps unrolled as CTE stages — each
+    * step joins the remaining candidates against the selected set,
+    * integer-scores 7·rel − 3·max(sim), and picks by (score desc, dst).
+    */
+  private def q245OracleSql: String = {
+    def cos(a: String, b: String) =
+      s"LIST_DOT_PRODUCT($a, $b) / (SQRT(LIST_DOT_PRODUCT($a, $a))" +
+        s" * SQRT(LIST_DOT_PRODUCT($b, $b)))"
+    val steps = (2 to 5).map { i =>
+      s""",
+  sc_$i AS (
+    SELECT r.qid, r.dst, r.rel,
+           7 * r.rel - 3 * MAX(sm.sim) AS score
+    FROM rem_${i - 1} r
+    JOIN sel_all_${i - 1} s ON s.qid = r.qid
+    JOIN sims sm ON sm.qid = r.qid AND sm.ca = r.dst AND sm.cb = s.dst
+    GROUP BY r.qid, r.dst, r.rel),
+  sel_$i AS (
+    SELECT qid, dst, score, $i AS rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        ORDER BY score DESC, dst) AS rr FROM sc_$i)
+    WHERE rr = 1),
+  sel_all_$i AS (
+    SELECT qid, dst FROM sel_all_${i - 1}
+    UNION ALL SELECT qid, dst FROM sel_$i),
+  rem_$i AS (
+    SELECT r.* FROM rem_${i - 1} r
+    LEFT JOIN sel_$i s ON s.qid = r.qid AND s.dst = r.dst
+    WHERE s.dst IS NULL)"""
+    }.mkString
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+  p AS (
+    SELECT q.vec_id AS qid, c.vec_id AS dst,
+           ROUND(${cos("q.e", "c.e")}, 6) AS cos
+    FROM v q CROSS JOIN v c
+    WHERE ${qsIn("q.vec_id")} AND q.vec_id != c.vec_id),
+  cand AS MATERIALIZED (
+    SELECT qid, dst, CAST(ROUND(cos * 1000000) AS BIGINT) AS rel FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        ORDER BY cos DESC, dst) AS rn FROM p)
+    WHERE rn <= 10),
+  sims AS MATERIALIZED (
+    SELECT ca.qid, ca.dst AS ca, cb.dst AS cb,
+           CAST(ROUND(ROUND(${cos("va.e", "vb.e")}, 6) * 1000000) AS BIGINT)
+             AS sim
+    FROM cand ca JOIN cand cb ON ca.qid = cb.qid AND ca.dst != cb.dst
+    JOIN v va ON va.vec_id = ca.dst
+    JOIN v vb ON vb.vec_id = cb.dst),
+  sel_1 AS (
+    SELECT qid, dst, 7 * rel AS score, 1 AS rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        ORDER BY 7 * rel DESC, dst) AS rr FROM cand)
+    WHERE rr = 1),
+  sel_all_1 AS (SELECT qid, dst FROM sel_1),
+  rem_1 AS (
+    SELECT c.* FROM cand c
+    LEFT JOIN sel_1 s ON s.qid = c.qid AND s.dst = c.dst
+    WHERE s.dst IS NULL)$steps,
+  outp AS (SELECT qid, rn, dst, score FROM sel_1
+    ${(2 to 5).map(i =>
+      s"UNION ALL SELECT qid, rn, dst, score FROM sel_$i")
+      .mkString("\n    ")})
+  SELECT qid, CAST(rn AS INT) AS rn, dst,
+         CAST(score AS BIGINT) AS mmr_micro
+  FROM outp ORDER BY qid, rn"""
+  }
+
   val oracle: Map[String, String] = Map(
     "q83_semdedup" -> q83OracleSql,
+
+    "q245_mmr_rerank" -> q245OracleSql,
 
     "q125_ann_recall" ->
       s"""WITH $annChainSql,

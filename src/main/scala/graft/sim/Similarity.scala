@@ -476,6 +476,57 @@ object Similarity {
           .as("rrf_score"))
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    * — the diversity-vs-relevance selection every RAG retrieval layer
+    * runs between the index and the context window: greedily pick the
+    * candidate maximizing λ·rel(q, j) − (1−λ)·max_{s∈S} sim(j, s),
+    * where S is the already-selected set. Exact rational: relevances
+    * and similarities arrive as integer micros, λ = lamNum/lamDen, so
+    * each step's score is the INTEGER lamNum·rel − (lamDen−lamNum)·ms
+    * and the pick order has no float knife edge (score desc, dst asc);
+    * the reported score does one final division. Shape: `k` bounded
+    * rounds, each a (qid)-keyed join of the remaining candidates
+    * against the ≤k selected rows and a per-qid top-1 over ≤depth
+    * candidates — everything is candidate-scale (n_queries·depth), the
+    * corpus is never touched. Step 1 is pure relevance (empty S —
+    * max-sim term is 0 by convention).
+    *
+    * `cand (qid, dst, rel)` — per-query candidate list (rel integer
+    * micros); `sims (qid, a, b, sim)` — DIRECTIONAL candidate-pair
+    * similarities covering every ordered pair with a ≠ b (integer
+    * micros). Returns `(qid, rn, dst, score)` with rn = selection
+    * order 1..k and score the integer λ-scaled micros.
+    */
+  def mmrRerank(cand: DataFrame, sims: DataFrame,
+                lamNum: Long, lamDen: Long, k: Int): DataFrame = {
+    val c0 = cand.select(col("qid"), col("dst"), col("rel")).localCheckpoint()
+    val s0 = sims.select(col("qid"), col("a"), col("b"), col("sim"))
+      .localCheckpoint()
+    val w = Window.partitionBy("qid").orderBy(col("_s").desc, col("dst"))
+    var selAll = c0.withColumn("_s", col("rel") * lamNum)
+      .withColumn("_r", row_number().over(w)).filter(col("_r") === 1)
+      .select(col("qid"), col("dst"), col("_s").as("score"),
+        lit(1).as("rn"))
+      .localCheckpoint()
+    var rem = c0.join(selAll.select("qid", "dst"), Seq("qid", "dst"),
+      "left_anti").localCheckpoint()
+    for (i <- 2 to k) {
+      val pick = rem
+        .join(selAll.select(col("qid"), col("dst").as("b")), Seq("qid"))
+        .join(s0.withColumnRenamed("a", "dst"), Seq("qid", "dst", "b"))
+        .groupBy("qid", "dst", "rel").agg(max(col("sim")).as("_ms"))
+        .withColumn("_s",
+          col("rel") * lamNum - col("_ms") * (lamDen - lamNum))
+        .withColumn("_r", row_number().over(w)).filter(col("_r") === 1)
+        .select(col("qid"), col("dst"), col("_s").as("score"),
+          lit(i).as("rn"))
+      selAll = selAll.unionByName(pick).localCheckpoint()
+      rem = rem.join(pick.select("qid", "dst"), Seq("qid", "dst"),
+        "left_anti").localCheckpoint()
+    }
+    selAll
+  }
+
   /** Per-dimension embedding QC report — the sanity pass an indexing
     * pipeline runs BEFORE building ANN structures on a new embedding
     * drop: per dim, the count, exact min/max (integer micros), mean and

@@ -82,6 +82,56 @@ class AuditSpec extends SparkSpec {
       (10L, 3L, 3L, 8L)))
   }
 
+  test("tCloseness: hand-computed TVD, integer thresholds, absent-value grid") {
+    // global: 6×x, 2×y (N=8). class A = 3×x → p=(1,0), TVD = ½(¼+¼) = 0.25
+    // (the absent y contributes — the grid materializes it); class B =
+    // 3×x,2×y → p=(.6,.4), TVD = ½(.15+.15) = 0.15
+    val df = (Seq.fill(3)(("A", "x")) ++ Seq.fill(3)(("B", "x"))
+      ++ Seq.fill(2)(("B", "y"))).toDF("cls", "sv")
+    val out = graft.analytics.Analytics.tCloseness(df, Seq(col("cls")),
+        col("sv"), Seq((1, 10), (1, 5), (1, 2)))
+      .orderBy(col("t_num").cast("double") / col("t_den")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      (1L, 10L, 2L, 2L, 8L, 0.25),  // t=0.1: both classes above
+      (1L, 5L, 2L, 1L, 3L, 0.25),   // t=0.2: only A (0.25 > 0.2 > 0.15)
+      (1L, 2L, 2L, 0L, 0L, 0.25)))  // t=0.5: none
+  }
+
+  test("mmrRerank: diversity beats relevance at step 2; integer scores") {
+    // candidates a(rel 100) b(90) c(80); b is near-duplicate of a
+    // (sim 95), c is far from both (sim 10). λ=7/10, k=2:
+    // step 1 → a (7·100 = 700); step 2 → c: 7·80 − 3·10 = 530 beats
+    // b: 7·90 − 3·95 = 345 — the whole point of MMR
+    val cand = Seq((1L, 10L, 100L), (1L, 11L, 90L), (1L, 12L, 80L))
+      .toDF("qid", "dst", "rel")
+    val sims = Seq(
+      (1L, 10L, 11L, 95L), (1L, 11L, 10L, 95L),
+      (1L, 10L, 12L, 10L), (1L, 12L, 10L, 10L),
+      (1L, 11L, 12L, 10L), (1L, 12L, 11L, 10L)
+    ).toDF("qid", "a", "b", "sim")
+    val out = graft.sim.Similarity.mmrRerank(cand, sims, 7, 10, 2)
+      .orderBy("rn").collect()
+      .map(r => (r.getAs[Int]("rn"), r.getAs[Long]("dst"),
+        r.getAs[Long]("score")))
+    assert(out.toSeq == Seq((1, 10L, 700L), (2, 12L, 530L)))
+  }
+
+  test("mmrRerank: equal step scores tie-break on dst ascending") {
+    // b and c tie at step 2 (same rel, same sim to a) → lower dst wins
+    val cand = Seq((1L, 5L, 100L), (1L, 9L, 80L), (1L, 7L, 80L))
+      .toDF("qid", "dst", "rel")
+    val sims = Seq(
+      (1L, 5L, 9L, 20L), (1L, 9L, 5L, 20L),
+      (1L, 5L, 7L, 20L), (1L, 7L, 5L, 20L),
+      (1L, 7L, 9L, 90L), (1L, 9L, 7L, 90L)
+    ).toDF("qid", "a", "b", "sim")
+    val out = graft.sim.Similarity.mmrRerank(cand, sims, 7, 10, 2)
+      .orderBy("rn").collect().map(r => r.getAs[Long]("dst"))
+    assert(out.toSeq == Seq(5L, 7L))
+  }
+
   test("funnelWithin: late step lands outside the window and does not count") {
     val h = 3600000000L // 1h in µs
     val ev = Seq(

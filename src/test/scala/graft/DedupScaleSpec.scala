@@ -30,9 +30,14 @@ import org.apache.spark.sql.functions._
 class DedupScaleSpec extends SparkSpec {
   import spark.implicits._
 
+  // GRAFT_SCALE_MULT doubles/quadruples the corpus for one-off slope
+  // measurements (PERF.md scale rows); every assertion below is
+  // expressed relative to these vals, so the gate semantics scale with
+  // the corpus. Default 1 = the committed 100k-doc gate.
+  private val mult = sys.env.getOrElse("GRAFT_SCALE_MULT", "1").toInt
   private val nTopics = 10
-  private val topicSize = 9000L
-  private val nFamilies = 2000L
+  private val topicSize = 9000L * mult
+  private val nFamilies = 2000L * mult
   private val famSize = 5L
   private val dims = 64
   private val nBackground = nTopics * topicSize // 90,000

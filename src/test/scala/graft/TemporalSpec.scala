@@ -14,6 +14,51 @@ import graft.text.TextOps
 class TemporalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("kaplanMeier: hand-computed at-risk/death table and product-limit curve") {
+    val dayUs = 86400000000L
+    // lifetimes (last − first day), censor = last activity ON the
+    // cutoff day (10): u1 t=2 death, u2 t=10 censored, u3 t=2 death,
+    // u4 t=5 censored, u5 t=5 death
+    val ev = Seq(
+      (1L, 0L), (1L, 2L),
+      (2L, 0L), (2L, 10L),
+      (3L, 1L), (3L, 3L),
+      (4L, 5L), (4L, 10L),
+      (5L, 0L), (5L, 5L)
+    ).toDF("user_id", "day")
+      .select(col("user_id"), (col("day") * dayUs + 7L).as("ts_us"))
+    val out = graft.analytics.Analytics.kaplanMeier(ev)
+      .orderBy("t_days").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(5)))
+    // S(2) = 1 − 2/5 = 0.6; S(5) = 0.6 · (1 − 1/3) = 0.4; S(10)
+    // unchanged (no deaths — the censored tail moves nothing)
+    assert(out.map(t => (t._1, t._2, t._3, t._4)).toSeq ==
+      Seq((2L, 5L, 2L, 0L), (5L, 3L, 1L, 1L), (10L, 1L, 0L, 1L)))
+    assert(approx(out(0)._5, 0.6, 1e-5))
+    assert(approx(out(1)._5, 0.4, 1e-5))
+    assert(approx(out(2)._5, 0.4, 1e-5))
+  }
+
+  test("kaplanMeier: all-deaths tail drives survival to exactly zero") {
+    val dayUs = 86400000000L
+    // cutoff = 9 (u3); u1/u2 die at t=4 — at t=4 they are the only two
+    // at risk... n_risk(4)=2, d=2 → sentinel → S(4) = 0
+    val ev = Seq(
+      (1L, 0L), (1L, 4L),
+      (2L, 1L), (2L, 5L),
+      (3L, 9L), (3L, 9L)
+    ).toDF("user_id", "day")
+      .select(col("user_id"), (col("day") * dayUs).as("ts_us"))
+    val out = graft.analytics.Analytics.kaplanMeier(ev)
+      .orderBy("t_days").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    // t=0: the censored u3 (lifetime 0); t=4: both deaths, n_risk 2
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((0L, 3L, 0L), (4L, 2L, 2L)))
+    assert(out(0)._4 == 1.0 && out(1)._4 == 0.0)
+  }
+
   test("asofJoin: latest right row at-or-before each left ts; ties visible") {
     val left = Seq( // (event_id, user_id, ts)
       (100L, 1L, 10L), (101L, 1L, 25L), (102L, 1L, 5L),
