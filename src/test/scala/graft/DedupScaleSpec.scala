@@ -35,6 +35,24 @@ class DedupScaleSpec extends SparkSpec {
   // expressed relative to these vals, so the gate semantics scale with
   // the corpus. Default 1 = the committed 100k-doc gate.
   private val mult = sys.env.getOrElse("GRAFT_SCALE_MULT", "1").toInt
+
+  // Shuffle partitions must scale with the data (the 100 TB rule this
+  // suite exists to check): the shared test session pins 4, which at
+  // mult=2 puts ~2× the candidate-join rows through the same 4
+  // partitions and spills — measured 2.47× wall slope at 2× data
+  // before this change, 1.61× after (651.7 s → 424.6 s; semDeDup
+  // 2.16× → 1.79×). Scoped to this suite and restored, so every other
+  // spec still runs the committed 4-partition config.
+  private var savedPartitions: String = _
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    savedPartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", (4 * mult).toString)
+  }
+  override def afterAll(): Unit = {
+    spark.conf.set("spark.sql.shuffle.partitions", savedPartitions)
+    super.afterAll()
+  }
   private val nTopics = 10
   private val topicSize = 9000L * mult
   private val nFamilies = 2000L * mult
