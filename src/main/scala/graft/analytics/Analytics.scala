@@ -59,6 +59,57 @@ object Analytics {
       .agg(countDistinct(col(userCol)).as("n_active"))
   }
 
+  /** Split-conformal calibration (Vovk 2005 / Papadopoulos 2002) of an
+    * integer nonconformity score — the finite-sample-valid acceptance
+    * threshold a filtering pipeline puts in front of a model score:
+    * with n calibration points, the threshold is the
+    * k = ⌈(n+1)(1−α)⌉-th smallest calibration score, and P(new score ≤
+    * threshold) ≥ 1−α holds with NO distributional assumption. Exact
+    * throughout: k = ((n+1)(b−a) + b − 1) div b for α = a/b (integer),
+    * the order statistic rides the range-partitioned global ordinal
+    * (never a single-partition sort), and the held-out coverage check
+    * reports raw integer counts next to the one final division. When
+    * k > n (α too small for the calibration size) the threshold is the
+    * max calibration score — the standard accept-all degeneracy,
+    * clamped rather than undefined.
+    * Output per α: `(a_num, a_den, n_cal, k, q_score, n_test,
+    * n_covered, coverage)`.
+    */
+  def conformal(df: DataFrame, score: Column, isCal: Column,
+                alphas: Seq[(Int, Int)]): DataFrame = {
+    val base = df.select(score.cast("long").as("s"), isCal.as("_cal"))
+    val cal = base.filter(col("_cal")).select("s")
+    val ord = graft.ops.Windows.globalOrdinal(cal, Seq(col("s")), "_g")
+      .localCheckpoint()
+    val nCal = ord.agg(max(col("_g")).as("n_cal"))
+    val test = base.filter(!col("_cal"))
+      .agg(count(lit(1)).as("n_test")).localCheckpoint()
+    val ks = nCal.select(col("n_cal"),
+      explode(array(alphas.map { case (a, b) =>
+        struct(lit(a.toLong).as("a"), lit(b.toLong).as("b")) }: _*)).as("t"))
+      .select(col("n_cal"), col("t.a").as("a_num"), col("t.b").as("b_den"),
+        least(expr("((n_cal + 1) * (t.b - t.a) + t.b - 1) div t.b"),
+          col("n_cal")).as("k"))
+    // keyed on BOTH halves of α — different alphas can share a numerator
+    val qk = ks.join(ord, ks("k") === ord("_g"))
+      .select(col("a_num"), col("b_den").as("a_den"), col("n_cal"),
+        col("k"), col("s").as("q_score"))
+      .localCheckpoint()
+    val cov = base.filter(!col("_cal")).select("s")
+      .crossJoin(broadcast(qk.select(col("a_num").as("_an"),
+        col("a_den").as("_ad"), col("q_score").as("_q"))))
+      .filter(col("s") <= col("_q"))
+      .groupBy(col("_an").as("a_num"), col("_ad").as("a_den"))
+      .agg(count(lit(1)).as("n_covered"))
+    qk.crossJoin(broadcast(test))
+      .join(cov, Seq("a_num", "a_den"), "left")
+      .na.fill(0L, Seq("n_covered"))
+      .select(col("a_num"), col("a_den"), col("n_cal"), col("k"),
+        col("q_score"), col("n_test"), col("n_covered"),
+        round(col("n_covered").cast("double")
+          / col("n_test").cast("double"), 6).as("coverage"))
+  }
+
   /** Kaplan–Meier product-limit survival of user activity lifetimes
     * (right-censored at the observation cutoff) — the principled
     * retention curve next to [[retention]]'s cohort grid: a user's

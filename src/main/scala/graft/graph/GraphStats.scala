@@ -267,6 +267,52 @@ object GraphStats {
             * col("m_edges").cast(d38)).cast("double"), 6).as("modularity"))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) on a DIRECTED bipartite
+    * edge list `(src, dst)` — the mutual-reinforcement ranking
+    * PageRank's single score can't express: a hub is good because it
+    * points at good authorities and vice versa. Same exact-integer
+    * discipline as [[pageRank]]: scores live in pico-units (Σ = 10¹²
+    * after each normalization), the per-iteration normalization is
+    * (raw·10¹²) div Σraw with decimal(38) products (HUGEINT in the
+    * oracle — positive values, so truncating and flooring division
+    * agree), so every iteration replays engine-exactly with no float
+    * drift and no L2 norm. Each iteration is two keyed aggregations +
+    * one 1-row broadcast; the edge list shuffles once per direction.
+    * Returns `(side 'hub'|'authority', id, score_scaled)` for ALL
+    * nodes; callers cut top-n.
+    */
+  def hits(edges0: DataFrame, iters: Int = 3): DataFrame = {
+    val e = edges0.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct().localCheckpoint()
+    def normalized(raw: DataFrame, idCol: String): DataFrame = {
+      val s = raw.agg(sum(col("raw").cast("decimal(38,0)")).as("_s"))
+      raw.crossJoin(broadcast(s))
+        .select(col(idCol),
+          expr("(CAST(raw AS DECIMAL(38,0)) * 1000000000000) div _s")
+            .as("score"))
+    }
+    var h = e.select(col("src")).distinct()
+      .select(col("src"), lit(1000000000000L).as("score"))
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      // decimal sums: a hot node's raw score is Σ over its edges of
+      // ≤10¹² values — a long would overflow past ~10⁷ in-edges
+      a = normalized(
+        e.join(h, Seq("src"))
+          .groupBy("dst")
+          .agg(sum(col("score").cast("decimal(38,0)")).as("raw")), "dst")
+      a = graft.core.Lineage.reset(a)
+      h = normalized(
+        e.join(a, Seq("dst"))
+          .groupBy("src")
+          .agg(sum(col("score").cast("decimal(38,0)")).as("raw")), "src")
+      h = graft.core.Lineage.reset(h)
+    }
+    h.select(lit("hub").as("side"), col("src").as("id"), col("score"))
+      .unionByName(a.select(lit("authority").as("side"),
+        col("dst").as("id"), col("score")))
+  }
+
   def pageRank(edges0: DataFrame, iters: Int = 8): DataFrame = {
     val e = edges0.select(col("ida").cast("long").as("ida"),
       col("idb").cast("long").as("idb"))

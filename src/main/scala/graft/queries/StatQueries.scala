@@ -344,6 +344,42 @@ object StatQueries {
           col("lang"), Seq(2, 3, 4))
         .orderBy("l")),
 
+    // split-conformal calibration of the chars-per-token score (×1000
+    // integer): even-doc_id calibration half sets the finite-sample
+    // ⌈(n+1)(1−α)⌉-threshold, odd half reports held-out coverage —
+    // the distribution-free acceptance gate in front of any filter
+    // score; exact integer rank selection on the global ordinal
+    "q247_conformal" -> ((s, d) => {
+      val base = docs(s, d).select(
+        expr("(CAST(n_chars AS BIGINT) * 1000)" +
+          " div CAST(size(split(text, '\\\\s+')) AS BIGINT)").as("sc"),
+        (col("doc_id") % 2 === 0).as("cal"))
+      graft.analytics.Analytics.conformal(base, col("sc"), col("cal"),
+          Seq((1, 10), (1, 20)))
+        .orderBy("a_den")
+    }),
+
+    // HITS hubs & authorities on the order→part bipartite graph —
+    // mutual-reinforcement ranking (a big order of popular parts is a
+    // hub; a part bought by big orders is an authority), 3 exact
+    // pico-integer iterations, top-25 per side via salted two-phase
+    // top-n (phase 1 per (side, id%32) salt, phase 2 over survivors)
+    "q248_hits" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.t(s, d, "lineitem").select(
+        col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+      val hx = GraphStats.hits(e, iters = 3)
+      val phase1 = graft.ops.Windows.topKPerGroup(
+          hx.withColumn("_salt", col("id") % 32)
+            .withColumn("_g", concat(col("side"), lit(":"), col("_salt"))),
+          "_g", 25, Seq(col("score").desc, col("id")))
+        .drop("rn", "_g", "_salt")
+      graft.ops.Windows.topKPerGroup(phase1, "side", 25,
+          Seq(col("score").desc, col("id")))
+        .select(col("side"), col("rn"), col("id"), col("score"))
+        .orderBy("side", "rn")
+    }),
+
     // t-closeness of the language distribution within the SAME
     // (source, length-octile) classes — the distribution-level leak
     // neither q190's class size nor q224's distinct count can see
@@ -554,6 +590,42 @@ object StatQueries {
   /** q205's replay: `iters` unrolled share-and-reseat stages, all
     * integer (`//` and Spark's `div` agree on positive operands).
     */
+  /** q248's replay: 3 HITS iterations unrolled — per iteration, the
+    * authority pull (h summed over in-edges), pico-integer sum
+    * normalization (raw·10¹² // Σraw, HUGEINT — positive, so // and
+    * Spark's truncating div agree), then the hub pull on the fresh
+    * authorities; global top-25 per side (the engine's salted
+    * two-phase top-n selects the identical set).
+    */
+  private def q248OracleSql: String = {
+    val iters = (1 to 3).map { i =>
+      val hp = if (i == 1) "h0" else s"h_${i - 1}"
+      s""",
+  ar_$i AS (SELECT e.dst, SUM($hp.score) AS raw
+            FROM e JOIN $hp USING (src) GROUP BY e.dst),
+  a_$i AS (SELECT dst, CAST(raw AS HUGEINT) * 1000000000000
+             // (SELECT SUM(raw) FROM ar_$i) AS score FROM ar_$i),
+  hr_$i AS (SELECT e.src, SUM(a_$i.score) AS raw
+            FROM e JOIN a_$i USING (dst) GROUP BY e.src),
+  h_$i AS (SELECT src, CAST(raw AS HUGEINT) * 1000000000000
+             // (SELECT SUM(raw) FROM hr_$i) AS score FROM hr_$i)"""
+    }.mkString
+    s"""WITH e AS (
+    SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM lineitem),
+  h0 AS (SELECT DISTINCT src, CAST(1000000000000 AS HUGEINT) AS score
+         FROM e)$iters,
+  nodes AS (
+    SELECT 'hub' AS side, src AS id, score FROM h_3
+    UNION ALL SELECT 'authority', dst, score FROM a_3),
+  rk AS (
+    SELECT side, id, score,
+           ROW_NUMBER() OVER (PARTITION BY side
+             ORDER BY score DESC, id) AS rn
+    FROM nodes)
+  SELECT side, CAST(rn AS INT) AS rn, id, CAST(score AS BIGINT) AS score
+  FROM rk WHERE rn <= 25 ORDER BY side, rn"""
+  }
+
   private def pageRankSql(iters: Int): String = {
     val stages = (1 to iters).map { i =>
       s"""r$i AS (
@@ -1160,6 +1232,41 @@ object StatQueries {
                       / CAST(SUM(CASE WHEN keep THEN n_docs ELSE 0 END)
                              AS DOUBLE), 6) AS mean_weighted
          FROM j GROUP BY grp ORDER BY grp""",
+
+    "q247_conformal" ->
+      """WITH b AS (
+           SELECT (CAST(n_chars AS BIGINT) * 1000)
+                    // LEN(REGEXP_SPLIT_TO_ARRAY(text, '\s+')) AS sc,
+                  doc_id % 2 = 0 AS cal
+           FROM documents),
+         c AS (SELECT sc, ROW_NUMBER() OVER (ORDER BY sc) AS g
+               FROM b WHERE cal),
+         n AS (SELECT MAX(g) AS n_cal FROM c),
+         al(a, bb) AS (VALUES (1, 10), (1, 20)),
+         ks AS (
+           SELECT n.n_cal, al.a, al.bb,
+                  LEAST(((n.n_cal + 1) * (al.bb - al.a) + al.bb - 1)
+                    // al.bb, n.n_cal) AS k
+           FROM n CROSS JOIN al),
+         q AS (
+           SELECT ks.a, ks.bb, ks.n_cal, ks.k, c.sc AS q_score
+           FROM ks JOIN c ON c.g = ks.k),
+         t AS (SELECT COUNT(*) AS n_test FROM b WHERE NOT cal),
+         cov AS (
+           SELECT q.a, q.bb, COUNT(*) AS n_covered
+           FROM b JOIN q ON NOT b.cal AND b.sc <= q.q_score
+           GROUP BY q.a, q.bb)
+         SELECT CAST(q.a AS BIGINT) AS a_num, CAST(q.bb AS BIGINT) AS a_den,
+                CAST(q.n_cal AS BIGINT) AS n_cal, CAST(q.k AS BIGINT) AS k,
+                q.q_score,
+                t.n_test, COALESCE(cov.n_covered, 0) AS n_covered,
+                ROUND(CAST(COALESCE(cov.n_covered, 0) AS DOUBLE)
+                  / t.n_test, 6) AS coverage
+         FROM q CROSS JOIN t
+         LEFT JOIN cov ON cov.a = q.a AND cov.bb = q.bb
+         ORDER BY a_den""",
+
+    "q248_hits" -> q248OracleSql,
 
     "q244_t_closeness" ->
       """WITH b AS (

@@ -132,6 +132,24 @@ class AuditSpec extends SparkSpec {
     assert(out.toSeq == Seq(5L, 7L))
   }
 
+  test("conformal: exact rank threshold, clamped k, held-out coverage") {
+    // calibration scores 10..100 (n=10), test {5, 15, 95, 105}
+    val df = ((1 to 10).map(i => (i * 10L, true))
+      ++ Seq((5L, false), (15L, false), (95L, false), (105L, false)))
+      .toDF("sc", "cal")
+    val out = graft.analytics.Analytics.conformal(df, col("sc"), col("cal"),
+        Seq((1, 5), (1, 100)))
+      .orderBy("a_den").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getDouble(7)))
+    // α=1/5: k = ⌈11·0.8⌉ = 9 → q = 90; covered {5,15} of 4 → wait:
+    // test ≤ 90 is {5, 15} plus nothing else? 95 > 90, 105 > 90 → 2/4
+    assert(out(0) == (5L, 10L, 9L, 90L, 4L, 2L, 0.5))
+    // α=1/100: k = ⌈11·0.99⌉ = 11 → clamped to n = 10 → q = 100;
+    // covered {5, 15, 95} → 3/4
+    assert(out(1) == (100L, 10L, 10L, 100L, 4L, 3L, 0.75))
+  }
+
   test("funnelWithin: late step lands outside the window and does not count") {
     val h = 3600000000L // 1h in µs
     val ev = Seq(

@@ -10,6 +10,35 @@ import graft.graph.GraphStats
 class GraphStatsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("hits: mutual reinforcement matches an exact BigInt reference") {
+    // bipartite: order 1 → parts {10, 11}, order 2 → part {10}
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
+    val out = GraphStats.hits(e, iters = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // exact integer reference: the same pico-unit recurrence in BigInt
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L))
+    val P = BigInt("1000000000000")
+    var h = Map(1L -> P, 2L -> P)
+    var a = Map.empty[Long, BigInt]
+    for (_ <- 1 to 3) {
+      val ar = edges.groupBy(_._2).map { case (p, es) =>
+        p -> es.map(x => h(x._1)).sum }
+      val sa = ar.values.sum
+      a = ar.map { case (p, r) => p -> r * P / sa }
+      val hr = edges.groupBy(_._1).map { case (o, es) =>
+        o -> es.map(x => a(x._2)).sum }
+      val sh = hr.values.sum
+      h = hr.map { case (o, r) => o -> r * P / sh }
+    }
+    assert(out(("hub", 1L)) == h(1L).toLong && out(("hub", 2L)) == h(2L).toLong)
+    assert(out(("authority", 10L)) == a(10L).toLong
+      && out(("authority", 11L)) == a(11L).toLong)
+    // the mutual-reinforcement ordering: order 1 (two good parts) out-
+    // hubs order 2; part 10 (two buyers) out-ranks part 11
+    assert(out(("hub", 1L)) > out(("hub", 2L)))
+    assert(out(("authority", 10L)) > out(("authority", 11L)))
+  }
+
   test("triangleStats: triangle + pendant gives hand-computed census") {
     // Edges: triangle (1,2),(1,3),(2,3) plus pendant (3,4).
     // Degrees 1:2, 2:2, 3:3, 4:1 → wedges = 1+1+3+0 = 5; triangles = 1;
