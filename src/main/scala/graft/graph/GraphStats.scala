@@ -284,29 +284,44 @@ object GraphStats {
   def hits(edges0: DataFrame, iters: Int = 3): DataFrame = {
     val e = edges0.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct().localCheckpoint()
-    def normalized(raw: DataFrame, idCol: String): DataFrame = {
-      val s = raw.agg(sum(col("raw").cast("decimal(38,0)")).as("_s"))
-      raw.crossJoin(broadcast(s))
-        .select(col(idCol),
-          expr("(CAST(raw AS DECIMAL(38,0)) * 1000000000000) div _s")
-            .as("score"))
+    def normalized(raw0: DataFrame, idCol: String): DataFrame = {
+      // raw feeds BOTH the Σ and the projection: checkpoint it (or the
+      // upstream subtree executes twice per normalization, compounding
+      // 2^(2·iters) across the chain) and ride the Σ on the
+      // checkpoint's OWN materializing pass via Dataset.observe — the
+      // ConnectedComponents fused-checksum discipline — so each
+      // normalization is ONE barrier job, not checkpoint + a separate
+      // scalar-broadcast job. The scalar enters the projection as a
+      // decimal literal; values are identical to a broadcast-join form.
+      val obs = org.apache.spark.sql.Observation()
+      val raw = graft.core.Lineage.reset(raw0.observe(obs,
+        sum(col("raw").cast("decimal(38,0)")).as("s")))
+      val s = obs.get("s").asInstanceOf[java.math.BigDecimal]
+        .toBigInteger.toString
+      raw.select(col(idCol),
+        expr(s"(CAST(raw AS DECIMAL(38,0)) * 1000000000000)" +
+          s" div CAST('$s' AS DECIMAL(38,0))").as("score"))
     }
     var h = e.select(col("src")).distinct()
       .select(col("src"), lit(1000000000000L).as("score"))
     var a: DataFrame = null
     for (_ <- 1 to iters) {
       // decimal sums: a hot node's raw score is Σ over its edges of
-      // ≤10¹² values — a long would overflow past ~10⁷ in-edges
+      // ≤10¹² values — a long would overflow past ~10⁷ in-edges.
+      // The node-score side is broadcast EXPLICITLY: the checkpointed
+      // frames carry no size stats, so Catalyst would otherwise pick a
+      // sort-merge join and re-sort the edge list every iteration
+      // (measured 2× the whole query's wall). Node scores are
+      // |nodes|·16 B; past executor memory the swap-in is a
+      // pre-partitioned shuffle join, not a different algorithm.
       a = normalized(
-        e.join(h, Seq("src"))
+        e.join(broadcast(h), Seq("src"))
           .groupBy("dst")
           .agg(sum(col("score").cast("decimal(38,0)")).as("raw")), "dst")
-      a = graft.core.Lineage.reset(a)
       h = normalized(
-        e.join(a, Seq("dst"))
+        e.join(broadcast(a), Seq("dst"))
           .groupBy("src")
           .agg(sum(col("score").cast("decimal(38,0)")).as("raw")), "src")
-      h = graft.core.Lineage.reset(h)
     }
     h.select(lit("hub").as("side"), col("src").as("id"), col("score"))
       .unionByName(a.select(lit("authority").as("side"),
