@@ -31,7 +31,22 @@ import graft.pipeline._
 class E2eScaleSpec extends SparkSpec {
   import spark.implicits._
 
-  private val nCells = 50000L
+  // GRAFT_SCALE_MULT scales the store for one-off slope measurements
+  // (PERF.md scale rows) — assertions are all val-relative. Shuffle
+  // partitions scale with it too (the DedupScaleSpec spill lesson).
+  private val mult = sys.env.getOrElse("GRAFT_SCALE_MULT", "1").toInt
+  private var savedPartitions: String = _
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    savedPartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", (4 * mult).toString)
+  }
+  override def afterAll(): Unit = {
+    spark.conf.set("spark.sql.shuffle.partitions", savedPartitions)
+    super.afterAll()
+  }
+
+  private val nCells = 50000L * mult
   private val nBlocks = 5
   private val bandWidth = 40 // features per block band; 5 × 40 = 200 total
   private val bandDraws = 30
