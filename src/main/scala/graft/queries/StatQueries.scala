@@ -344,6 +344,23 @@ object StatQueries {
           col("lang"), Seq(2, 3, 4))
         .orderBy("l")),
 
+    // Luhn checksum audit of card-shaped digit runs, per source — the
+    // checksum layer q228's pattern flags lack: planted valid cards
+    // (every 9th doc), checksum-failing near-cards (11th) and a
+    // random 16-digit run (21st) must separate into luhn-valid risk
+    // vs false-positive mass, computed — not assumed — in both engines
+    "q249_luhn_audit" -> ((s, d) =>
+      TextOps.luhnAudit(docs(s, d).select(col("doc_id"), col("source"),
+          concat(col("text"),
+            when(col("doc_id") % 9 === 0,
+              lit(" card 4532015112830366")).otherwise(lit("")),
+            when(col("doc_id") % 11 === 0,
+              lit(" card 4532015112830367")).otherwise(lit("")),
+            when(col("doc_id") % 21 === 0,
+              lit(" ref 1234567890123456")).otherwise(lit(""))).as("text")),
+          col("source"))
+        .withColumnRenamed("grp", "source").orderBy("source")),
+
     // split-conformal calibration of the chars-per-token score (×1000
     // integer): even-doc_id calibration half sets the finite-sample
     // ⌈(n+1)(1−α)⌉-threshold, odd half reports held-out coverage —
@@ -1232,6 +1249,37 @@ object StatQueries {
                       / CAST(SUM(CASE WHEN keep THEN n_docs ELSE 0 END)
                              AS DOUBLE), 6) AS mean_weighted
          FROM j GROUP BY grp ORDER BY grp""",
+
+    "q249_luhn_audit" ->
+      """WITH p AS (
+           SELECT doc_id, source,
+                  text || CASE WHEN doc_id % 9 = 0
+                    THEN ' card 4532015112830366' ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0
+                    THEN ' card 4532015112830367' ELSE '' END
+                       || CASE WHEN doc_id % 21 = 0
+                    THEN ' ref 1234567890123456' ELSE '' END AS text
+           FROM documents),
+         cand AS (
+           SELECT source, doc_id,
+                  UNNEST(REGEXP_EXTRACT_ALL(text, '[0-9]{16}')) AS c
+           FROM p),
+         lv AS (
+           SELECT source, doc_id, c,
+                  LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(c) + 1), i ->
+                    CASE WHEN (LEN(c) - i + 1) % 2 = 0
+                         THEN CASE WHEN CAST(c[i] AS INT) * 2 > 9
+                              THEN CAST(c[i] AS INT) * 2 - 9
+                              ELSE CAST(c[i] AS INT) * 2 END
+                         ELSE CAST(c[i] AS INT) END)) % 10 = 0 AS v
+           FROM cand)
+         SELECT source, COUNT(DISTINCT doc_id) AS n_docs_hit,
+                COUNT(*) AS n_candidates,
+                CAST(SUM(CASE WHEN v THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_luhn_valid,
+                ROUND(CAST(SUM(CASE WHEN v THEN 1 ELSE 0 END) AS DOUBLE)
+                  / COUNT(*), 6) AS valid_share
+         FROM lv GROUP BY source ORDER BY source""",
 
     "q247_conformal" ->
       """WITH b AS (

@@ -2375,6 +2375,45 @@ object TextOps {
           .as("share"))
   }
 
+  /** Luhn checksum validity of an all-digit string column — the
+    * checksum gate that separates a REAL card/account number from a
+    * random digit run ([[piiProfile]]'s pattern flags can't): a
+    * pattern match on 16 digits false-positives on order ids and
+    * timestamps, while a Luhn-valid match is a 1-in-10 accident. Pure
+    * codegen arithmetic (substr + fold), no UDF: from the right, every
+    * second digit doubles (−9 past 9), the sum must divide by 10.
+    */
+  def luhnValid(s: Column): Column = {
+    val L = length(s)
+    val total = aggregate(
+      transform(sequence(lit(1), L), i => {
+        val d = s.substr(i, lit(1)).cast("int")
+        when((L - i + 1) % 2 === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      }),
+      lit(0), (acc, x) => acc + x)
+    total % 10 === 0
+  }
+
+  /** Per-source audit of card-shaped digit runs: candidates = 16-digit
+    * substrings, split into Luhn-valid (the disclosure risk) vs
+    * checksum-failing (order ids, timestamps — the false-positive mass
+    * a redaction pass must NOT burn). Map-only extraction + one keyed
+    * aggregation; output per group: n_docs_hit, n_candidates,
+    * n_luhn_valid, valid_share.
+    */
+  def luhnAudit(docs: DataFrame, group: Column): DataFrame = {
+    val cand = docs.select(group.as("grp"), col("doc_id"),
+        explode(expr("regexp_extract_all(text, '[0-9]{16}', 0)")).as("c"))
+      .withColumn("v", luhnValid(col("c")))
+    cand.groupBy("grp").agg(
+      countDistinct(col("doc_id")).as("n_docs_hit"),
+      count(lit(1)).as("n_candidates"),
+      sum(when(col("v"), 1L).otherwise(0L)).as("n_luhn_valid"),
+      round(sum(when(col("v"), 1L).otherwise(0L)).cast("double")
+        / count(lit(1)).cast("double"), 6).as("valid_share"))
+  }
+
   /** Per-document character-level Shannon entropy — the cheapest
     * repetitive-garbage detector (a doc stuck repeating a few
     * characters scores ≪ the ~3 nats of natural text). The low flag is

@@ -132,6 +132,24 @@ class AuditSpec extends SparkSpec {
     assert(out.toSeq == Seq(5L, 7L))
   }
 
+  test("luhnValid: known vectors, odd length, audit separates plants") {
+    import graft.text.TextOps
+    val df = Seq("4532015112830366", "4532015112830367",
+      "1234567890123456", "79927398713")
+      .toDF("c").withColumn("v", TextOps.luhnValid(col("c")))
+    val got = df.collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got("4532015112830366") && !got("4532015112830367")
+      && !got("1234567890123456") && got("79927398713"))
+    val docs = Seq(
+      (1L, "a", "pay with 4532015112830366 thanks"),
+      (2L, "a", "order 1234567890123456 shipped"),
+      (3L, "b", "no digits here")).toDF("doc_id", "source", "text")
+    val out = TextOps.luhnAudit(docs, col("source")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out == Map("a" -> ((2L, 2L, 1L))))
+  }
+
   test("conformal: exact rank threshold, clamped k, held-out coverage") {
     // calibration scores 10..100 (n=10), test {5, 15, 95, 105}
     val df = ((1 to 10).map(i => (i * 10L, true))
