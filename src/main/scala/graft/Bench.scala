@@ -27,6 +27,14 @@ import org.apache.spark.sql.SparkSession
   *    median total and `value_min` = sum of fastest reps (the
   *    contention floor) — an anchor breach without a contended flag is
   *    a real regression, one with it is a starved box;
+  *  - the record SELF-HEALS: after the suite (post-GC, transient
+  *    pressure gone), every query whose median breaches 2× its
+  *    earliest-green anchor (BENCH_anchors.json) or carries a
+  *    contended flag is re-measured for REPS more reps; the per-query
+  *    record carries `anchor` and `rerun_median` so a breach
+  *    adjudicates from ONE record — the r11 record had a 6-query
+  *    uniformly-pressured window the spread flag could not see, and
+  *    resolving it needed a second full run;
   *  - the driver keeps only the final 2000 bytes of output, and the
   *    per-query map stopped fitting that window at ~130 queries (the
   *    gate recorded `parsed: null` from round 3 on). The printed line
@@ -143,6 +151,44 @@ object Bench {
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     // short key = the qNN prefix (unique across the query set)
     def short(k: String) = k.takeWhile(_ != '_')
+
+    // ---- self-healing pass (round-12 rule): the record adjudicates its
+    // own anomalies instead of needing a second full run. Anchors =
+    // each query's earliest green driver median at this SF
+    // (BENCH_anchors.json, rebuilt by tools/make_anchors.py). After the
+    // suite — post-GC, the box's transient pressure from whichever
+    // query ran beside the victim long gone — every query whose median
+    // breaches 2x its anchor OR carries a contended flag is re-measured
+    // for REPS more reps and the record carries `rerun_median`
+    // alongside. A breach whose rerun lands back at/below the anchor
+    // was contention; one whose rerun confirms it is a real regression.
+    // The r11 record had a 6-query uniformly-pressured window the
+    // spread-based flag could not see — this pass is the fix.
+    val anchorsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_ANCHORS",
+      "BENCH_anchors.json")
+    val anchors: Map[String, Double] = {
+      val f = java.nio.file.Paths.get(anchorsPath).toAbsolutePath
+      if (java.nio.file.Files.exists(f)) {
+        val txt = java.nio.file.Files.readString(f)
+        """"(q\d+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    }
+    val qFns = SparkEntry.queries
+    val healed: Map[String, Double] = {
+      val candidates = results.filter { case (k, med, _, _, _, _, _, cont, _) =>
+        cont || (med.exists(m => anchors.get(short(k)).exists(a => m > 2.0 * a)))
+      }
+      if (candidates.isEmpty) Map.empty
+      else {
+        System.gc()
+        Thread.sleep(2000)
+        candidates.map { case (k, _, _, _, _, _, _, _, _) =>
+          val rr = (1 to REPS).map(_ => once(qFns(k))).filter(_._2).map(_._1).sorted
+          short(k) -> (if (rr.nonEmpty) rr(rr.length / 2) else Double.NaN)
+        }.filter(!_._2.isNaN).toMap
+      }
+    }
     val errs = results.filter(_._4 > 0)
       .map { case (k, _, _, n, _, _, _, _, _) => "\"" + short(k) + "\":" + n }
       .mkString("{", ",", "}")
@@ -157,6 +203,10 @@ object Bench {
     // file record) so a badly starved run cannot blow the 1.5 kB budget
     val contendedShort = contendedAll.take(12).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
+    // compact rerun map for the printed line (full map is in the file)
+    val rerunShort = healed.toSeq.sortBy(_._1).take(12)
+      .map { case (q, v) => "\"" + q + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     // FULL record → repo file (committed with the snapshot): median +
     // every rep + per-rep memo-hit deltas + the cold (rep-1) time for
     // every query — the per-query gate data the printed tail window
@@ -168,6 +218,8 @@ object Bench {
         ",\"cold\":" + cold.map(fmt(_).toString).getOrElse("null") +
         ",\"min\":" + mn.map(fmt(_).toString).getOrElse("null") +
         ",\"contended\":" + cont +
+        ",\"anchor\":" + anchors.get(short(k)).map(fmt(_).toString).getOrElse("null") +
+        ",\"rerun_median\":" + healed.get(short(k)).map(fmt(_).toString).getOrElse("null") +
         ",\"reps\":[" + reps.map(fmt(_)).mkString(",") + "]" +
         ",\"memo_hits\":[" + hits.mkString(",") + "]" +
         ",\"gc_ms\":[" + gcs.mkString(",") + "]}"
@@ -209,7 +261,7 @@ object Bench {
     // tail-window-only record carries the starved-JVM diagnostics.
     // value_min (sum of fastest reps) is the contention floor; the
     // contended list names every query whose reps betray a starved run.
-    println(s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","n":${results.size},"base_reps":$REPS,"slow_reps":$SLOW_REPS,"slow_cutoff":$SLOW_CUTOFF,"heap_mb":$heapMb,"gc_total_ms":${gcMs()},"contended_n":${contendedAll.size},"contended":$contendedShort,"queries":$qs,"reps_slow":$slow,"errors":$errs,"full":"$fullPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","n":${results.size},"base_reps":$REPS,"slow_reps":$SLOW_REPS,"slow_cutoff":$SLOW_CUTOFF,"heap_mb":$heapMb,"gc_total_ms":${gcMs()},"contended_n":${contendedAll.size},"contended":$contendedShort,"rerun_n":${healed.size},"rerun":$rerunShort,"queries":$qs,"reps_slow":$slow,"errors":$errs,"full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -79,11 +79,19 @@ object Analytics {
                 alphas: Seq[(Int, Int)]): DataFrame = {
     val base = df.select(score.cast("long").as("s"), isCal.as("_cal"))
     val cal = base.filter(col("_cal")).select("s")
+    // degenerate inputs fail loudly instead of degrading silently: an
+    // empty calibration set would make max(_g) NULL and the k/q_score
+    // join vanish (an empty result that LOOKS like "no coverage"), and
+    // n_test = 0 would null the coverage division
+    require(!cal.isEmpty,
+      "conformal() requires a nonempty calibration partition (isCal matched no rows)")
     val ord = graft.ops.Windows.globalOrdinal(cal, Seq(col("s")), "_g")
       .localCheckpoint()
     val nCal = ord.agg(max(col("_g")).as("n_cal"))
     val test = base.filter(!col("_cal"))
       .agg(count(lit(1)).as("n_test")).localCheckpoint()
+    require(test.head().getLong(0) > 0,
+      "conformal() requires a nonempty test partition (every row was calibration)")
     val ks = nCal.select(col("n_cal"),
       explode(array(alphas.map { case (a, b) =>
         struct(lit(a.toLong).as("a"), lit(b.toLong).as("b")) }: _*)).as("t"))

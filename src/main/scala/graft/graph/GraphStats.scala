@@ -296,11 +296,18 @@ object GraphStats {
       val obs = org.apache.spark.sql.Observation()
       val raw = graft.core.Lineage.reset(raw0.observe(obs,
         sum(col("raw").cast("decimal(38,0)")).as("s")))
-      val s = obs.get("s").asInstanceOf[java.math.BigDecimal]
-        .toBigInteger.toString
-      raw.select(col(idCol),
-        expr(s"(CAST(raw AS DECIMAL(38,0)) * 1000000000000)" +
-          s" div CAST('$s' AS DECIMAL(38,0))").as("score"))
+      // an empty frame observes a NULL sum and an all-zero one observes
+      // 0 — either would make the div expression NPE/div-by-zero. No
+      // mass to distribute means zero scores (and an empty input frame
+      // stays empty); `div` is LongType, so the guard branch matches.
+      val sBig = Option(obs.get("s").asInstanceOf[java.math.BigDecimal])
+        .map(_.toBigInteger).getOrElse(java.math.BigInteger.ZERO)
+      if (sBig.signum == 0)
+        raw.select(col(idCol), lit(0L).as("score"))
+      else
+        raw.select(col(idCol),
+          expr(s"(CAST(raw AS DECIMAL(38,0)) * 1000000000000)" +
+            s" div CAST('$sBig' AS DECIMAL(38,0))").as("score"))
     }
     var h = e.select(col("src")).distinct()
       .select(col("src"), lit(1000000000000L).as("score"))

@@ -133,21 +133,51 @@ case class DataStore(
 
   /** run_clustering: KMeans over the latent cache (the reference's
     * kmeans seed + graph clustering collapsed to the deterministic part;
-    * `louvain = true` switches to driver-side modularity over the graph).
+    * `louvain = true` switches to modularity clustering over the graph).
+    *
+    * Like [[runParis]]'s sketch gate, the graph path auto-switches
+    * implementations by active-cell count: below `distributedThreshold`
+    * the driver-side solver runs (collects the n·k edge list — the
+    * documented SURVEY §4 driver boundary; measured 2.38× wall per
+    * doubling at 50k→100k cells in E2eScaleSpec), at or above it the
+    * all-DataFrame [[graft.graph.DistributedLouvain.clusterMultiLevel]]
+    * + Leiden-style connectivity [[graft.graph.DistributedLouvain.refine]]
+    * take over (the distributed graph stage measured 1.45×/doubling in
+    * the same run) — no driver graph at any size. `distributed =
+    * Some(...)` overrides the gate either way.
     */
-  def runClustering(n: Int, louvain: Boolean = false, seed: Long = 4466L): DataStore = {
+  def runClustering(n: Int, louvain: Boolean = false, seed: Long = 4466L,
+                    distributed: Option[Boolean] = None,
+                    distributedThreshold: Long = 100000): DataStore = {
     val labels =
-      if (louvain) Cluster.louvain(cache("edges"))
-      else Cluster.kmeans(cache("latent"), n, seed)
+      if (louvain) {
+        val edges = cache("edges")
+        val useDist = distributed.getOrElse(
+          cells.filter(col("I")).count() >= distributedThreshold)
+        if (useDist) {
+          val lv = graft.graph.DistributedLouvain.clusterMultiLevel(edges)
+          graft.graph.DistributedLouvain.refine(edges, lv)
+        } else Cluster.louvain(edges)
+      } else Cluster.kmeans(cache("latent"), n, seed)
     copy(cells = cells.drop("cluster").join(labels, Seq("cell_id"), "left"))
   }
 
-  /** run_umap: driver SGD layout from the smoothed graph. `densLambda`
-    * > 0 enables the densMAP local-radius terms (scarf/umap.py:15-38);
-    * the original-space distances come from the cached KNN frame.
+  /** run_umap: SGD layout from the smoothed graph. `densLambda` > 0
+    * enables the densMAP local-radius terms (scarf/umap.py:15-38); the
+    * original-space distances come from the cached KNN frame.
+    *
+    * Auto-switches by active-cell count like [[runClustering]]: below
+    * `distributedThreshold` the driver SGD runs (sequential per-edge
+    * updates over the collected n·k edge list — measured 2.32× wall per
+    * doubling at 50k→100k cells in E2eScaleSpec), at or above it the
+    * batch-synchronous [[UmapLayout.distributedLayout]] takes over
+    * (joins + aggregations only, no driver state at any graph size).
+    * `distributed = Some(...)` overrides the gate either way.
     */
   def runUmap(nEpochs: Int = 50, seed: Long = 4444L,
-              densLambda: Double = 0.0): DataStore = {
+              densLambda: Double = 0.0,
+              distributed: Option[Boolean] = None,
+              distributedThreshold: Long = 100000): DataStore = {
     val dists =
       if (densLambda > 0) Some(cache("knn").select("src", "dst", "dist"))
       else None
@@ -160,8 +190,14 @@ case class DataStore(
         edges.select(col("src").as("cell_id"))
           .unionByName(edges.select(col("dst").as("cell_id"))).distinct(),
         seed))
-    val um = UmapLayout.layout(edges, init, nEpochs = nEpochs,
-      seed = seed, densLambda = densLambda, dists = dists)
+    val useDist = distributed.getOrElse(
+      cells.filter(col("I")).count() >= distributedThreshold)
+    val um =
+      if (useDist)
+        UmapLayout.distributedLayout(edges, init, nEpochs = nEpochs,
+          seed = seed, densLambda = densLambda, dists = dists)
+      else UmapLayout.layout(edges, init, nEpochs = nEpochs,
+        seed = seed, densLambda = densLambda, dists = dists)
     copy(cells = cells.drop("umap1", "umap2").join(um, Seq("cell_id"), "left"))
   }
 

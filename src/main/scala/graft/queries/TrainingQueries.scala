@@ -405,10 +405,14 @@ object TrainingQueries {
       import org.apache.spark.sql.expressions.Window
       val latent = embs(s, d).select(col("vec_id").as("cell_id"),
         col("embedding").cast("array<double>").as("latent"))
-      val ann = graft.pipeline.Knn.bucketedSelfKnn(latent, 5, rounds = 6)
-        .filter(col("src") % 50 === 0).select("src", "dst")
       val q = cappedQuerySample(latent, "cell_id")
         .select(col("cell_id").as("src"), col("latent").as("va"))
+      // the ANN side shares the SAME capped query set as the exact side
+      // (semi-join, the q242 discipline) — past the QCAP the 1-in-50
+      // filter alone would still evaluate ~n/50 ANN queries whose
+      // results the capped aggregation discards
+      val ann = graft.pipeline.Knn.bucketedSelfKnn(latent, 5, rounds = 6)
+        .join(q.select("src"), Seq("src"), "left_semi").select("src", "dst")
       val ex = latent.select(col("cell_id").as("dst"), col("latent").as("vb"))
         .crossJoin(broadcast(q)).filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst"),
@@ -440,10 +444,13 @@ object TrainingQueries {
       import org.apache.spark.sql.expressions.Window
       val latent = embs(s, d).select(col("vec_id").as("cell_id"),
         col("embedding").cast("array<double>").as("latent"))
-      val ann = graft.pipeline.Knn.bucketedSelfKnn(latent, 5, rounds = 6)
-        .filter(col("src") % 50 === 0).select("src", "dst", "rn")
       val q = cappedQuerySample(latent, "cell_id")
         .select(col("cell_id").as("src"), col("latent").as("va"))
+      // ANN side bounded by the same capped query sample as the exact
+      // side (see q125) — O(QCAP·k), not O(n/50·k), at any scale
+      val ann = graft.pipeline.Knn.bucketedSelfKnn(latent, 5, rounds = 6)
+        .join(q.select("src"), Seq("src"), "left_semi")
+        .select("src", "dst", "rn")
       val ex = latent.select(col("cell_id").as("dst"), col("latent").as("vb"))
         .crossJoin(broadcast(q)).filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst"),

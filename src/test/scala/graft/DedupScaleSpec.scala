@@ -42,7 +42,11 @@ class DedupScaleSpec extends SparkSpec {
   // partitions and spills — measured 2.47× wall slope at 2× data
   // before this change, 1.61× after (651.7 s → 424.6 s; semDeDup
   // 2.16× → 1.79×). Scoped to this suite and restored, so every other
-  // spec still runs the committed 4-partition config.
+  // spec still runs the committed 4-partition config. NOTE: the
+  // override mutates the SHARED session conf — sound only under
+  // ScalaTest's sequential suite execution (this project's committed
+  // config); if parallel suites are ever enabled, scope it per-query
+  // (dedicated session or a withSQLConf-style helper) instead.
   private var savedPartitions: String = _
   override def beforeAll(): Unit = {
     super.beforeAll()

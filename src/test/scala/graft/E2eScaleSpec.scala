@@ -34,6 +34,8 @@ class E2eScaleSpec extends SparkSpec {
   // GRAFT_SCALE_MULT scales the store for one-off slope measurements
   // (PERF.md scale rows) — assertions are all val-relative. Shuffle
   // partitions scale with it too (the DedupScaleSpec spill lesson).
+  // The conf override mutates the SHARED session — sound only under
+  // sequential suite execution (the committed ScalaTest config).
   private val mult = sys.env.getOrElse("GRAFT_SCALE_MULT", "1").toInt
   private var savedPartitions: String = _
   override def beforeAll(): Unit = {
@@ -78,7 +80,7 @@ class E2eScaleSpec extends SparkSpec {
     DataStore(cells, feats, coo)
   }
 
-  test("50k-cell e2e: QC -> HVG -> auto-ANN graph -> Leiden -> UMAP recovers planted blocks") {
+  test("50k-cell e2e: QC -> HVG -> auto-ANN graph -> clustering -> UMAP recovers planted blocks") {
     val t0 = System.nanoTime()
     val graphed = store.withQcStats
       .filterCells(Seq("n_counts"), Seq(1.0), Seq(1e9))
@@ -90,7 +92,7 @@ class E2eScaleSpec extends SparkSpec {
 
     // the auto-decision: 50k > annThreshold means the bucketed ANN built
     // this graph; its output is k-bounded per node by construction —
-    // assert it (n·k is the bound the driver-side Leiden collect relies on)
+    // assert it (n·k is the bound the driver-side solvers rely on)
     assert(nEdges > 0)
     assert(nEdges <= nCells * 8)
     assert(edges.groupBy("src").count().agg(max("count")).head().getLong(0) <= 8)
@@ -98,10 +100,17 @@ class E2eScaleSpec extends SparkSpec {
     val srcN = edges.select("src").distinct().count()
     assert(srcN === nCells)
 
+    // the FACADE call, so the distributed-twin auto-gate itself is under
+    // test: < 100k active cells (mult=1) takes the driver-side solver,
+    // ≥ 100k (mult≥2) switches to DistributedLouvain multi-level +
+    // Leiden-style refine — both paths must recover the plant
+    val distSwitch = nCells >= 100000
     val t1 = System.nanoTime()
-    val labels = graft.pipeline.Cluster.leiden(edges, maxPasses = 5)
-    val clustered = graphed.copy(cells = graphed.cells.drop("cluster")
-      .join(labels, Seq("cell_id"), "left"))
+    val clustered0 = graphed.runClustering(0, louvain = true)
+    // cache + materialize: the stage timing stops here, and the NMI /
+    // UMAP actions below must not re-run the clustering lineage
+    val clustered = clustered0.copy(cells = clustered0.cells.cache())
+    clustered.cells.foreach(_ => ())
     val tLeiden = (System.nanoTime() - t1) / 1e9
 
     // Leiden must recover the plant: NMI(cluster, planted block) high.
@@ -114,9 +123,10 @@ class E2eScaleSpec extends SparkSpec {
     assert(withBlock.count() === nCells)
     val nmi = graft.stats.Pseudobulk
       .ariNmi(withBlock, "cluster", "block").head()
-    System.err.println(f"[e2e-50k] leiden NMI vs plant = ${nmi.getDouble(1)}%.4f")
+    System.err.println(f"[e2e-50k] clustering NMI vs plant = ${nmi.getDouble(1)}%.4f" +
+      s" (path=${if (distSwitch) "distributed" else "driver"})")
     assert(nmi.getDouble(1) > 0.7,
-      s"Leiden NMI vs planted blocks = ${nmi.getDouble(1)}")
+      s"clustering NMI vs planted blocks = ${nmi.getDouble(1)}")
 
     val t2 = System.nanoTime()
     val laid = clustered.runUmap(nEpochs = 5).cells
@@ -127,7 +137,8 @@ class E2eScaleSpec extends SparkSpec {
     assert(nLaid === nCells)
     assert(laid.filter(isnan(col("umap1")) || isnan(col("umap2"))).count() === 0)
     System.err.println(
-      f"[e2e-50k] graph=$tGraph%.1fs leiden=$tLeiden%.1fs umap=$tUmap%.1fs " +
-        f"total=${tGraph + tLeiden + tUmap}%.1fs edges=$nEdges")
+      f"[e2e-50k] graph=$tGraph%.1fs cluster=$tLeiden%.1fs umap=$tUmap%.1fs " +
+        f"total=${tGraph + tLeiden + tUmap}%.1fs edges=$nEdges " +
+        s"path=${if (distSwitch) "distributed" else "driver"}")
   }
 }
