@@ -373,6 +373,20 @@ object TrainingQueries {
         .select(col("stratum").as("lang"), col("doc_id"), col("rank"))
         .orderBy("lang", "rank")),
 
+    // per-source cap-and-spillover selection (RefinedWeb/CCNet-style
+    // domain quotas): sources src0..src9 thinned to 1/5 mass (source is
+    // doc_id % 20, so the thinning key must be doc_id % 100 — a plain
+    // % 5 filter would empty 8 sources and leave src0/src5 whole) so
+    // the remaining hot sources exceed the 4/5-of-fair-share cap and
+    // the freed budget visibly reallocates (kept_spill > 0)
+    "q250_source_cap_spillover" -> ((s, d) => {
+      val u = docs(s, d).filter(
+        expr("CAST(SUBSTRING(source, 4) AS INT) >= 10") ||
+          col("doc_id") % 100 < 20)
+      graft.text.Mix.sourceCapSpillover(u, col("source"), col("doc_id"),
+        col("n_chars"))
+    }),
+
     // tokenizer-budget diagnostic: vocab size needed to cover each
     // target fraction of token occurrences
     "q86_vocab_coverage" -> ((s, d) =>
@@ -1811,6 +1825,43 @@ object TrainingQueries {
                     ORDER BY MD5('7:' || CAST(doc_id AS VARCHAR))) AS INT) AS rank
            FROM documents)
          WHERE rank <= 10 ORDER BY lang, rank""",
+
+    "q250_source_cap_spillover" ->
+      """WITH u AS (
+           SELECT source, doc_id, n_chars AS w,
+                  MD5('cap:' || CAST(doc_id AS VARCHAR)) AS rk
+           FROM documents
+           WHERE CAST(SUBSTRING(source, 4) AS INT) >= 10 OR doc_id % 100 < 20),
+         c AS (SELECT (COUNT(*) * 4) // (COUNT(DISTINCT source) * 5) AS cap,
+                      COUNT(DISTINCT source) AS s FROM u),
+         r1 AS (SELECT u.*, ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY rk, doc_id) AS rn FROM u),
+         k1 AS (SELECT r1.* FROM r1, c WHERE rn <= cap),
+         f AS (SELECT s * cap - (SELECT COUNT(*) FROM k1) AS freed FROM c),
+         ev AS (SELECT r1.*, ROW_NUMBER() OVER (ORDER BY rk, doc_id) AS g
+                FROM r1, c WHERE rn > cap),
+         k2 AS (SELECT ev.* FROM ev, f WHERE g <= freed),
+         kept AS (SELECT source, w, 'quota' AS via FROM k1
+                  UNION ALL SELECT source, w, 'spill' FROM k2),
+         au AS (SELECT source, COUNT(*) AS n_docs, SUM(w) AS total_w
+                FROM u GROUP BY source),
+         ak AS (SELECT source,
+                  SUM(CASE WHEN via = 'quota' THEN 1 ELSE 0 END) AS kq,
+                  SUM(CASE WHEN via = 'spill' THEN 1 ELSE 0 END) AS ks,
+                  SUM(w) AS kw
+                FROM kept GROUP BY source)
+         SELECT au.source, (SELECT cap FROM c) AS cap, au.n_docs,
+                CAST(COALESCE(ak.kq, 0) AS BIGINT) AS kept_quota,
+                CAST(COALESCE(ak.ks, 0) AS BIGINT) AS kept_spill,
+                CAST(COALESCE(ak.kq, 0) + COALESCE(ak.ks, 0) AS BIGINT)
+                  AS kept_total,
+                CAST(au.n_docs - COALESCE(ak.kq, 0) - COALESCE(ak.ks, 0)
+                  AS BIGINT) AS n_evicted,
+                CAST(au.total_w AS BIGINT) AS total_w,
+                CAST(COALESCE(ak.kw, 0) AS BIGINT) AS kept_w,
+                ROUND(CAST(COALESCE(ak.kw, 0) AS DOUBLE)
+                  / CAST(au.total_w AS DOUBLE), 6) AS kept_w_frac
+         FROM au LEFT JOIN ak USING (source) ORDER BY au.source""",
 
     "q86_vocab_coverage" ->
       """WITH c AS (

@@ -732,4 +732,77 @@ object Mix {
     ranked.select(col("doc_id"), col("n_bigrams"), col("w_micro"),
       (col("_pos") <= m).as("selected"))
   }
+
+  /** Per-source cap-and-spillover selection (RefinedWeb/CCNet-style
+    * per-domain quotas — the curation step a pipeline runs on every
+    * crawl snapshot so no domain dominates the mixture): cap every
+    * source at `cap` docs, elected by a deterministic md5 rank within
+    * the source (the q85 election), then reallocate the budget freed by
+    * under-quota sources to the evicted docs with the smallest GLOBAL
+    * md5 rank. Total kept = min(n_total, n_sources·cap) exactly, and no
+    * source exceeds its cap except through the explicit, reported
+    * spillover. Per source the report carries doc and weight mass kept/
+    * evicted and how much freed budget reallocated INTO it (`kept_spill`).
+    *
+    * `cap` = (n_total·capNum) div (n_sources·capDen) — a capNum/capDen
+    * fraction of the fair share, from one count aggregation (two driver
+    * scalars; the corpus never collects).
+    *
+    * Scale: round 1 is the salted two-phase per-source election
+    * ([[stratifiedTopN]]'s bound — no task ever holds a whole source,
+    * only ≤ cap rows per (source, salt) then ≤ salts·cap survivors);
+    * round 2 ranks the evicted docs with
+    * [[graft.ops.Windows.globalOrdinal]] (range-partitioned two-pass,
+    * no single-partition sort) and keeps rank ≤ freed. Only (id,
+    * source, weight, 32-hex rank) tuples shuffle; text never moves.
+    * Output: one row per source, `(source, cap, n_docs, kept_quota,
+    * kept_spill, kept_total, n_evicted, total_w, kept_w, kept_w_frac)`.
+    */
+  def sourceCapSpillover(docs: DataFrame, source: Column, id: Column,
+                         weight: Column, capNum: Int = 4, capDen: Int = 5,
+                         salts: Int = 16): DataFrame = {
+    val u = graft.core.Lineage.reset(docs.select(source.as("source"),
+      id.as("doc_id"), weight.cast("long").as("w"),
+      md5(concat(lit("cap:"), id.cast("string"))).as("rk")))
+    val scal = u.agg(count(lit(1)).as("n"),
+      countDistinct(col("source")).as("s")).head()
+    val (nTotal, nSources) = (scal.getLong(0), scal.getLong(1))
+    require(nSources > 0, "sourceCapSpillover: empty corpus")
+    val cap = (nTotal * capNum) / (nSources * capDen)
+    val local = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "_salt").orderBy("rk", "doc_id")
+    val bySrc = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("rk", "doc_id")
+    val kept1 = graft.core.Lineage.reset(u
+      .withColumn("_salt", pmod(col("doc_id"), lit(salts)))
+      .withColumn("_r", row_number().over(local))
+      .filter(col("_r") <= cap).drop("_r", "_salt")
+      .withColumn("_g", row_number().over(bySrc))
+      .filter(col("_g") <= cap).drop("_g"))
+    val freed = nSources * cap - kept1.count()
+    val evicted = u.join(kept1.select("doc_id"), Seq("doc_id"), "left_anti")
+    val spill =
+      if (freed <= 0) evicted.limit(0)
+      else graft.ops.Windows.globalOrdinal(
+          evicted, Seq(col("rk"), col("doc_id")), "_pos")
+        .filter(col("_pos") <= freed).drop("_pos")
+    val kept = kept1.withColumn("via", lit("quota"))
+      .unionByName(spill.withColumn("via", lit("spill")))
+    val aggU = u.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("total_w"))
+    val aggK = kept.groupBy("source").agg(
+      sum(when(col("via") === "quota", 1L).otherwise(0L)).as("kept_quota"),
+      sum(when(col("via") === "spill", 1L).otherwise(0L)).as("kept_spill"),
+      sum(col("w")).as("kept_w"))
+    aggU.join(aggK, Seq("source"), "left")
+      .na.fill(0L, Seq("kept_quota", "kept_spill", "kept_w"))
+      .select(col("source"), lit(cap).as("cap"), col("n_docs"),
+        col("kept_quota"), col("kept_spill"),
+        (col("kept_quota") + col("kept_spill")).as("kept_total"),
+        (col("n_docs") - col("kept_quota") - col("kept_spill")).as("n_evicted"),
+        col("total_w"), col("kept_w"),
+        round(col("kept_w").cast("double") / col("total_w").cast("double"), 6)
+          .as("kept_w_frac"))
+      .orderBy("source")
+  }
 }

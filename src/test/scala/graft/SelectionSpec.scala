@@ -144,4 +144,43 @@ class SelectionSpec extends SparkSpec {
     // raw-only docs are penalized below zero, target docs rewarded above
     assert(raw.forall(_._3 < 0L) && tgt.forall(_._3 > 0L))
   }
+
+  test("sourceCapSpillover: planted over-quota source capped, freed budget spills") {
+    // 3 sources: hot=60 docs, mid=20, cold=5 -> n=85, fair share 28,
+    // cap = 85*4 div 15 = 22. cold/mid under quota (freed 22-5 + 22-20
+    // = 19); hot evicts 38, readmits exactly the 19 freed slots.
+    val docs = ((1 to 60).map(i => (i.toLong, "hot")) ++
+      (61 to 80).map(i => (i.toLong, "mid")) ++
+      (81 to 85).map(i => (i.toLong, "cold")))
+      .toDF("doc_id", "source")
+      .withColumn("w", lit(10L) + col("doc_id") % 7)
+    val out = Mix.sourceCapSpillover(docs, col("source"), col("doc_id"),
+        col("w"))
+      .select("source", "cap", "n_docs", "kept_quota", "kept_spill",
+        "kept_total", "n_evicted")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("hot") === ("hot", 22L, 60L, 22L, 19L, 41L, 19L))
+    assert(out("mid") === ("mid", 22L, 20L, 20L, 0L, 20L, 0L))
+    assert(out("cold") === ("cold", 22L, 5L, 5L, 0L, 5L, 0L))
+    // total kept = budget = n_sources * cap exactly
+    assert(out.values.map(_._6).sum === 3 * 22L)
+    // deterministic: a second run elects the identical partition
+    val again = Mix.sourceCapSpillover(docs, col("source"), col("doc_id"),
+      col("w")).select("source", "kept_total")
+      .as[(String, Long)].collect().toMap
+    assert(out.values.map(r => r._1 -> r._6).toMap === again)
+  }
+
+  test("sourceCapSpillover: no spill when every source is over quota") {
+    val docs = ((1 to 40).map(i => (i.toLong, "a")) ++
+      (41 to 80).map(i => (i.toLong, "b"))).toDF("doc_id", "source")
+      .withColumn("w", lit(1L))
+    // cap = 80*4 div 10 = 32; both sources evict 8, freed = 0
+    val out = Mix.sourceCapSpillover(docs, col("source"), col("doc_id"),
+        col("w"))
+      .select("source", "kept_quota", "kept_spill", "n_evicted")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.forall(r => r._2 == 32L && r._3 == 0L && r._4 == 8L))
+  }
 }
