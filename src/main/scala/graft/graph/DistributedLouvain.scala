@@ -23,6 +23,18 @@ import graft.core.Lineage
   */
 object DistributedLouvain {
 
+  // stage timing to stderr when GRAFT_TIMING=1 — slope-probe
+  // attribution only, never on in the oracle/bench paths
+  private def timed[T](label: String)(f: => T): T = {
+    if (sys.env.get("GRAFT_TIMING").contains("1")) {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"DLOUVAIN $label%-18s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+      r
+    } else f
+  }
+
   def cluster(edges: DataFrame, rounds: Int = 8): DataFrame = {
     val sym = edges.select(col("src"), col("dst"), col("weight"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
@@ -141,10 +153,15 @@ object DistributedLouvain {
     var done = false
     while (!done && level < maxLevels) {
       level += 1
-      val lab = Lineage.reset(cluster(cur, rounds)
-        .select(col("cell_id").as("node"), col("cluster")))
+      val lab = timed(s"level$level moves") {
+        Lineage.reset(cluster(cur, rounds)
+          .select(col("cell_id").as("node"), col("cluster")))
+      }
       val counts = lab.agg(count(lit(1)).as("n"),
         countDistinct(col("cluster")).as("c")).head
+      if (sys.env.get("GRAFT_TIMING").contains("1"))
+        System.err.println(s"DLOUVAIN level$level nodes=${counts.getLong(0)}" +
+          s" comms=${counts.getLong(1)}")
       if (counts.getLong(1) == counts.getLong(0)) done = true
       else {
         // LEFT join: a node absent from lab keeps a label instead of
@@ -193,7 +210,7 @@ object DistributedLouvain {
     * component. All-DataFrame, no driver graph. Schema:
     * `(cell_id, cluster)`.
     */
-  def refine(edges: DataFrame, labels: DataFrame, maxRounds: Int = 64): DataFrame = {
+  def refine(edges: DataFrame, labels: DataFrame, maxRounds: Int = 64): DataFrame = timed("refine") {
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()

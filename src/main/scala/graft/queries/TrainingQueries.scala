@@ -387,6 +387,21 @@ object TrainingQueries {
         col("n_chars"))
     }),
 
+    // per-source TOKEN-budget quota (q250's sibling measured in mass,
+    // what RefinedWeb-style curation actually budgets): same thinned
+    // universe, whitespace token counts as the weight, admission by
+    // cumulative mass under the 4/5-of-fair-share budget with global
+    // spillover of the freed mass
+    "q251_token_budget_quota" -> ((s, d) => {
+      val u = docs(s, d).filter(
+          expr("CAST(SUBSTRING(source, 4) AS INT) >= 10") ||
+            col("doc_id") % 100 < 20)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), "\\s+")).cast("long").as("toks"))
+      graft.text.Mix.sourceTokenBudget(u, col("source"), col("doc_id"),
+        col("toks"))
+    }),
+
     // tokenizer-budget diagnostic: vocab size needed to cover each
     // target fraction of token occurrences
     "q86_vocab_coverage" -> ((s, d) =>
@@ -1851,6 +1866,49 @@ object TrainingQueries {
                   SUM(w) AS kw
                 FROM kept GROUP BY source)
          SELECT au.source, (SELECT cap FROM c) AS cap, au.n_docs,
+                CAST(COALESCE(ak.kq, 0) AS BIGINT) AS kept_quota,
+                CAST(COALESCE(ak.ks, 0) AS BIGINT) AS kept_spill,
+                CAST(COALESCE(ak.kq, 0) + COALESCE(ak.ks, 0) AS BIGINT)
+                  AS kept_total,
+                CAST(au.n_docs - COALESCE(ak.kq, 0) - COALESCE(ak.ks, 0)
+                  AS BIGINT) AS n_evicted,
+                CAST(au.total_w AS BIGINT) AS total_w,
+                CAST(COALESCE(ak.kw, 0) AS BIGINT) AS kept_w,
+                ROUND(CAST(COALESCE(ak.kw, 0) AS DOUBLE)
+                  / CAST(au.total_w AS DOUBLE), 6) AS kept_w_frac
+         FROM au LEFT JOIN ak USING (source) ORDER BY au.source""",
+
+    "q251_token_budget_quota" ->
+      """WITH u AS (
+           SELECT source, doc_id,
+                  LEN(REGEXP_SPLIT_TO_ARRAY(text, '\s+')) AS w,
+                  MD5('tok:' || CAST(doc_id AS VARCHAR)) AS rk
+           FROM documents
+           WHERE CAST(SUBSTRING(source, 4) AS INT) >= 10 OR doc_id % 100 < 20),
+         c AS (SELECT CAST((SUM(w) * 4) // (COUNT(DISTINCT source) * 5)
+                        AS BIGINT) AS b,
+                      COUNT(DISTINCT source) AS s FROM u),
+         r1 AS (SELECT u.*, SUM(w) OVER (PARTITION BY source
+                  ORDER BY rk, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+                FROM u),
+         k1 AS (SELECT r1.* FROM r1, c WHERE cum <= b),
+         f AS (SELECT s * b - COALESCE((SELECT SUM(w) FROM k1), 0) AS freed
+               FROM c),
+         ev AS (SELECT r1.source, r1.doc_id, r1.w, r1.rk,
+                  SUM(r1.w) OVER (ORDER BY r1.rk, r1.doc_id
+                    ROWS UNBOUNDED PRECEDING) AS gcum
+                FROM r1, c WHERE cum > b),
+         k2 AS (SELECT ev.* FROM ev, f WHERE gcum <= freed),
+         kept AS (SELECT source, w, 'quota' AS via FROM k1
+                  UNION ALL SELECT source, w, 'spill' FROM k2),
+         au AS (SELECT source, COUNT(*) AS n_docs, SUM(w) AS total_w
+                FROM u GROUP BY source),
+         ak AS (SELECT source,
+                  SUM(CASE WHEN via = 'quota' THEN 1 ELSE 0 END) AS kq,
+                  SUM(CASE WHEN via = 'spill' THEN 1 ELSE 0 END) AS ks,
+                  SUM(w) AS kw
+                FROM kept GROUP BY source)
+         SELECT au.source, (SELECT b FROM c) AS budget, au.n_docs,
                 CAST(COALESCE(ak.kq, 0) AS BIGINT) AS kept_quota,
                 CAST(COALESCE(ak.ks, 0) AS BIGINT) AS kept_spill,
                 CAST(COALESCE(ak.kq, 0) + COALESCE(ak.ks, 0) AS BIGINT)

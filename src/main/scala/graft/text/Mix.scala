@@ -758,6 +758,77 @@ object Mix {
     * Output: one row per source, `(source, cap, n_docs, kept_quota,
     * kept_spill, kept_total, n_evicted, total_w, kept_w, kept_w_frac)`.
     */
+  /** Per-source TOKEN-budget quota with spillover — [[sourceCapSpillover]]
+    * measured in mass instead of doc count (what RefinedWeb-style
+    * curation actually budgets: a domain's share of the TRAINING TOKENS,
+    * not its document count — a domain of few huge docs must not buy
+    * extra mass through a doc-count cap). Per source, docs are admitted
+    * in deterministic md5-rank order while the source's cumulative
+    * weight stays ≤ `budget` = (total_w·num) div (n_sources·den); the
+    * weight freed by under-budget sources readmits evicted docs in
+    * global md5-rank order under the same cumulative rule.
+    *
+    * Scale: BOTH running sums ride [[graft.ops.Windows
+    * .runningTotalLongWithPos]] — the per-source one via a global
+    * (source, rk) sort plus a per-source offset subtraction (sources
+    * are contiguous in the sort, so each source's exclusive prefix is
+    * global_running − min(global_running) over the source; the offset
+    * table is n_sources rows, broadcast) — so there is NO per-source
+    * window holding a whole source in one task and no unpartitioned
+    * window at all. Output: one row per source, `(source, budget,
+    * n_docs, kept_quota, kept_spill, kept_total, n_evicted, total_w,
+    * kept_w, kept_w_frac)`.
+    */
+  def sourceTokenBudget(docs: DataFrame, source: Column, id: Column,
+                        weight: Column, num: Int = 4, den: Int = 5): DataFrame = {
+    val u = graft.core.Lineage.reset(docs.select(source.as("source"),
+      id.as("doc_id"), weight.cast("long").as("w"),
+      md5(concat(lit("tok:"), id.cast("string"))).as("rk")))
+    val scal = u.agg(sum(col("w")).as("tw"),
+      countDistinct(col("source")).as("s")).head()
+    require(!scal.isNullAt(0) && scal.getLong(1) > 0,
+      "sourceTokenBudget: empty corpus")
+    val (totalW, nSources) = (scal.getLong(0), scal.getLong(1))
+    val budget = (totalW * num) / (nSources * den)
+    val g = graft.ops.Windows.runningTotalLongWithPos(u,
+      Seq(col("source"), col("rk"), col("doc_id")), "w", "_run", "_pos")
+    val off = g.groupBy(col("source").as("_src"))
+      .agg(min(col("_run")).as("_off"))
+    val withCum = g.join(broadcast(off), col("source") === col("_src"))
+      .withColumn("_cum", col("_run") - col("_off") + col("w"))
+    val kept1 = graft.core.Lineage.reset(withCum
+      .filter(col("_cum") <= budget)
+      .select("source", "doc_id", "w", "rk"))
+    val keptW = kept1.agg(sum(col("w"))).head()
+    val freed = nSources * budget -
+      (if (keptW.isNullAt(0)) 0L else keptW.getLong(0))
+    val evicted = u.join(kept1.select("doc_id"), Seq("doc_id"), "left_anti")
+    val spill =
+      if (freed <= 0) evicted.limit(0)
+      else graft.ops.Windows.runningTotalLongWithPos(evicted,
+          Seq(col("rk"), col("doc_id")), "w", "_run2", "_pos2")
+        .filter(col("_run2") + col("w") <= freed)
+        .select("source", "doc_id", "w", "rk")
+    val kept = kept1.withColumn("via", lit("quota"))
+      .unionByName(spill.withColumn("via", lit("spill")))
+    val aggU = u.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("total_w"))
+    val aggK = kept.groupBy("source").agg(
+      sum(when(col("via") === "quota", 1L).otherwise(0L)).as("kept_quota"),
+      sum(when(col("via") === "spill", 1L).otherwise(0L)).as("kept_spill"),
+      sum(col("w")).as("kept_w"))
+    aggU.join(aggK, Seq("source"), "left")
+      .na.fill(0L, Seq("kept_quota", "kept_spill", "kept_w"))
+      .select(col("source"), lit(budget).as("budget"), col("n_docs"),
+        col("kept_quota"), col("kept_spill"),
+        (col("kept_quota") + col("kept_spill")).as("kept_total"),
+        (col("n_docs") - col("kept_quota") - col("kept_spill")).as("n_evicted"),
+        col("total_w"), col("kept_w"),
+        round(col("kept_w").cast("double") / col("total_w").cast("double"), 6)
+          .as("kept_w_frac"))
+      .orderBy("source")
+  }
+
   def sourceCapSpillover(docs: DataFrame, source: Column, id: Column,
                          weight: Column, capNum: Int = 4, capDen: Int = 5,
                          salts: Int = 16): DataFrame = {

@@ -172,6 +172,26 @@ class SelectionSpec extends SparkSpec {
     assert(out.values.map(r => r._1 -> r._6).toMap === again)
   }
 
+  test("sourceTokenBudget: mass-based admission, freed mass spills globally") {
+    // hot: 10 docs of w=100 (mass 1000); cold: 5 docs of w=10 (mass 50).
+    // total 1050, budget = 1050*4 div 10 = 420: hot admits 4 docs
+    // (400 <= 420 < 500), cold admits all 5. freed = 840 - 450 = 390;
+    // spill readmits evicted hot docs while cumulative mass <= 390 -> 3.
+    val docs = ((1 to 10).map(i => (i.toLong, "hot", 100L)) ++
+      (11 to 15).map(i => (i.toLong, "cold", 10L)))
+      .toDF("doc_id", "source", "w")
+    val out = Mix.sourceTokenBudget(docs, col("source"), col("doc_id"),
+        col("w"))
+      .select("source", "budget", "n_docs", "kept_quota", "kept_spill",
+        "kept_total", "kept_w")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("hot") === ("hot", 420L, 10L, 4L, 3L, 7L, 700L))
+    assert(out("cold") === ("cold", 420L, 5L, 5L, 0L, 5L, 50L))
+    // no source's quota-kept mass exceeds the budget
+    assert(out.values.forall(r => r._7 - r._5 * 100L <= 420L))
+  }
+
   test("sourceCapSpillover: no spill when every source is over quota") {
     val docs = ((1 to 40).map(i => (i.toLong, "a")) ++
       (41 to 80).map(i => (i.toLong, "b"))).toDF("doc_id", "source")
