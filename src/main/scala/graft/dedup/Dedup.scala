@@ -476,16 +476,127 @@ object Dedup {
       .orderBy(col("h"), col("cell_id")).limit(trainN)
       .select("cell_id", "latent")
     val bc = graft.pipeline.Cluster.lloydWithCenters(sample, nClusters, iters, seed)._2
-    val nearest = udf { (v: Seq[Double]) =>
-      var best = 0; var bd = Double.MaxValue; var c = 0
-      while (c < bc.length) {
-        var d = 0.0; var j = 0
-        while (j < bc(c).length) { val t = v(j) - bc(c)(j); d += t * t; j += 1 }
-        if (d < bd) { bd = d; best = c } // strict < keeps the lowest index
-        c += 1                          // on ties, like ORDER BY (d, cid)
+    // Assignment cost discipline (named by the r12 4x slope gate): the
+    // flat scan is O(n·k) per corpus pass, and with the auto-sized
+    // k = n/1024 that is QUADRATIC in n — measured 3.3x/doubling at
+    // 400k docs. At ≤ 64 centers (every test SF and oracle path:
+    // clustersFor floors at minK = 8 there) the flat scan stays, exact
+    // and bit-stable. Above it, a two-level center index: super-centers
+    // from a deterministic driver Lloyd over the CENTERS (strided init,
+    // fixed iterations — pure function of bc), each vector scanning only
+    // the `nprobe` nearest super-centers' children — O(√k·(1+nprobe))
+    // per row, pushing the assignment wall out by ~√k. The trade is the
+    // standard IVF one: a boundary vector may take its second-nearest
+    // center, which moves it BETWEEN buckets (recall, not correctness —
+    // identical/near-identical vectors still co-assign, the property
+    // the dedup rests on). Past ~10⁸ docs swap the per-row scan for the
+    // join-based bucketed cross-KNN (Knn.bucketedKnn) with an exact
+    // fallback for uncovered vectors.
+    val nearest =
+      if (bc.length <= 64) udf { (v: Seq[Double]) =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < bc.length) {
+          var d = 0.0; var j = 0
+          while (j < bc(c).length) { val t = v(j) - bc(c)(j); d += t * t; j += 1 }
+          if (d < bd) { bd = d; best = c } // strict < keeps the lowest index
+          c += 1                          // on ties, like ORDER BY (d, cid)
+        }
+        best
       }
-      best
-    }
+      else {
+        val dim = bc(0).length
+        val k2 = math.max(1, math.round(math.sqrt(bc.length.toDouble)).toInt)
+        // deterministic mini-Lloyd over the centers: strided init, 10
+        // fixed iterations, empty super-centers keep their coords
+        var sc = Array.tabulate(k2)(i =>
+          bc((i.toLong * bc.length / k2).toInt).clone())
+        for (_ <- 1 to 10) {
+          val sums = Array.fill(k2)(new Array[Double](dim))
+          val cnt = new Array[Long](k2)
+          bc.foreach { p =>
+            var best = 0; var bd = Double.MaxValue; var c = 0
+            while (c < k2) {
+              var d = 0.0; var j = 0
+              while (j < dim) { val t = p(j) - sc(c)(j); d += t * t; j += 1 }
+              if (d < bd) { bd = d; best = c }
+              c += 1
+            }
+            cnt(best) += 1
+            var j = 0
+            while (j < dim) { sums(best)(j) += p(j); j += 1 }
+          }
+          sc = Array.tabulate(k2)(c =>
+            if (cnt(c) > 0) sums(c).map(_ / cnt(c)) else sc(c))
+        }
+        val scF = sc
+        val children: Array[Array[Int]] = {
+          val buf = Array.fill(k2)(scala.collection.mutable.ArrayBuffer[Int]())
+          bc.indices.foreach { ci =>
+            val p = bc(ci)
+            var best = 0; var bd = Double.MaxValue; var c = 0
+            while (c < k2) {
+              var d = 0.0; var j = 0
+              while (j < dim) { val t = p(j) - scF(c)(j); d += t * t; j += 1 }
+              if (d < bd) { bd = d; best = c }
+              c += 1
+            }
+            buf(best) += ci
+          }
+          buf.map(_.toArray) // each ascending by construction
+        }
+        val nprobe = math.min(4, k2)
+        udf { (v: Seq[Double]) =>
+          // nprobe nearest super-centers (selection by (dist, index))
+          val d2 = new Array[Double](k2)
+          var c = 0
+          while (c < k2) {
+            var d = 0.0; var j = 0
+            while (j < dim) { val t = v(j) - scF(c)(j); d += t * t; j += 1 }
+            d2(c) = d; c += 1
+          }
+          val probed = new Array[Int](nprobe)
+          val taken = new Array[Boolean](k2)
+          var p = 0
+          while (p < nprobe) {
+            var best = -1; var bd = Double.MaxValue; var i = 0
+            while (i < k2) {
+              if (!taken(i) && d2(i) < bd) { bd = d2(i); best = i }
+              i += 1
+            }
+            taken(best) = true; probed(p) = best; p += 1
+          }
+          // scan the probed super-centers' children with the global
+          // (dist, center-index) tie-break of the flat scan
+          var bestC = Int.MaxValue; var bd = Double.MaxValue
+          p = 0
+          while (p < nprobe) {
+            val kids = children(probed(p))
+            var i = 0
+            while (i < kids.length) {
+              val ci = kids(i); val ctr = bc(ci)
+              var d = 0.0; var j = 0
+              while (j < dim) { val t = v(j) - ctr(j); d += t * t; j += 1 }
+              if (d < bd || (d == bd && ci < bestC)) { bd = d; bestC = ci }
+              i += 1
+            }
+            p += 1
+          }
+          if (bestC != Int.MaxValue) bestC
+          else {
+            // all probed super-centers were childless (possible when the
+            // mini-Lloyd leaves empties) — flat-scan fallback, still
+            // deterministic
+            var best = 0; var bdf = Double.MaxValue; var ci = 0
+            while (ci < bc.length) {
+              var d = 0.0; var j = 0
+              while (j < dim) { val t = v(j) - bc(ci)(j); d += t * t; j += 1 }
+              if (d < bdf) { bdf = d; best = ci }
+              ci += 1
+            }
+            best
+          }
+        }
+      }
     // the assignment feeds BOTH sides of the in-cluster self-join —
     // without the cache the normalize + k-center distance scan over the
     // full corpus executes twice. Hot-cluster guard: members are ranked

@@ -33,6 +33,25 @@ class StreamingScaleSpec extends SparkSpec {
   // (PERF.md scale rows); the boilerplate block stays fixed — its cap
   // geometry is the thing under test, not a function of corpus size
   private val mult = sys.env.getOrElse("GRAFT_SCALE_MULT", "1").toInt
+
+  // Streaming STATE partitions = shuffle partitions at query start, and
+  // the shared test session pins 4 — at mult=4 that squeezed ~1.37M live
+  // LSH buckets through 4 state partitions on every micro-batch's
+  // maintenance pass (measured 3.03x/doubling at the r12 4x gate, the
+  // same fixed-partition regime DedupScaleSpec hit at 2x in r11). Scale
+  // with the corpus; restored after the suite. Shared-session override —
+  // sound only under sequential suite execution.
+  private var savedPartitions: String = _
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    savedPartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", (4 * mult).toString)
+  }
+  override def afterAll(): Unit = {
+    spark.conf.set("spark.sql.shuffle.partitions", savedPartitions)
+    super.afterAll()
+  }
+
   private val nFamilies = 2000 * mult
   private val famSize = 5
   private val nBackground = 90000 * mult
