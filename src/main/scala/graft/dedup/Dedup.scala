@@ -1146,8 +1146,13 @@ object Dedup {
       .join(bounded.select(col("bk"), col("doc_id").as("b"),
         col("text").as("tb")), Seq("bk"))
       .filter(col("a") < col("b"))
-      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      // threshold-bounded levenshtein: banded O(len·maxDist) DP instead
+      // of the full O(len²) matrix per pair; returns the EXACT distance
+      // when ≤ maxDist (so surviving rows are bit-identical) and −1
+      // when above it (rows the filter dropped anyway)
+      .withColumn("dist",
+        levenshtein(col("ta"), col("tb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select("a", "b", "dist")
   }
 

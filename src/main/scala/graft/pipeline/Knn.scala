@@ -30,10 +30,15 @@ object Knn {
   // the FULL corpus fingerprint (already computed for free by the cache
   // materialization) lets a hit skip even building the training sample.
 
-  /** Euclidean distance between two latent arrays (sequential fold). */
+  /** Euclidean distance between two latent arrays (sequential fold) —
+    * the fold runs as the native codegen'd SqDiffSum expression, whose
+    * IEEE op sequence is identical to the interpreted
+    * `aggregate(zip_with((x−y)·(x−y)))` it replaces (per element one
+    * subtraction + one multiplication, ascending accumulation), so
+    * every oracle distance is bit-for-bit unchanged.
+    */
   private def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x))
+    sqrt(graft.functions.SqDiffSum.column(a, b))
 
   /** Exact k nearest neighbors of every cell (self excluded):
     * `(src, dst, dist, rn)`. O(n²·dim) pairs — the correctness baseline;
@@ -483,8 +488,13 @@ object Knn {
                            nPlanes: Int = 0, rounds: Int = 6): DataFrame = {
     val (cand, release) = lshCandidates(latent, latent, nPlanes, rounds,
       excludeSelf = true)
-    val nb = cand.groupBy("src", "dst").agg(min(col("dist")).as("dist"))
-      .filter(round(col("dist"), 6) <= eps)
+    // eps-filter BEFORE the dedup shuffle (guide §2.3): a pair's dist is
+    // the same IEEE value in every round/probe it appears in, so
+    // filtering candidate rows by the same rounded predicate keeps
+    // exactly the pairs the post-aggregation filter kept — and only the
+    // ε-close sliver of the occupancy-sized candidate set ever shuffles.
+    val nb = cand.filter(round(col("dist"), 6) <= eps)
+      .groupBy("src", "dst").agg(min(col("dist")).as("dist"))
       .select(col("src"), col("dst"), round(col("dist"), 6).as("dist"))
       .localCheckpoint()
     release()
@@ -504,8 +514,9 @@ object Knn {
                                   rounds: Int = 6): DataFrame = {
     val (cand, release) = lshCandidates(queries, corpus, nPlanes, rounds,
       excludeSelf = false)
-    val nb = cand.groupBy("src", "dst").agg(min(col("dist")).as("dist"))
-      .filter(round(col("dist"), 6) <= eps)
+    // same pre-shuffle eps cut as bucketedEpsNeighbors (see there)
+    val nb = cand.filter(round(col("dist"), 6) <= eps)
+      .groupBy("src", "dst").agg(min(col("dist")).as("dist"))
       .select(col("src"), col("dst"), round(col("dist"), 6).as("dist"))
       .localCheckpoint()
     release()

@@ -92,8 +92,8 @@ object Pq {
       .select(col("vec_id").as("qid"), col("v"))
     val probes = qs.crossJoin(broadcast(centDf))
       .select(col("qid"), col("list"),
-        aggregate(zip_with(col("v"), col("lc"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (a, x) => a + x).as("d2"))
+        // codegen'd fold, IEEE-identical to aggregate(zip_with(...))
+        graft.functions.SqDiffSum.column(col("v"), col("lc")).as("d2"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("d2"), col("list"))))
       .filter(col("rn") <= nProbe).select("qid", "list")
@@ -138,8 +138,8 @@ object Pq {
       .select(col("vec_id").as("qid"), col("v"))
     val probes = qs.crossJoin(broadcast(centDf))
       .select(col("qid"), col("list"),
-        aggregate(zip_with(col("v"), col("lc"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (a, x) => a + x).as("d2"))
+        // codegen'd fold, IEEE-identical to aggregate(zip_with(...))
+        graft.functions.SqDiffSum.column(col("v"), col("lc")).as("d2"))
       .withColumn("prank", row_number().over(
         Window.partitionBy("qid").orderBy(col("d2"), col("list"))))
       .filter(col("prank") <= maxProbe).select("qid", "list", "prank")
@@ -236,8 +236,8 @@ object Pq {
       .agg(count(lit(1)).as("n_old"))
     val newAsg = newVecs.crossJoin(broadcast(centDf))
       .select(col("vec_id"), col("list"),
-        aggregate(zip_with(col("v"), col("lc"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (a, x) => a + x).as("d2"))
+        // codegen'd fold, IEEE-identical to aggregate(zip_with(...))
+        graft.functions.SqDiffSum.column(col("v"), col("lc")).as("d2"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("d2"), col("list"))))
       .filter(col("rn") === 1)

@@ -215,10 +215,31 @@ object Sketches {
     // distinct-agg operates on |G|·k sketch rows; the corpus-sized pair
     // fan-out below exists ONLY to validate the estimators
     if (!withExact) return estOut
-    val exact = sides(hashes).groupBy("ga", "gb").agg(
-      sum(col("in_a")).as("n_exact_a"), sum(col("in_b")).as("n_exact_b"),
-      sum(col("in_a") * col("in_b")).as("inter_exact"),
-      count(lit(1)).as("union_exact"))
+    // Exact truth WITHOUT the |pairs|-fold row fan-out the former
+    // sides(hashes) paid (every hash row replicated across every pair
+    // involving its group): per-group sizes are one count, pair
+    // intersections come from each hash's |G|-bounded sorted group set
+    // (row-local pair explode, ga < gb by the sort), and the union is
+    // the exact-integer identity |A|+|B|−|A∩B| — identical integers,
+    // one |hashes|-row shuffle instead of ~2·|G| of them.
+    val gc = hashes.groupBy("grp").agg(count(lit(1)).as("n_exact"))
+    val inter = hashes.groupBy("hhex")
+      .agg(sort_array(collect_list(col("grp"))).as("gs"))
+      .filter(size(col("gs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(gs) - 1), i ->
+             transform(sequence(0, i - 1), j ->
+               named_struct('ga', gs[j], 'gb', gs[i]))))""")).as("p"))
+      .groupBy(col("p.ga").as("ga"), col("p.gb").as("gb"))
+      .agg(count(lit(1)).as("inter_exact"))
+    val exact = pairTab
+      .join(gc.select(col("grp").as("ga"), col("n_exact").as("n_exact_a")),
+        Seq("ga"))
+      .join(gc.select(col("grp").as("gb"), col("n_exact").as("n_exact_b")),
+        Seq("gb"))
+      .join(inter, Seq("ga", "gb"), "left").na.fill(0L, Seq("inter_exact"))
+      .withColumn("union_exact",
+        col("n_exact_a") + col("n_exact_b") - col("inter_exact"))
     exact.select(col("ga").as("src_a"), col("gb").as("src_b"),
         col("n_exact_a"), col("n_exact_b"), col("inter_exact"),
         col("union_exact"),
@@ -288,19 +309,27 @@ object Sketches {
     */
   def countMinCompare(items: DataFrame, itemCol: String, depth: Int,
                       width: Int, minCount: Long): DataFrame = {
-    val cells = items.select(col(itemCol).as("item"),
+    // Count first, hash the DISTINCT item domain after: the sketch cell
+    // of an item is occurrence-independent, so counter(r, cell) =
+    // Σ c_true over the items hashing there — identical integers to
+    // hashing every occurrence, at depth·|distinct| md5 calls instead
+    // of depth·|occurrences| (and no corpus-sized distinct pass).
+    // EAGER checkpoint: three consumers first touched inside one final
+    // job (counters, est, the exact filter) — the lazy form would race
+    // (the q201 double-compute gotcha); the frame is |distinct| rows.
+    val exactAll = items.groupBy(col(itemCol).as("item"))
+      .agg(count(lit(1)).as("c_true"))
+      .localCheckpoint()
+    val cells = exactAll.select(col("item"), col("c_true"),
         explode(sequence(lit(0), lit(depth - 1))).as("r"))
       .withColumn("cell",
         pmod(conv(substring(md5(concat_ws(":", col("r"), col("item"))), 1, 15),
           16, 10).cast("long"), lit(width.toLong)))
-    val counters = cells.groupBy("r", "cell").agg(count(lit(1)).as("c"))
-    val exact = items.groupBy(col(itemCol).as("item"))
-      .agg(count(lit(1)).as("c_true"))
-      .filter(col("c_true") >= minCount)
-    val est = cells.select("item", "r", "cell").distinct()
+    val counters = cells.groupBy("r", "cell").agg(sum(col("c_true")).as("c"))
+    val est = cells.select("item", "r", "cell")
       .join(counters, Seq("r", "cell"))
       .groupBy("item").agg(min(col("c")).as("cm_est"))
-    exact.join(est, Seq("item"))
+    exactAll.filter(col("c_true") >= minCount).join(est, Seq("item"))
       .withColumn("inflated", col("cm_est") > col("c_true"))
   }
 }

@@ -339,8 +339,9 @@ object Streaming {
     val s = vecs.toDF().withWatermark("ts", watermark)
       .withColumn("va", col("embedding").cast("array<double>"))
     val ds = centers.zipWithIndex.map { case (c, i) =>
-      struct(aggregate(zip_with(col("va"), typedLit(c),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x).as("d2"),
+      // codegen'd fold, IEEE-identical to aggregate(zip_with(...))
+      struct(graft.functions.SqDiffSum.column(col("va"),
+        typedLit(c).cast("array<double>")).as("d2"),
         lit(i + 1).as("list"))
     }
     s.withColumn("_best", element_at(array_sort(array(ds: _*)), 1))

@@ -23,24 +23,55 @@ object TextOps {
     */
   def winnowFingerprints(docs: org.apache.spark.sql.DataFrame, k: Int,
                          w: Int): org.apache.spark.sql.DataFrame = {
-    // explode + per-doc sliding window: a nested transform(array_min(
-    // slice(g,...))) gets its gram array inlined per window by Catalyst's
-    // projection collapse — O(len²) md5 re-evaluation; the windowed form
-    // hashes each gram exactly once and partitions by doc_id
-    val grams = docs
+    // ROW-LOCAL kernel: the former plan exploded every k-gram hash
+    // (corpus-chars rows) through a per-doc shuffle + two window passes
+    // just to take sliding minima whose state is one document — a
+    // bounded per-row kernel (the sanctioned bounded-array UDF class).
+    // The kernel hashes each gram exactly once (the explode form's
+    // motivation) with zero shuffled rows; md5 hex of the UTF-8 bytes
+    // matches Spark's md5(substring(...)) bit-for-bit on the BMP
+    // corpus, and hex strings compare identically (ASCII) under Java
+    // and UTF8-binary order, so n_fp/min_fp are unchanged.
+    val kernel = udf { (text: String) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val ng = text.length - k + 1
+      val grams = new Array[String](ng)
+      val hexDigits = "0123456789abcdef"
+      var i = 0
+      while (i < ng) {
+        val dig = md.digest(text.substring(i, i + k)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val cs = new Array[Char](32)
+        var j = 0
+        while (j < 16) {
+          cs(2 * j) = hexDigits((dig(j) >> 4) & 0xf)
+          cs(2 * j + 1) = hexDigits(dig(j) & 0xf)
+          j += 1
+        }
+        grams(i) = new String(cs)
+        i += 1
+      }
+      val wins = ng - w + 1
+      val seen = new scala.collection.mutable.HashSet[String]
+      var minFp: String = null
+      var p = 0
+      while (p < wins) {
+        var m = grams(p)
+        var j = p + 1
+        while (j < p + w) {
+          if (grams(j).compareTo(m) < 0) m = grams(j)
+          j += 1
+        }
+        seen.add(m)
+        if (minFp == null || m.compareTo(minFp) < 0) minFp = m
+        p += 1
+      }
+      (seen.size, minFp)
+    }
+    docs
       .filter(length(col("text")) >= k + w - 1)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, length(text) - ${k - 1}), i -> md5(substring(text, i, $k)))"))
-        .as(Seq("pos", "h")))
-    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    grams
-      .withColumn("wmin", min(col("h")).over(
-        byDoc.orderBy("pos").rowsBetween(0, w - 1)))
-      .withColumn("ng", count(lit(1)).over(byDoc))
-      .filter(col("pos") <= col("ng") - w) // full windows only
-      .groupBy("doc_id")
-      .agg(countDistinct(col("wmin")).cast("int").as("n_fp"),
-        min(col("wmin")).as("min_fp"))
+      .select(col("doc_id"), kernel(col("text")).as("r"))
+      .select(col("doc_id"), col("r._1").as("n_fp"), col("r._2").as("min_fp"))
   }
 
   val tokensCol: Column = split(col("text"), "\\s+")
@@ -397,7 +428,7 @@ object TextOps {
     * and only the final |vocab|-row map joins the token stream.
     */
   def wordpieceSegment(docs: DataFrame, merges: Int): DataFrame = {
-    val (wt, _, _, greedy) = greedyState(docs, merges)
+    val (wt, _, greedy) = greedyState(docs, merges)
     val cmp = greedy.join(wt.select("w", "repr"), Seq("w"))
       .select(col("w"), col("n"),
         (col("seg") =!= col("repr")).cast("long").as("diff"))
@@ -415,7 +446,7 @@ object TextOps {
     * longest-match-first segmentation `(w, n, seg)`.
     */
   private def greedyState(docs: DataFrame, merges: Int)
-      : (DataFrame, DataFrame, Int, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val (learned, words) = bpeLoop(docs, merges)
@@ -439,24 +470,95 @@ object TextOps {
       .join(broadcast(vocab), expr("substring(w, pos, slen) = sym"))
       .select(col("w"), col("pos"), col("sym"), col("slen"), col("cnt"))
       .localCheckpoint(false)
+    // Per-word greedy walk, ROW-LOCAL: the former maxWordLen-iteration
+    // loop of (w, pos) left-joins re-shuffled the whole word table per
+    // step — pure scheduling/shuffle latency for a walk whose state is
+    // one word's jump table (wl ≤ word length, vocabulary-bounded).
+    // Grouping the jump table per word and walking it in one projection
+    // produces the identical segmentation: the walk is deterministic
+    // (max step per position, single chars always match so it never
+    // stalls) and substring semantics match Spark's 1-based substring
+    // on the BMP corpus.
     val jump = matches.groupBy("w", "pos").agg(max(col("slen")).as("step"))
-      .localCheckpoint()
-    val maxWl = wt.agg(max(col("wl"))).head.getInt(0)
-    var g = wt.select(col("w"), col("wl"),
-      lit(1).as("pos"), lit(0L).as("n"), lit("").as("seg"))
-    for (i <- 1 to maxWl) {
-      val live = col("pos") <= col("wl")
-      g = g.join(jump, Seq("w", "pos"), "left")
-        .select(col("w"), col("wl"),
-          when(live, col("pos") + col("step")).otherwise(col("pos")).as("pos"),
-          when(live, col("n") + 1L).otherwise(col("n")).as("n"),
-          when(live, concat(col("seg"), lit(" "),
-            expr("substring(w, pos, step)"))).otherwise(col("seg")).as("seg"))
-      if (i % 4 == 0) g = g.localCheckpoint(false)
-    }
-    val greedy = g.select(col("w"), col("n"), trim(col("seg")).as("seg"))
-    (wt, matches, maxWl, greedy)
+    val greedy = wt
+      .join(jump.groupBy("w")
+        .agg(collect_list(struct(col("pos"), col("step"))).as("js")), Seq("w"))
+      .select(col("w"), greedyWalkUdf(col("w"), col("wl"), col("js")).as("r"))
+      .select(col("w"), col("r._1").as("n"), col("r._2").as("seg"))
+    (wt, matches, greedy)
   }
+
+  /** Row-local greedy longest-match-first walk over one word's
+    * (pos → max step) jump table — returns (n_pieces, segmentation).
+    * Identical to the former position-by-position distributed loop:
+    * each step consumes the longest vocabulary match at the cursor
+    * (single characters always match, so the walk never stalls).
+    */
+  private val greedyWalkUdf =
+    udf { (w: String, wl: Int, js: Seq[org.apache.spark.sql.Row]) =>
+      val step = new Array[Int](wl + 2)
+      js.foreach { r =>
+        val p = r.getInt(0)
+        if (p >= 1 && p <= wl) step(p) = r.getInt(1)
+      }
+      val sb = new java.lang.StringBuilder(wl * 2)
+      var pos = 1
+      var n = 0L
+      while (pos <= wl && step(pos) > 0) {
+        if (n > 0) sb.append(' ')
+        sb.append(w, pos - 1, pos - 1 + step(pos))
+        n += 1
+        pos += step(pos)
+      }
+      (n, sb.toString)
+    }
+
+  /** Row-local Viterbi DP over one word's scored match set — returns
+    * (score_micro, n_pieces, segmentation) of the best path, or null
+    * when position wl+1 is unreachable (cannot happen while single
+    * characters are in the vocabulary; kept for exact equivalence with
+    * the former loop, whose final filter dropped such words). The
+    * relaxation is the same DP the position-by-position distributed
+    * loop ran: positions strictly increase (slen ≥ 1), so relaxing in
+    * ascending-position order uses only finalized predecessor states,
+    * and the tie-break (score desc, fewer pieces, seg asc) is exact —
+    * micro-nat scores and piece counts are longs, and the seg
+    * comparison is Java code-unit order, which equals Spark's UTF8
+    * binary order on the BMP-only corpus symbols.
+    */
+  private val viterbiDpUdf =
+    udf { (wl: Int, ms: Seq[org.apache.spark.sql.Row]) =>
+      // bucket matches by position: (slen, score, sym)
+      val heads = Array.fill(wl + 2)(List.empty[(Int, Long, String)])
+      ms.foreach { r =>
+        val p = r.getInt(0)
+        if (p >= 1 && p <= wl)
+          heads(p) = (r.getInt(1), r.getLong(2), r.getString(3)) :: heads(p)
+      }
+      val has = new Array[Boolean](wl + 2)
+      val sc = new Array[Long](wl + 2)
+      val np = new Array[Long](wl + 2)
+      val seg = new Array[String](wl + 2)
+      has(1) = true; seg(1) = ""
+      var p = 1
+      while (p <= wl) {
+        if (has(p)) heads(p).foreach { case (slen, score, sym) =>
+          val q = p + slen
+          if (q <= wl + 1) {
+            val nsc = sc(p) + score
+            val nn = np(p) + 1
+            lazy val nseg = if (seg(p).isEmpty) sym else seg(p) + " " + sym
+            if (!has(q) || nsc > sc(q) ||
+                (nsc == sc(q) && (nn < np(q) ||
+                  (nn == np(q) && nseg.compareTo(seg(q)) < 0)))) {
+              has(q) = true; sc(q) = nsc; np(q) = nn; seg(q) = nseg
+            }
+          }
+        }
+        p += 1
+      }
+      if (has(wl + 1)) (sc(wl + 1), np(wl + 1), seg(wl + 1)) else null
+    }
 
   /** Unigram-LM (SentencePiece-style) Viterbi segmentation under the
     * [[bpeTrain]]-learned vocabulary — the THIRD inference rule next to
@@ -472,7 +574,7 @@ object TextOps {
     * inference typically recovers the BPE optimum where greedy errs).
     */
   def viterbiSegment(docs: DataFrame, merges: Int): DataFrame = {
-    val (wt, matches, maxWl, greedy) = greedyState(docs, merges)
+    val (wt, matches, greedy) = greedyState(docs, merges)
     val tots = matches.select(col("sym"), col("cnt")).distinct()
       .agg(sum(col("cnt")).as("t"), count(lit(1)).as("vn")).head
     // smoothed integer micro-nat score per DISTINCT symbol, attached to
@@ -480,27 +582,18 @@ object TextOps {
     val scored = matches.select(col("w"), col("pos"), col("sym"), col("slen"),
       round(log((col("cnt") + lit(1L)) / lit(tots.getLong(0) + tots.getLong(1)))
         * lit(1000000.0)).cast("long").as("score"))
-      .localCheckpoint()
-    val wBest = org.apache.spark.sql.expressions.Window
-      .partitionBy("w", "pos")
-      .orderBy(col("sc").desc, col("n"), col("seg"))
-    var best = wt.select(col("w"), col("wl"),
-      lit(1).as("pos"), lit(0L).as("sc"), lit(0L).as("n"), lit("").as("seg"))
-    for (p <- 1 to maxWl) {
-      val expand = best.filter(col("pos") === p)
-        .join(scored.filter(col("pos") === p), Seq("w", "pos"))
-        .select(col("w"), col("wl"),
-          (col("pos") + col("slen")).as("pos"),
-          (col("sc") + col("score")).as("sc"),
-          (col("n") + 1L).as("n"),
-          concat(col("seg"), lit(" "), col("sym")).as("seg"))
-      best = best.unionByName(expand)
-        .withColumn("_rn", row_number().over(wBest))
-        .filter(col("_rn") === 1).drop("_rn")
-      if (p % 4 == 0) best = best.localCheckpoint()
-    }
-    val fin = best.filter(col("pos") === col("wl") + 1)
-      .select(col("w"), col("n"), trim(col("seg")).as("vseg"))
+    // ROW-LOCAL Viterbi (viterbiDpUdf): the former loop re-shuffled the
+    // full (w, pos) state table maxWordLen times (join + window per
+    // position); one word's DP state is vocabulary-bounded (wl × maxLen
+    // match structs), so grouping the scored matches per word and
+    // relaxing in-task produces the identical argmax in ONE aggregation
+    val fin = wt
+      .join(scored.groupBy("w").agg(collect_list(
+        struct(col("pos"), col("slen"), col("score"), col("sym"))).as("ms")),
+        Seq("w"))
+      .select(col("w"), viterbiDpUdf(col("wl"), col("ms")).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("w"), col("r._2").as("n"), col("r._3").as("vseg"))
     val cmp = fin
       .join(wt.select("w", "repr"), Seq("w"))
       .join(greedy.select(col("w"), col("seg").as("gseg")), Seq("w"))
@@ -1933,11 +2026,8 @@ object TextOps {
     var cnt = occ.groupBy("sym").agg(sum(col("c")).as("cnt"))
       .localCheckpoint(false)
     val vocabV = cnt.count()
-    val maxWl = wt.agg(max(col("wl"))).head.getInt(0)
     var prevSeg = wt.select(col("w"),
       trim(regexp_replace(col("w"), lit("(.)"), lit("$1 "))).as("pseg"))
-    val wBest = Window.partitionBy("w", "pos")
-      .orderBy(col("sc").desc, col("n"), col("seg"))
     (1 to emIters).map { e =>
       val tTot = cnt.agg(sum(col("cnt"))).head.getLong(0)
       val scored = matches
@@ -1945,23 +2035,19 @@ object TextOps {
         .select(col("w"), col("pos"), col("sym"), col("slen"),
           round(log((col("cnt") + lit(1L)) / lit(tTot + vocabV))
             * lit(1000000.0)).cast("long").as("score"))
-        .localCheckpoint()
-      var best = wt.select(col("w"), col("wl"),
-        lit(1).as("pos"), lit(0L).as("sc"), lit(0L).as("n"),
-        lit("").as("seg"))
-      for (p <- 1 to maxWl) {
-        val expand = best.filter(col("pos") === p)
-          .join(scored.filter(col("pos") === p), Seq("w", "pos"))
-          .select(col("w"), col("wl"), (col("pos") + col("slen")).as("pos"),
-            (col("sc") + col("score")).as("sc"), (col("n") + 1L).as("n"),
-            concat(col("seg"), lit(" "), col("sym")).as("seg"))
-        best = best.unionByName(expand)
-          .withColumn("_rn", row_number().over(wBest))
-          .filter(col("_rn") === 1).drop("_rn")
-        if (p % 4 == 0) best = best.localCheckpoint()
-      }
-      val fin = best.filter(col("pos") === col("wl") + 1)
-        .select(col("w"), col("sc"), col("n"), trim(col("seg")).as("seg"))
+      // ROW-LOCAL Viterbi E-step (viterbiDpUdf — see viterbiSegment):
+      // the former loop re-shuffled the full (w, pos) state table
+      // maxWordLen times per EM iteration; one word's DP is bounded
+      // (wl × maxSubLen match structs), so one grouped aggregation
+      // produces the identical argmax segmentation
+      val fin = wt
+        .join(scored.groupBy("w").agg(collect_list(
+          struct(col("pos"), col("slen"), col("score"), col("sym"))).as("ms")),
+          Seq("w"))
+        .select(col("w"), viterbiDpUdf(col("wl"), col("ms")).as("r"))
+        .filter(col("r").isNotNull)
+        .select(col("w"), col("r._1").as("sc"), col("r._2").as("n"),
+          col("r._3").as("seg"))
         .localCheckpoint()
       val used = fin.select(explode(split(col("seg"), " ")).as("s"))
         .agg(countDistinct(col("s")).as("vocab_used"))
