@@ -17,6 +17,12 @@ Test / fork := true
 Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest,
   "-l", "org.scalatest.tags.Slow")
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// JSON. With the default LoggedOutput strategy sbt prefixes every forked
+// line with "[info] ", which made the driver's parser record `parsed: null`
+// in rounds 12-13 (PERF per-query/scaling comparisons were blind). Route
+// the forked process's stdout straight through instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

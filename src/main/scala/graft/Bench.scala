@@ -241,10 +241,13 @@ object Bench {
       s""""suffix_memo":[${soStats._1},${soStats._2}]"""
     // resolved against the working directory (or an explicit override),
     // not a hardcoded checkout path
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    // cpu-suffixed default: the r13 driver's 8-cpu run overwrote the 32-cpu
+    // full record, destroying the only same-core per-query comparison basis.
+    // The record also carries "cpus" so a surviving file identifies itself.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"BENCH_full_c$cpus.json")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(fullPath).toAbsolutePath,
-      s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","n":${results.size},"base_reps":$REPS,"slow_reps":$SLOW_REPS,"slow_cutoff":$SLOW_CUTOFF,"contended":$contendedKeys,$envJson,"queries":$fullQs,"errors":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","n":${results.size},"cpus":$cpus,"base_reps":$REPS,"slow_reps":$SLOW_REPS,"slow_cutoff":$SLOW_CUTOFF,"contended":$contendedKeys,$envJson,"queries":$fullQs,"errors":$errs,"sf":"$sfDir"}""")
     // printed line: summary only, guaranteed < 1.5 kB so the driver's
     // 2000-byte tail window parses it — slowest 10 with medians AND
     // per-rep arrays (contention vs plan is attributable from spread)
@@ -261,7 +264,7 @@ object Bench {
     // tail-window-only record carries the starved-JVM diagnostics.
     // value_min (sum of fastest reps) is the contention floor; the
     // contended list names every query whose reps betray a starved run.
-    println(s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","n":${results.size},"base_reps":$REPS,"slow_reps":$SLOW_REPS,"slow_cutoff":$SLOW_CUTOFF,"heap_mb":$heapMb,"gc_total_ms":${gcMs()},"contended_n":${contendedAll.size},"contended":$contendedShort,"rerun_n":${healed.size},"rerun":$rerunShort,"queries":$qs,"reps_slow":$slow,"errors":$errs,"full":"$fullPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","n":${results.size},"cpus":$cpus,"base_reps":$REPS,"slow_reps":$SLOW_REPS,"slow_cutoff":$SLOW_CUTOFF,"heap_mb":$heapMb,"gc_total_ms":${gcMs()},"contended_n":${contendedAll.size},"contended":$contendedShort,"rerun_n":${healed.size},"rerun":$rerunShort,"queries":$qs,"reps_slow":$slow,"errors":$errs,"full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }
