@@ -1149,11 +1149,16 @@ object Dedup {
       // threshold-bounded levenshtein: banded O(len·maxDist) DP instead
       // of the full O(len²) matrix per pair; returns the EXACT distance
       // when ≤ maxDist (so surviving rows are bit-identical) and −1
-      // when above it (rows the filter dropped anyway)
-      .withColumn("dist",
-        levenshtein(col("ta"), col("tb"), maxDist).cast("long"))
-      .filter(col("dist") >= 0 && col("dist") <= maxDist)
-      .select("a", "b", "dist")
+      // when above it (rows the filter dropped anyway). The filter rides
+      // INSIDE an array-filter + explode so the DP runs ONCE per pair:
+      // a plain withColumn + filter had Catalyst push the predicate
+      // below the projection and evaluate the banded DP 3× per pair
+      // (twice in the pushed filter, once in the project — guide §4.4's
+      // duplicated-UDF shape, with a builtin).
+      .select(col("a"), col("b"),
+        explode(filter(
+          array(levenshtein(col("ta"), col("tb"), maxDist).cast("long")),
+          d => d >= 0 && d <= lit(maxDist))).as("dist"))
   }
 
   /** Shape-identical power chains for [[lshPlanner]]: the Column and the

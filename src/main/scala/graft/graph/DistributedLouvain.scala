@@ -63,10 +63,21 @@ object DistributedLouvain {
     val m2Row = deg.agg(sum(col("deg")).as("m2"))
     val degCk = Lineage.reset(deg.crossJoin(broadcast(m2Row)))
 
-    // community = own node initially
-    var comm = degCk.select(col("src").as("node"), col("src").as("comm"))
-
-    for (round <- 0 until rounds) {
+    // community = own node initially; carries a _moved flag so the
+    // early-exit check reads the already-materialized frame instead of
+    // recomputing the round
+    var comm = degCk.select(col("src").as("node"), col("src").as("comm"),
+      lit(false).as("_moved"))
+    // EXACT early exit: moves alternate by direction parity, so the state
+    // can only be stable once BOTH parities pass without a move — after a
+    // zero-move even round AND a zero-move odd round, every later round
+    // recomputes an identical scored table and moves nothing. The
+    // remaining fixed rounds were pure re-scans of the full edge table
+    // (guide §1.2: don't compute things you throw away); on converged
+    // graphs this cuts the 8-round schedule to convergence + 2.
+    var staticRounds = 0
+    var round = 0
+    while (round < rounds && staticRounds < 2) {
       // community volumes (sum of member degrees)
       val vol = comm.join(degCk.withColumnRenamed("src", "node"), Seq("node"))
         .groupBy("comm").agg(sum(col("deg")).as("vol"))
@@ -74,7 +85,7 @@ object DistributedLouvain {
       // the node's OWN community is always a candidate (w_in may be 0)
       // so "stay" competes fairly
       val nbrComm = symCk
-        .join(comm.withColumnRenamed("node", "dst").withColumnRenamed("comm", "c_dst"), Seq("dst"))
+        .join(comm.select(col("node").as("dst"), col("comm").as("c_dst")), Seq("dst"))
         .select(col("src").as("node"), col("c_dst").as("cand"), col("weight"))
       val ownComm = comm.select(col("node"), col("comm").as("cand"), lit(0.0).as("weight"))
       val toComm = nbrComm.unionByName(ownComm)
@@ -85,7 +96,7 @@ object DistributedLouvain {
       val scored = toComm
         .join(vol.withColumnRenamed("comm", "cand"), Seq("cand"))
         .join(degCk.withColumnRenamed("src", "node"), Seq("node"))
-        .join(comm, Seq("node"))
+        .join(comm.select("node", "comm"), Seq("node"))
         .withColumn("vol_adj",
           when(col("cand") === col("comm"), col("vol") - col("deg")).otherwise(col("vol")))
         .withColumn("gain", col("w_in") - col("deg") * col("vol_adj") / col("m2"))
@@ -102,24 +113,50 @@ object DistributedLouvain {
       val allowed =
         if (round % 2 == 0) col("cand") <= col("comm")
         else col("cand") >= col("comm")
+      // best allowed move as a min(struct) aggregation — picks the same
+      // row as the former row_number().over(orderBy(gain.desc, cand))
+      // rank-1 filter (desc on gain = asc on -gain under the identical
+      // double total order, cand tie-break is the struct's second
+      // field), but with map-side partial aggregation instead of a full
+      // per-node sort window — one fewer sort and a far smaller exchange
       val best = scored
         .filter(allowed)
-        .withColumn("rn", row_number().over(Window.partitionBy("node")
-          .orderBy(col("gain").desc, col("cand"))))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("cand"))
-      comm = Lineage.reset(
-        comm.join(best, Seq("node"), "left")
-          .select(col("node"),
-            coalesce(col("cand"), col("comm")).as("comm")))
+        .groupBy("node", "comm")
+        .agg(min(struct(negate(col("gain")).as("ng"), col("cand").as("cand")))
+          .as("_b"))
+        .select(col("node"), col("_b.cand").as("cand"), col("comm"))
+      val prev = comm
+      comm = timed(s"round$round") {
+        Lineage.reset(
+          prev.select("node", "comm").join(best.select("node", "cand"), Seq("node"), "left")
+            .select(col("node"),
+              coalesce(col("cand"), col("comm")).as("comm"),
+              (col("cand").isNotNull && col("cand") =!= col("comm")).as("_moved")))
+      }
+      // the early-exit probe reads the checkpointed frame — one tiny
+      // job, no recompute of the round
+      val moved = comm.filter(col("_moved")).count()
+      if (sys.env.get("GRAFT_TIMING").contains("1"))
+        System.err.println(s"DLOUVAIN round$round moved=$moved")
+      staticRounds = if (moved == 0) staticRounds + 1 else 0
+      // superseded checkpoint: free its blocks now instead of letting
+      // 8 rounds × levels of n-row frames pile up in the block manager
+      // (in-pipeline, alongside the e2e caches, that pile-up is memory
+      // pressure every later stage pays for — guide §5)
+      graft.core.FrameMemo.hardUnpersist(prev)
+      round += 1
     }
     // relabel to dense 1..C by size desc
     val sizes = comm.groupBy("comm").agg(count(lit(1)).as("sz"))
     val relabel = graft.ops.Windows.globalOrdinal(
         sizes, Seq(col("sz").desc, col("comm")), "cluster")
       .select("comm", "cluster")
-    comm.join(broadcast(relabel), Seq("comm"))
-      .select(col("node").as("cell_id"), col("cluster"))
+    val out = Lineage.reset(
+      comm.join(broadcast(relabel), Seq("comm"))
+        .select(col("node").as("cell_id"), col("cluster")))
+    // everything internal is materialized into `out` — release it all
+    Seq(comm, symCk, degCk).foreach(graft.core.FrameMemo.hardUnpersist)
+    out
   }
 
   /** Multi-LEVEL distributed Louvain (Blondel 2008 phase 2 for the
@@ -174,6 +211,8 @@ object DistributedLouvain {
         // negative node keeps its label as-is — re-negating would flip
         // it back into the positive label space on a second consecutive
         // miss and silently merge the orphan into an unrelated cluster.
+        val prevMapping = mapping
+        val prevCur = cur
         mapping = Lineage.reset(mapping.join(lab, Seq("node"), "left")
           .select(col("cell_id"),
             coalesce(col("cluster"),
@@ -188,6 +227,10 @@ object DistributedLouvain {
           .select(least(col("src"), col("dst")).as("src"),
             greatest(col("src"), col("dst")).as("dst"), col("weight"))
           .groupBy("src", "dst").agg(sum(col("weight")).as("weight")))
+        // superseded level state: free the blocks now (guide §5 — the
+        // per-level frames otherwise accumulate for the whole run)
+        Seq(prevMapping, prevCur, lab)
+          .foreach(graft.core.FrameMemo.hardUnpersist)
       }
     }
     val sizes = mapping.groupBy("node").agg(count(lit(1)).as("sz"))

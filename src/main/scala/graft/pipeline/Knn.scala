@@ -205,22 +205,32 @@ object Knn {
     val labels = vecs.select(col("cell_id"), col("label"))
     val (cand, release) = lshCandidates(latent, latent, nPlanes, rounds,
       excludeSelf = true)
-    val agg = cand.groupBy("src", "dst").agg(min(col("dist")).as("dist"))
+    // One aggregation replaces the former (src, dst) dedup shuffle + two
+    // per-side row_number windows + their join (guide §2.3/§2.4):
+    // candidate duplicates across LSH rounds carry bit-identical
+    // distances, so min(struct(rounded_dist, dst)) over the RAW candidate
+    // stream picks exactly the row the dedup+window chain picked (the
+    // struct's lexicographic order IS the window's (round(dist,6), dst)
+    // order), and the label predicate splits pos/neg via conditional
+    // aggregation instead of two filtered window branches. Map-side
+    // partial aggregation cuts the shuffle to ≤ 2 structs per (partition
+    // × src); the label join rides the candidate stream (labels are a
+    // per-id dimension the planner broadcasts at these sizes).
+    val d6 = round(col("dist"), 6)
+    val enriched = cand
       .join(labels.select(col("cell_id").as("src"), col("label").as("_sl")),
         Seq("src"))
       .join(labels.select(col("cell_id").as("dst"), col("label").as("_dl")),
         Seq("dst"))
     val same = col("_sl") === col("_dl")
-    def top1(pred: org.apache.spark.sql.Column, tag: String) = agg
-      .filter(pred)
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy("src").orderBy(round(col("dist"), 6), col("dst"))))
-      .filter(col("_rn") === 1)
+    val out = enriched
+      .groupBy("src", "_sl")
+      .agg(min(when(same, struct(d6.as("d"), col("dst").as("dst")))).as("_p"),
+        min(when(!same, struct(d6.as("d"), col("dst").as("dst")))).as("_n"))
+      .filter(col("_p").isNotNull && col("_n").isNotNull)
       .select(col("src"), col("_sl").as("src_label"),
-        col("dst").as(s"${tag}_dst"),
-        round(col("dist"), 6).as(s"${tag}_dist"))
-    val out = top1(same, "pos")
-      .join(top1(!same, "neg").drop("src_label"), Seq("src"))
+        col("_p.dst").as("pos_dst"), col("_p.d").as("pos_dist"),
+        col("_n.dst").as("neg_dst"), col("_n.d").as("neg_dist"))
       .localCheckpoint()
     release()
     out
@@ -252,11 +262,20 @@ object Knn {
     // silhouette's graph survived, LISI's follow-up build blew the heap).
     // The un-checkpointed aggregate streams through the shuffle instead;
     // only the n·k result is ever materialized.
-    val topk = candFilter(cand).groupBy("src", "dst").agg(min(col("dist")).as("dist"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("src").orderBy(round(col("dist"), 6), col("dst"))))
-      .filter(col("rn") <= k)
-      .select(col("src"), col("dst"), round(col("dist"), 6).as("dist"), col("rn"))
+    // Bounded top-k aggregation (graft.functions.TopKMin) replaces the
+    // former (src, dst)→min(dist) dedup shuffle + per-src row_number
+    // window: duplicates across rounds carry bit-identical distances, so
+    // the aggregate's ordering-equality dedup + k-bound under the same
+    // (round(dist,6), dst) total order yields exactly the window's first
+    // k rows, while map-side partial aggregation caps the one remaining
+    // shuffle at k structs per (map partition × src) — the full candidate
+    // set no longer crosses any exchange (guide §2.3/§2.4).
+    val topk = candFilter(cand).groupBy("src")
+      .agg(graft.functions.TopKMin.column(
+        struct(round(col("dist"), 6).as("dist"), col("dst").as("dst")), k).as("_tk"))
+      .select(col("src"), posexplode(col("_tk")).as(Seq("_p", "_e")))
+      .select(col("src"), col("_e.dst").as("dst"), col("_e.dist").as("dist"),
+        (col("_p") + 1).as("rn"))
       .localCheckpoint()
     release()
     candObs.foreach(o => System.err.println(
@@ -694,10 +713,17 @@ object Knn {
     // before the k-bound would pin the full occupancy-sized candidate
     // set in the block manager (the 40× ScaleProbe OOM — see
     // bucketedKnn); the n·k result is all that ever materializes.
-    val topk = cand.groupBy("src", "dst").agg(min("dist").as("dist"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("src").orderBy(col("dist"), col("dst"))))
-      .filter(col("rn") <= k)
+    // Same bounded top-k aggregation as bucketedKnn (see there): the
+    // multi-round/probe duplicates are bit-identical, so the ordering-
+    // equality dedup + k-bound under the (dist, dst) order reproduce the
+    // former dedup-groupBy + row_number window rows exactly — here on the
+    // UNROUNDED distance, matching the window this replaces.
+    val topk = cand.groupBy("src")
+      .agg(graft.functions.TopKMin.column(
+        struct(col("dist").as("dist"), col("dst").as("dst")), k).as("_tk"))
+      .select(col("src"), posexplode(col("_tk")).as(Seq("_p", "_e")))
+      .select(col("src"), col("_e.dst").as("dst"), col("_e.dist").as("dist"),
+        (col("_p") + 1).as("rn"))
       .localCheckpoint()
     latent.unpersist()
     topk

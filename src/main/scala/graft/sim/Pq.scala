@@ -47,8 +47,14 @@ object Pq {
     // feeds m Lloyd trainings + the query slice — materialize once
     val cached = vecs.select(col("vec_id"), col("v")).localCheckpoint()
     val (codes, cents) = trainCodebooks(cached, dim, m, k, iters, seed)
+    // BROADCAST the m·k-per-query ADC table (the ivfPqTopK shape): the
+    // broadcast build materializes d2m once per table row. Un-broadcast,
+    // the codegen'd join deferred the streamed side's non-key d2m
+    // expression into the per-MATCH loop — the quantized fold ran per
+    // scored row (|codes|·|queries| times) instead of per table row,
+    // measured 2.2× on q143 when the fold became codegen-able.
     val tab = adcTable(cached, dim, m, queryMod, cents)
-    val adc = codes.join(tab, Seq("s", "cid"))
+    val adc = codes.join(broadcast(tab), Seq("s", "cid"))
       .filter(col("cell_id") =!= col("qid"))
       .groupBy(col("qid"), col("cell_id").as("dst"))
       .agg(sum(col("d2m")).as("adc_micro"))
@@ -293,12 +299,16 @@ object Pq {
               s -> named_struct('s', s, 'qv', slice(v, s * $w + 1, $w)))"""))
         .as("e"))
       .select(col("qid"), col("e.s").as("s"), col("e.qv").as("qv"))
-    def fix(c: org.apache.spark.sql.Column) = round(c * lit(1e6)).cast("long")
+    // QuantSqDiffSum = the same fixed-point fold as a native codegen
+    // kernel (guide §4): per element round(x·1e6)→long exactly as
+    // Spark's round (BigDecimal HALF_UP) + non-ANSI cast, difference
+    // squared and summed in long — bit-identical to the interpreted
+    // aggregate(zip_with(...)) HOF chain it replaces (QuantSqDiffSumSpec
+    // pins the equality, including .5 rounding knife edges).
     qsub.join(broadcast(cents), Seq("s"))
       .select(col("s"), col("qid"), col("cid"),
-        aggregate(zip_with(col("qv"), col("c"),
-          (x, y) => (fix(x) - fix(y)) * (fix(x) - fix(y))),
-          lit(0L), (a, x) => a + x).as("d2m"))
+        graft.functions.QuantSqDiffSum.column(col("qv"), col("c"), 1e6)
+          .as("d2m"))
   }
 
   private def rankAdc(adc: DataFrame, topK: Int): DataFrame =
